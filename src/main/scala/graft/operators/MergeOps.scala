@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The relational heart of the engine: upsert/delete MERGE semantics that
+  * the reference encodes as generated BigQuery SQL
+  * (`kcbq-connector/.../bigquery/MergeQueries.java:176-412`), re-expressed
+  * as native Spark plans over a staged micro-batch.
+  *
+  * Staged-batch schema mirrors the reference's intermediate table
+  * (`SchemaManager.java:622-672`):
+  * {{{
+  *   key:   STRUCT   (required — upsert identity, possibly multi-field)
+  *   value: STRUCT   (null = tombstone / delete marker)
+  *   i:     LONG     (per-batch iteration counter: total order within key)
+  *   [partitionTime: TIMESTAMP, batchNumber: LONG]   (optional)
+  * }}}
+  * The destination table is flat: key fields ++ value fields as top-level
+  * columns (what `MergeQueries` calls `dstTableName` with `_key` exploded).
+  *
+  * Scale notes (100 TB design intent):
+  *  - `latestPerKey` uses `max_by` under `groupBy(key)` — a single shuffle
+  *    with map-side partial aggregation, strictly better than a window sort
+  *    (`row_number`) which cannot partially aggregate.
+  *  - `upsertDelete` shuffles dest + deduped batch on the key. On a real
+  *    table the rewrite must be restricted to touched partitions — see
+  *    `graft.sources.WarehouseTable.merge` which prunes by partition before
+  *    delegating here (mirror of the reference's `_PARTITIONTIME` decorator
+  *    pruning, `MergeQueries.java:429-452`).
+  *  - A micro-batch is usually small relative to dest: Spark's AQE will
+  *    broadcast the deduped source side automatically; nothing hand-picked.
+  */
+object MergeOps {
+
+  private def structFieldNames(df: DataFrame, colName: String): Seq[String] =
+    df.schema(colName).dataType.asInstanceOf[StructType].fieldNames.toSeq
+
+  /** Key-equality join condition between a flat dest (aliased `d`) and a
+    * staged side (aliased `s`) carrying a `key` struct.
+    */
+  private def keyCond(keyFields: Seq[String]): Column =
+    keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
+
+  /** A1 — last-write-wins dedup: one row per key, greatest `i`.
+    * Reference: `ARRAY_AGG(x ORDER BY i DESC LIMIT 1)[OFFSET(0)]`
+    * (`MergeQueries.java:216-226`). `i` is unique within a batch (it is a
+    * monotonic counter), so `max_by` is deterministic.
+    */
+  def latestPerKey(staged: DataFrame): DataFrame = {
+    val others = staged.columns.filterNot(_ == "key").toSeq
+    staged
+      .groupBy(col("key"))
+      .agg(max_by(struct(others.map(col): _*), col("i")).as("__top"))
+      .select(col("key") +: others.map(f => col(s"__top.$f").as(f)): _*)
+  }
+
+  /** A2 — latest tombstone per key: the `deletes` relation of the
+    * delete-only MERGE (`MergeQueries.java:380-390`).
+    * Output: key struct + `i` of the newest null-value row.
+    */
+  def latestTombstonePerKey(staged: DataFrame): DataFrame =
+    staged.where(col("value").isNull)
+      .groupBy(col("key"))
+      .agg(max(col("i")).as("i"))
+
+  /** J1 — upsert-only MERGE (`MergeQueries.java:245-308`): dedup the batch
+    * per key, then full-outer join against dest; matched rows take the
+    * source's value columns, unmatched source rows are inserted, unmatched
+    * dest rows are kept. Tombstones must have been filtered upstream
+    * (P2 — the reference never stages them when delete is disabled).
+    */
+  def upsert(dest: DataFrame, staged: DataFrame): DataFrame =
+    mergeImpl(dest, staged, delete = false)
+
+  /** J1+J2 — upsert/delete MERGE (`MergeQueries.java:176-243`): as
+    * [[upsert]], but a key whose latest staged row is a tombstone
+    * (value IS NULL) is deleted when matched and dropped when not matched.
+    */
+  def upsertDelete(dest: DataFrame, staged: DataFrame): DataFrame =
+    mergeImpl(dest, staged, delete = true)
+
+  private def mergeImpl(dest: DataFrame, staged: DataFrame, delete: Boolean): DataFrame = {
+    val kfs = structFieldNames(staged, "key")
+    val vfs = structFieldNames(staged, "value")
+    val src = latestPerKey(staged).select(col("key"), col("value"))
+    val joined = dest.as("d").join(src.as("s"), keyCond(kfs), "full_outer")
+    val srcPresent = col("s.key").isNotNull
+    val base =
+      if (delete) joined.where(!(srcPresent && col("s.value").isNull))
+      else joined
+    base.select(
+      kfs.map(f => coalesce(col(s"s.key.$f"), col(s"d.$f")).as(f)) ++
+        vfs.map(f => when(srcPresent, col(s"s.value.$f")).otherwise(col(s"d.$f")).as(f)): _*)
+  }
+
+  /** J3 — delete-only tombstone fence (`MergeQueries.java:310-412`): per
+    * key find the latest tombstone's `i`; keep batch rows where no
+    * tombstone exists or `batch.i >= deletes.i` (rows older than the last
+    * tombstone for their key are fenced out). Returns surviving staged
+    * rows with the original schema.
+    */
+  def tombstoneFence(staged: DataFrame): DataFrame = {
+    val cols = staged.columns.toSeq
+    val deletes = latestTombstonePerKey(staged).withColumnRenamed("i", "__del_i")
+    staged.as("b")
+      .join(deletes.as("t"), col("b.key") === col("t.key"), "left")
+      .where(col("t.__del_i").isNull || col("b.i") >= col("t.__del_i"))
+      .select(cols.map(f => col(s"b.$f")): _*)
+  }
+
+  /** Delete-only MERGE (`MergeQueries.java:310-412` full semantics): apply
+    * the fence, delete dest rows whose key has a surviving tombstone, then
+    * insert every surviving non-tombstone row (delete-only mode performs
+    * plain inserts — duplicates in dest are allowed by the reference).
+    */
+  def deleteOnly(dest: DataFrame, staged: DataFrame): DataFrame = {
+    val kfs = structFieldNames(staged, "key")
+    val vfs = structFieldNames(staged, "value")
+    val fenced = tombstoneFence(staged)
+    val tombKeys = fenced.where(col("value").isNull).select(col("key")).distinct()
+    val survivors = dest.as("d")
+      .join(tombKeys.as("s"), keyCond(kfs), "left_anti")
+    val inserts = fenced.where(col("value").isNotNull)
+      .select(kfs.map(f => col(s"key.$f").as(f)) ++ vfs.map(f => col(s"value.$f").as(f)): _*)
+    survivors.unionByName(inserts)
+  }
+
+  /** J4 — insert-new-keys-only: source rows (deduped, non-tombstone) whose
+    * key does not exist in dest (`WHEN NOT MATCHED AND src.value IS NOT
+    * NULL THEN INSERT`, `MergeQueries.java:232-242, 297-307`), isolated as
+    * its own anti-join operator.
+    */
+  def insertNewOnly(dest: DataFrame, staged: DataFrame): DataFrame = {
+    val kfs = structFieldNames(staged, "key")
+    val vfs = structFieldNames(staged, "value")
+    latestPerKey(staged)
+      .where(col("value").isNotNull)
+      .as("s")
+      .join(dest.as("d"), keyCond(kfs), "left_anti")
+      .select(kfs.map(f => col(s"s.key.$f").as(f)) ++ vfs.map(f => col(s"s.value.$f").as(f)): _*)
+  }
+}

@@ -11,7 +11,8 @@ object SparkEntry {
 
   val packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.CoreQueries,
-    _root_.graft.queries.MergeQueries)
+    _root_.graft.queries.MergeQueries,
+    _root_.graft.queries.ConvertQueries)
 
   lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)
 

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.convert.{ConvertOptions, FieldSanitizer, LogicalTypes, RecordConverter, Staging}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the conversion layer (SURVEY.md §2.2:
+  * P1, P4-P8, P11) over the `events` table. Each query applies the real
+  * operator from `graft.convert` and states the equivalent DuckDB SQL.
+  */
+object ConvertQueries extends QueryPack {
+
+  /** events with ts as µs and ms longs (ts is parquet TIMESTAMP(NANOS),
+    * read as a nanos long — see Tables.load).
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("p4_sanitize",
+      (s, dir) => FieldSanitizer.sanitize(
+        ev(s, dir).select(
+          col("event_id").as("event id!"),
+          col("event_type").as("9type"),
+          col("props").as("a.b/c"))),
+      oracle = Some(
+        """SELECT event_id AS "event_id_", event_type AS "_9type", props AS "a_b_c"
+          |FROM events""".stripMargin)),
+
+    GraftQuery("p5_double_special",
+      (s, dir) => ev(s, dir).select(
+        col("event_id"),
+        RecordConverter.normalizeDouble(
+          when(col("user_id") % 37 === 0, lit(Double.PositiveInfinity))
+            .when(col("user_id") % 41 === 0, lit(Double.NegativeInfinity))
+            .when(col("user_id") % 43 === 0, lit(Double.NaN))
+            .otherwise(col("value"))).as("dnorm")),
+      oracle = Some(
+        """SELECT event_id,
+          |       CASE WHEN user_id % 37 = 0 THEN 1.7976931348623157e308
+          |            WHEN user_id % 41 = 0 THEN 4.9e-324
+          |            WHEN user_id % 43 = 0 THEN 4.9e-324
+          |            ELSE value END AS dnorm
+          |FROM events""".stripMargin)),
+
+    GraftQuery("p6_base64",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        RecordConverter.bytesToBase64(encode(col("text"), "UTF-8")).as("b64")),
+      oracle = Some(
+        "SELECT doc_id, base64(encode(text)) AS b64 FROM documents")),
+
+    GraftQuery("p7_map_explode",
+      (s, dir) => {
+        val entries = ev(s, dir).select(
+          col("event_id"),
+          RecordConverter.explodeMap(
+            map(lit("type"), col("event_type"), lit("props"), col("props")))
+            .as("entries"))
+        entries.select(col("event_id"), explode(col("entries")).as("e"))
+          .select(col("event_id"), col("e.key").as("mk"), col("e.value").as("mv"))
+      },
+      oracle = Some(
+        """SELECT event_id, 'type' AS mk, event_type AS mv FROM events
+          |UNION ALL
+          |SELECT event_id, 'props' AS mk, props AS mv FROM events""".stripMargin)),
+
+    GraftQuery("p8_logical_ts",
+      (s, dir) => {
+        val us = expr("ts div 1000")
+        val ms = expr("ts div 1000000")
+        ev(s, dir).select(
+          col("event_id"),
+          LogicalTypes.kafkaTimestamp(ms).as("kafka_ts"),
+          LogicalTypes.kafkaDate(ms).as("kafka_date"),
+          LogicalTypes.debeziumMicroTimestamp(us).as("micro_ts"),
+          LogicalTypes.debeziumMicroTime(us).as("micro_time"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |  strftime(make_timestamp((epoch_ns(ts)//1000000)*1000), '%Y-%m-%d %H:%M:%S.%g') AS kafka_ts,
+          |  strftime(make_timestamp((epoch_ns(ts)//1000000)*1000), '%Y-%m-%d') AS kafka_date,
+          |  strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d %H:%M:%S') || '.' || ((epoch_ns(ts)//1000) % 1000000) AS micro_ts,
+          |  strftime(make_timestamp(epoch_ns(ts)//1000), '%H:%M:%S') || '.' || ((epoch_ns(ts)//1000) % 1000000) AS micro_time
+          |FROM events""".stripMargin)),
+
+    // P1 end-to-end: nested struct carrying a double, bytes, and a map,
+    // pushed through RecordConverter.convert (empty-struct drop is unit
+    // tested; this checks the recursive expression tree against SQL).
+    GraftQuery("p1_struct_convert",
+      (s, dir) => {
+        val df = ev(s, dir).select(
+          col("event_id"),
+          struct(
+            col("event_type").as("t"),
+            when(col("user_id") % 43 === 0, lit(Double.NaN))
+              .otherwise(col("value")).as("v"),
+            encode(col("props"), "UTF-8").as("b"),
+            map(lit("p"), col("props")).as("m")).as("rec"))
+        val out = RecordConverter.convert(df, ConvertOptions(convertDoubleSpecial = true))
+        out.select(
+          col("event_id"), col("rec.t").as("t"), col("rec.v").as("v"),
+          col("rec.b").as("b64"),
+          element_at(col("rec.m"), 1).getField("value").as("mv"))
+      },
+      oracle = Some(
+        """SELECT event_id, event_type AS t,
+          |       CASE WHEN user_id % 43 = 0 THEN 4.9e-324 ELSE value END AS v,
+          |       base64(encode(props)) AS b64, props AS mv
+          |FROM events""".stripMargin)),
+
+    GraftQuery("p11_upsert_wrap",
+      (s, dir) => {
+        val kafkaShaped = ev(s, dir).select(
+          lit("events").as("topic"),
+          (col("user_id") % 8).cast("int").as("partition"),
+          col("event_id").as("offset"),
+          timestamp_micros(expr("ts div 1000")).as("timestamp"),
+          col("user_id"),
+          when(col("event_type") =!= "error",
+            struct(col("event_type").as("v_type"), col("value").as("v_amount")))
+            .as("value"))
+        Staging.wrapUpsert(kafkaShaped, Seq("user_id"), batchNumber = 7L)
+          .select(
+            col("key.user_id").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("i"), col("partitionTime").as("pt"), col("batchNumber").as("bn"))
+      },
+      oracle = Some(
+        """SELECT user_id AS k,
+          |       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
+          |       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_amount,
+          |       (user_id % 8) * 1099511627776 + event_id AS i,
+          |       make_timestamp(epoch_ns(ts)//1000) AS pt,
+          |       7 AS bn
+          |FROM events""".stripMargin))
+  )
+}

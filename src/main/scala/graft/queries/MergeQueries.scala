@@ -212,6 +212,30 @@ object MergeQueries extends QueryPack {
           |FROM customer
           |UNION ALL
           |SELECT s_suppkey, s_name, s_nationkey, s_acctbal, NULL, 'supplier'
-          |FROM supplier""".stripMargin))
+          |FROM supplier""".stripMargin)),
+
+    // U1-U3 via graft.schema.SchemaUnion: a three-version schema stream
+    // (v2 adds a field, v3 adds another) evolved pairwise-in-sequence with
+    // validation, then unioned row-wise with missing columns as NULL.
+    GraftQuery("u2_schema_evolve",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val v1 = c.where(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        val v2 = c.where(col("c_custkey") % 3 === 1)
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal"))
+        val v3 = c.where(col("c_custkey") % 3 === 2)
+          .select(col("c_custkey").as("key"), col("c_name").as("name"),
+            col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"))
+        graft.schema.SchemaUnion.unionRows(Seq(v1, v2, v3))
+      },
+      oracle = Some(
+        """SELECT c_custkey AS key, c_name AS name, NULL AS acctbal, NULL AS mktsegment
+          |FROM customer WHERE c_custkey % 3 = 0
+          |UNION ALL
+          |SELECT c_custkey, c_name, c_acctbal, NULL FROM customer WHERE c_custkey % 3 = 1
+          |UNION ALL
+          |SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 = 2""".stripMargin))
   )
 }

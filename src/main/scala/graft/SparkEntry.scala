@@ -12,7 +12,8 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     _root_.graft.queries.CoreQueries,
     _root_.graft.queries.MergeQueries,
-    _root_.graft.queries.ConvertQueries)
+    _root_.graft.queries.ConvertQueries,
+    _root_.graft.queries.WarehouseQueries)
 
   lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)
 

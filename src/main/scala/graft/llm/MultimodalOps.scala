@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample are batch transforms over
+  * those columns.
+  *
+  * The *decode* step is STUBBED (this container ships no image/audio
+  * codecs): `decodeImageStub` derives deterministic fake dimensions and
+  * features from the payload's md5 — clearly marked, swappable for a real
+  * codec behind the same column signature. Everything around the stub —
+  * schema, partitioning, batch shape, column pruning — is real Spark.
+  *
+  * == 100 TB design ==
+  *
+  * Binary payloads dominate row size, so the transforms are map-only
+  * (no shuffle touches the payload), metadata is a separate small struct
+  * column so metadata-only queries prune the payload entirely from the
+  * parquet scan, and `maxRecordsPerFile`/`maxPartitionBytes` sizing is
+  * the knob for payload-heavy files (see Scaladoc on `sizedForPayloads`).
+  */
+object MultimodalOps {
+
+  /** Metadata struct carried beside every payload: media kind, byte
+    * length, md5 content address — the columns every downstream filter
+    * uses without touching bytes.
+    */
+  def mediaMeta(payload: Column, kind: String): Column =
+    struct(
+      lit(kind).as("kind"),
+      length(payload).as("n_bytes"),
+      md5(payload).as("content_md5"))
+
+  /** Attach a payload + metadata pair from a binary column. */
+  def withMedia(df: DataFrame, binCol: String, kind: String): DataFrame =
+    df.withColumn("media_meta", mediaMeta(col(binCol), kind))
+
+  /** STUB decode — deterministic fake image header derived from the
+    * payload hash: `{width, height, channels}`. Replace with a real
+    * codec UDF (same signature) when codecs are available; marked
+    * explicitly per the build brief.
+    */
+  def decodeImageStub(payload: Column): Column = {
+    val h = md5(payload)
+    struct(
+      (conv(substring(h, 1, 4), 16, 10).cast("int") % 1920 + 64).as("width"),
+      (conv(substring(h, 5, 4), 16, 10).cast("int") % 1080 + 64).as("height"),
+      lit(3).as("channels"))
+  }
+
+  /** STUB feature extraction: a deterministic `dim`-float vector from
+    * md5 chunks of the payload — the column/batch shape of a real
+    * embedding model output (swap in an ONNX/codec UDF later).
+    */
+  def extractFeaturesStub(payload: Column, dim: Int = 8): Column =
+    transform(sequence(lit(0), lit(dim - 1)), d =>
+      (conv(substring(md5(concat(payload, d.cast("string").cast("binary"))), 1, 6), 16, 10)
+        .cast("double") / 8388607.5 - 1.0).cast("float"))
+
+  /** Resize transform (stub: rescales the decoded header proportionally
+    * to fit `maxSide`; the real version maps pixels). Payload untouched.
+    */
+  def resizeStub(decoded: Column, maxSide: Int): Column = {
+    val w = decoded.getField("width")
+    val h = decoded.getField("height")
+    val s = least(lit(maxSide.toDouble) / greatest(w, h), lit(1.0))
+    struct(
+      (w * s).cast("int").as("width"),
+      (h * s).cast("int").as("height"),
+      decoded.getField("channels").as("channels"))
+  }
+
+  /** Frame sampling for video payloads: `n` byte-range slices at evenly
+    * spaced offsets (a real demuxer would seek keyframes; the slicing,
+    * schema, and fan-out are the real plumbing).
+    */
+  def sampleFrames(payload: Column, n: Int, frameBytes: Int = 256): Column = {
+    val stride = greatest((length(payload) - frameBytes) / math.max(n - 1, 1), lit(0))
+    transform(sequence(lit(0), lit(n - 1)), i =>
+      struct(
+        i.as("frame_no"),
+        (i * stride + 1).as("offset"), // 1-based
+        payload.substr((i * stride + 1).cast("int"), lit(frameBytes)).as("bytes")))
+  }
+
+  /** Writer sizing for payload-heavy tables: bounds file size so a 100 TB
+    * media table splits into scan tasks that fit executor memory.
+    */
+  def sizedForPayloads(df: DataFrame, recordsPerFile: Long): DataFrame = {
+    df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", recordsPerFile)
+    df
+  }
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * == 100 TB design ==
+  *
+  * Brute force is O(queries × corpus) — correct but only viable when the
+  * query set is small and broadcastable (it is broadcast here, so the
+  * corpus is scanned exactly once, map-only, no shuffle of the corpus).
+  * The LSH variant buckets both sides by the sign pattern of dot products
+  * with deterministic pseudo-random hyperplanes: candidates = same
+  * bucket, so the join shuffles on a short bucket key and each vector
+  * meets only its bucket's vectors. Recall is tuned by the number of
+  * planes (fewer planes → bigger buckets → higher recall, more work).
+  *
+  * All arithmetic is an explicit left-fold over `zip_with` products —
+  * engine-portable and verified against a DuckDB oracle computing the
+  * identical expression.
+  */
+object SimOps {
+
+  /** Cosine similarity of two double-array columns (explicit sequential
+    * fold, so the float→double story is deterministic and portable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors (excluding itself). The query side is
+    * broadcast; the corpus is scanned once with no shuffle. Ties broken
+    * by ascending corpus id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1] — portable, seedless, reproducible on
+    * any engine.
+    */
+  def planeComponent(plane: Int, dim: Column): Column =
+    conv(substring(md5(to_binary(concat(lit(s"p${plane}_d"), dim.cast("string")),
+      lit("utf-8"))), 1, 6), 16, 10).cast("double") / 8388607.5 - 1.0
+
+  /** LSH bucket key: sign bits of the vector's dot products with
+    * `numPlanes` hyperplanes, as a "01…" string.
+    */
+  def lshBucket(vec: Column, numPlanes: Int): Column =
+    concat((0 until numPlanes).map { p =>
+      val dotP = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1), d => planeComponent(p, d)),
+          (x, h) => x * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotP >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** LSH-bucketed approximate top-k: both sides keyed by hyperplane
+    * bucket; candidates are same-bucket pairs only. Output shape matches
+    * [[bruteForceTopK]] (rank within found candidates).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+      .withColumn("bucket", lshBucket(col("nbr_vec"), numPlanes))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("bucket", lshBucket(col("q_vec"), numPlanes))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token counting, quality scoring, language ID, and
+  * document fingerprinting. Every operator is a pure Catalyst column
+  * expression — codegen'd, shuffle-free, embarrassingly parallel — so a
+  * 100 TB corpus scan is one map-only stage with full column pruning.
+  *
+  * All arithmetic is engine-portable (verified against a DuckDB oracle):
+  * integer ratios, regexp counts, and an explicit polynomial hash rather
+  * than any engine-private hash function.
+  */
+object TextOps {
+
+  /** Lowercase, strip everything but letters/digits/whitespace, collapse
+    * runs of whitespace, trim — the canonical form used for exact dedup.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish sub-word piece count: alpha runs, digit runs, and single
+    * punctuation marks each count as one piece (the shape of a byte-pair
+    * tokenizer's pre-tokenization, not a trained vocab).
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation characters / total characters (0 for empty). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[^a-zA-Z0-9\\s]")).cast("double") / length(c))
+
+  /** Common-English stopword tokens / total tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val stop = array(Stopwords.en.map(lit): _*)
+    val toks = split(lower(trim(c)), "\\s+")
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_distinct(toks), stop)).cast("double")
+        / size(array_distinct(toks)))
+  }
+
+  /** Composite quality score in [0,1]: length band + moderate punctuation
+    * + stopword presence — the standard cheap pre-filter shape for web
+    * corpus cleaning (length/punct/stopword heuristics).
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = when(length(c) >= 200 && length(c) <= 10000, lit(1.0))
+      .when(length(c) >= 50, lit(0.5)).otherwise(lit(0.0))
+    val punctScore = when(punctRatio(c) <= 0.1, lit(1.0))
+      .when(punctRatio(c) <= 0.3, lit(0.5)).otherwise(lit(0.0))
+    val stopScore = when(stopwordRatio(c) >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Per-language stopword-profile score: distinct tokens ∩ the
+    * language's stopword list.
+    */
+  def langScore(c: Column, lang: String): Column = {
+    val stop = array(Stopwords.byLang(lang).map(lit): _*)
+    size(array_intersect(array_distinct(split(lower(trim(c)), "\\s+")), stop))
+  }
+
+  /** CJK character count (for space-free scripts the token heuristics
+    * can't see).
+    */
+  def cjkCount(c: Column): Column =
+    length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** N-gram/stopword-heuristic language ID over {en,de,fr,es,zh}:
+    * CJK-dominant text → zh, else argmax of stopword-profile scores with
+    * deterministic tie-break (list order), 'und' when nothing scores.
+    */
+  def langId(c: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val scores = langs.map(l => langScore(c, l))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val pick = langs.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives priority to the FIRST matching lang in list order
+    when(cjkCount(c) * 4 >= length(c), lit("zh")).otherwise(pick)
+  }
+
+  /** Rolling polynomial fingerprint of the normalized text:
+    * `h = fold(chars)(h * 31 + code) mod 1e9+7` — engine-portable (no
+    * xxhash/md5 dependence), order-sensitive, and cheap. Collisions are
+    * fine for its use as a grouping fingerprint.
+    */
+  def fingerprint(c: Column): Column = {
+    val norm = normalizeText(c)
+    aggregate(
+      split(norm, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+  }
+}
+
+/** Stopword profiles for the language-ID heuristic (high-frequency
+  * function words; public linguistic knowledge).
+  */
+object Stopwords {
+  val en = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val de = Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "sich", "auf")
+  val fr = Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+  val es = Seq("el", "los", "y", "es", "un", "una", "en", "que", "por", "con")
+
+  def byLang(l: String): Seq[String] = l match {
+    case "en" => en
+    case "de" => de
+    case "fr" => fr
+    case "es" => es
+    case other => throw new IllegalArgumentException(s"no stopword profile for $other")
+  }
+}

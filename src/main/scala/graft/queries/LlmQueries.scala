@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.llm.{DedupOps, SimOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the LLM-data-pipeline operators over the
+  * `documents` and `embeddings` tables: dedup (exact + MinHash/LSH +
+  * n-gram Jaccard), similarity search (brute-force + hyperplane-LSH
+  * ANN), and text analysis. Every signature/hash is md5- or integer-
+  * arithmetic-based so the DuckDB oracle computes the *identical* values
+  * — these are value-exact checks, not just row counts.
+  */
+object LlmQueries extends QueryPack {
+
+  /** Documents plus a synthetic "re-crawl": the same texts under new ids
+    * (exact dup scenario used by d1).
+    */
+  private def withRecrawl(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000).as("doc_id"), col("text"),
+      col("lang"), lit("recrawl").as("source"), col("n_chars")))
+  }
+
+  /** First 100 docs plus lightly perturbed copies (near-dup scenario for
+    * d2/d3): same text with a short suffix appended.
+    */
+  private def withNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").where(col("doc_id") < 100)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" extra pad tokens appended")).as("text")))
+  }
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Shared DuckDB CTE computing the identical minhash/LSH pipeline. */
+  private def lshOracle(shingleSql: String, threshold: Double): String =
+    raw"""base AS (
+       |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+       |              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+       |  FROM documents WHERE doc_id < 100),
+       |sh AS (SELECT id, $shingleSql AS sh FROM base),
+       |sig AS (
+       |  SELECT id, sh, list_transform(generate_series(0, 11), j ->
+       |    list_min(list_transform(sh, s -> md5(j || '_' || s)))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT id, sh, unnest(list_transform(generate_series(0, 3), b ->
+       |    b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|')))) AS band
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.sh AS sh1, b.sh AS sh2
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+       |scored AS (
+       |  SELECT id1, id2,
+       |         len(list_intersect(sh1, sh2))::DOUBLE
+       |           / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE AS jaccard
+       |  FROM pairs)
+       |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= $threshold""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("d1_exact_dedup",
+      (s, dir) => DedupOps.exactDedup(withRecrawl(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_chars")),
+      oracle = Some(
+        """WITH both_crawls AS (
+          |  SELECT doc_id, text, n_chars FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text, n_chars FROM documents)
+          |SELECT doc_id, n_chars FROM (
+          |  SELECT doc_id, n_chars,
+          |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM both_crawls) t
+          |WHERE rn = 1""".stripMargin),
+      headline = true),
+
+    GraftQuery("d2_minhash_lsh",
+      (s, dir) => DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
+        shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7),
+      oracle = Some("WITH " + lshOracle(
+        "list_distinct(list_transform(generate_series(1, greatest(length(t) - 5, 0)), i -> substr(t, i, 6)))",
+        0.7)),
+      headline = true),
+
+    GraftQuery("d3_ngram_jaccard",
+      (s, dir) => DedupOps.ngramNearDups(withNearDups(s, dir), "text", "doc_id",
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5),
+      oracle = Some("WITH " + lshOracle(
+        """CASE WHEN len(string_split_regex(trim(t), '\s+')) >= 3
+          |  THEN list_distinct(list_transform(
+          |    generate_series(0, len(string_split_regex(trim(t), '\s+')) - 3),
+          |    i -> array_to_string(string_split_regex(trim(t), '\s+')[i+1 : i+3], ' ')))
+          |  ELSE [] END""".stripMargin,
+        0.5))),
+
+    GraftQuery("t1_text_stats",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_pieces"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality")),
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |         ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE / length(text) END AS praw,
+          |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+          |         ELSE len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+          |                ['the','and','of','to','a','in','is','it','that','for']))::DOUBLE
+          |              / len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) END AS sraw
+          |  FROM documents)
+          |SELECT doc_id, n_tokens, n_pieces,
+          |       round(praw, 6) AS punct_ratio,
+          |       round(sraw, 6) AS stop_ratio,
+          |       round((
+          |         (CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 1.0
+          |               WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) +
+          |         (CASE WHEN praw <= 0.1 THEN 1.0 WHEN praw <= 0.3 THEN 0.5 ELSE 0.0 END) +
+          |         (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+          |FROM t""".stripMargin)),
+
+    GraftQuery("t2_lang_id",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"),
+        TextOps.cjkCount(col("text")).as("n_cjk")),
+      oracle = Some(
+        """WITH scored AS (
+          |  SELECT doc_id, text,
+          |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+          |    list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+          |  FROM documents),
+          |s2 AS (
+          |  SELECT doc_id, text, n_cjk,
+          |    len(list_intersect(toks, ['the','and','of','to','a','in','is','it','that','for'])) AS s_en,
+          |    len(list_intersect(toks, ['der','die','und','das','ist','ein','nicht','mit','sich','auf'])) AS s_de,
+          |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','que','pour'])) AS s_fr,
+          |    len(list_intersect(toks, ['el','los','y','es','un','una','en','que','por','con'])) AS s_es
+          |  FROM scored)
+          |SELECT doc_id,
+          |  CASE WHEN n_cjk * 4 >= length(text) THEN 'zh'
+          |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+          |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+          |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+          |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+          |       ELSE 'und' END AS lang_pred,
+          |  n_cjk
+          |FROM s2""".stripMargin)),
+
+    GraftQuery("t3_fingerprint",
+      (s, dir) => Tables.load(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      oracle = Some(
+        s"""WITH n AS (SELECT doc_id, $normSql AS t FROM documents)
+           |SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(0::BIGINT,
+           |      list_transform(generate_series(1, length(t)), i -> ascii(substr(t, i, 1))::BIGINT)),
+           |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+           |FROM n""".stripMargin)),
+
+    GraftQuery("e1_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.bruteForceTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5)
+          .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS sim
+          |  FROM c, q WHERE q.vec_id != c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, nbr_id, sim,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin),
+      headline = true),
+
+    GraftQuery("e2_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5, numPlanes = 4)
+          .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |b AS (
+          |  SELECT vec_id, v,
+          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+          |       i -> v[i] * ((('0x' || substr(md5('p0_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
+          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+          |       i -> v[i] * ((('0x' || substr(md5('p1_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
+          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+          |       i -> v[i] * ((('0x' || substr(md5('p2_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
+          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+          |       i -> v[i] * ((('0x' || substr(md5('p3_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END)
+          |    AS bucket
+          |  FROM c),
+          |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS sim
+          |  FROM b JOIN q USING (bucket) WHERE q.vec_id != b.vec_id),
+          |ranked AS (
+          |  SELECT query_id, nbr_id, sim,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin))
+  )
+}

@@ -1,0 +1,153 @@
+package graft
+
+import graft.llm.{DedupOps, MultimodalOps, SimOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the LLM-pipeline operators not covered by the DuckDB
+  * oracle queries (SimHash, multimodal stubs) plus golden-value checks
+  * (language ID on real multilingual sentences, dedup recall on
+  * constructed near-dups).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // ---- language ID on real sentences (the documents table's lang labels
+  //      are synthetic word-salad; these are actual language samples)
+  test("langId identifies real multilingual sentences") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is happy", "en"),
+      ("der Hund ist nicht mit der Katze auf das Sofa", "de"),
+      ("le chat est dans la maison et les chiens pour une promenade", "fr"),
+      ("el perro es un animal y los gatos en la casa por la noche", "es"),
+      ("这是一个中文句子用于测试语言识别", "zh"))
+    val out = samples.toDF("text", "expected")
+      .withColumn("got", TextOps.langId($"text"))
+      .select($"expected", $"got").as[(String, String)].collect()
+    out.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("langId returns 'und' for non-language text") {
+    val got = Seq("zzz qqq xxx 12345").toDF("text")
+      .select(TextOps.langId($"text")).as[String].collect().head
+    assert(got == "und")
+  }
+
+  // ---- simhash
+  test("simhash is deterministic, 32-bit, and insensitive to token order") {
+    val df = Seq(
+      "the quick brown fox", "fox brown quick the", "completely different words here")
+      .toDF("text").withColumn("h", DedupOps.simhash($"text"))
+    val hs = df.select($"h").as[Long].collect()
+    assert(hs(0) == hs(1))       // same token set → same fingerprint
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("simhash hamming distance is small for near-dups, larger for unrelated") {
+    val base = "spark streaming merge window aggregate join filter scan batch vector " +
+      "column table row key value hash sort group order query"
+    val near = base + " extra"
+    val far = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val df = Seq(base, near, far).toDF("text")
+      .withColumn("h", DedupOps.simhash($"text"))
+    val hs = df.select($"h").as[Long].collect()
+    val dNear = java.lang.Long.bitCount(hs(0) ^ hs(1))
+    val dFar = java.lang.Long.bitCount(hs(0) ^ hs(2))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+    assert(dNear <= 6)
+    // the Column-side hamming agrees with the JVM-side computation
+    val viaCol = Seq((hs(0), hs(1))).toDF("a", "b")
+      .select(DedupOps.hammingDistance($"a", $"b")).as[Int].collect().head
+    assert(viaCol == dNear)
+  }
+
+  // ---- minhash recall on constructed near-dups
+  test("minhashNearDups finds every constructed near-dup pair") {
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"document number $i with shared vocabulary alpha beta gamma " +
+        s"delta epsilon zeta eta theta unique token u$i padding words here")
+    }
+    val withDups = docs ++ docs.take(10).map { case (id, t) => (id + 1000, t + " tail") }
+    val pairs = DedupOps.minhashNearDups(
+      withDups.toDF("doc_id", "text"), "text", "doc_id",
+      shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)), s"missed pair $i")
+    }
+  }
+
+  test("exactDedup keeps the lowest id per duplicate group") {
+    val df = Seq((5L, "aaa"), (1L, "aaa"), (3L, "bbb")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(df, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  // ---- multimodal stubs: schema + determinism
+  private def payloads = Seq(
+    (1L, Array.fill[Byte](1024)(7)), (2L, Array.fill[Byte](2048)(9)))
+    .toDF("id", "payload")
+
+  test("mediaMeta carries kind/bytes/content address without touching payload") {
+    val out = MultimodalOps.withMedia(payloads, "payload", "image")
+    val t = out.schema("media_meta").dataType.asInstanceOf[StructType]
+    assert(t.fieldNames.toSeq == Seq("kind", "n_bytes", "content_md5"))
+    val r = out.where($"id" === 1).select($"media_meta.n_bytes").as[Long].collect().head
+    assert(r == 1024L)
+  }
+
+  test("decodeImageStub is deterministic and bounded") {
+    val out = payloads.select(MultimodalOps.decodeImageStub($"payload").as("d"))
+      .select($"d.width", $"d.height", $"d.channels").as[(Int, Int, Int)].collect()
+    assert(out.toSeq == payloads.select(MultimodalOps.decodeImageStub($"payload").as("d"))
+      .select($"d.width", $"d.height", $"d.channels").as[(Int, Int, Int)].collect().toSeq)
+    out.foreach { case (w, h, c) =>
+      assert(w >= 64 && w < 1984 && h >= 64 && h < 1144 && c == 3)
+    }
+  }
+
+  test("extractFeaturesStub yields fixed-dim floats in [-1,1]") {
+    val feats = payloads.select(MultimodalOps.extractFeaturesStub($"payload", 8).as("f"))
+      .as[Array[Float]].collect()
+    assert(feats.forall(_.length == 8))
+    assert(feats.flatten.forall(v => v >= -1.0f && v <= 1.0f))
+    assert(feats(0).toSeq != feats(1).toSeq) // different payloads → different features
+  }
+
+  test("sampleFrames slices n evenly spaced byte ranges") {
+    val out = payloads.where($"id" === 2)
+      .select(MultimodalOps.sampleFrames($"payload", 4, frameBytes = 256).as("fr"))
+      .select(explode($"fr").as("f"))
+      .select($"f.frame_no".cast("long"), $"f.offset".cast("long"),
+        length($"f.bytes").as("len"))
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 4)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.forall(_._3 == 256))
+    assert(out.map(_._2).distinct.length == 4) // distinct offsets
+  }
+
+  // ---- cosine + LSH sanity beyond the oracle
+  test("lshTopK finds the exact nearest neighbor when buckets align") {
+    // vectors clustered so near-identical pairs share every hyperplane sign
+    val base = (0 until 16).map(_.toFloat / 16).toArray
+    val near = base.map(v => v + 0.001f)
+    val anti = base.map(v => -v)
+    val df = Seq((0L, base), (1L, near), (2L, anti)).toDF("vec_id", "embedding")
+    val out = SimOps.lshTopK(df, df.where($"vec_id" === 0), k = 1, numPlanes = 2)
+      .select($"nbr_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+}

@@ -80,6 +80,25 @@ object WarehouseQueries extends QueryPack {
           |       coalesce(d0.pday, s1.pday) AS pday
           |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
           |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
-      headline = true)
+      headline = true),
+
+    GraftQuery("a3_batch_counts",
+      (s, dir) => graft.operators.BatchOps.batchRowCounts(
+        Tables.load(s, dir, "events")
+          .withColumn("batchNumber", col("event_id") % 7)),
+      oracle = Some(
+        """SELECT event_id % 7 AS batchNumber, count(*) AS n_rows
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    GraftQuery("a4_max_offsets",
+      (s, dir) => graft.operators.BatchOps.maxOffsets(
+        Tables.load(s, dir, "events").select(
+          concat(lit("t"), col("user_id") % 3).as("topic"),
+          (col("user_id") % 8).as("partition"),
+          col("event_id").as("offset"))),
+      oracle = Some(
+        """SELECT 't' || (user_id % 3) AS topic, user_id % 8 AS partition,
+          |       max(event_id) + 1 AS commit_offset
+          |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

@@ -211,24 +211,34 @@ final class WarehouseTable private (
     concat_ws("", cols.map(_.cast("string")): _*)
 
   /** Rebuild the key blooms of the given partitions from current data
-    * (called after every write that touches them). Partitions that no
-    * longer exist get their bloom removed.
+    * (called after every write that touches them) in a SINGLE job: one
+    * scan of the touched partitions, one `groupBy(day)` with a
+    * bloom-building Aggregator, one small collect of (day, bloomBytes).
+    * A per-day `stat.bloomFilter` loop would run O(days) scans instead.
+    * Partitions that no longer exist get their bloom removed.
     */
   private def refreshBlooms(days: Seq[String]): Unit = {
-    days.foreach { d =>
-      val part = new Path(s"$dataPath/$partitionCol=$d")
+    val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
+    days.filterNot(existing.contains).foreach { d =>
       val bloomPath = new Path(s"$bloomDir/$d.bloom")
-      if (!fs.exists(part)) {
-        if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
-      } else {
-        val pdf = spark.read.parquet(part.toString)
-        val n = math.max(pdf.count(), 64L)
-        val bloom = pdf.stat.bloomFilter(
-          keyString(keyFields.map(col)), n, 0.01)
-        fs.mkdirs(new Path(bloomDir))
-        val out = new BufferedOutputStream(fs.create(bloomPath, true))
-        try bloom.writeTo(out) finally out.close()
-      }
+      if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+    }
+    if (existing.isEmpty) return
+    import org.apache.spark.sql.Encoders
+    val agg = new BloomAggregator(WarehouseTable.bloomExpectedItems)
+      .toColumn.name("bloom")
+    val rows = readDays(existing)
+      .select(col(partitionCol).cast("string").as("d"),
+        keyString(keyFields.map(col)).as("k"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapValues(_._2)(Encoders.STRING)
+      .agg(agg)
+      .collect()
+    fs.mkdirs(new Path(bloomDir))
+    rows.foreach { case (d, bytes) =>
+      val out = new BufferedOutputStream(fs.create(new Path(s"$bloomDir/$d.bloom"), true))
+      try out.write(bytes) finally out.close()
     }
   }
 
@@ -288,7 +298,45 @@ final class WarehouseTable private (
   }
 }
 
+/** Builds a serialized key bloom per group in one aggregation pass —
+  * distributive (partial blooms merge with bitwise OR), so it map-side
+  * combines like any algebraic aggregate.
+  */
+private[sources] class BloomAggregator(expectedItems: Long)
+    extends org.apache.spark.sql.expressions.Aggregator[String, BloomFilter, Array[Byte]] {
+  override def zero: BloomFilter = BloomFilter.create(expectedItems, 0.01)
+  override def reduce(b: BloomFilter, k: String): BloomFilter = { b.putString(k); b }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+  override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
+    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
 object WarehouseTable {
+
+  /** Bloom sizing: expected keys per partition (1% fpp ⇒ ~1.2 MB at 1M
+    * keys). At real scale this is a per-table config; oversizing costs
+    * memory, undersizing costs false-positive partition scans, never
+    * correctness.
+    */
+  val bloomExpectedItems: Long =
+    sys.env.getOrElse("GRAFT_BLOOM_EXPECTED_ITEMS", "1000000").toLong
+
+  /** R6 — table-handle cache (`BigQuerySinkTask.java:351-365`,
+    * `SchemaManager.java:80`): memoizes opens per root; schema stays
+    * fresh (read from meta per call).
+    */
+  private val handleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, WarehouseTable]()
+
+  def openCached(spark: SparkSession, root: String): WarehouseTable =
+    handleCache.computeIfAbsent(root, r => open(spark, r))
 
   /** S6 — create (or open if it exists) a table rooted at `root` with the
     * given flat destination schema and key fields

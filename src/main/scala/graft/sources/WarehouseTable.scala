@@ -184,6 +184,43 @@ final class WarehouseTable private (
     } finally src.unpersist()
   }
 
+  /** J3 delete-only MERGE against the table (`MergeQueries.java:310-412`):
+    * tombstone-fence the batch, delete dest rows whose key has a
+    * surviving tombstone, then plain-insert every surviving
+    * non-tombstone row into its `date(partitionTime)` partition
+    * (duplicates allowed, as in the reference's delete-only mode). The
+    * dest scan is bounded exactly like [[merge]]: batch days + bloom
+    * candidate partitions.
+    */
+  def mergeDeleteOnly(staged: DataFrame): Seq[String] = {
+    val fenced = MergeOps.tombstoneFence(staged)
+    fenced.cache()
+    try {
+      val batchDays = fenced
+        .select(date_format(col("partitionTime"), "yyyy-MM-dd").as("d"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val tombSrc = fenced.where(col("value").isNull)
+      val days = (batchDays ++ bloomCandidateDays(tombSrc, batchDays)).distinct.sorted
+
+      val dest = readDays(days)
+      val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
+      val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*).distinct()
+      val survivors = dest.as("d").join(tombKeys.as("s"), keyCond, "left_anti")
+      val vfs = staged.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      val inserts = fenced.where(col("value").isNotNull).select(
+        keyFields.map(f => col(s"key.$f").as(f)) ++
+          vfs.map(f => col(s"value.$f").as(f)) :+
+          date_format(col("partitionTime"), "yyyy-MM-dd").as(partitionCol): _*)
+      val merged = survivors.unionByName(inserts)
+
+      val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+      swapPartitions(staging, days)
+      refreshBlooms(days)
+      days
+    } finally fenced.unpersist()
+  }
+
   /** The pruned full-outer merge join. Updates keep the dest row's
     * partition day; inserts get `date(src.partitionTime)`.
     */

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.MergeOps
+import graft.llm.SimOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * operators 100 TB-viable are asserted on `.explain` output, so a
+  * refactor that silently loses pushdown / broadcast / partial
+  * aggregation fails the suite — not just a benchmark.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet scan, whole-stage codegen, partial agg") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // finalize AQE so codegen spans are visible
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"no pushdown:\n$plan")
+    // codegen'd operators print with a "*(n)" stage prefix
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    // two HashAggregates = map-side partial + final after exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q3: dimension side broadcast, fact side not broadcast") {
+    val plan = planOf(SparkEntry.queries("q3_join_topk")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment)") ||
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"), s"customer filter not pushed:\n$plan")
+    // top-k compiles to TakeOrderedAndProject, not a full global sort
+    assert(plan.contains("TakeOrderedAndProject"), s"limit+orderBy not fused:\n$plan")
+  }
+
+  test("column pruning: 2-column projection reads 2 columns") {
+    val df = Tables.load(spark, sf, "lineitem").select($"l_orderkey", $"l_quantity")
+    val plan = planOf(df)
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"over-read:\n$readSchema")
+  }
+
+  test("latestPerKey: partial-aggregating max_by, no window sort") {
+    val staged = spark.range(100).select(
+      struct(($"id" % 10).as("k")).as("key"),
+      struct($"id".cast("string").as("f1")).as("value"),
+      $"id".as("i"))
+    val plan = planOf(MergeOps.latestPerKey(staged))
+    // max_by under groupBy → two-phase aggregate; a row_number() plan
+    // would show Window + Sort instead (no partial aggregation possible)
+    assert(!plan.contains("Window"), s"window leaked into dedup:\n$plan")
+    assert("Aggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("bruteForceTopK: query side broadcast, corpus side un-shuffled before join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = SimOps.bruteForceTopK(emb, emb.where($"vec_id" % 100 === 0), k = 3)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("upsertDelete: small deduped source broadcast-joins under AQE") {
+    // with AQE on (the Bench/production config), the deduped batch side
+    // is far below the broadcast threshold → no shuffle of dest
+    val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
+    val staged = spark.range(10).select(
+      struct($"id".as("k1")).as("key"),
+      struct(lit("y").as("f1")).as("value"), $"id".as("i"))
+    val out = MergeOps.upsertDelete(dest, staged)
+    out.collect() // materialize so AQE finalizes the plan
+    val finalPlan = out.queryExecution.executedPlan.toString
+    // full_outer with a small side cannot broadcast, but must remain a
+    // single shuffle pair — assert no nested-loop blowup
+    assert(!finalPlan.contains("CartesianProduct"), s"cartesian in merge:\n$finalPlan")
+  }
+}

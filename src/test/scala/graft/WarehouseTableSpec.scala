@@ -174,6 +174,22 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("mergeDeleteOnly: fence + delete + plain insert, duplicates allowed") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    // batch day3: k=1 value then tombstone (fence keeps only the tombstone),
+    // k=2 insert (already present → duplicate allowed), k=5 new insert
+    t.mergeDeleteOnly(staged(Seq(
+      (1L, Some("x"), 1L, 3), (1L, None, 2L, 3),
+      (2L, Some("b2"), 3L, 3), (5L, Some("n"), 4L, 3))))
+    val state = t.read().select($"k1", $"f1").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!state.contains(1L))                  // deleted by surviving tombstone
+    assert(state(2L) == Set("b", "b2"))          // duplicate rows allowed
+    assert(state(5L) == Set("n"))
+  }
+
   test("schema evolution persists through evolveSchema") {
     val root = tmpRoot()
     val t = mkTable(root)

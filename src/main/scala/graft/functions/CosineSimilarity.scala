@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Fused cosine similarity of two `ARRAY<DOUBLE>` columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The composed form (`aggregate(zip_with(a, b, _*_), 0.0, _+_) / ...`)
+  * evaluates three higher-order passes and materializes a zipped array
+  * per row; this expression is one fused loop, no allocation — the (b)
+  * tier of the custom-operator preference order (custom `Expression`
+  * beats UDF) from the build brief, used where it genuinely wins: the
+  * inner loop of similarity search over 100 TB of embeddings.
+  *
+  * Semantics match [[graft.llm.SimOps.cosine]]: sequential left-to-right
+  * accumulation (same float→double story as the DuckDB oracle), null if
+  * either side is null, NaN when either norm is zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity requires two ARRAY<DOUBLE> arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+}
+
+object CosineSimilarity {
+
+  /** Column-API entry point (casts inputs to `ARRAY<DOUBLE>`). */
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  private val info = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "cosine_similarity")
+
+  private val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
+    CosineSimilarity(args.head, args(1))
+  }
+
+  /** Register `cosine_similarity` in a live session's function registry
+    * (usable from `spark.sql`).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_similarity"), info, builder)
+}
+
+/** `SparkSessionExtensions` installer — the standard extension point
+  * (`--conf spark.sql.extensions=graft.functions.GraftExtensions`) that
+  * makes the engine's native functions available to any SQL surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+  }
+}

@@ -24,10 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
-  /** Cosine similarity of two double-array columns (explicit sequential
-    * fold, so the float→double story is deterministic and portable).
+  /** Cosine similarity of two double-array columns. Implemented as the
+    * fused native Catalyst expression
+    * [[graft.functions.CosineSimilarity]] (one codegen'd loop, no
+    * intermediate arrays); semantics are the explicit sequential fold of
+    * [[cosineComposed]], so values are deterministic and oracle-portable.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The built-ins-only composition (reference semantics; three
+    * higher-order passes + a zipped array per row — kept for parity
+    * testing against the fused expression).
+    */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

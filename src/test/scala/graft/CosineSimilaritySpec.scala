@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.llm.SimOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fused native cosine expression: value parity with the composed
+  * built-ins form (bit-exact — same sequential accumulation), null
+  * handling, codegen execution, and SQL registration.
+  */
+class CosineSimilaritySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (Array(1.0, 2.0, 3.0), Array(2.0, 4.0, 6.0)),     // parallel → 1.0
+    (Array(1.0, 0.0), Array(0.0, 1.0)),               // orthogonal → 0.0
+    (Array(1.0, -1.0, 0.5), Array(-0.3, 2.0, 7.0)),
+    (Array(0.1234, 5.678, -9.01), Array(3.3, -2.2, 1.1)))
+    .toDF("a", "b")
+
+  test("fused expression matches the composed form bit-exactly") {
+    val out = vecs.select(
+      CosineSimilarity($"a", $"b").as("fused"),
+      SimOps.cosineComposed($"a", $"b").as("composed"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (f, c) =>
+      assert(java.lang.Double.doubleToLongBits(f) == java.lang.Double.doubleToLongBits(c),
+        s"fused=$f composed=$c")
+    }
+    assert(math.abs(out(0)._1 - 1.0) < 1e-12)
+    assert(math.abs(out(1)._1) < 1e-12)
+  }
+
+  test("null inputs yield null; zero vector yields NaN") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array(0.0, 0.0)), Some(Array(1.0, 2.0))))
+      .toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b").as("s"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0).isNaN)
+  }
+
+  test("executes inside whole-stage codegen") {
+    // local Seq relations constant-fold to LocalTableScan; use a file
+    // source so a real codegen'd projection exists
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(CosineSimilarity($"embedding", $"embedding").as("s"))
+    val out = df.collect()
+    assert(out.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9)) // self-similarity = 1
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "expression fell out of codegen")
+  }
+
+  test("float arrays cast transparently (the embeddings column shape)") {
+    val f = Seq((Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val s = f.select(CosineSimilarity($"a", $"b")).as[Double].collect().head
+    assert(math.abs(s - 1.0) < 1e-7)
+  }
+
+  test("SQL registration: cosine_similarity callable from spark.sql") {
+    CosineSimilarity.register(spark)
+    vecs.createOrReplaceTempView("vecs_t")
+    val s = spark.sql(
+      "SELECT cosine_similarity(CAST(a AS ARRAY<DOUBLE>), CAST(b AS ARRAY<DOUBLE>)) FROM vecs_t")
+      .as[Double].collect()
+    assert(math.abs(s(0) - 1.0) < 1e-12)
+  }
+}

@@ -104,15 +104,18 @@ object RecordConverter {
             // struct stays null, it does not become a struct of nulls)
             else Some(when(c.isNull, lit(null)).otherwise(struct(subs: _*)))
           }
-        case ArrayType(et, _) =>
+        case ArrayType(et, _) if convertedType(et, opts).nonEmpty =>
           Some(transform(c, x =>
             convertCol(x, et, Metadata.empty, opts).getOrElse(x)))
-        case MapType(kt, vt, _) =>
+        case ArrayType(_, _) => None // element dropped (empty struct) → drop array
+        case MapType(kt, vt, _)
+            if convertedType(kt, opts).nonEmpty && convertedType(vt, opts).nonEmpty =>
           Some(transform(map_entries(c), e => struct(
             convertCol(e.getField("key"), kt, Metadata.empty, opts)
               .getOrElse(e.getField("key")).as("key"),
             convertCol(e.getField("value"), vt, Metadata.empty, opts)
               .getOrElse(e.getField("value")).as("value"))))
+        case MapType(_, _, _) => None // key/value dropped → drop map
         case BinaryType => Some(bytesToBase64(c))
         case DoubleType if opts.convertDoubleSpecial => Some(normalizeDouble(c))
         case _ => Some(c)
@@ -124,13 +127,61 @@ object RecordConverter {
     if (opts.sanitizeFieldNames) FieldSanitizer.sanitizeName(n) else n
 
   /** Convert a whole DataFrame (the record batch): one projection applying
-    * every rule to every (possibly nested) column.
+    * every rule to every (possibly nested) column, then a nullability
+    * alignment so the output schema equals [[convertedSchema]] exactly
+    * (adjacent projections collapse in Catalyst — no extra runtime pass).
+    *
+    * The alignment matters because expression-level nullability inference
+    * (`CaseWhen` null-preserving wrappers, `date_format`, …) marks some
+    * REQUIRED columns nullable; a table created from [[convertedSchema]]
+    * and data written from [[convert]] must agree on REQUIRED modes or a
+    * no-op write would spuriously trip the U3 relaxation gate.
     */
-  def convert(df: DataFrame, opts: ConvertOptions = ConvertOptions()): DataFrame =
-    df.select(df.schema.fields.toSeq.flatMap { f =>
+  def convert(df: DataFrame, opts: ConvertOptions = ConvertOptions()): DataFrame = {
+    val projected = df.select(df.schema.fields.toSeq.flatMap { f =>
       convertCol(col(s"`${f.name}`"), f.dataType, f.metadata, opts)
         .map(_.as(fieldName(f.name, opts)))
     }: _*)
+    alignNullability(projected, convertedSchema(df.schema, opts))
+  }
+
+  /** Rebuild each column whose inferred `StructField` differs from the
+    * declared one so nullability (outer and nested) and metadata match.
+    * Declared-REQUIRED columns are tagged [[KnownNotNull]] (nullability is
+    * advisory in Spark; hard enforcement stays in [[enforceRequired]]).
+    */
+  private def alignNullability(df: DataFrame, target: StructType): DataFrame = {
+    val cols = df.schema.fields.zip(target.fields).map { case (a, t) =>
+      alignCol(col(s"`${a.name}`"), a, t).as(t.name, t.metadata)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def alignCol(c: Column, actual: StructField, target: StructField): Column = {
+    val inner = (actual.dataType, target.dataType) match {
+      case (a: StructType, t: StructType) if a != t =>
+        val subs = a.fields.zip(t.fields).map { case (af, tf) =>
+          alignCol(c.getField(af.name), af, tf).as(tf.name, tf.metadata)
+        }
+        val s = struct(subs.toSeq: _*)
+        // a null nullable struct stays null, not a struct of nulls
+        if (actual.nullable && target.nullable)
+          when(c.isNull, lit(null)).otherwise(s)
+        else s
+      case (ArrayType(ae, an), ArrayType(te, tn)) if actual.dataType != target.dataType =>
+        transform(c, x => alignCol(x,
+          StructField("element", ae, an), StructField("element", te, tn)))
+      case _ => c
+    }
+    forceNullable(inner, target.nullable)
+  }
+
+  private def forceNullable(c: Column, nullable: Boolean): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{KnownNotNull, KnownNullable}
+    import org.apache.spark.sql.graftbridge.Bridge
+    if (nullable) Bridge.column(KnownNullable(Bridge.expression(c)))
+    else Bridge.column(KnownNotNull(Bridge.expression(c)))
+  }
 
   /** P1 schema side — the output schema [[convert]] produces, computed
     * without touching data (`BigQuerySchemaConverter.java:109-260`).

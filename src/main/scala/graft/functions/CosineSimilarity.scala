@@ -19,12 +19,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * beats UDF) from the build brief, used where it genuinely wins: the
   * inner loop of similarity search over 100 TB of embeddings.
   *
-  * Semantics match [[graft.llm.SimOps.cosine]]: sequential left-to-right
-  * accumulation (same float→double story as the DuckDB oracle), null if
-  * either side is null, NaN when either norm is zero.
+  * Semantics match [[graft.llm.SimOps.cosineComposed]] exactly: sequential
+  * left-to-right accumulation (same float→double story as the DuckDB
+  * oracle), null if either side is null, if the lengths differ (zip_with
+  * pads with null, which poisons the sum), or if any element is null; NaN
+  * when either norm is zero.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // may return null even for non-null array inputs (length mismatch,
+  // null element) — see semantics above
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -44,12 +50,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i)
       val yi = y.getDouble(i)
       dot += xi * yi
@@ -70,16 +78,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 }
@@ -95,7 +110,7 @@ object CosineSimilarity {
   private val info = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_similarity")
 
-  private val builder: Seq[Expression] => Expression = { args =>
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
     require(args.length == 2, "cosine_similarity takes exactly 2 arguments")
     CosineSimilarity(args.head, args(1))
   }
@@ -117,6 +132,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+      CosineSimilarity.builder)) // arity-validated, same as register()
   }
 }

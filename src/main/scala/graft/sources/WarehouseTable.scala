@@ -38,11 +38,12 @@ import java.util.UUID
   *     BigQuery, UPDATE never moves a row across partitions — neither do
   *     we). Scanning all partitions to look for it would defeat pruning,
   *     so every partition write refreshes a key bloom filter (1% fpp).
-  *     At merge time the batch's keys are probed against the other
-  *     partitions' blooms (distributed map over the small batch side,
-  *     blooms broadcast) and only possibly-matching partitions join the
-  *     scan set. Cost: O(batch × blooms) probes + O(touched partitions)
-  *     I/O — independent of total table size.
+  *     At merge time the batch's distinct key hashes (bounded by the
+  *     micro-batch, 8 bytes each) are broadcast and a distributed map
+  *     over the day list probes each partition's bloom straight from
+  *     table storage; only possibly-matching partitions join the scan
+  *     set. Cost: O(batch) broadcast + O(days) bloom reads spread across
+  *     the cluster — driver memory independent of table history.
   *
   * The rewrite itself is write-new-then-swap per partition (the atomic
   * analog of BigQuery's transactional MERGE; single-writer assumption,
@@ -245,13 +246,16 @@ final class WarehouseTable private (
 
   // \u0001 separator so multi-field keys cannot alias ("ab","c") vs ("a","bc")
   private def keyString(cols: Seq[Column]): Column =
-    concat_ws("", cols.map(_.cast("string")): _*)
+    concat_ws("\u0001", cols.map(_.cast("string")): _*)
 
   /** Rebuild the key blooms of the given partitions from current data
     * (called after every write that touches them) in a SINGLE job: one
-    * scan of the touched partitions, one `groupBy(day)` with a
-    * bloom-building Aggregator, one small collect of (day, bloomBytes).
-    * A per-day `stat.bloomFilter` loop would run O(days) scans instead.
+    * scan of the touched partitions, one `groupBy(day)` with Spark's
+    * native `BloomFilterAggregate` (the codegen'd aggregate behind
+    * runtime row-group filtering) over `xxhash64(key)`, one small collect
+    * of (day, bloomBytes). The aggregate's buffer lives as an in-memory
+    * sketch during partial aggregation and serializes with the sketch's
+    * own compact `writeTo` — no Java-serialization round-trips.
     * Partitions that no longer exist get their bloom removed.
     */
   private def refreshBlooms(days: Seq[String]): Unit = {
@@ -261,57 +265,71 @@ final class WarehouseTable private (
       if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
     }
     if (existing.isEmpty) return
-    import org.apache.spark.sql.Encoders
-    val agg = new BloomAggregator(WarehouseTable.bloomExpectedItems)
-      .toColumn.name("bloom")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val items = WarehouseTable.bloomExpectedItems
+    val agg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(keyString(keyFields.map(col)))),
+      Bridge.expression(lit(items)),
+      Bridge.expression(lit(BloomFilter.optimalNumOfBits(items, 0.01))))
+      .toAggregateExpression())
     val rows = readDays(existing)
-      .select(col(partitionCol).cast("string").as("d"),
-        keyString(keyFields.map(col)).as("k"))
-      .as(Encoders.tuple(Encoders.STRING, Encoders.STRING))
-      .groupByKey(_._1)(Encoders.STRING)
-      .mapValues(_._2)(Encoders.STRING)
-      .agg(agg)
+      .groupBy(col(partitionCol).cast("string").as("d"))
+      .agg(agg.as("bloom"))
       .collect()
     fs.mkdirs(new Path(bloomDir))
-    rows.foreach { case (d, bytes) =>
-      val out = new BufferedOutputStream(fs.create(new Path(s"$bloomDir/$d.bloom"), true))
-      try out.write(bytes) finally out.close()
+    rows.foreach { r =>
+      val out = new BufferedOutputStream(
+        fs.create(new Path(s"$bloomDir/${r.getString(0)}.bloom"), true))
+      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
     }
   }
 
-  /** Probe the batch's keys against the blooms of partitions *outside*
-    * the batch's own days; returns the days that might hold an existing
-    * row for some batch key. The blooms are broadcast (small) and the
-    * probe is a distributed flatMap over the batch — no dest I/O at all.
+  /** Probe for partitions *outside* the batch's own days that might hold
+    * an existing row for some batch key; only those join the merge's
+    * dest scan.
+    *
+    * The probe is INVERTED relative to the obvious plan: instead of
+    * broadcasting every partition's bloom to the batch (a broadcast that
+    * grows linearly with table history — ~1.2 GB for a 3-year table at
+    * 1 M keys/day), we broadcast the batch's distinct key *hashes*
+    * (bounded by micro-batch size, 8 bytes/key) and map over the day
+    * list: each task reads its days' blooms straight from table storage
+    * and probes all batch keys against them. Driver and broadcast memory
+    * are O(batch), storage reads are O(days) spread across the cluster,
+    * and no dest data files are touched at all.
     */
   private def bloomCandidateDays(src: DataFrame, batchDays: Seq[String]): Seq[String] = {
     val otherDays = listDays().filterNot(batchDays.contains)
     if (otherDays.isEmpty) return Seq.empty
-    val blooms: Map[String, BloomFilter] = otherDays.flatMap { d =>
-      val p = new Path(s"$bloomDir/$d.bloom")
-      if (!fs.exists(p)) None // no bloom → must scan (built before blooms existed)
-      else {
-        val in = new BufferedInputStream(fs.open(p))
-        try Some(d -> BloomFilter.readFrom(in)) finally in.close()
-      }
-    }.toMap
-    val noBloom = otherDays.filterNot(blooms.contains)
-    val bc = spark.sparkContext.broadcast(blooms)
+    val withBloom = otherDays.filter(d => fs.exists(new Path(s"$bloomDir/$d.bloom")))
+    // no bloom → must scan (partition written before blooms existed)
+    val noBloom = otherDays.filterNot(withBloom.contains)
+    if (withBloom.isEmpty) return noBloom
     import spark.implicits._
-    val hits = src
-      .select(keyString(keyFields.map(f => col(s"key.$f"))).as("k"))
-      .as[String]
+    val keyHashes = src
+      .select(xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"))
+      .distinct().as[Long].collect()
+    if (keyHashes.isEmpty) return noBloom
+    val bcKeys = spark.sparkContext.broadcast(keyHashes)
+    val bcConf = spark.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val dir = bloomDir
+    val slices = math.max(1, math.min(withBloom.size, spark.sparkContext.defaultParallelism))
+    val hits = spark.sparkContext.parallelize(withBloom, slices)
       .mapPartitions { it =>
-        val bs = bc.value
-        val seen = scala.collection.mutable.Set[String]()
-        it.foreach { k =>
-          bs.foreach { case (d, b) =>
-            if (!seen.contains(d) && b.mightContainString(k)) seen += d
+        val keys = bcKeys.value
+        val conf = bcConf.value.value
+        it.filter { d =>
+          val p = new Path(s"$dir/$d.bloom")
+          val dfs = p.getFileSystem(conf)
+          val bloom = {
+            val in = new BufferedInputStream(dfs.open(p))
+            try BloomFilter.readFrom(in) finally in.close()
           }
+          keys.exists(bloom.mightContainLong)
         }
-        seen.iterator
-      }
-      .distinct().collect().toSeq
+      }.collect().toSeq
     noBloom ++ hits
   }
 
@@ -333,26 +351,6 @@ final class WarehouseTable private (
     }
     fs.delete(new Path(staging), true)
   }
-}
-
-/** Builds a serialized key bloom per group in one aggregation pass —
-  * distributive (partial blooms merge with bitwise OR), so it map-side
-  * combines like any algebraic aggregate.
-  */
-private[sources] class BloomAggregator(expectedItems: Long)
-    extends org.apache.spark.sql.expressions.Aggregator[String, BloomFilter, Array[Byte]] {
-  override def zero: BloomFilter = BloomFilter.create(expectedItems, 0.01)
-  override def reduce(b: BloomFilter, k: String): BloomFilter = { b.putString(k); b }
-  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
-  override def finish(b: BloomFilter): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    b.writeTo(bos)
-    bos.toByteArray
-  }
-  override def bufferEncoder: org.apache.spark.sql.Encoder[BloomFilter] =
-    org.apache.spark.sql.Encoders.javaSerialization[BloomFilter]
-  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-    org.apache.spark.sql.Encoders.BINARY
 }
 
 object WarehouseTable {

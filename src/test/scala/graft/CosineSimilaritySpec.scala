@@ -52,6 +52,21 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(rows(1).getDouble(0).isNaN)
   }
 
+  test("null element or length mismatch yield null, matching the composed form") {
+    val df = Seq(
+      (Array[java.lang.Double](1.0, null, 3.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](1.0, 2.0, 3.0)),
+      (Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](2.0, 4.0)))
+      .toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b").as("fused"),
+        SimOps.cosineComposed($"a", $"b").as("composed"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1)) // null element
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1)) // length mismatch
+    assert(math.abs(rows(2).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(2).getDouble(0) == rows(2).getDouble(1))
+  }
+
   test("executes inside whole-stage codegen") {
     // local Seq relations constant-fold to LocalTableScan; use a file
     // source so a real codegen'd projection exists

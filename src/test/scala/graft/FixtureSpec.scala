@@ -96,7 +96,7 @@ class FixtureSpec extends AnyFunSuite {
       .collect()
     val m = rows.map(r => r.getInt(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(m(1) == (("1970-01-01 00:00:00.000", "1970-01-01")))
-    assert(m(2) == (("1970-01-01 11:40:00.000", "1981-07-01")))
+    assert(m(2) == (("1970-01-01 11:40:00.000", "1981-07-02")))
     assert(m(3) == (("2016-07-11 22:11:42.000", "2016-07-11")))
   }
 

@@ -134,6 +134,25 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(state == Set((1L, "new", "2024-01-01"), (2L, "b", "2024-01-02")))
   }
 
+  test("multi-field keys don't alias in the bloom probe (\\u0001 separator)") {
+    // ("ab","c") vs ("a","bc") concatenate identically without a separator;
+    // with  the batch key must NOT pull day1 into the scan set
+    val root = tmpRoot()
+    val schema2 = StructType(Seq(
+      StructField("ka", StringType), StructField("kb", StringType),
+      StructField("f1", StringType)))
+    val t = WarehouseTable.create(spark, root, Seq("ka", "kb"), schema2)
+    t.append(Seq(("ab", "c", "old")).toDF("ka", "kb", "f1")
+      .withColumn("partitionTime", ts(1)))
+    val batch = Seq(("a", "bc", "new", 1L)).toDF("a", "b", "v", "i").select(
+      struct($"a".as("ka"), $"b".as("kb")).as("key"),
+      struct($"v".as("f1")).as("value"),
+      $"i", ts(5).as("partitionTime"), lit(0L).as("batchNumber"))
+    val days = t.merge(batch)
+    assert(days == Seq("2024-01-05"), s"aliasing pulled extra partitions: $days")
+    assert(t.read().count() == 2) // distinct keys → insert, not update
+  }
+
   test("merge: tombstone deletes; emptied partition disappears") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -81,7 +81,10 @@ final class WarehouseTable private (
   // ---- read ----
 
   /** Full-table read (partition column included; partition pruning via
-    * `where(col("_pday") ...)` reaches the file index natively).
+    * `where(col("_pday") ...)` reaches the file index natively). The
+    * result is conformed to the table's persisted (possibly evolved)
+    * schema: columns added by schema evolution read as NULL from
+    * partitions written before the evolution.
     */
   def read(): DataFrame = {
     val days = listDays()
@@ -89,10 +92,23 @@ final class WarehouseTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add(partitionCol, "string"))
     else
-      spark.read
+      conformToSchema(spark.read
         .option("basePath", dataPath)
         .option("mergeSchema", "true")
-        .parquet(days.map(d => s"$dataPath/$partitionCol=$d"): _*)
+        .parquet(days.map(d => s"$dataPath/$partitionCol=$d"): _*))
+  }
+
+  /** Project a raw partition read onto the persisted table schema:
+    * evolution-added columns missing from older files become NULL, extra
+    * file columns are dropped, order follows the schema.
+    */
+  private def conformToSchema(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    val cols = schema.fields.toSeq.map { f =>
+      if (have.contains(f.name)) col(s"`${f.name}`")
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col(partitionCol)
+    df.select(cols: _*)
   }
 
   /** Read a specific set of day partitions — the pruned dest scan the
@@ -148,6 +164,52 @@ final class WarehouseTable private (
     routed
   }
 
+  /** Exactly-once batch append for the streaming path. `foreachBatch` is
+    * at-least-once: a batch whose write succeeded but whose checkpoint
+    * commit didn't is replayed, and a plain [[append]] would duplicate
+    * its rows. Here the batch is staged under its batchId (Overwrite —
+    * replay-safe) and the staged files are then moved into partitions
+    * under deterministic `b<batchId>-` names, with any same-batchId files
+    * from a previous attempt removed first — so a replay converges to
+    * exactly the same files (the Spark-native analog of the reference's
+    * insertId dedup + preCommit offset bookkeeping,
+    * `MergeBatches.java:286-299`). Requires deterministic partition
+    * routing across replays, i.e. event-time partitioning (T6); the
+    * processing-time mode has the same day-boundary caveat as the
+    * reference's insertId window.
+    */
+  def appendBatch(df: DataFrame, batchId: Long,
+      partitionTimeCol: String = "partitionTime"): Unit = {
+    val kafkaCols = Seq("topic", "partition", "offset")
+    val deduped =
+      if (kafkaCols.forall(df.columns.contains)) df.dropDuplicates(kafkaCols)
+      else df
+    val routed = deduped
+      .withColumn(partitionCol, date_format(col(partitionTimeCol), "yyyy-MM-dd"))
+      .drop(partitionTimeCol)
+    val staging = s"$root/.append-$batchId"
+    routed.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    val stagingPath = new Path(staging)
+    val touched = fs.listStatus(stagingPath).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partitionCol="))
+    touched.foreach { dirName =>
+      val destDir = new Path(s"$dataPath/$dirName")
+      fs.mkdirs(destDir)
+      // replay cleanup: drop this batch's files from a previous attempt
+      fs.listStatus(destDir).toSeq
+        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .foreach(st => fs.delete(st.getPath, false))
+      fs.listStatus(new Path(s"$staging/$dirName")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath, new Path(destDir, s"b$batchId-$i-${st.getPath.getName}"))
+        }
+    }
+    fs.delete(stagingPath, true)
+    refreshBlooms(touched.map(_.stripPrefix(s"$partitionCol=")))
+  }
+
   // ---- merge (J1/J2 against a real partitioned table) ----
 
   /** Partition-pruned upsert(/delete) MERGE of a staged micro-batch
@@ -174,7 +236,7 @@ final class WarehouseTable private (
         .distinct().collect().map(_.getString(0)).toSeq
       val days = (batchDays ++ bloomCandidateDays(src, batchDays)).distinct.sorted
 
-      val dest = readDays(days)
+      val dest = conformToSchema(readDays(days))
       val merged = mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
@@ -203,7 +265,7 @@ final class WarehouseTable private (
       val tombSrc = fenced.where(col("value").isNull)
       val days = (batchDays ++ bloomCandidateDays(tombSrc, batchDays)).distinct.sorted
 
-      val dest = readDays(days)
+      val dest = conformToSchema(readDays(days))
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
       val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*).distinct()
       val survivors = dest.as("d").join(tombKeys.as("s"), keyCond, "left_anti")

@@ -1,13 +1,13 @@
 package graft.streaming
 
 import graft.convert.Staging
+import graft.schema.EvolutionPolicy
 import graft.sources.WarehouseTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
-
-import org.apache.spark.sql.Row
 
 /** S1/T1-T7 — the streaming spine: a Kafka-shaped stream is wrapped,
   * routed per topic, and merge-flushed (or appended) into per-table
@@ -22,10 +22,14 @@ import org.apache.spark.sql.Row
   *  - T2 exactly-once: checkpointed offsets + batch-scoped idempotent
   *    writes replace `preCommit`'s offset bookkeeping
   *    (`MergeBatches.java:286-299`); a replayed batch re-merges the same
-  *    keys to the same final state (merge is idempotent per (key, i)).
-  *  - T3 thresholds: `mergeRecordsThreshold` maps to the source's
-  *    `maxOffsetsPerTrigger` (bound records per merge) rather than a
-  *    mid-batch flush — Spark's unit of flush is the micro-batch.
+  *    keys to the same final state (merge is idempotent per (key, i)),
+  *    and the non-upsert path appends through
+  *    [[WarehouseTable.appendBatch]], whose batchId-keyed files make a
+  *    replayed append converge instead of duplicating.
+  *  - T3 thresholds: a micro-batch larger than `mergeRecordsThreshold`
+  *    is split into `ceil(n/threshold)` offset-ordered chunks, each
+  *    merge-flushed separately (`SinkRecordConverter.java:96-102`), on
+  *    top of `maxOffsetsPerTrigger` source rate limiting.
   *  - T4 batch sequencing is free: micro-batch N+1 starts after N
   *    commits (`MergeBatches.java:213-277` becomes engine behavior).
   *  - T5 backpressure: `maxOffsetsPerTrigger` (pull model) replaces the
@@ -65,25 +69,27 @@ object MergePipeline {
 
   /** One micro-batch: route per topic, then per table wrap + merge (or
     * append in non-upsert mode). Public for deterministic testing — this
-    * is exactly what the streaming writer runs per batch.
+    * is exactly what the streaming writer runs per batch. Returns the
+    * number of flushes performed (merge chunks + appends), observable
+    * for T3 threshold testing.
     */
   def processBatch(
       batch: DataFrame,
       batchId: Long,
       config: GraftSinkConfig,
       keyFields: Seq[String],
-      tableRootFor: TableRouter.Target => String): Unit = {
-    if (batch.isEmpty) return
+      tableRootFor: TableRouter.Target => String): Int = {
+    if (batch.isEmpty) return 0
     val topics = batch.select(col("topic")).distinct()
       .collect().map(_.getString(0)).toSeq
     // group topics by routed target so multi-topic → one table works
-    topics.groupBy(t => TableRouter.route(t, config)).foreach {
+    topics.groupBy(t => TableRouter.route(t, config)).map {
       case (target, topicGroup) =>
         val slice = batch.where(col("topic").isin(topicGroup: _*))
         val root = tableRootFor(target)
         if (config.upsertDeleteEnabled) mergeSlice(slice, batchId, config, keyFields, root)
-        else appendSlice(slice, config, keyFields, root)
-    }
+        else { appendSlice(slice, batchId, config, keyFields, root); 1 }
+    }.sum
   }
 
   private def destSchemaFor(staged: DataFrame, keyFields: Seq[String]): StructType = {
@@ -92,17 +98,74 @@ object MergePipeline {
     StructType(keyT.fields ++ valT.fields)
   }
 
+  private def policyOf(config: GraftSinkConfig): EvolutionPolicy =
+    EvolutionPolicy(config.allowNewFields, config.allowFieldRelaxation)
+
+  /** T3 — mid-batch merge threshold (`SinkRecordConverter.java:96-102`
+    * analog): a slice larger than `mergeRecordsThreshold` is split into
+    * `ceil(n/threshold)` chunks via `ntile` ordered by offset within each
+    * Kafka partition — chunk k's offsets precede chunk k+1's for every
+    * key (keys live in one partition), so sequential chunk flushes
+    * preserve last-write-wins. Returns the number of merge flushes.
+    */
   private def mergeSlice(slice: DataFrame, batchId: Long, config: GraftSinkConfig,
-      keyFields: Seq[String], root: String): Unit = {
-    val tombstoned = Staging.filterTombstones(slice, config.deleteEnabled)
-    val staged = Staging.wrapUpsert(tombstoned, keyFields, batchId,
-      config.messageTimePartitioning)
-    val table = WarehouseTable.create(slice.sparkSession, root, keyFields,
-      destSchemaFor(staged, keyFields))
-    table.merge(staged, delete = config.deleteEnabled)
+      keyFields: Seq[String], root: String): Int = {
+    val threshold = config.mergeRecordsThreshold
+    if (threshold <= 0) { mergeOnce(slice, batchId, config, keyFields, root); return 1 }
+    slice.cache()
+    try {
+      val n = slice.count()
+      if (n <= threshold) { mergeOnce(slice, batchId, config, keyFields, root); 1 }
+      else {
+        val numChunks = math.ceil(n.toDouble / threshold).toInt
+        val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
+        val chunked = slice.withColumn("__chunk", ntile(numChunks).over(w))
+        (1 to numChunks).foreach { k =>
+          mergeOnce(chunked.where(col("__chunk") === k).drop("__chunk"),
+            batchId, config, keyFields, root)
+        }
+        numChunks
+      }
+    } finally { slice.unpersist(); () }
   }
 
-  private def appendSlice(rawSlice: DataFrame, config: GraftSinkConfig,
+  /** One merge flush: tombstone-filter, wrap, evolve the destination
+    * schema from the observed batch (R4 — DDL propagates into the merge
+    * path before flushing, `UpsertDeleteBigQueryWriter.java:66-93`),
+    * conform the staged value struct to the evolved schema, then route to
+    * the mode's merge: J1/J2 upsert(+delete), or the reference's J3
+    * delete-only semantics when only deletes are enabled.
+    */
+  private def mergeOnce(slice: DataFrame, batchId: Long, config: GraftSinkConfig,
+      keyFields: Seq[String], root: String): Unit = {
+    val tombstoned = Staging.filterTombstones(slice, config.deleteEnabled)
+    val staged0 = Staging.wrapUpsert(tombstoned, keyFields, batchId,
+      config.messageTimePartitioning)
+    val observed = destSchemaFor(staged0, keyFields)
+    val table = WarehouseTable.create(slice.sparkSession, root, keyFields, observed)
+    val evolved = table.evolveSchema(observed, policyOf(config))
+    val staged = conformValue(staged0, evolved, keyFields)
+    if (config.deleteEnabled && !config.upsertEnabled) table.mergeDeleteOnly(staged)
+    else table.merge(staged, delete = config.deleteEnabled)
+    ()
+  }
+
+  /** Rebuild the staged `value` struct against the evolved destination
+    * schema: batch-missing fields become NULL, order follows the evolved
+    * schema, tombstones stay null.
+    */
+  private def conformValue(staged: DataFrame, evolved: StructType,
+      keyFields: Seq[String]): DataFrame = {
+    val valueFields = evolved.fields.toSeq.filterNot(f => keyFields.contains(f.name))
+    val present = staged.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSet
+    val rebuilt = struct(valueFields.map { f =>
+      if (present.contains(f.name)) col(s"value.`${f.name}`").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    staged.withColumn("value", when(col("value").isNull, lit(null)).otherwise(rebuilt))
+  }
+
+  private def appendSlice(rawSlice: DataFrame, batchId: Long, config: GraftSinkConfig,
       keyFields: Seq[String], root: String): Unit = {
     // P2 — tombstones are skipped outside delete mode (`BigQuerySinkTask.java:258`)
     val slice = Staging.filterTombstones(rawSlice, deleteEnabled = false)
@@ -121,8 +184,14 @@ object MergePipeline {
       case Some(f) => flat.withColumnRenamed("__key", f)
       case None => flat.drop("__key")
     }
-    val destSchema = flat.drop("partitionTime").schema
+    val destSchema = StructType(flat.drop("partitionTime").schema.fields)
     val table = WarehouseTable.create(spark, root, Seq("offset"), destSchema)
-    table.append(flat)
+    // R3/R4 — evolve before writing so added fields propagate on append too
+    val evolved = table.evolveSchema(destSchema, policyOf(config))
+    val conformed = flat.select(evolved.fields.toSeq.map { f =>
+      if (flat.columns.contains(f.name)) col(s"`${f.name}`")
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("partitionTime"): _*)
+    table.appendBatch(conformed, batchId)
   }
 }

@@ -140,6 +140,91 @@ class StreamingMergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("R4: schema evolution propagates through the streaming merge path") {
+    val warehouse = tmp("evolve-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    def batch(withF2: Boolean, ids: Seq[Long], off: Long) =
+      ids.toDF("k1").select(
+        lit("t").as("topic"), lit(0).as("partition"),
+        (monotonically_increasing_id() + off).as("offset"),
+        to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"), $"k1",
+        (if (withF2) struct(concat(lit("v"), $"k1").as("f1"), ($"k1" * 10).as("f2"))
+         else struct(concat(lit("v"), $"k1").as("f1"))).as("value"))
+
+    MergePipeline.processBatch(batch(withF2 = false, Seq(1L, 2L), 0L), 0L,
+      upsertConfig, Seq("k1"), root)
+    // batch 1 adds a value field mid-stream
+    MergePipeline.processBatch(batch(withF2 = true, Seq(2L, 3L), 100L), 1L,
+      upsertConfig, Seq("k1"), root)
+
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    assert(t.schema.fieldNames.toSeq == Seq("k1", "f1", "f2"))
+    val rows = t.read().select($"k1", $"f1", $"f2").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    assert(rows == Set(
+      (1L, "v1", None),        // pre-evolution row reads NULL for the new field
+      (2L, "v2", Some(20L)),   // updated by the evolved batch
+      (3L, "v3", Some(30L))))
+    // and a later batch WITHOUT the field still merges (relaxation)
+    MergePipeline.processBatch(batch(withF2 = false, Seq(4L), 200L), 2L,
+      upsertConfig, Seq("k1"), root)
+    assert(t.read().where($"k1" === 4L).select($"f2").collect().head.isNullAt(0))
+  }
+
+  test("delete-only mode routes to J3 semantics: duplicates allowed") {
+    val warehouse = tmp("delonly-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    val cfg = GraftSinkConfig(upsertEnabled = false, deleteEnabled = true,
+      kafkaKeyFieldName = Some("k1"), mergeIntervalMs = 50L)
+    // same key twice, no tombstone: delete-only inserts BOTH (reference
+    // allows duplicates, MergeQueries.java:310-412); upsert would keep 1
+    val batch = Seq((7L, 0L), (7L, 1L)).toDF("k1", "offset").select(
+      lit("t").as("topic"), lit(0).as("partition"), $"offset",
+      to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"), $"k1",
+      struct(concat(lit("v"), $"offset").as("f1")).as("value"))
+    MergePipeline.processBatch(batch, 0L, cfg, Seq("k1"), root)
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    assert(t.read().count() == 2, "delete-only mode must not dedup inserts")
+    // a tombstone followed by an insert for the same key: insert survives
+    val batch2 = Seq((7L, 2L, false), (7L, 3L, true)).toDF("k1", "offset", "live").select(
+      lit("t").as("topic"), lit(0).as("partition"), $"offset",
+      to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"), $"k1",
+      when($"live", struct(concat(lit("v"), $"offset").as("f1"))).as("value"))
+    MergePipeline.processBatch(batch2, 1L, cfg, Seq("k1"), root)
+    val vals = t.read().select($"f1").as[String].collect().toSeq
+    assert(vals == Seq("v3"), s"tombstone fence failed: $vals")
+  }
+
+  test("T3: a 3x-threshold batch produces 3 merge flushes with correct state") {
+    val warehouse = tmp("chunk-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    val cfg = upsertConfig.copy(mergeRecordsThreshold = 100L)
+    val flushes = MergePipeline.processBatch(
+      kafkaShape(spark.range(300).as[Long]), 0L, cfg, Seq("k1"), root)
+    assert(flushes == 3, s"expected 3 chunked flushes, got $flushes")
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect()
+    assert(rows.length == 300 / 4) // survivor pattern identical to unchunked
+    rows.foreach { case (k, v) => assert(v == s"v${2 * k + 1}") }
+  }
+
+  test("append path: a replayed batch converges instead of duplicating") {
+    val warehouse = tmp("replay-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    val cfg = GraftSinkConfig(kafkaDataFieldName = Some("kafkaData"))
+    val batch = kafkaShape(spark.range(40).as[Long])
+    MergePipeline.processBatch(batch, 5L, cfg, Seq("k1"), root)
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    val n1 = t.read().count()
+    // foreachBatch replay: same batchId, same data
+    MergePipeline.processBatch(batch, 5L, cfg, Seq("k1"), root)
+    assert(t.read().count() == n1, "replayed append duplicated rows")
+    // a different batch still appends
+    MergePipeline.processBatch(kafkaShape(spark.range(40, 80).as[Long]), 6L, cfg, Seq("k1"), root)
+    assert(t.read().count() == 2 * n1)
+  }
+
   // ---- router unit cases (BigQuerySinkTask.java:180-245)
   test("TableRouter: map override, dataset split, sanitize fallback") {
     val base = GraftSinkConfig(defaultDataset = "dd")

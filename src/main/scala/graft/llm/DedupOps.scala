@@ -71,37 +71,53 @@ object DedupOps {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** MinHash/LSH near-dup pipeline: shingle → signature → bands →
-    * `groupBy(band)` candidate pairs → exact-Jaccard verify. Returns
-    * verified pairs `(id1, id2, jaccard)` with `jaccard >= threshold`,
-    * id1 < id2, deduplicated across bands.
+  /** Banded LSH candidate-pair pipeline shared by [[minhashNearDups]]
+    * and [[ngramNearDups]], taking a prepared `(id, sh)` frame.
     *
-    * Scale: the band self-join shuffles on the band key; only same-band
-    * docs ever meet. numHashes×shingles md5s per doc is the map-side
-    * cost. No crossJoin anywhere.
+    * == 100 TB shuffle discipline ==
+    * The band self-join exchanges ONLY `(band, id)` — a 16-byte band key
+    * plus the id — never the shingle arrays (≈ document size):
+    * signatures are consumed map-side to derive band keys and dropped
+    * before the exchange, so band-exchange volume is O(bands × ids), not
+    * O(bands × corpus bytes). Candidate pairs de-duplicate as bare
+    * `(id1, id2)`, then the shingle sets are joined back BY ID for the
+    * exact-Jaccard verify — with pairs ≪ corpus, AQE broadcasts the pair
+    * side and the corpus is never shuffled at all. `PlanAuditSpec`
+    * guards the band exchange's payload.
     */
-  def minhashNearDups(
-      df: DataFrame, textCol: String, idCol: String,
-      shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+  private def bandedNearDups(sh: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = df.select(
-      col(idCol).as("id"),
-      charShingles(TextOps.normalizeText(col(textCol)), shingleK).as("sh"))
     val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(lshBands(col("sig"), bands, rowsPerBand)))
-      .select(col("band"), col("id"), col("sh"))
+      .withColumn("band",
+        explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
+      .select(col("band"), col("id"))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
-      .dropDuplicates("id1", "id2")
-    pairs
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val left = sh.select(col("id").as("id1"), col("sh").as("sh1"))
+    val right = sh.select(col("id").as("id2"), col("sh").as("sh2"))
+    pairs.join(left, "id1").join(right, "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** MinHash/LSH near-dup pipeline: shingle → signature → bands →
+    * band-key self-join candidate pairs → exact-Jaccard verify. Returns
+    * verified pairs `(id1, id2, jaccard)` with `jaccard >= threshold`,
+    * id1 < id2, deduplicated across bands. No crossJoin anywhere; see
+    * [[bandedNearDups]] for the shuffle story.
+    */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    bandedNearDups(
+      df.select(col(idCol).as("id"),
+        charShingles(TextOps.normalizeText(col(textCol)), shingleK).as("sh")),
+      numHashes, bands, threshold)
 
   /** N-gram Jaccard near-dup: same bucketed pipeline over word n-grams
     * (the shingle granularity used for document-level crawl dedup).
@@ -109,25 +125,11 @@ object DedupOps {
   def ngramNearDups(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sh = df.select(
-      col(idCol).as("id"),
-      wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh"))
-    val banded = sh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .withColumn("band", explode(lshBands(col("sig"), bands, rowsPerBand)))
-      .select(col("band"), col("id"), col("sh"))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
-      .dropDuplicates("id1", "id2")
-    pairs
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-  }
+      threshold: Double = 0.5): DataFrame =
+    bandedNearDups(
+      df.select(col(idCol).as("id"),
+        wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh")),
+      numHashes, bands, threshold)
 
   /** 32-bit SimHash over word tokens: each token hashes (md5 → first 8
     * hex chars → uint32); bit b of the fingerprint is 1 iff more token

@@ -76,6 +76,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
   }
 
+  test("d2: band exchanges carry (band,id) only — no shingle payload") {
+    val df = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+    df.collect() // finalize AQE
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted explain lists each operator's Input/Output attrs; every
+    // Exchange feeding the band join must exclude the shingle column
+    val blocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(blocks.nonEmpty, s"no Exchange blocks found:\n$formatted")
+    blocks.foreach { b =>
+      assert(!b.contains("sh#") && !b.contains("sh1#") && !b.contains("sh2#"),
+        s"shingle array shuffled through an exchange:\n$b")
+    }
+  }
+
   test("upsertDelete: small deduped source broadcast-joins under AQE") {
     // with AQE on (the Bench/production config), the deduped batch side
     // is far below the broadcast threshold → no shuffle of dest

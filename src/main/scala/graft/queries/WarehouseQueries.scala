@@ -82,6 +82,63 @@ object WarehouseQueries extends QueryPack {
           |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
       headline = true),
 
+    GraftQuery("s7_field_partition_merge",
+      (s, dir) => {
+        // column-based time partitioning (timestampPartitionFieldName
+        // analog) at MONTH granularity, clustered on the key: partitions
+        // route by the record's own `v_ts` field, updates keep their
+        // original month, inserts land in their v_ts month
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_fp"
+        val all = Tables.load(s, dir, "events").select(
+          struct(col("user_id").as("k")).as("key"),
+          when(col("event_type") =!= "error",
+            struct(col("event_type").as("v_type"), col("value").as("v_amount"),
+              timestamp_micros(expr("ts div 1000")).as("v_ts"))).as("value"),
+          col("event_id").as("i"),
+          lit(0L).as("batchNumber"))
+        val schemaT = StructType(Seq(
+          StructField("k", LongType), StructField("v_type", StringType),
+          StructField("v_amount", DoubleType), StructField("v_ts", TimestampType)))
+        val t = WarehouseTable.create(s, root, Seq("k"), schemaT,
+          graft.sources.TableOptions(clusteringFields = Seq("k"),
+            partitionField = Some("v_ts"), granularity = "MONTH"))
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"), col("value.v_type").as("v_type"),
+            col("value.v_amount").as("v_amount"), col("value.v_ts").as("v_ts"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        t.read().select(col("k"), col("v_type"), col("v_amount"), col("v_ts"),
+          col("_pday").cast("string").as("pmonth"))
+      },
+      oracle = Some(
+        """WITH staged AS (
+          |  SELECT user_id AS k, event_id AS i,
+          |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
+          |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_amount,
+          |         CASE WHEN event_type = 'error' THEN NULL
+          |              ELSE make_timestamp(epoch_ns(ts)//1000) END AS v_ts
+          |  FROM events),
+          |d0 AS (
+          |  SELECT k, v_type, v_amount, v_ts, strftime(v_ts, '%Y-%m') AS pmonth FROM (
+          |    SELECT k, v_type, v_amount, v_ts,
+          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+          |    FROM staged WHERE i < 5000) t
+          |  WHERE rn = 1 AND v_type IS NOT NULL),
+          |s1 AS (
+          |  SELECT k, v_type, v_amount, v_ts, strftime(v_ts, '%Y-%m') AS pmonth FROM (
+          |    SELECT k, v_type, v_amount, v_ts,
+          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+          |    FROM staged WHERE i >= 5000) t
+          |  WHERE rn = 1)
+          |SELECT coalesce(s1.k, d0.k) AS k,
+          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
+          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
+          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_ts ELSE d0.v_ts END AS v_ts,
+          |       coalesce(d0.pmonth, s1.pmonth) AS pmonth
+          |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
+          |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin)),
+
     GraftQuery("a3_batch_counts",
       (s, dir) => graft.operators.BatchOps.batchRowCounts(
         Tables.load(s, dir, "events")

@@ -53,7 +53,8 @@ import java.util.UUID
 final class WarehouseTable private (
     val spark: SparkSession,
     val root: String,
-    val keyFields: Seq[String]) {
+    val keyFields: Seq[String],
+    val options: TableOptions) {
 
   import WarehouseTable._
 
@@ -62,11 +63,57 @@ final class WarehouseTable private (
   private def fs: FileSystem = new Path(root).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
+  /** Time slice a timestamp column into this table's partition value
+    * (granularity per `TimePartitioning.Type`,
+    * `config/BigQuerySinkConfig.java:496-499`).
+    */
+  private def sliceExpr(ts: Column): Column = options.granularity match {
+    case "HOUR" => date_format(ts, "yyyy-MM-dd-HH")
+    case "DAY" => date_format(ts, "yyyy-MM-dd")
+    case "MONTH" => date_format(ts, "yyyy-MM")
+    case "YEAR" => date_format(ts, "yyyy")
+    case "NONE" => lit("all")
+  }
+
+  /** Partition-routing expression for a flat (dest-shaped) frame:
+    * a named record field when column-based partitioning is configured
+    * (`timestampPartitionFieldName`, `SchemaManager.java:73`), else the
+    * batch's `partitionTime`.
+    */
+  private def routeExpr(partitionTimeCol: String): Column =
+    sliceExpr(col(options.partitionField.getOrElse(partitionTimeCol)))
+
+  /** Clustering-as-sort (`SchemaManager.java:574-610` analog): range-
+    * partition by (partition, clustering keys) and sort within tasks so
+    * each written file covers a narrow, non-overlapping clustering range
+    * — parquet row-group min/max stats then let key-equality reads skip
+    * whole files. At 100 TB this is the difference between scanning a
+    * day partition and touching one file of it.
+    */
+  private def clusteredWrite(df: DataFrame): DataFrame =
+    if (options.clusteringFields.isEmpty) df
+    else {
+      val cols = col(partitionCol) +: options.clusteringFields.map(c => col(s"`$c`"))
+      df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+    }
+
   // ---- schema (S6: SchemaManager.createOrUpdateTable analog) ----
 
   def schema: StructType =
     DataType.fromJson(readMetaString(spark, s"$root/_graft/schema.json"))
       .asInstanceOf[StructType]
+
+  /** Update the table's layout options in place (BigQuery supports
+    * altering partition expiration/clustering on existing tables;
+    * `SchemaManager.createOrUpdateTable` analog for table metadata).
+    * Returns a handle carrying the new options.
+    */
+  def alterOptions(newOptions: TableOptions): WarehouseTable = {
+    newOptions.validate(schema)
+    writeMetaString(spark, s"$root/_graft/options.props",
+      WarehouseTable.optionsToProps(newOptions))
+    new WarehouseTable(spark, root, keyFields, newOptions)
+  }
 
   /** Evolve the persisted schema from an observed batch schema using the
     * reference's unionization rules (`SchemaManager.java:212-281`).
@@ -152,15 +199,16 @@ final class WarehouseTable private (
       if (kafkaCols.forall(df.columns.contains)) df.dropDuplicates(kafkaCols)
       else df
     val routed = deduped
-      .withColumn(partitionCol, date_format(col(partitionTimeCol), "yyyy-MM-dd"))
+      .withColumn(partitionCol, routeExpr(partitionTimeCol))
       .drop(partitionTimeCol)
-    routed.write
+    clusteredWrite(routed).write
       .mode(SaveMode.Append)
       .partitionBy(partitionCol)
       .parquet(dataPath)
     val touched = routed.select(partitionCol).distinct()
       .collect().map(_.getString(0)).toSeq
     refreshBlooms(touched)
+    expireOldPartitions()
     routed
   }
 
@@ -185,10 +233,11 @@ final class WarehouseTable private (
       if (kafkaCols.forall(df.columns.contains)) df.dropDuplicates(kafkaCols)
       else df
     val routed = deduped
-      .withColumn(partitionCol, date_format(col(partitionTimeCol), "yyyy-MM-dd"))
+      .withColumn(partitionCol, routeExpr(partitionTimeCol))
       .drop(partitionTimeCol)
     val staging = s"$root/.append-$batchId"
-    routed.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    clusteredWrite(routed).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     val stagingPath = new Path(staging)
     val touched = fs.listStatus(stagingPath).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
@@ -208,6 +257,7 @@ final class WarehouseTable private (
     }
     fs.delete(stagingPath, true)
     refreshBlooms(touched.map(_.stripPrefix(s"$partitionCol=")))
+    expireOldPartitions()
   }
 
   // ---- merge (J1/J2 against a real partitioned table) ----
@@ -232,7 +282,7 @@ final class WarehouseTable private (
     src.cache()
     try {
       val batchDays = src
-        .select(date_format(col("partitionTime"), "yyyy-MM-dd").as("d"))
+        .select(stagedSlice("").as("d")).where(col("d").isNotNull)
         .distinct().collect().map(_.getString(0)).toSeq
       val days = (batchDays ++ bloomCandidateDays(src, batchDays)).distinct.sorted
 
@@ -240,11 +290,23 @@ final class WarehouseTable private (
       val merged = mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+      clusteredWrite(merged).write
+        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
       swapPartitions(staging, days)
       refreshBlooms(days)
+      expireOldPartitions()
       days
     } finally src.unpersist()
+  }
+
+  /** Insert-routing slice for a staged upsert row: the configured record
+    * field (inside `value`) when column-based partitioning is on, else
+    * the staged `partitionTime`. NULL for tombstones in field mode
+    * (tombstones never insert).
+    */
+  private def stagedSlice(prefix: String): Column = options.partitionField match {
+    case Some(f) => sliceExpr(col(s"${prefix}value.`$f`"))
+    case None => sliceExpr(col(s"${prefix}partitionTime"))
   }
 
   /** J3 delete-only MERGE against the table (`MergeQueries.java:310-412`):
@@ -260,7 +322,7 @@ final class WarehouseTable private (
     fenced.cache()
     try {
       val batchDays = fenced
-        .select(date_format(col("partitionTime"), "yyyy-MM-dd").as("d"))
+        .select(stagedSlice("").as("d")).where(col("d").isNotNull)
         .distinct().collect().map(_.getString(0)).toSeq
       val tombSrc = fenced.where(col("value").isNull)
       val days = (batchDays ++ bloomCandidateDays(tombSrc, batchDays)).distinct.sorted
@@ -273,13 +335,15 @@ final class WarehouseTable private (
       val inserts = fenced.where(col("value").isNotNull).select(
         keyFields.map(f => col(s"key.$f").as(f)) ++
           vfs.map(f => col(s"value.$f").as(f)) :+
-          date_format(col("partitionTime"), "yyyy-MM-dd").as(partitionCol): _*)
+          stagedSlice("").as(partitionCol): _*)
       val merged = survivors.unionByName(inserts)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+      clusteredWrite(merged).write
+        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
       swapPartitions(staging, days)
       refreshBlooms(days)
+      expireOldPartitions()
       days
     } finally fenced.unpersist()
   }
@@ -298,8 +362,7 @@ final class WarehouseTable private (
     base.select(
       keyFields.map(f => coalesce(col(s"s.key.$f"), col(s"d.$f")).as(f)) ++
         vfs.map(f => when(srcPresent, col(s"s.value.$f")).otherwise(col(s"d.$f")).as(f)) :+
-        coalesce(col(s"d.$partitionCol"),
-          date_format(col(s"s.partitionTime"), "yyyy-MM-dd")).as(partitionCol): _*)
+        coalesce(col(s"d.$partitionCol"), stagedSlice("s.")).as(partitionCol): _*)
   }
 
   // ---- bloom key index ----
@@ -395,6 +458,52 @@ final class WarehouseTable private (
     noBloom ++ hits
   }
 
+  // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
+
+  /** Drop partitions whose time slice ended more than
+    * `partitionExpirationMs` before `asOfMs` (BigQuery's partition
+    * expiration analog), along with their blooms. Runs as part of
+    * append/merge bookkeeping; no-op unless a TTL is configured.
+    * Driver-side metadata work only — O(partitions) list + deletes, no
+    * data scan. Returns the dropped slices.
+    */
+  def expirePartitions(asOfMs: Long): Seq[String] = options.partitionExpirationMs match {
+    case None => Seq.empty
+    case Some(ttl) =>
+      val cutoff = asOfMs - ttl
+      val dropped = listDays().filter(d => sliceEndMs(d).exists(_ < cutoff))
+      dropped.foreach { d =>
+        fs.delete(new Path(s"$dataPath/$partitionCol=$d"), true)
+        val bloom = new Path(s"$bloomDir/$d.bloom")
+        if (fs.exists(bloom)) fs.delete(bloom, false)
+      }
+      dropped
+  }
+
+  private def expireOldPartitions(): Unit =
+    if (options.partitionExpirationMs.nonEmpty) {
+      expirePartitions(System.currentTimeMillis()); ()
+    }
+
+  /** End instant (epoch ms, UTC) of a partition slice string, per this
+    * table's granularity; None for NONE (never expires) or unparseable.
+    */
+  private def sliceEndMs(slice: String): Option[Long] = {
+    import java.time.{LocalDate, LocalDateTime, Year, YearMonth, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    try {
+      val end = options.granularity match {
+        case "HOUR" => LocalDateTime.parse(s"$slice:00",
+          DateTimeFormatter.ofPattern("yyyy-MM-dd-HH:mm")).plusHours(1)
+        case "DAY" => LocalDate.parse(slice).plusDays(1).atStartOfDay()
+        case "MONTH" => YearMonth.parse(slice).plusMonths(1).atDay(1).atStartOfDay()
+        case "YEAR" => Year.parse(slice).plusYears(1).atDay(1).atStartOfDay()
+        case _ => return None
+      }
+      Some(end.toInstant(ZoneOffset.UTC).toEpochMilli)
+    } catch { case _: java.time.format.DateTimeParseException => None }
+  }
+
   // ---- partition swap (atomic-per-partition rewrite) ----
 
   /** Replace the given day partitions of `data/` with the contents of a
@@ -413,6 +522,52 @@ final class WarehouseTable private (
     }
     fs.delete(new Path(staging), true)
   }
+}
+
+/** Per-table layout options, the analog of the reference's table-level
+  * sink configs (`config/BigQuerySinkConfig.java:477-499`,
+  * `SchemaManager.java:73-74, 574-610`):
+  *
+  *  - `clusteringFields` — up to 4 columns; writes range-sort files by
+  *    them so parquet min/max stats enable file skipping
+  *    (`timestampPartitionFieldName`'s sibling `clusteringPartitionFieldNames`);
+  *  - `partitionField` — partition on a named record timestamp column
+  *    instead of ingestion/message `partitionTime`
+  *    (`timestampPartitionFieldName`);
+  *  - `granularity` — HOUR/DAY/MONTH/YEAR/NONE time-partitioning type;
+  *  - `partitionExpirationMs` — TTL after which partitions are dropped
+  *    during write bookkeeping (`partitionExpiration`).
+  */
+final case class TableOptions(
+    clusteringFields: Seq[String] = Seq.empty,
+    partitionField: Option[String] = None,
+    granularity: String = "DAY",
+    partitionExpirationMs: Option[Long] = None) {
+
+  /** Validator, mirroring `BigQuerySinkConfig.java:480-499` (≤4 existing
+    * clustering fields; known granularity; positive expiration; existing
+    * partition field).
+    */
+  def validate(schema: StructType): Unit = {
+    val errs = Seq.newBuilder[String]
+    if (clusteringFields.size > 4)
+      errs += s"at most 4 clustering fields allowed, got ${clusteringFields.size}"
+    clusteringFields.filterNot(schema.fieldNames.contains).foreach(f =>
+      errs += s"clustering field '$f' not in table schema")
+    if (!TableOptions.Granularities.contains(granularity))
+      errs += s"granularity must be one of ${TableOptions.Granularities.mkString("/")}, got '$granularity'"
+    partitionExpirationMs.filter(_ <= 0).foreach(ms =>
+      errs += s"partitionExpirationMs must be positive, got $ms")
+    partitionField.filterNot(schema.fieldNames.contains).foreach(f =>
+      errs += s"partition field '$f' not in table schema")
+    val found = errs.result()
+    if (found.nonEmpty)
+      throw new IllegalArgumentException(found.mkString("; "))
+  }
+}
+
+object TableOptions {
+  val Granularities: Set[String] = Set("HOUR", "DAY", "MONTH", "YEAR", "NONE")
 }
 
 object WarehouseTable {
@@ -436,27 +591,52 @@ object WarehouseTable {
     handleCache.computeIfAbsent(root, r => open(spark, r))
 
   /** S6 — create (or open if it exists) a table rooted at `root` with the
-    * given flat destination schema and key fields
+    * given flat destination schema, key fields, and layout options
     * (`SchemaManager.createTable`, `SchemaManager.java:212-281`; the
-    * 409-tolerant "already exists" race becomes open-if-present).
+    * 409-tolerant "already exists" race becomes open-if-present, under
+    * which the persisted options win, like BigQuery's table metadata).
     */
   def create(spark: SparkSession, root: String, keyFields: Seq[String],
-      schema: StructType): WarehouseTable = {
+      schema: StructType, options: TableOptions = TableOptions()): WarehouseTable = {
     val metaPath = s"$root/_graft/schema.json"
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(metaPath))) {
+      options.validate(schema)
       writeMetaString(spark, metaPath, schema.json)
       writeMetaString(spark, s"$root/_graft/keys.json",
         keyFields.mkString("[\"", "\",\"", "\"]"))
-    }
-    new WarehouseTable(spark, root, keyFields)
+      writeMetaString(spark, s"$root/_graft/options.props", optionsToProps(options))
+      new WarehouseTable(spark, root, keyFields, options)
+    } else new WarehouseTable(spark, root, keyFields, readOptions(spark, root))
   }
 
   def open(spark: SparkSession, root: String): WarehouseTable = {
     val keys = readMetaString(spark, s"$root/_graft/keys.json")
       .stripPrefix("[").stripSuffix("]")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-    new WarehouseTable(spark, root, keys)
+    new WarehouseTable(spark, root, keys, readOptions(spark, root))
+  }
+
+  private[sources] def optionsToProps(o: TableOptions): String = Seq(
+    s"clusteringFields=${o.clusteringFields.mkString(",")}",
+    s"partitionField=${o.partitionField.getOrElse("")}",
+    s"granularity=${o.granularity}",
+    s"partitionExpirationMs=${o.partitionExpirationMs.map(_.toString).getOrElse("")}")
+    .mkString("\n")
+
+  private def readOptions(spark: SparkSession, root: String): TableOptions = {
+    val p = new Path(s"$root/_graft/options.props")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return TableOptions() // pre-options table
+    val kv = readMetaString(spark, p.toString).linesIterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    TableOptions(
+      clusteringFields = kv.getOrElse("clusteringFields", "")
+        .split(",").toSeq.filter(_.nonEmpty),
+      partitionField = kv.get("partitionField").filter(_.nonEmpty),
+      granularity = kv.getOrElse("granularity", "DAY"),
+      partitionExpirationMs = kv.get("partitionExpirationMs")
+        .filter(_.nonEmpty).map(_.toLong))
   }
 
   /** S7 — intermediate (staging) location lifecycle

@@ -43,9 +43,28 @@ final case class GraftSinkConfig(
     allowFieldRelaxation: Boolean = true,
     /** Event-time vs processing-time partitioning (T6) —
       * `bigQueryMessageTimePartitioning`. */
-    messageTimePartitioning: Boolean = true) {
+    messageTimePartitioning: Boolean = true,
+    /** Column-based time partitioning — `timestampPartitionFieldName`
+      * (`SchemaManager.java:73`); partitions on this record field instead
+      * of ingestion/message time. */
+    timestampPartitionFieldName: Option[String] = None,
+    /** Partition TTL — `partitionExpirationMs` (`SchemaManager.java:74`). */
+    partitionExpirationMs: Option[Long] = None,
+    /** Clustering columns, ≤4 — `clusteringPartitionFieldNames`
+      * (`BigQuerySinkConfig.java:477-493`). */
+    clusteringFieldNames: Seq[String] = Seq.empty,
+    /** Time-partitioning granularity — `timePartitioningType`
+      * (`BigQuerySinkConfig.java:496-499`). */
+    timePartitioningType: String = "DAY") {
 
   def upsertDeleteEnabled: Boolean = upsertEnabled || deleteEnabled
+
+  /** Table-level layout options derived from this sink config. */
+  def tableOptions: graft.sources.TableOptions = graft.sources.TableOptions(
+    clusteringFields = clusteringFieldNames,
+    partitionField = timestampPartitionFieldName,
+    granularity = timePartitioningType,
+    partitionExpirationMs = partitionExpirationMs)
 
   /** The validator chain (`MultiPropertyValidator`,
     * `UpsertDeleteValidator.java:48-73`, `PartitioningModeValidator`):
@@ -64,6 +83,16 @@ final case class GraftSinkConfig(
         errs += s"mergeRecordsThreshold must be positive or -1, got $mergeRecordsThreshold"
     }
     if (defaultDataset.isEmpty) errs += "defaultDataset must be non-empty"
+    // PartitioningModeValidator: the message-time decorator and a
+    // partition field are mutually exclusive routing modes
+    if (timestampPartitionFieldName.isDefined && messageTimePartitioning)
+      errs += "timestampPartitionFieldName cannot be combined with messageTimePartitioning"
+    if (clusteringFieldNames.size > 4)
+      errs += s"at most 4 clustering fields allowed, got ${clusteringFieldNames.size}"
+    if (!graft.sources.TableOptions.Granularities.contains(timePartitioningType))
+      errs += s"timePartitioningType must be one of HOUR/DAY/MONTH/YEAR/NONE, got '$timePartitioningType'"
+    partitionExpirationMs.filter(_ <= 0).foreach(ms =>
+      errs += s"partitionExpirationMs must be positive, got $ms")
     val found = errs.result()
     if (found.nonEmpty) throw new GraftConfigException(found.mkString("; "))
   }

@@ -142,7 +142,8 @@ object MergePipeline {
     val staged0 = Staging.wrapUpsert(tombstoned, keyFields, batchId,
       config.messageTimePartitioning)
     val observed = destSchemaFor(staged0, keyFields)
-    val table = WarehouseTable.create(slice.sparkSession, root, keyFields, observed)
+    val table = WarehouseTable.create(slice.sparkSession, root, keyFields, observed,
+      config.tableOptions)
     val evolved = table.evolveSchema(observed, policyOf(config))
     val staged = conformValue(staged0, evolved, keyFields)
     if (config.deleteEnabled && !config.upsertEnabled) table.mergeDeleteOnly(staged)
@@ -185,7 +186,8 @@ object MergePipeline {
       case None => flat.drop("__key")
     }
     val destSchema = StructType(flat.drop("partitionTime").schema.fields)
-    val table = WarehouseTable.create(spark, root, Seq("offset"), destSchema)
+    val table = WarehouseTable.create(spark, root, Seq("offset"), destSchema,
+      config.tableOptions)
     // R3/R4 — evolve before writing so added fields propagate on append too
     val evolved = table.evolveSchema(destSchema, policyOf(config))
     val conformed = flat.select(evolved.fields.toSeq.map { f =>

@@ -254,5 +254,18 @@ class StreamingMergeSpec extends AnyFunSuite {
     // one of the two disabled is fine
     GraftSinkConfig(upsertEnabled = true, kafkaKeyFieldName = Some("k"),
       mergeIntervalMs = -1, mergeRecordsThreshold = 1000).validate()
+    // partitioning-mode validator: field partitioning excludes message time
+    intercept[GraftConfigException](
+      GraftSinkConfig(timestampPartitionFieldName = Some("ts")).validate())
+    GraftSinkConfig(timestampPartitionFieldName = Some("ts"),
+      messageTimePartitioning = false).validate()
+    intercept[GraftConfigException](
+      GraftSinkConfig(clusteringFieldNames = Seq("a", "b", "c", "d", "e")).validate())
+    intercept[GraftConfigException](
+      GraftSinkConfig(timePartitioningType = "WEEK").validate())
+    intercept[GraftConfigException](
+      GraftSinkConfig(partitionExpirationMs = Some(0L)).validate())
+    GraftSinkConfig(clusteringFieldNames = Seq("a", "b"),
+      timePartitioningType = "MONTH", partitionExpirationMs = Some(1000L)).validate()
   }
 }

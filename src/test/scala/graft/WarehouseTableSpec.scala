@@ -209,6 +209,117 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(state(5L) == Set("n"))
   }
 
+  test("clustering: files within a partition cover disjoint key ranges") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema,
+      graft.sources.TableOptions(clusteringFields = Seq("k1")))
+    val rows = spark.range(4000).select(
+      (rand(7) * 100000).cast("long").as("k1"),
+      lit("x").as("f1"), ts(1).as("partitionTime"))
+    // tiny test data would AQE-coalesce to one range partition; force the
+    // configured fan-out so there are multiple files to check
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try t.append(rows)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val files = t.read().inputFiles.toSeq
+    assert(files.size >= 2, s"need multiple files to prove skipping, got $files")
+    // per-file [min,max] of the clustering key must be pairwise disjoint
+    // — that is exactly what parquet row-group stats skipping needs
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"k1"), max($"k1")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+
+  test("TableOptions validation: >4 clustering fields, unknown fields, bad granularity") {
+    intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
+      Seq("k1"), destSchema,
+      graft.sources.TableOptions(clusteringFields = Seq("a", "b", "c", "d", "e"))))
+    intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
+      Seq("k1"), destSchema, graft.sources.TableOptions(clusteringFields = Seq("nope"))))
+    intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
+      Seq("k1"), destSchema, graft.sources.TableOptions(granularity = "WEEK")))
+    intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
+      Seq("k1"), destSchema, graft.sources.TableOptions(partitionField = Some("nope"))))
+    intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
+      Seq("k1"), destSchema, graft.sources.TableOptions(partitionExpirationMs = Some(-5L))))
+  }
+
+  test("column-based partitioning + MONTH granularity: field routes, update stays put") {
+    val root = tmpRoot()
+    val schemaT = StructType(Seq(
+      StructField("k1", LongType), StructField("f1", StringType),
+      StructField("ets", TimestampType)))
+    val t = WarehouseTable.create(spark, root, Seq("k1"), schemaT,
+      graft.sources.TableOptions(partitionField = Some("ets"), granularity = "MONTH"))
+    // no partitionTime column at all — routing is by the record field
+    t.append(Seq(
+      (1L, "a", "2024-01-05 10:00:00"), (2L, "b", "2024-02-20 10:00:00"))
+      .toDF("k1", "f1", "s").select($"k1", $"f1", to_timestamp($"s").as("ets")))
+    assert(t.listDays() == Seq("2024-01", "2024-02"))
+    // persisted options survive open()
+    assert(WarehouseTable.open(spark, root).options.granularity == "MONTH")
+
+    // merge: update k1=1 with a March ets → row STAYS in its 2024-01
+    // partition (UPDATE never moves rows); insert k1=3 lands in March
+    val staged = Seq(
+      (1L, "a2", "2024-03-01 00:00:00", 10L),
+      (3L, "c", "2024-03-02 00:00:00", 11L))
+      .toDF("k", "v", "s", "i").select(
+        struct($"k".as("k1")).as("key"),
+        struct($"v".as("f1"), to_timestamp($"s").as("ets")).as("value"),
+        $"i", lit(0L).as("batchNumber"))
+    t.merge(staged)
+    val state = t.read().select($"k1", $"f1", $"_pday").as[(Long, String, String)]
+      .collect().toSet
+    assert(state == Set(
+      (1L, "a2", "2024-01"), (2L, "b", "2024-02"), (3L, "c", "2024-03")))
+  }
+
+  test("HOUR granularity slices partitions by hour") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema,
+      graft.sources.TableOptions(granularity = "HOUR"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1")
+      .withColumn("partitionTime",
+        when($"k1" === 1, to_timestamp(lit("2024-01-01 05:30:00")))
+          .otherwise(to_timestamp(lit("2024-01-01 06:10:00")))))
+    assert(t.listDays() == Seq("2024-01-01-05", "2024-01-01-06"))
+  }
+
+  test("partition expiration drops old partitions and their blooms") {
+    val root = tmpRoot()
+    // seed WITHOUT a TTL (auto-expiry during append would instantly drop
+    // the 2024 fixture days against the wall clock), then alter it on —
+    // the BigQuery "update partition expiration on existing table" path
+    val t0 = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t0.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t0.append(Seq((2L, "new")).toDF("k1", "f1").withColumn("partitionTime", ts(10)))
+    val t = t0.alterOptions(graft.sources.TableOptions(
+      partitionExpirationMs = Some(86400000L))) // 1 day TTL
+    val bloomOld = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom/2024-01-01.bloom")
+    val fs = bloomOld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(bloomOld))
+    val asOf = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
+    val dropped = t.expirePartitions(asOf)
+    // day 01's slice ended 01-02, before the 01-10 cutoff; day 10 survives
+    assert(dropped == Seq("2024-01-01"))
+    assert(t.listDays() == Seq("2024-01-10"))
+    assert(!fs.exists(bloomOld), "expired partition's bloom must be removed")
+    assert(t.read().select($"f1").as[String].collect().toSeq == Seq("new"))
+    // and write bookkeeping auto-expires against the wall clock: the
+    // remaining 2024 partition is long past a 1-day TTL by now
+    t.append(Seq((3L, "live")).toDF("k1", "f1")
+      .withColumn("partitionTime", current_timestamp()))
+    assert(!t.listDays().contains("2024-01-10"), "append bookkeeping must auto-expire")
+    assert(t.read().select($"f1").as[String].collect().toSeq == Seq("live"))
+  }
+
   test("schema evolution persists through evolveSchema") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -197,34 +197,44 @@ object LlmQueries extends QueryPack {
     GraftQuery("e2_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        SimOps.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5, numPlanes = 4)
+        SimOps.lshTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          numPlanes = 4, numTables = 8)
           .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
       },
-      oracle = Some(
-        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |b AS (
-          |  SELECT vec_id, v,
-          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
-          |       i -> v[i] * ((('0x' || substr(md5('p0_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
-          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
-          |       i -> v[i] * ((('0x' || substr(md5('p1_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
-          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
-          |       i -> v[i] * ((('0x' || substr(md5('p2_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END) ||
-          |    (CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
-          |       i -> v[i] * ((('0x' || substr(md5('p3_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END)
-          |    AS bucket
-          |  FROM c),
-          |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 50 = 0),
-          |scored AS (
-          |  SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
-          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i])) /
-          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
-          |     sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS sim
-          |  FROM b JOIN q USING (bucket) WHERE q.vec_id != b.vec_id),
-          |ranked AS (
-          |  SELECT query_id, nbr_id, sim,
-          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
-          |  FROM scored)
-          |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin))
+      oracle = Some(annLshOracle(numPlanes = 4, numTables = 8)))
   )
+
+  /** DuckDB oracle for the multi-table ANN query, generated so the SQL
+    * stays mechanically identical to [[SimOps.lshTopK]]'s arithmetic at
+    * any (planes, tables) configuration: per table t the bucket is the
+    * concatenated sign bits of dot products with planes
+    * `t*numPlanes + p`, bucket sets union over tables, duplicate pairs
+    * collapse before ranking.
+    */
+  private def annLshOracle(numPlanes: Int, numTables: Int): String = {
+    def signBit(globalPlane: Int): String =
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
+         |       i -> v[i] * ((('0x' || substr(md5('p${globalPlane}_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
+    val tableSelects = (0 until numTables).map { t =>
+      val bits = (0 until numPlanes).map(p => signBit(t * numPlanes + p)).mkString(" || ")
+      s"  SELECT vec_id, v, '$t:' || $bits AS bucket FROM c"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       |$tableSelects),
+       |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT query_id, nbr_id, max(sim) AS sim FROM (
+       |    SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+       |      list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS sim
+       |    FROM b JOIN q USING (bucket) WHERE q.vec_id != b.vec_id) raw
+       |  GROUP BY query_id, nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
 }

@@ -139,6 +139,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length == 4) // distinct offsets
   }
 
+  test("lshTopK recall@10 vs brute force is >= 0.6 at 4 planes (sf0.01)") {
+    // pins the quality of the (planes, tables) knobs: changing either
+    // must be measured against this recall floor, not eyeballed.
+    // Measured 0.650 at 4 planes x 8 tables when introduced; a single
+    // table scores 0.079 — OR-amplification is what makes e2 usable.
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where($"vec_id" % 37 === 0)
+    val k = 10
+    val exact = SimOps.bruteForceTopK(emb, queries, k)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val approx = SimOps.lshTopK(emb, queries, k, numPlanes = 4)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@$k at 4 planes: $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.6, f"ANN recall degraded: $recall%.3f < 0.6")
+  }
+
   // ---- cosine + LSH sanity beyond the oracle
   test("lshTopK finds the exact nearest neighbor when buckets align") {
     // vectors clustered so near-identical pairs share every hyperplane sign

@@ -49,13 +49,41 @@ object DedupOps {
       .otherwise(emptyStrArray)
   }
 
-  /** MinHash signature: for seed j, `min(md5(j || '_' || shingle))` —
-    * md5 plays the universal hash family, min over hex strings is a
-    * uniform min-hash. Engine-portable by construction.
+  /** Per-shingle hash pair `{h1, h2}` (first/second 8 hex chars of ONE
+    * md5 as uint32s) — the base of Kirsch-Mitzenmacher double hashing.
+    * Materialize this as its own column before deriving the signature:
+    * the md5 then runs once per shingle instead of once per (shingle,
+    * hash function) — a `numHashes`× cut of the dominant map-side cost.
+    * (CollapseProject leaves the two projections separate: it never
+    * inlines a non-trivial expression into multiple references.)
     */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => {
+      val d = md5(to_binary(s, lit("utf-8")))
+      struct(
+        conv(substring(d, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(d, 9, 8), 16, 10).cast("long").as("h2"))
+    })
+
+  /** MinHash signature from pre-hashed shingles: hash function j is
+    * `g_j = (h1 + j*h2) mod 2^32` (Kirsch-Mitzenmacher: two base hashes
+    * give a family with the same minwise guarantees as independent
+    * hashes), signature row j is `min(g_j)` over the shingle set.
+    * Computed as ONE fold over the shingle set carrying all `numHashes`
+    * running minima (instead of `numHashes` separate array traversals —
+    * same values, a fraction of the expression tree and per-row work).
+    * Value-portable: DuckDB computes the same minima per j.
+    */
+  def signatureFromHashes(hashed: Column, numHashes: Int): Column =
+    aggregate(hashed,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc,
+        sequence(lit(0L), lit((numHashes - 1).toLong)),
+        (a, j) => least(a,
+          pmod(h.getField("h1") + j * h.getField("h2"), lit(4294967296L)))))
+
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(shingles, s => md5(to_binary(concat(lit(s"$j"), lit("_"), s), lit("utf-8")))))): _*)
+    signatureFromHashes(shingleHashes(shingles), numHashes)
 
   /** LSH band keys: signature sliced into `bands` rows-per-band groups,
     * each band hashed to one key. Two docs share a band key iff their
@@ -63,8 +91,19 @@ object DedupOps {
     */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map(b =>
-      concat(lit(s"$b:"), md5(to_binary(
-        concat_ws("|", slice(signature, b * rowsPerBand + 1, rowsPerBand)), lit("utf-8"))))): _*)
+      lshBandKey(signature, lit(b), rowsPerBand)): _*)
+
+  /** One band key from a signature and a (possibly column) band index:
+    * `b ':' md5(sig[b*rpb+1 .. +rpb] joined '|')`. Referencing the
+    * signature exactly once matters — higher-order expressions are
+    * interpreted, and an optimizer-inlined signature re-runs per
+    * reference.
+    */
+  def lshBandKey(signature: Column, b: Column, rowsPerBand: Int): Column =
+    concat(b.cast("string"), lit(":"), md5(to_binary(
+      concat_ws("|", transform(
+        slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string"))), lit("utf-8"))))
 
   /** Jaccard similarity of two (distinct-element) shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -72,33 +111,61 @@ object DedupOps {
       size(array_union(a, b)).cast("double")
 
   /** Banded LSH candidate-pair pipeline shared by [[minhashNearDups]]
-    * and [[ngramNearDups]], taking a prepared `(id, sh)` frame.
+    * and [[ngramNearDups]], over a raw `(id, t)` document frame and a
+    * text→shingle-set expression.
     *
-    * == 100 TB shuffle discipline ==
+    * == 100 TB shuffle & compute discipline ==
     * The band self-join exchanges ONLY `(band, id)` — a 16-byte band key
     * plus the id — never the shingle arrays (≈ document size):
     * signatures are consumed map-side to derive band keys and dropped
     * before the exchange, so band-exchange volume is O(bands × ids), not
     * O(bands × corpus bytes). Candidate pairs de-duplicate as bare
-    * `(id1, id2)`, then the shingle sets are joined back BY ID for the
-    * exact-Jaccard verify — with pairs ≪ corpus, AQE broadcasts the pair
-    * side and the corpus is never shuffled at all. `PlanAuditSpec`
-    * guards the band exchange's payload.
+    * `(id1, id2)`, and the exact-Jaccard verify re-derives shingles ONLY
+    * for candidate documents: a semi-join on the (small, broadcast)
+    * candidate-id sets sits below the shingle projection, so verify-side
+    * shingling is O(candidates), not a second O(corpus) pass. Total:
+    * one full shingling pass, no corpus-sized shuffle anywhere.
+    * `PlanAuditSpec` guards the band exchange's payload.
     */
-  private def bandedNearDups(sh: DataFrame, numHashes: Int, bands: Int,
-      threshold: Double): DataFrame = {
+  private def bandedNearDups(docs: DataFrame, normF: Column => Column,
+      shingleF: Column => Column,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val banded = sh
-      .withColumn("band",
-        explode(lshBands(minhashSignature(col("sh"), numHashes), bands, rowsPerBand)))
-      .select(col("band"), col("id"))
+    // Every stage materializes as its own projection (normalized text →
+    // shingles → hash pairs → signature), and the band index explodes
+    // BEFORE band-key derivation. This shape is load-bearing twice over:
+    // higher-order functions are interpreted (no whole-stage codegen),
+    // and a column-function composed inline nests the producer inside
+    // every consumer reference — normalization composed into the shingle
+    // lambda re-runs its regexes once PER SHINGLE (O(doc²) regex work),
+    // and a signature inlined into the band array re-runs once per band.
+    // Attribute references between projections pin each to one pass.
+    val normed = docs.select(col("id"), normF(col("t")).as("nt"))
+    val banded = normed
+      .select(col("id"), shingleF(col("nt")).as("sh"))
+      .select(col("id"), shingleHashes(col("sh")).as("hs")) // one md5/shingle
+      .select(col("id"), signatureFromHashes(col("hs"), numHashes).as("sig"))
+      .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
+      .select(lshBandKey(col("sig"), col("b"), rowsPerBand).as("band"), col("id"))
+    // localCheckpoint (eager): the pair relation is referenced three
+    // times below (the verify join + both candidate-id semi-joins);
+    // without materializing it, each reference would re-run the whole
+    // band pipeline AND triple the already-deep signature expression
+    // tree in the optimizer. Checkpointing truncates the lineage to a
+    // short LogicalRDD — pairs hold bare (id1,id2), tiny next to the
+    // corpus.
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val left = sh.select(col("id").as("id1"), col("sh").as("sh1"))
-    val right = sh.select(col("id").as("id2"), col("sh").as("sh2"))
-    pairs.join(left, "id1").join(right, "id2")
+      .localCheckpoint(true)
+    def candShingles(idsOf: Column, as: String, shAs: String) = docs
+      .join(pairs.select(idsOf.as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), normF(col("t")).as("nt"))
+      .select(col("id").as(as), shingleF(col("nt")).as(shAs))
+    pairs
+      .join(candShingles(col("id1"), "id1", "sh1"), "id1")
+      .join(candShingles(col("id2"), "id2", "sh2"), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
@@ -108,15 +175,15 @@ object DedupOps {
     * band-key self-join candidate pairs → exact-Jaccard verify. Returns
     * verified pairs `(id1, id2, jaccard)` with `jaccard >= threshold`,
     * id1 < id2, deduplicated across bands. No crossJoin anywhere; see
-    * [[bandedNearDups]] for the shuffle story.
+    * [[bandedNearDups]] for the shuffle/compute story.
     */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
       shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame =
     bandedNearDups(
-      df.select(col(idCol).as("id"),
-        charShingles(TextOps.normalizeText(col(textCol)), shingleK).as("sh")),
+      df.select(col(idCol).as("id"), col(textCol).as("t")),
+      TextOps.normalizeText, nt => charShingles(nt, shingleK),
       numHashes, bands, threshold)
 
   /** N-gram Jaccard near-dup: same bucketed pipeline over word n-grams
@@ -127,8 +194,8 @@ object DedupOps {
       n: Int = 3, numHashes: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame =
     bandedNearDups(
-      df.select(col(idCol).as("id"),
-        wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh")),
+      df.select(col(idCol).as("id"), col(textCol).as("t")),
+      TextOps.normalizeText, nt => wordShingles(nt, n),
       numHashes, bands, threshold)
 
   /** 32-bit SimHash over word tokens: each token hashes (md5 → first 8

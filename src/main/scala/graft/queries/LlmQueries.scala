@@ -49,7 +49,9 @@ object LlmQueries extends QueryPack {
        |sh AS (SELECT id, $shingleSql AS sh FROM base),
        |sig AS (
        |  SELECT id, sh, list_transform(generate_series(0, 11), j ->
-       |    list_min(list_transform(sh, s -> md5(j || '_' || s)))) AS sig
+       |    list_min(list_transform(sh, s ->
+       |      (('0x' || substr(md5(s), 1, 8))::BIGINT
+       |       + j * ('0x' || substr(md5(s), 9, 8))::BIGINT) % 4294967296))) AS sig
        |  FROM sh),
        |banded AS (
        |  SELECT id, sh, unnest(list_transform(generate_series(0, 3), b ->

@@ -198,27 +198,80 @@ object DedupOps {
       TextOps.normalizeText, nt => wordShingles(nt, n),
       numHashes, bands, threshold)
 
+  // shift-by-column via exact powers of two (values < 2^32, b <= 31)
+  private def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
+  private def bitAt(h: Column, b: Column): Column =
+    pmod((h / pow2(b)).cast("long"), lit(2L))
+
+  /** Per-token uint32 hashes (md5 prefix) of the distinct tokens of
+    * already-normalized text — the SimHash input.
+    */
+  def tokenHashes(normalized: Column): Column =
+    transform(array_distinct(split(normalized, " ")),
+      t => conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10).cast("long"))
+
+  /** Signed per-bit vote counts (+1 set / -1 clear per token hash),
+    * folded in ONE pass over the token hashes carrying all 32 counters
+    * (the staged-projection discipline of [[bandedNearDups]]: HOFs are
+    * interpreted, so a per-bit aggregate over an inlined hash array
+    * would re-run the md5 transform 32x).
+    */
+  def simhashCounts(hashes: Column): Column =
+    aggregate(hashes, array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(31L)),
+        (a, b) => a + bitAt(h, b) * 2L - 1L))
+
+  /** Fingerprint from materialized vote counts: bit b is 1 iff count
+    * b is positive. Reference `counts` as an attribute — it is read 32
+    * times.
+    */
+  def simhashFromCounts(counts: Column): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) =>
+      acc + when(element_at(counts, b + 1) > 0, lit(1L)).otherwise(lit(0L)) * pow2(b))
+
   /** 32-bit SimHash over word tokens: each token hashes (md5 → first 8
     * hex chars → uint32); bit b of the fingerprint is 1 iff more token
     * hashes have bit b set than not. Near-dups = small Hamming distance
-    * (`bit_count(a ^ b)`), bucketable by fingerprint prefix.
+    * (`bit_count(a ^ b)`). Convenience composition — pipelines should
+    * stage [[tokenHashes]]/[[simhashCounts]]/[[simhashFromCounts]] as
+    * separate projections (see [[simhashNearDups]]).
     */
-  def simhash(c: Column): Column = {
-    val toks = array_distinct(split(TextOps.normalizeText(c), " "))
-    val hashes = transform(toks, t =>
-      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10).cast("long"))
-    // shift-by-column via exact powers of two (h < 2^32, b <= 31)
-    def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
-    def bitAt(h: Column, b: Column): Column = pmod((h / pow2(b)).cast("long"), lit(2L))
-    val bits = transform(sequence(lit(0), lit(31)), b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + bitAt(h, b) * 2L - 1L) > 0, lit(1L))
-        .otherwise(lit(0L)))
-    aggregate(sequence(lit(0), lit(31)), lit(0L),
-      (acc, b) => acc + element_at(bits, b + 1) * pow2(b))
-  }
+  def simhash(c: Column): Column =
+    simhashFromCounts(simhashCounts(tokenHashes(TextOps.normalizeText(c))))
 
   /** Hamming distance between two SimHash fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via multi-index blocking: the 32-bit
+    * fingerprint splits into 4 disjoint 8-bit blocks, and any pair
+    * within Hamming distance 3 must agree exactly on at least one block
+    * (pigeonhole) — so candidates are pairs sharing a
+    * `(block-index, block-bits)` key, verified with the exact
+    * `bit_count(xor)`. No all-pairs comparison anywhere; the block
+    * exchange carries `(key, id, fp)` — 8-byte fingerprints, never
+    * documents.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"4-block multi-index guarantees recall only for maxDist <= 3, got $maxDist")
+    val fps = df
+      .select(col(idCol).as("id"), TextOps.normalizeText(col(textCol)).as("nt"))
+      .select(col("id"), tokenHashes(col("nt")).as("th"))
+      .select(col("id"), simhashCounts(col("th")).as("cnt"))
+      .select(col("id"), simhashFromCounts(col("cnt")).as("fp"))
+    val blocked = fps
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select(concat(col("b").cast("string"), lit(":"),
+        pmod((col("fp") / pow2(col("b") * 8)).cast("long"), lit(256L)).cast("string"))
+        .as("k"),
+        col("id"), col("fp"))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        hammingDistance(col("a.fp"), col("b.fp")).cast("int").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .dropDuplicates("id1", "id2")
+  }
 }

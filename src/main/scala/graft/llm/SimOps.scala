@@ -90,6 +90,37 @@ object SimOps {
       when(dotP >= 0, lit("1")).otherwise(lit("0"))
     }): _*)
 
+  /** Embedding-cosine near-duplicate pairs: `(id1, id2, sim)` with
+    * `sim >= threshold`, id1 < id2, candidates drawn from the same
+    * OR-amplified multi-table hyperplane buckets as [[lshTopK]].
+    *
+    * Scale: the bucket self-join exchanges `(bucket, id)` only; the
+    * candidate pairs checkpoint as bare id pairs, then vectors re-join
+    * BY ID (semi-filtered to candidate ids, pair side broadcast) for the
+    * exact-cosine verify — embedding arrays never cross an exchange.
+    */
+  def embeddingNearDups(df: DataFrame, threshold: Double, numPlanes: Int = 4,
+      numTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bucketed = vecs
+      .withColumn("bucket", explode(array(
+        (0 until numTables).map(t => lshBucket(col("v"), numPlanes, t)): _*)))
+      .select(col("bucket"), col("id"))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+      .localCheckpoint(true) // referenced three times below; see DedupOps
+    def side(idn: String, vn: String) = vecs
+      .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as(idn), col("v").as(vn))
+    pairs.join(side("id1", "v1"), "id1").join(side("id2", "v2"), "id2")
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .where(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k with OR-amplification: `numTables`
     * independent hash tables of `numPlanes` sign bits each; candidates =
     * union of same-bucket pairs over all tables. One table of b planes

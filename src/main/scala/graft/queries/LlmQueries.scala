@@ -203,40 +203,107 @@ object LlmQueries extends QueryPack {
           numPlanes = 4, numTables = 8)
           .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
       },
-      oracle = Some(annLshOracle(numPlanes = 4, numTables = 8)))
+      oracle = Some(annLshOracle(numPlanes = 4, numTables = 8))),
+
+    GraftQuery("d4_embed_neardup",
+      (s, dir) => SimOps.embeddingNearDups(
+        Tables.load(s, dir, "embeddings"), threshold = 0.3)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim")),
+      oracle = Some(embedNearDupOracle(0.3, numPlanes = 4, numTables = 8))),
+
+    GraftQuery("d5_simhash_neardup",
+      (s, dir) => DedupOps.simhashNearDups(withNearDups(s, dir), "text", "doc_id",
+        maxDist = 3),
+      oracle = Some(simhashNearDupOracle(3)))
   )
 
-  /** DuckDB oracle for the multi-table ANN query, generated so the SQL
-    * stays mechanically identical to [[SimOps.lshTopK]]'s arithmetic at
-    * any (planes, tables) configuration: per table t the bucket is the
-    * concatenated sign bits of dot products with planes
-    * `t*numPlanes + p`, bucket sets union over tables, duplicate pairs
-    * collapse before ranking.
+  /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-
+    * LSH oracles, generated so the SQL stays mechanically identical to
+    * [[SimOps.lshBucket]]'s arithmetic at any (planes, tables)
+    * configuration: per table t the bucket is the concatenated sign bits
+    * of dot products with planes `t*numPlanes + p`.
     */
-  private def annLshOracle(numPlanes: Int, numTables: Int): String = {
+  private def bucketSelects(numPlanes: Int, numTables: Int): String = {
     def signBit(globalPlane: Int): String =
       s"""(CASE WHEN list_sum(list_transform(generate_series(1, len(v)),
          |       i -> v[i] * ((('0x' || substr(md5('p${globalPlane}_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0))) >= 0 THEN '1' ELSE '0' END)""".stripMargin
-    val tableSelects = (0 until numTables).map { t =>
+    (0 until numTables).map { t =>
       val bits = (0 until numPlanes).map(p => signBit(t * numPlanes + p)).mkString(" || ")
-      s"  SELECT vec_id, v, '$t:' || $bits AS bucket FROM c"
+      s"  SELECT id, v, '$t:' || $bits AS bucket FROM c"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  }
+
+  private val cosineSql =
+    """list_sum(list_transform(generate_series(1, len(e1.v)), i -> e1.v[i] * e2.v[i])) /
+      |      (sqrt(list_sum(list_transform(generate_series(1, len(e1.v)), i -> e1.v[i] * e1.v[i]))) *
+      |       sqrt(list_sum(list_transform(generate_series(1, len(e2.v)), i -> e2.v[i] * e2.v[i]))))""".stripMargin
+
+  /** DuckDB oracle for the multi-table ANN top-k: bucket sets union over
+    * tables, duplicate pairs collapse before ranking.
+    */
+  private def annLshOracle(numPlanes: Int, numTables: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (
-       |$tableSelects),
-       |q AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 50 = 0),
+       |${bucketSelects(numPlanes, numTables)}),
+       |q AS (SELECT id, v, bucket FROM b WHERE id % 50 = 0),
        |scored AS (
        |  SELECT query_id, nbr_id, max(sim) AS sim FROM (
-       |    SELECT q.vec_id AS query_id, b.vec_id AS nbr_id,
+       |    SELECT q.id AS query_id, b.id AS nbr_id,
        |      list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i])) /
        |      (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
        |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS sim
-       |    FROM b JOIN q USING (bucket) WHERE q.vec_id != b.vec_id) raw
+       |    FROM b JOIN q USING (bucket) WHERE q.id != b.id) raw
        |  GROUP BY query_id, nbr_id),
        |ranked AS (
        |  SELECT query_id, nbr_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
        |  FROM scored)
        |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin
-  }
+
+  /** DuckDB oracle for embedding-cosine near-dup pairs over the same
+    * multi-table buckets.
+    */
+  private def embedNearDupOracle(threshold: Double, numPlanes: Int, numTables: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (
+       |${bucketSelects(numPlanes, numTables)}),
+       |p AS (
+       |  SELECT DISTINCT a.id AS id1, b2.id AS id2
+       |  FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id),
+       |scored AS (
+       |  SELECT p.id1, p.id2, $cosineSql AS sim
+       |  FROM p JOIN c e1 ON p.id1 = e1.id JOIN c e2 ON p.id2 = e2.id)
+       |SELECT id1, id2, round(sim, 6) AS sim FROM scored WHERE sim >= $threshold""".stripMargin
+
+  /** DuckDB oracle for SimHash multi-index near-dups: identical md5/
+    * integer arithmetic as [[DedupOps.simhash]] (uint32 token hashes →
+    * signed per-bit votes → fingerprint), 4 disjoint 8-bit block keys,
+    * exact Hamming verify.
+    */
+  private def simhashNearDupOracle(maxDist: Int): String =
+    raw"""WITH base AS (
+       |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+       |              '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+       |  FROM documents WHERE doc_id < 100),
+       |th AS (
+       |  SELECT id, list_transform(list_distinct(string_split(t, ' ')),
+       |    s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS th
+       |  FROM base),
+       |fp AS (
+       |  SELECT id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+       |    CASE WHEN list_sum(list_transform(th, h ->
+       |           ((h // CAST(2**b AS BIGINT)) % 2) * 2 - 1)) > 0
+       |         THEN CAST(2**b AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+       |  FROM th),
+       |blk AS (
+       |  SELECT id, fp, unnest(list_transform(generate_series(0, 3), b ->
+       |    b || ':' || ((fp // CAST(2**(8*b) AS BIGINT)) % 256))) AS k
+       |  FROM fp)
+       |SELECT DISTINCT a.id AS id1, b.id AS id2,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM blk a JOIN blk b ON a.k = b.k AND a.id < b.id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
 }

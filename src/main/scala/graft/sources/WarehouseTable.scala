@@ -186,12 +186,14 @@ final class WarehouseTable private (
 
   // ---- append (S3: streaming-insert sink) ----
 
-  /** Idempotent partitioned append (`SimpleBigQueryWriter.java:63-79`):
-    * rows are flat dest rows plus a `partitionTime` timestamp column that
-    * routes each row to its `date(partitionTime)` partition (T6). If the
-    * batch carries Kafka coordinates (`topic`,`partition`,`offset`), the
-    * reference's insertId dedup (`SinkRecordConverter.java:142-147`) is
-    * applied within the batch before writing.
+  /** Partitioned append (`SimpleBigQueryWriter.java:63-79`): rows are
+    * flat dest rows plus a `partitionTime` timestamp column that routes
+    * each row to its time-slice partition (T6). If the batch carries
+    * Kafka coordinates (`topic`,`partition`,`offset`), the reference's
+    * insertId dedup (`SinkRecordConverter.java:142-147`) is applied
+    * WITHIN the batch before writing — cross-invocation replay safety is
+    * [[appendBatch]]'s job (this method, called twice, appends twice,
+    * like BigQuery streaming inserts outside the insertId window).
     */
   def append(df: DataFrame, partitionTimeCol: String = "partitionTime"): DataFrame = {
     val kafkaCols = Seq("topic", "partition", "offset")

@@ -139,6 +139,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length == 4) // distinct offsets
   }
 
+  test("simhashNearDups blocks find perturbed copies, skip unrelated docs") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where($"doc_id" < 40)
+    val perturbed = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" tiny suffix")).as("text")))
+    val rows = graft.llm.DedupOps.simhashNearDups(perturbed, "text", "doc_id")
+      .select($"id1", $"id2", $"hamming").as[(Long, Long, Int)].collect()
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    val copies = pairs.filter { case (a, b) => b == a + 1000000 }
+    // short docs legitimately drift >3 bits from two extra tokens; the
+    // floor pins blocking recall, not simhash sensitivity (measured 28/40)
+    assert(copies.size >= 25, s"multi-index missed perturbed copies: ${copies.size}/40")
+    // contract: every reported pair is ordered and within the distance cap
+    rows.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+  }
+
+  test("embeddingNearDups agrees with brute-force filtering on found pairs") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 120)
+    val found = graft.llm.SimOps.embeddingNearDups(emb, threshold = 0.3)
+      .select($"id1", $"id2", $"sim").collect()
+    assert(found.nonEmpty)
+    // every reported pair really has cosine >= threshold with id1 < id2
+    found.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
   test("lshTopK recall@10 vs brute force is >= 0.6 at 4 planes (sf0.01)") {
     // pins the quality of the (planes, tables) knobs: changing either
     // must be measured against this recall floor, not eyeballed.

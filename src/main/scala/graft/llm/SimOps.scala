@@ -143,16 +143,31 @@ object SimOps {
       array((0 until numTables).map(t => lshBucket(v, numPlanes, t)): _*)
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
-      .withColumn("bucket", explode(buckets(col("nbr_vec"))))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-      .withColumn("bucket", explode(buckets(col("q_vec"))))
-    val scored = c.join(q, Seq("bucket"))
+    // bucket keys derive map-side and the vectors DROP before the
+    // exchange — the bucket join moves (bucket, id) only, so shuffle
+    // volume is O(tables × ids), not O(tables × embedding bytes)
+    val cB = c.withColumn("bucket", explode(buckets(col("nbr_vec"))))
+      .select(col("bucket"), col("nbr_id"))
+    val qB = q.withColumn("bucket", explode(buckets(col("q_vec"))))
+      .select(col("bucket"), col("query_id"))
+    // distinct candidate pairs (a pair found by several tables appears
+    // once), checkpointed — referenced twice below (see DedupOps)
+    val cand = cB.join(qB, Seq("bucket"))
       .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // score each candidate once: corpus vectors re-join by id
+    // (semi-filtered to candidates), query vectors broadcast (the query
+    // set is small by this operator's contract, as in bruteForceTopK)
+    val candCorpus = c
+      .join(cand.select(col("nbr_id")).distinct(), Seq("nbr_id"), "left_semi")
+    val scored = cand
+      .join(candCorpus, "nbr_id")
+      .join(broadcast(q), "query_id")
       .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
-      // a pair found by several tables scores identically each time;
-      // collapse before ranking (scalar-only shuffle)
-      .groupBy(col("query_id"), col("nbr_id")).agg(max(col("sim")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.MergeOps
+import graft.sources.WarehouseTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Scratch profiler for the s6 warehouse-cycle stages. */
+object ProfileS6 {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+
+    val destSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("v_type", StringType),
+      StructField("v_amount", DoubleType)))
+
+    (1 to 2).foreach { round =>
+      println(s"[prof] --- round $round ---")
+      val root = Files.createTempDirectory("prof-wh").toString + "/events_tbl"
+      val all = Tables.load(spark, dir, "events").select(
+        struct(col("user_id").as("k")).as("key"),
+        when(col("event_type") =!= "error",
+          struct(col("event_type").as("v_type"), col("value").as("v_amount"))).as("value"),
+        col("event_id").as("i"),
+        timestamp_micros(expr("ts div 1000")).as("partitionTime"),
+        lit(0L).as("batchNumber"))
+      val t = WarehouseTable.create(spark, root, Seq("k"), destSchema)
+      val d0 = time("latestPerKey(first half)") {
+        val d = MergeOps.latestPerKey(all.where(col("i") < 5000))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        d.count(); d
+      }
+      time("append(d0)")(t.append(d0))
+      time("merge(second half)")(t.merge(all.where(col("i") >= 5000)))
+      time("read+count")(t.read().count())
+      println(s"[prof] days=${t.listDays().size}")
+    }
+    spark.stop()
+  }
+}

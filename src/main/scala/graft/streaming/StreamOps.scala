@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-native operators beyond the reference's surface, using the
+  * engine features a large-scale ingest pipeline needs: watermarked
+  * windowed aggregation and keyed state.
+  *
+  * Both consume the canonical Kafka-shaped stream
+  * (`topic, partition, offset, timestamp, …, value`) and run identically
+  * over batch frames (windowed aggregation is mode-agnostic), so specs
+  * can assert values in batch and wire the same plan into a stream.
+  */
+object StreamOps {
+
+  /** Tumbling-window per-topic ingest metrics — the streaming analog of
+    * the reference's task metrics (row counters in
+    * `BigQuerySinkTask`/Kafka Connect metrics): rows, distinct source
+    * partitions, and the high-watermark offset per (window, topic).
+    *
+    * The watermark bounds state: windows older than `watermarkDelay`
+    * close and their state is dropped, so state size is
+    * O(topics × open windows), independent of stream length — the
+    * property that lets this run forever on an unbounded stream.
+    */
+  def windowedIngestCounts(
+      stream: DataFrame,
+      windowDur: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark("timestamp", watermarkDelay)
+      .groupBy(window(col("timestamp"), windowDur), col("topic"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("partition")).as("n_partitions"),
+        max(col("offset")).as("max_offset"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("topic"), col("n_rows"), col("n_partitions"), col("max_offset"))
+
+  /** A keyed change record for [[dedupConsecutive]]. */
+  final case class KeyedValue(key: String, offset: Long, value: String)
+
+  /** Per-key consecutive-duplicate suppression across micro-batches via
+    * `flatMapGroupsWithState`: a row is emitted only when its value
+    * differs from the key's previously-emitted value (CDC-style change
+    * capture for training-data streams — re-delivered identical states
+    * produce no output). State per key is one value string; pass
+    * `idleTimeout` to evict idle keys with a processing-time timeout so
+    * state stays bounded by the recently-active key set (note: a timeout
+    * makes the engine self-trigger batches to fire expirations — leave
+    * it off for drain-and-stop batch tests).
+    *
+    * Rows within a batch are processed in ascending offset order (the
+    * per-key delivery order guarantee of a Kafka partition).
+    */
+  def dedupConsecutive(
+      ds: Dataset[KeyedValue],
+      idleTimeout: Option[String] = None): Dataset[KeyedValue] = {
+    implicit val kvEnc: Encoder[KeyedValue] = Encoders.product[KeyedValue]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (key: String, rows: Iterator[KeyedValue], state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[KeyedValue]
+            var last = state.getOption
+            rows.toSeq.sortBy(_.offset).foreach { r =>
+              if (!last.contains(r.value)) {
+                out += r
+                last = Some(r.value)
+              }
+            }
+            last.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+}

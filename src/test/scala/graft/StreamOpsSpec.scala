@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.KeyedValue
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Watermarked windowed aggregation + keyed state: value assertions in
+  * batch mode (the window plan is mode-agnostic), state behavior through
+  * a real MemoryStream query.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("windowedIngestCounts: tumbling windows split rows by event time") {
+    val rows = Seq(
+      ("t", 0, 0L, "2024-03-01 10:00:10"),
+      ("t", 0, 1L, "2024-03-01 10:00:50"),
+      ("t", 1, 2L, "2024-03-01 10:01:10"),
+      ("u", 0, 0L, "2024-03-01 10:00:30"))
+      .toDF("topic", "partition", "offset", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val out = StreamOps.windowedIngestCounts(rows)
+      .select($"window_start".cast("string"), $"topic", $"n_rows", $"max_offset")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("2024-03-01 10:00:00", "t", 2L, 1L),
+      ("2024-03-01 10:01:00", "t", 1L, 2L),
+      ("2024-03-01 10:00:00", "u", 1L, 0L)))
+  }
+
+  test("windowedIngestCounts streams: watermark closes windows in append mode") {
+    val input = MemoryStream[(String, Int, Long, String)](spark)
+    val shaped = input.toDF().toDF("topic", "partition", "offset", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val q = StreamOps.windowedIngestCounts(shaped, "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("ingest_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(("t", 0, 0L, "2024-03-01 10:00:10"))
+      q.processAllAvailable()
+      // advance the watermark far past the first window so it closes
+      input.addData(("t", 0, 1L, "2024-03-01 10:30:00"))
+      q.processAllAvailable()
+      input.addData(("t", 0, 2L, "2024-03-01 10:31:00"))
+      q.processAllAvailable()
+      val closed = spark.table("ingest_counts")
+        .select($"window_start".cast("string"), $"n_rows")
+        .as[(String, Long)].collect().toMap
+      assert(closed.get("2024-03-01 10:00:00").contains(1L),
+        s"first window never closed: $closed")
+    } finally q.stop()
+  }
+
+  test("dedupConsecutive: re-delivered identical values are suppressed across batches") {
+    val input = MemoryStream[KeyedValue](spark)
+    val q = StreamOps.dedupConsecutive(input.toDS())
+      .writeStream.format("memory").queryName("dedup_cc")
+      .outputMode("append").start()
+    try {
+      input.addData(KeyedValue("a", 0L, "v1"), KeyedValue("a", 1L, "v1"),
+        KeyedValue("b", 0L, "x"))
+      q.processAllAvailable()
+      input.addData(KeyedValue("a", 2L, "v1")) // still unchanged → no output
+      q.processAllAvailable()
+      input.addData(KeyedValue("a", 3L, "v2"), KeyedValue("b", 1L, "x"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_cc").as[KeyedValue].collect()
+        .map(r => (r.key, r.offset, r.value)).toSet
+      assert(out == Set(("a", 0L, "v1"), ("b", 0L, "x"), ("a", 3L, "v2")))
+    } finally q.stop()
+  }
+}

@@ -93,6 +93,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e2: bucket-key exchanges carry ids only — no embedding payload") {
+    val df = SparkEntry.queries("e2_ann_lsh")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // shuffle exchanges partitioned on the bucket key must not move
+    // vector columns (verify-side candidate joins may, bounded by the
+    // candidate set — only the corpus-wide bucket exchange is guarded)
+    val bucketBlocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning(bucket"))
+    bucketBlocks.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_vec#") && !b.contains(" v#"),
+        s"embedding array shuffled through a bucket exchange:\n$b")
+    }
+  }
+
   test("upsertDelete: small deduped source broadcast-joins under AQE") {
     // with AQE on (the Bench/production config), the deduped batch side
     // is far below the broadcast threshold → no shuffle of dest

@@ -137,7 +137,8 @@ object WarehouseQueries extends QueryPack {
           |       CASE WHEN s1.k IS NOT NULL THEN s1.v_ts ELSE d0.v_ts END AS v_ts,
           |       coalesce(d0.pmonth, s1.pmonth) AS pmonth
           |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
-          |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin)),
+          |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
+      headline = true),
 
     GraftQuery("a3_batch_counts",
       (s, dir) => graft.operators.BatchOps.batchRowCounts(

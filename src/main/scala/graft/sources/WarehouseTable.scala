@@ -112,7 +112,9 @@ final class WarehouseTable private (
     newOptions.validate(schema)
     writeMetaString(spark, s"$root/_graft/options.props",
       WarehouseTable.optionsToProps(newOptions))
-    new WarehouseTable(spark, root, keyFields, newOptions)
+    val updated = new WarehouseTable(spark, root, keyFields, newOptions)
+    WarehouseTable.refreshCached(updated) // keep openCached handles current
+    updated
   }
 
   /** Evolve the persisted schema from an observed batch schema using the
@@ -591,6 +593,10 @@ object WarehouseTable {
 
   def openCached(spark: SparkSession, root: String): WarehouseTable =
     handleCache.computeIfAbsent(root, r => open(spark, r))
+
+  private[sources] def refreshCached(t: WarehouseTable): Unit = {
+    handleCache.computeIfPresent(t.root, (_, _) => t); ()
+  }
 
   /** S6 — create (or open if it exists) a table rooted at `root` with the
     * given flat destination schema, key fields, and layout options

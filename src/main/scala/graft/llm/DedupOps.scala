@@ -153,7 +153,9 @@ object DedupOps {
     // band pipeline AND triple the already-deep signature expression
     // tree in the optimizer. Checkpointing truncates the lineage to a
     // short LogicalRDD — pairs hold bare (id1,id2), tiny next to the
-    // corpus.
+    // corpus. (localCheckpoint trades fault tolerance for speed: an
+    // executor loss fails the job, which then simply re-runs — the
+    // right trade for a deterministic batch operator.)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))

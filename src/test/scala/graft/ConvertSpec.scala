@@ -211,4 +211,47 @@ class ConvertSpec extends AnyFunSuite {
     val t = out.schema("kafkaData").dataType.asInstanceOf[StructType]
     assert(t.fieldNames.toSeq == Seq("topic", "partition", "offset", "insertTime"))
   }
+
+  // ---- convert()/convertedSchema() contract on nullability edge shapes
+  test("convert schema equals convertedSchema: nested nullability, drops, maps") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      // nullable struct carrying a REQUIRED inner field
+      StructField("opt_struct", StructType(Seq(
+        StructField("req_inner", StringType, nullable = false),
+        StructField("opt_inner", IntegerType, nullable = true))), nullable = true),
+      // REQUIRED struct with nullable inner + empty-struct field (dropped)
+      StructField("req_struct", StructType(Seq(
+        StructField("opt_inner", DoubleType, nullable = true),
+        StructField("empty", StructType(Seq.empty), nullable = true))), nullable = false),
+      // array of empty structs → dropped entirely
+      StructField("arr_empty", ArrayType(StructType(Seq.empty)), nullable = true),
+      // array of structs with bytes inside (element conversion)
+      StructField("arr_s", ArrayType(StructType(Seq(
+        StructField("b", BinaryType, nullable = false))), containsNull = false),
+        nullable = false),
+      // map → repeated {key,value}
+      StructField("m", MapType(StringType, LongType, valueContainsNull = true),
+        nullable = true)))
+    val rows = java.util.List.of(
+      Row(1L, Row("x", null), Row(1.5, Row()), Seq(Row()),
+        Seq(Row(Array[Byte](1, 2))), Map("a" -> 2L)),
+      Row(2L, null, Row(null, Row()), null,
+        Seq(Row(Array[Byte](3))), null))
+    val df = spark.createDataFrame(rows, schema)
+    for (opts <- Seq(ConvertOptions(), ConvertOptions(allFieldsNullable = true),
+        ConvertOptions(sanitizeFieldNames = true))) {
+      val out = RecordConverter.convert(df, opts)
+      assert(out.schema == RecordConverter.convertedSchema(schema, opts),
+        s"schema mismatch for $opts:\n${out.schema.treeString}\nvs\n" +
+          RecordConverter.convertedSchema(schema, opts).treeString)
+      // values survive: null struct stays null, map exploded, bytes base64'd
+      val r1 = out.where($"id" === 1L).collect().head
+      assert(r1.getStruct(1).getString(0) == "x")
+      val m = r1.getSeq[Row](r1.fieldIndex("m"))
+      assert(m.map(e => (e.getString(0), e.getLong(1))) == Seq(("a", 2L)))
+      val r2 = out.where($"id" === 2L).collect().head
+      assert(r2.isNullAt(1), "null nullable struct must stay null")
+    }
+  }
 }

@@ -29,6 +29,18 @@ object ConvertQueries extends QueryPack {
         """SELECT event_id AS "event_id_", event_type AS "_9type", props AS "a_b_c"
           |FROM events""".stripMargin)),
 
+    GraftQuery("p2_tombstone_filter",
+      (s, dir) => Staging.filterTombstones(
+        ev(s, dir).select(
+          col("event_id").as("offset"),
+          when(col("event_type") =!= "error",
+            struct(col("event_type").as("et"), col("value").as("amount"))).as("value")),
+        deleteEnabled = false)
+        .select(col("offset"), col("value.et").as("et"), col("value.amount").as("amount")),
+      oracle = Some(
+        """SELECT event_id AS offset, event_type AS et, value AS amount
+          |FROM events WHERE event_type != 'error'""".stripMargin)),
+
     GraftQuery("p5_double_special",
       (s, dir) => ev(s, dir).select(
         col("event_id"),

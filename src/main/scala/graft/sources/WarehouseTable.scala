@@ -281,7 +281,8 @@ final class WarehouseTable private (
     *
     * Returns the set of partition days rewritten.
     */
-  def merge(staged: DataFrame, delete: Boolean = true): Seq[String] = {
+  def merge(staged: DataFrame, delete: Boolean = true,
+      broadcastMaxRows: Long = WarehouseTable.broadcastMergeMaxRows): Seq[String] = {
     val src = MergeOps.latestPerKey(staged)
     src.cache()
     try {
@@ -291,7 +292,9 @@ final class WarehouseTable private (
       val days = (batchDays ++ bloomCandidateDays(src, batchDays)).distinct.sorted
 
       val dest = conformToSchema(readDays(days))
-      val merged = mergeJoin(dest, src, delete)
+      val merged =
+        if (src.count() <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete)
+        else mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       clusteredWrite(merged).write
@@ -301,6 +304,50 @@ final class WarehouseTable private (
       expireOldPartitions()
       days
     } finally src.unpersist()
+  }
+
+  /** The preferred merge plan: a full-outer join can never broadcast in
+    * Spark, so [[mergeJoin]] sort-merge-shuffles every scanned dest
+    * partition per flush. Decomposed, each piece broadcast-joins the
+    * (micro-batch-bounded) source side:
+    *
+    *  - survivors: dest rows whose key is NOT in the batch (anti join);
+    *  - updates:   dest ⋈ batch values, row keeps its dest partition;
+    *  - inserts:   batch keys absent from dest (anti vs the matched-key
+    *    set, itself a keys-only bounded scan), routed to their slice.
+    *
+    * Net: the destination is scanned (bounded partitions, map-only) and
+    * never shuffled or sorted — at 100 TB the difference between
+    * streaming the partitions through and spilling them through an
+    * exchange. Semantics identical to [[mergeJoin]]; the oracle gate and
+    * a fallback-equality spec pin that.
+    */
+  private def mergeJoinBroadcast(dest: DataFrame, src: DataFrame,
+      delete: Boolean): DataFrame = {
+    val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
+    val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
+    val srcKeys = src.select(col("key")).distinct()
+    val survivors = dest.as("d").join(broadcast(srcKeys.as("s")), keyCond, "left_anti")
+    // when delete is off, a (precondition-violating) tombstone updates
+    // matched rows to null values and inserts null-value rows — exactly
+    // the full-outer plan's behavior
+    val live = if (delete) src.where(col("value").isNotNull) else src
+    val updates = dest.as("d").join(broadcast(live.as("s")), keyCond, "inner")
+      .select(
+        keyFields.map(f => col(s"d.$f").as(f)) ++
+          vfs.map(f => col(s"s.value.$f").as(f)) :+
+          col(s"d.$partitionCol").as(partitionCol): _*)
+    val matchedKeys = dest.as("d")
+      .join(broadcast(srcKeys.as("s")), keyCond, "left_semi")
+      .select(keyFields.map(f => col(s"d.$f").as(f)): _*).distinct()
+      .localCheckpoint(true) // small; referenced by the insert anti-join
+    val insCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
+    val inserts = live.as("s").join(broadcast(matchedKeys.as("m")), insCond, "left_anti")
+      .select(
+        keyFields.map(f => col(s"s.key.$f").as(f)) ++
+          vfs.map(f => col(s"s.value.$f").as(f)) :+
+          stagedSlice("s.").as(partitionCol): _*)
+    survivors.unionByName(updates).unionByName(inserts)
   }
 
   /** Insert-routing slice for a staged upsert row: the configured record
@@ -352,8 +399,9 @@ final class WarehouseTable private (
     } finally fenced.unpersist()
   }
 
-  /** The pruned full-outer merge join. Updates keep the dest row's
-    * partition day; inserts get `date(src.partitionTime)`.
+  /** The shuffle fallback for over-ceiling batches: a pruned full-outer
+    * merge join (sort-merge — full-outer cannot broadcast). Updates keep
+    * the dest row's partition day; inserts get their slice.
     */
   private def mergeJoin(dest: DataFrame, src: DataFrame, delete: Boolean): DataFrame = {
     val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
@@ -583,6 +631,14 @@ object WarehouseTable {
     */
   val bloomExpectedItems: Long =
     sys.env.getOrElse("GRAFT_BLOOM_EXPECTED_ITEMS", "1000000").toLong
+
+  /** Batch-size ceiling for the broadcast merge plan; above it the merge
+    * falls back to the full-outer sort-merge join. Micro-batches are
+    * bounded by `mergeRecordsThreshold`/`maxOffsetsPerTrigger`, so the
+    * broadcast path is the norm; the ceiling guards ad-hoc bulk merges.
+    */
+  val broadcastMergeMaxRows: Long =
+    sys.env.getOrElse("GRAFT_BROADCAST_MERGE_MAX_ROWS", "1000000").toLong
 
   /** R6 — table-handle cache (`BigQuerySinkTask.java:351-365`,
     * `SchemaManager.java:80`): memoizes opens per root; schema stays

@@ -134,6 +134,29 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(state == Set((1L, "new", "2024-01-01"), (2L, "b", "2024-01-02")))
   }
 
+  test("broadcast merge plan and shuffle fallback produce identical state") {
+    def runMerge(maxRows: Long): Set[(Long, Option[String], String)] = {
+      val root = tmpRoot()
+      val t = mkTable(root)
+      t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k1", "f1")
+        .withColumn("partitionTime", ts(1)))
+      // update k1, delete k2, insert k4; k5 tombstone-for-absent-key
+      t.merge(staged(Seq(
+        (1L, Some("a2"), 1L, 5), (2L, None, 2L, 5),
+        (4L, Some("d"), 3L, 6), (5L, None, 4L, 6))), delete = true,
+        broadcastMaxRows = maxRows)
+      t.read().select($"k1", $"f1", $"_pday".cast("string"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)), r.getString(2))).toSet
+    }
+    val broadcastState = runMerge(maxRows = Long.MaxValue)
+    val shuffleState = runMerge(maxRows = 0L) // forces the full-outer plan
+    assert(broadcastState == shuffleState, "merge plans diverged")
+    assert(broadcastState == Set(
+      (1L, Some("a2"), "2024-01-01"), (3L, Some("c"), "2024-01-01"),
+      (4L, Some("d"), "2024-01-06")))
+  }
+
   test("multi-field keys don't alias in the bloom probe (\\u0001 separator)") {
     // ("ab","c") vs ("a","bc") concatenate identically without a separator;
     // with  the batch key must NOT pull day1 into the scan set

@@ -381,7 +381,8 @@ final class WarehouseTable private (
       val dest = conformToSchema(readDays(days))
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
       val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*).distinct()
-      val survivors = dest.as("d").join(tombKeys.as("s"), keyCond, "left_anti")
+      // batch-bounded key set broadcast → dest is never shuffled here either
+      val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
       val vfs = staged.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
       val inserts = fenced.where(col("value").isNotNull).select(
         keyFields.map(f => col(s"key.$f").as(f)) ++

@@ -84,18 +84,33 @@ object MergeOps {
   def upsertDelete(dest: DataFrame, staged: DataFrame): DataFrame =
     mergeImpl(dest, staged, delete = true)
 
+  /** Decomposed MERGE plan: a full-outer join can never broadcast, so it
+    * would sort-merge-shuffle the whole dest per flush. Split into
+    * survivors (anti join vs batch keys, batch broadcast), updates
+    * (inner join taking batch values, batch broadcast), and inserts
+    * (batch anti-joined against dest's KEY column only — column pruning
+    * means dest data columns never cross an exchange; at worst its keys
+    * do). Same semantics as the reference MERGE, same output as the
+    * full-outer form (oracle-checked).
+    */
   private def mergeImpl(dest: DataFrame, staged: DataFrame, delete: Boolean): DataFrame = {
     val kfs = structFieldNames(staged, "key")
     val vfs = structFieldNames(staged, "value")
     val src = latestPerKey(staged).select(col("key"), col("value"))
-    val joined = dest.as("d").join(src.as("s"), keyCond(kfs), "full_outer")
-    val srcPresent = col("s.key").isNotNull
-    val base =
-      if (delete) joined.where(!(srcPresent && col("s.value").isNull))
-      else joined
-    base.select(
-      kfs.map(f => coalesce(col(s"s.key.$f"), col(s"d.$f")).as(f)) ++
-        vfs.map(f => when(srcPresent, col(s"s.value.$f")).otherwise(col(s"d.$f")).as(f)): _*)
+    val survivors = dest.as("d")
+      .join(broadcast(src.select(col("key")).as("s")), keyCond(kfs), "left_anti")
+    // without delete, a (precondition-violating) tombstone updates
+    // matched rows to null values and inserts null-value rows — the
+    // full-outer plan's exact behavior
+    val live = if (delete) src.where(col("value").isNotNull) else src
+    val updates = dest.as("d").join(broadcast(live.as("s")), keyCond(kfs), "inner")
+      .select(kfs.map(f => col(s"d.$f").as(f)) ++
+        vfs.map(f => col(s"s.value.$f").as(f)): _*)
+    val inserts = live.as("s")
+      .join(dest.select(kfs.map(col): _*).as("d"), keyCond(kfs), "left_anti")
+      .select(kfs.map(f => col(s"s.key.$f").as(f)) ++
+        vfs.map(f => col(s"s.value.$f").as(f)): _*)
+    survivors.unionByName(updates).unionByName(inserts)
   }
 
   /** J3 — delete-only tombstone fence (`MergeQueries.java:310-412`): per

@@ -111,9 +111,7 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("upsertDelete: small deduped source broadcast-joins under AQE") {
-    // with AQE on (the Bench/production config), the deduped batch side
-    // is far below the broadcast threshold → no shuffle of dest
+  test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(
       struct($"id".as("k1")).as("key"),
@@ -121,8 +119,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val out = MergeOps.upsertDelete(dest, staged)
     out.collect() // materialize so AQE finalizes the plan
     val finalPlan = out.queryExecution.executedPlan.toString
-    // full_outer with a small side cannot broadcast, but must remain a
-    // single shuffle pair — assert no nested-loop blowup
     assert(!finalPlan.contains("CartesianProduct"), s"cartesian in merge:\n$finalPlan")
+    // decomposed plan: survivors/updates broadcast the batch side
+    assert(finalPlan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$finalPlan")
+    assert(!finalPlan.contains("SortMergeJoin(full"), s"full-outer resurfaced:\n$finalPlan")
   }
 }

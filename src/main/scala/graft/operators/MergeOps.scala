@@ -139,7 +139,7 @@ object MergeOps {
     val fenced = tombstoneFence(staged)
     val tombKeys = fenced.where(col("value").isNull).select(col("key")).distinct()
     val survivors = dest.as("d")
-      .join(tombKeys.as("s"), keyCond(kfs), "left_anti")
+      .join(broadcast(tombKeys.as("s")), keyCond(kfs), "left_anti")
     val inserts = fenced.where(col("value").isNotNull)
       .select(kfs.map(f => col(s"key.$f").as(f)) ++ vfs.map(f => col(s"value.$f").as(f)): _*)
     survivors.unionByName(inserts)

@@ -511,6 +511,27 @@ final class WarehouseTable private (
     noBloom ++ hits
   }
 
+  // ---- compaction (table maintenance) ----
+
+  /** Rewrite the given partitions' files through the clustering sort
+    * (write-new-then-swap, blooms refreshed). Micro-batch appends
+    * accumulate one small batch-keyed file set per flush; over days of
+    * streaming that degrades scans (file-open overhead) and defeats
+    * min/max skipping. Periodic compaction restores the layout — the
+    * maintenance job BigQuery's managed storage performs implicitly.
+    * Returns the partitions rewritten.
+    */
+  def compactPartitions(days: Seq[String] = listDays()): Seq[String] = {
+    val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
+    if (existing.isEmpty) return Seq.empty
+    val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
+    clusteredWrite(conformToSchema(readDays(existing))).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    swapPartitions(staging, existing)
+    refreshBlooms(existing)
+    existing
+  }
+
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
 
   /** Drop partitions whose time slice ended more than

@@ -343,6 +343,27 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().select($"f1").as[String].collect().toSeq == Seq("live"))
   }
 
+  test("compactPartitions collapses accumulated small files, content intact") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // 6 micro-batch appends → ≥6 files in the partition
+    (0 until 6).foreach { b =>
+      t.appendBatch(Seq((b.toLong, s"v$b")).toDF("k1", "f1")
+        .withColumn("partitionTime", ts(1)), batchId = b.toLong)
+    }
+    val before = t.read().inputFiles.length
+    assert(before >= 6, s"expected one file set per batch, got $before")
+    val compacted = t.compactPartitions()
+    assert(compacted == Seq("2024-01-01"))
+    assert(t.read().inputFiles.length < before)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      (0 until 6).map(b => (b.toLong, s"v$b")).toSet)
+    // bloom still finds keys after the rewrite (merge updates in place)
+    t.merge(staged(Seq((3L, Some("upd"), 99L, 5))))
+    assert(t.read().where($"k1" === 3L).select($"f1").as[String].collect().toSeq
+      == Seq("upd"))
+  }
+
   test("schema evolution persists through evolveSchema") {
     val root = tmpRoot()
     val t = mkTable(root)

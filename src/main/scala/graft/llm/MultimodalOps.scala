@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -93,5 +93,51 @@ object MultimodalOps {
   def sizedForPayloads(df: DataFrame, recordsPerFile: Long): DataFrame = {
     df.sparkSession.conf.set("spark.sql.files.maxRecordsPerFile", recordsPerFile)
     df
+  }
+
+  // ---- batched decode pipeline (the mapInPandas-shaped path) ----
+
+  final case class MediaRow(id: Long, payload: Array[Byte])
+  final case class DecodedImage(id: Long, width: Int, height: Int, channels: Int)
+
+  /** Batch decoder signature: one call per bounded chunk of payloads —
+    * the shape a real codec or model runtime wants (amortize the native
+    * call, bound peak memory by `batchSize × payload`), exactly what a
+    * `mapInPandas` batch UDF receives in the Python API.
+    */
+  type ImageBatchDecoder = Seq[Array[Byte]] => Seq[(Int, Int, Int)]
+
+  /** STUB batch decoder: per payload, the same md5-derived fake header
+    * as [[decodeImageStub]] (bit-identical — the spec pins parity), so
+    * swapping in a real codec is a one-argument change.
+    */
+  val stubBatchDecoder: ImageBatchDecoder = payloads => payloads.map { p =>
+    val d = java.security.MessageDigest.getInstance("MD5").digest(p)
+      .map("%02x".format(_)).mkString
+    (Integer.parseInt(d.substring(0, 4), 16) % 1920 + 64,
+      Integer.parseInt(d.substring(4, 8), 16) % 1080 + 64, 3)
+  }
+
+  /** Partition-streaming batched decode — the Scala analog of
+    * `df.mapInPandas(decode_batches, schema)`: each partition's rows
+    * stream through the decoder in `batchSize` chunks; only one chunk of
+    * payloads is resident per task at a time, and the decoder sees whole
+    * batches. Map-only: no shuffle ever touches a payload.
+    */
+  def decodeImagesBatched(
+      ds: Dataset[MediaRow],
+      batchSize: Int = 64,
+      decoder: ImageBatchDecoder = stubBatchDecoder): Dataset[DecodedImage] = {
+    implicit val enc: Encoder[DecodedImage] = Encoders.product[DecodedImage]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        val headers = decoder(chunk.map(_.payload))
+        require(headers.size == chunk.size,
+          s"decoder returned ${headers.size} headers for ${chunk.size} payloads")
+        chunk.lazyZip(headers).map { case (r, (w, h, c)) =>
+          DecodedImage(r.id, w, h, c)
+        }
+      }
+    }
   }
 }

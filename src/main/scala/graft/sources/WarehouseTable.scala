@@ -286,6 +286,8 @@ final class WarehouseTable private (
     val src = MergeOps.latestPerKey(staged)
     src.cache()
     try {
+      val srcRows = src.count()
+      if (srcRows == 0) return Seq.empty // nothing staged → nothing to rewrite
       val batchDays = src
         .select(stagedSlice("").as("d")).where(col("d").isNotNull)
         .distinct().collect().map(_.getString(0)).toSeq
@@ -293,7 +295,7 @@ final class WarehouseTable private (
 
       val dest = conformToSchema(readDays(days))
       val merged =
-        if (src.count() <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete)
+        if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete)
         else mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
@@ -372,6 +374,7 @@ final class WarehouseTable private (
     val fenced = MergeOps.tombstoneFence(staged)
     fenced.cache()
     try {
+      if (fenced.isEmpty) return Seq.empty // nothing survives the fence
       val batchDays = fenced
         .select(stagedSlice("").as("d")).where(col("d").isNotNull)
         .distinct().collect().map(_.getString(0)).toSeq

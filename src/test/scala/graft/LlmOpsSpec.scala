@@ -126,6 +126,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats(0).toSeq != feats(1).toSeq) // different payloads → different features
   }
 
+  test("decodeImagesBatched: bounded batches, bit-parity with the column stub") {
+    import graft.llm.MultimodalOps
+    import graft.llm.MultimodalOps.{DecodedImage, MediaRow}
+    val rows = (0L until 150L).map(i =>
+      MediaRow(i, Array.fill((i % 7 + 1).toInt)(i.toByte)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow]).repartition(2)
+    // record observed batch sizes through a wrapping decoder (an
+    // accumulator — a closure-captured collection would mutate only the
+    // executor-side copy)
+    val seen = spark.sparkContext.collectionAccumulator[Int]("batchSizes")
+    val batched = MultimodalOps.decodeImagesBatched(ds, batchSize = 16,
+      decoder = ps => { seen.add(ps.size); MultimodalOps.stubBatchDecoder(ps) })
+      .collect().map(d => d.id -> ((d.width, d.height, d.channels))).toMap
+    import scala.jdk.CollectionConverters._
+    val sizes = seen.value.asScala.toSeq
+    assert(sizes.forall(_ <= 16), s"oversized batch: $sizes")
+    assert(sizes.map(_.toLong).sum == 150L)
+    // parity with the column-expression stub
+    val viaColumn = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+      .select($"id", MultimodalOps.decodeImageStub($"payload").as("d"))
+      .select($"id", $"d.width", $"d.height", $"d.channels")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(batched == viaColumn, "batched decoder diverged from column stub")
+  }
+
   test("sampleFrames slices n evenly spaced byte ranges") {
     val out = payloads.where($"id" === 2)
       .select(MultimodalOps.sampleFrames($"payload", 4, frameBytes = 256).as("fr"))

@@ -33,6 +33,24 @@ object CoreQueries extends QueryPack {
           |GROUP BY l_returnflag, l_linestatus""".stripMargin),
       headline = true),
 
+    GraftQuery("q6_selective_agg",
+      // TPC-H Q6 shape: three pushable range predicates and a single
+      // global aggregate — the canonical predicate-pushdown probe (all
+      // three filters must reach the parquet scan; PlanAuditSpec pins it)
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      oracle = Some(
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)),
+
     GraftQuery("q3_join_topk",
       (s, dir) => {
         val c = Tables.load(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")

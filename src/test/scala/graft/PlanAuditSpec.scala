@@ -39,6 +39,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("q6: all three range predicates push to the parquet scan") {
+    val df = SparkEntry.queries("q6_selective_agg")(spark, sf)
+    val plan = planOf(df)
+    val pushed = "PushedFilters: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"predicates not pushed:\n$pushed")
+  }
+
   test("q3: dimension side broadcast, fact side not broadcast") {
     val plan = planOf(SparkEntry.queries("q3_join_topk")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

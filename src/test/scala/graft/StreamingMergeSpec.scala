@@ -172,6 +172,26 @@ class StreamingMergeSpec extends AnyFunSuite {
     assert(t.read().where($"k1" === 4L).select($"f2").collect().head.isNullAt(0))
   }
 
+  test("U3 gate: a mid-stream added field is rejected when allowNewFields=false") {
+    val warehouse = tmp("gate-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    val cfg = upsertConfig.copy(allowNewFields = false)
+    def batch(withF2: Boolean, off: Long) =
+      Seq(1L).toDF("k1").select(
+        lit("t").as("topic"), lit(0).as("partition"), lit(off).as("offset"),
+        to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"), $"k1",
+        (if (withF2) struct(lit("v").as("f1"), lit(1L).as("f2"))
+         else struct(lit("v").as("f1"))).as("value"))
+    MergePipeline.processBatch(batch(withF2 = false, 0L), 0L, cfg, Seq("k1"), root)
+    intercept[graft.schema.SchemaEvolutionException] {
+      MergePipeline.processBatch(batch(withF2 = true, 1L), 1L, cfg, Seq("k1"), root)
+    }
+    // table state unchanged by the rejected batch
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    assert(t.schema.fieldNames.toSeq == Seq("k1", "f1"))
+    assert(t.read().count() == 1)
+  }
+
   test("delete-only mode routes to J3 semantics: duplicates allowed") {
     val warehouse = tmp("delonly-wh")
     val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"

@@ -334,15 +334,15 @@ final class WarehouseTable private (
     // matched rows to null values and inserts null-value rows — exactly
     // the full-outer plan's behavior
     val live = if (delete) src.where(col("value").isNotNull) else src
+    // checkpointed (≤ batch rows): referenced by the union AND as the
+    // matched-key set below — one dest scan serves both
     val updates = dest.as("d").join(broadcast(live.as("s")), keyCond, "inner")
       .select(
         keyFields.map(f => col(s"d.$f").as(f)) ++
           vfs.map(f => col(s"s.value.$f").as(f)) :+
           col(s"d.$partitionCol").as(partitionCol): _*)
-    val matchedKeys = dest.as("d")
-      .join(broadcast(srcKeys.as("s")), keyCond, "left_semi")
-      .select(keyFields.map(f => col(s"d.$f").as(f)): _*).distinct()
-      .localCheckpoint(true) // small; referenced by the insert anti-join
+      .localCheckpoint(true)
+    val matchedKeys = updates.select(keyFields.map(col): _*).distinct()
     val insCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
     val inserts = live.as("s").join(broadcast(matchedKeys.as("m")), insCond, "left_anti")
       .select(

@@ -288,10 +288,14 @@ final class WarehouseTable private (
     try {
       val srcRows = src.count()
       if (srcRows == 0) return Seq.empty // nothing staged → nothing to rewrite
-      val batchDays = src
-        .select(stagedSlice("").as("d")).where(col("d").isNotNull)
-        .distinct().collect().map(_.getString(0)).toSeq
-      val days = (batchDays ++ bloomCandidateDays(src, batchDays)).distinct.sorted
+      // one collect serves both the touched-day set and the bloom probe's
+      // key hashes (distinct (day, hash) pairs ≈ batch keys — small)
+      val dayHash = src.select(stagedSlice("").as("d"),
+        xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"))
+        .distinct().collect()
+      val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
+      val keyHashes = dayHash.map(_.getLong(1)).distinct
+      val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
 
       val dest = conformToSchema(readDays(days))
       val merged =
@@ -375,11 +379,16 @@ final class WarehouseTable private (
     fenced.cache()
     try {
       if (fenced.isEmpty) return Seq.empty // nothing survives the fence
-      val batchDays = fenced
-        .select(stagedSlice("").as("d")).where(col("d").isNotNull)
-        .distinct().collect().map(_.getString(0)).toSeq
+      // one collect: touched days from all rows, probe hashes from the
+      // tombstones (only deletes need to find existing rows)
+      val dayHash = fenced.select(stagedSlice("").as("d"),
+        xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"),
+        col("value").isNull.as("tomb"))
+        .distinct().collect()
+      val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
+      val tombHashes = dayHash.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
       val tombSrc = fenced.where(col("value").isNull)
-      val days = (batchDays ++ bloomCandidateDays(tombSrc, batchDays)).distinct.sorted
+      val days = (batchDays ++ bloomCandidateDays(tombHashes, batchDays)).distinct.sorted
 
       val dest = conformToSchema(readDays(days))
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
@@ -480,17 +489,14 @@ final class WarehouseTable private (
     * are O(batch), storage reads are O(days) spread across the cluster,
     * and no dest data files are touched at all.
     */
-  private def bloomCandidateDays(src: DataFrame, batchDays: Seq[String]): Seq[String] = {
+  private def bloomCandidateDays(keyHashes: Array[Long],
+      batchDays: Seq[String]): Seq[String] = {
     val otherDays = listDays().filterNot(batchDays.contains)
     if (otherDays.isEmpty) return Seq.empty
     val withBloom = otherDays.filter(d => fs.exists(new Path(s"$bloomDir/$d.bloom")))
     // no bloom → must scan (partition written before blooms existed)
     val noBloom = otherDays.filterNot(withBloom.contains)
     if (withBloom.isEmpty) return noBloom
-    import spark.implicits._
-    val keyHashes = src
-      .select(xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"))
-      .distinct().as[Long].collect()
     if (keyHashes.isEmpty) return noBloom
     val bcKeys = spark.sparkContext.broadcast(keyHashes)
     val bcConf = spark.sparkContext.broadcast(

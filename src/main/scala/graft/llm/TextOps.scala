@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -88,6 +88,30 @@ object TextOps {
     }
     // foldRight gives priority to the FIRST matching lang in list order
     when(cjkCount(c) * 4 >= length(c), lit("zh")).otherwise(pick)
+  }
+
+  /** Frame-level language ID: identical values to [[langId]], but the
+    * tokenization and the four language scores each materialize as their
+    * own projection, so the text tokenizes ONCE per row instead of once
+    * per score reference (inline composition re-evaluates — the staged-
+    * projection discipline of `DedupOps`). Use this for corpus-scale
+    * scans; [[langId]] stays for ad-hoc column use.
+    */
+  def withLangId(df: DataFrame, textCol: String, out: String = "lang"): DataFrame = {
+    val langs = Seq("en", "de", "fr", "es")
+    val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
+    val scores = array(langs.map(l =>
+      size(array_intersect(col("__toks"), array(Stopwords.byLang(l).map(lit): _*)))): _*)
+    val best = array_max(col("__scores"))
+    val pick = langs.zipWithIndex.foldRight(lit("und")) { case ((l, i), acc) =>
+      when(element_at(col("__scores"), i + 1) === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.withColumn("__toks", toks)
+      .withColumn("__scores", scores)
+      .withColumn(out,
+        when(cjkCount(col(textCol)) * 4 >= length(col(textCol)), lit("zh"))
+          .otherwise(pick))
+      .drop("__toks", "__scores")
   }
 
   /** Rolling polynomial fingerprint of the normalized text:

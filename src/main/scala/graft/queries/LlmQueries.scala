@@ -135,10 +135,10 @@ object LlmQueries extends QueryPack {
           |FROM t""".stripMargin)),
 
     GraftQuery("t2_lang_id",
-      (s, dir) => Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"),
-        TextOps.cjkCount(col("text")).as("n_cjk")),
+      (s, dir) => TextOps.withLangId(
+        Tables.load(s, dir, "documents"), "text", out = "lang_pred")
+        .select(col("doc_id"), col("lang_pred"),
+          TextOps.cjkCount(col("text")).as("n_cjk")),
       oracle = Some(
         """WITH scored AS (
           |  SELECT doc_id, text,

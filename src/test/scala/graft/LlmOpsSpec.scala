@@ -22,6 +22,15 @@ class LlmOpsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("withLangId matches langId value-for-value on the documents table") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val staged = graft.llm.TextOps.withLangId(docs, "text", "lp")
+      .select($"doc_id", $"lp").as[(Long, String)].collect().toMap
+    val inline = docs.select($"doc_id", graft.llm.TextOps.langId($"text").as("lp"))
+      .as[(Long, String)].collect().toMap
+    assert(staged == inline, "staged language ID diverged from the column form")
+  }
+
   // ---- language ID on real sentences (the documents table's lang labels
   //      are synthetic word-salad; these are actual language samples)
   test("langId identifies real multilingual sentences") {

@@ -90,6 +90,30 @@ object TextOps {
     when(cjkCount(c) * 4 >= length(c), lit("zh")).otherwise(pick)
   }
 
+  /** Frame-level text statistics: the base ratios materialize once and
+    * the quality score derives from the materialized attributes (the
+    * same CTE structure the DuckDB oracle uses) — [[qualityScore]]
+    * composed inline re-runs the punctuation regex per branch. Values
+    * are identical to the individual column functions (parity spec).
+    * Appends `n_tokens, n_pieces, punct_ratio, stop_ratio, quality`.
+    */
+  def withTextStats(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val lenScore = when(length(c) >= 200 && length(c) <= 10000, lit(1.0))
+      .when(length(c) >= 50, lit(0.5)).otherwise(lit(0.0))
+    val punctScore = when(col("__praw") <= 0.1, lit(1.0))
+      .when(col("__praw") <= 0.3, lit(0.5)).otherwise(lit(0.0))
+    val stopScore = when(col("__sraw") >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    df.withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_pieces", bpeTokenCount(c))
+      .withColumn("__praw", punctRatio(c))
+      .withColumn("__sraw", stopwordRatio(c))
+      .withColumn("quality", round((lenScore + punctScore + stopScore) / 3.0, 6))
+      .withColumn("punct_ratio", round(col("__praw"), 6))
+      .withColumn("stop_ratio", round(col("__sraw"), 6))
+      .drop("__praw", "__sraw")
+  }
+
   /** Frame-level language ID: identical values to [[langId]], but the
     * tokenization and the four language scores each materialize as their
     * own projection, so the text tokenizes ONCE per row instead of once

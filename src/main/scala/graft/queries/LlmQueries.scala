@@ -104,13 +104,9 @@ object LlmQueries extends QueryPack {
         0.5))),
 
     GraftQuery("t1_text_stats",
-      (s, dir) => Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.bpeTokenCount(col("text")).as("n_pieces"),
-        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
-        TextOps.qualityScore(col("text")).as("quality")),
+      (s, dir) => TextOps.withTextStats(Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+          col("punct_ratio"), col("stop_ratio"), col("quality")),
       oracle = Some(
         """WITH t AS (
           |  SELECT doc_id, text,

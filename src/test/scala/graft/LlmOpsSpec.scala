@@ -22,6 +22,21 @@ class LlmOpsSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("withTextStats matches the individual column functions") {
+    import graft.llm.TextOps
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def keyed(rows: Array[(Long, Int, Double, Double, Double)]) =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val staged = keyed(TextOps.withTextStats(docs, "text")
+      .select($"doc_id", $"n_tokens", $"punct_ratio", $"stop_ratio", $"quality")
+      .as[(Long, Int, Double, Double, Double)].collect())
+    val inline = keyed(docs.select($"doc_id", TextOps.tokenCount($"text"),
+      round(TextOps.punctRatio($"text"), 6), round(TextOps.stopwordRatio($"text"), 6),
+      TextOps.qualityScore($"text"))
+      .as[(Long, Int, Double, Double, Double)].collect())
+    assert(staged == inline)
+  }
+
   test("withLangId matches langId value-for-value on the documents table") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val staged = graft.llm.TextOps.withLangId(docs, "text", "lp")

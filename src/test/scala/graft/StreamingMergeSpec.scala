@@ -216,6 +216,29 @@ class StreamingMergeSpec extends AnyFunSuite {
     assert(vals == Seq("v3"), s"tombstone fence failed: $vals")
   }
 
+  test("sink config wires clustering + field partitioning into the created table") {
+    val warehouse = tmp("optwire-wh")
+    val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"
+    val cfg = GraftSinkConfig(
+      upsertEnabled = true, deleteEnabled = true, kafkaKeyFieldName = Some("k1"),
+      messageTimePartitioning = false,
+      timestampPartitionFieldName = Some("ets"), timePartitioningType = "MONTH",
+      clusteringFieldNames = Seq("k1"))
+    cfg.validate()
+    val batch = Seq((1L, 0L, "2024-01-05"), (2L, 1L, "2024-02-20"))
+      .toDF("k1", "offset", "d").select(
+        lit("t").as("topic"), lit(0).as("partition"), $"offset",
+        to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"), $"k1",
+        struct(concat(lit("v"), $"k1").as("f1"),
+          to_timestamp($"d").as("ets")).as("value"))
+    MergePipeline.processBatch(batch, 0L, cfg, Seq("k1"), root)
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    assert(t.options.partitionField.contains("ets"))
+    assert(t.options.granularity == "MONTH")
+    assert(t.options.clusteringFields == Seq("k1"))
+    assert(t.listDays() == Seq("2024-01", "2024-02"), "rows not routed by the record field")
+  }
+
   test("T3: a 3x-threshold batch produces 3 merge flushes with correct state") {
     val warehouse = tmp("chunk-wh")
     val root = (t: TableRouter.Target) => s"$warehouse/${t.dataset}/${t.table}"

@@ -210,7 +210,37 @@ object LlmQueries extends QueryPack {
     GraftQuery("d5_simhash_neardup",
       (s, dir) => DedupOps.simhashNearDups(withNearDups(s, dir), "text", "doc_id",
         maxDist = 3),
-      oracle = Some(simhashNearDupOracle(3)))
+      oracle = Some(simhashNearDupOracle(3))),
+
+    GraftQuery("m1_multimodal_meta",
+      // the multimodal plumbing under the oracle gate: payloads derived
+      // from text bytes (no codecs in either engine), metadata + stub
+      // decode + proportional resize are pure md5/integer arithmetic that
+      // DuckDB replicates exactly
+      (s, dir) => {
+        val payload = to_binary(col("text"), lit("utf-8"))
+        Tables.load(s, dir, "documents")
+          .withColumn("media_meta", graft.llm.MultimodalOps.mediaMeta(payload, "image"))
+          .withColumn("dec", graft.llm.MultimodalOps.decodeImageStub(payload))
+          .withColumn("res", graft.llm.MultimodalOps.resizeStub(col("dec"), 512))
+          .select(col("doc_id"),
+            col("media_meta.n_bytes").as("n_bytes"),
+            col("media_meta.content_md5").as("content_md5"),
+            col("dec.width").as("width"), col("dec.height").as("height"),
+            col("res.width").as("r_width"), col("res.height").as("r_height"))
+      },
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT doc_id,
+          |    octet_length(encode(text)) AS n_bytes,
+          |    md5(text) AS content_md5,
+          |    ('0x' || substr(md5(text), 1, 4))::INT % 1920 + 64 AS width,
+          |    ('0x' || substr(md5(text), 5, 4))::INT % 1080 + 64 AS height
+          |  FROM documents)
+          |SELECT doc_id, n_bytes, content_md5, width, height,
+          |       CAST(trunc(width  * least(512.0 / greatest(width, height), 1.0)) AS INT) AS r_width,
+          |       CAST(trunc(height * least(512.0 / greatest(width, height), 1.0)) AS INT) AS r_height
+          |FROM m""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-

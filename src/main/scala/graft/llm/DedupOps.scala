@@ -143,8 +143,11 @@ object DedupOps {
     val normed = docs.select(col("id"), normF(col("t")).as("nt"))
     val banded = normed
       .select(col("id"), shingleF(col("nt")).as("sh"))
-      .select(col("id"), shingleHashes(col("sh")).as("hs")) // one md5/shingle
-      .select(col("id"), signatureFromHashes(col("hs"), numHashes).as("sig"))
+      // fused native signature (one md5/shingle, zero intermediate
+      // allocation); values bit-identical to the composed
+      // shingleHashes→signatureFromHashes form (parity-spec'd)
+      .select(col("id"),
+        graft.functions.MinHashSignature(col("sh"), numHashes).as("sig"))
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .select(lshBandKey(col("sig"), col("b"), rowsPerBand).as("band"), col("id"))
     // localCheckpoint (eager): the pair relation is referenced three

@@ -104,8 +104,8 @@ object SimOps {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val bucketed = vecs
-      .withColumn("bucket", explode(array(
-        (0 until numTables).map(t => lshBucket(col("v"), numPlanes, t)): _*)))
+      .withColumn("bucket", explode(
+        graft.functions.HyperplaneBuckets(col("v"), numPlanes, numTables)))
       .select(col("bucket"), col("id"))
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -139,8 +139,10 @@ object SimOps {
       corpus: DataFrame, queries: DataFrame, k: Int, numPlanes: Int = 4,
       numTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // fused native bucket keys (plane components memoized per executor);
+    // bit-identical to the composed per-table lshBucket (parity-spec'd)
     def buckets(v: Column): Column =
-      array((0 until numTables).map(t => lshBucket(v, numPlanes, t)): _*)
+      graft.functions.HyperplaneBuckets(v, numPlanes, numTables)
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
     val q = queries.select(col(idCol).as("query_id"),

@@ -55,6 +55,25 @@ class MinHashSignatureSpec extends AnyFunSuite {
     assert(byId(3L)._1 == null && byId(3L)._2 == null)
   }
 
+  test("HyperplaneBuckets: bit parity with composed lshBucket on embeddings") {
+    import graft.llm.SimOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 80)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val rows = emb.select($"vec_id",
+      graft.functions.HyperplaneBuckets($"v", 4, 8).as("fused"),
+      array((0 until 8).map(t => SimOps.lshBucket($"v", 4, t)): _*).as("composed"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, f, c) => assert(f == c, s"buckets diverged for vec $id") }
+  }
+
+  test("HyperplaneBuckets: null vector element zeroes every sign bit") {
+    val df = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0))).toDF("id", "v")
+      .select(graft.functions.HyperplaneBuckets($"v".cast("array<double>"), 2, 2).as("b"))
+    assert(df.collect().head.getSeq[String](0) == Seq("0:00", "1:00"))
+  }
+
   test("d2 pipeline output is unchanged by the native signature") {
     // the oracle gate also pins this at sf0.01; quick local guard here
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -105,7 +105,10 @@ object HyperplaneBuckets {
             dot += vec.getDouble(d) * component(g, d)
             d += 1
           }
-          sb.append(if (dot >= 0) '1' else '0')
+          // GreaterThanOrEqual on doubles is nan-safe in Spark (NaN sorts
+          // above every value), so a NaN dot product is a '1' bit in the
+          // composed form — match it
+          sb.append(if (dot >= 0 || java.lang.Double.isNaN(dot)) '1' else '0')
         }
         p += 1
       }

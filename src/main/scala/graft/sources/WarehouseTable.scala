@@ -22,7 +22,8 @@ import java.util.UUID
   *                                     _PARTITIONTIME decorator analog,
   *                                     PartitionedTableId.java:209-227)
   *   _graft/table.json                 key fields + schema (SchemaManager cache)
-  *   _graft/bloom/YYYY-MM-DD.bloom     per-partition key bloom filter
+  *   _graft/bloom2/YYYY-MM-DD.bloom    per-partition key bloom filter
+  *                                     (format-versioned: dir + magic)
   * }}}
   *
   * == 100 TB design: why the merge scans only a bounded partition set ==
@@ -66,13 +67,25 @@ final class WarehouseTable private (
   /** Time slice a timestamp column into this table's partition value
     * (granularity per `TimePartitioning.Type`,
     * `config/BigQuerySinkConfig.java:496-499`).
+    *
+    * Pinned to UTC: `date_format` alone renders in the session timezone,
+    * so two writers with different session TZs would route the same
+    * instant to different partitions, and routing would disagree with
+    * [[sliceEndMs]] (which interprets slice strings as UTC) — partitions
+    * would expire up to a TZ-offset early/late. `to_utc_timestamp(ts,
+    * current_timezone())` shifts the instant so the session-TZ rendering
+    * equals the UTC wall clock (BigQuery time partitioning is likewise
+    * UTC-based).
     */
-  private def sliceExpr(ts: Column): Column = options.granularity match {
-    case "HOUR" => date_format(ts, "yyyy-MM-dd-HH")
-    case "DAY" => date_format(ts, "yyyy-MM-dd")
-    case "MONTH" => date_format(ts, "yyyy-MM")
-    case "YEAR" => date_format(ts, "yyyy")
-    case "NONE" => lit("all")
+  private def sliceExpr(ts: Column): Column = {
+    val utc = to_utc_timestamp(ts, expr("current_timezone()"))
+    options.granularity match {
+      case "HOUR" => date_format(utc, "yyyy-MM-dd-HH")
+      case "DAY" => date_format(utc, "yyyy-MM-dd")
+      case "MONTH" => date_format(utc, "yyyy-MM")
+      case "YEAR" => date_format(utc, "yyyy")
+      case "NONE" => lit("all")
+    }
   }
 
   /** Partition-routing expression for a flat (dest-shaped) frame:
@@ -110,6 +123,18 @@ final class WarehouseTable private (
     */
   def alterOptions(newOptions: TableOptions): WarehouseTable = {
     newOptions.validate(schema)
+    // BigQuery forbids repartitioning an existing table; we must too once
+    // data exists — already-written slice strings would not parse under a
+    // new granularity (so TTL could never expire them) and new writes
+    // would mix partition-key formats in the same _pday namespace.
+    // Clustering and expiration remain alterable in place.
+    if ((newOptions.granularity != options.granularity ||
+        newOptions.partitionField != options.partitionField) &&
+        listDays().nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot change granularity (${options.granularity} -> ${newOptions.granularity}) " +
+          s"or partitionField (${options.partitionField} -> ${newOptions.partitionField}) " +
+          "on a table with existing partitions; copy into a new table instead")
     writeMetaString(spark, s"$root/_graft/options.props",
       WarehouseTable.optionsToProps(newOptions))
     val updated = new WarehouseTable(spark, root, keyFields, newOptions)
@@ -432,7 +457,18 @@ final class WarehouseTable private (
 
   // ---- bloom key index ----
 
-  private def bloomDir = s"$root/_graft/bloom"
+  /** Versioned location + magic header. Format 2 stores
+    * `xxhash64(keyString)` longs probed with `mightContainLong`; format 1
+    * (the original `_graft/bloom/` directory, raw `putString` blooms) is
+    * probe-INCOMPATIBLE — probing an old bloom with new hashes returns
+    * false negatives, which silently drops partitions from the merge scan
+    * set (lost updates). So the format lives in both the directory name
+    * and a 4-byte magic: anything without the current magic is treated as
+    * MISSING (the day falls back into the scan set — only ever extra
+    * work, never wrong results) and is rebuilt on the next refresh.
+    */
+  private def bloomDir = s"$root/_graft/bloom2"
+  private def legacyBloomDir = s"$root/_graft/bloom"
 
   // \u0001 separator so multi-field keys cannot alias ("ab","c") vs ("a","bc")
   private def keyString(cols: Seq[Column]): Column =
@@ -471,7 +507,13 @@ final class WarehouseTable private (
     rows.foreach { r =>
       val out = new BufferedOutputStream(
         fs.create(new Path(s"$bloomDir/${r.getString(0)}.bloom"), true))
-      try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+      try {
+        out.write(WarehouseTable.BloomMagic)
+        out.write(r.getAs[Array[Byte]](1))
+      } finally out.close()
+      // retire the format-1 bloom, if this table predates the format bump
+      val legacy = new Path(s"$legacyBloomDir/${r.getString(0)}.bloom")
+      if (fs.exists(legacy)) fs.delete(legacy, false)
     }
   }
 
@@ -510,11 +552,11 @@ final class WarehouseTable private (
         it.filter { d =>
           val p = new Path(s"$dir/$d.bloom")
           val dfs = p.getFileSystem(conf)
-          val bloom = {
-            val in = new BufferedInputStream(dfs.open(p))
-            try BloomFilter.readFrom(in) finally in.close()
+          WarehouseTable.readVersionedBloom(dfs, p) match {
+            case Some(bloom) => keys.exists(bloom.mightContainLong)
+            // unreadable / unknown-format bloom → must scan the day
+            case None => true
           }
-          keys.exists(bloom.mightContainLong)
         }
       }.collect().toSeq
     noBloom ++ hits
@@ -557,8 +599,10 @@ final class WarehouseTable private (
       val dropped = listDays().filter(d => sliceEndMs(d).exists(_ < cutoff))
       dropped.foreach { d =>
         fs.delete(new Path(s"$dataPath/$partitionCol=$d"), true)
-        val bloom = new Path(s"$bloomDir/$d.bloom")
-        if (fs.exists(bloom)) fs.delete(bloom, false)
+        Seq(bloomDir, legacyBloomDir).foreach { dir =>
+          val bloom = new Path(s"$dir/$d.bloom")
+          if (fs.exists(bloom)) fs.delete(bloom, false)
+        }
       }
       dropped
   }
@@ -654,6 +698,30 @@ object TableOptions {
 }
 
 object WarehouseTable {
+
+  /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
+  private[sources] val BloomMagic: Array[Byte] = "GFB2".getBytes("UTF-8")
+
+  /** Read a versioned bloom; None when the file is missing, truncated,
+    * carries an unknown magic (a pre-versioning or future format), or
+    * fails to deserialize — callers treat None as "no index, scan the
+    * partition", which is always safe.
+    */
+  private[graft] def readVersionedBloom(fs: FileSystem, p: Path): Option[BloomFilter] =
+    try {
+      val in = new BufferedInputStream(fs.open(p))
+      try {
+        val magic = new Array[Byte](BloomMagic.length)
+        var read = 0
+        while (read < magic.length) {
+          val n = in.read(magic, read, magic.length - read)
+          if (n < 0) return None
+          read += n
+        }
+        if (!java.util.Arrays.equals(magic, BloomMagic)) None
+        else Some(BloomFilter.readFrom(in))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** Bloom sizing: expected keys per partition (1% fpp ⇒ ~1.2 MB at 1M
     * keys). At real scale this is a per-table config; oversizing costs

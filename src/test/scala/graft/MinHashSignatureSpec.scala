@@ -68,6 +68,27 @@ class MinHashSignatureSpec extends AnyFunSuite {
     rows.foreach { case (id, f, c) => assert(f == c, s"buckets diverged for vec $id") }
   }
 
+  test("HyperplaneBuckets: non-finite dot products keep parity with the composed form") {
+    import graft.llm.SimOps
+    // NaN element → NaN dot; ±Inf elements → ±Inf or NaN dots. Spark's
+    // >= is nan-safe (NaN sorts above 0 → '1' bit); the fused loop must
+    // agree on every bit.
+    val df = Seq(
+      (1L, Seq(Double.NaN, 1.0, 2.0)),
+      (2L, Seq(Double.PositiveInfinity, Double.NegativeInfinity, 1.0)),
+      (3L, Seq(Double.NegativeInfinity, 0.0)),
+      (4L, Seq(Double.PositiveInfinity, 0.0)))
+      .toDF("id", "v")
+    val rows = df.select($"id",
+      graft.functions.HyperplaneBuckets($"v", 4, 2).as("fused"),
+      array((0 until 2).map(t => SimOps.lshBucket($"v", 4, t)): _*).as("composed"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    rows.foreach { case (id, f, c) => assert(f == c, s"buckets diverged for vec $id") }
+    // NaN dots specifically read as '1' bits in both forms
+    val nanRow = rows.find(_._1 == 1L).get
+    assert(nanRow._2 == Seq("0:1111", "1:1111"))
+  }
+
   test("HyperplaneBuckets: null vector element zeroes every sign bit") {
     val df = Seq((1L, Seq[java.lang.Double](1.0, null, 2.0))).toDF("id", "v")
       .select(graft.functions.HyperplaneBuckets($"v".cast("array<double>"), 2, 2).as("b"))

@@ -325,7 +325,7 @@ class WarehouseTableSpec extends AnyFunSuite {
     t0.append(Seq((2L, "new")).toDF("k1", "f1").withColumn("partitionTime", ts(10)))
     val t = t0.alterOptions(graft.sources.TableOptions(
       partitionExpirationMs = Some(86400000L))) // 1 day TTL
-    val bloomOld = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom/2024-01-01.bloom")
+    val bloomOld = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom2/2024-01-01.bloom")
     val fs = bloomOld.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(bloomOld))
     val asOf = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
@@ -362,6 +362,97 @@ class WarehouseTableSpec extends AnyFunSuite {
     t.merge(staged(Seq((3L, Some("upd"), 99L, 5))))
     assert(t.read().where($"k1" === 3L).select($"f1").as[String].collect().toSeq
       == Seq("upd"))
+  }
+
+  test("unknown-format bloom files fall back to scanning — never a false negative") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a stale/foreign-format index: overwrite day1's bloom with
+    // bytes that deserialize fine as *something* but carry no GFB2 magic
+    // (the failure mode ADVICE flagged: an old putString-format bloom
+    // probed with xxhash64 longs silently answers "not here")
+    val day1Bloom = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom2/2024-01-01.bloom")
+    val out = fs.create(day1Bloom, true)
+    try {
+      val stale = org.apache.spark.util.sketch.BloomFilter.create(100)
+      stale.putString("1") // format-1 style content, no version header
+      stale.writeTo(out)
+    } finally out.close()
+    // update k=1 (lives in day1): the unreadable bloom must pull day1
+    // into the scan set, so the row updates in place instead of
+    // duplicating into the batch day
+    val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5))))
+    assert(days.contains("2024-01-01"), s"bad-format bloom dropped day1 from scan: $days")
+    val state = t.read().select($"k1", $"f1", $"_pday").as[(Long, String, String)]
+      .collect().toSet
+    assert(state == Set((1L, "new", "2024-01-01"), (2L, "b", "2024-01-02")))
+    // the refresh rewrote day1's bloom in the current format
+    assert(WarehouseTable.readVersionedBloom(fs, day1Bloom).nonEmpty,
+      "refresh must rewrite a current-format bloom")
+  }
+
+  test("legacy bloom directory is ignored for probing and retired on refresh") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // rewind day1 to a pre-versioning table: bloom only at the old path
+    val newP = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom2/2024-01-01.bloom")
+    val oldP = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom/2024-01-01.bloom")
+    fs.mkdirs(oldP.getParent)
+    fs.rename(newP, oldP)
+    // no current-format bloom → day1 must be scanned (not skipped), and
+    // the update must find its row
+    val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5))))
+    assert(days.contains("2024-01-01"))
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "new")))
+    // refresh wrote the versioned bloom and retired the legacy file
+    assert(fs.exists(newP) && !fs.exists(oldP))
+  }
+
+  test("partition routing is UTC-pinned regardless of session timezone") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // 2024-01-02T03:00Z — still 2024-01-01 in America/Los_Angeles; an
+    // epoch-built timestamp is TZ-free, so only the rendering can differ
+    val epoch = java.time.Instant.parse("2024-01-02T03:00:00Z").getEpochSecond
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      t.append(Seq((1L, "a")).toDF("k1", "f1")
+        .withColumn("partitionTime", timestamp_seconds(lit(epoch))))
+      t.merge(staged(Seq((2L, Some("b"), 1L, 2))))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // both the append and the merge-insert routed to UTC days; a session-
+    // TZ rendering would have produced 2024-01-01 for the append
+    assert(t.listDays() == Seq("2024-01-02"))
+  }
+
+  test("alterOptions rejects layout changes once partitions exist") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // empty table: repartitioning is still allowed
+    val tMonth = t.alterOptions(graft.sources.TableOptions(granularity = "MONTH"))
+    tMonth.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    assert(tMonth.listDays() == Seq("2024-01"))
+    // with data: granularity and partitionField changes must be rejected
+    intercept[IllegalArgumentException](
+      tMonth.alterOptions(graft.sources.TableOptions(granularity = "DAY")))
+    intercept[IllegalArgumentException](
+      tMonth.alterOptions(graft.sources.TableOptions(
+        granularity = "MONTH", partitionField = Some("f1"))))
+    // clustering and expiration remain alterable in place
+    val altered = tMonth.alterOptions(graft.sources.TableOptions(
+      granularity = "MONTH", clusteringFields = Seq("k1"),
+      partitionExpirationMs = Some(java.time.Duration.ofDays(365 * 50).toMillis)))
+    assert(altered.options.clusteringFields == Seq("k1"))
+    // and the stored data still reads back
+    assert(altered.read().count() == 1)
   }
 
   test("schema evolution persists through evolveSchema") {

@@ -178,4 +178,85 @@ object SimOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path next to [[lshTopK]]'s hyperplane one: the corpus is assigned to
+    * `numCells` centroid cells once, and each query scores only the
+    * vectors of its `nProbe` nearest cells.
+    *
+    * Centroids are the `numCells` lowest-id corpus vectors — a
+    * deterministic, engine-portable stand-in for an offline k-means
+    * train (at real scale the trainer runs once on a sample and ships
+    * its centroids; the serving plan below is identical either way).
+    *
+    * == 100 TB design ==
+    *
+    * Cell assignment is MAP-ONLY: centroids live in the plan as literals
+    * (numCells × dim doubles), each corpus row computes its cell in one
+    * staged projection — the corpus is never shuffled and never carries
+    * its vectors through an exchange. The probe join broadcasts the
+    * (small) query set's probe cells + vectors against the assigned
+    * corpus — again map-only — and only scalar `(query_id, nbr_id, sim)`
+    * rows reach the final top-k exchange. Work per query drops from
+    * O(corpus) (brute force) to O(corpus × nProbe / numCells) expected.
+    * Recall is tuned by `nProbe`/`numCells` and pinned by a spec against
+    * [[bruteForceTopK]].
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe <= numCells, s"nProbe ($nProbe) must be <= numCells ($numCells)")
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    // deterministic coarse quantizer: lowest-id vectors (TakeOrdered —
+    // no full sort); tiny driver collect of numCells × dim doubles
+    val centroids: Seq[Seq[Double]] = c.orderBy(col("nbr_id"))
+      .limit(numCells).select(col("nbr_vec"))
+      .collect().map(_.getSeq[Double](0).toVector).toVector
+    // all-cells similarity vector, STAGED so the argmax below references
+    // a materialized attribute instead of inlining numCells native
+    // cosines twice (see DedupOps on projection staging)
+    def withCellSims(df: DataFrame, v: String): DataFrame =
+      df.withColumn("cellSims",
+        array(centroids.map(ct => cosine(col(v), typedLit(ct))): _*))
+    // first-occurrence argmax = highest sim, smallest cell on ties —
+    // mirrored in the oracle as ORDER BY sim DESC, cell ASC
+    val argmax = (array_position(col("cellSims"), array_max(col("cellSims"))) - 1)
+      .cast("int").as("cell")
+    val assigned = withCellSims(c, "nbr_vec")
+      .select(col("nbr_id"), col("nbr_vec"), argmax)
+    // queries probe their nProbe nearest cells (query set is small by
+    // this operator's contract — the window here ranks cells per query)
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cellSim").desc, col("cell"))
+    // rank cells on scalars only — the window exchange must not carry
+    // the query vectors — then hang q_vec back on via a broadcast join
+    // (q stays map-only)
+    val probeCells = withCellSims(q, "q_vec")
+      .select(col("query_id"),
+        posexplode(col("cellSims")).as(Seq("cell", "cellSim")))
+      .withColumn("cellRank", row_number().over(wCells))
+      .where(col("cellRank") <= nProbe)
+      .select(col("cell"), col("query_id"))
+    val qProbes = q.join(broadcast(probeCells), "query_id")
+      .select(col("cell"), col("query_id"), col("q_vec"))
+    // a corpus vector lives in exactly one cell and a query probes
+    // distinct cells, so each (query, nbr) pair scores at most once —
+    // no dedup pass needed (unlike the OR-amplified LSH tables)
+    val scored = assigned.join(broadcast(qProbes), "cell")
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        cosine(col("q_vec"), col("nbr_vec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
 }

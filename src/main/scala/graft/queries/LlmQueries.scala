@@ -201,6 +201,15 @@ object LlmQueries extends QueryPack {
       },
       oracle = Some(annLshOracle(numPlanes = 4, numTables = 8))),
 
+    GraftQuery("e3_ivf_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          numCells = 16, nProbe = 4)
+          .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(ivfOracle(numCells = 16, nProbe = 4, k = 5))),
+
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), threshold = 0.3)
@@ -300,6 +309,47 @@ object LlmQueries extends QueryPack {
        |  SELECT p.id1, p.id2, $cosineSql AS sim
        |  FROM p JOIN c e1 ON p.id1 = e1.id JOIN c e2 ON p.id2 = e2.id)
        |SELECT id1, id2, round(sim, 6) AS sim FROM scored WHERE sim >= $threshold""".stripMargin
+
+  /** Cosine of two DOUBLE[] SQL variables — the same sequential fold the
+    * native expression evaluates (dot and norms commute bitwise, so
+    * argument order is free).
+    */
+  private def cosSql(x: String, y: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $x[i]))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, len($y)), i -> $y[i] * $y[i]))))""".stripMargin
+
+  /** DuckDB oracle for the IVF top-k: same deterministic lowest-id
+    * centroids, same argmax cell assignment (first max = smallest cell on
+    * ties, mirroring Spark's `array_position` first-occurrence), same
+    * nProbe cell probing, exact cosine within probed cells.
+    */
+  private def ivfOracle(numCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells) t),
+       |sims AS (
+       |  SELECT c.id, c.v, cent.cell, ${cosSql("c.v", "cent.cv")} AS sim
+       |  FROM c CROSS JOIN cent),
+       |asgn AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT id, v, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT id AS query_id, v AS qv, cell FROM (
+       |    SELECT id, v, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE id % 50 = 0) t WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.id AS nbr_id, ${cosSql("q.qv", "a.v")} AS sim
+       |  FROM qprobe q JOIN asgn a USING (cell) WHERE q.query_id != a.id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= $k""".stripMargin
 
   /** DuckDB oracle for SimHash multi-index near-dups: identical md5/
     * integer arithmetic as [[DedupOps.simhash]] (uint32 token hashes →

@@ -237,6 +237,51 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, f"ANN recall degraded: $recall%.3f < 0.6")
   }
 
+  test("ivfTopK recall@10 vs brute force at 16 cells / 4 probes (sf0.01)") {
+    // pins the quality of the (numCells, nProbe) knobs the same way the
+    // LSH floor pins (planes, tables): change them against this number.
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where($"vec_id" % 37 === 0)
+    val k = 10
+    val exact = SimOps.bruteForceTopK(emb, queries, k)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    def recallAt(nProbe: Int): Double = {
+      val approx = SimOps.ivfTopK(emb, queries, k, numCells = 16, nProbe = nProbe)
+        .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r8 = recallAt(8)
+    info(f"recall@$k: nProbe=4 $r4%.3f, nProbe=8 $r8%.3f (${exact.size} exact pairs)")
+    // measured 0.521 / 0.757 when introduced
+    assert(r4 >= 0.45, f"IVF recall degraded: $r4%.3f < 0.45")
+    assert(r8 >= r4, f"more probes must not lose recall: $r8%.3f < $r4%.3f")
+    assert(r8 >= 0.65, f"IVF recall at 8 probes degraded: $r8%.3f < 0.65")
+  }
+
+  test("ivfTopK finds the same-direction neighbors within a probed cell") {
+    // 3 direction-orthogonal clusters (cosine across ≈ 0, within ≈ 1);
+    // ids interleaved so the first 3 (the deterministic centroids) span
+    // one vector of each cluster. Probing 1 cell must surface exactly
+    // the query's cluster-mates.
+    def vec(dir: Int, i: Int): Array[Double] = {
+      val a = Array.fill(8)(0.0)
+      a(dir) = 1.0
+      a((dir + 1) % 8) = 0.01 * (i + 1)
+      a
+    }
+    val df = Seq(
+      (0L, vec(0, 0)), (1L, vec(3, 0)), (2L, vec(6, 0)),
+      (10L, vec(0, 1)), (11L, vec(3, 1)), (12L, vec(6, 1)),
+      (20L, vec(0, 2)), (21L, vec(3, 2)), (22L, vec(6, 2)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.ivfTopK(df, df.where($"vec_id" === 10), k = 2,
+      numCells = 3, nProbe = 1)
+      .select($"nbr_id").as[Long].collect().toSet
+    // same-direction members of query 10's cluster: 0 and 20
+    assert(out == Set(0L, 20L), s"got $out")
+  }
+
   // ---- cosine + LSH sanity beyond the oracle
   test("lshTopK finds the exact nearest neighbor when buckets align") {
     // vectors clustered so near-identical pairs share every hyperplane sign

@@ -119,6 +119,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e3: corpus never shuffled — probe join broadcasts, exchanges carry scalars") {
+    val df = SparkEntry.queries("e3_ivf_topk")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the cell-probe join must be a broadcast of the query side (the
+    // corpus stays map-only through assignment + scoring)
+    assert(formatted.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$formatted")
+    // every shuffle exchange (the top-k rank) moves scalars, not vectors
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_vec#") && !b.contains("cellSims"),
+        s"vector payload shuffled in IVF plan:\n$b")
+    }
+  }
+
   test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(

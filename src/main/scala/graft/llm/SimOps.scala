@@ -218,10 +218,14 @@ object SimOps {
       .collect().map(_.getSeq[Double](0).toVector).toVector
     // all-cells similarity vector, STAGED so the argmax below references
     // a materialized attribute instead of inlining numCells native
-    // cosines twice (see DedupOps on projection staging)
+    // cosines twice (see DedupOps on projection staging). Zero-norm
+    // vectors (or centroids) make cosine 0/0 = NaN, and NaN sorts
+    // HIGHEST in Spark — it would win the argmax and the final rank —
+    // so coalesce NaN to -1: degenerate vectors land deterministically
+    // in the first cell and rank last instead of first.
     def withCellSims(df: DataFrame, v: String): DataFrame =
       df.withColumn("cellSims",
-        array(centroids.map(ct => cosine(col(v), typedLit(ct))): _*))
+        array(centroids.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*))
     // first-occurrence argmax = highest sim, smallest cell on ties —
     // mirrored in the oracle as ORDER BY sim DESC, cell ASC
     val argmax = (array_position(col("cellSims"), array_max(col("cellSims"))) - 1)
@@ -250,7 +254,9 @@ object SimOps {
     val scored = assigned.join(broadcast(qProbes), "cell")
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        cosine(col("q_vec"), col("nbr_vec")).as("sim"))
+        // same NaN coalescing as the cell stage: a zero-norm neighbor
+        // must rank last (sim -1), not first (NaN sorts highest desc)
+        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))

@@ -68,22 +68,35 @@ final class WarehouseTable private (
     * (granularity per `TimePartitioning.Type`,
     * `config/BigQuerySinkConfig.java:496-499`).
     *
-    * Pinned to UTC: `date_format` alone renders in the session timezone,
-    * so two writers with different session TZs would route the same
-    * instant to different partitions, and routing would disagree with
-    * [[sliceEndMs]] (which interprets slice strings as UTC) — partitions
-    * would expire up to a TZ-offset early/late. `to_utc_timestamp(ts,
-    * current_timezone())` shifts the instant so the session-TZ rendering
-    * equals the UTC wall clock (BigQuery time partitioning is likewise
-    * UTC-based).
+    * Pinned to UTC via pure epoch arithmetic, mirroring the reference's
+    * `utcTime.toEpochDay()` math (`utils/PartitionedTableId.java:210`):
+    * epoch-micros → floor-divided into epoch days/hours → calendar
+    * fields of the tz-free `DateType`. No session-timezone rendering or
+    * shift anywhere, so routing is identical for any session TZ —
+    * including across the session zone's DST transitions, where a
+    * `to_utc_timestamp`+`date_format` round trip applies offsets at two
+    * different instants and can misroute rows near the boundary — and
+    * always agrees with [[sliceEndMs]] (which interprets slice strings
+    * as UTC; BigQuery time partitioning is likewise UTC-based).
     */
   private def sliceExpr(ts: Column): Column = {
-    val utc = to_utc_timestamp(ts, expr("current_timezone()"))
+    // exact for |micros| < 2^53 (≈ year 2255); floor handles pre-1970
+    val micros = unix_micros(ts)
+    val d = date_from_unix_date(floor(micros / lit(86400000000.0)).cast("int"))
+    val y = lpad(year(d).cast("string"), 4, "0")
+    val m = lpad(month(d).cast("string"), 2, "0")
+    val dd = lpad(dayofmonth(d).cast("string"), 2, "0")
+    val dash = lit("-")
+    // concat (not concat_ws): a null timestamp must yield a null slice,
+    // as date_format did, not an empty string
     options.granularity match {
-      case "HOUR" => date_format(utc, "yyyy-MM-dd-HH")
-      case "DAY" => date_format(utc, "yyyy-MM-dd")
-      case "MONTH" => date_format(utc, "yyyy-MM")
-      case "YEAR" => date_format(utc, "yyyy")
+      case "HOUR" =>
+        val h = lpad(pmod(floor(micros / lit(3600000000.0)), lit(24))
+          .cast("int").cast("string"), 2, "0")
+        concat(y, dash, m, dash, dd, dash, h)
+      case "DAY" => concat(y, dash, m, dash, dd)
+      case "MONTH" => concat(y, dash, m)
+      case "YEAR" => y
       case "NONE" => lit("all")
     }
   }
@@ -702,26 +715,42 @@ object WarehouseTable {
   /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
   private[sources] val BloomMagic: Array[Byte] = "GFB2".getBytes("UTF-8")
 
-  /** Read a versioned bloom; None when the file is missing, truncated,
-    * carries an unknown magic (a pre-versioning or future format), or
-    * fails to deserialize — callers treat None as "no index, scan the
-    * partition", which is always safe.
+  /** Ceiling on a bloom file's size; anything larger is corrupt by
+    * construction (the largest bloom we ever write is ~1.2 MB per 1 M
+    * expected keys — 64 MB would be a 50-billion-key partition).
     */
-  private[graft] def readVersionedBloom(fs: FileSystem, p: Path): Option[BloomFilter] =
+  private[sources] val BloomMaxBytes: Long = 64L << 20
+
+  /** Read a versioned bloom; None when the file is missing, truncated,
+    * oversized, carries an unknown magic (a pre-versioning or future
+    * format), claims a bit-array longer than the file itself, or fails
+    * to deserialize for ANY non-fatal reason — callers treat None as
+    * "no index, scan the partition", which is always safe. A corrupt
+    * body must never fail the merge job (`BloomFilter.readFrom` can
+    * throw `NegativeArraySizeException` etc. from a damaged length
+    * word, not just `IOException`), and the length word is validated
+    * against the file size before `readFrom` may allocate from it.
+    */
+  private[graft] def readVersionedBloom(fs: FileSystem, p: Path): Option[BloomFilter] = {
+    // spark BloomFilterImpl body layout: version int, numHashFunctions
+    // int, numWords int, then numWords longs
+    val headerLen = 12
     try {
-      val in = new BufferedInputStream(fs.open(p))
+      val len = fs.getFileStatus(p).getLen
+      if (len < BloomMagic.length + headerLen || len > BloomMaxBytes) return None
+      val body = new Array[Byte]((len - BloomMagic.length).toInt)
+      val in = new java.io.DataInputStream(new BufferedInputStream(fs.open(p)))
       try {
         val magic = new Array[Byte](BloomMagic.length)
-        var read = 0
-        while (read < magic.length) {
-          val n = in.read(magic, read, magic.length - read)
-          if (n < 0) return None
-          read += n
-        }
-        if (!java.util.Arrays.equals(magic, BloomMagic)) None
-        else Some(BloomFilter.readFrom(in))
+        in.readFully(magic)
+        if (!java.util.Arrays.equals(magic, BloomMagic)) return None
+        in.readFully(body)
       } finally in.close()
-    } catch { case _: java.io.IOException => None }
+      val numWords = java.nio.ByteBuffer.wrap(body).getInt(8)
+      if (numWords < 0 || headerLen + 8L * numWords > body.length) None
+      else Some(BloomFilter.readFrom(new java.io.ByteArrayInputStream(body)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Bloom sizing: expected keys per partition (1% fpp ⇒ ~1.2 MB at 1M
     * keys). At real scale this is a per-table config; oversizing costs

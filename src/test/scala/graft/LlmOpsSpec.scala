@@ -282,6 +282,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(0L, 20L), s"got $out")
   }
 
+  test("ivfTopK is NaN-safe: zero-norm vectors rank last, never first") {
+    // a zero-norm vector makes cosine 0/0 = NaN; unguarded, NaN sorts
+    // highest and would both hijack the argmax cell assignment and rank
+    // first in every top-k. It must instead land deterministically
+    // (sim -1, first cell) and only surface after all real neighbors.
+    def vec(dir: Int): Array[Double] = {
+      val a = Array.fill(4)(0.0); a(dir) = 1.0; a
+    }
+    val df = Seq(
+      (0L, vec(0)), (1L, vec(1)),
+      (10L, vec(0)), (11L, vec(1)),
+      (99L, Array.fill(4)(0.0))) // degenerate row
+      .toDF("vec_id", "embedding")
+    val out = SimOps.ivfTopK(df, df.where($"vec_id" === 10), k = 4,
+      numCells = 2, nProbe = 2)
+      .orderBy($"rank")
+      .select($"nbr_id", $"sim").as[(Long, Double)].collect()
+    assert(out.forall(!_._2.isNaN), s"NaN sim leaked: ${out.toSeq}")
+    assert(out.head._1 == 0L, s"true neighbor not ranked first: ${out.toSeq}")
+    assert(out.last._1 == 99L && out.last._2 == -1.0,
+      s"zero-norm vector must rank last at sim -1: ${out.toSeq}")
+  }
+
   // ---- cosine + LSH sanity beyond the oracle
   test("lshTopK finds the exact nearest neighbor when buckets align") {
     // vectors clustered so near-identical pairs share every hyperplane sign

@@ -125,9 +125,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // the cell-probe join must be a broadcast of the query side (the
-    // corpus stays map-only through assignment + scoring)
+    // corpus stays map-only through assignment + scoring) — and no join
+    // anywhere may regress to sort-merge: "some broadcast join exists"
+    // alone would still pass if the cell-probe join went SMJ while the
+    // small probeCells re-join broadcast
     assert(formatted.contains("BroadcastHashJoin"),
       s"probe join not broadcast:\n$formatted")
+    assert(!formatted.contains("SortMergeJoin"),
+      s"a join in the IVF plan regressed to sort-merge:\n$formatted")
     // every shuffle exchange (the top-k rank) moves scalars, not vectors
     val shuffles = formatted.split("\n\n")
       .filter(b => b.linesIterator.hasNext &&

@@ -433,6 +433,57 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.listDays() == Seq("2024-01-02"))
   }
 
+  test("HOUR slicing is pure epoch math across a session-TZ DST transition") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema,
+      graft.sources.TableOptions(granularity = "HOUR"))
+    // America/Los_Angeles springs forward 02:00→03:00 local on
+    // 2024-03-10 (= 10:00 UTC). Rows 30 min either side of the
+    // transition must land in consecutive UTC hour slices; a
+    // to_utc_timestamp+date_format round trip applies the session
+    // offset at two different instants and can misroute rows here.
+    val t1 = java.time.Instant.parse("2024-03-10T09:30:00Z").getEpochSecond
+    val t2 = java.time.Instant.parse("2024-03-10T10:30:00Z").getEpochSecond
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1")
+        .withColumn("partitionTime",
+          when($"k1" === 1, timestamp_seconds(lit(t1)))
+            .otherwise(timestamp_seconds(lit(t2)))))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert(t.listDays() == Seq("2024-03-10-09", "2024-03-10-10"))
+  }
+
+  test("corrupt bloom body (valid magic) degrades to scan, never fails the merge") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val day1Bloom = new org.apache.hadoop.fs.Path(s"$root/_graft/bloom2/2024-01-01.bloom")
+    // valid GFB2 magic, then a body whose length word claims a 2^30-word
+    // (8 GiB) bit array the 16 trailing bytes cannot back — unguarded,
+    // BloomFilter.readFrom would try the allocation or throw something
+    // other than IOException and fail the whole merge job
+    val out = fs.create(day1Bloom, true)
+    try {
+      val dos = new java.io.DataOutputStream(out)
+      dos.write("GFB2".getBytes("UTF-8"))
+      dos.writeInt(1)       // bloom format version
+      dos.writeInt(3)       // numHashFunctions
+      dos.writeInt(1 << 30) // corrupt word count
+      dos.write(Array.fill(16)(0x5A.toByte))
+    } finally out.close()
+    assert(WarehouseTable.readVersionedBloom(fs, day1Bloom).isEmpty,
+      "corrupt body must read as None")
+    // the unreadable bloom pulls day1 into the scan set: update in place
+    val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5))))
+    assert(days.contains("2024-01-01"), s"corrupt bloom dropped day1 from scan: $days")
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "new"), (2L, "b")))
+  }
+
   test("alterOptions rejects layout changes once partitions exist") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -279,4 +279,77 @@ object DedupOps {
       .where(col("hamming") <= maxDist)
       .dropDuplicates("id1", "id2")
   }
+
+  /** Connected components over an undirected near-dup pair set (the
+    * `id1 < id2` rows of [[minhashNearDups]] and friends): every
+    * document appearing in a pair is labeled with the MINIMUM doc id
+    * reachable through the pair graph — the canonical representative of
+    * its duplicate cluster. Returns `(doc_id, cluster_id)`.
+    *
+    * Pairs alone cannot drive deletion: with A~B and B~C, picking a
+    * survivor per *pair* keeps two of the three copies. The transitive
+    * cluster is what a dedup pipeline actually deletes with
+    * ([[nearDupSurvivors]]).
+    *
+    * == 100 TB design ==
+    *
+    * Iterative min-label propagation: labels start as each node's own
+    * id, and each round takes the min over the 1-hop neighborhood,
+    * converging in O(component diameter) rounds. Near-dup graphs are
+    * overwhelmingly star/clique-shaped (a crawl's copies all pair with
+    * each other or with a hub), so the diameter — and the round count —
+    * stays small; `maxIters` guards the pathological chain case
+    * (throwing beats silently-unconverged clusters). Every round
+    * shuffles only `(id, label)` longs plus the symmetrized edge list —
+    * never document payloads — and each round's result is
+    * `localCheckpoint`ed so the plan does not deepen with the iteration
+    * count (the edge list is checkpointed once and re-joined each
+    * round). Convergence is a driver-side scalar per round (the count
+    * of labels that changed).
+    */
+  def clusterPairs(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2", maxIters: Int = 25): DataFrame = {
+    val e = pairs.select(col(id1).cast("long").as("src"),
+      col(id2).cast("long").as("dst"))
+    val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0) {
+      if (iters >= maxIters)
+        throw new IllegalStateException(
+          s"clusterPairs did not converge in $maxIters rounds — " +
+            "component diameter exceeds the guard; raise maxIters")
+      // every pair-graph node has >= 1 neighbor, so the inner join
+      // covers the full label set
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbrLabel"))
+      val next = labels.withColumnRenamed("label", "prev")
+        .join(nbrMin, "id")
+        .select(col("id"), col("prev"), least(col("prev"), col("nbrLabel")).as("label"))
+        .localCheckpoint(true)
+      changed = next.where(col("label") < col("prev")).count()
+      labels = next.select(col("id"), col("label"))
+      iters += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup deduplication end to end: keep every document that is its
+    * cluster's canonical (minimum-id) member, plus every document that
+    * never appeared in a pair. The drop set is the non-canonical cluster
+    * members — O(duplicates), tiny next to the corpus — so the corpus
+    * itself is scanned once, map-only, through a `left_anti` join (AQE
+    * broadcasts the drop side when it fits).
+    */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val drops = clusterPairs(pairs)
+      .where(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 }

@@ -37,8 +37,12 @@ object LlmQueries extends QueryPack {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
-  /** Shared DuckDB CTE computing the identical minhash/LSH pipeline. */
-  private def lshOracle(shingleSql: String, threshold: Double): String =
+  /** Shared DuckDB CTE list computing the identical minhash/LSH pipeline
+    * through `scored` (verified pairs before the threshold filter);
+    * callers append their own final select — [[lshOracle]] the pair
+    * listing, the c1/c2 cluster oracles a recursive closure on top.
+    */
+  private def lshCtes(shingleSql: String): String =
     raw"""base AS (
        |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100
        |  UNION ALL
@@ -64,8 +68,33 @@ object LlmQueries extends QueryPack {
        |  SELECT id1, id2,
        |         len(list_intersect(sh1, sh2))::DOUBLE
        |           / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE AS jaccard
-       |  FROM pairs)
-       |SELECT id1, id2, jaccard FROM scored WHERE jaccard >= $threshold""".stripMargin
+       |  FROM pairs)""".stripMargin
+
+  private def lshOracle(shingleSql: String, threshold: Double): String =
+    lshCtes(shingleSql) +
+      s"\nSELECT id1, id2, jaccard FROM scored WHERE jaccard >= $threshold"
+
+  /** The d2 char-shingle expression, shared with the cluster oracles. */
+  private val charShingleSql =
+    "list_distinct(list_transform(generate_series(1, greatest(length(t) - 5, 0)), i -> substr(t, i, 6)))"
+
+  /** Recursive transitive closure over the thresholded d2 pairs:
+    * `cluster` labels every paired doc with the min reachable id —
+    * the independent check of [[DedupOps.clusterPairs]]' fixpoint.
+    */
+  private def clusterCtes(threshold: Double): String =
+    lshCtes(charShingleSql) +
+      s""",
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM scored WHERE jaccard >= $threshold
+         |  UNION
+         |  SELECT id2, id1 FROM scored WHERE jaccard >= $threshold),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |cluster AS (
+         |  SELECT src, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -87,10 +116,26 @@ object LlmQueries extends QueryPack {
     GraftQuery("d2_minhash_lsh",
       (s, dir) => DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
         shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7),
-      oracle = Some("WITH " + lshOracle(
-        "list_distinct(list_transform(generate_series(1, greatest(length(t) - 5, 0)), i -> substr(t, i, 6)))",
-        0.7)),
+      oracle = Some("WITH " + lshOracle(charShingleSql, 0.7)),
       headline = true),
+
+    GraftQuery("c1_neardup_clusters",
+      (s, dir) => DedupOps.clusterPairs(
+        DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
+          shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7)),
+      oracle = Some("WITH RECURSIVE " + clusterCtes(0.7) +
+        "\nSELECT src AS doc_id, cluster_id FROM cluster")),
+
+    GraftQuery("c2_dedup_survivors",
+      (s, dir) => DedupOps.nearDupSurvivors(
+        withNearDups(s, dir),
+        DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
+          shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7),
+        "doc_id").select(col("doc_id")),
+      oracle = Some("WITH RECURSIVE " + clusterCtes(0.7) +
+        """
+          |SELECT id AS doc_id FROM base
+          |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin)),
 
     GraftQuery("d3_ngram_jaccard",
       (s, dir) => DedupOps.ngramNearDups(withNearDups(s, dir), "text", "doc_id",

@@ -282,6 +282,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(0L, 20L), s"got $out")
   }
 
+  test("clusterPairs labels transitive components with the min reachable id") {
+    // two components: a chain 2-5-9-7 (pairs alone would keep 2 copies)
+    // and a pair 20-21; every member must label with the component min
+    val pairs = Seq((2L, 5L), (5L, 9L), (20L, 21L), (7L, 9L)).toDF("id1", "id2")
+    val out = DedupOps.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 2L), (5L, 2L), (9L, 2L), (7L, 2L),
+      (20L, 20L), (21L, 20L)))
+  }
+
+  test("clusterPairs throws rather than return unconverged clusters") {
+    val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id1", "id2")
+    intercept[IllegalStateException](
+      DedupOps.clusterPairs(chain, maxIters = 1).collect())
+  }
+
+  test("nearDupSurvivors keeps cluster canonicals plus unpaired docs") {
+    val docs = Seq((1L, "solo"), (2L, "b"), (5L, "b'"), (9L, "b''"), (42L, "x"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((2L, 5L), (5L, 9L)).toDF("id1", "id2")
+    val out = DedupOps.nearDupSurvivors(docs, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    // 5 and 9 collapse into 2's cluster; 1 and 42 never paired
+    assert(out == Set(1L, 2L, 42L))
+  }
+
   test("ivfTopK is NaN-safe: zero-norm vectors rank last, never first") {
     // a zero-norm vector makes cosine 0/0 = NaN; unguarded, NaN sorts
     // highest and would both hijack the argmax cell assignment and rank

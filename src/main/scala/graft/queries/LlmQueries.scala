@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryPack, Tables}
-import graft.llm.{DedupOps, SimOps, TextOps}
+import graft.llm.{CurationOps, DedupOps, SimOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -214,6 +214,84 @@ object LlmQueries extends QueryPack {
            |      list_transform(generate_series(1, length(t)), i -> ascii(substr(t, i, 1))::BIGINT)),
            |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
            |FROM n""".stripMargin)),
+
+    GraftQuery("x1_hash_sample",
+      (s, dir) => CurationOps.hashSample(
+        Tables.load(s, dir, "documents"), 0.25, "doc_id", salt = "s1")
+        .select(col("doc_id"), col("lang")),
+      oracle = Some(
+        """SELECT doc_id, lang FROM documents
+          |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':s1'), 1, 8))::BIGINT
+          |        / 4294967296.0 < 0.25""".stripMargin)),
+
+    GraftQuery("x2_hash_split_counts",
+      (s, dir) => CurationOps.hashSplit(
+        Tables.load(s, dir, "documents"), 10, "doc_id", salt = "v1")
+        .groupBy(col("split")).agg(count(lit(1)).as("n")),
+      oracle = Some(
+        """SELECT floor((('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 8))::BIGINT
+          |        / 4294967296.0) * 10)::INTEGER AS split, count(*) AS n
+          |FROM documents GROUP BY 1""".stripMargin)),
+
+    GraftQuery("x3_stratified_sample",
+      (s, dir) => CurationOps.stratifiedSample(
+        Tables.load(s, dir, "documents"), "lang", perStratum = 50,
+        keyCol = "doc_id", salt = "s2")
+        .select(col("doc_id"), col("lang")),
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, lang,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':s2'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, lang,
+          |         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+          |  FROM u)
+          |SELECT doc_id, lang FROM r WHERE rk <= 50""".stripMargin)),
+
+    GraftQuery("x4_contamination",
+      (s, dir) => {
+        // test corpus = odd docs plus PLANTED copies of even (train)
+        // docs under new ids — those must surface at overlap_ratio 1.0
+        val d = Tables.load(s, dir, "documents")
+        val train = d.where(col("doc_id") % 2 === 0)
+        val test = d.where(col("doc_id") % 2 === 1)
+          .unionByName(d.where(col("doc_id") % 2 === 0).select(
+            (col("doc_id") + 2000000).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+        CurationOps.ngramContamination(train, test, "text", "doc_id", n = 5)
+          .select(col("id").as("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+            col("n_overlap"), col("overlap_ratio"))
+      },
+      oracle = Some {
+        val ngram5 =
+          """CASE WHEN len(string_split_regex(nt, '\s+')) >= 5
+            |  THEN list_distinct(list_transform(
+            |    generate_series(0, len(string_split_regex(nt, '\s+')) - 5),
+            |    i -> array_to_string(string_split_regex(nt, '\s+')[i+1 : i+5], ' ')))
+            |  ELSE [] END""".stripMargin
+        val normNt = normSql
+        raw"""WITH train AS (
+           |  SELECT doc_id, $normNt AS nt FROM documents WHERE doc_id % 2 = 0),
+           |test AS (
+           |  SELECT doc_id, $normNt AS nt FROM documents WHERE doc_id % 2 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, $normNt FROM documents WHERE doc_id % 2 = 0),
+           |tr AS (SELECT DISTINCT unnest($ngram5) AS g FROM (SELECT nt FROM train) t),
+           |tg AS (SELECT doc_id, $ngram5 AS ng FROM test),
+           |tot AS (SELECT doc_id, len(ng) AS n_ngrams FROM tg),
+           |hit AS (
+           |  SELECT doc_id, count(*) AS n_overlap
+           |  FROM (SELECT doc_id, unnest(ng) AS g FROM tg) x
+           |  WHERE g IN (SELECT g FROM tr) GROUP BY doc_id)
+           |SELECT t.doc_id, t.n_ngrams,
+           |       coalesce(h.n_overlap, 0) AS n_overlap,
+           |       round(CASE WHEN t.n_ngrams = 0 THEN 0.0
+           |                  ELSE coalesce(h.n_overlap, 0)::DOUBLE / t.n_ngrams END,
+           |             6) AS overlap_ratio
+           |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
+      }),
 
     GraftQuery("e1_cosine_topk",
       (s, dir) => {

@@ -308,6 +308,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L, 42L))
   }
 
+  test("hashSplit partitions every row exactly once; samples nest by fraction") {
+    import graft.llm.CurationOps
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val splits = CurationOps.hashSplit(docs, 4, "doc_id", "v9")
+      .groupBy($"split").count().as[(Int, Long)].collect().toMap
+    assert(splits.keySet.subsetOf(Set(0, 1, 2, 3)) && splits.values.sum == n)
+    // Bernoulli membership is monotone in the fraction: the 10% sample
+    // is exactly a subset of the 30% sample under the same salt
+    val s10 = CurationOps.hashSample(docs, 0.10, "doc_id", "s9")
+      .select($"doc_id").as[Long].collect().toSet
+    val s30 = CurationOps.hashSample(docs, 0.30, "doc_id", "s9")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30) && s10.nonEmpty && s30.size > s10.size)
+    // and a different salt draws a genuinely different sample
+    val other = CurationOps.hashSample(docs, 0.10, "doc_id", "s8")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(other != s10)
+  }
+
+  test("stratifiedSample caps every stratum; smaller budgets nest in larger") {
+    import graft.llm.CurationOps
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val k20 = CurationOps.stratifiedSample(docs, "lang", 20, "doc_id", "s7")
+    val perLang = k20.groupBy($"lang").count().as[(String, Long)].collect()
+    assert(perLang.forall(_._2 <= 20), s"stratum over budget: ${perLang.toSeq}")
+    val ids5 = CurationOps.stratifiedSample(docs, "lang", 5, "doc_id", "s7")
+      .select($"doc_id").as[Long].collect().toSet
+    val ids20 = k20.select($"doc_id").as[Long].collect().toSet
+    assert(ids5.subsetOf(ids20), "shrinking the budget must pick a subset")
+  }
+
+  test("ngramContamination: planted copy scores 1.0, short docs score 0.0") {
+    import graft.llm.CurationOps
+    val train = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // leaked
+      (2L, "one two three four five six seven eight nine ten"),         // clean
+      (3L, "too short"))                                                // < n words
+      .toDF("doc_id", "text")
+    val out = CurationOps.ngramContamination(train, test, "text", "doc_id", n = 5)
+      .select($"id", $"n_overlap", $"overlap_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._2 == 1.0, s"leaked doc must score 1.0: $out")
+    assert(out(2L) == ((0L, 0.0)), s"clean doc must score 0: $out")
+    assert(out(3L) == ((0L, 0.0)), s"short doc must score 0: $out")
+  }
+
   test("ivfTopK is NaN-safe: zero-norm vectors rank last, never first") {
     // a zero-norm vector makes cosine 0/0 = NaN; unguarded, NaN sorts
     // highest and would both hijack the argmax cell assignment and rank

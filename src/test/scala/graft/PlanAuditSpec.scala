@@ -144,6 +144,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x3: stratified rank-filter runs as WindowGroupLimit (map-side top-k)") {
+    val df = SparkEntry.queries("x3_stratified_sample")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // row_number() <= k must rewrite to a per-partition group limit so
+    // the stratum exchange carries O(strata × k) rows, not the corpus
+    assert(formatted.contains("WindowGroupLimit"),
+      s"stratified sample shuffles whole strata (no WindowGroupLimit):\n$formatted")
+  }
+
   test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(

@@ -150,6 +150,86 @@ object TextOps {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
   }
+
+  /** Gopher-style repetition signals per document — the standard "this
+    * page is boilerplate/spam" filters of web-corpus cleaning:
+    *
+    *  - `dup_line_ratio`:  1 − distinct/total over non-empty trimmed
+    *    lines (repeated nav bars, footers);
+    *  - `dup_word_ratio`:  1 − distinct/total over normalized tokens;
+    *  - `top_bigram_frac`: the share of all word-bigram occurrences
+    *    taken by the single most frequent bigram (keyword stuffing).
+    *
+    * Lines, tokens, and bigrams each materialize as their own projection
+    * (HOFs are interpreted — inline composition would re-split per
+    * reference, the staged-projection discipline of `DedupOps`). The
+    * most-frequent-bigram count is O(tokens × distinct-bigrams) per row
+    * — bounded by document length, map-only, no shuffle anywhere.
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    val toks = split(normalizeText(c), " ")
+    val ratio = (all: Column, dist: Column) =>
+      round(lit(1.0) - dist.cast("double") / all.cast("double"), 6)
+    df.withColumn("__lines", lines)
+      .withColumn("__toks", when(length(normalizeText(c)) === 0,
+        array().cast("array<string>")).otherwise(toks))
+      .withColumn("__bg", when(size(col("__toks")) >= 2,
+        transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat(element_at(col("__toks"), i + 1), lit(" "),
+            element_at(col("__toks"), i + 2))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("dup_line_ratio",
+        when(size(col("__lines")) === 0, lit(0.0))
+          .otherwise(ratio(size(col("__lines")), size(array_distinct(col("__lines"))))))
+      .withColumn("dup_word_ratio",
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(ratio(size(col("__toks")), size(array_distinct(col("__toks"))))))
+      .withColumn("top_bigram_frac",
+        when(size(col("__bg")) === 0, lit(0.0))
+          .otherwise(round(
+            array_max(transform(array_distinct(col("__bg")),
+              d => size(filter(col("__bg"), x => x === d)))).cast("double")
+              / size(col("__bg")).cast("double"), 6)))
+      .drop("__lines", "__toks", "__bg")
+  }
+
+  /** PII patterns, ordered so each scrub pass cannot manufacture a
+    * match for the next (emails first; IPv4 dots are outside the phone
+    * charset). RE2-compatible — the DuckDB oracle runs the identical
+    * expressions.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d ()-]{7,}\\d"
+
+  /** Mask emails, IPv4 addresses, and international-format phone numbers
+    * with typed placeholders — the curation step that runs before any
+    * text ships to training. Pure regexp chain: map-only, codegen'd, no
+    * UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-kind PII match counts (audit/reporting companion of
+    * [[scrubPii]]). Each kind is counted on the text with the previous
+    * kinds already masked — exactly the matches the scrub chain
+    * replaces, so `n_*` sums equal the placeholder counts in the
+    * scrubbed output.
+    */
+  def withPiiCounts(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val noEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    df.withColumn("n_emails", regexp_count(c, lit(EmailRe)).cast("long"))
+      .withColumn("n_ips", regexp_count(noEmail, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_phones", regexp_count(noIp, lit(PhoneRe)).cast("long"))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic (high-frequency

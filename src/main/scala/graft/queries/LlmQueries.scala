@@ -215,6 +215,86 @@ object LlmQueries extends QueryPack {
            |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
            |FROM n""".stripMargin)),
 
+    GraftQuery("t4_repetition",
+      (s, dir) => TextOps.withRepetitionStats(
+        // plant line structure: break the one-line synthetic docs on a
+        // frequent token so dup_line_ratio exercises real line sets
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"), " join ", "\n").as("text")),
+        "text")
+        .select(col("doc_id"), col("dup_line_ratio"),
+          col("dup_word_ratio"), col("top_bigram_frac")),
+      oracle = Some {
+        val norm =
+          raw"""trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+        raw"""WITH d AS (
+           |  SELECT doc_id, regexp_replace(text, ' join ', chr(10), 'g') AS text
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id,
+           |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+           |                l -> length(l) > 0) AS lines,
+           |    CASE WHEN length($norm) = 0 THEN []
+           |         ELSE string_split($norm, ' ') END AS toks
+           |  FROM d),
+           |b AS (
+           |  SELECT doc_id, lines, toks,
+           |    CASE WHEN len(toks) >= 2
+           |      THEN list_transform(generate_series(0, len(toks) - 2),
+           |                          i -> toks[i+1] || ' ' || toks[i+2])
+           |      ELSE [] END AS bg
+           |  FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN len(lines) = 0 THEN 0.0
+           |       ELSE round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+           |       END AS dup_line_ratio,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6)
+           |       END AS dup_word_ratio,
+           |  CASE WHEN len(bg) = 0 THEN 0.0
+           |       ELSE round(list_max(list_transform(list_distinct(bg),
+           |              d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg), 6)
+           |       END AS top_bigram_frac
+           |FROM b""".stripMargin
+      }),
+
+    GraftQuery("t5_pii_scrub",
+      (s, dir) => {
+        // plant one email/IP/phone per doc from its own id, so the
+        // oracle constructs the byte-identical input
+        val pii = Tables.load(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 or call +1 415 555 0"),
+            lpad((col("doc_id") % 100).cast("string"), 3, "0")).as("text"))
+        TextOps.withPiiCounts(pii, "text")
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            md5(to_binary(TextOps.scrubPii(col("text")), lit("utf-8"))).as("scrub_md5"))
+      },
+      oracle = Some(
+        raw"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' reach user' || doc_id::VARCHAR || '@mail.example.com or 10.0.'
+           |         || (doc_id % 256)::VARCHAR || '.7 or call +1 415 555 0'
+           |         || lpad((doc_id % 100)::VARCHAR, 3, '0') AS text
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, text,
+           |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           |                 '<EMAIL>', 'g') AS t1 FROM p),
+           |s2 AS (SELECT doc_id, text, t1,
+           |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+           |                 '<IP>', 'g') AS t2 FROM s1)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(text,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           |  len(regexp_extract_all(t1,
+           |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           |  len(regexp_extract_all(t2, '\+\d[\d ()-]{7,}\d')) AS n_phones,
+           |  md5(regexp_replace(t2, '\+\d[\d ()-]{7,}\d', '<PHONE>', 'g')) AS scrub_md5
+           |FROM s2""".stripMargin)),
+
     GraftQuery("x1_hash_sample",
       (s, dir) => CurationOps.hashSample(
         Tables.load(s, dir, "documents"), 0.25, "doc_id", salt = "s1")

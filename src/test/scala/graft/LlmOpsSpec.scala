@@ -308,6 +308,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L, 42L))
   }
 
+  test("withRepetitionStats: goldens for repeated lines, words, bigrams") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content here\nnav bar\nnav bar"), // 4 lines, 2 distinct
+      (2L, "buy now buy now buy now"),                      // stuffed bigrams
+      (3L, "all distinct words here"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.withRepetitionStats(docs, "text")
+      .select($"doc_id", $"dup_line_ratio", $"dup_word_ratio", $"top_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._1 == 0.5, s"2 dup lines of 4: $out")
+    // "buy now buy now buy now": 6 tokens 2 distinct; bigram "buy now"
+    // occurs 3 of 5 times
+    assert(out(2L) == ((0.0, round6(1 - 2.0 / 6), round6(3.0 / 5))), s"$out")
+    assert(out(3L) == ((0.0, 0.0, round6(1.0 / 3))), s"$out")
+    assert(out(4L) == ((0.0, 0.0, 0.0)), s"empty doc must be all zeros: $out")
+  }
+
+  test("scrubPii masks emails, IPs, and phones; counts agree") {
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.org or 10.0.42.7, call +1 (415) 555-0199 now"),
+      (2L, "no pii at all here"))
+      .toDF("doc_id", "text")
+    val scrubbed = docs.select($"doc_id", TextOps.scrubPii($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "mail <EMAIL> or <IP>, call <PHONE> now", scrubbed)
+    assert(scrubbed(2L) == "no pii at all here")
+    val counts = TextOps.withPiiCounts(docs, "text")
+      .select($"doc_id", $"n_emails", $"n_ips", $"n_phones")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(counts(1L) == ((1L, 1L, 1L)) && counts(2L) == ((0L, 0L, 0L)), counts)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("hashSplit partitions every row exactly once; samples nest by fraction") {
     import graft.llm.CurationOps
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

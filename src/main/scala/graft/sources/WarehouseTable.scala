@@ -117,7 +117,16 @@ final class WarehouseTable private (
     * day partition and touching one file of it.
     */
   private def clusteredWrite(df: DataFrame): DataFrame =
-    if (options.clusteringFields.isEmpty) df
+    if (options.clusteringFields.isEmpty)
+      // Unclustered tables still need day-aligned write tasks: written
+      // as-is, every one of the plan's N tasks holds rows of every day
+      // it saw, so a write fans out into O(tasks × days) small files —
+      // each subsequent scan/merge/bloom pass then pays per-file open
+      // cost, and at warehouse scale the file count grows without
+      // bound. AQE's rebalance keyed on the partition column instead
+      // groups each day into as few evenly-sized tasks as its volume
+      // needs: small days collapse to one file, skewed days split.
+      df.hint("rebalance", col(partitionCol))
     else {
       val cols = col(partitionCol) +: options.clusteringFields.map(c => col(s"`$c`"))
       df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)

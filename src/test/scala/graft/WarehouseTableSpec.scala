@@ -433,6 +433,28 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.listDays() == Seq("2024-01-02"))
   }
 
+  test("unclustered writes are day-aligned: small partitions get one file") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // a 4-task shuffle plan spanning 3 days: written as-is this fans
+    // out into tasks × days files; the rebalance keyed on _pday must
+    // collapse each small day to a single file
+    val df = spark.range(300)
+      .select(($"id" % 100).as("k1"), lit("v").as("f1"),
+        to_timestamp(format_string("2024-01-%02d 12:00:00",
+          ($"id" % 3 + 1).cast("int"))).as("partitionTime"))
+      .repartition(4, $"k1")
+    t.append(df)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(t.listDays().size == 3)
+    t.listDays().foreach { d =>
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/_pday=$d"))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      assert(files == 1, s"day $d written as $files files — write not day-aligned")
+    }
+  }
+
   test("HOUR slicing is pure epoch math across a session-TZ DST transition") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema,

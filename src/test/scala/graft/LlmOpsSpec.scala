@@ -292,6 +292,31 @@ class LlmOpsSpec extends AnyFunSuite {
       (20L, 20L), (21L, 20L)))
   }
 
+  test("clusterPairs matches a driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      // reference: union-find attaching the larger root under the
+      // smaller, so every tree's root is its component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x
+        else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => (v, find(v.toInt).toLong)).toSet
+      val got = DedupOps.clusterPairs(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("clusterPairs throws rather than return unconverged clusters") {
     val chain = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("id1", "id2")
     intercept[IllegalStateException](

@@ -80,6 +80,71 @@ object CurationOps {
       .drop("__u", "__rk")
   }
 
+  /** Deterministic per-stratum TOKEN budget: walk each stratum in hash
+    * order and keep the greedy prefix whose cumulative `tokensCol` stays
+    * within `tokenBudget` — "give me ~1B tokens per language", the unit
+    * training pipelines actually budget in (documents vary 100× in
+    * length, so a row cap is the wrong knob). Prefix semantics, not
+    * knapsack: a doc that overflows the budget is skipped and so is
+    * everything hash-ranked after it, which keeps selection monotone —
+    * a larger budget's picks are a superset of a smaller's.
+    *
+    * Shuffle discipline: the running sum windows over a projection of
+    * `(key, stratum, tokens, u)` scalars — the exchange never carries
+    * document text — and survivors rejoin the full frame by key
+    * (left-semi, key column only on the build side).
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, tokenBudget: Long,
+      tokensCol: String, keyCol: String, salt: String = ""): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive: $tokenBudget")
+    val picks = df.select(col(keyCol).as("__k"), col(strataCol).as("__s"),
+        col(tokensCol).cast("long").as("__n"))
+      .withColumn("__u", hashUnit(col("__k"), salt))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__u"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = picks.withColumn("__cum", sum(col("__n")).over(w))
+      .where(col("__cum") <= tokenBudget)
+      .select(col("__k"))
+    df.join(kept, df(keyCol) === kept("__k"), "left_semi")
+  }
+
+  /** Resample to a target domain mixture: stratum `s` keeps each row
+    * with probability `min(1, weight(s) × totalDocs / count(s))`, so the
+    * expected output composition follows `weights` (strata missing from
+    * the map drop entirely). This is the standard "re-weight web/books/
+    * code to the training mix" step; it deliberately DOWN-samples only —
+    * a stratum smaller than its target is kept whole, never duplicated.
+    *
+    * Two passes over the frame: a map-side-combined count per stratum
+    * (O(strata) rows), broadcast back for the fraction arithmetic, then
+    * a map-only hash filter — the corpus itself never shuffles.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      totalDocs: Long, keyCol: String, salt: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      s"weights must be non-empty and non-negative: $weights")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val w = coalesce(element_at(typedLit(weights), col(strataCol)), lit(0.0))
+    df.join(broadcast(counts), Seq(strataCol))
+      .where(hashUnit(col(keyCol), salt) <
+        least(lit(1.0), w * lit(totalDocs.toDouble) / col("__c").cast("double")))
+      .drop("__c")
+  }
+
+  /** Drop training documents whose word n-gram overlap with the eval
+    * corpus exceeds `maxOverlap` — the decontamination direction of
+    * [[ngramContamination]] (there: score eval docs against train; here:
+    * evict train docs that would leak eval). Docs too short to form an
+    * n-gram score 0 and are kept.
+    */
+  def decontaminate(docs: DataFrame, evalCorpus: DataFrame, textCol: String,
+      idCol: String, n: Int = 8, maxOverlap: Double = 0.5): DataFrame = {
+    val contaminated = ngramContamination(evalCorpus, docs, textCol, idCol, n)
+      .where(col("overlap_ratio") > maxOverlap)
+      .select(col("id").as("__cid"))
+    docs.join(contaminated, docs(idCol) === col("__cid"), "left_anti")
+  }
+
   /** Train→test contamination by word n-gram overlap: for every test
     * document, the fraction of its distinct word `n`-grams that occur
     * anywhere in the train corpus. Returns
@@ -114,5 +179,56 @@ object CurationOps {
         round(when(col("n_ngrams") === 0, lit(0.0))
           .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") /
             col("n_ngrams").cast("double")), 6).as("overlap_ratio"))
+  }
+
+  /** The end-to-end curation pipeline ([[curateCorpus]]) in one value:
+    * language allowlist, quality/repetition floors, n-gram
+    * decontamination strength, and the split fan-out.
+    */
+  final case class CurationConfig(
+      langs: Set[String] = Set("en", "de", "fr", "es"),
+      minQuality: Double = 0.5,
+      maxDupWordRatio: Double = 0.3,
+      maxTopBigramFrac: Double = 0.2,
+      contaminationN: Int = 5,
+      maxContamination: Double = 0.5,
+      numSplits: Int = 10,
+      salt: String = "")
+
+  /** The whole curation pipeline, composed from the individual
+    * operators in their canonical order:
+    *
+    *  1. language ID → keep docs predicted in `cfg.langs`;
+    *  2. quality + repetition stats (on the RAW text) → keep docs with
+    *     `quality ≥ minQuality`, `dup_word_ratio ≤ maxDupWordRatio`,
+    *     `top_bigram_frac ≤ maxTopBigramFrac`;
+    *  3. PII scrub — `textCol` is REPLACED by its scrubbed form, so
+    *     nothing downstream (dedup, the emitted corpus) sees raw PII;
+    *  4. exact dedup on the scrubbed text (lowest-id survivor);
+    *  5. decontaminate against `evalCorpus` (word `contaminationN`-gram
+    *     overlap > `maxContamination` evicts the doc);
+    *  6. deterministic `split` assignment ([[hashSplit]]).
+    *
+    * Returns the surviving rows with `lang_pred`, the stats columns,
+    * and `split` appended. Stages 1–3 and 6 are map-only; stage 4
+    * shuffles 16-byte text hashes; stage 5 shuffles 16-byte n-gram
+    * hashes — document text never crosses an exchange, so the pipeline
+    * is one corpus scan plus two scalar shuffles at any scale.
+    */
+  def curateCorpus(docs: DataFrame, evalCorpus: DataFrame, textCol: String,
+      idCol: String, cfg: CurationConfig = CurationConfig()): DataFrame = {
+    require(cfg.langs.nonEmpty, "language allowlist must be non-empty")
+    val lang = TextOps.withLangId(docs, textCol, "lang_pred")
+      .where(col("lang_pred").isInCollection(cfg.langs))
+    val stats = TextOps.withRepetitionStats(
+      TextOps.withTextStats(lang, textCol), textCol)
+      .where(col("quality") >= cfg.minQuality &&
+        col("dup_word_ratio") <= cfg.maxDupWordRatio &&
+        col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+    val scrubbed = stats.withColumn(textCol, TextOps.scrubPii(col(textCol)))
+    val deduped = DedupOps.exactDedup(scrubbed, textCol, idCol)
+    val clean = decontaminate(deduped, evalCorpus, textCol, idCol,
+      cfg.contaminationN, cfg.maxContamination)
+    hashSplit(clean, cfg.numSplits, idCol, cfg.salt)
   }
 }

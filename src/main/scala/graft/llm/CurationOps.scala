@@ -131,6 +131,65 @@ object CurationOps {
       .drop("__c")
   }
 
+  /** Temperature-scaled mixture weights from observed stratum counts:
+    * `w(s) ∝ count(s)^(1/T)`, normalized to sum 1 — the standard
+    * multilingual/multi-source re-balancing rule (T=1 reproduces the
+    * natural distribution, T→∞ flattens it). Feed the result to
+    * [[mixtureSample]]. Driver-side arithmetic over O(strata) counts.
+    */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      temperature: Double): Map[String, Double] = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    val counts = df.groupBy(col(strataCol).cast("string").as("s"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = counts.map { case (s, c) => s -> math.pow(c.toDouble, 1.0 / temperature) }
+    val z = raw.values.sum
+    raw.map { case (s, v) => s -> v / z }
+  }
+
+  /** Deterministic sequence packing: assign every document to a fixed
+    * token-budget training sequence. Documents order by their hash draw
+    * within `numBuckets` hash-range buckets; a document joins the
+    * sequence its cumulative-token *start* falls in
+    * (`floor(tokensBefore / budget)`), so sequences are contiguous
+    * hash-order runs — the "concatenate the shuffled corpus and chunk
+    * it" packing every LLM data loader performs, made reproducible:
+    * assignment is a pure function of (key, tokens) and is independent
+    * of partitioning and cluster size. A sequence may overflow `budget`
+    * by at most its last document (chunk-boundary semantics, documented
+    * over exact first-fit which is inherently sequential).
+    *
+    * Appends `pack_bucket`, `seq_id` (`"bucket:run"`, unique across
+    * buckets), and `seq_pos` (1-based position within the sequence).
+    *
+    * Shuffle discipline: the running sum windows over a `(key, tokens,
+    * u, bucket)` scalar projection — each bucket sorts independently, so
+    * parallelism is `numBuckets`, no single global sort — and the
+    * assignments rejoin the full frame by key, the only exchange the
+    * document text crosses.
+    */
+  def packSequences(df: DataFrame, tokensCol: String, keyCol: String,
+      budget: Long, numBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val proj = df.select(col(keyCol).as("__k"),
+        col(tokensCol).cast("long").as("__n"))
+      .withColumn("__u", hashUnit(col("__k"), salt))
+      .withColumn("__b", floor(col("__u") * numBuckets).cast("int"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("__u"), col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assigned = proj
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__run", floor(col("__before") / lit(budget.toDouble)).cast("long"))
+      .withColumn("seq_id",
+        concat(col("__b").cast("string"), lit(":"), col("__run").cast("string")))
+      .withColumn("seq_pos", row_number().over(
+        Window.partitionBy(col("__b"), col("__run")).orderBy(col("__u"), col("__k"))))
+      .select(col("__k"), col("__b").as("pack_bucket"), col("seq_id"), col("seq_pos"))
+    df.join(assigned, df(keyCol) === assigned("__k")).drop("__k")
+  }
+
   /** Drop training documents whose word n-gram overlap with the eval
     * corpus exceeds `maxOverlap` — the decontamination direction of
     * [[ngramContamination]] (there: score eval docs against train; here:

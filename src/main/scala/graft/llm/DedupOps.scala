@@ -280,6 +280,60 @@ object DedupOps {
       .dropDuplicates("id1", "id2")
   }
 
+  /** Paragraph-level boilerplate removal (the CCNet/C4 sub-document
+    * dedup step): a paragraph occurring in MORE THAN `maxDocFrequency`
+    * distinct documents is boilerplate (nav bars, footers, cookie
+    * banners) and every occurrence of it is removed from every document;
+    * the surviving paragraphs are re-joined in their original order.
+    * `textCol` is replaced with the cleaned text; `n_paras` (original
+    * paragraph count) and `n_dropped` (occurrences removed) are
+    * appended. Documents whose every paragraph is boilerplate keep an
+    * empty string.
+    *
+    * == 100 TB design ==
+    *
+    * Paragraph text never crosses an exchange. The exploded relation
+    * projects to `(id, pos, md5)` scalars before any shuffle and is
+    * `localCheckpoint`ed (it feeds both the frequency count and the
+    * dropped-position join — without materializing, the corpus would
+    * split-and-explode twice). Document frequency aggregates 16-byte
+    * hashes with map-side combine; the dropped set is O(boilerplate),
+    * and the per-document dropped-position lists — one row per
+    * *affected* document — join back to the corpus by id (AQE broadcasts
+    * that side when it fits, keeping the corpus scan map-only). The
+    * rebuild is a positional higher-order filter over the re-split text,
+    * so cleaned text is produced where the document already lives.
+    */
+  def dedupParagraphs(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n", maxDocFrequency: Int = 1): DataFrame = {
+    require(maxDocFrequency >= 1,
+      s"maxDocFrequency must be >= 1, got $maxDocFrequency")
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val paras = split(col(textCol), qsep)
+    // (id, pos, hash) — one row per paragraph occurrence, text dropped
+    // map-side; checkpointed because it is consumed twice below
+    val posed = df
+      .select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
+      .select(col("__id"), col("__pos"),
+        md5(to_binary(col("__p"), lit("utf-8"))).as("__h"))
+      .localCheckpoint(true)
+    // document frequency = distinct docs containing the paragraph
+    val dropped = posed.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > maxDocFrequency)
+      .select(col("__h"))
+    val dropPos = posed.join(dropped, Seq("__h"), "left_semi")
+      .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__dp"))
+    val emptyPos = array().cast("array<int>")
+    df.join(dropPos, df(idCol) === dropPos("__id"), "left")
+      .withColumn("__dp", coalesce(col("__dp"), emptyPos))
+      .withColumn("n_paras", size(paras))
+      .withColumn("n_dropped", size(col("__dp")))
+      .withColumn(textCol, array_join(
+        filter(paras, (p, i) => !array_contains(col("__dp"), i)), sep))
+      .drop("__id", "__dp")
+  }
+
   /** Connected components over an undirected near-dup pair set (the
     * `id1 < id2` rows of [[minhashNearDups]] and friends): every
     * document appearing in a pair is labeled with the MINIMUM doc id

@@ -195,6 +195,59 @@ object TextOps {
       .drop("__lines", "__toks", "__bg")
   }
 
+  /** Corpus vocabulary: the `k` most frequent normalized tokens with
+    * their occurrence counts, ties broken by token (ascending) so the
+    * cut is deterministic. The exchange carries `(token, partial count)`
+    * after map-side combine — O(distinct tokens), never documents — and
+    * the top-k is a `TakeOrderedAndProject`, so no global sort
+    * materializes. The corpus-level statistic behind vocabulary
+    * coverage checks and tokenizer training sanity passes.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
+  /** C4-style heuristic document cleaning (the line/document filter
+    * stack of the C4 web-corpus recipe — terminal punctuation, minimum
+    * words per line, minimum surviving lines, banned phrases):
+    *
+    *  - a LINE survives iff its trimmed form ends in terminal
+    *    punctuation (`.` `!` `?`) and has at least `minWordsPerLine`
+    *    whitespace tokens;
+    *  - a DOCUMENT survives iff at least `minLinesPerDoc` lines survive
+    *    and its lowercased text contains none of `bannedPhrases`;
+    *  - surviving documents get `textCol` REPLACED by the surviving
+    *    lines re-joined with `lineSep`, plus `n_lines`/`n_kept` counts.
+    *
+    * Pure column expressions — map-only, shuffle-free, one corpus scan;
+    * lines materialize once as their own projection (HOFs are
+    * interpreted — inline composition would re-split per reference).
+    */
+  def c4Clean(df: DataFrame, textCol: String, lineSep: String = "\n",
+      minWordsPerLine: Int = 5, minLinesPerDoc: Int = 3,
+      bannedPhrases: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    require(minWordsPerLine >= 1 && minLinesPerDoc >= 1,
+      s"minWordsPerLine/minLinesPerDoc must be >= 1")
+    val qsep = java.util.regex.Pattern.quote(lineSep)
+    val lineOk = (l: Column) =>
+      trim(l).rlike("[.!?]$") &&
+        size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) >= minWordsPerLine
+    val banned = bannedPhrases.map(p => contains(lower(col(textCol)), lit(p)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn("__lines", split(col(textCol), qsep))
+      .withColumn("__kept", filter(col("__lines"), lineOk))
+      .where(!banned && size(col("__kept")) >= minLinesPerDoc)
+      .withColumn("n_lines", size(col("__lines")))
+      .withColumn("n_kept", size(col("__kept")))
+      .withColumn(textCol, array_join(col("__kept"), lineSep))
+      .drop("__lines", "__kept")
+  }
+
   /** PII patterns, ordered so each scrub pass cannot manufacture a
     * match for the next (emails first; IPv4 dots are outside the phone
     * charset). RE2-compatible — the DuckDB oracle runs the identical

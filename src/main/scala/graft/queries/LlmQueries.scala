@@ -452,7 +452,159 @@ object LlmQueries extends QueryPack {
           |SELECT doc_id, n_bytes, content_md5, width, height,
           |       CAST(trunc(width  * least(512.0 / greatest(width, height), 1.0)) AS INT) AS r_width,
           |       CAST(trunc(height * least(512.0 / greatest(width, height), 1.0)) AS INT) AS r_height
-          |FROM m""".stripMargin))
+          |FROM m""".stripMargin)),
+
+    GraftQuery("d6_paragraph_dedup",
+      // synthetic paragraph structure ('|'-joined): two text slices
+      // around a universal boilerplate paragraph, plus a second
+      // boilerplate in every even doc — both exceed docFrequency 2 and
+      // must vanish from every document; the slices survive unless they
+      // (consistently, in both engines) happen to repeat across docs
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").where(col("doc_id") < 150)
+        val built = d.select(col("doc_id"),
+          concat_ws("|",
+            substring(col("text"), 1, 80),
+            lit("subscribe to our newsletter today"),
+            substring(col("text"), 81, 120),
+            when(col("doc_id") % 2 === 0, lit("follow us on social media"))).as("text"))
+        DedupOps.dedupParagraphs(built, "text", "doc_id", sep = "|", maxDocFrequency = 2)
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"),
+            col("n_paras").cast("long").as("n_paras"),
+            col("n_dropped").cast("long").as("n_dropped"))
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT doc_id,
+          |         concat_ws('|', substr(text, 1, 80), 'subscribe to our newsletter today',
+          |                   substr(text, 81, 120),
+          |                   CASE WHEN doc_id % 2 = 0 THEN 'follow us on social media' END) AS text
+          |  FROM documents WHERE doc_id < 150),
+          |par AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps
+          |  FROM (SELECT doc_id, string_split(text, '|') AS ps FROM d)),
+          |occ AS (SELECT doc_id, pos, ps[pos] AS p FROM par),
+          |freq AS (SELECT md5(p) AS h, count(DISTINCT doc_id) AS c FROM occ GROUP BY 1),
+          |dropped AS (SELECT h FROM freq WHERE c > 2),
+          |kept AS (SELECT doc_id, pos, p FROM occ
+          |         WHERE md5(p) NOT IN (SELECT h FROM dropped)),
+          |agg AS (
+          |  SELECT d.doc_id,
+          |         coalesce(string_agg(k.p, '|' ORDER BY k.pos), '') AS clean,
+          |         count(k.p) AS n_kept
+          |  FROM d LEFT JOIN kept k USING (doc_id) GROUP BY d.doc_id),
+          |tot AS (SELECT doc_id, len(string_split(text, '|')) AS n_paras FROM d)
+          |SELECT a.doc_id, md5(a.clean) AS clean_md5, t.n_paras,
+          |       t.n_paras - a.n_kept AS n_dropped
+          |FROM agg a JOIN tot t USING (doc_id)""".stripMargin)),
+
+    GraftQuery("t6_c4_clean",
+      // synthetic line structure: four 60-char slices, two of every
+      // three ending in terminal punctuation, plus a banned-phrase line
+      // in every 17th doc (those docs must drop entirely)
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        def line(j: Int) = concat(substring(col("text"), (j - 1) * 60 + 1, 60),
+          when((col("doc_id") + j) % 3 > 0, lit(".")).otherwise(lit("")))
+        val built = d.select(col("doc_id"),
+          concat_ws("\n", line(1), line(2), line(3), line(4),
+            when(col("doc_id") % 17 === 0, lit("buy cheap lorem ipsum text here."))).as("text"))
+        TextOps.c4Clean(built, "text", minWordsPerLine = 5, minLinesPerDoc = 3)
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"),
+            col("n_lines").cast("long").as("n_lines"),
+            col("n_kept").cast("long").as("n_kept"))
+      },
+      oracle = Some(
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    concat_ws(chr(10),
+          |      substr(text,   1, 60) || CASE WHEN (doc_id + 1) % 3 > 0 THEN '.' ELSE '' END,
+          |      substr(text,  61, 60) || CASE WHEN (doc_id + 2) % 3 > 0 THEN '.' ELSE '' END,
+          |      substr(text, 121, 60) || CASE WHEN (doc_id + 3) % 3 > 0 THEN '.' ELSE '' END,
+          |      substr(text, 181, 60) || CASE WHEN (doc_id + 4) % 3 > 0 THEN '.' ELSE '' END,
+          |      CASE WHEN doc_id % 17 = 0 THEN 'buy cheap lorem ipsum text here.' END) AS text
+          |  FROM documents),
+          |lx AS (
+          |  SELECT doc_id, pos, ls[pos] AS l, len(ls) AS n_lines
+          |  FROM (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls
+          |        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM built))),
+          |keptl AS (
+          |  SELECT doc_id, pos, l, n_lines FROM lx
+          |  WHERE regexp_matches(trim(l), '[.!?]$')
+          |    AND len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 5),
+          |agg AS (
+          |  SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean,
+          |         count(*) AS n_kept, max(n_lines) AS n_lines
+          |  FROM keptl GROUP BY doc_id)
+          |SELECT a.doc_id, md5(a.clean) AS clean_md5, a.n_lines, a.n_kept
+          |FROM agg a JOIN built b USING (doc_id)
+          |WHERE a.n_kept >= 3
+          |  AND NOT contains(lower(b.text), 'lorem ipsum')
+          |  AND NOT contains(lower(b.text), '{')""".stripMargin)),
+
+    GraftQuery("t7_vocab_topk",
+      (s, dir) => TextOps.vocabTopK(Tables.load(s, dir, "documents"), "text", 50),
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT unnest(string_split_regex($normSql, '\s+')) AS token FROM documents)
+           |SELECT token, count(*) AS n FROM toks WHERE token <> ''
+           |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    GraftQuery("x5_token_budget",
+      (s, dir) => CurationOps.tokenBudgetSample(Tables.load(s, dir, "documents"),
+        "lang", tokenBudget = 5000L, tokensCol = "n_chars", keyCol = "doc_id",
+        salt = "b1")
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, lang, n_chars,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':b1'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, lang, n_chars,
+          |         sum(n_chars) OVER (PARTITION BY lang ORDER BY u, doc_id
+          |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          |  FROM u)
+          |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 5000""".stripMargin)),
+
+    GraftQuery("x6_mixture_sample",
+      (s, dir) => CurationOps.mixtureSample(Tables.load(s, dir, "documents"),
+        "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        totalDocs = 40L, keyCol = "doc_id", salt = "m1")
+        .select(col("doc_id"), col("source"), col("lang")),
+      oracle = Some(
+        """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
+          |SELECT d.doc_id, d.source, d.lang
+          |FROM documents d JOIN c USING (source)
+          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':m1'), 1, 8))::BIGINT
+          |        / 4294967296.0
+          |      < least(1.0, (CASE d.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+          |                    WHEN 'src2' THEN 0.2 ELSE 0.0 END)::DOUBLE * 40.0 / cnt)""".stripMargin)),
+
+    GraftQuery("x7_pack_sequences",
+      (s, dir) => CurationOps.packSequences(Tables.load(s, dir, "documents"),
+        "n_chars", "doc_id", budget = 2000L, numBuckets = 8, salt = "p1")
+        .select(col("doc_id"), col("pack_bucket"), col("seq_id"), col("seq_pos")),
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id, n_chars,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':p1'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents),
+          |b AS (SELECT doc_id, n_chars, u, CAST(floor(u * 8) AS INT) AS bucket FROM u),
+          |c AS (
+          |  SELECT doc_id, bucket, u,
+          |         coalesce(sum(n_chars) OVER (PARTITION BY bucket ORDER BY u, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM b)
+          |SELECT doc_id, bucket AS pack_bucket,
+          |       bucket || ':' || CAST(floor(cb / 2000.0) AS BIGINT) AS seq_id,
+          |       CAST(row_number() OVER (PARTITION BY bucket, floor(cb / 2000.0)
+          |            ORDER BY u, doc_id) AS INT) AS seq_pos
+          |FROM c""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-

@@ -188,11 +188,26 @@ final class WarehouseTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add(partitionCol, "string"))
     else
-      conformToSchema(spark.read
-        .option("basePath", dataPath)
-        .option("mergeSchema", "true")
-        .parquet(days.map(d => s"$dataPath/$partitionCol=$d"): _*))
+      conformToSchema(readWithTableSchema(days))
   }
+
+  /** Partition read against the PERSISTED schema instead of
+    * `mergeSchema`: footer reconciliation ("mergeSchema") runs a whole
+    * Spark job over every file's metadata before the real scan — at
+    * warehouse scale that is an O(files) metadata pass per read, and
+    * locally it is one extra job per append/merge/bloom pass. The
+    * persisted schema already IS the union of every file ever written
+    * (evolution goes through [[evolveSchema]]), so handing it to the
+    * reader directly gets the same result — evolution-added columns
+    * missing from older files read as NULL — with zero footer jobs.
+    * The partition column stays directory-inferred, exactly as before.
+    */
+  private def readWithTableSchema(days: Seq[String],
+      projected: Option[StructType] = None): DataFrame =
+    spark.read
+      .schema(projected.getOrElse(schema))
+      .option("basePath", dataPath)
+      .parquet(days.map(d => s"$dataPath/$partitionCol=$d"): _*)
 
   /** Project a raw partition read onto the persisted table schema:
     * evolution-added columns missing from older files become NULL, extra
@@ -216,10 +231,7 @@ final class WarehouseTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add(partitionCol, "string"))
     else
-      spark.read
-        .option("basePath", dataPath)
-        .option("mergeSchema", "true")
-        .parquet(existing.map(d => s"$dataPath/$partitionCol=$d"): _*)
+      readWithTableSchema(existing)
   }
 
   def listDays(): Seq[String] = {
@@ -252,14 +264,19 @@ final class WarehouseTable private (
     val routed = deduped
       .withColumn(partitionCol, routeExpr(partitionTimeCol))
       .drop(partitionTimeCol)
-    clusteredWrite(routed).write
-      .mode(SaveMode.Append)
-      .partitionBy(partitionCol)
-      .parquet(dataPath)
-    val touched = routed.select(partitionCol).distinct()
-      .collect().map(_.getString(0)).toSeq
-    refreshBlooms(touched)
-    expireOldPartitions()
+    // cached across the write and the touched-day collect (micro-batch
+    // bounded): the collect otherwise re-scans and re-routes the input
+    routed.cache()
+    try {
+      clusteredWrite(routed).write
+        .mode(SaveMode.Append)
+        .partitionBy(partitionCol)
+        .parquet(dataPath)
+      val touched = routed.select(partitionCol).distinct()
+        .collect().map(_.getString(0)).toSeq
+      refreshBlooms(touched)
+      expireOldPartitions()
+    } finally routed.unpersist()
     routed
   }
 
@@ -333,13 +350,15 @@ final class WarehouseTable private (
     val src = MergeOps.latestPerKey(staged)
     src.cache()
     try {
-      val srcRows = src.count()
-      if (srcRows == 0) return Seq.empty // nothing staged → nothing to rewrite
-      // one collect serves both the touched-day set and the bloom probe's
-      // key hashes (distinct (day, hash) pairs ≈ batch keys — small)
-      val dayHash = src.select(stagedSlice("").as("d"),
+      // ONE collect (and one cache materialization) serves the source
+      // row count, the touched-day set, and the bloom probe's key hashes:
+      // src is one-row-per-key, so the per-(day,hash) counts sum to the
+      // exact row count and the groups ≈ batch keys — small either way
+      val dayHash = src.groupBy(stagedSlice("").as("d"),
         xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"))
-        .distinct().collect()
+        .count().collect()
+      if (dayHash.isEmpty) return Seq.empty // nothing staged → nothing to rewrite
+      val srcRows = dayHash.map(_.getLong(2)).sum
       val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
       val keyHashes = dayHash.map(_.getLong(1)).distinct
       val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
@@ -425,13 +444,14 @@ final class WarehouseTable private (
     val fenced = MergeOps.tombstoneFence(staged)
     fenced.cache()
     try {
-      if (fenced.isEmpty) return Seq.empty // nothing survives the fence
-      // one collect: touched days from all rows, probe hashes from the
-      // tombstones (only deletes need to find existing rows)
+      // one collect doubles as the emptiness check: touched days from
+      // all rows, probe hashes from the tombstones (only deletes need
+      // to find existing rows)
       val dayHash = fenced.select(stagedSlice("").as("d"),
         xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"),
         col("value").isNull.as("tomb"))
         .distinct().collect()
+      if (dayHash.isEmpty) return Seq.empty // nothing survives the fence
       val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
       val tombHashes = dayHash.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
       val tombSrc = fenced.where(col("value").isNull)
@@ -521,7 +541,12 @@ final class WarehouseTable private (
       Bridge.expression(lit(items)),
       Bridge.expression(lit(BloomFilter.optimalNumOfBits(items, 0.01))))
       .toAggregateExpression())
-    val rows = readDays(existing)
+    // key columns only: the bloom needs nothing else, and handing the
+    // reader a pruned explicit schema keeps the rebuild scan to the key
+    // columns' pages (no footer-merge job, no value-column I/O)
+    val keySet = keyFields.toSet
+    val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+    val rows = readWithTableSchema(existing, Some(keySchema))
       .groupBy(col(partitionCol).cast("string").as("d"))
       .agg(agg.as("bloom"))
       .collect()

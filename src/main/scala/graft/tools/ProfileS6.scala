@@ -22,10 +22,26 @@ object ProfileS6 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-phase job accounting: count + summed wall time of Spark jobs
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(s.jobId, System.nanoTime())
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStarts.remove(e.jobId)
+        if (t0 != 0L) { jobCount.incrementAndGet(); jobNanos.addAndGet(System.nanoTime() - t0) }
+      }
+    })
+
     def time[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
+      val j0 = jobCount.get(); val n0 = jobNanos.get()
       val r = body
-      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      Thread.sleep(150) // let listener events drain
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  " +
+        f"jobs=${jobCount.get() - j0}%3d jobTime=${(jobNanos.get() - n0) / 1e9}%7.3f s")
       r
     }
 

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators a training-data / event pipeline needs that Spark
+  * has no single built-in for: backward as-of join, gap sessionization,
+  * and point-in-interval range join. Each is expressed as a composition
+  * of shuffle-minimal built-ins (the brief's preference order (a)) and
+  * designed so the data-sized side is shuffled at most once:
+  *
+  *  - as-of join: NO join operator at all — both sides union into one
+  *    stream, one exchange on the key, one sort, one running
+  *    `last(..., ignoreNulls)`;
+  *  - sessionize: one exchange on the key; the downstream per-session
+  *    aggregation reuses that partitioning (hash on a subset of the
+  *    grouping keys satisfies the aggregation's required distribution),
+  *    so no second data shuffle;
+  *  - range join: equi-join on a time bin (hash join, AQE-skew-safe);
+  *    only the interval side fans out, by its span/bin ratio. The naive
+  *    plan Spark would pick for a pure inequality join is a broadcast
+  *    nested loop — O(points × intervals) compares; binning makes the
+  *    compare count O(matches + points + interval spans).
+  */
+object TemporalOps {
+
+  /** Row-level gap sessionization: assigns each row a per-key session
+    * sequence number (1-based) where a new session starts when the gap
+    * from the previous row (by `tsCol`, ties broken by `tieCols`)
+    * exceeds `gapSeconds`. One exchange on `keys`; both window passes
+    * (lag + running sum) share its sort order.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCols: Seq[String], gapSeconds: Long,
+      sessionCol: String = "session_seq"): DataFrame = {
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val boundary = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn(sessionCol,
+      sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Backward (`<=`) as-of join: for every left row, the payload of the
+    * latest right row with the same key and `rightTs <= leftTs` —
+    * matched columns are `payload` plus the matched `asof_ts`, all NULL
+    * when no right row precedes.
+    *
+    * Implementation is the union-merge plan, not a join: right rows are
+    * first deduped per (key, ts) to the greatest-`rightTie` row (as-of
+    * must be deterministic under timestamp ties), then both sides merge
+    * into one stream ordered by (ts, side) — right before left at equal
+    * ts, which is exactly `<=` — and a running
+    * `last(payload, ignoreNulls)` carries the newest right payload
+    * forward onto each left row. Cost: one exchange of
+    * |left| + |right per-ts survivors| rows on the key, one sort — vs a
+    * range join's candidate blowup or a per-key collect. Skew bound:
+    * a single hot key sorts within one task, same bound as any
+    * window/aggregation over that key.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightTie: String): DataFrame = {
+    val keyCols = keys.map(col)
+    // per-(key, ts) survivor: greatest tie wins (partial-aggregable)
+    val payStruct = struct(col(rightTs).as("asof_ts") +: payload.map(col): _*)
+    val rightDeduped = right.groupBy(keyCols :+ col(rightTs): _*)
+      .agg(max_by(payStruct, col(rightTie)).as("_asof_pay"))
+    val leftTagged = left.select(
+      keyCols ++ Seq(col(leftTs).as("_ats"), lit(1).as("_side"),
+        struct(col("*")).as("_lrow"),
+        lit(null).cast(rightDeduped.schema("_asof_pay").dataType).as("_asof_pay")): _*)
+    val rightTagged = rightDeduped.select(
+      keyCols ++ Seq(col(rightTs).as("_ats"), lit(0).as("_side"),
+        lit(null).cast(leftTagged.schema("_lrow").dataType).as("_lrow"),
+        col("_asof_pay")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_ats").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("_asof", last(col("_asof_pay"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_lrow.*") +: col("_asof.asof_ts").as("asof_ts") +:
+        payload.map(f => col(s"_asof.`$f`").as(f)): _*)
+  }
+
+  /** Point-in-interval range join: all (point, interval) pairs with
+    * `startCol <= pTs < endCol`. Both sides key on a `binSeconds`-wide
+    * time bin — a point belongs to exactly one bin, an interval is
+    * replicated to every bin it overlaps — so the join is a plain hash
+    * equi-join on the bin plus a residual range filter, and no pair is
+    * ever emitted twice. Choose `binSeconds` near the typical interval
+    * length: replication is ceil(span/bin) + 1 per interval, while the
+    * per-bin candidate count (the residual-filter work) shrinks as bins
+    * narrow.
+    */
+  def pointInInterval(points: DataFrame, pTs: String, intervals: DataFrame,
+      startCol: String, endCol: String, binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
+    val p = points.withColumn("_bin", binOf(col(pTs)))
+    // end is exclusive: the last covered bin is the one holding end-1µs;
+    // empty/negative intervals are dropped (sequence would run backward)
+    val iv = intervals
+      .where(col(startCol) < col(endCol))
+      .withColumn("_bin", explode(sequence(binOf(col(startCol)),
+        binOf(timestamp_micros(unix_micros(col(endCol)) - 1)))))
+    p.join(iv, Seq("_bin"))
+      .where(col(pTs) >= col(startCol) && col(pTs) < col(endCol))
+      .drop("_bin")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.operators.TemporalOps
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over the `events` stream table: gap
+  * sessionization, backward as-of join, point-in-interval range join.
+  * Oracles: plain window SQL for sessions, DuckDB's native ASOF JOIN
+  * for the as-of, and the unconstrained inequality join (DuckDB IEJoin)
+  * for the range join — three independent formulations of the same
+  * semantics.
+  */
+object TemporalQueries extends QueryPack {
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("a5_sessionize",
+      // 30-minute-gap sessions per user, aggregated to one row per
+      // session; the session assignment is one exchange on user_id and
+      // the aggregation reuses that partitioning
+      (s, dir) => {
+        val sess = TemporalOps.sessionize(Tables.events(s, dir),
+          Seq("user_id"), "ts", Seq("event_id"), gapSeconds = 1800)
+        sess.groupBy(col("user_id"), col("session_seq").as("session_id"))
+          .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 6).as("total_value"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, value
+          |  FROM events),
+          |marked AS (
+          |  SELECT user_id, ts, value, event_id,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |              THEN 1 ELSE 0 END AS boundary
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sess AS (
+          |  SELECT user_id, ts, value,
+          |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM marked)
+          |SELECT user_id, session_id, min(ts) AS session_start,
+          |       max(ts) AS session_end, count(*) AS n_events,
+          |       round(sum(value), 6) AS total_value
+          |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    GraftQuery("j6_asof_join",
+      // every event annotated with the user's latest purchase at or
+      // before it: the classic dimension-as-of lookup, checked against
+      // DuckDB's native ASOF LEFT JOIN
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val purchases = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        TemporalOps.asofJoinBackward(ev, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+          rightTie = "event_id")
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            col("asof_ts").as("purchase_ts"), col("value").as("purchase_value"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |         event_type
+          |  FROM events),
+          |p AS (
+          |  SELECT user_id, ts, value FROM (
+          |    SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, value,
+          |           row_number() OVER (PARTITION BY user_id, ts
+          |                              ORDER BY event_id DESC) AS rn
+          |    FROM events WHERE event_type = 'purchase') t
+          |  WHERE rn = 1)
+          |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+          |       p.ts AS purchase_ts, p.value AS purchase_value
+          |FROM ev e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin)),
+
+    GraftQuery("j7_range_join",
+      // error events falling inside any 45-minute promo window opened
+      // by a purchase of a low-id user — a genuine no-equi-key range
+      // join (windows of ANY user match errors of ANY user), binned to
+      // an hash join on the hour bin; the oracle is DuckDB's
+      // inequality-join formulation
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("event_id"), col("ts"))
+        val promos = ev.where(col("event_type") === "purchase" && col("user_id") < 30)
+          .select(col("event_id").as("promo_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL '45' MINUTE")).as("end_ts"))
+        TemporalOps.pointInInterval(errors, "ts", promos,
+          "start_ts", "end_ts", binSeconds = 3600)
+          .select(col("event_id"), col("ts"), col("promo_id"), col("start_ts"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type,
+          |         make_timestamp(epoch_ns(ts)//1000) AS ts
+          |  FROM events),
+          |errors AS (
+          |  SELECT event_id, ts FROM ev WHERE event_type = 'error'),
+          |promos AS (
+          |  SELECT event_id AS promo_id, ts AS start_ts,
+          |         ts + INTERVAL 45 MINUTE AS end_ts
+          |  FROM ev WHERE event_type = 'purchase' AND user_id < 30)
+          |SELECT e.event_id, e.ts, p.promo_id, p.start_ts
+          |FROM errors e JOIN promos p
+          |  ON e.ts >= p.start_ts AND e.ts < p.end_ts""".stripMargin))
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.TemporalOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case goldens + plan audits for the temporal operators: the gap
+  * boundary itself, inclusive/exclusive interval endpoints, as-of ties,
+  * and the shuffle shape each operator promises (no join node in the
+  * as-of plan, no nested-loop/cartesian in the range join, one data
+  * exchange for sessionize+aggregate).
+  */
+class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("uid", "t", "eid")
+      .select($"uid", $"t".cast("timestamp").as("t"), $"eid")
+
+  // ---- sessionize ----
+
+  test("sessionize: gap strictly greater than gapSeconds splits, equal does not") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (1L, "2024-01-01 10:30:00", 2L), // exactly 1800s later -> same session
+      (1L, "2024-01-01 11:00:01", 3L), // 1801s later -> new session
+      (2L, "2024-01-01 09:00:00", 4L)) // other key starts at 1
+    val out = TemporalOps.sessionize(df, Seq("uid"), "t", Seq("eid"), 1800)
+      .select($"uid", $"eid", $"session_seq").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("sessionize + per-session aggregate shuffles the data exactly once") {
+    val df = events((1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 12:00:00", 2L))
+    val agg = TemporalOps.sessionize(df, Seq("uid"), "t", Seq("eid"), 1800)
+      .groupBy($"uid", $"session_seq").agg(count(lit(1)).as("n"))
+    agg.collect()
+    val exchanges = collectWithSubqueries(agg.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // the window's exchange on uid also satisfies the aggregation's
+    // (uid, session_seq) clustering — a second exchange would mean the
+    // partitioning reuse regressed
+    assert(exchanges.size == 1, s"expected 1 exchange, got ${exchanges.size}")
+  }
+
+  // ---- asofJoinBackward ----
+
+  private def asofFixture: (DataFrame, DataFrame) = {
+    val left = events(
+      (1L, "2024-01-01 10:00:00", 10L), // equal-ts right row matches (<=)
+      (1L, "2024-01-01 11:00:00", 11L), // latest prior = 10:00 row
+      (1L, "2024-01-01 09:00:00", 12L), // only the 08:00 right row precedes
+      (3L, "2024-01-01 10:00:00", 13L)) // key with no right rows at all
+    val right = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, 5.0), // tie on (key, ts):
+      (1L, "2024-01-01 10:00:00", 101L, 7.0), //  greater eid wins -> 7.0
+      (1L, "2024-01-01 08:00:00", 102L, 1.0))
+      .toDF("uid", "t", "eid", "v")
+      .select($"uid", $"t".cast("timestamp").as("t"), $"eid", $"v")
+    (left, right)
+  }
+
+  test("asofJoinBackward: inclusive match, tie dedup, and null for no-prior") {
+    val (left, right) = asofFixture
+    val out = TemporalOps.asofJoinBackward(left, right, Seq("uid"),
+      "t", "t", Seq("v"), rightTie = "eid")
+      .select($"eid", $"asof_ts", $"v")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(7.0)), // equal ts, tie -> eid 101
+      (11L, Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (12L, Some(ts("2024-01-01 08:00:00")), Some(1.0)),
+      (13L, None, None)))
+  }
+
+  test("asofJoinBackward plan contains no join operator") {
+    val (left, right) = asofFixture
+    val out = TemporalOps.asofJoinBackward(left, right, Seq("uid"),
+      "t", "t", Seq("v"), rightTie = "eid")
+    out.collect()
+    val joins = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case p: SparkPlan if p.nodeName.toLowerCase.contains("join") => p
+    }
+    assert(joins.isEmpty, s"as-of must be the union-merge plan, found: ${joins.map(_.nodeName)}")
+  }
+
+  // ---- pointInInterval ----
+
+  test("pointInInterval: inclusive start, exclusive end, multi-bin intervals match once") {
+    val points = Seq(
+      (1L, "2024-01-01 10:00:00"), // == start -> match
+      (2L, "2024-01-01 13:00:00"), // == end -> no match
+      (3L, "2024-01-01 12:59:59"), // inside, 3 bins from start
+      (4L, "2024-01-01 09:59:59")) // just before start
+      .toDF("pid", "t").select($"pid", $"t".cast("timestamp").as("t"))
+    val intervals = Seq(
+      (100L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // spans 4 hour-bins
+      (101L, "2024-01-01 11:00:00", "2024-01-01 11:00:00")) // empty -> dropped
+      .toDF("iid", "s", "e")
+      .select($"iid", $"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+    val out = TemporalOps.pointInInterval(points, "t", intervals, "s", "e", 3600)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(out.sorted == Seq((1L, 100L), (3L, 100L)))
+    // exactly once each, even though the interval spans several bins
+    assert(out.distinct.size == out.size)
+  }
+
+  test("pointInInterval plan is an equi hash join, not a nested loop") {
+    val points = Seq((1L, "2024-01-01 10:30:00")).toDF("pid", "t")
+      .select($"pid", $"t".cast("timestamp").as("t"))
+    val intervals = Seq((100L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+      .toDF("iid", "s", "e")
+      .select($"iid", $"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+    val out = TemporalOps.pointInInterval(points, "t", intervals, "s", "e", 3600)
+    out.collect()
+    val bad = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case p: SparkPlan
+        if p.nodeName.contains("BroadcastNestedLoopJoin") ||
+          p.nodeName.contains("CartesianProduct") => p
+    }
+    assert(bad.isEmpty, s"range join must bin to an equi join, found: ${bad.map(_.nodeName)}")
+  }
+}

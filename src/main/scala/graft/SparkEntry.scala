@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.ConvertQueries,
     _root_.graft.queries.WarehouseQueries,
     _root_.graft.queries.TemporalQueries,
+    _root_.graft.queries.WebQueries,
     _root_.graft.queries.LlmQueries)
 
   lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)

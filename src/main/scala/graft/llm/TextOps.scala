@@ -262,6 +262,50 @@ object TextOps {
     * text ships to training. Pure regexp chain: map-only, codegen'd, no
     * UDF.
     */
+  /** Hashed-feature linear scorer — the fastText-shaped quality/domain
+    * classifier inference step as a pure column pipeline: tokens hash
+    * into `numBuckets` feature buckets (first 8 md5 hex chars mod
+    * buckets), each bucket carries a weight, and the document score is
+    * the mean bucket weight. Map-only and shuffle-free, so scoring 100
+    * TB is exactly one corpus scan with no exchange.
+    *
+    * The default weight table is a deterministic pseudo-random vector:
+    * w(b) = (b·2654435761 mod 256)/256 − 0.5 (Knuth multiplicative
+    * hash; 177 = 2654435761 mod 256 is odd, so buckets map bijectively
+    * onto the 256 dyadic levels). Every weight is an exact multiple of
+    * 1/256, which keeps the sum exact in ANY accumulation order —
+    * engine-portable to the last bit, no rounding tolerance needed. A
+    * trained model drops in by replacing [[bucketWeight]]'s formula
+    * with an `element_at` over its literal weight array.
+    *
+    * Adds `score` (mean bucket weight; 0.0 for token-less rows) and
+    * `label` (score > 0). Token and weight arrays materialize as staged
+    * projections — HOFs are interpreted, inline composition would
+    * re-tokenize per reference.
+    */
+  def withHashedLinearScore(df: DataFrame, textCol: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val bucket = (t: Column) => pmod(
+      conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
+        .cast("long"), lit(numBuckets.toLong))
+    df.withColumn("__toks",
+        filter(split(normalizeText(col(textCol)), " "), t => length(t) > 0))
+      .withColumn("__w", transform(col("__toks"), t => bucketWeight(bucket(t))))
+      .withColumn("score",
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(aggregate(col("__w"), lit(0.0), (acc, x) => acc + x)
+            / size(col("__toks"))))
+      .withColumn("label", col("score") > 0)
+      .drop("__toks", "__w")
+  }
+
+  /** Deterministic stand-in weight for feature bucket `b` — an exact
+    * dyadic rational in [−0.5, 0.5): see [[withHashedLinearScore]].
+    */
+  def bucketWeight(b: Column): Column =
+    (b * lit(2654435761L) % 256).cast("double") / 256.0 - 0.5
+
   def scrubPii(c: Column): Column =
     regexp_replace(
       regexp_replace(

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{GraftQuery, QueryPack, Tables}
+import graft.llm.{CurationOps, TextOps, UrlOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators: URL canonicalization + registered
+  * domain + per-domain caps, and hashed-feature classifier scoring.
+  * URLs are synthesized deterministically from `documents` (the corpus
+  * has no URL column) with the messiness the normalizer must handle —
+  * uppercase scheme/host, default port, www, tracking params, fragments,
+  * subdomains under two- and three-label public suffixes — built by the
+  * IDENTICAL expression in both engines, so the oracle checks the
+  * normalization itself, not the synthesis.
+  */
+object WebQueries extends QueryPack {
+
+  override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("t8_url_canonical",
+      (s, dir) => {
+        val tld = element_at(
+          array(lit("co.uk"), lit("com"), lit("org"), lit("io")),
+          (col("doc_id") % 4 + 1).cast("int"))
+        val q = when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=1&gclid=xyz"))
+          .when(col("doc_id") % 3 === 1, lit("?ref=home"))
+          .otherwise(lit(""))
+        val url = concat(lit("HTTPS://WWW.Src"), (col("doc_id") % 23).cast("string"),
+          lit(".Example."), tld, lit(":443/Path/"), col("doc_id").cast("string"),
+          q, lit("#frag"))
+        val normed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("norm_url", UrlOps.normalizeUrl(col("url")))
+          .withColumn("domain", UrlOps.urlDomain(col("url")))
+        // per-domain cap: keep the 5 hash-ranked docs of each registered
+        // domain (subdomains collapse onto it), flag the rest
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(CurationOps.hashUnit(col("doc_id"), "cap"), col("doc_id"))
+        normed.withColumn("kept", row_number().over(w) <= 5)
+          .select(col("doc_id"), col("norm_url"), col("domain"), col("kept"))
+      },
+      oracle = Some(
+        raw"""WITH u AS (
+           |  SELECT doc_id,
+           |         'HTTPS://WWW.Src' || (doc_id % 23) || '.Example.' ||
+           |         (CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+           |                          WHEN 2 THEN 'org' ELSE 'io' END) ||
+           |         ':443/Path/' || doc_id ||
+           |         (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&q=1&gclid=xyz'
+           |                          WHEN 1 THEN '?ref=home' ELSE '' END) ||
+           |         '#frag' AS url
+           |  FROM documents),
+           |parts AS (
+           |  SELECT doc_id, url,
+           |         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           |         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+           |         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           |  FROM u),
+           |hosts AS (
+           |  SELECT doc_id, url, scheme,
+           |         regexp_replace(
+           |           CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+           |                WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+           |                ELSE hostport END, '^www\.', '') AS host,
+           |         regexp_extract(rest, '^([^?]*)', 1) AS path,
+           |         regexp_replace(regexp_replace(
+           |           '&' || regexp_extract(rest, '\?(.*)$$', 1),
+           |           '&(utm_[^=&]*|gclid|fbclid|msclkid|ref)=[^&]*', '', 'g'),
+           |           '^&', '') AS cleanq
+           |  FROM parts),
+           |n AS (
+           |  SELECT doc_id,
+           |         scheme || '://' || host ||
+           |         (CASE WHEN path = '' THEN '/' ELSE path END) ||
+           |         (CASE WHEN cleanq = '' THEN '' ELSE '?' || cleanq END) AS norm_url,
+           |         CASE WHEN regexp_extract(host,
+           |                '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z])$$', 1) <> ''
+           |              THEN regexp_extract(host,
+           |                '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.[a-z][a-z])$$', 1)
+           |              WHEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1) <> ''
+           |              THEN regexp_extract(host, '([^.]+\.[^.]+)$$', 1)
+           |              ELSE host END AS domain
+           |  FROM hosts)
+           |SELECT doc_id, norm_url, domain,
+           |       row_number() OVER (
+           |         PARTITION BY domain
+           |         ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':cap'), 1, 8))::BIGINT
+           |                    / 4294967296.0, doc_id) <= 5 AS kept
+           |FROM n""".stripMargin)),
+
+    GraftQuery("t9_hashed_classifier",
+      (s, dir) => TextOps.withHashedLinearScore(
+        Tables.load(s, dir, "documents"), "text", numBuckets = 64)
+        .select(col("doc_id"), col("score"), col("label")),
+      // identical md5-bucket + dyadic-weight arithmetic: every weight is
+      // an exact multiple of 1/256, so the mean matches bit-for-bit with
+      // no rounding tolerance
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split(
+           |           trim(regexp_replace(regexp_replace(lower(text),
+           |             '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+           |           t -> t <> '') AS toks
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, toks,
+           |         list_transform(toks, t ->
+           |           ((('0x' || substr(md5(t), 1, 8))::BIGINT % 64)
+           |             * 2654435761 % 256) / 256.0 - 0.5) AS ws
+           |  FROM toks)
+           |SELECT doc_id,
+           |       CASE WHEN len(toks) = 0 THEN 0.0
+           |            ELSE list_sum(ws) / len(toks) END AS score,
+           |       (CASE WHEN len(toks) = 0 THEN 0.0
+           |             ELSE list_sum(ws) / len(toks) END) > 0 AS label
+           |FROM w""".stripMargin))
+  )
+}

@@ -413,6 +413,16 @@ object LlmQueries extends QueryPack {
       },
       oracle = Some(ivfOracle(numCells = 16, nProbe = 4, k = 5))),
 
+    GraftQuery("e4_pq_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.pqTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          numSubspaces = 8, numCentroids = 16, candidates = 40)
+          .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(pqOracle(numSubspaces = 8, numCentroids = 16,
+        candidates = 40, k = 5, subDim = 8))),
+
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), threshold = 0.3)
@@ -705,6 +715,58 @@ object LlmQueries extends QueryPack {
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
        |  FROM scored)
        |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for the PQ top-k: identical deterministic codebook
+    * (subvectors of the lowest-id vectors), identical argmin encoding
+    * (first min = lowest code on ties, same ascending-index fold order),
+    * reconstruction via codebook lookup, approximate-cosine candidate
+    * ranking, exact-cosine rerank — the whole [[SimOps.pqTopK]] pipeline
+    * re-derived in SQL.
+    */
+  private def pqOracle(numSubspaces: Int, numCentroids: Int,
+      candidates: Int, k: Int, subDim: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCentroids) t),
+       |sub AS (
+       |  SELECT c.id, j.j, cent.cid,
+       |         list_sum(list_transform(generate_series(1, $subDim), i ->
+       |           (c.v[j.j*$subDim + i] - cent.cv[j.j*$subDim + i])
+       |           * (c.v[j.j*$subDim + i] - cent.cv[j.j*$subDim + i]))) AS d2
+       |  FROM c, generate_series(0, ${numSubspaces - 1}) AS j(j), cent),
+       |codes AS (
+       |  SELECT id, j, cid FROM (
+       |    SELECT id, j, cid,
+       |           row_number() OVER (PARTITION BY id, j ORDER BY d2, cid) AS rn
+       |    FROM sub) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.id,
+       |         flatten(list(list_slice(cent.cv, codes.j*$subDim + 1,
+       |                                 (codes.j+1)*$subDim) ORDER BY codes.j)) AS rv
+       |  FROM codes JOIN cent USING (cid)
+       |  GROUP BY codes.id),
+       |apx AS (
+       |  SELECT qc.id AS query_id, r.id AS nbr_id, ${cosSql("qc.v", "r.rv")} AS approx
+       |  FROM recon r CROSS JOIN (SELECT id, v FROM c WHERE id % 50 = 0) qc
+       |  WHERE qc.id <> r.id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx DESC, nbr_id) AS rn
+       |    FROM apx) t WHERE rn <= $candidates),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id, ${cosSql("qv.v", "nv.v")} AS sim
+       |  FROM cand JOIN c qv ON qv.id = cand.query_id
+       |            JOIN c nv ON nv.id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
 
   /** DuckDB oracle for SimHash multi-index near-dups: identical md5/
     * integer arithmetic as [[DedupOps.simhash]] (uint32 token hashes →

@@ -119,6 +119,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e4: PQ plan — corpus map-only, broadcasts only, scalar exchanges") {
+    val df = SparkEntry.queries("e4_pq_topk")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // both the candidate-id re-join and the query join must broadcast;
+    // any sort-merge join means the corpus got shuffled
+    assert(formatted.contains("BroadcastHashJoin"),
+      s"PQ joins not broadcast:\n$formatted")
+    assert(!formatted.contains("SortMergeJoin"),
+      s"a join in the PQ plan regressed to sort-merge:\n$formatted")
+    // the candidate/rerank rank exchanges carry (query_id, nbr_id, sim)
+    // scalars — never a vector, codes array, or reconstruction
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_recon") && !b.contains("code_"),
+        s"vector/code payload shuffled in PQ plan:\n$b")
+    }
+  }
+
   test("e3: corpus never shuffled — probe join broadcasts, exchanges carry scalars") {
     val df = SparkEntry.queries("e3_ivf_topk")(spark, sf)
     df.collect()

@@ -47,6 +47,41 @@ object TemporalQueries extends QueryPack {
           |       round(sum(value), 6) AS total_value
           |FROM sess GROUP BY 1, 2""".stripMargin)),
 
+    GraftQuery("a6_session_window",
+      // the same sessions via Spark's NATIVE session_window aggregation
+      // (the streaming-capable form: with a watermark this exact plan
+      // runs on an unbounded stream with state bounded to open
+      // sessions). Boundary semantics differ from a5 by design:
+      // session_window closes at gap >= (an event exactly `gap` later
+      // starts a new session), mirrored in the oracle's >= test, and
+      // session_end is last_event + gap, not last_event.
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("total_value")),
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, value
+          |  FROM events),
+          |marked AS (
+          |  SELECT user_id, ts, value, event_id,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+          |              THEN 1 ELSE 0 END AS boundary
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sess AS (
+          |  SELECT user_id, ts, value,
+          |         sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                             ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM marked)
+          |SELECT user_id, min(ts) AS session_start,
+          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+          |       count(*) AS n_events, round(sum(value), 6) AS total_value
+          |FROM sess GROUP BY user_id, sid""".stripMargin)),
+
     GraftQuery("j6_asof_join",
       // every event annotated with the user's latest purchase at or
       // before it: the classic dimension-as-of lookup, checked against

@@ -89,6 +89,34 @@ object WebQueries extends QueryPack {
            |                    / 4294967296.0, doc_id) <= 5 AS kept
            |FROM n""".stripMargin)),
 
+    GraftQuery("t10_corpus_stats",
+      // per-source corpus profile: doc counts, exact length moments and
+      // exact interpolated percentiles, language diversity — the
+      // one-scan summary a curation run reports per shard. Exact
+      // percentile is a single-pass sort-based aggregate per group;
+      // at 100 TB the same query swaps percentile() for
+      // percentile_approx() (one t-digest per group, no per-group sort)
+      // with no other change.
+      (s, dir) => Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("pcts"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(col("source"), col("n_docs"), col("avg_chars"),
+          round(element_at(col("pcts"), 1), 6).as("p50_chars"),
+          round(element_at(col("pcts"), 2), 6).as("p90_chars"),
+          round(element_at(col("pcts"), 3), 6).as("p99_chars"),
+          col("n_langs")),
+      oracle = Some(
+        """SELECT source, count(*) AS n_docs,
+          |       round(avg(n_chars), 6) AS avg_chars,
+          |       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+          |       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+          |       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars,
+          |       count(DISTINCT lang) AS n_langs
+          |FROM documents GROUP BY source""".stripMargin)),
+
     GraftQuery("t9_hashed_classifier",
       (s, dir) => TextOps.withHashedLinearScore(
         Tables.load(s, dir, "documents"), "text", numBuckets = 64)

@@ -62,6 +62,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window streams: gap sessions close under the watermark in append mode") {
+    // the exact plan shape of the a6_session_window query, fed by a
+    // stream: sessions emit only once the watermark passes their close
+    val input = MemoryStream[(Long, String, Double)](spark)
+    val shaped = input.toDF().toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+      .withWatermark("ts", "1 minute")
+    val agg = shaped
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .select($"user_id", $"session_window.start".cast("string").as("start"),
+        $"session_window.end".cast("string").as("end"), $"n_events", $"total_value")
+    val q = agg.writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    try {
+      // two events 10 min apart -> one session; a third 2h later both
+      // advances the watermark (closing it) and opens a new session
+      input.addData((1L, "2024-03-01 10:00:00", 1.0), (1L, "2024-03-01 10:10:00", 2.0))
+      q.processAllAvailable()
+      input.addData((1L, "2024-03-01 12:00:00", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_win")
+        .as[(Long, String, String, Long, Double)].collect().toSet
+      // merged session: start 10:00, end = last event + gap = 10:40
+      assert(closed == Set((1L, "2024-03-01 10:00:00", "2024-03-01 10:40:00", 2L, 3.0)),
+        s"unexpected closed sessions: $closed")
+      // the 12:00 session is still open (watermark at 11:59) — not emitted
+    } finally q.stop()
+  }
+
   test("dedupConsecutive: re-delivered identical values are suppressed across batches") {
     val input = MemoryStream[KeyedValue](spark)
     val q = StreamOps.dedupConsecutive(input.toDS())

@@ -107,6 +107,30 @@ object CoreQueries extends QueryPack {
           |JOIN region ON n_regionkey = r_regionkey
           |WHERE r_name = 'ASIA'
           |GROUP BY n_name""".stripMargin),
-      headline = true)
+      headline = true),
+
+    GraftQuery("j8_salted_join",
+      // a deliberately hot-keyed join (3 keys carry the whole events
+      // table) through the explicit salting operator: each hot key
+      // spreads over 8 shuffle groups, and the result must equal the
+      // plain unsalted join — which is exactly what the oracle runs
+      (s, dir) => {
+        val ev = graft.Tables.load(s, dir, "events")
+          .select(col("event_id"), (col("user_id") % 3).as("bucket"), col("value"))
+        val dim = graft.Tables.load(s, dir, "events")
+          .select((col("user_id") % 3).as("bucket")).distinct()
+          .select(col("bucket"), concat(lit("seg"), col("bucket")).as("segment"))
+        graft.operators.SkewOps.saltedJoin(ev, dim, Seq("bucket"),
+          saltCol = "event_id", salts = 8)
+          .select(col("event_id"), col("bucket"), col("segment"), col("value"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id % 3 AS bucket, value FROM events),
+          |dim AS (
+          |  SELECT bucket, 'seg' || bucket AS segment
+          |  FROM (SELECT DISTINCT user_id % 3 AS bucket FROM events) t)
+          |SELECT e.event_id, e.bucket, d.segment, e.value
+          |FROM ev e JOIN dim d USING (bucket)""".stripMargin))
   )
 }

@@ -308,35 +308,27 @@ object SimOps {
     val books: Seq[Seq[Seq[Double]]] = (0 until numSubspaces)
       .map(j => cents.map(_.slice(j * subDim, (j + 1) * subDim)))
 
-    // squared L2 of subspace j to one centroid: an explicit left-to-
-    // right chain of (x-c)^2 terms — plain codegen'd arithmetic (no
-    // interpreted HOF in the per-row hot path), same fold order as the
-    // oracle's ascending generate_series
-    def d2(v: Column, j: Int, cent: Seq[Double]): Column =
-      (0 until subDim).map { i =>
-        val x = element_at(v, j * subDim + i + 1) - lit(cent(i))
-        x * x
-      }.reduce(_ + _)
-
-    // encode: stage each subspace's distance vector, then first-min
-    // argmin (ties -> lowest code, like the oracle's ORDER BY d2, cid)
-    val encoded = (0 until numSubspaces).foldLeft(c) { (df, j) =>
-      val dists = array(books(j).map(ct => d2(col("nbr_vec"), j, ct)): _*)
-      df.withColumn(s"_d$j", dists)
-        .withColumn(s"code_$j",
-          (array_position(col(s"_d$j"), array_min(col(s"_d$j"))) - 1).cast("int"))
-        .drop(s"_d$j")
-    }
-    val codes = encoded.select(
-      col("nbr_id") +: (0 until numSubspaces).map(j => col(s"code_$j")): _*)
-
-    // asymmetric scan: reconstruct from codes (literal lookup) and rank
-    // every corpus row per query by approximate cosine; NaN (zero-norm)
-    // coalesces to -1 so degenerate rows rank last deterministically
+    // encode with the fused native expression (argmin squared-L2 per
+    // subspace, first-min on ties, per-dim terms folded in ascending
+    // index order): the composed per-centroid expression chain blows
+    // past janino's 64 KB method limit at this codebook size, silently
+    // knocking the whole scan out of whole-stage codegen — see
+    // graft.functions.PqEncode (parity spec'd against the composed form)
+    val encoded = c.withColumn("_codes",
+      graft.functions.PqEncode(col("nbr_vec"), books))
+    // reconstruction is a pure function of the codes — STAGED per corpus
+    // row (numSubspaces literal lookups), never per (row, query) pair:
+    // inlining it after the query join would rebuild the 64-element
+    // array queries× times per row
     val recon = flatten(array((0 until numSubspaces)
-      .map(j => element_at(typedLit(books(j)), col(s"code_$j") + 1)): _*))
+      .map(j => element_at(typedLit(books(j)),
+        element_at(col("_codes"), j + 1) + 1)): _*))
+    val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+
+    // asymmetric scan: rank every corpus row per query by approximate
+    // cosine against the reconstruction; NaN (zero-norm) coalesces to
+    // -1 so degenerate rows rank last deterministically
     val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("_recon", recon)
       .select(col("query_id"), col("nbr_id"),
         nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
     val wc = org.apache.spark.sql.expressions.Window

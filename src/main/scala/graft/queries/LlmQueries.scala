@@ -421,7 +421,8 @@ object LlmQueries extends QueryPack {
           .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
       },
       oracle = Some(pqOracle(numSubspaces = 8, numCentroids = 16,
-        candidates = 40, k = 5, subDim = 8))),
+        candidates = 40, k = 5, subDim = 8)),
+      headline = true),
 
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(

@@ -45,7 +45,8 @@ object TemporalQueries extends QueryPack {
           |SELECT user_id, session_id, min(ts) AS session_start,
           |       max(ts) AS session_end, count(*) AS n_events,
           |       round(sum(value), 6) AS total_value
-          |FROM sess GROUP BY 1, 2""".stripMargin)),
+          |FROM sess GROUP BY 1, 2""".stripMargin),
+      headline = true),
 
     GraftQuery("a6_session_window",
       // the same sessions via Spark's NATIVE session_window aggregation
@@ -113,7 +114,8 @@ object TemporalQueries extends QueryPack {
           |SELECT e.event_id, e.user_id, e.ts, e.event_type,
           |       p.ts AS purchase_ts, p.value AS purchase_value
           |FROM ev e ASOF LEFT JOIN p
-          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin)),
+          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin),
+      headline = true),
 
     GraftQuery("j7_range_join",
       // error events falling inside any 45-minute promo window opened

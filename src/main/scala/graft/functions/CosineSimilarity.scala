@@ -133,5 +133,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       CosineSimilarity.builder)) // arity-validated, same as register()
+    // composed-cosine folds (SQL or third-party pipelines) rewrite to
+    // the fused expression — bit-identical values, one codegen'd loop
+    ext.injectOptimizerRule(_ => FuseCosineSimilarity)
   }
 }

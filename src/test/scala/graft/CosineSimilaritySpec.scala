@@ -28,6 +28,49 @@ class CosineSimilaritySpec extends AnyFunSuite {
     (Array(0.1234, 5.678, -9.01), Array(3.3, -2.2, 1.1)))
     .toDF("a", "b")
 
+  test("FuseCosineSimilarity rule rewrites the composed fold to the fused expression") {
+    import graft.functions.FuseCosineSimilarity
+    val before = spark.experimental.extraOptimizations
+    // parquet-backed input: a local Seq collapses to a LocalRelation
+    // before any optimizer rule can observe the projection
+    def composed = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .limit(20)
+      .select($"vec_id", SimOps.cosineComposed($"v", $"v").as("sim"))
+    spark.experimental.extraOptimizations = before :+ FuseCosineSimilarity
+    try {
+      val df = composed
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cosine_similarity"),
+        s"composed fold not fused:\n$optimized")
+      assert(!optimized.contains("aggregate("),
+        s"composed fold still present after fusing:\n$optimized")
+      // and the rewrite preserves values bit-exactly vs the un-fused run
+      val fusedVals = df.orderBy($"vec_id").select($"sim").as[Double].collect()
+      spark.experimental.extraOptimizations = before
+      val plainVals = composed.orderBy($"vec_id").select($"sim").as[Double].collect()
+      assert(fusedVals.map(java.lang.Double.doubleToLongBits).toSeq ==
+        plainVals.map(java.lang.Double.doubleToLongBits).toSeq)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("FuseCosineSimilarity leaves non-cosine folds alone") {
+    import graft.functions.FuseCosineSimilarity
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ FuseCosineSimilarity
+    try {
+      // a plain dot product (no norm quotient) must NOT be rewritten
+      val df = vecs.select(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.zip_with($"a", $"b", (x, y) => x * y),
+          org.apache.spark.sql.functions.lit(0.0), (acc, v) => acc + v).as("dot"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cosine_similarity"),
+        s"bare dot product wrongly fused:\n$optimized")
+      df.collect() // still evaluates
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("fused expression matches the composed form bit-exactly") {
     val out = vecs.select(
       CosineSimilarity($"a", $"b").as("fused"),

@@ -29,6 +29,80 @@ object DedupOps {
       .select(col(s"__r.$textCol") +: others.map(f => col(s"__r.$f")): _*)
   }
 
+  /** History-aware exact dedup: the rows of `newBatch` whose text does
+    * NOT already exist in `corpus`, deduplicated within the batch (lowest
+    * `idCol` survives per distinct text). This is the incremental form of
+    * [[exactDedup]] — dedup a fresh crawl against an existing corpus
+    * without recomputing the corpus-wide grouping.
+    *
+    * == 100 TB design ==
+    *
+    * The corpus is scanned exactly once, map-only, and is NEVER shuffled
+    * or broadcast:
+    *
+    *  1. one pruned pass over the corpus text hashes folds into a bloom
+    *     sketch (native `BloomFilterAggregate`, partial-merged ~MB
+    *     buffers; `expectedCorpusDocs`/`fpp` size it);
+    *  2. the batch probes the sketch map-side (`might_contain` over a
+    *     literal sketch): rows the bloom rules out are *certainly* new
+    *     and skip the join entirely — the surviving candidates are
+    *     O(true dups + fpp × batch);
+    *  3. candidate hashes join back against the corpus hash column to
+    *     kill false positives — broadcast when the candidate set is
+    *     small (corpus side stays map-only), falling back to a shuffled
+    *     semi-join of 16-byte hashes (never text) above
+    *     `broadcastCeiling` candidates;
+    *  4. the batch anti-joins the (tiny) true-match hash set and
+    *     dedups within itself as [[exactDedup]] does.
+    *
+    * A corpus too large for one well-sized sketch (e.g. 10 B+ docs)
+    * should dedup against a *partitioned* bloom index instead — see
+    * `WarehouseTable`'s per-partition blooms; an undersized sketch here
+    * only raises the false-positive rate (more verify work), never
+    * changes the result.
+    */
+  def incrementalExactDedup(newBatch: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      expectedCorpusDocs: Long = 4000000L, fpp: Double = 0.01,
+      broadcastCeiling: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val h = md5(to_binary(col(textCol), lit("utf-8")))
+    val corpusH = corpus.select(h.as("__h"))
+    val newH = newBatch.withColumn("__h", h)
+    val originalCols = newBatch.columns.toSeq
+
+    def dedupWithin(df: DataFrame): DataFrame = df
+      .groupBy(col("__h"))
+      .agg(min_by(struct(originalCols.map(col): _*), col(idCol)).as("__r"))
+      .select(originalCols.map(f => col(s"__r.$f")): _*)
+
+    val aggCol = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("__h"))),
+      Bridge.expression(lit(expectedCorpusDocs)),
+      Bridge.expression(lit(BloomFilter.optimalNumOfBits(expectedCorpusDocs, fpp))))
+      .toAggregateExpression())
+    val bloomBytes = corpusH.agg(aggCol.as("b")).head.getAs[Array[Byte]](0)
+    // null sketch = empty corpus: nothing to dedup against
+    if (bloomBytes == null) return dedupWithin(newH)
+
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(col("__h")))))
+    val cand = newH.where(mightContain).select(col("__h")).distinct()
+      .localCheckpoint(true)
+    // exact verify: bloom positives vs the real corpus hash column.
+    // Candidate count is known post-checkpoint without an extra scan.
+    val matched =
+      if (cand.count() <= broadcastCeiling)
+        corpusH.join(broadcast(cand), Seq("__h"), "left_semi").distinct()
+      else corpusH.join(cand, Seq("__h"), "left_semi").distinct()
+    dedupWithin(newH.join(matched, Seq("__h"), "left_anti"))
+  }
+
   private val emptyStrArray = array().cast("array<string>")
 
   /** Character k-gram shingle set (distinct), the MinHash input. */
@@ -127,21 +201,22 @@ object DedupOps {
     * one full shingling pass, no corpus-sized shuffle anywhere.
     * `PlanAuditSpec` guards the band exchange's payload.
     */
-  private def bandedNearDups(docs: DataFrame, normF: Column => Column,
-      shingleF: Column => Column,
-      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  /** `(band, id)` keys for a `(id, t)` document frame — the map-only
+    * front half of every banded pipeline. Every stage materializes as
+    * its own projection (normalized text → shingles → signature), and
+    * the band index explodes BEFORE band-key derivation. This shape is
+    * load-bearing twice over: higher-order functions are interpreted
+    * (no whole-stage codegen), and a column-function composed inline
+    * nests the producer inside every consumer reference — normalization
+    * composed into the shingle lambda re-runs its regexes once PER
+    * SHINGLE (O(doc²) regex work), and a signature inlined into the
+    * band array re-runs once per band. Attribute references between
+    * projections pin each to one pass.
+    */
+  private def bandKeys(docs: DataFrame, normF: Column => Column,
+      shingleF: Column => Column, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // Every stage materializes as its own projection (normalized text →
-    // shingles → hash pairs → signature), and the band index explodes
-    // BEFORE band-key derivation. This shape is load-bearing twice over:
-    // higher-order functions are interpreted (no whole-stage codegen),
-    // and a column-function composed inline nests the producer inside
-    // every consumer reference — normalization composed into the shingle
-    // lambda re-runs its regexes once PER SHINGLE (O(doc²) regex work),
-    // and a signature inlined into the band array re-runs once per band.
-    // Attribute references between projections pin each to one pass.
-    val normed = docs.select(col("id"), normF(col("t")).as("nt"))
-    val banded = normed
+    docs.select(col("id"), normF(col("t")).as("nt"))
       .select(col("id"), shingleF(col("nt")).as("sh"))
       // fused native signature (one md5/shingle, zero intermediate
       // allocation); values bit-identical to the composed
@@ -150,6 +225,23 @@ object DedupOps {
         graft.functions.MinHashSignature(col("sh"), numHashes).as("sig"))
       .withColumn("b", explode(sequence(lit(0), lit(bands - 1))))
       .select(lshBandKey(col("sig"), col("b"), rowsPerBand).as("band"), col("id"))
+  }
+
+  /** Shingle sets for ONLY the candidate ids: the semi-join on the
+    * (small, broadcastable) id set sits below the shingle projection, so
+    * verify-side shingling is O(candidates), not a second corpus pass.
+    */
+  private def shinglesFor(docs: DataFrame, ids: DataFrame,
+      normF: Column => Column, shingleF: Column => Column,
+      as: String, shAs: String): DataFrame = docs
+    .join(ids, Seq("id"), "left_semi")
+    .select(col("id"), normF(col("t")).as("nt"))
+    .select(col("id").as(as), shingleF(col("nt")).as(shAs))
+
+  private def bandedNearDups(docs: DataFrame, normF: Column => Column,
+      shingleF: Column => Column,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val banded = bandKeys(docs, normF, shingleF, numHashes, bands)
     // localCheckpoint (eager): the pair relation is referenced three
     // times below (the verify join + both candidate-id semi-joins);
     // without materializing it, each reference would re-run the whole
@@ -164,10 +256,9 @@ object DedupOps {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
       .localCheckpoint(true)
-    def candShingles(idsOf: Column, as: String, shAs: String) = docs
-      .join(pairs.select(idsOf.as("id")).distinct(), Seq("id"), "left_semi")
-      .select(col("id"), normF(col("t")).as("nt"))
-      .select(col("id").as(as), shingleF(col("nt")).as(shAs))
+    def candShingles(idsOf: Column, as: String, shAs: String) =
+      shinglesFor(docs, pairs.select(idsOf.as("id")).distinct(),
+        normF, shingleF, as, shAs)
     pairs
       .join(candShingles(col("id1"), "id1", "sh1"), "id1")
       .join(candShingles(col("id2"), "id2", "sh2"), "id2")
@@ -175,6 +266,63 @@ object DedupOps {
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
+
+  /** Near-dups of a new batch AGAINST an existing corpus: verified pairs
+    * `(new_id, corpus_id, jaccard)` with `jaccard >= threshold` — the
+    * incremental form of [[minhashNearDups]] for dedup-on-ingest: only
+    * the new batch is banded against the corpus's band keys, instead of
+    * re-running the corpus × corpus self-join every crawl.
+    *
+    * Id spaces of the two sides must be disjoint (pairs are (new,
+    * corpus), not ordered by id).
+    *
+    * == 100 TB design ==
+    *
+    * Same shuffle discipline as [[bandedNearDups]]: both sides' band
+    * exchanges carry `(band, id)` scalars only; candidate pairs
+    * de-duplicate as bare ids; shingles re-derive per side for candidate
+    * documents only (semi-join below the shingle projection). The corpus
+    * band derivation is a deterministic map-only pass — in a standing
+    * pipeline it would be *persisted once* as a `(band, id)` index table
+    * and merely scanned per batch; the operator accepts that shape via
+    * `corpusBands` (pass a pre-banded frame to skip re-derivation).
+    */
+  def incrementalNearDups(
+      newBatch: DataFrame, corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    val normF: Column => Column = TextOps.normalizeText
+    val shingleF: Column => Column = nt => charShingles(nt, shingleK)
+    def shaped(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val newDocs = shaped(newBatch)
+    val corpusDocs = shaped(corpus)
+    val newBands = bandKeys(newDocs, normF, shingleF, numHashes, bands)
+    val corpusBanded = corpusBands.getOrElse(
+      bandKeys(corpusDocs, normF, shingleF, numHashes, bands))
+    val pairs = newBands.as("n").join(corpusBanded.as("c"),
+        col("n.band") === col("c.band"))
+      .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
+      .distinct()
+      .localCheckpoint(true)
+    pairs
+      .join(shinglesFor(newDocs, pairs.select(col("new_id").as("id")).distinct(),
+        normF, shingleF, "new_id", "sh1"), "new_id")
+      .join(shinglesFor(corpusDocs, pairs.select(col("corpus_id").as("id")).distinct(),
+        normF, shingleF, "corpus_id", "sh2"), "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** The persistable `(band, id)` index of [[incrementalNearDups]] for a
+    * corpus — build once, write as a table, scan per crawl batch.
+    */
+  def nearDupBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4): DataFrame =
+    bandKeys(corpus.select(col(idCol).as("id"), col(textCol).as("t")),
+      TextOps.normalizeText, nt => charShingles(nt, shingleK), numHashes, bands)
 
   /** MinHash/LSH near-dup pipeline: shingle → signature → bands →
     * band-key self-join candidate pairs → exact-Jaccard verify. Returns

@@ -37,6 +37,23 @@ object LlmQueries extends QueryPack {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** Corpus/new-batch split for the incremental (history-aware) dedup
+    * scenarios: 80% of documents are the standing corpus; the new crawl
+    * is the remaining 20% plus planted exact copies of corpus docs
+    * (cross-batch dups) and of its own docs (within-batch dups).
+    */
+  private def corpusAndBatch(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.load(s, dir, "documents")
+    val corpus = d.where(col("doc_id") % 10 < 8).select(col("doc_id"), col("text"))
+    val newBatch = d.where(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.where(col("doc_id") % 10 < 8 && col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 10 >= 8 && col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    (corpus, newBatch)
+  }
+
   /** Shared DuckDB CTE list computing the identical minhash/LSH pipeline
     * through `scored` (verified pairs before the threshold filter);
     * callers append their own final select — [[lshOracle]] the pair
@@ -69,6 +86,51 @@ object LlmQueries extends QueryPack {
        |         len(list_intersect(sh1, sh2))::DOUBLE
        |           / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE AS jaccard
        |  FROM pairs)""".stripMargin
+
+  /** Signature + band CTEs over a `(id, sh)` relation `base`, emitting
+    * CTE `out` with `(id, sh, band)` — the per-side half of the
+    * two-sided (incremental) LSH oracle. Same constants as d2:
+    * 12 hashes, 4 bands of 3 rows.
+    */
+  private def sigBandCtes(base: String, out: String): String =
+    raw"""sig_$out AS (
+       |  SELECT id, sh, list_transform(generate_series(0, 11), j ->
+       |    list_min(list_transform(sh, s ->
+       |      (('0x' || substr(md5(s), 1, 8))::BIGINT
+       |       + j * ('0x' || substr(md5(s), 9, 8))::BIGINT) % 4294967296))) AS sig
+       |  FROM $base),
+       |$out AS (
+       |  SELECT id, sh, unnest(list_transform(generate_series(0, 3), b ->
+       |    b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|')))) AS band
+       |  FROM sig_$out)""".stripMargin
+
+  /** Two-sided LSH pipeline: new-batch bands joined against corpus
+    * bands (the d8 incremental near-dup oracle), through `scored`.
+    */
+  private def incrementalLshCtes: String =
+    raw"""corpus AS (
+       |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100),
+       |newb AS (
+       |  SELECT doc_id + 1000000 AS id,
+       |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+       |              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+       |  FROM documents WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id, $normSql FROM documents WHERE doc_id >= 100 AND doc_id < 150),
+       |sh_c AS (SELECT id, $charShingleSql AS sh FROM corpus),
+       |sh_n AS (SELECT id, $charShingleSql AS sh FROM newb),
+       |""".stripMargin +
+      sigBandCtes("sh_c", "band_c") + ",\n" +
+      sigBandCtes("sh_n", "band_n") + ",\n" +
+      raw"""pairs AS (
+         |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id,
+         |         n.sh AS sh1, c.sh AS sh2
+         |  FROM band_n n JOIN band_c c ON n.band = c.band),
+         |scored AS (
+         |  SELECT new_id, corpus_id,
+         |         len(list_intersect(sh1, sh2))::DOUBLE
+         |           / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE AS jaccard
+         |  FROM pairs)""".stripMargin
 
   private def lshOracle(shingleSql: String, threshold: Double): String =
     lshCtes(shingleSql) +
@@ -147,6 +209,48 @@ object LlmQueries extends QueryPack {
           |    i -> array_to_string(string_split_regex(trim(t), '\s+')[i+1 : i+3], ' ')))
           |  ELSE [] END""".stripMargin,
         0.5))),
+
+    GraftQuery("d7_incremental_dedup",
+      (s, dir) => {
+        val (corpus, newBatch) = corpusAndBatch(s, dir)
+        DedupOps.incrementalExactDedup(newBatch, corpus, "text", "doc_id")
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("text_md5"))
+      },
+      oracle = Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+          |newbatch AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 10 < 8 AND doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, text FROM documents
+          |  WHERE doc_id % 10 >= 8 AND doc_id % 9 = 0),
+          |fresh AS (
+          |  SELECT doc_id, text FROM newbatch n
+          |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text))
+          |SELECT doc_id, md5(text) AS text_md5 FROM (
+          |  SELECT doc_id, text,
+          |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM fresh) t
+          |WHERE rn = 1""".stripMargin)),
+
+    GraftQuery("d8_incremental_neardup",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val corpus = d.where(col("doc_id") < 100).select(col("doc_id"), col("text"))
+        val newBatch = d.where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" extra pad tokens appended")).as("text"))
+          .unionByName(d.where(col("doc_id") >= 100 && col("doc_id") < 150)
+            .select(col("doc_id"), col("text")))
+        DedupOps.incrementalNearDups(newBatch, corpus, "text", "doc_id",
+          shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7)
+      },
+      oracle = Some("WITH " + incrementalLshCtes +
+        "\nSELECT new_id, corpus_id, jaccard FROM scored WHERE jaccard >= 0.7")),
 
     GraftQuery("t1_text_stats",
       (s, dir) => TextOps.withTextStats(Tables.load(s, dir, "documents"), "text")

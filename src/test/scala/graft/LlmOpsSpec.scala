@@ -119,6 +119,78 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L))
   }
 
+  test("incrementalExactDedup drops corpus dups, dedups within batch") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),             // exact dup of corpus doc 1 → dropped
+      (11L, "gamma"), (12L, "gamma"), // within-batch dup → 11 survives
+      (13L, "delta")              // fresh → survives
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+  }
+
+  test("incrementalExactDedup: empty corpus reduces to within-batch dedup") {
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((7L, "x"), (3L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(3L, 4L))
+  }
+
+  test("incrementalExactDedup: shuffled fallback path matches broadcast path") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"corpus text $i")).toDF("doc_id", "text")
+    val batch = (0 until 50).map(i => (i + 100L,
+      if (i % 2 == 0) s"corpus text $i" else s"new text $i")).toDF("doc_id", "text")
+    val bc = DedupOps.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    val sh = DedupOps.incrementalExactDedup(batch, corpus, "text", "doc_id",
+      broadcastCeiling = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(bc == sh && bc == (1 until 50 by 2).map(_ + 100L).toSet)
+  }
+
+  test("incrementalNearDups pairs new near-dups with their corpus source only") {
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, s"document number $i with shared vocabulary alpha beta gamma " +
+        s"delta epsilon zeta eta theta unique token u$i padding words here")
+    }.toDF("doc_id", "text")
+    val batch = ((0 until 10).map { i =>
+      (i + 1000L, s"document number $i with shared vocabulary alpha beta gamma " +
+        s"delta epsilon zeta eta theta unique token u$i padding words here tail")
+    } ++ Seq((2000L, "entirely different content about sailing ships and maritime navigation"))
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.incrementalNearDups(batch, corpus, "text", "doc_id",
+      shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7)
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach { i =>
+      assert(pairs.contains((i + 1000L, i.toLong)), s"missed incremental pair $i")
+    }
+    assert(!pairs.exists(_._1 == 2000L), "unrelated new doc paired with corpus")
+  }
+
+  test("incrementalNearDups with a prebuilt band index matches inline derivation") {
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, s"document number $i with shared vocabulary alpha beta gamma " +
+        s"delta epsilon zeta eta theta unique token u$i padding words here")
+    }.toDF("doc_id", "text")
+    val batch = (0 until 5).map { i =>
+      (i + 1000L, s"document number $i with shared vocabulary alpha beta gamma " +
+        s"delta epsilon zeta eta theta unique token u$i padding words here tail")
+    }.toDF("doc_id", "text")
+    val index = DedupOps.nearDupBandIndex(corpus, "text", "doc_id",
+      shingleK = 6, numHashes = 12, bands = 4)
+    val viaIndex = DedupOps.incrementalNearDups(batch, corpus, "text", "doc_id",
+      shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7,
+      corpusBands = Some(index))
+      .select($"new_id", $"corpus_id", round($"jaccard", 9)).collect().toSet
+    val inline = DedupOps.incrementalNearDups(batch, corpus, "text", "doc_id",
+      shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7)
+      .select($"new_id", $"corpus_id", round($"jaccard", 9)).collect().toSet
+    assert(viaIndex == inline)
+  }
+
   // ---- multimodal stubs: schema + determinism
   private def payloads = Seq(
     (1L, Array.fill[Byte](1024)(7)), (2L, Array.fill[Byte](2048)(9)))

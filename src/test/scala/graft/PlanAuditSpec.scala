@@ -101,6 +101,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d7: corpus verify joins broadcast the candidate side — no sort-merge join") {
+    val df = SparkEntry.queries("d7_incremental_dedup")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    // corpus-side false-positive kill: semi join streaming the corpus
+    // with the (small) candidate hash set built/broadcast; batch-side
+    // anti join against the (tiny) matched set likewise builds right.
+    // Either join regressing to sort-merge means the corpus (or batch)
+    // got shuffled on text hashes at corpus scale.
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled into a sort-merge join:\n$plan")
+    assert(plan.contains("LeftSemi, BuildRight"), s"candidate probe not broadcast:\n$plan")
+    assert(plan.contains("LeftAnti, BuildRight"), s"matched-set anti join not broadcast:\n$plan")
+  }
+
+  test("d8: band exchanges carry (band,id) only — no shingle payload") {
+    val df = SparkEntry.queries("d8_incremental_neardup")(spark, sf)
+    df.collect() // finalize AQE
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val blocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(blocks.nonEmpty, s"no Exchange blocks found:\n$formatted")
+    blocks.foreach { b =>
+      assert(!b.contains("sh#") && !b.contains("sh1#") && !b.contains("sh2#"),
+        s"shingle array shuffled through an exchange:\n$b")
+    }
+  }
+
   test("e2: bucket-key exchanges carry ids only — no embedding payload") {
     val df = SparkEntry.queries("e2_ann_lsh")(spark, sf)
     df.collect()

@@ -34,7 +34,58 @@ object WarehouseQueries extends QueryPack {
     StructField("v_type", StringType),
     StructField("v_amount", DoubleType)))
 
+  /** Final-state SQL shared by s6 (LINEAR) and s8 (ZORDER): the file
+    * layout must never change table contents.
+    */
+  private val mergeCycleOracle =
+    """WITH staged AS (
+      |  SELECT user_id AS k, event_id AS i,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
+      |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_amount,
+      |         make_timestamp(epoch_ns(ts)//1000) AS pt
+      |  FROM events),
+      |d0 AS (
+      |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
+      |    SELECT k, v_type, v_amount, pt,
+      |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+      |    FROM staged WHERE i < 5000) t
+      |  WHERE rn = 1 AND v_type IS NOT NULL),
+      |s1 AS (
+      |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
+      |    SELECT k, v_type, v_amount, pt,
+      |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
+      |    FROM staged WHERE i >= 5000) t
+      |  WHERE rn = 1)
+      |SELECT coalesce(s1.k, d0.k) AS k,
+      |       CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
+      |       CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
+      |       coalesce(d0.pday, s1.pday) AS pday
+      |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
+      |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
+
+    GraftQuery("s8_zorder_merge",
+      (s, dir) => {
+        // same seed + merge cycle as s6, but the table is z-order
+        // clustered on (k, v_amount): proves the Morton layout changes
+        // only file placement, never merge results
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_z"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema,
+          graft.sources.TableOptions(clusteringFields = Seq("k", "v_amount"),
+            layout = "ZORDER"))
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        t.read().select(col("k"), col("v_type"), col("v_amount"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(mergeCycleOracle)),
 
     GraftQuery("s6_wh_merge_pruned",
       (s, dir) => {
@@ -55,31 +106,7 @@ object WarehouseQueries extends QueryPack {
         t.read().select(col("k"), col("v_type"), col("v_amount"),
           col("_pday").cast("string").as("pday"))
       },
-      oracle = Some(
-        """WITH staged AS (
-          |  SELECT user_id AS k, event_id AS i,
-          |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
-          |         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v_amount,
-          |         make_timestamp(epoch_ns(ts)//1000) AS pt
-          |  FROM events),
-          |d0 AS (
-          |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
-          |    SELECT k, v_type, v_amount, pt,
-          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
-          |    FROM staged WHERE i < 5000) t
-          |  WHERE rn = 1 AND v_type IS NOT NULL),
-          |s1 AS (
-          |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
-          |    SELECT k, v_type, v_amount, pt,
-          |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
-          |    FROM staged WHERE i >= 5000) t
-          |  WHERE rn = 1)
-          |SELECT coalesce(s1.k, d0.k) AS k,
-          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
-          |       CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
-          |       coalesce(d0.pday, s1.pday) AS pday
-          |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
-          |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
+      oracle = Some(mergeCycleOracle),
       headline = true),
 
     GraftQuery("s7_field_partition_merge",

@@ -127,7 +127,17 @@ final class WarehouseTable private (
       // groups each day into as few evenly-sized tasks as its volume
       // needs: small days collapse to one file, skewed days split.
       df.hint("rebalance", col(partitionCol))
-    else {
+    else if (options.layout == "ZORDER" && options.clusteringFields.size >= 2) {
+      // Morton layout: files cover hyper-rectangles of the clustering
+      // space, so predicates on ANY clustering field skip files (the
+      // linear sort below only skips on the leading field). One extra
+      // approxQuantile pass over the batch fixes the bucket bounds.
+      val z = ZOrder.zValue(df, options.clusteringFields)
+      df.withColumn("__z", z)
+        .repartitionByRange(col(partitionCol), col("__z"))
+        .sortWithinPartitions(col(partitionCol), col("__z"))
+        .drop("__z")
+    } else {
       val cols = col(partitionCol) +: options.clusteringFields.map(c => col(s"`$c`"))
       df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
     }
@@ -716,7 +726,14 @@ final case class TableOptions(
     clusteringFields: Seq[String] = Seq.empty,
     partitionField: Option[String] = None,
     granularity: String = "DAY",
-    partitionExpirationMs: Option[Long] = None) {
+    partitionExpirationMs: Option[Long] = None,
+    /** Within-partition file layout over `clusteringFields`: LINEAR
+      * (lexicographic range sort — perfect skipping on the leading
+      * field) or ZORDER (Morton interleave — skipping on every
+      * clustering field; see [[ZOrder]]). ZORDER needs >= 2 fields of
+      * rankable type.
+      */
+    layout: String = "LINEAR") {
 
   /** Validator, mirroring `BigQuerySinkConfig.java:480-499` (≤4 existing
     * clustering fields; known granularity; positive expiration; existing
@@ -734,6 +751,16 @@ final case class TableOptions(
       errs += s"partitionExpirationMs must be positive, got $ms")
     partitionField.filterNot(schema.fieldNames.contains).foreach(f =>
       errs += s"partition field '$f' not in table schema")
+    if (!TableOptions.Layouts.contains(layout))
+      errs += s"layout must be one of ${TableOptions.Layouts.mkString("/")}, got '$layout'"
+    if (layout == "ZORDER") {
+      if (clusteringFields.size < 2)
+        errs += s"ZORDER layout needs >= 2 clustering fields, got ${clusteringFields.size}"
+      clusteringFields.filter(schema.fieldNames.contains)
+        .filterNot(f => ZOrder.supports(schema(f).dataType)).foreach(f =>
+          errs += s"ZORDER field '$f' has unsupported type " +
+            schema(f).dataType.simpleString)
+    }
     val found = errs.result()
     if (found.nonEmpty)
       throw new IllegalArgumentException(found.mkString("; "))
@@ -742,6 +769,7 @@ final case class TableOptions(
 
 object TableOptions {
   val Granularities: Set[String] = Set("HOUR", "DAY", "MONTH", "YEAR", "NONE")
+  val Layouts: Set[String] = Set("LINEAR", "ZORDER")
 }
 
 object WarehouseTable {
@@ -847,7 +875,8 @@ object WarehouseTable {
     s"clusteringFields=${o.clusteringFields.mkString(",")}",
     s"partitionField=${o.partitionField.getOrElse("")}",
     s"granularity=${o.granularity}",
-    s"partitionExpirationMs=${o.partitionExpirationMs.map(_.toString).getOrElse("")}")
+    s"partitionExpirationMs=${o.partitionExpirationMs.map(_.toString).getOrElse("")}",
+    s"layout=${o.layout}")
     .mkString("\n")
 
   private def readOptions(spark: SparkSession, root: String): TableOptions = {
@@ -862,7 +891,8 @@ object WarehouseTable {
       partitionField = kv.get("partitionField").filter(_.nonEmpty),
       granularity = kv.getOrElse("granularity", "DAY"),
       partitionExpirationMs = kv.get("partitionExpirationMs")
-        .filter(_.nonEmpty).map(_.toLong))
+        .filter(_.nonEmpty).map(_.toLong),
+      layout = kv.getOrElse("layout", "LINEAR"))
   }
 
   /** S7 — intermediate (staging) location lifecycle

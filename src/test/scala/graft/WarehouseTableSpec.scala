@@ -259,6 +259,84 @@ class WarehouseTableSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrder.interleaveBits and bucketOf golden values") {
+    import graft.sources.ZOrder
+    // 3 = 011b, 5 = 101b; interleave (bit i of col c -> z bit i*2+c):
+    // z = 1<<0 | 1<<1 | 1<<2 | 0<<3 | 0<<4 | 1<<5 = 39
+    val z = spark.range(1).select(
+      ZOrder.interleaveBits(Seq(lit(3), lit(5)), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z == 39L, s"interleave(3,5) = $z, want 39")
+    val buckets = Seq((5.0, 0), (10.0, 1), (15.0, 1), (20.0, 2), (25.0, 2))
+    buckets.foreach { case (v, want) =>
+      val got = spark.range(1).select(
+        ZOrder.bucketOf(lit(v), Seq(10.0, 20.0)).as("b")).as[Int].head()
+      assert(got == want, s"bucketOf($v) = $got, want $want")
+    }
+    val nullBucket = spark.range(1).select(
+      ZOrder.bucketOf(lit(null).cast("double"), Seq(10.0, 20.0)).as("b"))
+      .as[Int].head()
+    assert(nullBucket == 0, "null must land in bucket 0")
+  }
+
+  test("ZORDER layout: non-leading clustering field skips files; LINEAR cannot") {
+    val schema2 = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("f1", StringType)))
+    // 64x64 grid over (k1, k2), one day partition
+    val grid = spark.range(4096).select(
+      ($"id" / 64).cast("long").as("k1"),
+      ($"id" % 64).cast("long").as("k2"),
+      lit("x").as("f1"), ts(1).as("partitionTime"))
+    def filesAndOverlap(layout: String): (Int, Int) = {
+      val root = tmpRoot()
+      val t = WarehouseTable.create(spark, root, Seq("k1"), schema2,
+        graft.sources.TableOptions(clusteringFields = Seq("k1", "k2"),
+          layout = layout))
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try t.append(grid)
+      finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val files = t.read().inputFiles.toSeq
+      // files a `k2 BETWEEN 0 AND 7` scan cannot skip via min/max stats
+      val overlapping = files.count { f =>
+        val r = spark.read.parquet(f).agg(min($"k2"), max($"k2")).collect().head
+        r.getLong(0) <= 7 && r.getLong(1) >= 0
+      }
+      (files.size, overlapping)
+    }
+    val (linFiles, linOverlap) = filesAndOverlap("LINEAR")
+    val (zFiles, zOverlap) = filesAndOverlap("ZORDER")
+    assert(linFiles >= 4 && zFiles >= 4, s"need several files: $linFiles / $zFiles")
+    // linear layout sorts by (k1, k2): every file spans the k2 domain
+    assert(linOverlap == linFiles, s"expected zero k2-skipping under LINEAR " +
+      s"($linOverlap of $linFiles)")
+    // z-order: only the files whose k2 hyper-rectangle touches [0,7] remain
+    assert(zOverlap < zFiles,
+      s"ZORDER skipped nothing on k2 ($zOverlap of $zFiles)")
+    assert(zOverlap.toDouble / zFiles < 0.7,
+      s"ZORDER skipping too weak: $zOverlap of $zFiles files overlap")
+  }
+
+  test("ZORDER survives open(); validation rejects 1-field and string-typed z-order") {
+    val schema2 = StructType(Seq(
+      StructField("k1", LongType), StructField("k2", LongType),
+      StructField("f1", StringType)))
+    val root = tmpRoot()
+    WarehouseTable.create(spark, root, Seq("k1"), schema2,
+      graft.sources.TableOptions(clusteringFields = Seq("k1", "k2"),
+        layout = "ZORDER"))
+    assert(WarehouseTable.open(spark, root).options.layout == "ZORDER")
+    intercept[IllegalArgumentException](WarehouseTable.create(
+      spark, tmpRoot(), Seq("k1"), schema2,
+      graft.sources.TableOptions(clusteringFields = Seq("k1"), layout = "ZORDER")))
+    intercept[IllegalArgumentException](WarehouseTable.create(
+      spark, tmpRoot(), Seq("k1"), schema2,
+      graft.sources.TableOptions(clusteringFields = Seq("k1", "f1"), layout = "ZORDER")))
+    intercept[IllegalArgumentException](WarehouseTable.create(
+      spark, tmpRoot(), Seq("k1"), schema2,
+      graft.sources.TableOptions(layout = "HILBERT")))
+  }
+
   test("TableOptions validation: >4 clustering fields, unknown fields, bad granularity") {
     intercept[IllegalArgumentException](WarehouseTable.create(spark, tmpRoot(),
       Seq("k1"), destSchema,

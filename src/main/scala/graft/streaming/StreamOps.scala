@@ -40,6 +40,36 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("topic"), col("n_rows"), col("n_partitions"), col("max_offset"))
 
+  /** Streaming exact dedup with BOUNDED state: suppress re-deliveries
+    * and re-crawls of identical content across micro-batches, keeping
+    * state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`). The dedup key is the md5 of the
+    * content column — 16 bytes of state per distinct document instead
+    * of the document body, the same shuffle/state discipline as
+    * `DedupOps.exactDedup`.
+    *
+    * This is the intra-stream half of streaming corpus dedup: duplicates
+    * *within* the horizon die here with O(horizon) state; duplicates
+    * against the standing corpus die in the sink's `foreachBatch` via
+    * `DedupOps.incrementalExactDedup` (bloom against table history). A
+    * plain `dropDuplicates` would hold every hash forever — state growth
+    * unbounded in stream length, the thing a 100 TB ingest cannot do.
+    *
+    * Works identically on batch frames (where it degrades to plain
+    * within-frame dedup semantics over the hash).
+    */
+  def dedupContent(stream: DataFrame, textCol: String,
+      tsCol: String = "timestamp",
+      horizon: String = "10 minutes"): DataFrame = {
+    val hashed = stream
+      .withColumn("__h", md5(to_binary(col(textCol), lit("utf-8"))))
+    val deduped =
+      if (stream.isStreaming)
+        hashed.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("__h")
+      else hashed.dropDuplicates("__h")
+    deduped.drop("__h")
+  }
+
   /** A keyed change record for [[dedupConsecutive]]. */
   final case class KeyedValue(key: String, offset: Long, value: String)
 

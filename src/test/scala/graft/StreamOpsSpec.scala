@@ -110,4 +110,37 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(out == Set(("a", 0L, "v1"), ("b", 0L, "x"), ("a", 3L, "v2")))
     } finally q.stop()
   }
+
+  test("dedupContent streams: identical content suppressed across batches within the horizon") {
+    val input = MemoryStream[(Long, String, String)](spark)
+    val shaped = input.toDF().toDF("id", "text", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val q = StreamOps.dedupContent(shaped, "text", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_content")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "doc alpha", "2024-03-01 10:00:00"),
+        (2L, "doc beta", "2024-03-01 10:00:01"),
+        (3L, "doc alpha", "2024-03-01 10:00:02")) // within-batch dup
+      q.processAllAvailable()
+      // cross-batch re-delivery inside the horizon → suppressed
+      input.addData((4L, "doc alpha", "2024-03-01 10:05:00"))
+      q.processAllAvailable()
+      input.addData((5L, "doc gamma", "2024-03-01 10:06:00"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_content").select($"text")
+        .as[String].collect().toSeq
+      assert(texts.sorted == Seq("doc alpha", "doc beta", "doc gamma"),
+        s"got $texts")
+    } finally q.stop()
+  }
+
+  test("dedupContent on a batch frame dedups by content") {
+    val df = Seq((1L, "a", "2024-03-01 10:00:00"), (2L, "a", "2024-03-01 10:00:01"),
+      (3L, "b", "2024-03-01 10:00:02")).toDF("id", "text", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val out = StreamOps.dedupContent(df, "text")
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("id", "text", "timestamp"))
+  }
 }

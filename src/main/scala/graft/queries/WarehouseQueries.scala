@@ -87,6 +87,44 @@ object WarehouseQueries extends QueryPack {
       },
       oracle = Some(mergeCycleOracle)),
 
+    GraftQuery("s9_ingest_dedup",
+      (s, dir) => {
+        // two crawl batches through the content-addressed ingest path
+        // (within-batch min-id dedup + insert-if-absent vs history):
+        // first-write-wins across batches, bloom-pruned history probe
+        val root = Files.createTempDirectory("graft-wh").toString + "/corpus"
+        val d = Tables.load(s, dir, "documents")
+        val b1 = d.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), col("text"),
+            to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"))
+        val b2 = d.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"), col("text"))
+          .unionByName(d.where(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+            .select((col("doc_id") + 1000000).as("id"), col("text")))
+          .withColumn("timestamp", to_timestamp(lit("2024-03-02 10:00:00")))
+        graft.streaming.DocumentIngestPipeline.processBatch(b1, root)
+        graft.streaming.DocumentIngestPipeline.processBatch(b2, root)
+        graft.sources.WarehouseTable.open(s, root).read()
+          .select(col("id"), col("text_md5"), col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(
+        """WITH b1 AS (
+          |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
+          |b2 AS (
+          |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text FROM documents
+          |  WHERE doc_id % 2 = 0 AND doc_id % 6 = 0),
+          |s1 AS (
+          |  SELECT min(id) AS id, md5(text) AS text_md5, '2024-03-01' AS pday
+          |  FROM b1 GROUP BY text),
+          |s2 AS (
+          |  SELECT min(id) AS id, md5(text) AS text_md5, '2024-03-02' AS pday
+          |  FROM b2 WHERE text NOT IN (SELECT text FROM b1) GROUP BY text)
+          |SELECT id, text_md5, pday FROM s1
+          |UNION ALL
+          |SELECT id, text_md5, pday FROM s2""".stripMargin)),
+
     GraftQuery("s6_wh_merge_pruned",
       (s, dir) => {
         val root = Files.createTempDirectory("graft-wh").toString + "/events_tbl"

@@ -338,6 +338,47 @@ final class WarehouseTable private (
     expireOldPartitions()
   }
 
+  /** Insert-if-absent append (dedup-on-ingest): rows whose key already
+    * exists ANYWHERE in the table are dropped; the rest append. The
+    * first write of a key wins forever — the content-addressed ingest a
+    * training-data corpus table needs (key = content hash), where
+    * [[merge]]'s last-write-wins would pointlessly rewrite partitions.
+    *
+    * == 100 TB design ==
+    *
+    * Existing partitions are NEVER rewritten (no swap, no dest
+    * shuffle): the batch's key hashes probe every partition's bloom
+    * (the [[bloomCandidateDays]] inverted probe — broadcast O(batch)
+    * hashes, read blooms from storage), only the candidate partitions'
+    * KEY COLUMNS are scanned for the anti-join (pruned explicit
+    * schema), and the surviving rows flow to a plain [[append]]. A
+    * batch with no bloom hits touches zero data files.
+    *
+    * Naturally idempotent: a replayed batch anti-joins away the rows
+    * its previous attempt appended (content-keyed exactly-once without
+    * batchId bookkeeping). The batch must be key-unique within itself
+    * (pre-dedup with `DedupOps.exactDedup`/`incrementalExactDedup`).
+    * Returns the appended (routed) rows.
+    */
+  def insertNewOnly(df: DataFrame, partitionTimeCol: String = "partitionTime"): DataFrame = {
+    df.cache()
+    try {
+      val hashes = df.select(xxhash64(keyString(keyFields.map(col))).as("h"))
+        .distinct().collect().map(_.getLong(0))
+      if (hashes.isEmpty) return df // empty batch: nothing to do
+      // probe ALL partitions (empty batch-day exclusion), keys could be anywhere
+      val candDays = bloomCandidateDays(hashes, Seq.empty)
+      val keySet = keyFields.toSet
+      val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+      val fresh =
+        if (candDays.isEmpty) df
+        else df.join(
+          readWithTableSchema(candDays, Some(keySchema)),
+          keyFields, "left_anti")
+      append(fresh, partitionTimeCol)
+    } finally { df.unpersist(); () }
+  }
+
   // ---- merge (J1/J2 against a real partitioned table) ----
 
   /** Partition-pruned upsert(/delete) MERGE of a staged micro-batch

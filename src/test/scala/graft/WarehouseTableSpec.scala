@@ -259,6 +259,27 @@ class WarehouseTableSpec extends AnyFunSuite {
     }
   }
 
+  test("insertNewOnly: existing keys dropped, old partitions untouched, replay idempotent") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    val day1Files = t.readDays(Seq("2024-01-01")).inputFiles.toSet
+    val batch = Seq((2L, "b2"), (3L, "c")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(2))
+    t.insertNewOnly(batch)
+    val state = t.read().select($"k1", $"f1", $"_pday".cast("string"))
+      .as[(Long, String, String)].collect().toSet
+    // key 2 already exists → dropped (first write wins); key 3 inserts
+    assert(state == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "c", "2024-01-02")))
+    // insert-only: day1's files were not rewritten
+    assert(t.readDays(Seq("2024-01-01")).inputFiles.toSet == day1Files)
+    // replay of the same batch converges (content-keyed idempotence)
+    t.insertNewOnly(batch)
+    assert(t.read().count() == 3)
+  }
+
   test("ZOrder.interleaveBits and bucketOf golden values") {
     import graft.sources.ZOrder
     // 3 = 011b, 5 = 101b; interleave (bit i of col c -> z bit i*2+c):

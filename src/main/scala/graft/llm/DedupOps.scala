@@ -60,10 +60,15 @@ object DedupOps {
     * `WarehouseTable`'s per-partition blooms; an undersized sketch here
     * only raises the false-positive rate (more verify work), never
     * changes the result.
+    *
+    * `expectedCorpusDocs` sizes the sketch; leave it None to derive it
+    * from a `corpus.count()` (a near-metadata-only job on parquet) —
+    * an oversized sketch costs real money, since its bytes ride the
+    * probe's task binaries.
     */
   def incrementalExactDedup(newBatch: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String,
-      expectedCorpusDocs: Long = 4000000L, fpp: Double = 0.01,
+      expectedCorpusDocs: Option[Long] = None, fpp: Double = 0.01,
       broadcastCeiling: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -80,10 +85,11 @@ object DedupOps {
       .agg(min_by(struct(originalCols.map(col): _*), col(idCol)).as("__r"))
       .select(originalCols.map(f => col(s"__r.$f")): _*)
 
+    val expected = math.max(1L, expectedCorpusDocs.getOrElse(corpus.count()))
     val aggCol = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("__h"))),
-      Bridge.expression(lit(expectedCorpusDocs)),
-      Bridge.expression(lit(BloomFilter.optimalNumOfBits(expectedCorpusDocs, fpp))))
+      Bridge.expression(lit(expected)),
+      Bridge.expression(lit(BloomFilter.optimalNumOfBits(expected, fpp))))
       .toAggregateExpression())
     val bloomBytes = corpusH.agg(aggCol.as("b")).head.getAs[Array[Byte]](0)
     // null sketch = empty corpus: nothing to dedup against

@@ -235,7 +235,8 @@ object LlmQueries extends QueryPack {
           |  SELECT doc_id, text,
           |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           |  FROM fresh) t
-          |WHERE rn = 1""".stripMargin)),
+          |WHERE rn = 1""".stripMargin),
+      headline = true),
 
     GraftQuery("d8_incremental_neardup",
       (s, dir) => {

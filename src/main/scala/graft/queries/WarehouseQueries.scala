@@ -123,7 +123,8 @@ object WarehouseQueries extends QueryPack {
           |  FROM b2 WHERE text NOT IN (SELECT text FROM b1) GROUP BY text)
           |SELECT id, text_md5, pday FROM s1
           |UNION ALL
-          |SELECT id, text_md5, pday FROM s2""".stripMargin)),
+          |SELECT id, text_md5, pday FROM s2""".stripMargin),
+      headline = true),
 
     GraftQuery("s6_wh_merge_pruned",
       (s, dir) => {

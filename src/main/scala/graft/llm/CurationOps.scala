@@ -64,6 +64,35 @@ object CurationOps {
       salt: String = ""): DataFrame =
     df.withColumn("split", hashBucket(col(keyCol), n, salt))
 
+  /** Deterministic training-order shuffle: every row gets a `shard` in
+    * `[0, numShards)` and a 1-based `shard_pos`; reading shards in id
+    * order and rows in `shard_pos` order within each shard replays one
+    * fixed md5-keyed permutation of the corpus — the global-shuffle step
+    * that precedes sequence packing in a training export, reproducible
+    * across runs, engines, cluster sizes, and file layouts (unlike
+    * `orderBy(rand())`, whose permutation changes with partitioning).
+    * Shard and order draws use independent salts, so within-shard order
+    * is unbiased even though both derive from the same key.
+    *
+    * Shuffle discipline: one exchange on `shard` over a `(key, u)`
+    * scalar projection; each shard sorts independently (parallelism =
+    * `numShards`, no global sort), and the assignment rejoins the full
+    * frame by key — the only exchange the document payload crosses. At
+    * export time write `partitionBy("shard")` +
+    * `sortWithinPartitions("shard_pos")`.
+    */
+  def shuffleShards(df: DataFrame, numShards: Int, keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val assigned = df.select(col(keyCol).as("__k"))
+      .withColumn("shard", hashBucket(col("__k"), numShards, salt + ":shard"))
+      .withColumn("__u", hashUnit(col("__k"), salt + ":order"))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__u"), col("__k"))))
+      .select(col("__k"), col("shard"), col("shard_pos"))
+    df.join(assigned, df(keyCol) === assigned("__k")).drop("__k")
+  }
+
   /** Deterministic per-stratum budget: the `perStratum` rows of each
     * stratum with the lowest hash draw (ties broken by key). The
     * canonical "cap every language/source at N documents" curation step;

@@ -266,6 +266,65 @@ object SimOps {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs: every embedding is
+    * assigned to its nearest centroid cell (the same deterministic
+    * lowest-id coarse quantizer as [[ivfTopK]] — at real scale an
+    * offline k-means ships its centroids and nothing else changes), and
+    * candidate pairs are drawn WITHIN a cell only; each candidate is
+    * verified by exact cosine against `threshold`. Returns
+    * `(id1, id2, sim)` with `id1 < id2`.
+    *
+    * == 100 TB design ==
+    *
+    * Cell assignment is map-only (centroid literals in the plan); the
+    * self-join exchanges `(cell, id)` scalars only, and the verify
+    * re-joins vectors BY ID (semi-filtered to candidate ids) — embedding
+    * arrays never cross an exchange, exactly like [[embeddingNearDups]].
+    * Per-cell pair cost is O(Σ cell²): `numCells` scales with the corpus
+    * (√N cells keeps expected cell size √N), which is the standard
+    * SemDeDup trade — candidates are semantically pre-localized, unlike
+    * the sign-bucket candidates of [[embeddingNearDups]], so a lower
+    * plane budget reaches the same recall.
+    */
+  def semanticNearDups(df: DataFrame, threshold: Double, numCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val centroids: Seq[Seq[Double]] = c.orderBy(col("id"))
+      .limit(numCells).select(col("v"))
+      .collect().map(_.getSeq[Double](0).toVector).toVector
+    // staged all-cells similarity + first-occurrence argmax, identical
+    // to ivfTopK (NaN → -1 so zero-norm rows land deterministically in
+    // cell 0 instead of winning every argmax)
+    val cellSims = array(centroids.map(ct =>
+      nanvl(cosine(col("v"), typedLit(ct)), lit(-1d))): _*)
+    val argmax = (array_position(col("cellSims"), array_max(col("cellSims"))) - 1)
+      .cast("int").as("cell")
+    val assigned = c.withColumn("cellSims", cellSims)
+      .select(col("id"), argmax) // vectors DROP before the exchange
+    // a vector lives in exactly one cell, so each pair forms once — no
+    // dedup pass (unlike OR-amplified LSH tables)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .localCheckpoint(true) // referenced three times below; see DedupOps
+    def side(idn: String, vn: String) = c
+      .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id").as(idn), col("v").as(vn))
+    pairs.join(side("id1", "v1"), "id1").join(side("id2", "v2"), "id2")
+      .withColumn("sim", nanvl(cosine(col("v1"), col("v2")), lit(-1d)))
+      .where(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  /** Semantic dedup survivors: rows of `df` that remain after collapsing
+    * every [[semanticNearDups]] cluster (transitive closure via
+    * [[DedupOps.clusterPairs]]) to its lowest-id member.
+    */
+  def semanticDedup(df: DataFrame, threshold: Double, numCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    DedupOps.nearDupSurvivors(df,
+      semanticNearDups(df, threshold, numCells, idCol, vecCol), idCol)
+
   /** Product-quantization ANN: the corpus is compressed to one small
     * code per subspace (here `numSubspaces` codes of
     * log2(`numCentroids`) bits — 64 doubles become 8 nibbles), queries

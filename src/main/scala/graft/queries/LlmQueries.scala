@@ -535,6 +535,12 @@ object LlmQueries extends QueryPack {
         .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim")),
       oracle = Some(embedNearDupOracle(0.3, numPlanes = 4, numTables = 8))),
 
+    GraftQuery("d9_semantic_dedup",
+      (s, dir) => SimOps.semanticDedup(
+        Tables.load(s, dir, "embeddings"), threshold = 0.3, numCells = 16)
+        .select(col("vec_id")),
+      oracle = Some(semanticDedupOracle(0.3, numCells = 16))),
+
     GraftQuery("d5_simhash_neardup",
       (s, dir) => DedupOps.simhashNearDups(withNearDups(s, dir), "text", "doc_id",
         maxDist = 3),
@@ -720,7 +726,23 @@ object LlmQueries extends QueryPack {
           |       bucket || ':' || CAST(floor(cb / 2000.0) AS BIGINT) AS seq_id,
           |       CAST(row_number() OVER (PARTITION BY bucket, floor(cb / 2000.0)
           |            ORDER BY u, doc_id) AS INT) AS seq_pos
-          |FROM c""".stripMargin))
+          |FROM c""".stripMargin)),
+
+    GraftQuery("x8_shuffle_shard",
+      (s, dir) => CurationOps.shuffleShards(Tables.load(s, dir, "documents"),
+        numShards = 8, keyCol = "doc_id", salt = "ep0")
+        .select(col("doc_id"), col("shard"), col("shard_pos")),
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CAST(floor((('0x' || substr(md5(doc_id::VARCHAR || ':ep0:shard'), 1, 8))::BIGINT
+          |           / 4294967296.0) * 8) AS INT) AS shard,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':ep0:order'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents)
+          |SELECT doc_id, shard,
+          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS INT) AS shard_pos
+          |FROM u""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-
@@ -789,6 +811,44 @@ object LlmQueries extends QueryPack {
     s"""list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $y[i])) /
        |      (sqrt(list_sum(list_transform(generate_series(1, len($x)), i -> $x[i] * $x[i]))) *
        |       sqrt(list_sum(list_transform(generate_series(1, len($y)), i -> $y[i] * $y[i]))))""".stripMargin
+
+  /** DuckDB oracle for semantic dedup: the IVF cell assignment (same
+    * deterministic lowest-id centroids, same first-max argmax), within-
+    * cell pairs verified by exact cosine, recursive transitive closure,
+    * survivors = ids not displaced by a lower-id cluster member — the
+    * whole [[SimOps.semanticDedup]] pipeline re-derived in SQL.
+    */
+  private def semanticDedupOracle(threshold: Double, numCells: Int): String =
+    s"""WITH RECURSIVE c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells) t),
+       |sims AS (
+       |  SELECT c.id, cent.cell, ${cosSql("c.v", "cent.cv")} AS sim
+       |  FROM c CROSS JOIN cent),
+       |asgn AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |p AS (
+       |  SELECT a.id AS id1, b.id AS id2
+       |  FROM asgn a JOIN asgn b USING (cell) WHERE a.id < b.id),
+       |scored AS (
+       |  SELECT p.id1, p.id2, ${cosSql("e1.v", "e2.v")} AS sim
+       |  FROM p JOIN c e1 ON p.id1 = e1.id JOIN c e2 ON p.id2 = e2.id),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM scored WHERE sim >= $threshold
+       |  UNION
+       |  SELECT id2, id1 FROM scored WHERE sim >= $threshold),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cluster AS (
+       |  SELECT src, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+       |SELECT id AS vec_id FROM c
+       |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin
 
   /** DuckDB oracle for the IVF top-k: same deterministic lowest-id
     * centroids, same argmax cell assignment (first max = smallest cell on

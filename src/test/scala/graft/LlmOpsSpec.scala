@@ -292,6 +292,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticNearDups pairs are ordered, thresholded, and cell-local") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 120)
+    val found = SimOps.semanticNearDups(emb, threshold = 0.3, numCells = 8)
+      .select($"id1", $"id2", $"sim").collect()
+    assert(found.nonEmpty)
+    found.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  test("semanticDedup collapses exact vector copies to the lowest id") {
+    // copies of the first 30 vectors under high ids: an identical vector
+    // computes identical cell sims, so each copy lands in its original's
+    // cell, pairs at cosine 1.0, and must lose to the lower original id
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .where($"vec_id" < 150)
+    val copies = emb.where($"vec_id" < 30)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding", $"label")
+    val withCopies = emb.unionByName(copies)
+    val survivors = SimOps.semanticDedup(withCopies, threshold = 0.99, numCells = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    (5000L until 5030L).foreach(id =>
+      assert(!survivors.contains(id), s"planted copy $id survived"))
+    // nothing outside a near-dup cluster may be dropped: originals with
+    // no >= 0.99 neighbor all survive
+    val pairs = SimOps.semanticNearDups(withCopies, threshold = 0.99, numCells = 8)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val all = withCopies.select($"vec_id").as[Long].collect().toSet
+    assert((all -- paired -- survivors).isEmpty, "unpaired rows must survive")
+  }
+
   test("lshTopK recall@10 vs brute force is >= 0.6 at 4 planes (sf0.01)") {
     // pins the quality of the (planes, tables) knobs: changing either
     // must be measured against this recall floor, not eyeballed.
@@ -509,6 +543,34 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     val ids20 = k20.select($"doc_id").as[Long].collect().toSet
     assert(ids5.subsetOf(ids20), "shrinking the budget must pick a subset")
+  }
+
+  test("shuffleShards is a deterministic permutation with dense per-shard positions") {
+    import graft.llm.CurationOps
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val n = docs.count()
+    val out = CurationOps.shuffleShards(docs, 8, "doc_id", "e1")
+      .select($"doc_id", $"shard", $"shard_pos")
+      .as[(Long, Int, Int)].collect()
+    // totality: every row assigned exactly once, shards in range
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // per-shard positions are dense 1..count — the export order is a
+    // well-defined permutation when shards are concatenated
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard positions not dense")
+    }
+    // deterministic: a second run reproduces the identical assignment
+    val again = CurationOps.shuffleShards(docs, 8, "doc_id", "e1")
+      .select($"doc_id", $"shard", $"shard_pos")
+      .as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different salt (epoch) yields a different permutation
+    val ep2 = CurationOps.shuffleShards(docs, 8, "doc_id", "e2")
+      .select($"doc_id", $"shard", $"shard_pos")
+      .as[(Long, Int, Int)].collect()
+    assert(ep2.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
   }
 
   test("ngramContamination: planted copy scores 1.0, short docs score 0.0") {

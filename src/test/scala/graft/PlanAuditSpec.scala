@@ -196,6 +196,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("d9: cell exchanges carry (cell,id) only — vectors re-join by id") {
+    val df = SparkEntry.queries("d9_semantic_dedup")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the within-cell candidate self-join shuffles on the cell key and
+    // must move (cell, id) scalars only — the embedding arrays hang back
+    // on via the by-id verify joins, bounded by the candidate set
+    val cellBlocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning(cell"))
+    cellBlocks.foreach { b =>
+      assert(!b.contains(" v#") && !b.contains("cellSims"),
+        s"embedding array shuffled through a cell exchange:\n$b")
+    }
+  }
+
+  test("x8: shard assignment shuffles a scalar projection, not the payload") {
+    val df = SparkEntry.queries("x8_shuffle_shard")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the rank exchange partitioned on shard carries (key, shard, u)
+    // scalars; document text crosses only the final by-key rejoin
+    val shardBlocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning(shard"))
+    assert(shardBlocks.nonEmpty, s"no shard exchange found:\n$formatted")
+    shardBlocks.foreach { b =>
+      assert(!b.contains("text#"),
+        s"document text shuffled through the shard exchange:\n$b")
+    }
+  }
+
   test("x3: stratified rank-filter runs as WindowGroupLimit (map-side top-k)") {
     val df = SparkEntry.queries("x3_stratified_sample")(spark, sf)
     df.collect()

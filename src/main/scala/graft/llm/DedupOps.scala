@@ -488,6 +488,84 @@ object DedupOps {
       .drop("__id", "__dp")
   }
 
+  /** Exact duplicated-span detection (the word-level form of the
+    * suffix-array exact-substring dedup in "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2021): every sliding
+    * `window`-word run whose md5 occurs in at least `minDocs` distinct
+    * documents marks its word positions as duplicated, and overlapping /
+    * adjacent duplicated positions merge into maximal spans. Returns one
+    * row per input document:
+    * `(idCol, n_words, dup_words, dup_frac, n_spans)`.
+    *
+    * A span here is a maximal island of covered word positions — two
+    * windows at `p` and `p+window` (touching, not overlapping) belong to
+    * the same span, mirroring the character-run semantics of the
+    * suffix-array formulation.
+    *
+    * == 100 TB design ==
+    *
+    * A true distributed suffix array is unnecessary for fixed-length
+    * windows: the rolling-window hash relation `(id, pos, 16-byte md5)`
+    * carries everything the span merge needs and is projected map-side —
+    * document text never crosses an exchange. Frequency counting
+    * aggregates distinct `(hash, id)` pairs with map-side combine; the
+    * duplicated-hash set is O(duplicated windows) and joins back
+    * semi-style (AQE broadcasts it when small). Interval merging is a
+    * higher-order `aggregate` fold over each document's sorted dup
+    * positions — covered positions are never exploded, so per-doc state
+    * through the exchange is one int per duplicated window, not one per
+    * covered word.
+    */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val w = window
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    // stage words once (split is interpreted; see the scaladoc pattern
+    // on minhashNearDups), then derive (id, pos, hash) and drop text
+    val staged = df.select(col(idCol).as("__id"), words.as("__ws"))
+      .select(col("__id"), col("__ws"), size(col("__ws")).as("__nw"))
+    val winHashes = when(col("__nw") >= w,
+      transform(sequence(lit(1), col("__nw") - w + 1),
+        p => md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
+          lit("utf-8")))))
+      .otherwise(array().cast("array<string>"))
+    // one row per window occurrence: (id, 1-based pos, hash) — consumed
+    // twice below (frequency count + per-doc dup positions)
+    val posed = staged
+      .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
+      .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
+      .localCheckpoint(true)
+    val dupHashes = posed.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minDocs)
+      .select(col("__h"))
+    // sorted dup-window positions per affected doc, folded into
+    // (covered word count, island count): a window at p covers
+    // [p, p+w-1]; a new island starts when p clears the previous
+    // coverage by more than one position
+    val folded = aggregate(sort_array(col("__ps")),
+      struct(lit(0).as("cov"), lit(0).as("sp"), lit(-w - 1).as("end")),
+      (acc, p) => struct(
+        when(p > acc("end"), acc("cov") + w)
+          .otherwise(acc("cov") + greatest(p + w - 1 - acc("end"), lit(0)))
+          .as("cov"),
+        when(p > acc("end") + 1, acc("sp") + 1).otherwise(acc("sp")).as("sp"),
+        greatest(acc("end"), p + w - 1).as("end")))
+    val perDoc = posed.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col("__id")).agg(collect_list(col("__pos")).as("__ps"))
+      .select(col("__id"), folded.as("__m"))
+    staged.select(col("__id"), col("__nw"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("__nw").cast("long").as("n_words"),
+        coalesce(col("__m.cov"), lit(0)).cast("long").as("dup_words"),
+        round(coalesce(col("__m.cov"), lit(0)).cast("double") /
+          greatest(col("__nw"), lit(1)), 6).as("dup_frac"),
+        coalesce(col("__m.sp"), lit(0)).cast("long").as("n_spans"))
+  }
+
   /** Connected components over an undirected near-dup pair set (the
     * `id1 < id2` rows of [[minhashNearDups]] and friends): every
     * document appearing in a pair is labeled with the MINIMUM doc id

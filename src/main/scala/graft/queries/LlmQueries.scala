@@ -621,6 +621,64 @@ object LlmQueries extends QueryPack {
           |       t.n_paras - a.n_kept AS n_dropped
           |FROM agg a JOIN tot t USING (doc_id)""".stripMargin)),
 
+    GraftQuery("d10_substring_dedup",
+      // exact duplicated-span detection: every 3rd doc carries a planted
+      // 12-word phrase (>= the 8-word window), so its sliding windows
+      // repeat across docs and must surface as merged spans; natural
+      // 8-word repeats (if any) are detected identically in both engines
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val built = d.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(substring(col("text"), 1, 120),
+              lit(" all work and no play makes jack a dull boy every day "),
+              substring(col("text"), 121, 240)))
+            .otherwise(col("text")).as("text"))
+        DedupOps.duplicatedSpans(built, "text", "doc_id",
+          window = 8, minDocs = 2)
+      },
+      oracle = Some(
+        raw"""WITH d AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN substr(text, 1, 120) ||
+           |                   ' all work and no play makes jack a dull boy every day ' ||
+           |                   substr(text, 121, 240)
+           |              ELSE text END AS text
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, ws, len(ws) AS nw
+           |  FROM (SELECT doc_id,
+           |               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                           x -> x <> '') AS ws
+           |        FROM d)),
+           |wins AS (
+           |  SELECT doc_id, unnest(range(1, nw - 8 + 2)) AS p, ws
+           |  FROM base WHERE nw >= 8),
+           |wh AS (
+           |  SELECT doc_id, p, md5(array_to_string(ws[p:p+7], ' ')) AS h
+           |  FROM wins),
+           |dup AS (
+           |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+           |                 FROM wh GROUP BY 1) WHERE c >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p + o AS c
+           |  FROM (SELECT doc_id, p, unnest(range(0, 8)) AS o
+           |        FROM wh WHERE h IN (SELECT h FROM dup))),
+           |isl AS (
+           |  SELECT doc_id, c,
+           |         CASE WHEN lag(c) OVER w IS NULL OR c - lag(c) OVER w > 1
+           |              THEN 1 ELSE 0 END AS b
+           |  FROM cov WINDOW w AS (PARTITION BY doc_id ORDER BY c)),
+           |agg AS (
+           |  SELECT doc_id, count(*) AS dup_words, sum(b) AS n_spans
+           |  FROM isl GROUP BY 1)
+           |SELECT b.doc_id, b.nw AS n_words,
+           |       coalesce(a.dup_words, 0)::BIGINT AS dup_words,
+           |       round(coalesce(a.dup_words, 0)::DOUBLE / greatest(b.nw, 1), 6) AS dup_frac,
+           |       coalesce(a.n_spans, 0)::BIGINT AS n_spans
+           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     GraftQuery("t6_c4_clean",
       // synthetic line structure: four 60-char slices, two of every
       // three ending in terminal punctuation, plus a banned-phrase line

@@ -119,6 +119,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Set(1L, 3L))
   }
 
+  test("duplicatedSpans merges overlapping, adjacent, and split spans") {
+    val docs = Seq(
+      (1L, "one two three four five six"),          // dup windows at 1,2
+      (2L, "zzz one two three four qqq"),           // dup windows at 2,3
+      (3L, "totally different words here indeed"),  // clean
+      // 'gap gap gap' repeats within doc 4 only — distinct-docs
+      // frequency must NOT mark it; two separated dup spans remain
+      (4L, "one two three gap gap gap gap two three four"),
+      (5L, "a b c d e f"),                          // dup windows at 1,4 (touching)
+      (6L, "a b c x x x d e f")                     // dup windows at 1,7 (split)
+    ).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(docs, "text", "doc_id",
+      window = 3, minDocs = 2)
+      .select($"doc_id", $"n_words", $"dup_words", $"n_spans")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 4L, 1L)))   // [1..4] merged from overlap
+    assert(out(2L) == ((6L, 4L, 1L)))   // [2..5]
+    assert(out(3L) == ((5L, 0L, 0L)))
+    assert(out(4L) == ((10L, 6L, 2L)))  // [1..3] + [8..10]
+    assert(out(5L) == ((6L, 6L, 1L)))   // [1..3]+[4..6] adjacent → one span
+    assert(out(6L) == ((9L, 6L, 2L)))   // [1..3] + [7..9]
+    // dup_frac is the covered-word share, rounded to 6 places
+    val frac = DedupOps.duplicatedSpans(docs, "text", "doc_id", 3, 2)
+      .where($"doc_id" === 1L).select($"dup_frac").as[Double].head()
+    assert(frac == math.rint(4.0 / 6.0 * 1e6) / 1e6 ||
+      math.abs(frac - 0.666667) < 1e-9)
+  }
+
+  test("duplicatedSpans: docs shorter than the window yield zero rows counted") {
+    val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = DedupOps.duplicatedSpans(docs, "text", "doc_id",
+      window = 3, minDocs = 2)
+      .select($"doc_id", $"n_words", $"dup_words", $"n_spans")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(1L -> ((2L, 0L, 0L)), 2L -> ((2L, 0L, 0L))))
+  }
+
   test("incrementalExactDedup drops corpus dups, dedups within batch") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq(

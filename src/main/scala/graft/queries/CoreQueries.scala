@@ -109,6 +109,83 @@ object CoreQueries extends QueryPack {
           |GROUP BY n_name""".stripMargin),
       headline = true),
 
+    GraftQuery("a7_rollup",
+      // multi-level OLAP aggregate in ONE pass: Spark's rollup emits the
+      // (event_type, day), (event_type) and () grouping sets from a
+      // single Expand + hash aggregate — no per-level re-scan. Rollup
+      // NULLs are rendered as '(all)' so the two engines agree on the
+      // subtotal rows' representation (event_type/day are never null in
+      // the data).
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("total_value"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit("(all)")).as("day"),
+          col("n_events"), col("total_value")),
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS day,
+          |         value
+          |  FROM events)
+          |SELECT coalesce(event_type, '(all)') AS event_type,
+          |       coalesce(day, '(all)') AS day,
+          |       count(*) AS n_events,
+          |       round(sum(value), 6) AS total_value
+          |FROM ev GROUP BY ROLLUP (event_type, day)""".stripMargin)),
+
+    GraftQuery("w4_running_agg",
+      // running + sliding window aggregates per user: cumulative sum,
+      // 5-row moving average, and the row index — one exchange on
+      // user_id serves all three frames
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          round(sum("value").over(w.rowsBetween(Long.MinValue, 0)), 6).as("cum_value"),
+          round(avg("value").over(w.rowsBetween(-4, 0)), 6).as("avg5"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       CAST(row_number() OVER w AS INT) AS rn,
+          |       round(sum(value) OVER (w ROWS UNBOUNDED PRECEDING), 6) AS cum_value,
+          |       round(avg(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS avg5
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    GraftQuery("q7_set_ops",
+      // set operations (SURVEY §2.6): distinct-buyer key sets of two
+      // years combined via INTERSECT / EXCEPT; each leg reduces to
+      // counts so the result is a 3-row summary
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        def buyers(y: Int) = o.where(year(col("o_orderdate")) === y)
+          .select(col("o_custkey")).distinct()
+        val b94 = buyers(1994)
+        val b95 = buyers(1995)
+        def leg(tag: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_customers"))
+            .select(lit(tag).as("bucket"), col("n_customers"))
+        leg("both", b94.intersect(b95))
+          .unionAll(leg("only_1994", b94.except(b95)))
+          .unionAll(leg("only_1995", b95.except(b94)))
+      },
+      oracle = Some(
+        """WITH b94 AS (SELECT DISTINCT o_custkey FROM orders
+          |             WHERE year(o_orderdate) = 1994),
+          |b95 AS (SELECT DISTINCT o_custkey FROM orders
+          |        WHERE year(o_orderdate) = 1995)
+          |SELECT 'both' AS bucket, count(*) AS n_customers
+          |FROM (SELECT * FROM b94 INTERSECT SELECT * FROM b95)
+          |UNION ALL
+          |SELECT 'only_1994', count(*)
+          |FROM (SELECT * FROM b94 EXCEPT SELECT * FROM b95)
+          |UNION ALL
+          |SELECT 'only_1995', count(*)
+          |FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b94)""".stripMargin)),
+
     GraftQuery("j8_salted_join",
       // a deliberately hot-keyed join (3 keys carry the whole events
       // table) through the explicit salting operator: each hot key

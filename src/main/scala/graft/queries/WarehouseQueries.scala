@@ -34,10 +34,11 @@ object WarehouseQueries extends QueryPack {
     StructField("v_type", StringType),
     StructField("v_amount", DoubleType)))
 
-  /** Final-state SQL shared by s6 (LINEAR) and s8 (ZORDER): the file
-    * layout must never change table contents.
+  /** Staged-events + seed-state (`d0`) CTEs shared by the merge-cycle
+    * oracles and the time-travel oracle (s10 reads the seed state BACK
+    * from snapshot v1, so its expected rows are exactly `d0`).
     */
-  private val mergeCycleOracle =
+  private val stagedD0Cte =
     """WITH staged AS (
       |  SELECT user_id AS k, event_id AS i,
       |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS v_type,
@@ -49,7 +50,13 @@ object WarehouseQueries extends QueryPack {
       |    SELECT k, v_type, v_amount, pt,
       |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
       |    FROM staged WHERE i < 5000) t
-      |  WHERE rn = 1 AND v_type IS NOT NULL),
+      |  WHERE rn = 1 AND v_type IS NOT NULL)""".stripMargin
+
+  /** Final-state SQL shared by s6 (LINEAR) and s8 (ZORDER): the file
+    * layout must never change table contents.
+    */
+  private val mergeCycleOracle = stagedD0Cte +
+    """,
       |s1 AS (
       |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
       |    SELECT k, v_type, v_amount, pt,
@@ -86,6 +93,28 @@ object WarehouseQueries extends QueryPack {
           col("_pday").cast("string").as("pday"))
       },
       oracle = Some(mergeCycleOracle)),
+
+    GraftQuery("s10_time_travel",
+      (s, dir) => {
+        // seed (snapshot v1) then merge the second half (v2, which
+        // archives the replaced partition generations) — and read
+        // snapshot v1 BACK: time travel must reproduce the pre-merge
+        // table bit-for-bit, which is exactly the oracle's d0 state
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_tt"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        t.readAsOf(1).select(col("k"), col("v_type"), col("v_amount"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(stagedD0Cte +
+        "\nSELECT k, v_type, v_amount, pday FROM d0")),
 
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {

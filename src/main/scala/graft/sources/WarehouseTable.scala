@@ -24,6 +24,10 @@ import java.util.UUID
   *   _graft/table.json                 key fields + schema (SchemaManager cache)
   *   _graft/bloom2/YYYY-MM-DD.bloom    per-partition key bloom filter
   *                                     (format-versioned: dir + magic)
+  *   _graft/snapshots/v&lt;N&gt;.list        per-version day→file manifests
+  *                                     (time travel: [[readAsOf]]/[[history]])
+  *   _graft/history/v&lt;N&gt;/_pday=…       partition generations replaced at
+  *                                     version N (reclaimed by [[vacuum]])
   * }}}
   *
   * == 100 TB design: why the merge scans only a bounded partition set ==
@@ -285,6 +289,7 @@ final class WarehouseTable private (
       val touched = routed.select(partitionCol).distinct()
         .collect().map(_.getString(0)).toSeq
       refreshBlooms(touched)
+      if (touched.nonEmpty) commitSnapshot("append", touched, currentVersion + 1)
       expireOldPartitions()
     } finally routed.unpersist()
     routed
@@ -334,7 +339,10 @@ final class WarehouseTable private (
         }
     }
     fs.delete(stagingPath, true)
-    refreshBlooms(touched.map(_.stripPrefix(s"$partitionCol=")))
+    val touchedDays = touched.map(_.stripPrefix(s"$partitionCol="))
+    refreshBlooms(touchedDays)
+    if (touchedDays.nonEmpty)
+      commitSnapshot("append-batch", touchedDays, currentVersion + 1)
     expireOldPartitions()
   }
 
@@ -422,8 +430,10 @@ final class WarehouseTable private (
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      swapPartitions(staging, days)
+      val v = currentVersion + 1
+      swapPartitions(staging, days, v)
       refreshBlooms(days)
+      commitSnapshot("merge", days, v)
       expireOldPartitions()
       days
     } finally src.unpersist()
@@ -523,8 +533,10 @@ final class WarehouseTable private (
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      swapPartitions(staging, days)
+      val v = currentVersion + 1
+      swapPartitions(staging, days, v)
       refreshBlooms(days)
+      commitSnapshot("merge-delete", days, v)
       expireOldPartitions()
       days
     } finally fenced.unpersist()
@@ -676,8 +688,10 @@ final class WarehouseTable private (
     val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
     clusteredWrite(conformToSchema(readDays(existing))).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    swapPartitions(staging, existing)
+    val v = currentVersion + 1
+    swapPartitions(staging, existing, v)
     refreshBlooms(existing)
+    commitSnapshot("compact", existing, v)
     existing
   }
 
@@ -695,13 +709,21 @@ final class WarehouseTable private (
     case Some(ttl) =>
       val cutoff = asOfMs - ttl
       val dropped = listDays().filter(d => sliceEndMs(d).exists(_ < cutoff))
+      if (dropped.isEmpty) return Seq.empty
+      // logical delete: the expired generation is archived for snapshot
+      // reads ([[readAsOf]]) and physically removed by [[vacuum]]
+      val v = currentVersion + 1
+      val archDir = new Path(s"$historyDir/v$v")
       dropped.foreach { d =>
-        fs.delete(new Path(s"$dataPath/$partitionCol=$d"), true)
+        fs.mkdirs(archDir)
+        fs.rename(new Path(s"$dataPath/$partitionCol=$d"),
+          new Path(archDir, s"$partitionCol=$d"))
         Seq(bloomDir, legacyBloomDir).foreach { dir =>
           val bloom = new Path(s"$dir/$d.bloom")
           if (fs.exists(bloom)) fs.delete(bloom, false)
         }
       }
+      commitSnapshot("expire", dropped, v)
       dropped
   }
 
@@ -732,20 +754,181 @@ final class WarehouseTable private (
   // ---- partition swap (atomic-per-partition rewrite) ----
 
   /** Replace the given day partitions of `data/` with the contents of a
-    * staging write: rename-in per partition, remove old, delete staging.
+    * staging write: rename-in per partition, archive old, delete staging.
     * Partitions in `days` absent from staging (every row deleted) are
-    * removed.
+    * removed from `data/`. Replaced generations are renamed (not
+    * deleted) into `_graft/history/v<archiveVersion>/` so snapshot reads
+    * ([[readAsOf]]) stay serviceable until [[vacuum]].
     */
-  private def swapPartitions(staging: String, days: Seq[String]): Unit = {
+  private def swapPartitions(staging: String, days: Seq[String],
+      archiveVersion: Long): Unit = {
     fs.mkdirs(new Path(dataPath))
+    val archDir = new Path(s"$historyDir/v$archiveVersion")
     days.foreach { d =>
       val oldP = new Path(s"$dataPath/$partitionCol=$d")
       val newP = new Path(s"$staging/$partitionCol=$d")
-      val trash = new Path(s"$staging/.old-$partitionCol=$d")
-      if (fs.exists(oldP)) fs.rename(oldP, trash)
+      if (fs.exists(oldP)) {
+        fs.mkdirs(archDir)
+        fs.rename(oldP, new Path(archDir, s"$partitionCol=$d"))
+      }
       if (fs.exists(newP)) fs.rename(newP, oldP)
     }
     fs.delete(new Path(staging), true)
+  }
+
+  // ---- snapshots / time travel ----
+
+  private def snapDir = s"$root/_graft/snapshots"
+  private def historyDir = s"$root/_graft/history"
+
+  /** Current snapshot version; 0 before the first committed mutation. */
+  def currentVersion: Long = {
+    val p = new Path(s"$snapDir/CURRENT")
+    if (!fs.exists(p)) 0L
+    else readMetaString(spark, p.toString).trim.toLong
+  }
+
+  private def listDayFiles(dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+
+  /** Manifest of snapshot `version`: day → data file names. */
+  private def readManifest(version: Long): Map[String, Seq[String]] = {
+    val p = new Path(s"$snapDir/v$version.list")
+    if (version <= 0 || !fs.exists(p)) Map.empty
+    else readMetaString(spark, p.toString).linesIterator
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .map(_.split("\t", 2)).collect { case Array(d, f) => d -> f }
+      .toSeq.groupBy(_._1).map { case (d, dfs) => d -> dfs.map(_._2) }
+  }
+
+  /** Commit snapshot `version`: the previous manifest with the touched
+    * days' entries refreshed from a directory listing (removed days drop
+    * out). Driver-side metadata only — one small text read + write and
+    * O(touched days) listings, NEVER a relisting of the whole table, so
+    * per-flush commit cost is independent of table history. A
+    * pre-snapshot table's first commit baselines from a full day
+    * listing.
+    */
+  private def commitSnapshot(op: String, touched: Seq[String],
+      version: Long): Unit = {
+    val prev: Map[String, Seq[String]] =
+      if (!fs.exists(new Path(s"$snapDir/CURRENT")))
+        listDays().map(d =>
+          d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
+      else readManifest(currentVersion)
+    val updated = touched.foldLeft(prev) { (m, d) =>
+      val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
+      if (files.isEmpty) m - d else m.updated(d, files)
+    }
+    val body = new StringBuilder()
+    body.append('#').append(op).append('\t')
+      .append(System.currentTimeMillis()).append('\n')
+    updated.toSeq.sortBy(_._1).foreach { case (d, files) =>
+      files.sorted.foreach(f =>
+        body.append(d).append('\t').append(f).append('\n'))
+    }
+    writeMetaString(spark, s"$snapDir/v$version.list", body.toString)
+    writeMetaString(spark, s"$snapDir/CURRENT", version.toString)
+  }
+
+  /** Committed snapshots, newest first: (version, operation, commit
+    * epoch-millis). Versions already vacuumed are absent.
+    */
+  def history(): Seq[(Long, String, Long)] = {
+    val p = new Path(snapDir)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toLong }
+      .sorted(Ordering[Long].reverse)
+      .map { v =>
+        val header = readMetaString(spark, s"$snapDir/v$v.list")
+          .linesIterator.buffered.headOption.getOrElse("")
+        val parts = header.stripPrefix("#").split("\t", 2)
+        (v, parts.headOption.getOrElse("?"),
+          parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
+      }
+  }
+
+  /** Time-travel read: the table exactly as of snapshot `version`
+    * (BigQuery `FOR SYSTEM_TIME AS OF` / Delta `VERSION AS OF` analog).
+    *
+    * Resolution is per PARTITION, driver-side metadata only: a day whose
+    * content changed after `version` was archived wholesale by the first
+    * post-`version` swap/expire that touched it, so its as-of files live
+    * in exactly one place — that archive, or the live partition if the
+    * day was never rewritten since (post-`version` appends only ADD
+    * files, which the manifest's file list excludes). Each location
+    * group becomes one parquet read (partition column inferred from the
+    * directory layout under its basePath); the scan plan is the same
+    * pruned explicit-schema read as [[read]]. Throws when the snapshot
+    * or any of its files has been [[vacuum]]ed.
+    */
+  def readAsOf(version: Long): DataFrame = {
+    val cur = currentVersion
+    require(version >= 1 && version <= cur,
+      s"version $version not in available range 1..$cur")
+    if (version == cur) return read()
+    if (!fs.exists(new Path(s"$snapDir/v$version.list")))
+      throw new IllegalStateException(
+        s"snapshot v$version has been vacuumed (available: " +
+          s"${history().map(_._1).sorted.mkString(",")})")
+    val manifest = readManifest(version)
+    if (manifest.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(partitionCol, "string"))
+    val archives =
+      if (!fs.exists(new Path(historyDir))) Seq.empty[Long]
+      else fs.listStatus(new Path(historyDir)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+        .filter(_ > version).sorted
+    val located = manifest.toSeq.map { case (d, files) =>
+      val base = archives.find(n =>
+          fs.exists(new Path(s"$historyDir/v$n/$partitionCol=$d")))
+        .map(n => s"$historyDir/v$n").getOrElse(dataPath)
+      val have = listDayFiles(new Path(s"$base/$partitionCol=$d")).toSet
+      val missing = files.filterNot(have.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"snapshot v$version: ${missing.size} file(s) of $partitionCol=$d " +
+          s"missing from $base (vacuumed or externally modified)")
+      (base, d, files)
+    }
+    located.groupBy(_._1).toSeq.map { case (base, entries) =>
+      conformToSchema(spark.read.schema(schema).option("basePath", base)
+        .parquet(entries.flatMap { case (_, d, files) =>
+          files.map(f => s"$base/$partitionCol=$d/$f") }: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Drop snapshot manifests and archived partition generations not
+    * reachable from the newest `retainVersions` snapshots. The live
+    * table state is never touched; [[readAsOf]] of a vacuumed version
+    * throws. Returns the vacuumed manifest versions.
+    */
+  def vacuum(retainVersions: Int): Seq[Long] = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
+    val cur = currentVersion
+    if (cur == 0L) return Seq.empty
+    val minKept = math.max(1L, cur - retainVersions + 1)
+    val removed = fs.listStatus(new Path(snapDir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toLong }
+      .filter(_ < minKept).sorted
+    removed.foreach(v => fs.delete(new Path(s"$snapDir/v$v.list"), false))
+    // archive v<N> holds content visible only to versions < N; with
+    // every readable version now >= minKept, archives N <= minKept are
+    // unreachable
+    if (fs.exists(new Path(historyDir)))
+      fs.listStatus(new Path(historyDir)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+        .filter(_ <= minKept)
+        .foreach(n => fs.delete(new Path(s"$historyDir/v$n"), true))
+    removed
   }
 }
 

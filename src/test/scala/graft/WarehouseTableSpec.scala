@@ -442,6 +442,70 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().select($"f1").as[String].collect().toSeq == Seq("live"))
   }
 
+  test("time travel: snapshots capture appends, merges, and expirations") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    assert(t.currentVersion == 0L)
+    // v1: seed two days
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    // v2: append a third row to day 2
+    t.append(Seq((3L, "c1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    // v3: merge updates k=1 and deletes k=2
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1), (2L, None, 11L, 1))))
+    assert(t.currentVersion == 3L)
+    assert(t.history().map(h => h._1 -> h._2) ==
+      Seq(3L -> "merge", 2L -> "append", 1L -> "append"))
+
+    def state(df: DataFrame): Set[(Long, String)] =
+      df.select($"k1", $"f1").as[(Long, String)].collect().toSet
+    assert(state(t.readAsOf(1)) == Set((1L, "a1"), (2L, "b1")))
+    assert(state(t.readAsOf(2)) == Set((1L, "a1"), (2L, "b1"), (3L, "c1")))
+    assert(state(t.readAsOf(3)) == Set((1L, "a2"), (3L, "c1")))
+    assert(state(t.read()) == state(t.readAsOf(3)))
+    // partition column travels too
+    assert(t.readAsOf(1).select($"_pday").distinct().as[String].collect().toSet ==
+      Set("2024-01-01"))
+    intercept[IllegalArgumentException](t.readAsOf(4))
+    intercept[IllegalArgumentException](t.readAsOf(0))
+  }
+
+  test("time travel: expired partitions stay readable as-of, vacuum reclaims") {
+    val root = tmpRoot()
+    val t0 = mkTable(root)
+    t0.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))  // v1
+    t0.append(Seq((2L, "new")).toDF("k1", "f1").withColumn("partitionTime", ts(10))) // v2
+    val t = t0.alterOptions(graft.sources.TableOptions(
+      partitionExpirationMs = Some(86400000L)))
+    val asOf = java.time.Instant.parse("2024-01-11T00:00:00Z").toEpochMilli
+    assert(t.expirePartitions(asOf) == Seq("2024-01-01")) // v3 (logical delete)
+    assert(t.listDays() == Seq("2024-01-10"))
+    // the expired generation is archived: v2 still sees it
+    assert(t.readAsOf(2).select($"f1").as[String].collect().toSet == Set("old", "new"))
+    assert(t.readAsOf(3).select($"f1").as[String].collect().toSeq == Seq("new"))
+    // vacuum to the last snapshot: archives + old manifests go away
+    val removed = t.vacuum(retainVersions = 1)
+    assert(removed == Seq(1L, 2L))
+    intercept[IllegalStateException](t.readAsOf(2))
+    assert(t.readAsOf(3).select($"f1").as[String].collect().toSeq == Seq("new"))
+    assert(t.read().select($"f1").as[String].collect().toSeq == Seq("new"))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/history/v3")),
+      "vacuum must reclaim unreachable archived generations")
+  }
+
+  test("time travel: merge-archived generation readable after later append to same day") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "x1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))   // v1
+    t.merge(staged(Seq((1L, Some("x2"), 5L, 1))))                                   // v2 (archives v1 gen)
+    t.append(Seq((9L, "z1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))   // v3 (adds file in place)
+    def vals(v: Long) = t.readAsOf(v).select($"f1").as[String].collect().toSet
+    assert(vals(1) == Set("x1"))
+    assert(vals(2) == Set("x2"))
+    assert(vals(3) == Set("x2", "z1"))
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -147,6 +147,55 @@ object ConvertQueries extends QueryPack {
           |       (user_id % 8) * 1099511627776 + event_id AS i,
           |       make_timestamp(epoch_ns(ts)//1000) AS pt,
           |       7 AS bn
-          |FROM events""".stripMargin))
+          |FROM events""".stripMargin)),
+
+    GraftQuery("p12_json_extract",
+      // schema-on-read over JSON payloads: the real `props` column plus
+      // a constructed nested document (object/array/nested-object, with
+      // every 97th row corrupted) parsed via from_json — PERMISSIVE
+      // mode nulls malformed rows instead of failing the batch, the
+      // engine-side analog of the reference's per-row error
+      // classification
+      (s, dir) => {
+        val built = graft.Tables.load(s, dir, "events").select(
+          col("event_id"), col("props"),
+          when(col("event_id") % 97 === 0, lit("not json")).otherwise(
+            concat(lit("{\"u\": "), col("user_id"),
+              lit(", \"et\": \""), col("event_type"),
+              lit("\", \"tags\": ["), col("user_id") % 4,
+              lit(", "), col("event_id") % 7,
+              lit("], \"m\": {\"k\": "), col("user_id") % 100,
+              lit("}}"))).as("js"))
+        val parsed = from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "u BIGINT, et STRING, tags ARRAY<INT>, m STRUCT<k: INT>"))
+        built.select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("props_k"),
+          parsed.getField("u").as("u"),
+          parsed.getField("et").as("et"),
+          parsed.getField("tags").getItem(0).as("tag0"),
+          parsed.getField("tags").getItem(1).as("tag1"),
+          parsed.getField("m").getField("k").as("mk"),
+          get_json_object(col("js"), "$.absent").as("absent"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_id, props,
+          |         CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE
+          |           '{"u": ' || user_id || ', "et": "' || event_type ||
+          |           '", "tags": [' || (user_id % 4) || ', ' || (event_id % 7) ||
+          |           '], "m": {"k": ' || (user_id % 100) || '}}' END AS js
+          |  FROM events)
+          |SELECT event_id,
+          |       json_extract(props, '$.k')::INT AS props_k,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.u')::BIGINT END AS u,
+          |       CASE WHEN json_valid(js) THEN json_extract_string(js, '$.et') END AS et,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.tags[0]')::INT END AS tag0,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.tags[1]')::INT END AS tag1,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.m.k')::INT END AS mk,
+          |       CASE WHEN json_valid(js) THEN json_extract_string(js, '$.absent') END AS absent
+          |FROM b""".stripMargin))
   )
 }

@@ -93,6 +93,52 @@ object CurationOps {
     df.join(assigned, df(keyCol) === assigned("__k")).drop("__k")
   }
 
+  /** Deterministic weighted source interleave: rows are hash-assigned to
+    * `numShards` shards, and WITHIN each shard ordered so sources appear
+    * in proportion to `weights` — stride scheduling: the r-th (hash-
+    * ranked) row of source s in a shard runs at virtual time `r / w_s`,
+    * and `shard_pos` is the rank by that virtual time. A 0.5/0.3/0.2
+    * mixture thus reads interleaved ~5:3:2 from the very first rows of
+    * every shard, instead of exhausting one source first — the
+    * curriculum-neutral training order a mixture export needs (vs
+    * [[shuffleShards]], which ignores source identity; vs
+    * [[mixtureSample]], which picks a subset but does not order it).
+    * Rows whose source has no weight are dropped. Appends `shard` and
+    * `shard_pos`.
+    *
+    * == 100 TB design ==
+    *
+    * No global sort: shards order independently in parallel, and the
+    * ordering windows carry `(key, source, shard)` scalars — the
+    * payload crosses only the final rejoin by key. Virtual times are
+    * exact divisions of an integer rank by a literal weight, so the
+    * order is engine-portable and reproducible under any layout.
+    */
+  def interleaveShards(df: DataFrame, sourceCol: String,
+      weights: Map[String, Double], numShards: Int, keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val wcol = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col("__src") === s, lit(w)).otherwise(acc)
+    }
+    val assigned = df
+      .select(col(keyCol).as("__k"), col(sourceCol).as("__src"))
+      .where(col("__src").isin(weights.keys.toSeq: _*))
+      .withColumn("shard", hashBucket(col("__k"), numShards, salt + ":shard"))
+      .withColumn("__u", hashUnit(col("__k"), salt + ":order"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("shard"), col("__src"))
+          .orderBy(col("__u"), col("__k"))))
+      .withColumn("__vt", col("__r") / wcol)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__vt"), col("__src"), col("__k"))))
+      .select(col("__k"), col("shard"), col("shard_pos"))
+    df.join(assigned, df(keyCol) === assigned("__k")).drop("__k")
+  }
+
   /** Deterministic per-stratum budget: the `perStratum` rows of each
     * stratum with the lowest hash draw (ties broken by key). The
     * canonical "cap every language/source at N documents" curation step;

@@ -412,4 +412,85 @@ object SimOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
+
+  /** Scalar-quantization (SQ8) ANN: every dimension is affinely mapped
+    * to an integer code in `[0, levels-1]` using the corpus's exact
+    * per-dimension `[min, max]` range, queries rank the whole corpus by
+    * cosine against the DEQUANTIZED codes, and the top `candidates` per
+    * query are re-ranked by exact cosine — the simplest
+    * compress-scan-rerank pipeline, complementing [[pqTopK]] (SQ8 keeps
+    * per-dimension resolution; PQ trades it for deeper compression).
+    *
+    * == 100 TB design ==
+    *
+    * The quantizer is two exact scalars per dimension (min/max — one
+    * explode+aggregate job, O(dim) collect, no float-sum order
+    * sensitivity), carried as plan literals. The full-corpus pass
+    * touches `(id, codes)` — int8-sized codes, 8× smaller than the
+    * double vectors — and dequantization is arithmetic on literals, not
+    * I/O. Queries broadcast; candidate ranking windows over scalars;
+    * exact vectors return for `queries × candidates` rows via broadcast
+    * joins. The corpus is never shuffled (same plan shape [[pqTopK]]
+    * audits).
+    *
+    * Encode (`floor` of the affine map, clamped) and decode
+    * (`mn + code·(mx-mn)/(levels-1)`) use only exact-per-value double
+    * arithmetic, so a DuckDB oracle re-derives codes and reconstruction
+    * bit-for-bit.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int = 40, levels: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val stats = c.select(posexplode(col("nbr_vec")).as(Seq("p", "x")))
+      .groupBy(col("p")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("p")).collect()
+    val mns = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxs = typedLit(stats.map(_.getDouble(2)).toSeq)
+    val top = lit((levels - 1).toDouble)
+
+    // encode, then reconstruct FROM THE CODES (the persisted form a
+    // real index would store), both staged per corpus row
+    val codesCol = transform(col("nbr_vec"), (x, i0) => {
+      val mn = element_at(mns, i0 + 1)
+      val mx = element_at(mxs, i0 + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(greatest(floor((x - mn) / (mx - mn) * top), lit(0.0)), top))
+        .cast("int")
+    })
+    val encoded = c.select(col("nbr_id"), codesCol.as("_codes"))
+    val recon = transform(col("_codes"), (code, i0) => {
+      val mn = element_at(mns, i0 + 1)
+      val mx = element_at(mxs, i0 + 1)
+      mn + code * (mx - mn) / top
+    })
+    val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+
+    val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("nbr_id"))
+    val cand = approx
+      .withColumn("_crank", row_number().over(wc))
+      .where(col("_crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"))
+
+    val exact = c.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    exact
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
 }

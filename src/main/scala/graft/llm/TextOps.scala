@@ -327,6 +327,50 @@ object TextOps {
       .withColumn("n_ips", regexp_count(noEmail, lit(Ipv4Re)).cast("long"))
       .withColumn("n_phones", regexp_count(noIp, lit(PhoneRe)).cast("long"))
   }
+
+  /** Unigram language-model surprisal: the corpus's own unigram
+    * distribution scores each document with the mean per-token
+    * information content, `-log2 p(token)` averaged over occurrences —
+    * the cheapest corpus-relative quality/typicality signal (boilerplate
+    * and keyword-stuffed docs score low, rare-token gibberish scores
+    * high). Appends `n_tokens` (long) and `surprisal_bits` (double,
+    * rounded to 6; NULL for token-less docs).
+    *
+    * == 100 TB design ==
+    *
+    * Everything flows through per-document TERM FREQUENCIES, never
+    * per-occurrence rows: the `(doc, token, tf)` relation — one row per
+    * distinct token per doc, Zipf-compressed vs the raw token stream —
+    * is localCheckpointed once and serves both the vocabulary count
+    * (map-side-combined sum) and the scoring join; the grand total rides
+    * a broadcast 1-row frame. The scoring join on `token` is naturally
+    * Zipf-skewed ("the" pairs with every doc) but the per-key fan-out is
+    * bounded by the doc count per partition after AQE skew splitting —
+    * and the vocab side is (token, count) scalars, so replicating hot
+    * keys is cheap.
+    */
+  def withUnigramSurprisal(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val vocab = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).cast("double").as("__total"))
+    val scored = tf.join(vocab, "__t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(
+        sum(col("__tf")).cast("long").as("n_tokens"),
+        round(
+          sum(col("__tf") * -log2(col("__cnt") / col("__total"))) /
+            sum(col("__tf")), 6).as("surprisal_bits"))
+    df.join(scored, df(idCol) === scored("__id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .drop("__id")
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic (high-frequency

@@ -529,6 +529,15 @@ object LlmQueries extends QueryPack {
         candidates = 40, k = 5, subDim = 8)),
       headline = true),
 
+    GraftQuery("e5_sq_topk",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.sqTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          candidates = 40)
+          .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(sqOracle(candidates = 40, k = 5))),
+
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), threshold = 0.3)
@@ -732,6 +741,32 @@ object LlmQueries extends QueryPack {
            |SELECT token, count(*) AS n FROM toks WHERE token <> ''
            |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin)),
 
+    GraftQuery("t11_unigram_surprisal",
+      // corpus-relative quality scoring: mean per-token information
+      // content under the corpus's own unigram distribution; the
+      // identical tf/vocab/total derivation runs in both engines
+      (s, dir) => TextOps.withUnigramSurprisal(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("surprisal_bits")),
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex($normSql, '\s+')) AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> ''
+           |  GROUP BY 1, 2),
+           |vocab AS (SELECT t, sum(tf) AS cnt FROM tf GROUP BY 1),
+           |total AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+           |scored AS (
+           |  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+           |         round(sum(tf.tf * -log2(v.cnt / tt.total)) / sum(tf.tf), 6)
+           |           AS surprisal_bits
+           |  FROM tf JOIN vocab v USING (t) CROSS JOIN total tt
+           |  GROUP BY 1)
+           |SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           |       s.surprisal_bits
+           |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
+
     GraftQuery("x5_token_budget",
       (s, dir) => CurationOps.tokenBudgetSample(Tables.load(s, dir, "documents"),
         "lang", tokenBudget = 5000L, tokensCol = "n_chars", keyCol = "doc_id",
@@ -800,7 +835,36 @@ object LlmQueries extends QueryPack {
           |  FROM documents)
           |SELECT doc_id, shard,
           |       CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS INT) AS shard_pos
-          |FROM u""".stripMargin))
+          |FROM u""".stripMargin)),
+
+    GraftQuery("x9_interleave",
+      // stride-scheduled mixture order: within each shard the four
+      // weighted sources must appear interleaved ~ 5:2.5:1.5:1 from the
+      // first row on; unlisted sources drop out
+      (s, dir) => CurationOps.interleaveShards(
+        Tables.load(s, dir, "documents"), "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.1),
+        numShards = 4, keyCol = "doc_id", salt = "i1")
+        .select(col("doc_id"), col("source"), col("shard"), col("shard_pos")),
+      oracle = Some(
+        """WITH a AS (
+          |  SELECT doc_id, source,
+          |         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+          |                     WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1 END AS w,
+          |         CAST(floor((('0x' || substr(md5(doc_id::VARCHAR || ':i1:shard'), 1, 8))::BIGINT
+          |           / 4294967296.0) * 4) AS INT) AS shard,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':i1:order'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents
+          |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+          |r AS (
+          |  SELECT doc_id, source, shard, w,
+          |         row_number() OVER (PARTITION BY shard, source ORDER BY u, doc_id) AS r
+          |  FROM a)
+          |SELECT doc_id, source, shard,
+          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY r / w, source, doc_id) AS INT)
+          |         AS shard_pos
+          |FROM r""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-
@@ -973,6 +1037,47 @@ object LlmQueries extends QueryPack {
        |apx AS (
        |  SELECT qc.id AS query_id, r.id AS nbr_id, ${cosSql("qc.v", "r.rv")} AS approx
        |  FROM recon r CROSS JOIN (SELECT id, v FROM c WHERE id % 50 = 0) qc
+       |  WHERE qc.id <> r.id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx DESC, nbr_id) AS rn
+       |    FROM apx) t WHERE rn <= $candidates),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id, ${cosSql("qv.v", "nv.v")} AS sim
+       |  FROM cand JOIN c qv ON qv.id = cand.query_id
+       |            JOIN c nv ON nv.id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for SQ8 ANN: exact per-dimension min/max ranges, the
+    * identical clamped-floor encode and literal-arithmetic decode as
+    * [[SimOps.sqTopK]], approximate ranking on the reconstruction, exact
+    * rerank of the candidate pool.
+    */
+  private def sqOracle(candidates: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (
+       |  SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+       |    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM c) t
+       |  GROUP BY 1),
+       |b AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM dims),
+       |rec AS (
+       |  SELECT c.id, list_transform(generate_series(1, len(c.v)), i ->
+       |    b.mns[i] + (CASE WHEN b.mxs[i] = b.mns[i] THEN 0
+       |      ELSE CAST(least(greatest(floor((c.v[i] - b.mns[i]) /
+       |             (b.mxs[i] - b.mns[i]) * 255), 0), 255) AS INT) END)
+       |      * (b.mxs[i] - b.mns[i]) / 255) AS rv
+       |  FROM c, b),
+       |apx AS (
+       |  SELECT qc.id AS query_id, r.id AS nbr_id, ${cosSql("qc.v", "r.rv")} AS approx
+       |  FROM rec r CROSS JOIN (SELECT id, v FROM c WHERE id % 50 = 0) qc
        |  WHERE qc.id <> r.id),
        |cand AS (
        |  SELECT query_id, nbr_id FROM (

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{DedupOps, MultimodalOps, SimOps, TextOps}
+import graft.llm.{CurationOps, DedupOps, MultimodalOps, SimOps, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -425,6 +425,81 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r40 >= 0.4, f"PQ recall degraded: $r40%.3f < 0.4")
     assert(r80 >= r40, f"more candidates must not lose recall: $r80%.3f < $r40%.3f")
     assert(r80 >= 0.6, f"PQ recall at 80 candidates degraded: $r80%.3f < 0.6")
+  }
+
+  test("sqTopK recall@10 vs brute force at 256 levels, 40 candidates (sf0.01)") {
+    // SQ8 keeps per-dimension resolution, so its approximate ranking is
+    // far closer to exact than PQ's 16-centroid codebook at the same
+    // candidate budget — the floor pins that advantage
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where($"vec_id" % 37 === 0)
+    val k = 10
+    val exact = SimOps.bruteForceTopK(emb, queries, k)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val approx = SimOps.sqTopK(emb, queries, k, candidates = 40)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@$k at 256 levels / 40 candidates: $recall%.3f")
+    assert(recall >= 0.9, f"SQ recall degraded: $recall%.3f < 0.9")
+  }
+
+  test("sqTopK is exact when the candidate pool covers the corpus") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val n = emb.count().toInt
+    val exact = SimOps.bruteForceTopK(emb, queries, 5)
+      .select($"query_id", $"nbr_id", round($"sim", 9), $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val sq = SimOps.sqTopK(emb, queries, 5, candidates = n)
+      .select($"query_id", $"nbr_id", round($"sim", 9), $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(sq == exact)
+  }
+
+  test("withUnigramSurprisal: hand-computed bits on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.withUnigramSurprisal(docs, "text", "doc_id")
+      .select($"doc_id", $"n_tokens", $"surprisal_bits")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // counts: a=2, b=2, c=1, total=5
+    // doc 1: all tokens have p=0.4 → -log2(0.4) = 1.321928
+    // doc 2: mean of -log2(0.4), -log2(0.2) = 1.821928
+    assert(out(1L) == ((3L, Some(1.321928))))
+    assert(out(2L) == ((2L, Some(1.821928))))
+    assert(out(3L) == ((0L, None)))
+  }
+
+  test("interleaveShards: totality, dense positions, stride proportions, determinism") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val weights = Map("src0" -> 0.75, "src1" -> 0.25)
+    def run() = CurationOps.interleaveShards(docs, "source", weights,
+      numShards = 2, keyCol = "doc_id", salt = "t")
+      .select($"doc_id", $"source", $"shard", $"shard_pos")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    val out = run()
+    // only weighted sources survive, each exactly once
+    val expectedIds = docs.where($"source".isin("src0", "src1"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == expectedIds && out.size == expectedIds.size)
+    // dense 1..n positions per shard
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted == (1 to rows.size).toList)
+    }
+    // stride scheduling: every prefix of every shard holds sources in
+    // ~weight proportion (|#src0 - 0.75·n| bounded), until src0 runs out
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      val bySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val ordered = rows.sortBy(_._4).map(_._2)
+      val full = math.min(bySrc("src0") / 0.75, bySrc("src1") / 0.25).toInt
+      for (n <- 4 to full by 4) {
+        val a = ordered.take(n).count(_ == "src0")
+        assert(math.abs(a - 0.75 * n) <= 2,
+          s"shard $shard prefix $n: src0 count $a vs expected ${0.75 * n}")
+      }
+    }
+    // deterministic across runs
+    assert(run() == out)
   }
 
   test("pqTopK is exact when the candidate pool covers the corpus") {

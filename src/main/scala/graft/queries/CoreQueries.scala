@@ -155,6 +155,35 @@ object CoreQueries extends QueryPack {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
+    GraftQuery("w5_window_suite",
+      // window-function breadth off a single user_id exchange: offsets
+      // (lag/lead), distribution (ntile, percent_rank), frame-anchored
+      // first_value, and a second ordering's rank
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          lag("value", 1).over(w).as("prev_value"),
+          lead("event_type", 1).over(w).as("next_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          first("event_id").over(w).as("first_event"),
+          rank().over(wv).as("value_rank"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       lag(value) OVER w AS prev_value,
+          |       lead(event_type) OVER w AS next_type,
+          |       CAST(ntile(4) OVER w AS INT) AS quartile,
+          |       round(percent_rank() OVER w, 6) AS pct_rank,
+          |       first_value(event_id) OVER w AS first_event,
+          |       CAST(rank() OVER (PARTITION BY user_id
+          |                         ORDER BY value DESC, event_id) AS INT) AS value_rank
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
     GraftQuery("q7_set_ops",
       // set operations (SURVEY §2.6): distinct-buyer key sets of two
       // years combined via INTERSECT / EXCEPT; each leg reduces to

@@ -52,23 +52,30 @@ object WarehouseQueries extends QueryPack {
       |    FROM staged WHERE i < 5000) t
       |  WHERE rn = 1 AND v_type IS NOT NULL)""".stripMargin
 
-  /** Final-state SQL shared by s6 (LINEAR) and s8 (ZORDER): the file
-    * layout must never change table contents.
+  /** The full seed+merge cycle as CTEs, final state in `fin` — shared
+    * by the merge-cycle oracles and the CDC diff oracle.
     */
-  private val mergeCycleOracle = stagedD0Cte +
+  private val mergeCycleCtes = stagedD0Cte +
     """,
       |s1 AS (
       |  SELECT k, v_type, v_amount, strftime(pt, '%Y-%m-%d') AS pday FROM (
       |    SELECT k, v_type, v_amount, pt,
       |           row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn
       |    FROM staged WHERE i >= 5000) t
-      |  WHERE rn = 1)
-      |SELECT coalesce(s1.k, d0.k) AS k,
-      |       CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
-      |       CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
-      |       coalesce(d0.pday, s1.pday) AS pday
-      |FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
-      |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin
+      |  WHERE rn = 1),
+      |fin AS (
+      |  SELECT coalesce(s1.k, d0.k) AS k,
+      |         CASE WHEN s1.k IS NOT NULL THEN s1.v_type ELSE d0.v_type END AS v_type,
+      |         CASE WHEN s1.k IS NOT NULL THEN s1.v_amount ELSE d0.v_amount END AS v_amount,
+      |         coalesce(d0.pday, s1.pday) AS pday
+      |  FROM d0 FULL OUTER JOIN s1 ON d0.k = s1.k
+      |  WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL))""".stripMargin
+
+  /** Final-state SQL shared by s6 (LINEAR) and s8 (ZORDER): the file
+    * layout must never change table contents.
+    */
+  private val mergeCycleOracle = mergeCycleCtes +
+    "\nSELECT k, v_type, v_amount, pday FROM fin"
 
   override def queries: Seq[GraftQuery] = Seq(
 
@@ -115,6 +122,37 @@ object WarehouseQueries extends QueryPack {
       },
       oracle = Some(stagedD0Cte +
         "\nSELECT k, v_type, v_amount, pday FROM d0")),
+
+    GraftQuery("s11_table_diff",
+      (s, dir) => {
+        // CDC read across the merge: the v1→v2 diff must be exactly the
+        // rows the merge added minus the rows it replaced/deleted —
+        // EXCEPT ALL of the oracle's seed (d0) and final (fin) states
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_cdc"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        // at tiny SFs the second half is empty and the merge is a no-op
+        // (no snapshot committed): diff to the actual head, which the
+        // oracle mirrors as fin == d0 → empty diff
+        t.tableDiff(1, t.currentVersion).select(col("change_type"), col("k"),
+          col("v_type"), col("v_amount"), col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(mergeCycleCtes +
+        """
+          |SELECT 'added' AS change_type, k, v_type, v_amount, pday FROM (
+          |  SELECT k, v_type, v_amount, pday FROM fin
+          |  EXCEPT ALL SELECT k, v_type, v_amount, pday FROM d0) a
+          |UNION ALL
+          |SELECT 'removed', k, v_type, v_amount, pday FROM (
+          |  SELECT k, v_type, v_amount, pday FROM d0
+          |  EXCEPT ALL SELECT k, v_type, v_amount, pday FROM fin) r""".stripMargin)),
 
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {

@@ -903,6 +903,46 @@ final class WarehouseTable private (
     }.reduce(_ unionByName _)
   }
 
+  /** Row-level changes between two snapshots (CDC read): rows present
+    * at `toVersion` but not `fromVersion` tagged `added`, rows present
+    * at `fromVersion` but not `toVersion` tagged `removed`
+    * (multiset/`EXCEPT ALL` semantics — on a key-unique table an update
+    * appears as one `removed` + one `added` of the same key). The
+    * downstream-sync primitive the snapshot layer enables: a consumer
+    * that applied `fromVersion` reaches `toVersion` by applying the
+    * diff, without re-reading the table.
+    *
+    * == 100 TB design ==
+    *
+    * The manifests bound the work BEFORE any data is read: only
+    * partitions whose file list differs between the two snapshots enter
+    * the comparison (a three-year table with one rewritten day diffs
+    * one day). Appends never rewrite files, so appended-to days compare
+    * by the added files' rows only through the except; compaction
+    * rewrites files without changing rows and yields an empty diff.
+    */
+  def tableDiff(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val from = readManifest(fromVersion)
+    val to = readManifest(toVersion)
+    val changed = (from.keySet ++ to.keySet).toSeq
+      .filter(d => from.get(d).map(_.sorted) != to.get(d).map(_.sorted))
+      .sorted
+    val withTag = (df: DataFrame, tag: String) =>
+      df.withColumn("change_type", lit(tag))
+    if (changed.isEmpty || fromVersion == toVersion)
+      return withTag(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(partitionCol, "string")), "added")
+    val before = readAsOf(fromVersion)
+      .where(col(partitionCol).isin(changed: _*))
+    val after = readAsOf(toVersion)
+      .where(col(partitionCol).isin(changed: _*))
+    withTag(after.exceptAll(before), "added")
+      .unionByName(withTag(before.exceptAll(after), "removed"))
+  }
+
   /** Drop snapshot manifests and archived partition generations not
     * reachable from the newest `retainVersions` snapshots. The live
     * table state is never touched; [[readAsOf]] of a vacuumed version

@@ -506,6 +506,32 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(vals(3) == Set("x2", "z1"))
   }
 
+  test("tableDiff: merge yields added/removed pairs, append adds, compaction diffs empty") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1), (2L, None, 11L, 1), (5L, Some("e1"), 12L, 2)))) // v2
+    t.append(Seq((9L, "z1")).toDF("k1", "f1").withColumn("partitionTime", ts(3)))            // v3
+    t.compactPartitions()                                                                     // v4
+    def diff(a: Long, b: Long): Set[(String, Long, String)] =
+      t.tableDiff(a, b).select($"change_type", $"k1", $"f1")
+        .as[(String, Long, String)].collect().toSet
+    // merge: k1 updated (removed+added), k2 deleted (removed), k5 inserted (added)
+    assert(diff(1, 2) == Set(
+      ("added", 1L, "a2"), ("removed", 1L, "a1"),
+      ("removed", 2L, "b1"), ("added", 5L, "e1")))
+    // append shows up as pure adds
+    assert(diff(2, 3) == Set(("added", 9L, "z1")))
+    // compaction rewrites files but no rows: empty diff
+    assert(diff(3, 4).isEmpty)
+    // and the spans compose
+    assert(diff(1, 4) == Set(
+      ("added", 1L, "a2"), ("removed", 1L, "a1"),
+      ("removed", 2L, "b1"), ("added", 5L, "e1"), ("added", 9L, "z1")))
+    assert(diff(2, 2).isEmpty)
+    intercept[IllegalArgumentException](t.tableDiff(3, 1))
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

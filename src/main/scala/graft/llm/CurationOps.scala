@@ -139,6 +139,56 @@ object CurationOps {
     df.join(assigned, df(keyCol) === assigned("__k")).drop("__k")
   }
 
+  /** Export the frame as ONE ordered file per shard plus a verifiable
+    * manifest — the terminal step of a training-data pipeline, after
+    * [[shuffleShards]]/[[interleaveShards]] fixed the order. Rows land
+    * under `outDir/<shardCol>=<s>/` as a single JSONL (or parquet) file
+    * whose row order IS `posCol` order; the returned manifest has one
+    * row per shard: `(shard, n_rows, keys_md5)` where `keys_md5` is the
+    * md5 of the comma-joined keys in position order — a consumer (or
+    * the DuckDB oracle) can re-derive it to prove both membership and
+    * ORDER survived the export. The manifest is also written to
+    * `outDir/_manifest.json`.
+    *
+    * == 100 TB design ==
+    *
+    * One exchange: hash-repartition on the shard id places each shard
+    * wholly in one task (several small shards may share a task — the
+    * partitioned write still splits their directories, and the
+    * within-task sort keeps each file ordered), so file count = shard
+    * count, not tasks × shards. The manifest digest folds `(pos, key)`
+    * scalars per shard — document payloads cross only the writer's own
+    * exchange.
+    */
+  def exportShards(df: DataFrame, outDir: String, keyCol: String,
+      shardCol: String = "shard", posCol: String = "shard_pos",
+      format: String = "json"): DataFrame = {
+    require(Seq("json", "parquet").contains(format),
+      s"format must be json or parquet, got $format")
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode("overwrite").format(format)
+      .partitionBy(shardCol).save(outDir)
+    val manifest = df
+      .select(col(shardCol).as("shard"),
+        struct(col(posCol).as("p"), col(keyCol).cast("string").as("k")).as("__pk"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        md5(to_binary(array_join(
+          transform(sort_array(collect_list(col("__pk"))), pk => pk("k")), ","),
+          lit("utf-8"))).as("keys_md5"))
+    val spark = df.sparkSession
+    val rows = manifest.orderBy(col("shard")).collect()
+    val json = rows.map(r =>
+      s"""{"shard": ${r.get(0)}, "n_rows": ${r.getLong(1)}, "keys_md5": "${r.getString(2)}"}""")
+      .mkString("[\n", ",\n", "\n]")
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    manifest
+  }
+
   /** Deterministic per-stratum budget: the `perStratum` rows of each
     * stratum with the lowest hash draw (ties broken by key). The
     * canonical "cap every language/source at N documents" curation step;

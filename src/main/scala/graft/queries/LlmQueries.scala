@@ -864,7 +864,37 @@ object LlmQueries extends QueryPack {
           |SELECT doc_id, source, shard,
           |       CAST(row_number() OVER (PARTITION BY shard ORDER BY r / w, source, doc_id) AS INT)
           |         AS shard_pos
-          |FROM r""".stripMargin))
+          |FROM r""".stripMargin)),
+
+    GraftQuery("x10_export_manifest",
+      // the export terminal: shuffle-shard the corpus, write one ordered
+      // JSONL file per shard, and return the manifest whose per-shard
+      // key digest the oracle re-derives — proving membership AND order
+      // survived the write path
+      (s, dir) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-exp")
+          .toString + "/shards"
+        val sharded = CurationOps.shuffleShards(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("source")),
+          numShards = 8, keyCol = "doc_id", salt = "ep0")
+        CurationOps.exportShards(sharded, out, keyCol = "doc_id")
+      },
+      oracle = Some(
+        """WITH u AS (
+          |  SELECT doc_id,
+          |         CAST(floor((('0x' || substr(md5(doc_id::VARCHAR || ':ep0:shard'), 1, 8))::BIGINT
+          |           / 4294967296.0) * 8) AS INT) AS shard,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':ep0:order'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents),
+          |p AS (
+          |  SELECT doc_id, shard,
+          |         row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
+          |  FROM u)
+          |SELECT shard, count(*) AS n_rows,
+          |       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS keys_md5
+          |FROM p GROUP BY shard""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-

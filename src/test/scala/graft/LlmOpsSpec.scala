@@ -502,6 +502,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("exportShards: one ordered JSONL file per shard, manifest matches the files") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"lang")
+    val sharded = CurationOps.shuffleShards(docs, numShards = 4,
+      keyCol = "doc_id", salt = "x")
+    val out = java.nio.file.Files.createTempDirectory("exp-test").toString + "/sh"
+    val manifest = CurationOps.exportShards(sharded, out, keyCol = "doc_id")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_manifest.json")))
+    val expected = sharded.select($"shard", $"shard_pos", $"doc_id")
+      .as[(Int, Int, Long)].collect().groupBy(_._1)
+    assert(manifest.keySet == expected.keySet)
+    expected.foreach { case (shard, rows) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$out/shard=$shard")
+      val files = fs.listStatus(dir).toSeq.filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      assert(files.size == 1, s"shard $shard: expected one data file, got ${files.size}")
+      // line order in the file must equal shard_pos order
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(files.head.getPath), "UTF-8"))
+      val ids = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toList
+      in.close()
+      val want = rows.sortBy(_._2).map(_._3).toList
+      assert(ids == want, s"shard $shard: file order diverges from shard_pos")
+      assert(manifest(shard)._1 == rows.size.toLong)
+      // manifest digest = md5 of comma-joined keys in position order
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(want.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(manifest(shard)._2 == md)
+    }
+  }
+
   test("pqTopK is exact when the candidate pool covers the corpus") {
     // with candidates >= corpus size the rerank sees every vector, so
     // PQ must reproduce brute force exactly regardless of code quality

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error-bound pins for the approximate aggregates that replace their
+  * exact forms at warehouse scale: `approx_count_distinct` (HLL++ —
+  * fixed-size sketch with map-side merge, vs an exact distinct's
+  * corpus-sized exchange) and `percentile_approx` (t-digest/QuantileSummaries
+  * under a relative-accuracy knob, the swap t10's scaladoc documents for
+  * the 100 TB profile path). Both are deterministic for a given input —
+  * the bounds here are regressions guards, not flaky tolerances.
+  */
+class ApproxAggSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact on real cardinalities") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val exact = li.select(cols.map(c => countDistinct(col(c)).as(c)): _*)
+      .head()
+    val approx = li.select(cols.map(c => approx_count_distinct(col(c)).as(c)): _*)
+      .head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      val err = math.abs(a - e) / e
+      info(f"$c: exact ${e.toLong}, approx ${a.toLong}, err ${err * 100}%.2f%%")
+      assert(err < 0.05, f"$c HLL error $err%.4f >= 5%%")
+    }
+  }
+
+  test("approx_count_distinct is deterministic and merge-consistent across layouts") {
+    val li = Tables.load(spark, sf, "lineitem").select($"l_orderkey")
+    val a = li.select(approx_count_distinct($"l_orderkey")).as[Long].head()
+    val b = li.repartition(13).select(approx_count_distinct($"l_orderkey"))
+      .as[Long].head()
+    // HLL register merge is order/layout-insensitive: same sketch state
+    assert(a == b, s"HLL estimate changed with layout: $a vs $b")
+  }
+
+  test("percentile_approx brackets the exact percentile at accuracy 10000") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(expr("percentile(value, 0.5)")).as[Double].head()
+    val approx = ev.select(expr("percentile_approx(value, 0.5, 10000)"))
+      .as[Double].head()
+    val spread = ev.select(max($"value") - min($"value")).as[Double].head()
+    info(f"median: exact $exact%.6f approx $approx%.6f (range $spread%.2f)")
+    assert(math.abs(approx - exact) <= spread * 0.01,
+      s"approx median $approx too far from exact $exact")
+  }
+}

@@ -214,6 +214,45 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e5: SQ plan — corpus map-only, broadcasts only, scalar exchanges") {
+    val df = SparkEntry.queries("e5_sq_topk")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // same discipline as e4: candidate re-join and query join broadcast,
+    // nothing regresses to sort-merge, rank exchanges move scalars only
+    assert(formatted.contains("BroadcastHashJoin"),
+      s"SQ joins not broadcast:\n$formatted")
+    assert(!formatted.contains("SortMergeJoin"),
+      s"a join in the SQ plan regressed to sort-merge:\n$formatted")
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_recon") && !b.contains("_codes"),
+        s"vector/code payload shuffled in SQ plan:\n$b")
+    }
+  }
+
+  test("d10: window-hash exchanges carry (id,pos,hash) — no document text") {
+    val df = SparkEntry.queries("d10_substring_dedup")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // frequency count + per-doc grouping shuffle 16-byte hashes and int
+    // positions; the corpus text and the word arrays stay map-side
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    assert(shuffles.nonEmpty, s"no exchanges found:\n$formatted")
+    shuffles.foreach { b =>
+      assert(!b.contains("text#") && !b.contains("__ws"),
+        s"document text/words shuffled in d10 plan:\n$b")
+    }
+  }
+
   test("x8: shard assignment shuffles a scalar projection, not the payload") {
     val df = SparkEntry.queries("x8_shuffle_shard")(spark, sf)
     df.collect()

@@ -215,6 +215,80 @@ object CoreQueries extends QueryPack {
           |SELECT 'only_1995', count(*)
           |FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b94)""".stripMargin)),
 
+    GraftQuery("q8_exists_subquery",
+      // the SQL entry point with a correlated EXISTS (TPC-H Q4 shape):
+      // Catalyst decorrelates it into a left-semi join — no per-row
+      // subquery execution, the plan a hand-written semi join would get
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS order_count
+            |FROM orders_v
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+            |  AND EXISTS (SELECT 1 FROM lineitem_v
+            |              WHERE l_orderkey = o_orderkey
+            |                AND l_shipdate > o_orderdate
+            |                AND l_discount > 0.05)
+            |GROUP BY o_orderpriority""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate
+          |                AND l_discount > 0.05)
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    GraftQuery("a8_stats_agg",
+      // statistical aggregate surface per group: sample stddev/variance,
+      // correlation and covariance between price and quantity (rounded
+      // to 4 so both engines' partial-sum association orders agree)
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_pq")),
+      oracle = Some(
+        """SELECT l_returnflag,
+          |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+          |       round(var_samp(l_extendedprice), 4) AS var_price,
+          |       round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+          |       round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    GraftQuery("p13_array_ops",
+      // higher-order array surface: build per-user sorted event arrays,
+      // then transform / filter / aggregate / zip over them — the
+      // collection toolkit every complex-typed pipeline leans on
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("value"))).as("vs"))
+        .select(col("user_id"),
+          size(col("vs")).as("n"),
+          round(aggregate(col("vs"), lit(0.0), (acc, v) => acc + v), 6).as("total"),
+          size(filter(col("vs"), v => v > 50)).as("n_big"),
+          round(element_at(transform(col("vs"), v => v * 2), 1), 6).as("first_doubled"),
+          round(aggregate(zip_with(col("vs"), reverse(col("vs")), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v), 6).as("palindot")),
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT user_id, list_sort(list(value)) AS vs FROM events GROUP BY 1)
+          |SELECT user_id,
+          |       CAST(len(vs) AS INT) AS n,
+          |       round(list_sum(vs), 6) AS total,
+          |       CAST(len(list_filter(vs, v -> v > 50)) AS INT) AS n_big,
+          |       round(vs[1] * 2, 6) AS first_doubled,
+          |       round(list_sum(list_transform(generate_series(1, len(vs)),
+          |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
+          |FROM g""".stripMargin)),
+
     GraftQuery("j8_salted_join",
       // a deliberately hot-keyed join (3 keys carry the whole events
       // table) through the explicit salting operator: each hot key

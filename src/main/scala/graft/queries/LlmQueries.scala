@@ -536,7 +536,8 @@ object LlmQueries extends QueryPack {
           candidates = 40)
           .select(col("query_id"), col("nbr_id"), round(col("sim"), 6).as("sim"), col("rank"))
       },
-      oracle = Some(sqOracle(candidates = 40, k = 5))),
+      oracle = Some(sqOracle(candidates = 40, k = 5)),
+      headline = true),
 
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(
@@ -686,7 +687,8 @@ object LlmQueries extends QueryPack {
            |       coalesce(a.dup_words, 0)::BIGINT AS dup_words,
            |       round(coalesce(a.dup_words, 0)::DOUBLE / greatest(b.nw, 1), 6) AS dup_frac,
            |       coalesce(a.n_spans, 0)::BIGINT AS n_spans
-           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+           |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      headline = true),
 
     GraftQuery("t6_c4_clean",
       // synthetic line structure: four 60-char slices, two of every

@@ -291,6 +291,7 @@ final class WarehouseTable private (
       refreshBlooms(touched)
       if (touched.nonEmpty) commitSnapshot("append", touched, currentVersion + 1)
       expireOldPartitions()
+      autoVacuum()
     } finally routed.unpersist()
     routed
   }
@@ -344,6 +345,7 @@ final class WarehouseTable private (
     if (touchedDays.nonEmpty)
       commitSnapshot("append-batch", touchedDays, currentVersion + 1)
     expireOldPartitions()
+    autoVacuum()
   }
 
   /** Insert-if-absent append (dedup-on-ingest): rows whose key already
@@ -435,6 +437,7 @@ final class WarehouseTable private (
       refreshBlooms(days)
       commitSnapshot("merge", days, v)
       expireOldPartitions()
+      autoVacuum()
       days
     } finally src.unpersist()
   }
@@ -538,6 +541,7 @@ final class WarehouseTable private (
       refreshBlooms(days)
       commitSnapshot("merge-delete", days, v)
       expireOldPartitions()
+      autoVacuum()
       days
     } finally fenced.unpersist()
   }
@@ -692,6 +696,7 @@ final class WarehouseTable private (
     swapPartitions(staging, existing, v)
     refreshBlooms(existing)
     commitSnapshot("compact", existing, v)
+    autoVacuum()
     existing
   }
 
@@ -903,6 +908,24 @@ final class WarehouseTable private (
     }.reduce(_ unionByName _)
   }
 
+  /** Time-based travel (BigQuery `FOR SYSTEM_TIME AS OF` analog): the
+    * table as of the newest snapshot committed at or before `epochMs`.
+    */
+  def readAsOfTime(epochMs: Long): DataFrame = {
+    val h = history()
+    val hit = h.filter(_._3 <= epochMs).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot committed at or before $epochMs" +
+          h.map(_._3).minOption.fold("")(m => s" (earliest commit: $m)")))
+    readAsOf(hit)
+  }
+
+  /** Auto-vacuum to the configured retention after a mutation; no-op
+    * without `snapshotRetention`.
+    */
+  private def autoVacuum(): Unit =
+    options.snapshotRetention.foreach { n => vacuum(n); () }
+
   /** Row-level changes between two snapshots (CDC read): rows present
     * at `toVersion` but not `fromVersion` tagged `added`, rows present
     * at `fromVersion` but not `toVersion` tagged `removed`
@@ -984,13 +1007,17 @@ final class WarehouseTable private (
   *    (`timestampPartitionFieldName`);
   *  - `granularity` — HOUR/DAY/MONTH/YEAR/NONE time-partitioning type;
   *  - `partitionExpirationMs` — TTL after which partitions are dropped
-  *    during write bookkeeping (`partitionExpiration`).
+  *    during write bookkeeping (`partitionExpiration`);
+  *  - `snapshotRetention` — auto-vacuum to the newest N snapshots after
+  *    every mutation (BigQuery's 7-day time-travel window analog; None
+  *    keeps history until an explicit [[WarehouseTable.vacuum]]).
   */
 final case class TableOptions(
     clusteringFields: Seq[String] = Seq.empty,
     partitionField: Option[String] = None,
     granularity: String = "DAY",
     partitionExpirationMs: Option[Long] = None,
+    snapshotRetention: Option[Int] = None,
     /** Within-partition file layout over `clusteringFields`: LINEAR
       * (lexicographic range sort — perfect skipping on the leading
       * field) or ZORDER (Morton interleave — skipping on every
@@ -1013,6 +1040,8 @@ final case class TableOptions(
       errs += s"granularity must be one of ${TableOptions.Granularities.mkString("/")}, got '$granularity'"
     partitionExpirationMs.filter(_ <= 0).foreach(ms =>
       errs += s"partitionExpirationMs must be positive, got $ms")
+    snapshotRetention.filter(_ < 1).foreach(n =>
+      errs += s"snapshotRetention must be >= 1, got $n")
     partitionField.filterNot(schema.fieldNames.contains).foreach(f =>
       errs += s"partition field '$f' not in table schema")
     if (!TableOptions.Layouts.contains(layout))
@@ -1140,6 +1169,7 @@ object WarehouseTable {
     s"partitionField=${o.partitionField.getOrElse("")}",
     s"granularity=${o.granularity}",
     s"partitionExpirationMs=${o.partitionExpirationMs.map(_.toString).getOrElse("")}",
+    s"snapshotRetention=${o.snapshotRetention.map(_.toString).getOrElse("")}",
     s"layout=${o.layout}")
     .mkString("\n")
 
@@ -1156,6 +1186,8 @@ object WarehouseTable {
       granularity = kv.getOrElse("granularity", "DAY"),
       partitionExpirationMs = kv.get("partitionExpirationMs")
         .filter(_.nonEmpty).map(_.toLong),
+      snapshotRetention = kv.get("snapshotRetention")
+        .filter(_.nonEmpty).map(_.toInt),
       layout = kv.getOrElse("layout", "LINEAR"))
   }
 

@@ -70,6 +70,37 @@ object StreamOps {
     deduped.drop("__h")
   }
 
+  /** Watermarked stream-stream interval join: enrich each left event
+    * with the right-stream rows of the same key whose timestamp falls in
+    * `[left.ts - lookbackSeconds, left.ts]` — the streaming form of the
+    * as-of/range lookup (clicks joined to the impressions that preceded
+    * them, events to the config push in force, …). Inner join; both
+    * sides carry the given key column and a `timestamp`.
+    *
+    * == why the time bound is load-bearing ==
+    *
+    * A stream-stream join must buffer BOTH sides in state. The watermark
+    * plus the explicit interval condition is what lets the engine evict:
+    * a right row older than `watermark + lookback` can never match a
+    * future left row, so state is O(key-rate × (delay + lookback)) —
+    * bounded in stream length. Without the time-range predicate Spark
+    * (rightly) refuses the join in append mode, because state would grow
+    * forever — the same discipline as [[dedupContent]]'s horizon.
+    *
+    * Runs identically on batch frames (where it is just the interval
+    * equi-join, same results as `TemporalOps.pointInInterval`-style
+    * bounds).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lookbackSeconds: Long, watermarkDelay: String = "2 minutes"): DataFrame = {
+    val l = left.withWatermark("timestamp", watermarkDelay).alias("l")
+    val r = right.withWatermark("timestamp", watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col("r.timestamp") >= col("l.timestamp") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("r.timestamp") <= col("l.timestamp"))
+  }
+
   /** A keyed change record for [[dedupConsecutive]]. */
   final case class KeyedValue(key: String, offset: Long, value: String)
 

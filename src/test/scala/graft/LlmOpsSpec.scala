@@ -148,6 +148,40 @@ class LlmOpsSpec extends AnyFunSuite {
       math.abs(frac - 0.666667) < 1e-9)
   }
 
+  test("duplicatedSpans matches a driver-side brute force on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+    for (trial <- 1 to 3) {
+      val w = 2 + rnd.nextInt(3) // window 2..4
+      val docs: Map[Long, Vector[String]] = (1L to 25L).map(id =>
+        id -> Vector.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.size)))).toMap
+      // brute force: windows, cross-doc distinct frequency, covered set,
+      // island count
+      val wins = docs.map { case (id, ws) =>
+        id -> (if (ws.size >= w)
+          (1 to ws.size - w + 1).map(p => p -> ws.slice(p - 1, p - 1 + w))
+        else Seq.empty) }
+      val freq = wins.toSeq
+        .flatMap { case (id, ps) => ps.map(p => p._2 -> id) }
+        .groupBy(_._1).map { case (win, xs) => win -> xs.map(_._2).distinct.size }
+      val want = docs.map { case (id, ws) =>
+        val covered = wins(id).filter(p => freq(p._2) >= 2)
+          .flatMap(p => p._1 until p._1 + w).toSet
+        val spans = covered.toSeq.sorted
+          .foldLeft((0, Int.MinValue)) { case ((cnt, prev), c) =>
+            (if (c == prev + 1) cnt else cnt + 1, c) }._1
+        id -> ((ws.size.toLong, covered.size.toLong, spans.toLong))
+      }
+      val df = docs.toSeq.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = DedupOps.duplicatedSpans(df, "text", "doc_id", window = w, minDocs = 2)
+        .select($"doc_id", $"n_words", $"dup_words", $"n_spans")
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want, s"trial $trial (window $w) diverged from brute force")
+    }
+  }
+
   test("duplicatedSpans: docs shorter than the window yield zero rows counted") {
     val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val out = DedupOps.duplicatedSpans(docs, "text", "doc_id",

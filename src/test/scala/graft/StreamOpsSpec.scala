@@ -92,6 +92,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin batch: right rows within the lookback enrich the left") {
+    val clicks = Seq((1L, "c1", "2024-03-01 10:00:30"), (1L, "c2", "2024-03-01 10:02:00"),
+      (2L, "c3", "2024-03-01 10:00:40"))
+      .toDF("user_id", "click", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val imps = Seq((1L, "i1", "2024-03-01 10:00:00"), (1L, "i2", "2024-03-01 10:01:55"),
+      (2L, "i3", "2024-03-01 10:10:00"))
+      .toDF("user_id", "imp", "s")
+      .withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val out = StreamOps.intervalJoin(clicks, imps, "user_id", lookbackSeconds = 60)
+      .select($"click", $"imp").as[(String, String)].collect().toSet
+    // c1 sees i1 (30s before); c2 sees i2 (5s before) but NOT i1 (120s);
+    // c3 sees nothing (i3 is after it)
+    assert(out == Set(("c1", "i1"), ("c2", "i2")))
+  }
+
+  test("intervalJoin streams: joins emit in append mode with bounded state") {
+    val clicks = MemoryStream[(Long, String, String)](spark)
+    val imps = MemoryStream[(Long, String, String)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.toDF("user_id", v, "s").withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val q = StreamOps.intervalJoin(
+      shape(clicks.toDF(), "click"), shape(imps.toDF(), "imp"),
+      "user_id", lookbackSeconds = 60, watermarkDelay = "1 minute")
+      .select($"click", $"imp")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      imps.addData((1L, "i1", "2024-03-01 10:00:00"))
+      clicks.addData((1L, "c1", "2024-03-01 10:00:30"))
+      q.processAllAvailable()
+      imps.addData((1L, "i2", "2024-03-01 10:05:00"))
+      clicks.addData((1L, "c2", "2024-03-01 10:05:30"))
+      q.processAllAvailable()
+      val got = spark.table("ij").as[(String, String)].collect().toSet
+      assert(got == Set(("c1", "i1"), ("c2", "i2")))
+    } finally q.stop()
+  }
+
   test("dedupConsecutive: re-delivered identical values are suppressed across batches") {
     val input = MemoryStream[KeyedValue](spark)
     val q = StreamOps.dedupConsecutive(input.toDS())

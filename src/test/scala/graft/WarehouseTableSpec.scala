@@ -506,6 +506,38 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(vals(3) == Set("x2", "z1"))
   }
 
+  test("readAsOfTime resolves to the newest snapshot at or before the instant") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v2
+    val commits = t.history().map(h => h._1 -> h._3).toMap
+    def vals(ms: Long) = t.readAsOfTime(ms).select($"f1").as[String].collect().toSet
+    assert(vals(commits(1L)) == Set("a1") || commits(1L) == commits(2L),
+      "as-of v1's commit instant sees only the first append (unless same-ms commits)")
+    assert(vals(commits(2L)) == Set("a1", "b1"))
+    assert(vals(System.currentTimeMillis() + 1000000L) == Set("a1", "b1"))
+    intercept[IllegalArgumentException](t.readAsOfTime(commits(1L) - 1000000L))
+  }
+
+  test("snapshotRetention auto-vacuums history during write bookkeeping") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema,
+      graft.sources.TableOptions(snapshotRetention = Some(2)))
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    t.merge(staged(Seq((1L, Some("a2"), 5L, 1))))                                 // v2
+    t.merge(staged(Seq((1L, Some("a3"), 6L, 1))))                                 // v3
+    assert(t.currentVersion == 3L)
+    // only the newest 2 snapshots remain readable
+    assert(t.history().map(_._1) == Seq(3L, 2L))
+    intercept[IllegalArgumentException](t.readAsOf(0))
+    intercept[IllegalStateException](t.readAsOf(1))
+    assert(t.readAsOf(2).select($"f1").as[String].collect().toSeq == Seq("a2"))
+    assert(t.readAsOf(3).select($"f1").as[String].collect().toSeq == Seq("a3"))
+    // options round-trip through open()
+    assert(WarehouseTable.open(spark, root).options.snapshotRetention == Some(2))
+  }
+
   test("tableDiff: merge yields added/removed pairs, append adds, compaction diffs empty") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -371,6 +371,83 @@ object TextOps {
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .drop("__id")
   }
+
+  /** TF-IDF keyword extraction: the `k` tokens of each document with the
+    * highest `tf · log2(N / df)` weight (N = corpus size, df = documents
+    * containing the token), ties broken by token. Returns one row per
+    * keyword: `(idCol, token, score, rank)`.
+    *
+    * == 100 TB design ==
+    *
+    * Same term-frequency discipline as [[withUnigramSurprisal]]: the
+    * `(doc, token, tf)` relation is checkpointed once and serves both
+    * the document-frequency count and the scoring join; N rides a
+    * broadcast 1-row frame. The per-doc top-k is a
+    * `row_number() <= k` window that Spark's WindowGroupLimit rewrite
+    * turns into a map-side top-k, so the rank exchange carries
+    * O(docs × k) rows.
+    */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df
+      .select(col(idCol).as("__id"),
+        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__raw").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__raw", col("__tf") * log2(col("__n") / col("__df")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__id").as(idCol), col("token"),
+        round(col("__raw"), 6).as("score"), col("rank"))
+  }
+
+  /** Sliding-window chunking: split each document into word windows of
+    * `chunkWords` with `overlapWords` of context carried between
+    * consecutive chunks (stride = chunk − overlap) — the standard
+    * context-window preparation for training/retrieval. Returns one row
+    * per chunk: `(idCol, chunk_idx, start_word, n_chunk_words,
+    * chunk_md5)`; the final chunk may be shorter, token-less documents
+    * produce none.
+    *
+    * Map-only: windows derive from a staged split per document and
+    * explode to `(id, idx, start, len, 16-byte hash)` scalars — chunk
+    * text itself never needs to leave the document's partition (swap the
+    * md5 for `array_join` when the chunk text is the deliverable).
+    */
+  def chunkWords(df: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int = 64, overlapWords: Int = 16): DataFrame = {
+    require(chunkWords >= 1, s"chunkWords must be >= 1, got $chunkWords")
+    require(overlapWords >= 0 && overlapWords < chunkWords,
+      s"overlapWords must be in [0, chunkWords), got $overlapWords")
+    val step = chunkWords - overlapWords
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val staged = df.select(col(idCol).as("__id"), ws.as("__ws"))
+      .select(col("__id"), col("__ws"), size(col("__ws")).as("__nw"))
+    val chunks = when(col("__nw") >= 1,
+      transform(sequence(lit(0), floor((col("__nw") - 1) / step).cast("int")),
+        j => {
+          val start = j * step + 1
+          val len = least(lit(chunkWords), col("__nw") - start + 1)
+          struct(start.as("s"), len.as("l"),
+            md5(to_binary(array_join(slice(col("__ws"), start, len), " "),
+              lit("utf-8"))).as("h"))
+        }))
+      .otherwise(array().cast("array<struct<s:int,l:int,h:string>>"))
+    staged
+      .select(col("__id"), posexplode(chunks).as(Seq("__j", "__c")))
+      .select(col("__id").as(idCol), col("__j").as("chunk_idx"),
+        col("__c.s").as("start_word"),
+        col("__c.l").as("n_chunk_words"),
+        col("__c.h").as("chunk_md5"))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic (high-frequency

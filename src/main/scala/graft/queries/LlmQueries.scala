@@ -769,6 +769,55 @@ object LlmQueries extends QueryPack {
            |       s.surprisal_bits
            |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
 
+    GraftQuery("t12_tfidf_keywords",
+      // per-doc top-3 TF-IDF keywords; ranking runs on the RAW weight in
+      // both engines (identical doubles), output rounds for display
+      (s, dir) => TextOps.tfidfKeywords(
+        Tables.load(s, dir, "documents"), "text", "doc_id", k = 3),
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex($normSql, '\s+')) AS token
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> ''
+           |  GROUP BY 1, 2),
+           |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+           |scored AS (
+           |  SELECT tf.doc_id, tf.token, tf.tf * log2(n.n / dfq.df) AS raw
+           |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+           |r AS (
+           |  SELECT doc_id, token, raw,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY raw DESC, token) AS rank
+           |  FROM scored)
+           |SELECT doc_id, token, round(raw, 6) AS score, CAST(rank AS INT) AS rank
+           |FROM r WHERE rank <= 3""".stripMargin)),
+
+    GraftQuery("x11_chunk_windows",
+      // sliding 20-word windows with 5 words of overlap (stride 15);
+      // the final chunk may be short, and chunk hashes must match the
+      // oracle's list-slice derivation exactly
+      (s, dir) => TextOps.chunkWords(Tables.load(s, dir, "documents"),
+        "text", "doc_id", chunkWords = 20, overlapWords = 5),
+      oracle = Some(
+        raw"""WITH base AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                     x -> x <> '') AS ws
+           |  FROM documents),
+           |b2 AS (SELECT doc_id, ws, len(ws) AS nw FROM base WHERE len(ws) >= 1),
+           |j AS (
+           |  SELECT doc_id, ws, nw, unnest(range(0, ((nw - 1) // 15) + 1)) AS j
+           |  FROM b2)
+           |SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           |       CAST(j * 15 + 1 AS INT) AS start_word,
+           |       CAST(least(20, nw - (j * 15 + 1) + 1) AS INT) AS n_chunk_words,
+           |       md5(array_to_string(
+           |         ws[j * 15 + 1 : j * 15 + least(20, nw - (j * 15 + 1) + 1)], ' '))
+           |         AS chunk_md5
+           |FROM j""".stripMargin)),
+
     GraftQuery("x5_token_budget",
       (s, dir) => CurationOps.tokenBudgetSample(Tables.load(s, dir, "documents"),
         "lang", tokenBudget = 5000L, tokensCol = "n_chars", keyCol = "doc_id",

@@ -154,6 +154,25 @@ object WarehouseQueries extends QueryPack {
           |  SELECT k, v_type, v_amount, pday FROM d0
           |  EXCEPT ALL SELECT k, v_type, v_amount, pday FROM fin) r""".stripMargin)),
 
+    GraftQuery("s12_csv_roundtrip",
+      // CSV source/sink fidelity: the documents table (free text with
+      // quotes/commas) written to CSV by the engine and read back with
+      // an explicit schema must reproduce the parquet source exactly —
+      // the oracle just reads the original table
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft-csv").toString + "/docs"
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").option("header", "true")
+          .option("escape", "\"").csv(out)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .option("header", "true").option("escape", "\"")
+          .option("multiLine", "true").csv(out)
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {
         // two crawl batches through the content-addressed ingest path

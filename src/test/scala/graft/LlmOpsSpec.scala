@@ -192,6 +192,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((2L, 0L, 0L)), 2L -> ((2L, 0L, 0L))))
   }
 
+  test("tfidfKeywords: hand-computed weights and tie-break on a tiny corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .select($"doc_id", $"token", $"score", $"rank")
+      .as[(Long, String, Double, Int)].collect().toSet
+    // N=3; df: a=1, b=2, c=2 → idf a=log2(3)=1.584963, b=c=log2(1.5)=0.584963
+    assert(out == Set(
+      (1L, "a", 3.169925, 1), (1L, "b", 0.584963, 2),
+      (2L, "b", 0.584963, 1), (2L, "c", 0.584963, 2), // exact tie → token order
+      (3L, "c", 1.754888, 1)))
+  }
+
+  test("chunkWords: stride, overlap, short final chunk, empty docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "a b"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkWords(docs, "text", "doc_id",
+      chunkWords = 4, overlapWords = 1)
+      .select($"doc_id", $"chunk_idx", $"start_word", $"n_chunk_words")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // stride 3: starts 1,4,7,10 — consecutive chunks share one word;
+    // the final chunk is the single trailing word
+    assert(out == Set(
+      (1L, 0, 1, 4), (1L, 1, 4, 4), (1L, 2, 7, 4), (1L, 3, 10, 1),
+      (2L, 0, 1, 2)))
+    // chunk hashes are the md5 of the space-joined slice
+    val h = TextOps.chunkWords(docs, "text", "doc_id", 4, 1)
+      .where($"doc_id" === 1L && $"chunk_idx" === 1).select($"chunk_md5")
+      .as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("w4 w5 w6 w7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == want)
+  }
+
   test("incrementalExactDedup drops corpus dups, dedups within batch") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq(

@@ -289,6 +289,66 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("q9_scalar_subquery",
+      // scalar subquery in a predicate: Catalyst evaluates the subquery
+      // once and broadcasts the scalar into the filter (the threshold is
+      // max-based — exact in both engines, no float-sum boundary risk)
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v2")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n
+            |FROM orders_v2
+            |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders_v2) * 0.5
+            |GROUP BY o_orderpriority""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    GraftQuery("a9_pivot",
+      // pivot: one row per user, one column per event type (explicit
+      // value list — dynamic pivot values would need a pre-scan) — a
+      // single hash aggregate with per-bucket conditional sums, the
+      // same plan the oracle's CASE aggregation describes
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 6))
+        .select(col("user_id"),
+          col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+      oracle = Some(
+        """SELECT user_id,
+          |       round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+          |       round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+          |       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+          |       round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+          |       round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+          |FROM events GROUP BY user_id""".stripMargin)),
+
+    GraftQuery("a10_unpivot",
+      // unpivot (melt): the pivoted frame back to long form — wide
+      // columns become (metric, amount) rows, NULL cells dropped, so
+      // the round trip reproduces the per-(user, type) aggregate
+      (s, dir) => {
+        val wide = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(sum("value"), 6))
+        wide.unpivot(
+          Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "metric", "amount")
+          .where(col("amount").isNotNull)
+      },
+      oracle = Some(
+        """SELECT user_id, event_type AS metric,
+          |       round(sum(value), 6) AS amount
+          |FROM events GROUP BY user_id, event_type""".stripMargin)),
+
     GraftQuery("j8_salted_join",
       // a deliberately hot-keyed join (3 keys carry the whole events
       // table) through the explicit salting operator: each hot key

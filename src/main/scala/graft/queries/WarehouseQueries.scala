@@ -154,6 +154,32 @@ object WarehouseQueries extends QueryPack {
           |  SELECT k, v_type, v_amount, pday FROM d0
           |  EXCEPT ALL SELECT k, v_type, v_amount, pday FROM fin) r""".stripMargin)),
 
+    GraftQuery("s13_incremental_agg",
+      (s, dir) => {
+        // materialized-view refresh: aggregate the SEED state once, then
+        // roll the merge's CDC diff into it — the result must equal
+        // aggregating the final table directly (the oracle's derivation)
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_mv"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        val base = graft.operators.ViewMaintenance.aggregate(
+          t.readAsOf(1), Seq("v_type"), "v_amount")
+        val diff = t.tableDiff(1, t.currentVersion)
+        graft.operators.ViewMaintenance.applyDiff(base, diff, Seq("v_type"), "v_amount")
+          .select(col("v_type"), col("n"), round(col("total"), 6).as("total"))
+      },
+      oracle = Some(mergeCycleCtes +
+        """
+          |SELECT v_type, count(*) AS n, round(sum(v_amount), 6) AS total
+          |FROM fin GROUP BY v_type""".stripMargin)),
+
     GraftQuery("s12_csv_roundtrip",
       // CSV source/sink fidelity: the documents table (free text with
       // quotes/commas) written to CSV by the engine and read back with

@@ -564,6 +564,58 @@ class WarehouseTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.tableDiff(3, 1))
   }
 
+  test("ViewMaintenance.applyDiff equals re-aggregation across merges") {
+    import graft.operators.ViewMaintenance
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"),
+      StructType(Seq(StructField("k1", LongType), StructField("f1", StringType),
+        StructField("amt", DoubleType))))
+    def rows(xs: (Long, String, Double)*) = xs.toDF("k1", "f1", "amt")
+      .withColumn("partitionTime", ts(1))
+    t.append(rows((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 2.0)))       // v1
+    // merge: update k1 (a→b, amount change), delete k2, insert k4 (c)
+    val batch = Seq(
+      (1L, Some(("b", 20.0)), 10L), (2L, None, 11L), (4L, Some(("c", 7.0)), 12L))
+      .toDF("k", "v", "i")
+      .select(struct($"k".as("k1")).as("key"),
+        when($"v".isNotNull, struct($"v._1".as("f1"), $"v._2".as("amt"))).as("value"),
+        $"i", ts(1).as("partitionTime"), lit(0L).as("batchNumber"))
+    t.merge(batch)                                                        // v2
+    val base = ViewMaintenance.aggregate(t.readAsOf(1), Seq("f1"), "amt")
+    val maintained = ViewMaintenance.applyDiff(base,
+      t.tableDiff(1, 2), Seq("f1"), "amt")
+      .select($"f1", $"n", round($"total", 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    val direct = ViewMaintenance.aggregate(t.read(), Seq("f1"), "amt")
+      .select($"f1", $"n", round($"total", 6).as("total"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(maintained == direct)
+    // group 'a' vanished (count hit zero), group 'c' appeared
+    assert(maintained == Set(("b", 2L, 22.0), ("c", 1L, 7.0)))
+  }
+
+  test("snapshot soak: 12 merge cycles stay consistent through a mid-stream vacuum") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "v0")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    for (i <- 1 to 12)
+      t.merge(staged(Seq((1L, Some(s"v$i"), 100L + i, 1))))                       // v2..v13
+    assert(t.currentVersion == 13L)
+    // every retained snapshot reads the value its merge wrote
+    for (v <- 2L to 13L)
+      assert(t.readAsOf(v).select($"f1").as[String].head() == s"v${v - 1}",
+        s"snapshot v$v")
+    // diffs compose across arbitrary spans
+    assert(t.tableDiff(2, 13).select($"change_type", $"f1")
+      .as[(String, String)].collect().toSet == Set(("removed", "v1"), ("added", "v12")))
+    val removed = t.vacuum(retainVersions = 4)
+    assert(removed == (1L to 9L))
+    intercept[IllegalStateException](t.readAsOf(9))
+    for (v <- 10L to 13L)
+      assert(t.readAsOf(v).select($"f1").as[String].head() == s"v${v - 1}")
+    assert(t.read().select($"f1").as[String].head() == "v12")
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

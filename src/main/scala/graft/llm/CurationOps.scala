@@ -160,6 +160,11 @@ object CurationOps {
     * scalars per shard — document payloads cross only the writer's own
     * exchange.
     */
+  /** Positions per digest block: bounds any single aggregation buffer
+    * to `DigestBlock` `(pos, key)` pairs regardless of shard size.
+    */
+  val DigestBlock = 8192
+
   def exportShards(df: DataFrame, outDir: String, keyCol: String,
       shardCol: String = "shard", posCol: String = "shard_pos",
       format: String = "json"): DataFrame = {
@@ -169,13 +174,27 @@ object CurationOps {
       .sortWithinPartitions(col(shardCol), col(posCol))
       .write.mode("overwrite").format(format)
       .partitionBy(shardCol).save(outDir)
-    val manifest = df
-      .select(col(shardCol).as("shard"),
-        struct(col(posCol).as("p"), col(keyCol).cast("string").as("k")).as("__pk"))
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_rows"),
+    // two-level (merkle-style) order-sensitive digest: per-block md5 of
+    // the keys in position order, then the shard md5 over block digests
+    // in block order. A flat digest would collect a WHOLE shard's keys
+    // into one aggregation buffer — GBs per group at training-export
+    // scale; blocks bound every buffer to DigestBlock entries and the
+    // second level to shardRows/DigestBlock digests.
+    val blocks = df
+      .select(col(shardCol).as("shard"), col(posCol).as("__p"),
+        col(keyCol).cast("string").as("__k"))
+      .groupBy(col("shard"), ((col("__p") - 1) / DigestBlock).cast("long").as("__blk"))
+      .agg(count(lit(1)).as("__bn"),
         md5(to_binary(array_join(
-          transform(sort_array(collect_list(col("__pk"))), pk => pk("k")), ","),
+          transform(sort_array(collect_list(struct(col("__p"), col("__k")))),
+            pk => pk("__k")), ","),
+          lit("utf-8"))).as("__bh"))
+    val manifest = blocks
+      .groupBy(col("shard"))
+      .agg(sum(col("__bn")).as("n_rows"),
+        md5(to_binary(array_join(
+          transform(sort_array(collect_list(struct(col("__blk"), col("__bh")))),
+            bh => bh("__bh")), ","),
           lit("utf-8"))).as("keys_md5"))
     val spark = df.sparkSession
     val rows = manifest.orderBy(col("shard")).collect()

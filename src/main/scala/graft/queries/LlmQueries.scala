@@ -942,10 +942,14 @@ object LlmQueries extends QueryPack {
           |p AS (
           |  SELECT doc_id, shard,
           |         row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS pos
-          |  FROM u)
-          |SELECT shard, count(*) AS n_rows,
-          |       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS keys_md5
-          |FROM p GROUP BY shard""".stripMargin))
+          |  FROM u),
+          |b AS (
+          |  SELECT shard, (pos - 1) // 8192 AS blk, count(*) AS bn,
+          |         md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS bh
+          |  FROM p GROUP BY 1, 2)
+          |SELECT shard, sum(bn)::BIGINT AS n_rows,
+          |       md5(string_agg(bh, ',' ORDER BY blk)) AS keys_md5
+          |FROM b GROUP BY shard""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-

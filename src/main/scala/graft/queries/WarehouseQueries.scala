@@ -199,6 +199,23 @@ object WarehouseQueries extends QueryPack {
       oracle = Some(
         "SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
+    GraftQuery("s14_orc_roundtrip",
+      // ORC source/sink fidelity (Spark-native columnar alternative):
+      // timestamps, doubles, and JSON strings written to ORC and read
+      // back must equal the parquet source
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft-orc").toString + "/ev"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+      },
+      oracle = Some(
+        """SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |       user_id, event_type, value, props
+          |FROM events""".stripMargin)),
+
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {
         // two crawl batches through the content-addressed ingest path

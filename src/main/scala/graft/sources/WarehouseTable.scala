@@ -890,9 +890,19 @@ final class WarehouseTable private (
       else fs.listStatus(new Path(historyDir)).toSeq.map(_.getPath.getName)
         .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
         .filter(_ > version).sorted
+    // ONE directory listing per archive generation (not one existence
+    // probe per day × archive — O(days × versions) round trips on an
+    // object store): day → earliest post-`version` archive holding it
+    val firstArchiveOf: Map[String, Long] = archives
+      .flatMap { n =>
+        fs.listStatus(new Path(s"$historyDir/v$n")).toSeq
+          .map(_.getPath.getName)
+          .filter(_.startsWith(s"$partitionCol="))
+          .map(_.stripPrefix(s"$partitionCol=") -> n)
+      }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
     val located = manifest.toSeq.map { case (d, files) =>
-      val base = archives.find(n =>
-          fs.exists(new Path(s"$historyDir/v$n/$partitionCol=$d")))
+      val base = firstArchiveOf.get(d)
         .map(n => s"$historyDir/v$n").getOrElse(dataPath)
       val have = listDayFiles(new Path(s"$base/$partitionCol=$d")).toSet
       val missing = files.filterNot(have.contains)

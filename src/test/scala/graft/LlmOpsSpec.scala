@@ -600,11 +600,14 @@ class LlmOpsSpec extends AnyFunSuite {
       val want = rows.sortBy(_._2).map(_._3).toList
       assert(ids == want, s"shard $shard: file order diverges from shard_pos")
       assert(manifest(shard)._1 == rows.size.toLong)
-      // manifest digest = md5 of comma-joined keys in position order
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(want.mkString(",").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      assert(manifest(shard)._2 == md)
+      // manifest digest = two-level: md5 per 8192-position block of the
+      // comma-joined keys, then md5 over the block digests in order
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val blockDigests = rows.sortBy(_._2)
+        .grouped(graft.llm.CurationOps.DigestBlock).toSeq
+        .map(blk => md5hex(blk.map(_._3).mkString(",")))
+      assert(manifest(shard)._2 == md5hex(blockDigests.mkString(",")))
     }
   }
 

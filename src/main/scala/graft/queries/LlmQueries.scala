@@ -917,6 +917,43 @@ object LlmQueries extends QueryPack {
           |         AS shard_pos
           |FROM r""".stripMargin)),
 
+    GraftQuery("x12_curation_pipeline",
+      // the operators COMPOSED as a real curation run: exact dedup →
+      // token-count quality gate → reproducible 60% sample → per-source
+      // character budget. Each stage is individually oracle-checked
+      // elsewhere; this pins that they compose without interference
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val deduped = DedupOps.exactDedup(docs, "text", "doc_id")
+        val quality = deduped.where(TextOps.tokenCount(col("text")) >= 30)
+        val sampled = CurationOps.hashSample(quality, 0.6, "doc_id", salt = "pipe")
+        CurationOps.tokenBudgetSample(sampled, "source", tokenBudget = 3000L,
+          tokensCol = "n_chars", keyCol = "doc_id", salt = "pipe2")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      oracle = Some(
+        raw"""WITH d1 AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+           |                                 ORDER BY doc_id) AS rn
+           |    FROM documents) t WHERE rn = 1),
+           |q AS (
+           |  SELECT * FROM d1
+           |  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+           |                        x -> x <> '')) >= 30),
+           |s AS (
+           |  SELECT * FROM q
+           |  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':pipe'), 1, 8))::BIGINT
+           |        / 4294967296.0 < 0.6),
+           |c AS (
+           |  SELECT doc_id, source, n_chars,
+           |         sum(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id
+           |                            ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':pipe2'), 1, 8))::BIGINT
+           |               / 4294967296.0 AS u
+           |        FROM s) t)
+           |SELECT doc_id, source, n_chars FROM c WHERE cum <= 3000""".stripMargin)),
+
     GraftQuery("x10_export_manifest",
       // the export terminal: shuffle-shard the corpus, write one ordered
       // JSONL file per shard, and return the manifest whose per-shard

@@ -253,6 +253,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w4/w5: all window frames run off a single user_id exchange") {
+    for (q <- Seq("w4_running_agg", "w5_window_suite")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // AQE's toString renders the final AND the initial plan — audit
+      // only the final one
+      val plan = planOf(df).split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1,
+        s"$q: expected one exchange for all window frames, got $exchanges:\n$plan")
+    }
+  }
+
+  test("q8: correlated EXISTS decorrelates to a semi join (no per-row subquery)") {
+    val df = SparkEntry.queries("q8_exists_subquery")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS did not decorrelate to a semi join:\n$plan")
+    assert(!plan.contains("InSubqueryExec"),
+      s"subquery executed per-row instead of joining:\n$plan")
+  }
+
   test("x8: shard assignment shuffles a scalar projection, not the payload") {
     val df = SparkEntry.queries("x8_shuffle_shard")(spark, sf)
     df.collect()

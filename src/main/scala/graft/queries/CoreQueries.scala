@@ -289,6 +289,45 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("a11_funnel",
+      // ordered funnel: users who viewed, then clicked AFTER their first
+      // view, then purchased AFTER that click — each stage joins the
+      // previous stage's anchor timestamp, so ordering is enforced, not
+      // just co-occurrence
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+        val c = ev.where(col("event_type") === "click").as("e")
+          .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+            col("e.ts") > col("v.tv"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tc"))
+        val p = ev.where(col("event_type") === "purchase").as("e")
+          .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+            col("e.ts") > col("c.tc"))
+          .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("tp"))
+        def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        stage("1_viewed", v)
+          .unionAll(stage("2_then_clicked", c))
+          .unionAll(stage("3_then_purchased", p))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts
+          |  FROM events),
+          |v AS (SELECT user_id, min(ts) AS tv FROM ev
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(e.ts) AS tc
+          |      FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+          |      WHERE e.event_type = 'click' GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.ts) AS tp
+          |      FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+          |      WHERE e.event_type = 'purchase' GROUP BY 1)
+          |SELECT '1_viewed' AS stage, count(*) AS n_users FROM v
+          |UNION ALL SELECT '2_then_clicked', count(*) FROM c
+          |UNION ALL SELECT '3_then_purchased', count(*) FROM p""".stripMargin)),
+
     GraftQuery("q9_scalar_subquery",
       // scalar subquery in a predicate: Catalyst evaluates the subquery
       // once and broadcasts the scalar into the filter (the threshold is

@@ -917,6 +917,41 @@ object LlmQueries extends QueryPack {
           |         AS shard_pos
           |FROM r""".stripMargin)),
 
+    GraftQuery("t13_fuzzy_match",
+      // blocked fuzzy matching (entity-resolution shape): 40-char
+      // "titles" pair only within a 6-char-prefix block — never
+      // all-pairs — and survive on edit distance <= 8. Levenshtein is
+      // integer-exact in both engines; every 4th doc also contributes a
+      // 2-edit perturbed copy that MUST pair with its source
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id").as("id"),
+            lower(substring(col("text"), 1, 40)).as("title"))
+        val perturbed = base.where(col("id") % 4 === 0)
+          .select((col("id") + 1000000).as("id"),
+            concat(substring(col("title"), 1, 38), lit("zq")).as("title"))
+        val titles = base.unionByName(perturbed)
+        val blocked = titles.withColumn("blk", substring(col("title"), 1, 6))
+        blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+          .where(levenshtein(col("a.title"), col("b.title")) <= 8)
+          .select(col("a.id").as("id1"), col("b.id").as("id2"),
+            levenshtein(col("a.title"), col("b.title")).as("dist"))
+      },
+      oracle = Some(
+        """WITH base AS (
+          |  SELECT doc_id AS id, lower(substr(text, 1, 40)) AS title
+          |  FROM documents WHERE doc_id < 200),
+          |pert AS (
+          |  SELECT id + 1000000 AS id, substr(title, 1, 38) || 'zq' AS title
+          |  FROM base WHERE id % 4 = 0),
+          |titles AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+          |blocked AS (SELECT id, title, substr(title, 1, 6) AS blk FROM titles)
+          |SELECT a.id AS id1, b.id AS id2,
+          |       levenshtein(a.title, b.title) AS dist
+          |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+          |WHERE levenshtein(a.title, b.title) <= 8""".stripMargin)),
+
     GraftQuery("x12_curation_pipeline",
       // the operators COMPOSED as a real curation run: exact dedup →
       // token-count quality gate → reproducible 60% sample → per-source

@@ -289,6 +289,46 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("a12_group_quantiles",
+      // exact interpolated per-group quantiles (median + p90): Spark's
+      // percentile and DuckDB's quantile_cont share the interpolation
+      // definition, so values match to the rounding digit
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
+          count(lit(1)).as("n")),
+      oracle = Some(
+        """SELECT event_type,
+          |       round(quantile_cont(value, 0.5), 6) AS median_value,
+          |       round(quantile_cont(value, 0.9), 6) AS p90_value,
+          |       count(*) AS n
+          |FROM events GROUP BY event_type""".stripMargin)),
+
+    GraftQuery("w6_range_frame",
+      // RANGE (value-interval) window frame: per-user trailing-hour
+      // event count and value sum, ordered by epoch seconds — peers at
+      // the same second enter the frame together in both engines
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600, 0)
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          round(sum("value").over(w), 6).as("sum_last_hour"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       count(*) OVER w AS n_last_hour,
+          |       round(sum(value) OVER w, 6) AS sum_last_hour
+          |FROM (SELECT user_id, event_id, value,
+          |             epoch(make_timestamp(epoch_ns(ts)//1000)) AS es
+          |      FROM events) t
+          |WINDOW w AS (PARTITION BY user_id ORDER BY es
+          |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     GraftQuery("a11_funnel",
       // ordered funnel: users who viewed, then clicked AFTER their first
       // view, then purchased AFTER that click — each stage joins the

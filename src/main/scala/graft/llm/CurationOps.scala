@@ -208,6 +208,35 @@ object CurationOps {
     manifest
   }
 
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis A-ES scheme): each row draws `u = hashUnit`
+    * and competes with priority `u^(1/w)`; the top `n` priorities win,
+    * which selects each row with probability proportional to its
+    * weight. Weights are DYADIC TIERS — `tierCol` = t means weight 2^t
+    * — because `u^(2^-t)` is computable as t repeated square roots,
+    * and `sqrt` (unlike `pow`/`log`) is IEEE-correctly-rounded, so the
+    * priorities — and therefore the SELECTED SET — are bit-identical
+    * in any engine. "Quality tier doubles selection weight" is exactly
+    * the knob a corpus-weighting pass wants.
+    *
+    * Map-only scoring + a distributed top-n (`TakeOrderedAndProject`)
+    * — no global sort, no single-partition window.
+    */
+  def weightedSample(df: DataFrame, n: Int, tierCol: String, maxTier: Int,
+      keyCol: String, salt: String = ""): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(maxTier >= 0 && maxTier <= 16, s"maxTier out of [0,16]: $maxTier")
+    val u = hashUnit(col(keyCol), salt)
+    val score = (0 to maxTier).foldLeft(lit(null).cast("double")) { (acc, t) =>
+      when(col(tierCol) === t,
+        Iterator.iterate(u)(sqrt).drop(t).next()).otherwise(acc)
+    }
+    df.withColumn("__ws", score)
+      .orderBy(col("__ws").desc, col(keyCol))
+      .limit(n)
+      .drop("__ws")
+  }
+
   /** Deterministic per-stratum budget: the `perStratum` rows of each
     * stratum with the lowest hash draw (ties broken by key). The
     * canonical "cap every language/source at N documents" curation step;

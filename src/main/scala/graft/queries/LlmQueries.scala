@@ -952,6 +952,35 @@ object LlmQueries extends QueryPack {
           |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
           |WHERE levenshtein(a.title, b.title) <= 8""".stripMargin)),
 
+    GraftQuery("x13_weighted_sample",
+      // A-ES weighted sampling with dyadic tiers: longer docs get tier
+      // 1/2 (weight 2x/4x); the top-100 priority set must match the
+      // oracle's identical sqrt-chain arithmetic exactly
+      (s, dir) => {
+        val tiered = Tables.load(s, dir, "documents")
+          .withColumn("tier",
+            when(col("n_chars") >= 400, lit(2))
+              .when(col("n_chars") >= 200, lit(1)).otherwise(lit(0)))
+        CurationOps.weightedSample(tiered, n = 100, tierCol = "tier",
+          maxTier = 2, keyCol = "doc_id", salt = "ws1")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("tier"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT doc_id, source, n_chars,
+          |         CASE WHEN n_chars >= 400 THEN 2
+          |              WHEN n_chars >= 200 THEN 1 ELSE 0 END AS tier,
+          |         ('0x' || substr(md5(doc_id::VARCHAR || ':ws1'), 1, 8))::BIGINT
+          |           / 4294967296.0 AS u
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, source, n_chars, tier,
+          |         CASE tier WHEN 0 THEN u WHEN 1 THEN sqrt(u)
+          |                   ELSE sqrt(sqrt(u)) END AS sc
+          |  FROM t)
+          |SELECT doc_id, source, n_chars, tier
+          |FROM s ORDER BY sc DESC, doc_id LIMIT 100""".stripMargin)),
+
     GraftQuery("x12_curation_pipeline",
       // the operators COMPOSED as a real curation run: exact dedup →
       // token-count quality gate → reproducible 60% sample → per-source

@@ -571,6 +571,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("weightedSample: higher tiers overrepresented, deterministic, exact n") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .withColumn("tier", (col("doc_id") % 3).cast("int")) // tiers 0/1/2 equally sized
+    def run() = CurationOps.weightedSample(docs, n = 120, tierCol = "tier",
+      maxTier = 2, keyCol = "doc_id", salt = "t")
+      .select($"doc_id", $"tier").as[(Long, Int)].collect().toSeq
+    val out = run()
+    assert(out.size == 120 && out.map(_._1).distinct.size == 120)
+    val byTier = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // weights 1:2:4 over equal-size tiers — inclusion must increase
+    // with tier (loose bound; the draw is deterministic, not flaky)
+    assert(byTier(2) > byTier(1) && byTier(1) > byTier(0),
+      s"tier inclusion not weight-ordered: $byTier")
+    assert(run() == out)
+  }
+
   test("exportShards: one ordered JSONL file per shard, manifest matches the files") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select($"doc_id", $"lang")

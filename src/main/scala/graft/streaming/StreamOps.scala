@@ -90,15 +90,25 @@ object StreamOps {
     * Runs identically on batch frames (where it is just the interval
     * equi-join, same results as `TemporalOps.pointInInterval`-style
     * bounds).
+    *
+    * `joinType` may be `inner` or `left_outer`: outer rows (left events
+    * with no right match in the window) are held back until the
+    * watermark proves no match can still arrive, then emitted with NULL
+    * right columns — the streaming form of "click with no preceding
+    * impression".
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      lookbackSeconds: Long, watermarkDelay: String = "2 minutes"): DataFrame = {
+      lookbackSeconds: Long, watermarkDelay: String = "2 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark("timestamp", watermarkDelay).alias("l")
     val r = right.withWatermark("timestamp", watermarkDelay).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col("r.timestamp") >= col("l.timestamp") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
-        col("r.timestamp") <= col("l.timestamp"))
+        col("r.timestamp") <= col("l.timestamp"),
+      joinType)
   }
 
   /** A keyed change record for [[dedupConsecutive]]. */

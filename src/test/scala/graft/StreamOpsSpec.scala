@@ -130,6 +130,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin left_outer: unmatched lefts emit with NULL once the watermark passes") {
+    val clicks = MemoryStream[(Long, String, String)](spark)
+    val imps = MemoryStream[(Long, String, String)](spark)
+    def shape(df: org.apache.spark.sql.DataFrame, v: String) =
+      df.toDF("user_id", v, "s").withColumn("timestamp", to_timestamp($"s")).drop("s")
+    val q = StreamOps.intervalJoin(
+      shape(clicks.toDF(), "click"), shape(imps.toDF(), "imp"),
+      "user_id", lookbackSeconds = 60, watermarkDelay = "1 minute",
+      joinType = "left_outer")
+      .select($"click", $"imp")
+      .writeStream.format("memory").queryName("ij_outer").outputMode("append").start()
+    try {
+      imps.addData((1L, "i1", "2024-03-01 10:00:00"))
+      clicks.addData((1L, "c1", "2024-03-01 10:00:30")) // matches i1
+      clicks.addData((2L, "c2", "2024-03-01 10:00:40")) // no impression at all
+      q.processAllAvailable()
+      // push the watermark far past c2's eviction horizon so the outer
+      // row is finalized as unmatched
+      clicks.addData((9L, "late", "2024-03-01 10:30:00"))
+      imps.addData((9L, "ilate", "2024-03-01 10:30:00"))
+      q.processAllAvailable()
+      clicks.addData((9L, "late2", "2024-03-01 10:40:00"))
+      q.processAllAvailable()
+      val got = spark.table("ij_outer").as[(String, String)].collect().toMap
+      assert(got.get("c1").contains("i1"))
+      assert(got.contains("c2") && got("c2") == null,
+        s"unmatched left row not emitted with NULL: $got")
+    } finally q.stop()
+  }
+
   test("dedupConsecutive: re-delivered identical values are suppressed across batches") {
     val input = MemoryStream[KeyedValue](spark)
     val q = StreamOps.dedupConsecutive(input.toDS())

@@ -616,6 +616,25 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().select($"f1").as[String].head() == "v12")
   }
 
+  test("time travel reads pre-evolution snapshots under the evolved schema") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    // evolve: add f2, then write a row carrying it
+    t.evolveSchema(StructType(Seq(
+      StructField("k1", LongType), StructField("f1", StringType),
+      StructField("f2", StringType))))
+    t.append(Seq((2L, "b1", "x")).toDF("k1", "f1", "f2")
+      .withColumn("partitionTime", ts(2)))                                        // v2
+    // the old snapshot reads under the CURRENT schema: f2 present, NULL
+    val v1 = t.readAsOf(1).select($"k1", $"f1", $"f2")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(v1 == Set((1L, "a1", None)))
+    val v2 = t.readAsOf(2).select($"k1", $"f1", $"f2")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(v2 == Set((1L, "a1", None), (2L, "b1", Some("x"))))
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -289,6 +289,71 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("q12_having",
+      // aggregate-predicate filtering (HAVING): frequent buyers only —
+      // the filter runs on the aggregated row, after the hash aggregate
+      (s, dir) => Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_spend"))
+        .where(col("n_orders") >= 5),
+      oracle = Some(
+        """SELECT o_custkey, count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS total_spend
+          |FROM orders GROUP BY o_custkey
+          |HAVING count(*) >= 5""".stripMargin)),
+
+    GraftQuery("q10_promo_share",
+      // TPC-H Q14 shape: conditional-sum ratio over a fact-to-dim join —
+      // the part side is broadcast, the ratio of the two sums rounds at
+      // 4 places so summation order cannot surface
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1995-09-01")))
+        val p = Tables.load(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("promo_revenue_pct"))
+      },
+      oracle = Some(
+        """SELECT round(100.0 *
+          |       sum(CASE WHEN p_type = 'PROMO'
+          |                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+          |       sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1995-09-01 00:00:00'""".stripMargin)),
+
+    GraftQuery("q11_multi_predicate_join",
+      // TPC-H Q19 shape: disjunctive multi-predicate join (brand ×
+      // size-range × quantity-range) — the OR of conjuncts must still
+      // push the part filters below the join
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .where(
+            (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 35)))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      oracle = Some(
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 1 AND 20)
+          |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity BETWEEN 10 AND 35)""".stripMargin)),
+
     GraftQuery("a12_group_quantiles",
       // exact interpolated per-group quantiles (median + p90): Spark's
       // percentile and DuckDB's quantile_cont share the interpolation

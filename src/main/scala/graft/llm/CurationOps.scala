@@ -145,7 +145,7 @@ object CurationOps {
     * under `outDir/<shardCol>=<s>/` as a single JSONL (or parquet) file
     * whose row order IS `posCol` order; the returned manifest has one
     * row per shard: `(shard, n_rows, keys_md5)` where `keys_md5` is the
-    * md5 of the comma-joined keys in position order — a consumer (or
+    * md5 of the \u0001-joined keys in position order — a consumer (or
     * the DuckDB oracle) can re-derive it to prove both membership and
     * ORDER survived the export. The manifest is also written to
     * `outDir/_manifest.json`.
@@ -180,6 +180,9 @@ object CurationOps {
     // into one aggregation buffer — GBs per group at training-export
     // scale; blocks bound every buffer to DigestBlock entries and the
     // second level to shardRows/DigestBlock digests.
+    // \u0001-joined (not comma): string keys containing the separator
+    // would otherwise make distinct key sequences digest identically —
+    // same aliasing concern as WarehouseTable's keyString
     val blocks = df
       .select(col(shardCol).as("shard"), col(posCol).as("__p"),
         col(keyCol).cast("string").as("__k"))
@@ -187,14 +190,14 @@ object CurationOps {
       .agg(count(lit(1)).as("__bn"),
         md5(to_binary(array_join(
           transform(sort_array(collect_list(struct(col("__p"), col("__k")))),
-            pk => pk("__k")), ","),
+            pk => pk("__k")), "\u0001"),
           lit("utf-8"))).as("__bh"))
     val manifest = blocks
       .groupBy(col("shard"))
       .agg(sum(col("__bn")).as("n_rows"),
         md5(to_binary(array_join(
           transform(sort_array(collect_list(struct(col("__blk"), col("__bh")))),
-            bh => bh("__bh")), ","),
+            bh => bh("__bh")), "\u0001"),
           lit("utf-8"))).as("keys_md5"))
     val spark = df.sparkSession
     val rows = manifest.orderBy(col("shard")).collect()

@@ -1046,10 +1046,10 @@ object LlmQueries extends QueryPack {
           |  FROM u),
           |b AS (
           |  SELECT shard, (pos - 1) // 8192 AS blk, count(*) AS bn,
-          |         md5(string_agg(doc_id::VARCHAR, ',' ORDER BY pos)) AS bh
+          |         md5(string_agg(doc_id::VARCHAR, chr(1) ORDER BY pos)) AS bh
           |  FROM p GROUP BY 1, 2)
           |SELECT shard, sum(bn)::BIGINT AS n_rows,
-          |       md5(string_agg(bh, ',' ORDER BY blk)) AS keys_md5
+          |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
           |FROM b GROUP BY shard""".stripMargin))
   )
 

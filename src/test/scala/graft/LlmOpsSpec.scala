@@ -622,8 +622,8 @@ class LlmOpsSpec extends AnyFunSuite {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val blockDigests = rows.sortBy(_._2)
         .grouped(graft.llm.CurationOps.DigestBlock).toSeq
-        .map(blk => md5hex(blk.map(_._3).mkString(",")))
-      assert(manifest(shard)._2 == md5hex(blockDigests.mkString(",")))
+        .map(blk => md5hex(blk.map(_._3).mkString("\u0001")))
+      assert(manifest(shard)._2 == md5hex(blockDigests.mkString("\u0001")))
     }
   }
 

@@ -289,6 +289,47 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("a13_data_profile",
+      // data-quality profile in ONE pass over the table: per-column
+      // null counts, ranges, and exact distinct cardinalities from a
+      // single aggregate (no per-column re-scan)
+      (s, dir) => Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        sum(col("o_orderpriority").isNull.cast("long")).as("null_priority"),
+        count_distinct(col("o_custkey")).as("distinct_custkey"),
+        count_distinct(col("o_orderstatus")).as("distinct_status"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date")),
+      oracle = Some(
+        """SELECT count(*) AS n_rows,
+          |       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_custkey,
+          |       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_priority,
+          |       count(DISTINCT o_custkey) AS distinct_custkey,
+          |       count(DISTINCT o_orderstatus) AS distinct_status,
+          |       round(min(o_totalprice), 2) AS min_price,
+          |       round(max(o_totalprice), 2) AS max_price,
+          |       min(o_orderdate) AS min_date,
+          |       max(o_orderdate) AS max_date
+          |FROM orders""".stripMargin)),
+
+    GraftQuery("a14_uniqueness_check",
+      // dbt-style constraint check as a query: keys violating a
+      // uniqueness expectation, with their multiplicity — built from
+      // lineitem's naturally repeating l_orderkey (a real table whose
+      // "unique" assumption fails), empty output would mean the
+      // constraint holds
+      (s, dir) => Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_dupes"))
+        .where(col("n_dupes") > 1),
+      oracle = Some(
+        """SELECT l_orderkey, count(*) AS n_dupes
+          |FROM lineitem GROUP BY l_orderkey
+          |HAVING count(*) > 1""".stripMargin)),
+
     GraftQuery("q12_having",
       // aggregate-predicate filtering (HAVING): frequent buyers only —
       // the filter runs on the aggregated row, after the hash aggregate

@@ -918,6 +918,35 @@ final class WarehouseTable private (
     }.reduce(_ unionByName _)
   }
 
+  /** Clone a snapshot into a NEW standalone table (BigQuery table
+    * clone / Delta CLONE analog): the destination gets this table's
+    * schema, key fields, and layout options, the snapshot's rows
+    * written through the clustering layout, fresh blooms, and its own
+    * version-1 snapshot — after which the two tables evolve
+    * independently. Defaults to the current version.
+    */
+  def cloneTo(destRoot: String, version: Long = -1L): WarehouseTable = {
+    val v = if (version < 0) currentVersion else version
+    val dest = WarehouseTable.create(spark, destRoot, keyFields, schema, options)
+    require(dest.listDays().isEmpty && dest.currentVersion == 0L,
+      s"clone destination $destRoot is not empty")
+    val rows = if (v == 0L) read() else readAsOf(v)
+    dest.writeRouted(rows, "clone")
+    dest
+  }
+
+  /** Write pre-routed rows (carrying `_pday`) through the clustering
+    * layout, refresh blooms, and commit a snapshot — the ingest half of
+    * [[cloneTo]].
+    */
+  private def writeRouted(df: DataFrame, op: String): Unit = {
+    clusteredWrite(df).write
+      .mode(SaveMode.Append).partitionBy(partitionCol).parquet(dataPath)
+    val touched = listDays()
+    refreshBlooms(touched)
+    if (touched.nonEmpty) commitSnapshot(op, touched, currentVersion + 1)
+  }
+
   /** Time-based travel (BigQuery `FOR SYSTEM_TIME AS OF` analog): the
     * table as of the newest snapshot committed at or before `epochMs`.
     */

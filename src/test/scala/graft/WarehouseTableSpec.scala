@@ -635,6 +635,27 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(v2 == Set((1L, "a1", None), (2L, "b1", Some("x"))))
   }
 
+  test("cloneTo: snapshot clone is content-equal and independently mutable") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1))))                                            // v2
+    val clone = t.cloneTo(tmpRoot() + "-clone", version = 1)
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k1", $"f1").as[(Long, String)].collect().toSet
+    assert(st(clone.read()) == Set((1L, "a1"), (2L, "b1")))
+    assert(clone.currentVersion == 1L)
+    // clones diverge independently: mutate the clone, source unchanged
+    clone.merge(staged(Seq((2L, None, 20L, 1))))
+    assert(st(clone.read()) == Set((1L, "a1")))
+    assert(st(t.read()) == Set((1L, "a2"), (2L, "b1")))
+    // a head clone of the source carries its current state
+    val head = t.cloneTo(tmpRoot() + "-head")
+    assert(st(head.read()) == Set((1L, "a2"), (2L, "b1")))
+    // refusing to clone onto a non-empty destination
+    intercept[IllegalArgumentException](t.cloneTo(clone.root))
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -566,6 +566,64 @@ object DedupOps {
         coalesce(col("__m.sp"), lit(0)).cast("long").as("n_spans"))
   }
 
+  /** The destructive half of [[duplicatedSpans]]: REMOVE every
+    * duplicated span from every document (the remediation step of the
+    * suffix-array dedup — Lee et al. cut the repeated substring from
+    * all but one occurrence; this removes all occurrences, the stricter
+    * form that also kills boilerplate). `textCol` is replaced with the
+    * cleaned, space-rejoined text; `n_words` and `dup_words` are
+    * appended. Normalization (lowercase, whitespace-split) is applied
+    * before comparison, so the rebuilt text is normalized.
+    *
+    * == 100 TB design ==
+    *
+    * Identical exchange discipline to [[duplicatedSpans]] — `(id, pos,
+    * 16-byte hash)` only; the rebuild joins each affected document's
+    * dup-window START LIST (one int per duplicated window) back by id
+    * and drops covered words with a higher-order filter where the
+    * document already lives. The membership test is O(words × starts)
+    * per doc — fine for boilerplate-level duplication; a pathological
+    * all-duplicate doc degrades gracefully (its text empties).
+    */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val w = window
+    val words = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val others = df.columns.filterNot(_ == textCol).toSeq
+    val staged = df.select(
+      (col(idCol).as("__id") +: words.as("__ws") +: others.map(col)): _*)
+    val winHashes = when(size(col("__ws")) >= w,
+      transform(sequence(lit(1), size(col("__ws")) - w + 1),
+        p => md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
+          lit("utf-8")))))
+      .otherwise(array().cast("array<string>"))
+    val posed = staged
+      .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
+      .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
+      .localCheckpoint(true)
+    val dupHashes = posed.select(col("__id"), col("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minDocs)
+      .select(col("__h"))
+    val starts = posed.join(dupHashes, Seq("__h"), "left_semi")
+      .groupBy(col("__id")).agg(sort_array(collect_list(col("__pos"))).as("__st"))
+    val emptyStarts = array().cast("array<int>")
+    val covered = (i: Column) =>
+      exists(col("__st"), s => s <= i && i < s + w)
+    staged.join(starts, Seq("__id"), "left")
+      .withColumn("__st", coalesce(col("__st"), emptyStarts))
+      .withColumn("n_words", size(col("__ws")).cast("long"))
+      .withColumn("dup_words",
+        size(filter(transform(col("__ws"), (_, i0) => covered(i0 + 1)),
+          c => c)).cast("long"))
+      .withColumn(textCol, array_join(
+        filter(col("__ws"), (_, i0) => !covered(i0 + 1)), " "))
+      .select((col(textCol) +: others.map(col)) ++
+        Seq(col("n_words"), col("dup_words")): _*)
+  }
+
   /** Connected components over an undirected near-dup pair set (the
     * `id1 < id2` rows of [[minhashNearDups]] and friends): every
     * document appearing in a pair is labeled with the MINIMUM doc id

@@ -372,6 +372,52 @@ object TextOps {
       .drop("__id")
   }
 
+  /** Bigram language-model surprisal (the CCNet-style LM-quality signal
+    * one level up from [[withUnigramSurprisal]]): each document scores
+    * the mean `-log2 P(w_i | w_{i-1})` under the corpus's own bigram
+    * counts, with `P(b|a) = C(a,b) / C(a·)` (history count = occurrences
+    * of `a` as a bigram head). Unsmoothed is safe: every scored bigram
+    * occurs in the corpus (the document is part of it), so no zero
+    * probabilities arise. Appends `n_bigrams` and `bigram_surprisal`
+    * (NULL for documents with fewer than two tokens).
+    *
+    * == 100 TB design ==
+    *
+    * Same term-frequency discipline as the unigram form, with one
+    * addition: bigram identity crosses exchanges as a 16-byte md5 (of
+    * the U+0001-joined pair), never as token text, and the history
+    * count reuses the same relation keyed by the head hash — two
+    * map-side-combined aggregates and two scalar joins, no second
+    * tokenization pass.
+    */
+  def withBigramSurprisal(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val ws = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val staged = df.select(col(idCol).as("__id"), ws.as("__ws"))
+    val pairs = when(size(col("__ws")) >= 2,
+      transform(sequence(lit(2), size(col("__ws"))), i => struct(
+        md5(to_binary(concat(element_at(col("__ws"), i - 1), lit("\u0001"),
+          element_at(col("__ws"), i)), lit("utf-8"))).as("bh"),
+        md5(to_binary(element_at(col("__ws"), i - 1), lit("utf-8"))).as("fh"))))
+      .otherwise(array().cast("array<struct<bh:string,fh:string>>"))
+    val tf = staged
+      .select(col("__id"), explode(pairs).as("__p"))
+      .select(col("__id"), col("__p.bh").as("__bh"), col("__p.fh").as("__fh"))
+      .groupBy(col("__id"), col("__bh"), col("__fh"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val vb = tf.groupBy(col("__bh")).agg(sum(col("__tf")).as("__cb"))
+    val vf = tf.groupBy(col("__fh")).agg(sum(col("__tf")).as("__cf"))
+    val scored = tf.join(vb, "__bh").join(vf, "__fh")
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).cast("long").as("n_bigrams"),
+        round(sum(col("__tf") * -log2(col("__cb") / col("__cf"))) /
+          sum(col("__tf")), 6).as("bigram_surprisal"))
+    df.join(scored, df(idCol) === scored("__id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .drop("__id")
+  }
+
   /** TF-IDF keyword extraction: the `k` tokens of each document with the
     * highest `tf · log2(N / df)` weight (N = corpus size, df = documents
     * containing the token), ties broken by token. Returns one row per

@@ -690,6 +690,66 @@ object LlmQueries extends QueryPack {
            |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin),
       headline = true),
 
+    GraftQuery("d11_substring_removal",
+      // the remediation step for d10's findings: the planted cross-doc
+      // phrase (and any natural >=8-word repeats) must vanish from the
+      // rebuilt text in both engines, md5-verified
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val built = d.select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(substring(col("text"), 1, 120),
+              lit(" all work and no play makes jack a dull boy every day "),
+              substring(col("text"), 121, 240)))
+            .otherwise(col("text")).as("text"))
+        DedupOps.removeDuplicatedSpans(built, "text", "doc_id",
+          window = 8, minDocs = 2)
+          .select(col("doc_id"),
+            md5(to_binary(col("text"), lit("utf-8"))).as("clean_md5"),
+            col("n_words"), col("dup_words"))
+      },
+      oracle = Some(
+        raw"""WITH d AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 3 = 0
+           |              THEN substr(text, 1, 120) ||
+           |                   ' all work and no play makes jack a dull boy every day ' ||
+           |                   substr(text, 121, 240)
+           |              ELSE text END AS text
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, ws, len(ws) AS nw
+           |  FROM (SELECT doc_id,
+           |               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |                           x -> x <> '') AS ws
+           |        FROM d)),
+           |wh AS (
+           |  SELECT doc_id, p, md5(array_to_string(ws[p:p+7], ' ')) AS h
+           |  FROM (SELECT doc_id, unnest(range(1, nw - 8 + 2)) AS p, ws
+           |        FROM base WHERE nw >= 8) t),
+           |dup AS (
+           |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS c
+           |                 FROM wh GROUP BY 1) WHERE c >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p + o AS c
+           |  FROM (SELECT doc_id, p, unnest(range(0, 8)) AS o
+           |        FROM wh WHERE h IN (SELECT h FROM dup))),
+           |wordpos AS (
+           |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS p
+           |  FROM base),
+           |kept AS (
+           |  SELECT wp.doc_id, wp.w, wp.p FROM wordpos wp
+           |  WHERE NOT EXISTS (SELECT 1 FROM cov
+           |                    WHERE cov.doc_id = wp.doc_id AND cov.c = wp.p)),
+           |agg AS (
+           |  SELECT b.doc_id,
+           |         coalesce(string_agg(k.w, ' ' ORDER BY k.p), '') AS clean,
+           |         count(k.w) AS n_kept
+           |  FROM base b LEFT JOIN kept k USING (doc_id) GROUP BY b.doc_id)
+           |SELECT a.doc_id, md5(a.clean) AS clean_md5,
+           |       b.nw AS n_words, (b.nw - a.n_kept)::BIGINT AS dup_words
+           |FROM agg a JOIN base b USING (doc_id)""".stripMargin)),
+
     GraftQuery("t6_c4_clean",
       // synthetic line structure: four 60-char slices, two of every
       // three ending in terminal punctuation, plus a banned-phrase line
@@ -817,6 +877,38 @@ object LlmQueries extends QueryPack {
            |         ws[j * 15 + 1 : j * 15 + least(20, nw - (j * 15 + 1) + 1)], ' '))
            |         AS chunk_md5
            |FROM j""".stripMargin)),
+
+    GraftQuery("t14_bigram_surprisal",
+      // CCNet-style LM quality one level up from t11: mean conditional
+      // bigram information content under the corpus's own counts
+      (s, dir) => TextOps.withBigramSurprisal(
+        Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("bigram_surprisal")),
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex($normSql, '\s+'),
+           |                     x -> x <> '') AS ws
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |         md5(ws[i-1] || chr(1) || ws[i]) AS bh,
+           |         md5(ws[i-1]) AS fh
+           |  FROM (SELECT doc_id, ws, unnest(range(2, len(ws) + 1)) AS i
+           |        FROM toks WHERE len(ws) >= 2) t),
+           |tf AS (
+           |  SELECT doc_id, bh, fh, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+           |vb AS (SELECT bh, sum(tf) AS cb FROM tf GROUP BY 1),
+           |vf AS (SELECT fh, sum(tf) AS cf FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_bigrams,
+           |         round(sum(tf.tf * -log2(vb.cb / vf.cf)) / sum(tf.tf), 6)
+           |           AS bigram_surprisal
+           |  FROM tf JOIN vb USING (bh) JOIN vf USING (fh)
+           |  GROUP BY 1)
+           |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+           |       s.bigram_surprisal
+           |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin)),
 
     GraftQuery("x5_token_budget",
       (s, dir) => CurationOps.tokenBudgetSample(Tables.load(s, dir, "documents"),

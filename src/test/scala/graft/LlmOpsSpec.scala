@@ -182,6 +182,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("removeDuplicatedSpans cuts exactly the covered words, keeps the rest") {
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zzz one two three four qqq"),
+      (3L, "totally different words here indeed")).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicatedSpans(docs, "text", "doc_id",
+      window = 3, minDocs = 2)
+      .select($"doc_id", $"text", $"n_words", $"dup_words")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: covered [1..4] → "five six"; doc 2: covered [2..5] → "zzz qqq"
+    assert(out(1L) == (("five six", 6L, 4L)))
+    assert(out(2L) == (("zzz qqq", 6L, 4L)))
+    assert(out(3L) == (("totally different words here indeed", 5L, 0L)))
+    // counts agree with duplicatedSpans' coverage accounting
+    val spans = DedupOps.duplicatedSpans(docs, "text", "doc_id", 3, 2)
+      .select($"doc_id", $"dup_words").as[(Long, Long)].collect().toMap
+    assert(out.view.mapValues(_._3).toMap == spans)
+  }
+
   test("duplicatedSpans: docs shorter than the window yield zero rows counted") {
     val docs = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
     val out = DedupOps.duplicatedSpans(docs, "text", "doc_id",
@@ -190,6 +210,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out == Map(1L -> ((2L, 0L, 0L)), 2L -> ((2L, 0L, 0L))))
+  }
+
+  test("withBigramSurprisal: hand-computed conditional bits on a tiny corpus") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.withBigramSurprisal(docs, "text", "doc_id")
+      .select($"doc_id", $"n_bigrams", $"bigram_surprisal")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // C(a,b)=2 C(b,a)=1 C(a,c)=1; heads: a=3, b=1
+    // doc1: (-log2(2/3) + -log2(1/1) + -log2(1/3))/3 = 0.723308
+    // doc2: -log2(2/3) = 0.584963
+    assert(out(1L) == ((3L, Some(0.723308))))
+    assert(out(2L) == ((1L, Some(0.584963))))
+    assert(out(3L) == ((0L, None)))
   }
 
   test("tfidfKeywords: hand-computed weights and tie-break on a tiny corpus") {

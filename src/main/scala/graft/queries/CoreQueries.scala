@@ -289,6 +289,23 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("a15_histogram",
+      // fixed-width histogram: 20 buckets over [0, 100] with explicit
+      // edge handling (values at the top edge land in the last bucket)
+      // — one map-only bucket expression + one aggregate
+      (s, dir) => Tables.events(s, dir)
+        .select(least(floor(col("value") / 5.0).cast("int"), lit(19)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), round(col("bucket") * 5.0, 1).as("lo"),
+          round((col("bucket") + 1) * 5.0, 1).as("hi"), col("n")),
+      oracle = Some(
+        """SELECT bucket, round(bucket * 5.0, 1) AS lo,
+          |       round((bucket + 1) * 5.0, 1) AS hi, count(*) AS n
+          |FROM (SELECT least(CAST(floor(value / 5.0) AS INT), 19) AS bucket
+          |      FROM events) t
+          |GROUP BY bucket""".stripMargin)),
+
     GraftQuery("a13_data_profile",
       // data-quality profile in ONE pass over the table: per-column
       // null counts, ranges, and exact distinct cardinalities from a

@@ -910,6 +910,51 @@ object LlmQueries extends QueryPack {
            |       s.bigram_surprisal
            |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin)),
 
+    GraftQuery("t15_corpus_drift",
+      // distribution-drift monitor: KL(P||Q) in bits between the token
+      // distributions of two corpus slices, over the SHARED vocabulary
+      // (unseen tokens would make KL infinite; the coverage columns
+      // report how much probability mass the shared vocab captures in
+      // each slice, so a drop in coverage is itself the drift signal)
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select((col("doc_id") % 2).cast("int").as("g"),
+            explode(split(TextOps.normalizeText(col("text")), " ")).as("t"))
+          .where(col("t") =!= "")
+        val counts = toks.groupBy(col("g"), col("t"))
+          .agg(count(lit(1)).as("c"))
+        val a = counts.where(col("g") === 0).select(col("t"), col("c").as("ca"))
+        val b = counts.where(col("g") === 1).select(col("t"), col("c").as("cb"))
+        val tot = counts.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+        val ta = tot.where(col("g") === 0).select(col("tot").cast("double").as("ta"))
+        val tb = tot.where(col("g") === 1).select(col("tot").cast("double").as("tb"))
+        a.join(b, "t")
+          .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+          .agg(
+            round(sum((col("ca") / col("ta")) *
+              log2((col("ca") / col("ta")) / (col("cb") / col("tb")))), 6).as("kl_bits"),
+            count(lit(1)).as("n_shared_tokens"),
+            round(sum(col("ca")) / first(col("ta")), 6).as("coverage_a"),
+            round(sum(col("cb")) / first(col("tb")), 6).as("coverage_b"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT CAST(doc_id % 2 AS INT) AS g,
+           |         unnest(string_split_regex($normSql, '\s+')) AS t
+           |  FROM documents),
+           |counts AS (
+           |  SELECT g, t, count(*) AS c FROM toks WHERE t <> '' GROUP BY 1, 2),
+           |a AS (SELECT t, c AS ca FROM counts WHERE g = 0),
+           |b AS (SELECT t, c AS cb FROM counts WHERE g = 1),
+           |ta AS (SELECT sum(c)::DOUBLE AS ta FROM counts WHERE g = 0),
+           |tb AS (SELECT sum(c)::DOUBLE AS tb FROM counts WHERE g = 1)
+           |SELECT round(sum((ca / ta.ta) * log2((ca / ta.ta) / (cb / tb.tb))), 6)
+           |         AS kl_bits,
+           |       count(*) AS n_shared_tokens,
+           |       round(sum(ca) / any_value(ta.ta), 6) AS coverage_a,
+           |       round(sum(cb) / any_value(tb.tb), 6) AS coverage_b
+           |FROM a JOIN b USING (t) CROSS JOIN ta CROSS JOIN tb""".stripMargin)),
+
     GraftQuery("x5_token_budget",
       (s, dir) => CurationOps.tokenBudgetSample(Tables.load(s, dir, "documents"),
         "lang", tokenBudget = 5000L, tokensCol = "n_chars", keyCol = "doc_id",

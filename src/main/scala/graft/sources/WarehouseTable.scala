@@ -5,7 +5,7 @@ import graft.schema.{EvolutionPolicy, SchemaUnion}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
 import java.io.{BufferedInputStream, BufferedOutputStream}
@@ -278,17 +278,28 @@ final class WarehouseTable private (
     val routed = deduped
       .withColumn(partitionCol, routeExpr(partitionTimeCol))
       .drop(partitionTimeCol)
-    // cached across the write and the touched-day collect (micro-batch
-    // bounded): the collect otherwise re-scans and re-routes the input
+    // cached across the bloom/day aggregation and the write (micro-batch
+    // bounded): the write otherwise re-scans and re-routes the input
     routed.cache()
     try {
+      // ONE aggregation over the cached batch yields both the touched-day
+      // set and each day's batch bloom — replacing the old plan's separate
+      // distinct-collect AND the post-write re-scan of the written files
+      // (refreshBlooms): two fewer jobs and one less pass per flush, which
+      // at streaming cadence is the append path's dominant fixed cost
+      val dayBlooms = routed
+        .groupBy(col(partitionCol).cast("string").as("d"))
+        .agg(bloomAggColumn.as("bloom")).collect()
+      val touched = dayBlooms.map(_.getString(0)).toSeq
+      val preExisting = touched.filter(d =>
+        d != null && fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
       clusteredWrite(routed).write
         .mode(SaveMode.Append)
         .partitionBy(partitionCol)
         .parquet(dataPath)
-      val touched = routed.select(partitionCol).distinct()
-        .collect().map(_.getString(0)).toSeq
-      refreshBlooms(touched)
+      upsertBlooms(
+        dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
+        preExisting)
       if (touched.nonEmpty) commitSnapshot("append", touched, currentVersion + 1)
       expireOldPartitions()
       autoVacuum()
@@ -326,6 +337,27 @@ final class WarehouseTable private (
     val touched = fs.listStatus(stagingPath).toSeq
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith(s"$partitionCol="))
+    // batch blooms from the staged files BEFORE the move — key columns
+    // only, O(batch) I/O. After the move [[upsertBlooms]] unions them
+    // into the existing day blooms, so the per-flush bloom cost no
+    // longer re-scans the whole partition (O(table) under streaming
+    // cadence — the difference between a flush that costs the batch and
+    // one that grows with table history). Replay-safe: a prior attempt's
+    // keys may linger in the old bloom after its files are deleted,
+    // which only ever widens the bloom (superset ⇒ extra scan, never a
+    // lost update).
+    val keySet = keyFields.toSet
+    val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+    val dayBlooms =
+      if (touched.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.option("basePath", staging)
+        .schema(keySchema.add(StructField(partitionCol, StringType)))
+        .parquet(touched.map(d => s"$staging/$d"): _*)
+        .groupBy(col(partitionCol).cast("string").as("d"))
+        .agg(bloomAggColumn.as("bloom")).collect()
+    val preExisting = touched
+      .filter(dirName => fs.exists(new Path(s"$dataPath/$dirName")))
+      .map(_.stripPrefix(s"$partitionCol=")).toSet
     touched.foreach { dirName =>
       val destDir = new Path(s"$dataPath/$dirName")
       fs.mkdirs(destDir)
@@ -341,7 +373,9 @@ final class WarehouseTable private (
     }
     fs.delete(stagingPath, true)
     val touchedDays = touched.map(_.stripPrefix(s"$partitionCol="))
-    refreshBlooms(touchedDays)
+    upsertBlooms(
+      dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
+      preExisting)
     if (touchedDays.nonEmpty)
       commitSnapshot("append-batch", touchedDays, currentVersion + 1)
     expireOldPartitions()
@@ -593,6 +627,23 @@ final class WarehouseTable private (
     * own compact `writeTo` — no Java-serialization round-trips.
     * Partitions that no longer exist get their bloom removed.
     */
+  /** The shared bloom-building aggregate: Spark's native (codegen'd)
+    * `BloomFilterAggregate` over `xxhash64(key)`, sized identically for
+    * every bloom this table writes — identical sizing is what makes two
+    * blooms of the same table mergeable (same bit width, same hash
+    * count), which [[upsertBlooms]] relies on.
+    */
+  private def bloomAggColumn: Column = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val items = WarehouseTable.bloomExpectedItems
+    Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(keyString(keyFields.map(col)))),
+      Bridge.expression(lit(items)),
+      Bridge.expression(lit(BloomFilter.optimalNumOfBits(items, 0.01))))
+      .toAggregateExpression())
+  }
+
   private def refreshBlooms(days: Seq[String]): Unit = {
     val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
     days.filterNot(existing.contains).foreach { d =>
@@ -600,14 +651,7 @@ final class WarehouseTable private (
       if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
     }
     if (existing.isEmpty) return
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.Bridge
-    val items = WarehouseTable.bloomExpectedItems
-    val agg = Bridge.column(new BloomFilterAggregate(
-      Bridge.expression(xxhash64(keyString(keyFields.map(col)))),
-      Bridge.expression(lit(items)),
-      Bridge.expression(lit(BloomFilter.optimalNumOfBits(items, 0.01))))
-      .toAggregateExpression())
+    val agg = bloomAggColumn
     // key columns only: the bloom needs nothing else, and handing the
     // reader a pruned explicit schema keeps the rebuild scan to the key
     // columns' pages (no footer-merge job, no value-column I/O)
@@ -629,6 +673,49 @@ final class WarehouseTable private (
       val legacy = new Path(s"$legacyBloomDir/${r.getString(0)}.bloom")
       if (fs.exists(legacy)) fs.delete(legacy, false)
     }
+  }
+
+  /** Append-path bloom maintenance WITHOUT re-reading the written files:
+    * the batch's own per-day blooms (built from the cached batch in the
+    * same aggregation that discovers the touched days) are unioned into
+    * the existing day blooms driver-side. Valid because append only ever
+    * ADDS rows — old-bloom ∪ batch-bloom covers exactly the partition's
+    * keys; deletes (which would leave stale bits) never take this path.
+    * Any day where the union can't be formed exactly — existing bloom
+    * unreadable/legacy/size-incompatible while the partition already had
+    * data — falls back to a full [[refreshBlooms]] rebuild, so the
+    * invariant "day bloom is a superset of the day's keys" (what keeps
+    * [[bloomCandidateDays]] from dropping a partition with a live key,
+    * i.e. correctness of the pruned merge) always holds.
+    */
+  private def upsertBlooms(dayBlooms: Seq[(String, Array[Byte])],
+      preExisting: Set[String]): Unit = {
+    if (dayBlooms.isEmpty) return
+    fs.mkdirs(new Path(bloomDir))
+    val rebuild = dayBlooms.filter(_._1 != null).flatMap { case (d, bytes) =>
+      val p = new Path(s"$bloomDir/$d.bloom")
+      val batch =
+        try Option(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      val hadLegacy = fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))
+      val merged: Option[BloomFilter] = batch.flatMap { b =>
+        if (!preExisting.contains(d)) Some(b) // fresh partition: batch IS the keyset
+        else if (hadLegacy) None // legacy-era partition: rebuild + retire
+        else WarehouseTable.readVersionedBloom(fs, p).flatMap { old =>
+          try { old.mergeInPlace(b); Some(old) }
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+      merged match {
+        case Some(b) =>
+          val out = new BufferedOutputStream(fs.create(p, true))
+          try { out.write(WarehouseTable.BloomMagic); b.writeTo(out) }
+          finally out.close()
+          None
+        case None => Some(d)
+      }
+    }
+    if (rebuild.nonEmpty) refreshBlooms(rebuild)
   }
 
   /** Probe for partitions *outside* the batch's own days that might hold

@@ -134,6 +134,22 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(state == Set((1L, "new", "2024-01-01"), (2L, "b", "2024-01-02")))
   }
 
+  test("union bloom: key from the FIRST of two same-day appends still bloom-hits") {
+    // pins the incremental bloom-union path: the second append merges its
+    // batch bloom into day1's existing bloom instead of rebuilding — if
+    // the union under-approximated (lost the first batch's keys), this
+    // cross-day update would miss day1 and duplicate k=1
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "old")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((7L, "z")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5))))
+    assert(days.contains("2024-01-01"))
+    val state = t.read().select($"k1", $"f1", $"_pday").as[(Long, String, String)]
+      .collect().toSet
+    assert(state == Set((1L, "new", "2024-01-01"), (7L, "z", "2024-01-01")))
+  }
+
   test("broadcast merge plan and shuffle fallback produce identical state") {
     def runMerge(maxRows: Long): Set[(Long, Option[String], String)] = {
       val root = tmpRoot()

@@ -289,6 +289,82 @@ object CoreQueries extends QueryPack {
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
 
+    GraftQuery("a16_cube",
+      // full CUBE with grouping_id: all four grouping-set combinations in
+      // one pass (Spark expands the cube map-side — one shuffle, not one
+      // per grouping set)
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 4).as("ub"), col("value"))
+        .cube(col("event_type"), col("ub"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value")),
+      oracle = Some(
+        """SELECT event_type, ub, CAST(grouping(event_type, ub) AS INT) AS gid,
+          |       count(*) AS n, round(sum(value), 6) AS sum_value
+          |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events) t
+          |GROUP BY CUBE (event_type, ub)""".stripMargin)),
+
+    GraftQuery("a17_gapfill",
+      // time-series resample + gap fill: hourly average of a sparse
+      // series, re-gridded onto a dense hour spine, missing hours filled
+      // two ways — last-observation-carried-forward and linear
+      // interpolation between the bracketing observations. The spine is
+      // bounded by the series' own extent so both fills are total.
+      // Scale note: the unpartitioned ORDER BY h window is over the
+      // spine (≤ hours-of-history rows, ~9k/year), not the events table;
+      // a multi-series gapfill would partition the window by series key.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val series = Tables.events(s, dir)
+          .where(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(avg(col("value")).as("v"), count(lit(1)).as("n"))
+        val spine = series.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("h"))
+        val j = spine.join(series, Seq("h"), "left")
+        val back = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+        val fwd = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+        val obsH = when(col("v").isNotNull, col("h"))
+        val e = unix_timestamp(col("h")).cast("double")
+        val pe = unix_timestamp(col("ph")).cast("double")
+        val ne = unix_timestamp(col("nh")).cast("double")
+        j.withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("ph", last(obsH, ignoreNulls = true).over(back))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("nh", first(obsH, ignoreNulls = true).over(fwd))
+          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"),
+            round(col("pv"), 6).as("v_locf"),
+            round(when(col("v").isNotNull, col("v"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                (e - pe) / (ne - pe)), 6).as("v_interp"))
+      },
+      oracle = Some(
+        """WITH s AS (
+          |  SELECT date_trunc('hour', ts) AS h, avg(value) AS v, count(*) AS n
+          |  FROM events WHERE event_type = 'error' GROUP BY 1),
+          |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM s),
+          |spine AS (
+          |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+          |j AS (SELECT spine.h, s.v, s.n FROM spine LEFT JOIN s USING (h)),
+          |f AS (
+          |  SELECT h, v, n,
+          |    last_value(v IGNORE NULLS) OVER
+          |      (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          |      (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+          |    first_value(v IGNORE NULLS) OVER
+          |      (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          |      (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+          |  FROM j)
+          |SELECT h, coalesce(n, 0)::BIGINT AS n, round(pv, 6) AS v_locf,
+          |       round(CASE WHEN v IS NOT NULL THEN v
+          |                  ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+          |                                       / (epoch(nh) - epoch(ph)) END,
+          |             6) AS v_interp
+          |FROM f""".stripMargin)),
+
     GraftQuery("a15_histogram",
       // fixed-width histogram: 20 buckets over [0, 100] with explicit
       // edge handling (values at the top edge land in the last bucket)

@@ -586,6 +586,36 @@ object LlmQueries extends QueryPack {
           |       CAST(trunc(height * least(512.0 / greatest(width, height), 1.0)) AS INT) AS r_height
           |FROM m""".stripMargin)),
 
+    GraftQuery("m2_image_header",
+      // REAL container-format round-trip (unlike m1's stub decode):
+      // deterministic dimensions are encoded into genuine PNG/GIF/BMP
+      // header bytes, then parsed BACK from the binary by sniffing the
+      // magic and decoding the format's actual width/height fields
+      // (BE u32 / LE u16 / LE i32). The oracle pins the closed form, so
+      // any encode/parse asymmetry (endianness, offset, magic) fails the
+      // hash. Map-only over the payload column.
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val w = (col("doc_id") % 1920 + 16).cast("int")
+        val h = (col("doc_id") * 7 % 1080 + 16).cast("int")
+        val payload = when(col("doc_id") % 3 === 0, MultimodalOps.encodePngHeader(w, h))
+          .when(col("doc_id") % 3 === 1, MultimodalOps.encodeGifHeader(w, h))
+          .otherwise(MultimodalOps.encodeBmpHeader(w, h))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), MultimodalOps.imageDims(payload).as("dims"),
+            length(payload).as("n_bytes"))
+          .select(col("doc_id"), col("dims.format").as("format"),
+            col("dims.width").as("width"), col("dims.height").as("height"),
+            col("n_bytes"))
+      },
+      oracle = Some(
+        """SELECT doc_id,
+          |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+          |  CAST(doc_id % 1920 + 16 AS INT) AS width,
+          |  CAST(doc_id * 7 % 1080 + 16 AS INT) AS height,
+          |  CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 26 END AS n_bytes
+          |FROM documents""".stripMargin)),
+
     GraftQuery("d6_paragraph_dedup",
       // synthetic paragraph structure ('|'-joined): two text slices
       // around a universal boilerplate paragraph, plus a second

@@ -404,6 +404,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.map(_._2).distinct.length == 4) // distinct offsets
   }
 
+  test("imageDims parses hand-written PNG/GIF/BMP header bytes (not our encoders)") {
+    // byte arrays written from the format specs directly, so this pins
+    // the PARSER against the real layouts independently of encode*Header
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // sig
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 1, 0x2C, // width 300 BE
+      0, 0, 0, 0xC8, // height 200 BE
+      8, 6, 0, 0, 0)
+    val gif = b('G', 'I', 'F', '8', '9', 'a',
+      0x2C, 0x01, // width 300 LE
+      0xC8, 0x00, // height 200 LE
+      0xF7, 0, 0)
+    val bmp = b('B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 0x36, 0, 0, 0,
+      40, 0, 0, 0,
+      0x2C, 0x01, 0, 0, // width 300 LE32
+      0xC8, 0x00, 0, 0) // height 200 LE32
+    val junk = b(1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val parsed = Seq(("png", png), ("gif", gif), ("bmp", bmp), ("??", junk))
+      .toDF("label", "payload")
+      .select($"label", MultimodalOps.imageDims($"payload").as("d"))
+      .select($"label", $"d.format", $"d.width", $"d.height")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(parsed("png") == (("png", Some(300), Some(200))))
+    assert(parsed("gif") == (("gif", Some(300), Some(200))))
+    assert(parsed("bmp") == (("bmp", Some(300), Some(200))))
+    assert(parsed("??") == (("unknown", None, None)))
+  }
+
+  test("encode*Header bytes round-trip through imageDims at boundary dims") {
+    val dims = Seq((1, 1), (65535, 65535), (1920, 1080), (256, 255))
+    val df = dims.toDF("w", "h")
+    def rt(enc: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Seq[(Int, Int)] =
+      df.select(MultimodalOps.imageDims(enc($"w", $"h")).as("d"))
+        .select($"d.width", $"d.height").as[(Int, Int)].collect().toSeq
+    assert(rt(MultimodalOps.encodePngHeader) == dims)
+    assert(rt(MultimodalOps.encodeGifHeader) == dims)
+    assert(rt(MultimodalOps.encodeBmpHeader) == dims)
+  }
+
   test("simhashNearDups blocks find perturbed copies, skip unrelated docs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .where($"doc_id" < 40)

@@ -155,6 +155,46 @@ object MultimodalOps {
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
 
+  /** A real RIFF/WAVE header (PCM "fmt " chunk + "data" chunk header)
+    * for the given stream parameters — the 44 bytes any .wav tool reads.
+    */
+  def encodeWavHeader(channels: Column, sampleRate: Column,
+      bitsPerSample: Column, dataBytes: Column): Column = {
+    val blockAlign = floor(channels * bitsPerSample / 8).cast("int")
+    val byteRate = (sampleRate * blockAlign).cast("int")
+    to_binary(concat(
+      lit("52494646"), le32hex(dataBytes + 36), lit("57415645"), // RIFF size WAVE
+      lit("666D7420"), lit("10000000"), lit("0100"), // "fmt " len=16 PCM
+      le16hex(channels), le32hex(sampleRate), le32hex(byteRate),
+      le16hex(blockAlign), le16hex(bitsPerSample),
+      lit("64617461"), le32hex(dataBytes)), lit("hex")) // "data" size
+  }
+
+  /** REAL WAV header parser: validates the RIFF/WAVE magic and decodes
+    * channels/sample-rate/bit-depth/payload size from the PCM header's
+    * fixed little-endian offsets, plus the derived duration in ms
+    * (integer floor, exact). Unknown magic → nulls. Same map-only,
+    * first-bytes-only profile as [[imageDims]].
+    */
+  def audioMeta(payload: Column): Column = {
+    val isWav = hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 4)) === "57415645"
+    val dataBytes = le32(payload, 41)
+    val byteRate = le32(payload, 29)
+    when(isWav, struct(
+      lit("wav").as("format"),
+      le16(payload, 23).as("channels"),
+      le32(payload, 25).as("sample_rate"),
+      le16(payload, 35).as("bits"),
+      dataBytes.as("data_bytes"),
+      floor(dataBytes.cast("double") * 1000.0 / byteRate).cast("long")
+        .as("duration_ms")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("int").as("channels"), lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("bits"), lit(null).cast("int").as("data_bytes"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   /** Writer sizing for payload-heavy tables: bounds file size so a 100 TB
     * media table splits into scan tasks that fit executor memory.
     */

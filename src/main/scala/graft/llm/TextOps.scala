@@ -61,6 +61,27 @@ object TextOps {
     round((lenScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Word / sentence / syllable counts from portable regexes: words =
+    * alphanumeric runs, sentences = terminal-punctuation runs, syllables
+    * = vowel runs (y vocalic). All RE2-safe character classes, so any
+    * engine counts identically.
+    */
+  def wordCount(c: Column): Column = regexp_count(c, lit("[A-Za-z0-9]+"))
+  def sentenceCount(c: Column): Column = regexp_count(c, lit("[.!?]+"))
+  def syllableCount(c: Column): Column = regexp_count(lower(c), lit("[aeiouy]+"))
+
+  /** Flesch reading-ease estimate: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the denominators floored at 1. The
+    * inputs are exact integers and the formula is a fixed-order double
+    * expression, so scores are bit-identical across engines.
+    */
+  def fleschScore(c: Column): Column = {
+    val w = greatest(wordCount(c), lit(1)).cast("double")
+    val s = greatest(sentenceCount(c), lit(1)).cast("double")
+    val sy = syllableCount(c).cast("double")
+    round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 4)
+  }
+
   /** Per-language stopword-profile score: distinct tokens ∩ the
     * language's stopword list.
     */

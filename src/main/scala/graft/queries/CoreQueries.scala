@@ -3,6 +3,8 @@ package graft.queries
 import graft.{GraftQuery, QueryPack, Tables}
 import org.apache.spark.sql.functions._
 
+import java.nio.file.Files
+
 /** General relational capability queries (the engine exposes full
   * `groupBy().agg()` / join because the merge operators are built on it —
   * SURVEY.md §2.4). Doubles are rounded after aggregation so Spark and the
@@ -288,6 +290,37 @@ object CoreQueries extends QueryPack {
           |       round(list_sum(list_transform(generate_series(1, len(vs)),
           |             i -> vs[i] * vs[len(vs) - i + 1])), 6) AS palindot
           |FROM g""".stripMargin)),
+
+    GraftQuery("q13_bucketed_join",
+      // co-located join via bucketed tables: both sides written
+      // bucketBy(8, orderkey) + sortBy, so the fact-fact join needs NO
+      // exchange and NO sort on either side — at 100 TB the bucketed
+      // layout turns every repeated key-join against these tables into
+      // a map-side zip of pre-sorted buckets (PlanAuditSpec pins the
+      // zero-exchange, zero-sort join plan with broadcast disabled)
+      (s, dir) => {
+        val wh = Files.createTempDirectory("graft-bkt").toString
+        val names = Seq("graft_bkt_orders", "graft_bkt_lineitem")
+        names.foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+        Tables.load(s, dir, "orders")
+          .repartition(8, col("o_orderkey")) // one file per bucket => sorted read
+          .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/orders").mode("overwrite").saveAsTable(names.head)
+        Tables.load(s, dir, "lineitem")
+          .repartition(8, col("l_orderkey"))
+          .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/lineitem").mode("overwrite").saveAsTable(names(1))
+        s.table(names.head)
+          .join(s.table(names(1)), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n_items,
+          |       round(sum(l_extendedprice), 2) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderpriority""".stripMargin)),
 
     GraftQuery("a16_cube",
       // full CUBE with grouping_id: all four grouping-set combinations in

@@ -616,6 +616,72 @@ object LlmQueries extends QueryPack {
           |  CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 26 END AS n_bytes
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m3_audio_header",
+      // audio sibling of m2: real RIFF/WAVE PCM headers encoded from
+      // deterministic stream parameters, parsed back from the bytes at
+      // the format's little-endian offsets, duration derived by exact
+      // integer floor — closed-form oracle pins the whole round trip
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val ch = (col("doc_id") % 2 + 1).cast("int")
+        val rate = when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000).otherwise(44100).cast("int")
+        val payload = MultimodalOps.encodeWavHeader(
+          ch, rate, lit(16), (col("n_chars") * 4).cast("int"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), MultimodalOps.audioMeta(payload).as("a"))
+          .select(col("doc_id"), col("a.format").as("format"),
+            col("a.channels").as("channels"), col("a.sample_rate").as("sample_rate"),
+            col("a.bits").as("bits"), col("a.data_bytes").as("data_bytes"),
+            col("a.duration_ms").as("duration_ms"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'wav' AS format,
+          |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |       ELSE 44100 END AS INT) AS sample_rate,
+          |  16 AS bits,
+          |  CAST(n_chars * 4 AS INT) AS data_bytes,
+          |  (n_chars * 4 * 1000) // (CASE doc_id % 3 WHEN 0 THEN 8000
+          |     WHEN 1 THEN 16000 ELSE 44100 END * (doc_id % 2 + 1) * 2)
+          |    AS duration_ms
+          |FROM documents""".stripMargin)),
+
+    GraftQuery("t16_readability",
+      // Flesch reading ease from portable regex counts, plus a per-source
+      // aggregate — the classic corpus-quality gate alongside t1/t9
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          TextOps.wordCount(col("text")).as("n_words"),
+          TextOps.sentenceCount(col("text")).as("n_sents"),
+          TextOps.syllableCount(col("text")).as("n_sylls"),
+          TextOps.fleschScore(col("text")).as("flesch"))
+        d.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("flesch")), 4).as("avg_flesch"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_sents")).as("n_sents"),
+          sum(col("n_sylls")).as("n_sylls"))
+      },
+      oracle = Some(
+        """WITH d AS (
+          |  SELECT source,
+          |    len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+          |    len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+          |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_sylls
+          |  FROM documents),
+          |f AS (
+          |  SELECT source, n_words, n_sents, n_sylls,
+          |    round(206.835
+          |      - 1.015 * (greatest(n_words, 1)::DOUBLE / greatest(n_sents, 1))
+          |      - 84.6 * (n_sylls::DOUBLE / greatest(n_words, 1)), 4) AS flesch
+          |  FROM d)
+          |SELECT source, count(*) AS n_docs, round(avg(flesch), 4) AS avg_flesch,
+          |       sum(n_words)::BIGINT AS n_words, sum(n_sents)::BIGINT AS n_sents,
+          |       sum(n_sylls)::BIGINT AS n_sylls
+          |FROM f GROUP BY source""".stripMargin)),
+
     GraftQuery("d6_paragraph_dedup",
       // synthetic paragraph structure ('|'-joined): two text slices
       // around a universal boilerplate paragraph, plus a second

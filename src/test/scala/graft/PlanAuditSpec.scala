@@ -305,6 +305,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stratified sample shuffles whole strata (no WindowGroupLimit):\n$formatted")
   }
 
+  test("bucketed join: co-located tables join with zero exchanges and zero sorts") {
+    // the q13 layout: both fact tables bucketed+sorted on the join key.
+    // With broadcast off, the join must read buckets back co-partitioned
+    // AND pre-sorted — any Exchange or Sort under the join means Spark
+    // lost the bucketing metadata and a 100 TB fact-fact join would
+    // shuffle both sides.
+    val wh = java.nio.file.Files.createTempDirectory("audit-bkt").toString
+    Seq("audit_bkt_o", "audit_bkt_l").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Tables.load(spark, sf, "orders")
+      .repartition(4, $"o_orderkey") // one file per bucket => sorted bucket read
+      .write.format("parquet").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/o").mode("overwrite").saveAsTable("audit_bkt_o")
+    Tables.load(spark, sf, "lineitem")
+      .repartition(4, $"l_orderkey")
+      .write.format("parquet").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/l").mode("overwrite").saveAsTable("audit_bkt_l")
+    // outputOrdering: since 3.0 Spark only trusts bucket-file sort order
+    // behind this flag (safe here: the repartition above guarantees the
+    // one-file-per-bucket layout the flag requires)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+      val j = spark.table("audit_bkt_o").join(spark.table("audit_bkt_l"),
+        $"o_orderkey" === $"l_orderkey")
+      j.collect()
+      val plan = planOf(j).split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(!plan.contains("Sort "), s"bucketed join re-sorted:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n$plan")
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(

@@ -470,6 +470,43 @@ object CoreQueries extends QueryPack {
           |FROM orders GROUP BY o_custkey
           |HAVING count(*) >= 5""".stripMargin)),
 
+    GraftQuery("q14_full_outer",
+      // FULL OUTER reconciliation of two independent per-customer
+      // aggregates (orders spend vs lineitem quantity joined through
+      // orders): unmatched sides surface with NULL-coalesced defaults —
+      // the audit-join shape (which customers ordered but shipped
+      // nothing this window, and vice versa)
+      (s, dir) => {
+        val spend = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < to_timestamp(lit("1995-01-01")))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("early_spend"))
+        val late = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("late_orders"))
+        spend.join(late, Seq("custkey"), "full_outer")
+          .select(col("custkey"),
+            coalesce(col("early_spend"), lit(0.0)).as("early_spend"),
+            coalesce(col("late_orders"), lit(0L)).as("late_orders"),
+            (col("early_spend").isNotNull && col("late_orders").isNotNull)
+              .as("in_both"))
+      },
+      oracle = Some(
+        """WITH spend AS (
+          |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS early_spend
+          |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+          |  GROUP BY 1),
+          |late AS (
+          |  SELECT o_custkey AS custkey, count(*) AS late_orders
+          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  GROUP BY 1)
+          |SELECT coalesce(spend.custkey, late.custkey) AS custkey,
+          |       coalesce(early_spend, 0.0) AS early_spend,
+          |       coalesce(late_orders, 0)::BIGINT AS late_orders,
+          |       spend.custkey IS NOT NULL AND late.custkey IS NOT NULL AS in_both
+          |FROM spend FULL OUTER JOIN late ON spend.custkey = late.custkey""".stripMargin)),
+
     GraftQuery("q10_promo_share",
       // TPC-H Q14 shape: conditional-sum ratio over a fact-to-dim join —
       // the part side is broadcast, the ratio of the two sums rounds at

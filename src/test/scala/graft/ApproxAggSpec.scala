@@ -51,6 +51,28 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(a == b, s"HLL estimate changed with layout: $a vs $b")
   }
 
+  test("count_min_sketch: estimates over-count only, within eps*N of exact") {
+    // CMS guarantees est >= true and est <= true + eps*N w.p. 1-confidence;
+    // the heavy-hitter frequency pass a 100 TB token/url profile uses when
+    // an exact groupBy would be a full shuffle of the key set
+    val ev = Tables.events(spark, sf).select($"event_type")
+    val n = ev.count()
+    val eps = 0.001
+    val sketchBytes = ev.select(
+      count_min_sketch($"event_type", lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-counted $k: $est < $c")
+      assert(est <= c + (eps * n).ceil.toLong,
+        s"CMS estimate for $k off by more than eps*N: $est vs $c (N=$n)")
+    }
+  }
+
   test("percentile_approx brackets the exact percentile at accuracy 10000") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(expr("percentile(value, 0.5)")).as[Double].head()

@@ -65,4 +65,40 @@ class SkewOpsSpec extends AnyFunSuite {
       .select($"row_id").as[Long].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("AQE skew join splits the hot partition before salting is ever needed") {
+    // the documented FIRST resort for skew (SkewOps Scaladoc): with
+    // aggressive-enough thresholds AQE re-plans the sort-merge join over
+    // a skewed exchange into a skew=true join that splits the hot
+    // partition into subpartitions — no code change, no salt columns.
+    // This pins that the engine-level path actually engages, so
+    // saltedJoin stays the third resort it claims to be.
+    val pairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~99% of 200k rows on one key → one shuffle partition ≫ the rest
+      val skewed = spark.range(200000).select(
+        when($"id" % 100 < 99, lit(7L)).otherwise($"id" % 1000).as("k"),
+        concat(lit("payload-"), $"id").as("payload"))
+      val dim = spark.range(1000).select(
+        $"id".as("k"), concat(lit("d"), $"id").as("label"))
+      val j = skewed.join(dim, Seq("k"))
+      // collect() (not count()) so THIS frame's adaptive plan finalizes
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

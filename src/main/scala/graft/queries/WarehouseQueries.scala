@@ -123,6 +123,31 @@ object WarehouseQueries extends QueryPack {
       oracle = Some(stagedD0Cte +
         "\nSELECT k, v_type, v_amount, pday FROM d0")),
 
+    GraftQuery("s15_restore",
+      (s, dir) => {
+        // seed (v1), merge the second half (v2), then RESTORE to v1 as a
+        // new commit (v3) and read the LIVE table: it must reproduce the
+        // seed exactly — and the pre-restore state must still be
+        // time-travelable (asserted in-flight; the oracle pins the
+        // restored live state)
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_rst"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        t.restore(1)
+        require(t.readAsOf(2).count() > 0, "pre-restore snapshot lost")
+        t.read().select(col("k"), col("v_type"), col("v_amount"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(stagedD0Cte +
+        "\nSELECT k, v_type, v_amount, pday FROM d0")),
+
     GraftQuery("s11_table_diff",
       (s, dir) => {
         // CDC read across the merge: the v1→v2 diff must be exactly the

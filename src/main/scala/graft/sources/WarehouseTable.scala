@@ -1005,6 +1005,28 @@ final class WarehouseTable private (
     }.reduce(_ unionByName _)
   }
 
+  /** Restore the LIVE table to snapshot `version` as a NEW commit
+    * (Delta/Iceberg RESTORE analog, BigQuery's snapshot-recovery copy):
+    * the as-of rows are rewritten through the clustering layout and
+    * swapped in, and live partitions absent from the target snapshot are
+    * swapped out. History is preserved — the restore is itself a
+    * snapshot, so the pre-restore state remains time-travelable and a
+    * restore can be restored away. Returns the partitions rewritten.
+    */
+  def restore(version: Long): Seq[String] = {
+    val rows = readAsOf(version) // validates the version / vacuum state
+    val days = (readManifest(version).keys.toSeq ++ listDays()).distinct.sorted
+    val staging = s"$root/.restore-${UUID.randomUUID().toString.take(8)}"
+    clusteredWrite(rows).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    val v = currentVersion + 1
+    swapPartitions(staging, days, v)
+    refreshBlooms(days)
+    commitSnapshot("restore", days, v)
+    autoVacuum()
+    days
+  }
+
   /** Clone a snapshot into a NEW standalone table (BigQuery table
     * clone / Delta CLONE analog): the destination gets this table's
     * schema, key fields, and layout options, the snapshot's rows

@@ -672,6 +672,33 @@ class WarehouseTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.cloneTo(clone.root))
   }
 
+  test("restore: reverts live state as a new commit, history preserved") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k1", $"f1").as[(Long, String)].collect().toSet
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1))) // v1
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1), (3L, Some("c"), 11L, 2))))                   // v2
+    assert(st(t.read()) == Set((1L, "a2"), (2L, "b1"), (3L, "c")))
+
+    val days = t.restore(1)                                                                   // v3
+    assert(days == Seq("2024-01-01", "2024-01-02"))
+    // live table equals v1: update reverted, day-2 partition gone
+    assert(st(t.read()) == Set((1L, "a1"), (2L, "b1")))
+    assert(t.listDays() == Seq("2024-01-01"))
+    // history preserved: the pre-restore state is still time-travelable
+    assert(t.history().map(h => (h._1, h._2)).take(1) == Seq((3L, "restore")))
+    assert(st(t.readAsOf(2)) == Set((1L, "a2"), (2L, "b1"), (3L, "c")))
+    // a restore can be restored away (back to the future)
+    t.restore(2)                                                                              // v4
+    assert(st(t.read()) == Set((1L, "a2"), (2L, "b1"), (3L, "c")))
+    // merges keep working post-restore: blooms were refreshed
+    t.merge(staged(Seq((1L, Some("a3"), 20L, 5))))
+    assert(st(t.read()) == Set((1L, "a3"), (2L, "b1"), (3L, "c")))
+    assert(t.read().where($"k1" === 1L).select($"_pday".cast("string"))
+      .as[String].head() == "2024-01-01", "restored row left its partition")
+  }
+
   test("compactPartitions collapses accumulated small files, content intact") {
     val root = tmpRoot()
     val t = mkTable(root)

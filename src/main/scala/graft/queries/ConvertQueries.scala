@@ -196,6 +196,50 @@ object ConvertQueries extends QueryPack {
           |       CASE WHEN json_valid(js) THEN json_extract(js, '$.tags[1]')::INT END AS tag1,
           |       CASE WHEN json_valid(js) THEN json_extract(js, '$.m.k')::INT END AS mk,
           |       CASE WHEN json_valid(js) THEN json_extract_string(js, '$.absent') END AS absent
+          |FROM b""".stripMargin)),
+
+    GraftQuery("p14_variant",
+      // Spark 4 VARIANT ingestion — the OPEN-schema semi-structured path
+      // (vs p12's fixed from_json schema): parse once into the binary
+      // variant encoding (malformed rows → NULL via try_parse_json, never
+      // a failed batch), then extract typed paths lazily with
+      // variant_get. At scale the variant column shreds columnar and path
+      // extraction prunes like any other column — no schema declared up
+      // front, no reparse per path.
+      (s, dir) => {
+        val built = graft.Tables.load(s, dir, "events").select(
+          col("event_id"), col("props"),
+          when(col("event_id") % 97 === 0, lit("not json")).otherwise(
+            concat(lit("{\"u\": "), col("user_id"),
+              lit(", \"et\": \""), col("event_type"),
+              lit("\", \"tags\": ["), col("user_id") % 4,
+              lit(", "), col("event_id") % 7,
+              lit("], \"m\": {\"k\": "), col("user_id") % 100,
+              lit("}}"))).as("js"))
+        val v = try_parse_json(col("js"))
+        built.select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("props_k"),
+          variant_get(v, "$.u", "bigint").as("u"),
+          variant_get(v, "$.et", "string").as("et"),
+          variant_get(v, "$.tags[1]", "int").as("tag1"),
+          variant_get(v, "$.m.k", "int").as("mk"),
+          v.isNotNull.as("parsed_ok"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_id, props,
+          |         CASE WHEN event_id % 97 = 0 THEN 'not json' ELSE
+          |           '{"u": ' || user_id || ', "et": "' || event_type ||
+          |           '", "tags": [' || (user_id % 4) || ', ' || (event_id % 7) ||
+          |           '], "m": {"k": ' || (user_id % 100) || '}}' END AS js
+          |  FROM events)
+          |SELECT event_id,
+          |       json_extract(props, '$.k')::INT AS props_k,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.u')::BIGINT END AS u,
+          |       CASE WHEN json_valid(js) THEN json_extract_string(js, '$.et') END AS et,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.tags[1]')::INT END AS tag1,
+          |       CASE WHEN json_valid(js) THEN json_extract(js, '$.m.k')::INT END AS mk,
+          |       json_valid(js) AS parsed_ok
           |FROM b""".stripMargin))
   )
 }

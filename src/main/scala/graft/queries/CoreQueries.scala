@@ -322,6 +322,45 @@ object CoreQueries extends QueryPack {
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderpriority""".stripMargin)),
 
+    GraftQuery("a18_outliers",
+      // Tukey-fence anomaly detection: per-group exact quartiles → IQR
+      // bounds (broadcast back — the bounds table is O(groups), never the
+      // facts), outliers counted strictly outside the fences. Both
+      // engines compute the same interpolated quartiles, so the fences
+      // are bit-identical and the strict comparison cannot straddle.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, 0.25)").as("q1"),
+            expr("percentile(value, 0.75)").as("q3"))
+          .select(col("event_type"),
+            (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+            (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+        ev.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            round(first(col("lo")), 6).as("lo"),
+            round(first(col("hi")), 6).as("hi"))
+      },
+      oracle = Some(
+        """WITH b AS (
+          |  SELECT event_type,
+          |         quantile_cont(value, 0.25) AS q1,
+          |         quantile_cont(value, 0.75) AS q3
+          |  FROM events GROUP BY 1),
+          |bb AS (
+          |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+          |         q3 + (q3 - q1) * 1.5 AS hi
+          |  FROM b)
+          |SELECT event_type, count(*) AS n,
+          |       sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)::BIGINT
+          |         AS n_outliers,
+          |       round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
+          |FROM events JOIN bb USING (event_type)
+          |GROUP BY event_type""".stripMargin)),
+
     GraftQuery("a16_cube",
       // full CUBE with grouping_id: all four grouping-set combinations in
       // one pass (Spark expands the cube map-side — one shuffle, not one

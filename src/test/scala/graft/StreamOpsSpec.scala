@@ -203,6 +203,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: each micro-batch enriches against the static dim") {
+    // the canonical streaming enrich: no state, no watermark needed —
+    // the static side is (re)planned per micro-batch, so at scale the
+    // dim is a broadcast per batch, never stream-buffered state
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)](spark)
+    val q = input.toDF().toDF("user_id", "amount")
+      .join(dim, Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      input.addData((2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"user_id", $"amount", $"tier")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getString(2))).toSet
+      assert(rows == Set((1L, 10.0, "gold"), (3L, 5.0, null), (2L, 7.0, "silver")))
+    } finally q.stop()
+  }
+
   test("dedupContent on a batch frame dedups by content") {
     val df = Seq((1L, "a", "2024-03-01 10:00:00"), (2L, "a", "2024-03-01 10:00:01"),
       (3L, "b", "2024-03-01 10:00:02")).toDF("id", "text", "s")

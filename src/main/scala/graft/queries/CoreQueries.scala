@@ -694,6 +694,67 @@ object CoreQueries extends QueryPack {
           |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
           |GROUP BY o_orderpriority""".stripMargin)),
 
+    GraftQuery("q15_correlated_min",
+      // CORRELATED scalar subquery (q9 is uncorrelated): keep each
+      // part's cheapest lineitem rows — Catalyst must decorrelate the
+      // per-part min into an aggregate + join, not evaluate the
+      // subquery per row
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_q15")
+        s.sql(
+          """SELECT l_partkey, count(*) AS n_at_min,
+            |       round(min(l_extendedprice), 2) AS min_price
+            |FROM lineitem_q15 l
+            |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+            |                         FROM lineitem_q15 l2
+            |                         WHERE l2.l_partkey = l.l_partkey)
+            |GROUP BY l_partkey""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT l_partkey, count(*) AS n_at_min,
+          |       round(min(l_extendedprice), 2) AS min_price
+          |FROM lineitem l
+          |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |                         FROM lineitem l2
+          |                         WHERE l2.l_partkey = l.l_partkey)
+          |GROUP BY l_partkey""".stripMargin)),
+
+    GraftQuery("g1_pagerank",
+      // iterative graph computation: 5 PageRank rounds over a
+      // deterministic link graph derived from events; the oracle unrolls
+      // the same five iterations as chained CTEs, so every double is the
+      // same IEEE expression in both engines (teleport/damping computed,
+      // not re-parsed)
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          ((col("user_id") * 7 + col("event_id") % 13) % 100).as("dst"))
+        graft.operators.GraphOps.pageRank(edges, iterations = 5)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+      },
+      oracle = Some {
+        val iter = (i: Int) =>
+          s"""r$i AS (
+             |  SELECT nodes.id,
+             |         (1 - 0.85) / params.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+             |  FROM nodes CROSS JOIN params LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r${i - 1}.rank / deg.deg) AS contrib
+             |    FROM edges e
+             |    JOIN r${i - 1} ON e.src = r${i - 1}.id
+             |    JOIN deg ON e.src = deg.src
+             |    GROUP BY 1) c ON nodes.id = c.id)"""
+        ("""WITH edges AS (
+           |  SELECT DISTINCT user_id AS src,
+           |         (user_id * 7 + event_id % 13) % 100 AS dst
+           |  FROM events),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, 1.0 / params.n AS rank FROM nodes CROSS JOIN params),
+           |""" + (1 to 5).map(iter).mkString(",\n") +
+          "\nSELECT id, round(rank, 6) AS rank FROM r5").stripMargin
+      }),
+
     GraftQuery("a9_pivot",
       // pivot: one row per user, one column per event type (explicit
       // value list — dynamic pivot values would need a pre-scan) — a

@@ -276,6 +276,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"subquery executed per-row instead of joining:\n$plan")
   }
 
+  test("q15: correlated scalar subquery decorrelates to an aggregate + join") {
+    val df = SparkEntry.queries("q15_correlated_min")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the per-part min must become agg-then-join; a per-row subquery
+    // would show a ScalarSubquery/InSubquery exec node
+    assert(!plan.contains("ScalarSubquery") && !plan.contains("InSubqueryExec"),
+      s"correlated subquery executed per row:\n$plan")
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), s"no decorrelated join found:\n$plan")
+  }
+
   test("x8: shard assignment shuffles a scalar projection, not the payload") {
     val df = SparkEntry.queries("x8_shuffle_shard")(spark, sf)
     df.collect()

@@ -755,6 +755,50 @@ object CoreQueries extends QueryPack {
           "\nSELECT id, round(rank, 6) AS rank FROM r5").stripMargin
       }),
 
+    GraftQuery("g2_components",
+      // connected components to fixpoint over an undirected link graph
+      // constructed so edges stay within user-id decades (≥ several
+      // components, not one giant blob); the oracle computes min
+      // reachable label via a recursive CTE over the same closure
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.connectedComponents(edges)
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |edges0 AS (
+          |  SELECT DISTINCT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events),
+          |sym AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+          |nodes AS (SELECT DISTINCT src AS id FROM sym),
+          |reach(a, b) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src)
+          |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
+
+    GraftQuery("w7_rolling_median",
+      // order-statistic window: centered 5-row rolling median per user —
+      // the robust smoother a sensor/metrics pipeline uses where a
+      // rolling mean is outlier-dominated; exact interpolated median in
+      // both engines
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 2)
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med5"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       round(quantile_cont(value, 0.5) OVER
+          |         (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS med5
+          |FROM events""".stripMargin)),
+
     GraftQuery("a9_pivot",
       // pivot: one row per user, one column per event type (explicit
       // value list — dynamic pivot values would need a pre-scan) — a

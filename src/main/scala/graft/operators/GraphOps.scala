@@ -100,4 +100,92 @@ object GraphOps {
       s"connectedComponents did not converge in $maxIterations rounds")
     labels
   }
+
+  /** Per-node triangle count over the undirected simple graph induced
+    * by `edges(src, dst)` (self-loops dropped, direction ignored).
+    * Returns `(id, triangles)` for every node in at least one triangle.
+    *
+    * Each undirected edge is oriented from its lower-degree endpoint to
+    * its higher-degree endpoint (ties by id), so every triangle is
+    * enumerated exactly once from its lowest-degree corner. That is the
+    * standard skew bound: a celebrity node with degree D contributes
+    * O(D) *incoming* oriented edges but almost no outgoing wedges, so
+    * the wedge join does Σ outdeg² ≤ O(m^1.5) work instead of the
+    * O(D²) hot-key blowup an id-only orientation hits when the high-id
+    * node is the hub. The triangle set itself is orientation-invariant,
+    * which is what makes the count oracle-checkable against a plain
+    * id-oriented SQL enumeration.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg(a), a) < (deg(b), b)
+    val oriented = und
+      .join(deg.withColumnsRenamed(Map("id" -> "a", "deg" -> "da")), "a")
+      .join(deg.withColumnsRenamed(Map("id" -> "b", "deg" -> "db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
+    // wedges from each low corner, closed by an edge between the tips
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    tri.select(col("x").as("id"))
+      .union(tri.select(col("y")))
+      .union(tri.select(col("z")))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Minimum hop distance from a seed set by frontier BFS over the
+    * UNDIRECTED closure of `edges(src, dst)`. Returns `(id, hops)` for
+    * every node reachable from `seeds(id)`; unreachable nodes are
+    * absent. Throws if the frontier is still non-empty after
+    * `maxIterations` rounds.
+    *
+    * Scale: per round only the FRONTIER (nodes first reached last
+    * round) joins against the edge list — settled nodes never
+    * re-shuffle, so total work is O(Σ frontier-adjacent edges) = O(m)
+    * across the whole run, versus O(m · diameter) for relax-everything
+    * label propagation. The visited set grows monotonically and is
+    * localCheckpoint'd so the anti-join reads a materialized relation,
+    * not the whole loop history.
+    */
+  def shortestHops(edges: DataFrame, seeds: DataFrame,
+      maxIterations: Int = 30): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var visited = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var i = 0
+    while (i < maxIterations && !frontier.isEmpty) {
+      i += 1
+      frontier = sym.join(frontier, sym("src") === frontier("id"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(i.toLong).as("hops"))
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    require(frontier.isEmpty,
+      s"shortestHops frontier still active after $maxIterations rounds")
+    visited
+  }
 }

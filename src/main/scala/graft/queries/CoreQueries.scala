@@ -780,6 +780,86 @@ object CoreQueries extends QueryPack {
           |  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src)
           |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    GraftQuery("g3_triangles",
+      // per-node triangle counts; the engine orients each edge
+      // low-degree→high-degree (the O(m^1.5) skew bound), the oracle
+      // enumerates id-ordered triples — triangle sets are
+      // orientation-invariant, so the counts must agree exactly
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.triangleCounts(edges)
+      },
+      oracle = Some(
+        """WITH und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM (SELECT user_id AS src,
+          |               user_id - user_id % 10 + event_id % 10 AS dst
+          |        FROM events) e
+          |  WHERE src <> dst),
+          |tri AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM und e1
+          |  JOIN und e2 ON e1.b = e2.a
+          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+          |SELECT id, count(*) AS triangles
+          |FROM (SELECT x AS id FROM tri
+          |      UNION ALL SELECT y FROM tri
+          |      UNION ALL SELECT z FROM tri) n
+          |GROUP BY id""".stripMargin)),
+
+    GraftQuery("g4_bfs_hops",
+      // frontier BFS: min hop distance from the seed set (every 20th
+      // user) over the undirected link graph; only the frontier
+      // re-shuffles each round, so total work is O(edges), not
+      // O(edges × diameter). Oracle walks the same closure with a
+      // bounded recursive CTE.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        val seeds = Tables.load(s, dir, "events")
+          .where(col("user_id") % 20 === 0)
+          .select(col("user_id").as("id")).distinct()
+        graft.operators.GraphOps.shortestHops(edges, seeds)
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |e0 AS (
+          |  SELECT DISTINCT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events),
+          |sym AS (
+          |  SELECT src, dst FROM
+          |    (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0) u
+          |  WHERE src <> dst),
+          |walk(id, hops) AS (
+          |  SELECT DISTINCT user_id, 0 FROM events WHERE user_id % 20 = 0
+          |  UNION
+          |  SELECT e.dst, w.hops + 1
+          |  FROM walk w JOIN sym e ON w.id = e.src
+          |  WHERE w.hops < 30)
+          |SELECT id, CAST(min(hops) AS BIGINT) AS hops
+          |FROM walk GROUP BY id""".stripMargin)),
+
+    GraftQuery("a19_grouping_sets",
+      // explicit GROUPING SETS — the general form CUBE/ROLLUP lower to:
+      // a hand-picked subset of grouping combinations in one Expand +
+      // one shuffle, for when the full cube is mostly waste at scale
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), (col("user_id") % 4).as("ub"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("ub")), Seq(col("event_type")), Seq()),
+          col("event_type"), col("ub"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value")),
+      oracle = Some(
+        """SELECT event_type, ub, CAST(grouping(event_type, ub) AS INT) AS gid,
+          |       count(*) AS n, round(sum(value), 6) AS sum_value
+          |FROM (SELECT event_type, user_id % 4 AS ub, value FROM events) t
+          |GROUP BY GROUPING SETS ((event_type, ub), (event_type), ())""".stripMargin)),
+
     GraftQuery("w7_rolling_median",
       // order-statistic window: centered 5-row rolling median per user —
       // the robust smoother a sensor/metrics pipeline uses where a

@@ -35,6 +35,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(comps.size == 201 && comps.values.forall(_ == 0L))
   }
 
+  test("triangleCounts: counts per node, ignores direction/dupes/self-loops") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3), plus a dangling
+    // edge 4-5 and noise: a self-loop, a duplicate, and a reversed edge
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 2L), (1L, 2L), (3L, 1L)).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: hub-and-spoke has none; one closing edge makes one") {
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(star).isEmpty)
+    val closed = star.union(Seq((5L, 6L)).toDF("src", "dst"))
+    val got = GraphOps.triangleCounts(closed).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("shortestHops: multi-seed BFS takes the nearer seed; unreachable absent") {
+    // path 0-1-2-3-4-5 with seeds {0, 5}: hops = min(dist to 0, dist
+    // to 5); node 9 is in a separate component (unreachable)
+    val edges = ((0L until 5L).map(i => (i, i + 1)) :+ (8L, 9L)).toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("id")
+    val got = GraphOps.shortestHops(edges, seeds)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("shortestHops: isolated seed stays at 0; bound enforced") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.shortestHops(edges, Seq(7L).toDF("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 0L))
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestHops(chain, Seq(0L).toDF("id"), maxIterations = 3)
+    }
+  }
+
   test("pageRank: ranks sum to ~1 on a dangling-free graph and order by in-degree") {
     // star into 0 plus a return edge from 0: node 0 must dominate. The
     // 0↔1 cycle converges by damped oscillation (error ~ d^k), so run

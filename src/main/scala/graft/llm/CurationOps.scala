@@ -416,6 +416,34 @@ object CurationOps {
             col("n_ngrams").cast("double")), 6).as("overlap_ratio"))
   }
 
+  /** k-anonymity gate for a training-data export: keep only rows whose
+    * quasi-identifier combination (`qiCols`) is shared by at least `k`
+    * distinct values of `distinctCol` (use the row id for plain
+    * row-count k-anonymity, a user id for per-subject anonymity). Rows
+    * in rarer combinations are suppressed — the release-side privacy
+    * floor that keeps a 1-of-a-kind (zip, age, device) tuple from
+    * re-identifying its subject.
+    *
+    * One full-payload hash exchange on the QI key: the distinct census
+    * is `dense_rank` + running `max` over that same sort — no
+    * `collect_set` buffer holding a whole group's ids in memory, and no
+    * second shuffle to join a separate census back. Sort-based window
+    * state spills, so a pathological QI group degrades to disk, not
+    * OOM.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long,
+      distinctCol: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(qiCols.map(col): _*).orderBy(col(distinctCol))
+    val wAll = Window.partitionBy(qiCols.map(col): _*)
+    df.withColumn("__qi_dr", dense_rank().over(wOrd))
+      .withColumn("__qi_n", max(col("__qi_dr")).over(wAll).cast("long"))
+      .where(col("__qi_n") >= k)
+      .drop("__qi_dr", "__qi_n")
+  }
+
   /** The end-to-end curation pipeline ([[curateCorpus]]) in one value:
     * language allowlist, quality/repetition floors, n-gram
     * decontamination strength, and the split fan-out.

@@ -240,6 +240,34 @@ object ConvertQueries extends QueryPack {
           |       CASE WHEN json_valid(js) THEN json_extract(js, '$.tags[1]')::INT END AS tag1,
           |       CASE WHEN json_valid(js) THEN json_extract(js, '$.m.k')::INT END AS mk,
           |       json_valid(js) AS parsed_ok
-          |FROM b""".stripMargin))
+          |FROM b""".stripMargin)),
+
+    GraftQuery("p15_decimal_money",
+      // exact money arithmetic: prices become integer cents, cents
+      // become DECIMAL via a scale-2 product (decimal × decimal is
+      // exact in both engines — no engine-specific division rounding),
+      // and the per-priority totals aggregate in decimal, so a 100 TB
+      // sum accumulates zero float error; only the final rendered
+      // double leaves the exact domain (and is itself exact below
+      // 2^53). round() of the positive double ×100 is half-up in both
+      // engines, so the cents agree.
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val money = cents.cast(org.apache.spark.sql.types.DecimalType(18, 0)) *
+          lit(new java.math.BigDecimal("0.01"))
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), money.as("m"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("m")).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      oracle = Some(
+        """SELECT o_orderpriority,
+          |       CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+          |                     AS DECIMAL(18,0)) * CAST(0.01 AS DECIMAL(3,2)))
+          |            AS DOUBLE) AS revenue,
+          |       count(*) AS n
+          |FROM orders
+          |GROUP BY o_orderpriority""".stripMargin))
   )
 }

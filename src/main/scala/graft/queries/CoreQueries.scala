@@ -943,6 +943,218 @@ object CoreQueries extends QueryPack {
           |  SELECT bucket, 'seg' || bucket AS segment
           |  FROM (SELECT DISTINCT user_id % 3 AS bucket FROM events) t)
           |SELECT e.event_id, e.bucket, d.segment, e.value
-          |FROM ev e JOIN dim d USING (bucket)""".stripMargin))
+          |FROM ev e JOIN dim d USING (bucket)""".stripMargin)),
+
+    GraftQuery("a20_cohort_retention",
+      // cohort/retention analysis: users grouped by first-activity week,
+      // activity counted per (cohort, week-offset) cell. The first-seen
+      // aggregate and the activity join share the user_id hash
+      // partitioning (one exchange builds it, the join reuses it); only
+      // the final small (cohort × offset) grid re-shuffles. Week index
+      // is integer epoch arithmetic, not date_trunc, so both engines
+      // bucket identically.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+        val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(count_distinct(col("user_id")).as("active_users"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+          |  FROM events),
+          |c AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+          |SELECT c.cohort_wk, e.wk - c.cohort_wk AS offset_wk,
+          |       count(DISTINCT e.user_id) AS active_users
+          |FROM ev e JOIN c USING (user_id)
+          |GROUP BY 1, 2""".stripMargin)),
+
+    GraftQuery("a21_markov_transitions",
+      // first-order event-sequence model: per-user ordered lag pairs →
+      // global transition counts and row-normalized probabilities. One
+      // user_id exchange feeds the lag window; the transition grid is
+      // |types|² rows, so the second aggregate and the normalizing
+      // window are driver-trivial at any corpus size.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev"))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n") /
+            sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_type AS nxt,
+          |         lag(event_type) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |n AS (SELECT prev, nxt, count(*) AS n
+          |      FROM t WHERE prev IS NOT NULL GROUP BY 1, 2)
+          |SELECT prev, nxt, n,
+          |       round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+          |FROM n""".stripMargin)),
+
+    GraftQuery("w8_ewma",
+      // bounded exponentially-weighted moving average (8 taps, α = 1/2)
+      // per user: Σ value_{i-k}·2⁻ᵏ / Σ 2⁻ᵏ over the taps that exist.
+      // The dyadic weights only shift the double's exponent — each term
+      // is EXACT — and both engines sum the taps in the same written
+      // order, so the scores agree bit-for-bit before the final round.
+      // Eight lags share one window frame = one exchange, map-side math.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        def tap(k: Int) =
+          if (k == 0) col("value") else lag(col("value"), k).over(w)
+        val num = (0 to 7).map(k => coalesce(tap(k) * lit(math.pow(0.5, k)), lit(0.0)))
+          .reduce(_ + _)
+        val den = (0 to 7).map(k =>
+          when(tap(k).isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+          .reduce(_ + _)
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          round(num / den, 6).as("ewma8"))
+      },
+      oracle = Some {
+        val num = (0 to 7).map { k =>
+          val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"coalesce($v * ${math.pow(0.5, k)}, 0)"
+        }.mkString(" + ")
+        val den = (0 to 7).map { k =>
+          val v = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"(CASE WHEN $v IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma8
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+      }),
+
+    GraftQuery("q16_notin_nulls",
+      // NOT IN with a nullable probe — three-valued logic means NULL
+      // probes are neither in nor not-in, so a plain anti join is WRONG;
+      // Catalyst compiles this to its null-aware anti join. The probe
+      // domain (97 values) broadcasts.
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n
+            |FROM (SELECT o_orderpriority, nullif(o_custkey % 97, 13) AS probe
+            |      FROM orders_v) t
+            |WHERE probe NOT IN (SELECT c_custkey % 97 FROM customer_v
+            |                    WHERE c_acctbal > 9000)
+            |GROUP BY o_orderpriority""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM (SELECT o_orderpriority, nullif(o_custkey % 97, 13) AS probe
+          |      FROM orders) t
+          |WHERE probe NOT IN (SELECT c_custkey % 97 FROM customer
+          |                    WHERE c_acctbal > 9000)
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    GraftQuery("q17_lateral_topk",
+      // correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders
+      // per MACHINERY customer. Catalyst decorrelates the limit into a
+      // per-key window rank — no per-row subquery execution; ties are
+      // broken by the unique orderkey so both engines pick identically.
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql(
+          """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM customer_v c,
+            |LATERAL (SELECT o_orderkey, o_totalprice
+            |         FROM orders_v o
+            |         WHERE o.o_custkey = c.c_custkey
+            |         ORDER BY o_totalprice DESC, o_orderkey
+            |         LIMIT 2) t
+            |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice
+          |         FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey
+          |         LIMIT 2) t
+          |WHERE c.c_mktsegment = 'MACHINERY'""".stripMargin)),
+
+    GraftQuery("j9_grid_join",
+      // planar distance join via radius-sized grid cells: the distance
+      // predicate becomes a cell equi-join (query side fans out 9×, a
+      // point's single home cell guarantees each pair meets once) plus
+      // an exact residual filter — never a cross join. Coordinates are
+      // eighths (dyadic), so squared distances are exact doubles and
+      // the inclusive radius boundary agrees bit-for-bit with the
+      // oracle's direct quadratic formulation.
+      (s, dir) => {
+        val pts = Tables.load(s, dir, "events").select(
+          col("event_id").as("id"),
+          ((col("event_id") % 800) / lit(8.0)).as("x"),
+          ((col("user_id") * 7 % 800) / lit(8.0)).as("y"))
+        val queries = pts.where(col("id") % 499 === 0)
+        val corpus = pts.where(col("id") % 5 === 0)
+        graft.operators.SpatialOps.gridDistanceJoin(queries, corpus, radius = 2.0)
+          .select(col("q_id"), col("p_id"), round(col("dist2"), 6).as("dist2"))
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT event_id AS id, (event_id % 800) / 8.0 AS x,
+          |         ((user_id * 7) % 800) / 8.0 AS y
+          |  FROM events),
+          |a AS (SELECT * FROM p WHERE id % 499 = 0),
+          |b AS (SELECT * FROM p WHERE id % 5 = 0)
+          |SELECT a.id AS q_id, b.id AS p_id,
+          |       round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
+          |FROM a JOIN b
+          |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0""".stripMargin)),
+
+    GraftQuery("q18_recursive_cte",
+      // WITH RECURSIVE through the SQL entry point (new in Spark 4):
+      // 8-step walk over a functional edge table (each node exactly one
+      // successor, so the frontier never multiplies). Each recursion
+      // step is one co-partitioned hash join; the oracle runs the
+      // identical recursion in DuckDB.
+      (s, dir) => {
+        Tables.load(s, dir, "events").createOrReplaceTempView("events_v")
+        s.sql(
+          """WITH RECURSIVE
+            |edges AS (
+            |  SELECT DISTINCT user_id % 1000 AS src,
+            |         (user_id % 1000 * 3 + 7) % 1000 AS dst
+            |  FROM events_v),
+            |walk(node, depth) AS (
+            |  SELECT DISTINCT user_id % 1000, 0 FROM events_v
+            |  UNION ALL
+            |  SELECT e.dst, w.depth + 1
+            |  FROM walk w JOIN edges e ON w.node = e.src
+            |  WHERE w.depth < 8)
+            |SELECT depth, count(*) AS n, sum(node) AS checksum,
+            |       count(DISTINCT node) AS n_distinct
+            |FROM walk GROUP BY depth""".stripMargin)
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |edges AS (
+          |  SELECT DISTINCT user_id % 1000 AS src,
+          |         (user_id % 1000 * 3 + 7) % 1000 AS dst
+          |  FROM events),
+          |walk(node, depth) AS (
+          |  SELECT DISTINCT user_id % 1000, 0 FROM events
+          |  UNION ALL
+          |  SELECT e.dst, w.depth + 1
+          |  FROM walk w JOIN edges e ON w.node = e.src
+          |  WHERE w.depth < 8)
+          |SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS checksum,
+          |       count(DISTINCT node) AS n_distinct
+          |FROM walk GROUP BY depth""".stripMargin))
   )
 }

@@ -1283,7 +1283,40 @@ object LlmQueries extends QueryPack {
           |  FROM p GROUP BY 1, 2)
           |SELECT shard, sum(bn)::BIGINT AS n_rows,
           |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
-          |FROM b GROUP BY shard""".stripMargin))
+          |FROM b GROUP BY shard""".stripMargin)),
+
+    GraftQuery("x14_k_anonymity",
+      // release-side k-anonymity gate: events rows survive only when
+      // their quasi-identifier tuple (event_type, coarse user band,
+      // integer value bucket) is shared by >= 4 distinct users. The
+      // census is dense_rank + max on ONE payload exchange — no
+      // collect_set buffer, no census-join second shuffle; the oracle
+      // re-derives the same distinct count per tuple.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_id"),
+          col("user_id"), col("event_type"),
+          (col("user_id") % 40).as("band"),
+          floor(col("value")).cast("long").as("vb"))
+        CurationOps.kAnonymize(ev, Seq("event_type", "band", "vb"),
+            k = 4L, distinctCol = "user_id")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("rows_kept"),
+            count_distinct(col("band"), col("vb")).as("cells_kept"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, user_id % 40 AS band,
+          |         CAST(floor(value) AS BIGINT) AS vb
+          |  FROM events),
+          |census AS (
+          |  SELECT event_type, band, vb, count(DISTINCT user_id) AS nu
+          |  FROM ev GROUP BY 1, 2, 3)
+          |SELECT e.event_type, count(*) AS rows_kept,
+          |       count(DISTINCT (e.band, e.vb)) AS cells_kept
+          |FROM ev e JOIN census c
+          |  ON e.event_type = c.event_type AND e.band = c.band AND e.vb = c.vb
+          |WHERE c.nu >= 4
+          |GROUP BY e.event_type""".stripMargin))
   )
 
   /** The `'t:' || <sign bits>` bucket selects shared by the hyperplane-

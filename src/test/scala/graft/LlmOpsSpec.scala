@@ -940,4 +940,39 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"nbr_id").as[Long].collect()
     assert(out.toSeq == Seq(1L))
   }
+
+  // ---- k-anonymity gate
+  test("kAnonymize keeps rows by DISTINCT subject count, not row count") {
+    // QI cell "a": 4 rows but only 2 distinct users -> suppressed at k=3.
+    // QI cell "b": 3 rows, 3 distinct users -> kept.
+    val rows = Seq(
+      (1L, 100L, "a"), (2L, 100L, "a"), (3L, 100L, "a"), (4L, 200L, "a"),
+      (5L, 300L, "b"), (6L, 301L, "b"), (7L, 302L, "b"))
+      .toDF("row_id", "user", "qi")
+    val kept = CurationOps.kAnonymize(rows, Seq("qi"), k = 3L, "user")
+      .select($"row_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 6L, 7L))
+  }
+
+  test("kAnonymize: k=1 is the identity; schema and duplicates preserved") {
+    val rows = Seq((1L, 10L, "a"), (1L, 10L, "a"), (2L, 11L, "b"))
+      .toDF("row_id", "user", "qi")
+    val out = CurationOps.kAnonymize(rows, Seq("qi"), k = 1L, "user")
+    assert(out.columns.toSeq == Seq("row_id", "user", "qi"))
+    assert(out.count() == 3)
+  }
+
+  test("kAnonymize gates on the full multi-column QI tuple") {
+    // same band, different type => different cells; only ("x", 1) has 2 users
+    val rows = Seq(
+      (1L, 10L, "x", 1), (2L, 11L, "x", 1),
+      (3L, 12L, "x", 2), (4L, 13L, "y", 1))
+      .toDF("row_id", "user", "t", "band")
+    val kept = CurationOps.kAnonymize(rows, Seq("t", "band"), k = 2L, "user")
+      .select($"row_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      CurationOps.kAnonymize(rows, Seq.empty, k = 2L, "user")
+    }
+  }
 }

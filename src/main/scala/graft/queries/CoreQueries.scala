@@ -1155,6 +1155,86 @@ object CoreQueries extends QueryPack {
           |  WHERE w.depth < 8)
           |SELECT depth, count(*) AS n, CAST(sum(node) AS BIGINT) AS checksum,
           |       count(DISTINCT node) AS n_distinct
-          |FROM walk GROUP BY depth""".stripMargin))
+          |FROM walk GROUP BY depth""".stripMargin)),
+
+    GraftQuery("a22_islands",
+      // gaps-and-islands: per-user runs of consecutive active days via
+      // the day − row_number() constant-per-run trick — one user_id
+      // exchange carries (user, day) scalars through the window, the
+      // run and per-user aggregates reuse that partitioning. Day index
+      // is integer epoch arithmetic so both engines bucket identically.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir).select(col("user_id"),
+            floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        days.withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+            min(col("start_day")).as("first_day"))
+      },
+      oracle = Some(
+        """WITH days AS (
+          |  SELECT DISTINCT user_id,
+          |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          |  FROM events),
+          |runs AS (
+          |  SELECT user_id, day,
+          |         day - row_number() OVER
+          |           (PARTITION BY user_id ORDER BY day) AS grp
+          |  FROM days),
+          |streaks AS (
+          |  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+          |  FROM runs GROUP BY 1, 2)
+          |SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+          |       min(start_day) AS first_day
+          |FROM streaks GROUP BY user_id""".stripMargin)),
+
+    GraftQuery("w9_window_extras",
+      // remaining rank-family breadth: cume_dist over the full
+      // partition plus a running nth_value under the default
+      // to-current-row frame — both off the same single user_id
+      // exchange as every other window query
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(nth_value(col("value"), 2).over(w), 6).as("second_v"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id,
+          |       round(cume_dist() OVER w, 6) AS cd,
+          |       round(nth_value(value, 2) OVER w, 6) AS second_v
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    GraftQuery("q19_bag_setops",
+      // INTERSECT ALL / EXCEPT ALL — multiset semantics, a different
+      // physical shape from q7's distinct set ops: Catalyst lowers both
+      // to a replicate-count generate over a single count aggregate,
+      // never a distinct. The two halves of the events table are the
+      // bags; the oracle states the same ALL operators directly.
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def half(m: Int) = ev.where(col("event_id") % 2 === m)
+          .select((col("user_id") % 100).as("k"))
+        val ia = half(0).intersectAll(half(1)).groupBy(col("k"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ea = half(0).exceptAll(half(1)).groupBy(col("k"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        ia.unionByName(ea)
+      },
+      oracle = Some(
+        """WITH a AS (SELECT user_id % 100 AS k FROM events WHERE event_id % 2 = 0),
+          |b AS (SELECT user_id % 100 AS k FROM events WHERE event_id % 2 = 1),
+          |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+          |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+          |SELECT k, count(*) AS n, 'intersect_all' AS op FROM ia GROUP BY k
+          |UNION ALL
+          |SELECT k, count(*) AS n, 'except_all' AS op FROM ea GROUP BY k""".stripMargin))
   )
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming-native operators beyond the reference's surface, using the
   * engine features a large-scale ingest pipeline needs: watermarked
@@ -155,5 +156,62 @@ object StreamOps {
             out.result().iterator
           }
       }
+  }
+
+  /** Input row for [[runningProfile]]. */
+  final case class KeyedMetric(key: String, value: Double)
+
+  /** Per-key cumulative statistics emitted by [[runningProfile]]. */
+  final case class RunningProfile(
+      key: String, n: Long, total: Double, vmin: Double, vmax: Double)
+
+  /** The [[runningProfile]] state machine on the Spark 4
+    * `transformWithState` arbitrary-state API (the successor to
+    * `flatMapGroupsWithState`): typed `ValueState` in the RocksDB state
+    * store, with state TTL handled by the ENGINE — no hand-rolled
+    * timeout dance like [[dedupConsecutive]] needs on the old API.
+    * State per key is one fixed-size record, so store size is bounded
+    * by the (TTL-pruned) live key set, not stream length.
+    */
+  private final class RunningProfileProcessor(ttl: Option[java.time.Duration])
+      extends StatefulProcessor[String, KeyedMetric, RunningProfile] {
+    @transient private var profile: ValueState[RunningProfile] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+      profile = getHandle.getValueState[RunningProfile](
+        "profile", Encoders.product[RunningProfile], cfg)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedMetric],
+        timerValues: TimerValues): Iterator[RunningProfile] = {
+      var p =
+        if (profile.exists()) profile.get()
+        else RunningProfile(key, 0L, 0.0,
+          Double.PositiveInfinity, Double.NegativeInfinity)
+      rows.foreach { r =>
+        p = RunningProfile(key, p.n + 1, p.total + r.value,
+          math.min(p.vmin, r.value), math.max(p.vmax, r.value))
+      }
+      profile.update(p)
+      Iterator.single(p)
+    }
+  }
+
+  /** Per-key running count/sum/min/max across micro-batches — the
+    * incremental per-entity profile an ingest pipeline keeps (rows seen
+    * per user, running spend, outlier bounds) without re-aggregating
+    * history. Emits the updated profile for each key touched by a batch
+    * (Update mode). Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`); pass `ttl` to let the
+    * engine expire profiles of idle keys.
+    */
+  def runningProfile(ds: Dataset[KeyedMetric],
+      ttl: Option[java.time.Duration] = None): Dataset[RunningProfile] = {
+    implicit val outEnc: Encoder[RunningProfile] = Encoders.product[RunningProfile]
+    ds.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new RunningProfileProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
   }
 }

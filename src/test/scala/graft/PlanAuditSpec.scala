@@ -351,6 +351,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
+    // the 100 TB pattern: a date/bucket-partitioned fact table joined to
+    // a filtered dim must scan ONLY the partitions the dim selects —
+    // Catalyst injects a dynamicpruning subquery into the scan's
+    // PartitionFilters. Losing this turns a 2-partition read into a
+    // full-table scan.
+    val dir = java.nio.file.Files.createTempDirectory("audit-dpp").toString
+    Tables.load(spark, sf, "events")
+      .withColumn("pday", ($"user_id" % 8).cast("int"))
+      .write.partitionBy("pday").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // DPP injection requires a SELECTIVE predicate on the dim side; a
+    // filter over a LocalRelation constant-folds away, so the dim must
+    // be a file scan for the Filter node to survive into the plan
+    val dimDir = java.nio.file.Files.createTempDirectory("audit-dpp-dim").toString
+    (0 until 8).map(i => (i, if (i == 0 || i == 3) "keep" else s"drop$i"))
+      .toDF("pday", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where($"tag" === "keep")
+    withSQLConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      val j = fact.join(dim, "pday")
+      val plan = planOf(j)
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the fact scan:\n$plan")
+      assert(j.count() > 0)
+    }
+  }
+
+  test("runtime bloom filter: selective dim join row-filters the fact scan") {
+    // with broadcast off (the genuinely-big-dim case), Spark 3.3+'s
+    // runtime bloom filter builds a sketch from the filtered creation
+    // side and injects might_contain on the fact side — rows that can't
+    // join die before the shuffle instead of crossing the wire. The
+    // thresholds are lowered so sf0.001 qualifies; at 100 TB the
+    // defaults trigger on their own.
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val fact = Tables.load(spark, sf, "lineitem")
+      val dim = Tables.load(spark, sf, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+      val j = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val plan = planOf(j)
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$plan")
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    }
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(body: => A): A = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -234,4 +234,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.count() == 2)
     assert(out.columns.toSeq == Seq("id", "text", "timestamp"))
   }
+
+  test("runningProfile accumulates per-key state across batches (transformWithState)") {
+    import graft.streaming.StreamOps.KeyedMetric
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedMetric](spark)
+      val q = StreamOps.runningProfile(input.toDS())
+        .writeStream.format("memory").queryName("profiles")
+        .outputMode("update").start()
+      try {
+        input.addData(KeyedMetric("a", 1.0), KeyedMetric("a", 3.0),
+          KeyedMetric("b", -2.0))
+        q.processAllAvailable()
+        input.addData(KeyedMetric("a", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("profiles")
+          .select($"key", $"n", $"total", $"vmin", $"vmax")
+          .as[(String, Long, Double, Double, Double)].collect()
+        // Update mode re-emits per batch: the LAST emission per key is
+        // the accumulated profile — batch 2 must see batch 1's state
+        val last = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        assert(last("a") == ("a", 3L, 9.0, 1.0, 5.0),
+          s"state did not carry across batches: ${rows.toSeq}")
+        assert(last("b") == ("b", 1L, -2.0, -2.0, -2.0))
+        // batch 1 emitted the intermediate profile for "a" as well
+        assert(rows.contains(("a", 2L, 4.0, 1.0, 3.0)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -97,6 +97,43 @@ object TemporalOps {
     * per-bin candidate count (the residual-filter work) shrinks as bins
     * narrow.
     */
+  /** Build a type-2 slowly-changing dimension from a keyed change log:
+    * one output row per (key, attribute version) with
+    * `effective_from` / `effective_to` (`effective_to` NULL on the
+    * current version), `is_current`, and a 1-based `version` number.
+    * Consecutive deliveries of IDENTICAL attributes collapse — a no-op
+    * update never opens a new version, so redelivered snapshots (the
+    * at-least-once case the reference's upsert path absorbs via merge —
+    * kcbq-connector/src/main/java/com/wepay/kafka/connect/bigquery/MergeQueries.java:95)
+    * leave the dimension unchanged.
+    *
+    * Rows are ordered per key by (`tsCol`, `tieCols`...); `attrCols`
+    * are the tracked attributes. ONE hash exchange on the key: the
+    * change-collapse lag, the closing lead, and the version number are
+    * three window functions over the same sort, and the post-filter
+    * windows reuse the first window's partitioning and ordering, so at
+    * 100 TB the change log shuffles exactly once regardless of history
+    * depth.
+    */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+      attrCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val order = (col(tsCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val attrStruct = struct(attrCols.map(col): _*)
+    val opened = changes
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      // null-safe: a NULL attribute field must not look like a change,
+      // and the first row (__prev NULL) must open version 1
+      .where(!(col("__prev") <=> attrStruct))
+      .drop("__prev")
+    opened
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumnRenamed(tsCol, "effective_from")
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   def pointInInterval(points: DataFrame, pTs: String, intervals: DataFrame,
       startCol: String, endCol: String, binSeconds: Long): DataFrame = {
     val binUs = binSeconds * 1000000L

@@ -147,6 +147,38 @@ object TemporalQueries extends QueryPack {
           |  FROM ev WHERE event_type = 'purchase' AND user_id < 30)
           |SELECT e.event_id, e.ts, p.promo_id, p.start_ts
           |FROM errors e JOIN promos p
-          |  ON e.ts >= p.start_ts AND e.ts < p.end_ts""".stripMargin))
+          |  ON e.ts >= p.start_ts AND e.ts < p.end_ts""".stripMargin)),
+
+    GraftQuery("j10_scd2",
+      // type-2 slowly-changing dimension from the event change log: each
+      // user's event_type history collapses no-op redeliveries and opens
+      // a dated version per actual change, closed by the next version's
+      // start. One key exchange; the collapse lag, closing lead, and
+      // version number share its sort.
+      (s, dir) => {
+        val ch = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        TemporalOps.scd2(ch, "user_id", "ts", Seq("event_type"),
+            tieCols = Seq("event_id"))
+          .select(col("user_id"), col("version"),
+            col("event_type").as("attr"), col("effective_from"),
+            col("effective_to"), col("is_current"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id, event_id, event_type,
+          |         make_timestamp(epoch_ns(ts)//1000) AS ts
+          |  FROM events),
+          |l AS (
+          |  SELECT *, lag(event_type) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM ev),
+          |o AS (SELECT * FROM l WHERE prev IS NULL OR prev <> event_type)
+          |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+          |       event_type AS attr, ts AS effective_from,
+          |       lead(ts) OVER w AS effective_to,
+          |       lead(ts) OVER w IS NULL AS is_current
+          |FROM o
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin))
   )
 }

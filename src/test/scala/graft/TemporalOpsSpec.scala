@@ -135,4 +135,46 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     assert(bad.isEmpty, s"range join must bin to an equi join, found: ${bad.map(_.nodeName)}")
   }
+
+  test("scd2: no-op redeliveries collapse, reopened value gets a new version") {
+    // key 1: a, a (no-op), b, a (reopen) -> 3 versions; key 2: one row
+    val ch = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "a"), (2L, 10L, 5L, "x"))
+      .toDF("k", "t", "seq", "attr")
+    val out = TemporalOps.scd2(ch, "k", "t", Seq("attr"), tieCols = Seq("seq"))
+      .select($"k", $"version", $"attr", $"effective_from",
+        $"effective_to", $"is_current")
+      .as[(Long, Int, String, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, 1, "a", 10L, Some(30L), false),
+      (1L, 2, "b", 30L, Some(40L), false),
+      (1L, 3, "a", 40L, None, true),
+      (2L, 1, "x", 10L, None, true)))
+  }
+
+  test("scd2: NULL attribute values compare null-safely") {
+    // null -> null is a no-op; null -> value and value -> null are changes
+    val ch = Seq(
+      (1L, 10L, Option.empty[String]), (1L, 20L, Option.empty[String]),
+      (1L, 30L, Some("v")), (1L, 40L, Option.empty[String]))
+      .toDF("k", "t", "attr")
+    val out = TemporalOps.scd2(ch, "k", "t", Seq("attr"))
+      .select($"version", $"attr", $"effective_from")
+      .as[(Int, Option[String], Long)].collect().toSet
+    assert(out == Set((1, None, 10L), (2, Some("v"), 30L), (3, None, 40L)))
+  }
+
+  test("scd2: multi-attribute tuples — any field change opens a version") {
+    val ch = Seq(
+      (1L, 10L, "a", 1), (1L, 20L, "a", 2), (1L, 30L, "a", 2))
+      .toDF("k", "t", "c1", "c2")
+    val out = TemporalOps.scd2(ch, "k", "t", Seq("c1", "c2"))
+      .select($"version", $"c2").as[(Int, Int)].collect().toSet
+    assert(out == Set((1, 1), (2, 2)))
+    intercept[IllegalArgumentException] {
+      TemporalOps.scd2(ch, "k", "t", Seq.empty)
+    }
+  }
 }

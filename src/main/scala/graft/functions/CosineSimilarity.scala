@@ -136,5 +136,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    // opt-in exact→HLL swap for count(DISTINCT …) at profile scale
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }

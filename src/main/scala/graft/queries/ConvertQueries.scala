@@ -268,6 +268,33 @@ object ConvertQueries extends QueryPack {
           |            AS DOUBLE) AS revenue,
           |       count(*) AS n
           |FROM orders
-          |GROUP BY o_orderpriority""".stripMargin))
+          |GROUP BY o_orderpriority""".stripMargin)),
+
+    GraftQuery("p16_map_functions",
+      // MapType surface: build a per-row map, transform its values,
+      // filter its entries, probe one key, and explode the survivors
+      // back to rows — all codegen'd map expressions, no UDF. The
+      // output is relational (maps never cross the compare boundary,
+      // whose hash would be entry-order-sensitive); the oracle states
+      // the same per-key arithmetic directly.
+      (s, dir) => {
+        val m = map_from_arrays(
+          array(lit("a"), lit("b"), lit("c")),
+          array(col("user_id") % 10, col("event_id") % 7, col("user_id") % 3))
+        Tables.load(s, dir, "events")
+          .withColumn("m2", transform_values(m, (_, v) => v * 2))
+          .withColumn("a_val", element_at(col("m2"), "a"))
+          .select(col("event_id"), col("a_val"),
+            explode(map_filter(col("m2"), (_, v) => v > 4)).as(Seq("k", "v")))
+      },
+      oracle = Some(
+        """WITH entries AS (
+          |  SELECT event_id, (user_id % 10) * 2 AS a_val,
+          |         'a' AS k, (user_id % 10) * 2 AS v FROM events
+          |  UNION ALL
+          |  SELECT event_id, (user_id % 10) * 2, 'b', (event_id % 7) * 2 FROM events
+          |  UNION ALL
+          |  SELECT event_id, (user_id % 10) * 2, 'c', (user_id % 3) * 2 FROM events)
+          |SELECT event_id, a_val, k, v FROM entries WHERE v > 4""".stripMargin))
   )
 }

@@ -1235,6 +1235,83 @@ object CoreQueries extends QueryPack {
           |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
           |SELECT k, count(*) AS n, 'intersect_all' AS op FROM ia GROUP BY k
           |UNION ALL
-          |SELECT k, count(*) AS n, 'except_all' AS op FROM ea GROUP BY k""".stripMargin))
+          |SELECT k, count(*) AS n, 'except_all' AS op FROM ea GROUP BY k""".stripMargin)),
+
+    GraftQuery("q20_having_in",
+      // TPC-H Q18 shape: IN over a grouped-HAVING subquery — the
+      // large-order drill-down. Catalyst turns the IN into a semi join
+      // against the re-aggregated key set; quantities are
+      // integer-valued doubles, so the HAVING threshold is exact in
+      // both engines.
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(
+          """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+            |       round(sum(l_quantity), 2) AS sum_qty
+            |FROM customer_v, orders_v, lineitem_v
+            |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v
+            |                     GROUP BY l_orderkey
+            |                     HAVING sum(l_quantity) > 250)
+            |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+          |       round(sum(l_quantity), 2) AS sum_qty
+          |FROM customer, orders, lineitem
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+          |                     GROUP BY l_orderkey
+          |                     HAVING sum(l_quantity) > 250)
+          |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+          |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""".stripMargin)),
+
+    GraftQuery("q21_global_share",
+      // TPC-H Q11 shape: groups gated against a scalar-subquery global
+      // threshold. The gate is COUNT-based (integer-exact — a float-sum
+      // threshold could flip membership on summation order, the q9
+      // lesson); the reported share is rounded after the fact. The
+      // scalar aggregate broadcasts as a 1-row relation.
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_orderpriority, count(*) AS n,
+            |       round(sum(o_totalprice) /
+            |             (SELECT sum(o_totalprice) FROM orders_v), 6) AS share
+            |FROM orders_v
+            |GROUP BY o_orderpriority
+            |HAVING count(*) > (SELECT 0.19 * count(*) FROM orders_v)""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT o_orderpriority, count(*) AS n,
+          |       round(sum(o_totalprice) /
+          |             (SELECT sum(o_totalprice) FROM orders), 6) AS share
+          |FROM orders
+          |GROUP BY o_orderpriority
+          |HAVING count(*) > (SELECT 0.19 * count(*) FROM orders)""".stripMargin)),
+
+    GraftQuery("a23_feature_scale",
+      // per-group feature normalization (the ML-preprocessing staple):
+      // z-score and min-max per event type, computed as window
+      // aggregates over one event_type exchange — no stats-collect to
+      // the driver, no join back. Rounded to the stddev tolerance.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+        Tables.events(s, dir).select(col("event_id"), col("event_type"),
+          round((col("value") - avg(col("value")).over(w)) /
+            stddev_samp(col("value")).over(w), 4).as("z"),
+          round((col("value") - min(col("value")).over(w)) /
+            (max(col("value")).over(w) - min(col("value")).over(w)), 6).as("mm"))
+      },
+      oracle = Some(
+        """SELECT event_id, event_type,
+          |       round((value - avg(value) OVER w) /
+          |             stddev_samp(value) OVER w, 4) AS z,
+          |       round((value - min(value) OVER w) /
+          |             (max(value) OVER w - min(value) OVER w), 6) AS mm
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type)""".stripMargin))
   )
 }

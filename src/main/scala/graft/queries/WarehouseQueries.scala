@@ -241,6 +241,25 @@ object WarehouseQueries extends QueryPack {
           |       user_id, event_type, value, props
           |FROM events""".stripMargin)),
 
+    GraftQuery("s16_jsonl_roundtrip",
+      // JSONL source/sink fidelity — the interchange format training
+      // exports actually ship ([[CurationOps.exportShards]] writes it):
+      // free text with quotes/newlines/unicode JSON-escaped by the
+      // engine writer and read back under an explicit schema must equal
+      // the parquet source
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+          .json(out)
+      },
+      oracle = Some(
+        "SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {
         // two crawl batches through the content-addressed ingest path

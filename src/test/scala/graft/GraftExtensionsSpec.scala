@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.plans.ApproxDistinctRewrite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions wiring: the approx-distinct rewrite must
+  * activate only behind its session flag, rewrite only single-column
+  * `count(DISTINCT …)`, and stay within the HLL error envelope.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** A session with [[GraftExtensions]] installed. `getOrCreate` would
+    * hand back the suite-shared session (extensions are builder-time
+    * only), so the default/active sessions are cleared first; the new
+    * session shares the JVM's SparkContext and must NOT be stopped.
+    */
+  private lazy val spark: SparkSession = {
+    // make sure a context exists before we fork a session off it
+    val base = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    assert(s ne base)
+    s
+  }
+
+  private def optimized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("flag off: count distinct stays exact") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i % 7, i % 13)).toDF("g", "v")
+    val out = df.groupBy($"g").agg(count_distinct($"v").as("d"))
+    assert(!optimized(out).contains("approx_count_distinct"))
+    assert(out.as[(Int, Long)].collect().toMap.values.forall(_ == 13L))
+  }
+
+  test("flag on: single-column distinct rewrites to HLL within its error bound") {
+    import spark.implicits._
+    spark.conf.set(ApproxDistinctRewrite.FlagKey, "true")
+    try {
+      val df = (1 to 20000).map(i => i % 4093).toDF("v")
+      val out = df.agg(count_distinct($"v").as("d"))
+      val plan = optimized(out)
+      assert(plan.contains("approx_count_distinct"), s"not rewritten:\n$plan")
+      val approx = out.as[Long].head()
+      assert(math.abs(approx - 4093.0) / 4093.0 < 0.05,
+        s"approx $approx outside 5% of 4093")
+    } finally spark.conf.unset(ApproxDistinctRewrite.FlagKey)
+  }
+
+  test("flag on: multi-column distinct is NOT rewritten (no HLL tuple semantics)") {
+    import spark.implicits._
+    spark.conf.set(ApproxDistinctRewrite.FlagKey, "true")
+    try {
+      val df = (1 to 100).map(i => (i % 5, i % 4)).toDF("a", "b")
+      val out = df.agg(count_distinct($"a", $"b").as("d"))
+      assert(!optimized(out).contains("approx_count_distinct"))
+      assert(out.as[Long].head() == 20L)
+    } finally spark.conf.unset(ApproxDistinctRewrite.FlagKey)
+  }
+}

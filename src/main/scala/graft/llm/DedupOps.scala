@@ -696,4 +696,30 @@ object DedupOps {
       .select(col("doc_id").as("__drop_id"))
     docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** [[nearDupSurvivors]] with a QUALITY policy (the FineWeb-style
+    * refinement): each duplicate cluster keeps its highest-`qualityCol`
+    * member (ties → lowest id) instead of the lowest id, so the best
+    * representative of every duplicate group — not an arbitrary one —
+    * reaches the training set. Unpaired docs always survive.
+    *
+    * Scale shape: clusters/pairs are a tiny fraction of the corpus; the
+    * winner per cluster is one `max_by` over (quality, −id) tuples —
+    * scalar exchanges only — and the corpus is touched exactly once, by
+    * the final left-anti scan against the drop list.
+    */
+  def qualitySurvivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String, qualityCol: Column): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val scored = docs.select(col(idCol).as("__sid"),
+      qualityCol.cast("double").as("__q"))
+    val best = clusters.join(scored, col("doc_id") === col("__sid"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("__q"), (-col("doc_id")).as("__nid"))).as("__keep_id"))
+    val drops = clusters.join(best, "cluster_id")
+      .where(col("doc_id") =!= col("__keep_id"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(drops, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 }

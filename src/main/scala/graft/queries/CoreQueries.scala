@@ -954,8 +954,13 @@ object CoreQueries extends QueryPack {
       // is integer epoch arithmetic, not date_trunc, so both engines
       // bucket identically.
       (s, dir) => {
+        // one explicit user_id exchange serves the first-seen aggregate
+        // AND the co-partitioned activity join (hash on user_id clusters
+        // every grouping that includes it); only the tiny cohort grid
+        // re-shuffles after. Without this, Spark plans three exchanges.
         val ev = Tables.events(s, dir).select(col("user_id"),
-          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+            floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+          .repartition(col("user_id"))
         val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
         ev.join(cohort, "user_id")
           .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
@@ -1165,8 +1170,12 @@ object CoreQueries extends QueryPack {
       // is integer epoch arithmetic so both engines bucket identically.
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // hash on user_id alone clusters (user_id, day) too, so ONE
+        // explicit exchange serves the distinct, the window, and both
+        // downstream aggregates (all group on a superset of user_id)
         val days = Tables.events(s, dir).select(col("user_id"),
             floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+          .repartition(col("user_id"))
           .distinct()
         val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
         days.withColumn("grp", col("day") - row_number().over(w))

@@ -199,6 +199,35 @@ object LlmQueries extends QueryPack {
           |SELECT id AS doc_id FROM base
           |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin)),
 
+    GraftQuery("d12_quality_survivors",
+      // FineWeb-style survivor policy: every near-dup cluster keeps its
+      // LONGEST member (here the padded copies, making the choice
+      // observable), not the lowest id; unpaired docs pass through. The
+      // oracle re-derives the same winner with max_by over the
+      // (quality, −id) tuple on top of the recursive-closure clusters.
+      (s, dir) => DedupOps.qualitySurvivors(
+        withNearDups(s, dir),
+        DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
+          shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7),
+        "doc_id", length(col("text"))).select(col("doc_id")),
+      oracle = Some("WITH RECURSIVE " + clusterCtes(0.7) +
+        """,
+          |q AS (
+          |  SELECT doc_id AS id, CAST(length(text) AS DOUBLE) AS q
+          |  FROM documents WHERE doc_id < 100
+          |  UNION ALL
+          |  SELECT doc_id + 1000000,
+          |         CAST(length(text || ' extra pad tokens appended') AS DOUBLE)
+          |  FROM documents WHERE doc_id < 100),
+          |best AS (
+          |  SELECT c.cluster_id,
+          |         first(c.src ORDER BY q.q DESC, c.src ASC) AS keep_id
+          |  FROM cluster c JOIN q ON c.src = q.id GROUP BY c.cluster_id)
+          |SELECT id AS doc_id FROM base
+          |WHERE id NOT IN (
+          |  SELECT c.src FROM cluster c JOIN best b USING (cluster_id)
+          |  WHERE c.src <> b.keep_id)""".stripMargin)),
+
     GraftQuery("d3_ngram_jaccard",
       (s, dir) => DedupOps.ngramNearDups(withNearDups(s, dir), "text", "doc_id",
         n = 3, numHashes = 12, bands = 4, threshold = 0.5),

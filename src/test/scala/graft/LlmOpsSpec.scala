@@ -941,6 +941,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L))
   }
 
+  // ---- quality-weighted survivors
+  test("qualitySurvivors keeps the best-quality member per cluster, ties to lowest id") {
+    // cluster {1,2,3}: q = 5,9,9 -> keep 2 (best q, tie vs 3 by id);
+    // 4 unpaired -> survives
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = DedupOps.qualitySurvivors(docs, pairs, "doc_id", $"q")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   // ---- k-anonymity gate
   test("kAnonymize keeps rows by DISTINCT subject count, not row count") {
     // QI cell "a": 4 rows but only 2 distinct users -> suppressed at k=3.

@@ -351,6 +351,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("a22: distinct + window + two aggregates run off ONE user_id exchange") {
+    // hash on user_id alone clusters every downstream grouping (all
+    // group on a superset of user_id), so the explicit repartition is
+    // the only shuffle in the whole pipeline
+    val df = SparkEntry.queries("a22_islands")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"islands pipeline re-shuffled:\n$plan")
+  }
+
+  test("a20: cohort join reuses the activity exchange — payload shuffles once") {
+    val df = SparkEntry.queries("a20_cohort_retention")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    // one payload repartition (reused by the cohort aggregate's side)
+    // + the tiny (cohort × offset) grid — never a second payload shuffle
+    assert(exchanges - reused <= 2,
+      s"cohort pipeline shuffled the payload twice:\n$plan")
+    assert(reused >= 1, s"cohort side did not reuse the exchange:\n$plan")
+  }
+
   test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
     // the 100 TB pattern: a date/bucket-partitioned fact table joined to
     // a filtered dim must scan ONLY the partitions the dim selects —

@@ -1321,6 +1321,45 @@ object CoreQueries extends QueryPack {
           |       round((value - min(value) OVER w) /
           |             (max(value) OVER w - min(value) OVER w), 6) AS mm
           |FROM events
-          |WINDOW w AS (PARTITION BY event_type)""".stripMargin))
+          |WINDOW w AS (PARTITION BY event_type)""".stripMargin)),
+
+    GraftQuery("a24_seasonal_backtest",
+      // forecast evaluation: seasonal-naive (ŷ_h = y_{h−24}) backtested
+      // over the hourly click series on a dense spine (missing hours
+      // count 0, so the lag is total). Counts are integers — MAE is
+      // exact rational arithmetic in both engines. As in a17, the
+      // unpartitioned window runs over the bounded spine, never the
+      // fact table.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .where(col("event_type") === "click")
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast("long").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val spine = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+        val dense = spine.join(hourly, Seq("h"), "left")
+          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        val f = lag(col("n"), 24).over(Window.orderBy(col("h")))
+        dense.select(col("h"), col("n"), f.as("fc"))
+          .where(col("fc").isNotNull)
+          .agg(count(lit(1)).as("n_hours"),
+            round(avg(abs(col("n") - col("fc"))), 6).as("mae"),
+            sum(when(col("n") === col("fc"), 1L).otherwise(0L)).as("n_exact"))
+      },
+      oracle = Some(
+        """WITH hourly AS (
+          |  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+          |  FROM events WHERE event_type = 'click' GROUP BY 1),
+          |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+          |spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+          |dense AS (
+          |  SELECT spine.h, coalesce(hourly.n, 0)::BIGINT AS n
+          |  FROM spine LEFT JOIN hourly USING (h)),
+          |bt AS (
+          |  SELECT h, n, lag(n, 24) OVER (ORDER BY h) AS fc FROM dense)
+          |SELECT count(*) AS n_hours, round(avg(abs(n - fc)), 6) AS mae,
+          |       CAST(sum(CASE WHEN n = fc THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+          |FROM bt WHERE fc IS NOT NULL""".stripMargin))
   )
 }

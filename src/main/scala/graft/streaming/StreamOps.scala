@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Streaming-native operators beyond the reference's surface, using the
   * engine features a large-scale ingest pipeline needs: watermarked
@@ -196,6 +197,83 @@ object StreamOps {
       profile.update(p)
       Iterator.single(p)
     }
+  }
+
+  /** Input row for [[sessionSummaries]]: key + value + event-time
+    * millis (derive from the watermarked timestamp column).
+    */
+  final case class SessionEvent(key: String, value: Double, eventMs: Long)
+
+  /** A closed session emitted by [[sessionSummaries]]. */
+  final case class SessionSummary(
+      key: String, n: Long, total: Double, firstMs: Long, lastMs: Long)
+
+  /** The [[sessionSummaries]] state machine: accumulate per-key session
+    * state and register an EVENT-TIME timer at `last event + gap`; when
+    * the watermark passes it, `handleExpiredTimer` emits the summary
+    * and clears state — the close-and-emit sessionization pattern
+    * (finalize exactly once, only when the stream can no longer extend
+    * the session). A new event before expiry supersedes the timer:
+    * the old one is deleted and re-registered at the new deadline, so
+    * state per key is one record plus one timer regardless of session
+    * length.
+    */
+  private final class SessionFinalizeProcessor(gapMs: Long)
+      extends StatefulProcessor[String, SessionEvent, SessionSummary] {
+    @transient private var session: ValueState[SessionSummary] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionSummary](
+        "session", Encoders.product[SessionSummary], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      var s =
+        if (session.exists()) session.get()
+        else SessionSummary(key, 0L, 0.0, Long.MaxValue, Long.MinValue)
+      rows.foreach { r =>
+        s = SessionSummary(key, s.n + 1, s.total + r.value,
+          math.min(s.firstMs, r.eventMs), math.max(s.lastMs, r.eventMs))
+      }
+      session.update(s)
+      // supersede any earlier deadline: one live timer per key
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(s.lastMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] = {
+      val out = if (session.exists()) Iterator.single(session.get())
+      else Iterator.empty
+      session.clear()
+      out
+    }
+  }
+
+  /** Gap-based sessionization that EMITS ON CLOSE via event-time timers
+    * (the `transformWithState` timer API): nothing is produced while a
+    * session is live; once the watermark passes `last event + gap`, the
+    * per-key summary (count, sum, first/last event time) is emitted
+    * exactly once and the state is dropped. Complements the
+    * `session_window` aggregation (a6) with arbitrary per-session state
+    * and an explicit finalize hook. Requires the RocksDB state store
+    * provider and Append output mode; the watermark (event-time clock
+    * for the timers) is applied here on `tsCol`.
+    */
+  def sessionSummaries(stream: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
+    implicit val inEnc: Encoder[SessionEvent] = Encoders.product[SessionEvent]
+    implicit val outEnc: Encoder[SessionSummary] = Encoders.product[SessionSummary]
+    stream.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("string").as("key"),
+        col(valueCol).cast("double").as("value"),
+        unix_millis(col(tsCol)).as("eventMs"))
+      .as[SessionEvent]
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new SessionFinalizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-key running count/sum/min/max across micro-batches — the

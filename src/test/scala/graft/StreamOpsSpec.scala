@@ -235,6 +235,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "text", "timestamp"))
   }
 
+  test("sessionSummaries: event-time timers close idle sessions exactly once") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double, String)](spark)
+      val shaped = input.toDF().toDF("k", "v", "s")
+        .withColumn("timestamp", to_timestamp($"s")).drop("s")
+      val q = StreamOps.sessionSummaries(shaped, "k", "v", "timestamp",
+          gapMs = 60000L)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").start()
+      try {
+        // session "a": two events 30s apart (same session); "b": one event
+        input.addData(("a", 1.0, "2024-03-01 10:00:00"),
+          ("a", 2.0, "2024-03-01 10:00:30"), ("b", 7.0, "2024-03-01 10:00:10"))
+        q.processAllAvailable()
+        // watermark still at the batch max (10:00:30) < deadline — open
+        assert(spark.table("sessions").isEmpty)
+        // advance the watermark far past both deadlines → both close
+        input.addData(("c", 0.0, "2024-03-01 10:30:00"))
+        q.processAllAvailable()
+        input.addData(("c", 0.0, "2024-03-01 10:31:00")) // let c's own timer arm
+        q.processAllAvailable()
+        val closed = spark.table("sessions")
+          .select($"key", $"n", $"total", $"firstMs", $"lastMs")
+          .as[(String, Long, Double, Long, Long)].collect().toSet
+        val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
+        assert(closed == Set(
+          ("a", 2L, 3.0, t0, t0 + 30000L),
+          ("b", 1L, 7.0, t0 + 10000L, t0 + 10000L)),
+          s"unexpected closed sessions: $closed")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("runningProfile accumulates per-key state across batches (transformWithState)") {
     import graft.streaming.StreamOps.KeyedMetric
     // transformWithState requires the RocksDB state store provider

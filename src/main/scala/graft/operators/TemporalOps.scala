@@ -149,4 +149,84 @@ object TemporalOps {
       .where(col(pTs) >= col(startCol) && col(pTs) < col(endCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join: all (left, right) interval pairs with
+    * `lStart < rEnd && rStart < lEnd` (half-open intervals, so touching
+    * endpoints do NOT overlap). Same binning idea as `pointInInterval`,
+    * applied to BOTH sides: each interval replicates to every
+    * `binSeconds`-wide bin it covers and the join is a hash equi-join
+    * on the bin plus the residual overlap filter — never a
+    * BroadcastNestedLoopJoin. An overlapping pair shares every bin in
+    * the overlap, so to emit it exactly once only the FIRST shared bin
+    * survives: the bin of the later of the two starts (covered by both
+    * sides whenever they overlap, because each side spans from its own
+    * start past the later start). Replication cost is span/bin per
+    * interval; pick `binSeconds` near the typical interval length.
+    */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binOf(c: Column): Column = floor(unix_micros(c) / binUs)
+    def binned(df: DataFrame, s: String, e: String) = df
+      .where(col(s) < col(e))
+      .withColumn("_bin", explode(sequence(binOf(col(s)),
+        binOf(timestamp_micros(unix_micros(col(e)) - 1)))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("_bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("_bin") === greatest(binOf(col(lStart)), binOf(col(rStart))))
+      .drop("_bin")
+  }
+
+  /** Nearest-event join: for every left row, the payload of the right
+    * row with the same key whose timestamp is CLOSEST to the left
+    * timestamp, in either direction — backward wins exact-distance ties
+    * (and a right row at the identical timestamp counts as backward).
+    * All NULL when the key has no right rows.
+    *
+    * Extends the as-of union-merge plan instead of running two range
+    * joins: right rows dedup per (key, ts) to the greatest-`rightTie`
+    * row, both sides merge into one key-partitioned stream sorted by
+    * (ts, side), and TWO frames over that one sort carry the
+    * candidates — a running `last(…, ignoreNulls)` for the newest
+    * preceding right row and a `first(…, ignoreNulls)` over the
+    * following frame for the earliest strictly-later one; a scalar
+    * comparison picks the nearer. Both frames share the same partition
+    * and order, so Spark evaluates them in ONE Window operator over ONE
+    * exchange — the cost is identical to the backward-only as-of.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      rightTie: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val payStruct = struct(col(rightTs).as("near_ts") +: payload.map(col): _*)
+    val rightDeduped = right.groupBy(keyCols :+ col(rightTs): _*)
+      .agg(max_by(payStruct, col(rightTie)).as("_pay"))
+    val leftTagged = left.select(
+      keyCols ++ Seq(col(leftTs).as("_ats"), lit(1).as("_side"),
+        struct(col("*")).as("_lrow"),
+        lit(null).cast(rightDeduped.schema("_pay").dataType).as("_pay")): _*)
+    val rightTagged = rightDeduped.select(
+      keyCols ++ Seq(col(rightTs).as("_ats"), lit(0).as("_side"),
+        lit(null).cast(leftTagged.schema("_lrow").dataType).as("_lrow"),
+        col("_pay")): _*)
+    // right sorts before left at equal ts, so the preceding frame is
+    // `<=` (as-of semantics) and the following frame is strictly `>`
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_ats").asc, col("_side").asc)
+    val prev = last(col("_pay"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val next = first(col("_pay"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val merged = leftTagged.unionByName(rightTagged)
+      .withColumn("_prev", prev).withColumn("_next", next)
+      .where(col("_side") === 1)
+    val takePrev = col("_next").isNull || (col("_prev").isNotNull &&
+      unix_micros(col("_ats")) - unix_micros(col("_prev.near_ts")) <=
+        unix_micros(col("_next.near_ts")) - unix_micros(col("_ats")))
+    val chosen = when(takePrev, col("_prev")).otherwise(col("_next"))
+    merged.withColumn("_near", chosen)
+      .select(col("_lrow.*") +: col("_near.near_ts").as("near_ts") +:
+        payload.map(f => col(s"_near.`$f`").as(f)): _*)
+  }
 }

@@ -149,6 +149,111 @@ object TemporalQueries extends QueryPack {
           |FROM errors e JOIN promos p
           |  ON e.ts >= p.start_ts AND e.ts < p.end_ts""".stripMargin)),
 
+    GraftQuery("j11_overlap_join",
+      // which promo windows did each user session overlap, and for how
+      // long: a genuine interval×interval overlap join (sessions of ANY
+      // user vs windows opened by ANY low-id user's purchase), binned to
+      // a hash equi-join with first-shared-bin dedup; the oracle is the
+      // unconstrained inequality formulation (DuckDB IEJoin)
+      (s, dir) => {
+        val sess = TemporalOps.sessionize(Tables.events(s, dir),
+            Seq("user_id"), "ts", Seq("event_id"), gapSeconds = 1800)
+          .groupBy(col("user_id"), col("session_seq").as("session_id"))
+          .agg(min("ts").as("s_start"),
+            // half-open: pad a minute past the last event so one-event
+            // sessions are non-empty intervals
+            (max(col("ts")) + expr("INTERVAL '60' SECOND")).as("s_end"))
+        val promos = Tables.events(s, dir)
+          .where(col("event_type") === "purchase" && col("user_id") < 30)
+          .select(col("event_id").as("promo_id"), col("ts").as("p_start"),
+            (col("ts") + expr("INTERVAL '45' MINUTE")).as("p_end"))
+        TemporalOps.intervalOverlapJoin(sess, "s_start", "s_end",
+            promos, "p_start", "p_end", binSeconds = 3600)
+          .select(col("user_id"), col("session_id"), col("promo_id"),
+            floor((least(unix_micros(col("s_end")), unix_micros(col("p_end"))) -
+              greatest(unix_micros(col("s_start")), unix_micros(col("p_start"))))
+              / 1000000L).as("overlap_sec"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type,
+          |         make_timestamp(epoch_ns(ts)//1000) AS ts
+          |  FROM events),
+          |marked AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+          |              THEN 1 ELSE 0 END AS boundary
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |sess AS (
+          |  SELECT user_id,
+          |         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+          |         ts
+          |  FROM marked),
+          |iv AS (
+          |  SELECT user_id, session_id, min(ts) AS s_start,
+          |         max(ts) + INTERVAL 60 SECOND AS s_end
+          |  FROM sess GROUP BY 1, 2),
+          |promos AS (
+          |  SELECT event_id AS promo_id, ts AS p_start,
+          |         ts + INTERVAL 45 MINUTE AS p_end
+          |  FROM ev WHERE event_type = 'purchase' AND user_id < 30)
+          |SELECT s.user_id, s.session_id, p.promo_id,
+          |       (epoch_us(least(s.s_end, p.p_end)) -
+          |        epoch_us(greatest(s.s_start, p.p_start))) // 1000000 AS overlap_sec
+          |FROM iv s JOIN promos p
+          |  ON s.s_start < p.p_end AND p.p_start < s.s_end""".stripMargin)),
+
+    GraftQuery("j12_nearest_join",
+      // every view event annotated with the user's NEAREST purchase in
+      // either direction (backward wins distance ties) — the
+      // sensor-alignment join; one exchange, no join operator. The
+      // oracle composes DuckDB's backward and forward native ASOF joins
+      // and re-applies the same tie rule.
+      (s, dir) => {
+        val views = Tables.events(s, dir)
+          .where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        TemporalOps.nearestJoin(views, purchases, Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            payload = Seq("value"), rightTie = "event_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("near_ts").as("purchase_ts"), col("value").as("purchase_value"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, event_type, value,
+          |         make_timestamp(epoch_ns(ts)//1000) AS ts
+          |  FROM events),
+          |v AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'view'),
+          |p AS (
+          |  SELECT user_id, ts, value FROM (
+          |    SELECT user_id, ts, value,
+          |           row_number() OVER (PARTITION BY user_id, ts
+          |                              ORDER BY event_id DESC) AS rn
+          |    FROM ev WHERE event_type = 'purchase') t
+          |  WHERE rn = 1),
+          |b AS (
+          |  SELECT v.event_id, v.user_id, v.ts, p.ts AS bts, p.value AS bval
+          |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts <= v.ts),
+          |f AS (
+          |  SELECT v.event_id, p.ts AS fts, p.value AS fval
+          |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND p.ts > v.ts)
+          |SELECT b.event_id, b.user_id, b.ts,
+          |       CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+          |                 epoch_us(b.ts) - epoch_us(b.bts) <=
+          |                 epoch_us(f.fts) - epoch_us(b.ts))
+          |            THEN b.bts ELSE f.fts END AS purchase_ts,
+          |       CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+          |                 epoch_us(b.ts) - epoch_us(b.bts) <=
+          |                 epoch_us(f.fts) - epoch_us(b.ts))
+          |            THEN b.bval ELSE f.fval END AS purchase_value
+          |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin)),
+
     GraftQuery("j10_scd2",
       // type-2 slowly-changing dimension from the event change log: each
       // user's event_type history collapses no-op redeliveries and opens

@@ -177,4 +177,96 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       TemporalOps.scd2(ch, "k", "t", Seq.empty)
     }
   }
+
+  // ---- intervalOverlapJoin ----
+
+  private def intervals(rows: (Long, String, String)*): DataFrame =
+    rows.toSeq.toDF("iid", "s", "e")
+      .select($"iid", $"s".cast("timestamp").as("s"), $"e".cast("timestamp").as("e"))
+
+  test("intervalOverlapJoin: overlap/touch/contain/disjoint, multi-bin pairs emit once") {
+    val left = intervals(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 13:00:00"), // spans 4 hour-bins
+      (2L, "2024-01-01 15:00:00", "2024-01-01 16:00:00"),
+      (3L, "2024-01-01 20:00:00", "2024-01-01 20:00:00")) // empty -> dropped
+    val right = intervals(
+      (100L, "2024-01-01 12:30:00", "2024-01-01 14:00:00"), // overlaps 1
+      (101L, "2024-01-01 13:00:00", "2024-01-01 14:00:00"), // touches 1 (half-open) -> no
+      (102L, "2024-01-01 10:30:00", "2024-01-01 11:00:00"), // contained in 1
+      (103L, "2024-01-01 09:00:00", "2024-01-01 14:00:00"), // contains 1, overlaps nothing else
+      (104L, "2024-01-01 20:00:00", "2024-01-01 20:00:00")) // empty -> dropped
+    val pairs = TemporalOps.intervalOverlapJoin(
+        left, "s", "e",
+        right.toDF("rid", "rs", "re"), "rs", "re", binSeconds = 3600)
+      .select($"iid", $"rid").as[(Long, Long)].collect().toSeq
+    assert(pairs.sorted == Seq((1L, 100L), (1L, 102L), (1L, 103L)))
+    // exactly once each even though both sides replicate across bins
+    assert(pairs.distinct.size == pairs.size)
+  }
+
+  test("intervalOverlapJoin plan is an equi hash join, not a nested loop") {
+    val left = intervals((1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+    val right = intervals((2L, "2024-01-01 10:30:00", "2024-01-01 12:00:00"))
+      .toDF("rid", "rs", "re")
+    val out = TemporalOps.intervalOverlapJoin(left, "s", "e", right, "rs", "re", 3600)
+    out.collect()
+    val bad = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case p: SparkPlan
+        if p.nodeName.contains("BroadcastNestedLoopJoin") ||
+          p.nodeName.contains("CartesianProduct") => p
+    }
+    assert(bad.isEmpty, s"overlap join must bin to an equi join, found: ${bad.map(_.nodeName)}")
+  }
+
+  // ---- nearestJoin ----
+
+  private def nearestFixture: (DataFrame, DataFrame) = {
+    val left = events(
+      (1L, "2024-01-01 10:00:00", 10L), // equal-ts right counts as backward
+      (1L, "2024-01-01 11:30:00", 11L), // 10:00 is 90min back, 12:00 is 30min ahead -> forward
+      (1L, "2024-01-01 13:00:00", 12L), // 12:00 back (60min) vs 14:00 ahead (60min): tie -> backward
+      (1L, "2024-01-01 07:00:00", 13L), // nothing prior -> forward 10:00
+      (3L, "2024-01-01 10:00:00", 14L)) // key with no right rows -> nulls
+    val right = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, 5.0),
+      (1L, "2024-01-01 10:00:00", 101L, 7.0), // (key, ts) tie: greater eid wins
+      (1L, "2024-01-01 12:00:00", 102L, 2.0),
+      (1L, "2024-01-01 14:00:00", 103L, 9.0))
+      .toDF("uid", "t", "eid", "v")
+      .select($"uid", $"t".cast("timestamp").as("t"), $"eid", $"v")
+    (left, right)
+  }
+
+  test("nearestJoin: picks nearer side, backward wins ties, null when no right rows") {
+    val (left, right) = nearestFixture
+    val out = TemporalOps.nearestJoin(left, right, Seq("uid"),
+        "t", "t", Seq("v"), rightTie = "eid")
+      .select($"eid", $"near_ts", $"v")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(7.0)), // equal ts -> backward, tie dedup
+      (11L, Some(ts("2024-01-01 12:00:00")), Some(2.0)), // forward is nearer
+      (12L, Some(ts("2024-01-01 12:00:00")), Some(2.0)), // distance tie -> backward
+      (13L, Some(ts("2024-01-01 10:00:00")), Some(7.0)), // no prior -> forward
+      (14L, None, None)))
+  }
+
+  test("nearestJoin plan: no join operator, one exchange, one Window") {
+    val (left, right) = nearestFixture
+    val out = TemporalOps.nearestJoin(left, right, Seq("uid"),
+      "t", "t", Seq("v"), rightTie = "eid")
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    val joins = collectWithSubqueries(plan) {
+      case p: SparkPlan if p.nodeName.toLowerCase.contains("join") => p
+    }
+    assert(joins.isEmpty, s"nearest must be the union-merge plan, found: ${joins.map(_.nodeName)}")
+    // both frames (running last + following first) must ride ONE Window
+    // operator over ONE exchange — a second sort/exchange means the
+    // shared window spec regressed
+    val windows = collectWithSubqueries(plan) {
+      case p: SparkPlan if p.nodeName == "Window" => p
+    }
+    assert(windows.size == 1, s"expected 1 Window operator, got ${windows.size}")
+  }
 }

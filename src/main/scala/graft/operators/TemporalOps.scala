@@ -229,4 +229,46 @@ object TemporalOps {
       .select(col("_lrow.*") +: col("_near.near_ts").as("near_ts") +:
         payload.map(f => col(s"_near.`$f`").as(f)): _*)
   }
+
+  /** Cooldown throttle (debounce): keeps a row iff at least
+    * `cooldownSeconds` elapsed since the previous KEPT row of the same
+    * key (the first row of a key is always kept; a gap exactly equal to
+    * the cooldown keeps). This is NOT gap sessionization — the
+    * suppression clock resets only on kept rows, so the scan is
+    * inherently sequential per key and no window/lag rewrite exists.
+    * Batch form: one exchange on the key, then a per-key ordered fold
+    * over (ts, tie) SCALARS via the `aggregate` higher-order function —
+    * payload columns never enter the collected array, and the per-key
+    * array is bounded by that key's row count, the same bound any
+    * per-key window sort already carries. The unbounded-stream analog
+    * keeps one (lastKept) value per key in a state store
+    * (transformWithState — see graft.streaming.StreamOps).
+    * Output: `keys` + kept rows' (`tsCol`, `tieCol`).
+    */
+  def throttle(df: DataFrame, keys: Seq[String], tsCol: String,
+      tieCol: String, cooldownSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cdUs = cooldownSeconds * 1000000L
+    val keyCols = keys.map(col)
+    val itemType = ArrayType(StructType(Seq(
+      StructField("us", LongType, nullable = false),
+      StructField("tie", df.schema(tieCol).dataType))), containsNull = false)
+    val item = struct(unix_micros(col(tsCol)).as("us"), col(tieCol).as("tie"))
+    val grouped = df.groupBy(keyCols: _*)
+      .agg(array_sort(collect_list(item)).as("_evs"))
+    val kept = aggregate(
+      col("_evs"),
+      struct(lit(Long.MinValue).as("last"),
+        array().cast(itemType).as("kept")),
+      (acc, x) => when(
+        acc.getField("last") === lit(Long.MinValue) ||
+          x.getField("us") - acc.getField("last") >= cdUs,
+        struct(x.getField("us").as("last"),
+          concat(acc.getField("kept"), array(x)).as("kept")))
+        .otherwise(acc),
+      acc => acc.getField("kept"))
+    grouped.select(keyCols :+ explode(kept).as("_k"): _*)
+      .select(keyCols :+ timestamp_micros(col("_k.us")).as(tsCol) :+
+        col("_k.tie").as(tieCol): _*)
+  }
 }

@@ -254,6 +254,36 @@ object TemporalQueries extends QueryPack {
           |            THEN b.bval ELSE f.fval END AS purchase_value
           |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin)),
 
+    GraftQuery("w10_throttle",
+      // alert-style cooldown throttle: per (user, event_type), keep an
+      // event only if >= 2h passed since the previously KEPT one — the
+      // suppression clock resets on keeps, so this is a sequential
+      // per-key fold, not a window; the oracle walks the same rule as a
+      // DuckDB recursive CTE
+      (s, dir) => TemporalOps.throttle(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts", "event_id",
+          cooldownSeconds = 7200)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      oracle = Some(
+        """WITH RECURSIVE ev AS (
+          |  SELECT user_id, event_type, event_id,
+          |         make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |         CAST(row_number() OVER (PARTITION BY user_id, event_type
+          |                                 ORDER BY ts, event_id) AS INT) AS rn
+          |  FROM events),
+          |walk AS (
+          |  SELECT user_id, event_type, event_id, ts, rn, ts AS last_kept,
+          |         TRUE AS kept
+          |  FROM ev WHERE rn = 1
+          |  UNION ALL
+          |  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.rn,
+          |         CASE WHEN epoch_us(e.ts) - epoch_us(w.last_kept) >= 7200000000
+          |              THEN e.ts ELSE w.last_kept END,
+          |         epoch_us(e.ts) - epoch_us(w.last_kept) >= 7200000000
+          |  FROM walk w JOIN ev e ON e.user_id = w.user_id
+          |    AND e.event_type = w.event_type AND e.rn = w.rn + 1)
+          |SELECT user_id, event_type, ts, event_id FROM walk WHERE kept""".stripMargin)),
+
     GraftQuery("j10_scd2",
       // type-2 slowly-changing dimension from the event change log: each
       // user's event_type history collapses no-op redeliveries and opens

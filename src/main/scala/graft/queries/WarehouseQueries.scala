@@ -260,6 +260,34 @@ object WarehouseQueries extends QueryPack {
       oracle = Some(
         "SELECT doc_id, text, lang, source, n_chars FROM documents")),
 
+    GraftQuery("s17_xml_roundtrip",
+      // XML source/sink fidelity (Spark 4's built-in XML data source):
+      // free text with markup-significant characters (<, >, &, quotes)
+      // entity-escaped by the engine writer and read back under an
+      // explicit schema must equal the parquet source — plus a
+      // timestamp and a double through the default XML value formats
+      (s, dir) => {
+        val out = Files.createTempDirectory("graft-xml").toString + "/ev"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").option("rowTag", "event")
+          // default XML timestamp format truncates to milliseconds;
+          // the source carries microseconds
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .xml(out)
+        s.read
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+            "event_type STRING, value DOUBLE, props STRING")
+          .option("rowTag", "event")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          .xml(out)
+      },
+      oracle = Some(
+        """SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |       user_id, event_type, value, props
+          |FROM events""".stripMargin)),
+
     GraftQuery("s9_ingest_dedup",
       (s, dir) => {
         // two crawl batches through the content-addressed ingest path

@@ -251,6 +251,31 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       (14L, None, None)))
   }
 
+  // ---- throttle ----
+
+  test("throttle: clock resets on KEPT rows only (not a gap-session), equal gap keeps") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 1L), // kept (first)
+      (1L, "2024-01-01 10:05:00", 2L), // 5m since kept -> dropped
+      (1L, "2024-01-01 10:12:00", 3L), // 12m since KEPT 10:00 -> kept
+      // gap-sessionize with a 10m gap would keep only eid 1 here: every
+      // consecutive gap is < 10m, but 10:12 is >= 10m past the last KEPT
+      (1L, "2024-01-01 10:22:00", 4L), // exactly 10m since kept -> kept
+      (2L, "2024-01-01 10:01:00", 5L)) // other key independent
+    val out = TemporalOps.throttle(df, Seq("uid"), "t", "eid", 600)
+      .select($"eid").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("throttle: (ts, tie) ordering breaks same-timestamp ties deterministically") {
+    val df = events(
+      (1L, "2024-01-01 10:00:00", 7L),
+      (1L, "2024-01-01 10:00:00", 6L)) // same ts: lower eid sorts first, is kept
+    val out = TemporalOps.throttle(df, Seq("uid"), "t", "eid", 600)
+      .select($"eid").as[Long].collect().toSet
+    assert(out == Set(6L))
+  }
+
   test("nearestJoin plan: no join operator, one exchange, one Window") {
     val (left, right) = nearestFixture
     val out = TemporalOps.nearestJoin(left, right, Seq("uid"),

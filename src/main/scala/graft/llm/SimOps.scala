@@ -48,6 +48,35 @@ object SimOps {
     * broadcast; the corpus is scanned once with no shuffle. Ties broken
     * by ascending corpus id.
     */
+  /** Cross-set max-similarity probe: for every probe row, the single
+    * most cosine-similar corpus row (ties → lowest corpus id) — the
+    * eval-set contamination check: probe = frozen test split, corpus =
+    * candidate training data, and any probe whose max similarity
+    * clears a threshold is semantically leaked into training.
+    *
+    * Scale shape: the probe side is the small one (an eval set) and is
+    * broadcast; the corpus is scanned ONCE map-only, and the per-probe
+    * argmax runs as a partially-aggregated `max_by` — each executor
+    * reduces its corpus slice to one candidate per probe before the
+    * only (tiny: probes × partitions rows) exchange. Nothing
+    * corpus-sized ever shuffles, so the plan survives a 100× corpus.
+    */
+  def crossSetMaxSim(corpus: DataFrame, probes: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("train_id"),
+      col(vecCol).cast("array<double>").as("t_vec"))
+    val p = probes.select(col(idCol).as("test_id"),
+      col(vecCol).cast("array<double>").as("p_vec"))
+    c.join(broadcast(p))
+      .withColumn("sim", cosine(col("p_vec"), col("t_vec")))
+      .groupBy(col("test_id"))
+      .agg(max_by(struct(col("train_id"), col("sim")),
+        // greater (sim, -id) = higher sim, then lower id on exact ties
+        struct(col("sim"), (-col("train_id")).as("neg"))).as("_best"))
+      .select(col("test_id"), col("_best.train_id").as("train_id"),
+        col("_best.sim").as("sim"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -495,6 +495,49 @@ object CoreQueries extends QueryPack {
           |FROM lineitem GROUP BY l_orderkey
           |HAVING count(*) > 1""".stripMargin)),
 
+    GraftQuery("q22_sole_late_supplier",
+      // TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+      // multi-supplier finished order — the dual-correlated
+      // EXISTS / NOT-EXISTS pattern. Spark-side it decomposes into two
+      // hash aggregations (per-(order,supplier) lateness, then per-order
+      // counts) + a broadcast dimension join — no correlated re-scan of
+      // lineitem; the oracle keeps the literal EXISTS formulation.
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val l = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL '60' DAY"), 1).otherwise(0))
+            .as("late"))
+        val soleLate = perSupp.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+            max(when(col("late") === 1, col("l_suppkey"))).as("sole_supp"))
+          .where(col("n_supp") > 1 && col("n_late") === 1)
+        soleLate.groupBy(col("sole_supp")).agg(count(lit(1)).as("numwait"))
+          .join(broadcast(Tables.load(s, dir, "supplier")),
+            col("sole_supp") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+      },
+      oracle = Some(
+        """WITH late AS (
+          |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+          |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          |  WHERE o.o_orderstatus = 'F'
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          |SELECT s.s_name, count(*) AS numwait
+          |FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+          |WHERE EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM late l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey)
+          |GROUP BY s.s_name""".stripMargin)),
+
     GraftQuery("q12_having",
       // aggregate-predicate filtering (HAVING): frequent buyers only —
       // the filter runs on the aggregated row, after the hash aggregate

@@ -1314,6 +1314,45 @@ object LlmQueries extends QueryPack {
           |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
           |FROM b GROUP BY shard""".stripMargin)),
 
+    GraftQuery("x15_semantic_leakage",
+      // eval-set contamination by MEANING, not text: freeze a test
+      // split (deterministic hash split, so it re-derives in SQL), then
+      // for every test vector find the most cosine-similar training
+      // vector — rows clearing the threshold are semantically leaked.
+      // The probe side broadcasts, the training corpus is scanned once
+      // map-only with a partially-aggregated argmax (see
+      // [[SimOps.crossSetMaxSim]]); the leaked flag compares the
+      // UNROUNDED similarity, bit-identical in both engines.
+      (s, dir) => {
+        val split = CurationOps.hashSplit(
+          Tables.load(s, dir, "embeddings"), 10, "vec_id", salt = "cv1")
+        val train = split.where(col("split") =!= 9).drop("split")
+        val test = split.where(col("split") === 9).drop("split")
+        SimOps.crossSetMaxSim(train, test)
+          .select(col("test_id"), col("train_id"),
+            round(col("sim"), 6).as("sim"), (col("sim") >= 0.25).as("leaked"))
+      },
+      oracle = Some(
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |         floor((('0x' || substr(md5(vec_id::VARCHAR || ':cv1'), 1, 8))::BIGINT
+           |               / 4294967296.0) * 10)::INTEGER AS split
+           |  FROM embeddings),
+           |tr AS (SELECT vec_id AS train_id, v FROM e WHERE split <> 9),
+           |te AS (SELECT vec_id AS test_id, v FROM e WHERE split = 9),
+           |scored AS (
+           |  SELECT te.test_id, tr.train_id,
+           |         ${cosSql("te.v", "tr.v")} AS sim
+           |  FROM te CROSS JOIN tr),
+           |best AS (
+           |  SELECT test_id,
+           |         first(train_id ORDER BY sim DESC, train_id) AS train_id,
+           |         first(sim ORDER BY sim DESC, train_id) AS sim
+           |  FROM scored GROUP BY test_id)
+           |SELECT test_id, train_id, round(sim, 6) AS sim,
+           |       sim >= 0.25 AS leaked
+           |FROM best""".stripMargin)),
+
     GraftQuery("x14_k_anonymity",
       // release-side k-anonymity gate: events rows survive only when
       // their quasi-identifier tuple (event_type, coarse user band,

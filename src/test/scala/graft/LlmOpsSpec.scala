@@ -986,4 +986,20 @@ class LlmOpsSpec extends AnyFunSuite {
       CurationOps.kAnonymize(rows, Seq.empty, k = 2L, "user")
     }
   }
+
+  test("crossSetMaxSim: per-probe argmax, exact-tie goes to the lowest corpus id") {
+    import graft.llm.SimOps
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)),  // sim 1.0 with probe 1 (tie with 11)
+      (11L, Seq(2.0f, 0.0f)),  // same direction -> same cosine: tie
+      (12L, Seq(0.0f, 1.0f)))  // orthogonal
+      .toDF("vec_id", "embedding")
+    val probes = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.1f, 1.0f)))   // nearest is 12
+      .toDF("vec_id", "embedding")
+    val out = SimOps.crossSetMaxSim(corpus, probes)
+      .select($"test_id", $"train_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 10L, 2L -> 12L))
+  }
 }

@@ -466,10 +466,10 @@ final class WarehouseTable private (
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      val v = currentVersion + 1
+      val v = claimCommit("merge", days)
       swapPartitions(staging, days, v)
       refreshBlooms(days)
-      commitSnapshot("merge", days, v)
+      finalizeCommit("merge", days, v)
       expireOldPartitions()
       autoVacuum()
       days
@@ -570,10 +570,10 @@ final class WarehouseTable private (
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      val v = currentVersion + 1
+      val v = claimCommit("merge-delete", days)
       swapPartitions(staging, days, v)
       refreshBlooms(days)
-      commitSnapshot("merge-delete", days, v)
+      finalizeCommit("merge-delete", days, v)
       expireOldPartitions()
       autoVacuum()
       days
@@ -779,10 +779,10 @@ final class WarehouseTable private (
     val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
     clusteredWrite(conformToSchema(readDays(existing))).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    val v = currentVersion + 1
+    val v = claimCommit("compact", existing)
     swapPartitions(staging, existing, v)
     refreshBlooms(existing)
-    commitSnapshot("compact", existing, v)
+    finalizeCommit("compact", existing, v)
     autoVacuum()
     existing
   }
@@ -804,7 +804,7 @@ final class WarehouseTable private (
       if (dropped.isEmpty) return Seq.empty
       // logical delete: the expired generation is archived for snapshot
       // reads ([[readAsOf]]) and physically removed by [[vacuum]]
-      val v = currentVersion + 1
+      val v = claimCommit("expire", dropped)
       val archDir = new Path(s"$historyDir/v$v")
       dropped.foreach { d =>
         fs.mkdirs(archDir)
@@ -815,7 +815,7 @@ final class WarehouseTable private (
           if (fs.exists(bloom)) fs.delete(bloom, false)
         }
       }
-      commitSnapshot("expire", dropped, v)
+      finalizeCommit("expire", dropped, v)
       dropped
   }
 
@@ -895,34 +895,158 @@ final class WarehouseTable private (
       .toSeq.groupBy(_._1).map { case (d, dfs) => d -> dfs.map(_._2) }
   }
 
-  /** Commit snapshot `version`: the previous manifest with the touched
-    * days' entries refreshed from a directory listing (removed days drop
-    * out). Driver-side metadata only — one small text read + write and
-    * O(touched days) listings, NEVER a relisting of the whole table, so
-    * per-flush commit cost is independent of table history. A
-    * pre-snapshot table's first commit baselines from a full day
-    * listing.
+  /** Operations whose files are purely ADDITIVE (no archive/swap of
+    * existing files): safe to re-sequence after a concurrent commit by
+    * re-listing the touched days. Everything else replaces partition
+    * generations and must hold a version CLAIM before touching data
+    * (see [[claimCommit]]).
     */
-  private def commitSnapshot(op: String, touched: Seq[String],
-      version: Long): Unit = {
-    val prev: Map[String, Seq[String]] =
-      if (!fs.exists(new Path(s"$snapDir/CURRENT")))
-        listDays().map(d =>
-          d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
-      else readManifest(currentVersion)
-    val updated = touched.foldLeft(prev) { (m, d) =>
-      val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
-      if (files.isEmpty) m - d else m.updated(d, files)
+  private val appendSafeOps = Set("append", "append-batch", "clone")
+
+  /** Header of claimed/committed version `v`: (op — `pending:` prefix
+    * while a swap holds the claim but hasn't finalized —, touched days;
+    * empty day set = unknown, treated as conflicting-with-everything).
+    */
+  private def commitMeta(v: Long): (String, Set[String]) = {
+    val parts = readMetaString(spark, s"$snapDir/v$v.list")
+      .linesIterator.buffered.headOption.getOrElse("")
+      .stripPrefix("#").split("\t", 3)
+    (parts.headOption.getOrElse("?"),
+      parts.lift(2).map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty))
+  }
+
+  private def isPendingOp(op: String): Boolean = op.startsWith("pending:")
+
+  /** The manifest to rebase a commit of version `v` on: the newest
+    * FINALIZED version below `v` (pending claims hold no file lists), or
+    * a full day listing for a pre-snapshot table.
+    */
+  private def manifestBase(v: Long): Map[String, Seq[String]] = {
+    var w = v - 1
+    while (w > 0) {
+      if (fs.exists(new Path(s"$snapDir/v$w.list"))) {
+        if (!isPendingOp(commitMeta(w)._1)) return readManifest(w)
+      }
+      w -= 1
     }
+    if (!fs.exists(new Path(s"$snapDir/CURRENT")))
+      listDays().map(d =>
+        d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
+    else Map.empty
+  }
+
+  private def renderManifest(op: String, touched: Seq[String],
+      updated: Map[String, Seq[String]]): String = {
     val body = new StringBuilder()
     body.append('#').append(op).append('\t')
-      .append(System.currentTimeMillis()).append('\n')
+      .append(System.currentTimeMillis()).append('\t')
+      .append(touched.distinct.sorted.mkString(",")).append('\n')
     updated.toSeq.sortBy(_._1).foreach { case (d, files) =>
       files.sorted.foreach(f =>
         body.append(d).append('\t').append(f).append('\n'))
     }
-    writeMetaString(spark, s"$snapDir/v$version.list", body.toString)
-    writeMetaString(spark, s"$snapDir/CURRENT", version.toString)
+    body.toString
+  }
+
+  private def advanceCurrent(v: Long): Unit =
+    if (v > currentVersion)
+      writeMetaString(spark, s"$snapDir/CURRENT", v.toString)
+
+  private def concurrentAbort(v: Long, op: String, theirOp: String,
+      touched: Seq[String]): Nothing =
+    throw new java.util.ConcurrentModificationException(
+      s"snapshot v$v of $root was claimed concurrently (their op: " +
+        s"'$theirOp', ours: '$op' on overlapping days " +
+        s"${touched.mkString(",")}); this operation read stale data — " +
+        "re-run it against the current table state")
+
+  /** Claim the next free snapshot version for a SWAP op (merge/compact/
+    * expire/restore) by atomically creating its version file with a
+    * `pending:` header — create-if-absent is atomic on HDFS/local and a
+    * conditional put on object stores, so two writers never own the
+    * same version. The claim MUST precede any archive/swap: replaced
+    * generations are archived under this number, so it has to be the
+    * number the commit finally owns. A lost claim re-sequences past
+    * winners whose days are disjoint, and aborts (before any data is
+    * touched) when days overlap — the staged output was computed from
+    * state the winner has since replaced.
+    */
+  private def claimCommit(op: String, touched: Seq[String]): Long = {
+    val header = s"#pending:$op\t${System.currentTimeMillis()}\t" +
+      touched.distinct.sorted.mkString(",") + "\n"
+    @annotation.tailrec
+    def loop(v: Long): Long =
+      if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list", header)) v
+      else {
+        val (theirOp, theirDays) = commitMeta(v)
+        if (theirDays.isEmpty || touched.exists(theirDays.contains))
+          concurrentAbort(v, op, theirOp, touched)
+        loop(v + 1)
+      }
+    loop(currentVersion + 1)
+  }
+
+  /** Finalize a [[claimCommit]]ed version after its data swap: rewrite
+    * the claimed file with the real manifest — the newest finalized
+    * manifest below `v`, with the touched days (plus the days of any
+    * disjoint winner we re-sequenced past, so their entries are not
+    * dropped) refreshed from directory listings — then advance CURRENT.
+    */
+  private def finalizeCommit(op: String, touched: Seq[String],
+      v: Long): Unit = {
+    val prev = manifestBase(v)
+    val refreshDays = (touched ++ ((currentVersion + 1) until v).flatMap { w =>
+      if (fs.exists(new Path(s"$snapDir/v$w.list"))) commitMeta(w)._2
+      else Set.empty[String]
+    }).distinct
+    val updated = refreshDays.foldLeft(prev) { (m, d) =>
+      val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
+      if (files.isEmpty) m - d else m.updated(d, files)
+    }
+    writeMetaString(spark, s"$snapDir/v$v.list",
+      renderManifest(op, touched, updated))
+    advanceCurrent(v)
+  }
+
+  /** Commit snapshot `version` for an APPEND-type op: the previous
+    * manifest with the touched days' entries refreshed from a directory
+    * listing (removed days drop out). Driver-side metadata only — one
+    * small text read + write and O(touched days) listings, NEVER a
+    * relisting of the whole table, so per-flush commit cost is
+    * independent of table history.
+    *
+    * == Optimistic concurrency ==
+    *
+    * The version file doubles as the claim (create-if-absent, full body
+    * in one write). On a lost claim an append re-sequences: it rebases
+    * on the newest finalized manifest below the next free version and
+    * re-lists its own touched days — its files are additive and
+    * uniquely named, so the union is exact (the auto-resolution Delta
+    * applies to blind appends). The exception: when the winner is a
+    * SWAP op on an overlapping day, the append aborts — the swap may
+    * have archived the just-appended files. CURRENT only ever advances.
+    */
+  private def commitSnapshot(op: String, touched: Seq[String],
+      version: Long): Unit = {
+    @annotation.tailrec
+    def attempt(v: Long, prev: Map[String, Seq[String]]): Unit = {
+      val updated = touched.foldLeft(prev) { (m, d) =>
+        val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
+        if (files.isEmpty) m - d else m.updated(d, files)
+      }
+      if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list",
+          renderManifest(op, touched, updated))) {
+        advanceCurrent(v)
+      } else {
+        val (theirOp, theirDays) = commitMeta(v)
+        val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)
+        val theirBase = theirOp.stripPrefix("pending:")
+        if (!appendSafeOps(op) || (!appendSafeOps(theirBase) && overlaps))
+          concurrentAbort(v, op, theirOp, touched)
+        attempt(v + 1, manifestBase(v + 1))
+      }
+    }
+    attempt(version, manifestBase(version))
   }
 
   /** Committed snapshots, newest first: (version, operation, commit
@@ -938,10 +1062,12 @@ final class WarehouseTable private (
       .map { v =>
         val header = readMetaString(spark, s"$snapDir/v$v.list")
           .linesIterator.buffered.headOption.getOrElse("")
-        val parts = header.stripPrefix("#").split("\t", 2)
+        val parts = header.stripPrefix("#").split("\t", 3)
         (v, parts.headOption.getOrElse("?"),
           parts.lift(1).flatMap(_.toLongOption).getOrElse(0L))
       }
+      // in-flight (or crashed) swap claims are not committed snapshots
+      .filterNot(h => isPendingOp(h._2))
   }
 
   /** Time-travel read: the table exactly as of snapshot `version`
@@ -967,6 +1093,8 @@ final class WarehouseTable private (
       throw new IllegalStateException(
         s"snapshot v$version has been vacuumed (available: " +
           s"${history().map(_._1).sorted.mkString(",")})")
+    require(!isPendingOp(commitMeta(version)._1),
+      s"snapshot v$version is an unfinalized concurrent claim")
     val manifest = readManifest(version)
     if (manifest.isEmpty)
       return spark.createDataFrame(
@@ -1019,10 +1147,10 @@ final class WarehouseTable private (
     val staging = s"$root/.restore-${UUID.randomUUID().toString.take(8)}"
     clusteredWrite(rows).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    val v = currentVersion + 1
+    val v = claimCommit("restore", days)
     swapPartitions(staging, days, v)
     refreshBlooms(days)
-    commitSnapshot("restore", days, v)
+    finalizeCommit("restore", days, v)
     autoVacuum()
     days
   }
@@ -1362,6 +1490,24 @@ object WarehouseTable {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create-if-absent write: false when the path already exists (the
+    * optimistic-concurrency claim primitive — atomic create on
+    * HDFS/local; map to a conditional put on object stores).
+    */
+  private def tryWriteNewMetaString(spark: SparkSession, path: String,
+      s: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val out = fs.create(p, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    }
   }
 
   private def readMetaString(spark: SparkSession, path: String): String = {

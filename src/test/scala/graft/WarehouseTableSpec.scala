@@ -892,6 +892,124 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.schema.fieldNames.contains("f2"))
   }
 
+  // ---- optimistic concurrency (version-claim commits) ----
+
+  /** Simulate a concurrent writer that claimed `version` (its list file
+    * exists) but whose CURRENT advance hasn't landed yet: header names
+    * `op` + `days`, body carries the current manifest's entries.
+    */
+  /** Hadoop-FS write (keeps the local FS .crc sidecars consistent). */
+  private def hfsWrite(path: String, s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def hfsRead(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def plantCommit(root: String, version: Long, op: String,
+      days: String): Unit = {
+    val snap = s"$root/_graft/snapshots"
+    val cur = hfsRead(s"$snap/CURRENT").trim.toLong
+    val prevBody = hfsRead(s"$snap/v$cur.list")
+      .linesIterator.drop(1).mkString("\n")
+    hfsWrite(s"$snap/v$version.list", s"#$op\t0\t$days\n$prevBody\n")
+  }
+
+  test("concurrent append commit: loser re-sequences, nothing lost") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    plantCommit(root, 2L, "append", "2024-01-09")
+    // our append loses the v2 claim, rebases on the winner's manifest,
+    // and commits as v3
+    t.append(Seq((9L, "z1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    assert(t.currentVersion == 3L)
+    assert(t.history().map(_._1) == Seq(3L, 2L, 1L))
+    assert(t.readAsOf(3).select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (9L, "z1")))
+    // the winner's manifest content survived into our commit
+    assert(t.readAsOf(2).select($"k1").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("overlapping concurrent commit aborts a merge BEFORE any data swap") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    // winner appended to the very day our merge read: its rows are not
+    // in our staged output, so auto-resolution would lose them
+    plantCommit(root, 2L, "append", "2024-01-01")
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(staged(Seq((1L, Some("a2"), 10L, 1))))
+    }
+    // the claim is refused before the swap: live data untouched, no
+    // version claimed past the winner
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1")))
+    assert(!new java.io.File(s"$root/_graft/snapshots/v3.list").exists())
+    // the winner finishes; the retried merge serializes cleanly after it
+    hfsWrite(s"$root/_graft/snapshots/CURRENT", "2")
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1))))
+    assert(t.currentVersion == 3L)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b1")))
+  }
+
+  test("merge re-sequences past a disjoint winner; archive follows the claimed version") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    // winner claimed v3 on an unrelated day
+    plantCommit(root, 3L, "append", "2024-01-09")
+    // our merge (day 1) claims v4, swaps and archives under v4
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1))))
+    assert(t.currentVersion == 4L)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b1")))
+    // pre-merge day-1 generation is archived under the OWNED version, so
+    // time travel to the pre-merge snapshot still reads the old value
+    assert(t.readAsOf(2).select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1")))
+  }
+
+  test("crashed pending claim: history skips it, readAsOf refuses it, appends pass it") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    // a swap writer claimed v2 on a disjoint day and died mid-swap
+    hfsWrite(s"$root/_graft/snapshots/v2.list", "#pending:compact\t0\t2024-01-09\n")
+    assert(t.history().map(_._1) == Seq(1L))
+    // a disjoint append re-sequences past the orphan claim
+    t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    assert(t.currentVersion == 3L)
+    assert(t.readAsOf(3).select($"k1").as[Long].collect().toSet == Set(1L, 2L))
+    intercept[IllegalArgumentException](t.readAsOf(2))
+  }
+
+  test("append overlapping a winning swap on the same day aborts") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    // winner COMPACTED the very day we are appending to: our files may
+    // have been archived by it, so auto-resequencing would be unsound
+    plantCommit(root, 2L, "compact", "2024-01-01")
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    }
+    // a disjoint-day append is still fine after the winner finishes
+    hfsWrite(s"$root/_graft/snapshots/CURRENT", "2")
+    t.append(Seq((3L, "c1")).toDF("k1", "f1").withColumn("partitionTime", ts(3)))
+    assert(t.currentVersion == 3L)
+  }
+
   test("intermediate staging paths are unique and dropped together") {
     val root = tmpRoot()
     val p1 = WarehouseTable.intermediatePath(root)

@@ -273,6 +273,44 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Sketch-calibration audit: every LSH candidate pair with BOTH the
+    * signature-estimated Jaccard (fraction of agreeing minhash
+    * components — the estimator a system thresholds on when exact
+    * verification is too expensive) and the exact shingle Jaccard, so
+    * the estimator's error is measurable on the corpus itself. At
+    * 100 TB this is the query that decides whether the verify join can
+    * be dropped: same shuffle discipline as [[minhashNearDups]] —
+    * band exchanges carry `(band, id)` scalars, candidate ids dedup as
+    * bare pairs, and shingles + signatures re-derive for candidate
+    * documents only (one pass computes both).
+    */
+  def minhashEstimatePairs(df: DataFrame, textCol: String, idCol: String,
+      shingleK: Int = 6, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val normF: Column => Column = TextOps.normalizeText
+    val shingleF: Column => Column = nt => charShingles(nt, shingleK)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val banded = bandKeys(docs, normF, shingleF, numHashes, bands)
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+      .localCheckpoint(true)
+    def cand(idsOf: Column, as: String, shAs: String, sigAs: String) =
+      docs.join(pairs.select(idsOf.as("id")).distinct(), Seq("id"), "left_semi")
+        .select(col("id"), normF(col("t")).as("nt"))
+        .select(col("id"), shingleF(col("nt")).as("sh"))
+        .select(col("id").as(as), col("sh").as(shAs),
+          graft.functions.MinHashSignature(col("sh"), numHashes).as(sigAs))
+    pairs
+      .join(cand(col("id1"), "id1", "sh1", "sig1"), "id1")
+      .join(cand(col("id2"), "id2", "sh2", "sig2"), "id2")
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"),
+          (x, y) => x === y), b => b)) / lit(numHashes.toDouble))
+          .as("est_jaccard"),
+        jaccard(col("sh1"), col("sh2")).as("jaccard"))
+  }
+
   /** Near-dups of a new batch AGAINST an existing corpus: verified pairs
     * `(new_id, corpus_id, jaccard)` with `jaccard >= threshold` — the
     * incremental form of [[minhashNearDups]] for dedup-on-ingest: only

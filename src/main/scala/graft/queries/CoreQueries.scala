@@ -1245,6 +1245,36 @@ object CoreQueries extends QueryPack {
           |       min(start_day) AS first_day
           |FROM streaks GROUP BY user_id""".stripMargin)),
 
+    GraftQuery("w11_running_distinct",
+      // running count of DISTINCT event types per user — Spark windows
+      // reject DISTINCT aggregates, so the classic rewrite: flag each
+      // type's first occurrence (lag over a type-major sort), then a
+      // running sum over the time-major sort. Both windows partition on
+      // user_id alone, so ONE exchange feeds two sorts; the oracle is
+      // DuckDB's NATIVE windowed count(DISTINCT) — an independent
+      // engine feature checking the rewrite
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byType = Window.partitionBy(col("user_id"))
+          .orderBy(col("event_type"), col("ts"), col("event_id"))
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("_first", when(lag(col("event_type"), 1).over(byType)
+            .isNull || lag(col("event_type"), 1).over(byType) =!=
+            col("event_type"), 1).otherwise(0))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            sum(col("_first")).over(byTime).cast("int").as("n_distinct_types"))
+      },
+      oracle = Some(
+        """SELECT event_id, user_id,
+          |       make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |       CAST(count(DISTINCT event_type) OVER
+          |         (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS UNBOUNDED PRECEDING) AS INT) AS n_distinct_types
+          |FROM events""".stripMargin)),
+
     GraftQuery("w9_window_extras",
       // remaining rank-family breadth: cume_dist over the full
       // partition plus a running nth_value under the default

@@ -181,6 +181,46 @@ object LlmQueries extends QueryPack {
       oracle = Some("WITH " + lshOracle(charShingleSql, 0.7)),
       headline = true),
 
+    GraftQuery("d13_minhash_estimate",
+      // sketch calibration: per LSH candidate pair, the 12-component
+      // signature-agreement estimate of Jaccard NEXT TO the exact
+      // shingle Jaccard — the audit that decides whether the verify
+      // join can be dropped at scale; both derivations re-run in SQL
+      (s, dir) => DedupOps.minhashEstimatePairs(withNearDups(s, dir),
+          "text", "doc_id")
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard")),
+      oracle = Some(
+        raw"""WITH base AS (
+           |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+           |              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+           |  FROM documents WHERE doc_id < 100),
+           |sh AS (SELECT id, $charShingleSql AS sh FROM base),
+           |sig AS (
+           |  SELECT id, sh, list_transform(generate_series(0, 11), j ->
+           |    list_min(list_transform(sh, s ->
+           |      (('0x' || substr(md5(s), 1, 8))::BIGINT
+           |       + j * ('0x' || substr(md5(s), 9, 8))::BIGINT) % 4294967296))) AS sig
+           |  FROM sh),
+           |banded AS (
+           |  SELECT id, sh, sig, unnest(list_transform(generate_series(0, 3), b ->
+           |    b || ':' || md5(array_to_string(sig[b*3+1 : b*3+3], '|')))) AS band
+           |  FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2, a.sh AS sh1, b.sh AS sh2,
+           |         a.sig AS sig1, b.sig AS sig2
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
+           |SELECT id1, id2,
+           |       round(len(list_filter(list_transform(generate_series(1, 12),
+           |             i -> sig1[i] = sig2[i]), x -> x)) / 12.0, 6) AS est_jaccard,
+           |       round(len(list_intersect(sh1, sh2))::DOUBLE
+           |             / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE, 6) AS jaccard
+           |FROM pairs""".stripMargin)),
+
     GraftQuery("c1_neardup_clusters",
       (s, dir) => DedupOps.clusterPairs(
         DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",

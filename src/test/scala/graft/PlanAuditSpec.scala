@@ -253,6 +253,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("w11: the distinct-rewrite's two sort orders share one user_id exchange") {
+    val df = SparkEntry.queries("w11_running_distinct")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected one exchange (type-major + time-major sorts both cluster " +
+        s"on user_id), got $exchanges:\n$plan")
+  }
+
   test("w4/w5: all window frames run off a single user_id exchange") {
     for (q <- Seq("w4_running_agg", "w5_window_suite")) {
       val df = SparkEntry.queries(q)(spark, sf)

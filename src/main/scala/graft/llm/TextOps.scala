@@ -454,6 +454,42 @@ object TextOps {
     * turns into a map-side top-k, so the rank exchange carries
     * O(docs × k) rows.
     */
+  /** Okapi BM25 scores of every document against a LITERAL query (the
+    * keyword half of hybrid retrieval). One aggregate pass computes the
+    * corpus stats — N, total token count, and each query term's
+    * document frequency as conditional counts — and broadcasts them as
+    * a 1-row frame; scoring is then MAP-ONLY over staged per-term
+    * term-frequency projections (each doc tokenizes once). idf is the
+    * Lucene-style non-negative `log2(1 + (N - df + 0.5)/(df + 0.5))` —
+    * raw Okapi idf goes NEGATIVE for terms in more than half the
+    * corpus, making extra matches LOWER the score — and log2 of
+    * identical rationals is engine-portable like [[tfidfKeywords]].
+    * Output: (`id`, `score`).
+    */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val staged = df
+      .select(col(idCol).as("id"), split(normalizeText(col(textCol)), " ").as("_tk"))
+      .select(col("id") +: size(col("_tk")).as("_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("_tk"), x => x === lit(t))).as(s"_tf$i") }: _*)
+    val aggCols = count(lit(1)).as("_n") +: sum(col("_dl")).as("_sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = staged.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("_sumdl") / col("_n").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val idf = log2(lit(1.0) + (col("_n") - col(s"_df$i") + lit(0.5)) /
+        (col(s"_df$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl))
+    }.reduce(_ + _)
+    staged.crossJoin(broadcast(stats))
+      .select(col("id"), score.as("score"))
+  }
+
   def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

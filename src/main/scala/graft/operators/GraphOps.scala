@@ -188,4 +188,45 @@ object GraphOps {
       s"shortestHops frontier still active after $maxIterations rounds")
     visited
   }
+
+  /** The k-core of the undirected simple graph induced by
+    * `edges(src, dst)`: iteratively peel every node whose degree is
+    * below `k` (removing a node lowers its neighbours' degrees, so the
+    * peel repeats to fixpoint). Returns the surviving nodes with their
+    * within-core degree, `(id, core_deg)` — the standard dense-cluster
+    * / spam-ring extractor.
+    *
+    * == 100 TB design ==
+    *
+    * Each round: one partial-aggregated degree count ((id) scalars
+    * only) and two anti-joins removing the peeled nodes — the low-id
+    * frame is tiny (only nodes BELOW the threshold) and broadcasts, so
+    * the edge set is never shuffled after its initial dedup; rounds
+    * are O(peel depth), bounded by `maxIterations` with lineage
+    * truncated per round like [[connectedComponents]].
+    */
+  def kCore(edges: DataFrame, k: Int, maxIterations: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var und = edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val low = deg.where(col("deg") < k).select(col("id"))
+        .localCheckpoint(true)
+      if (low.isEmpty) converged = true
+      else und = und
+        .join(broadcast(low.withColumnRenamed("id", "a")), Seq("a"), "left_anti")
+        .join(broadcast(low.withColumnRenamed("id", "b")), Seq("b"), "left_anti")
+        .localCheckpoint(true)
+      i += 1
+    }
+    require(converged, s"kCore did not converge in $maxIterations rounds")
+    und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("int").as("core_deg"))
+  }
 }

@@ -56,4 +56,43 @@ object ViewMaintenance {
           .as(sumCol)): _*)
       .where(col(countCol) > 0)
   }
+
+  /** Incrementally maintain an equi-JOIN view `V = A ⋈keys B` (bag
+    * semantics) from BOTH tables' CDC diffs. The join is bilinear in
+    * signed multiplicities, so the exact delta is three terms:
+    * {{{ ΔV = ΔA ⋈ B_old  +  A_old ⋈ ΔB  +  ΔA ⋈ ΔB }}}
+    * with `added = +1`, `removed = −1` and term weights multiplying —
+    * the cross term corrects rows whose A and B sides changed in the
+    * same cycle. The net per-row weight folds into the view's
+    * multiplicities; rows reaching zero drop out.
+    *
+    * Refresh work scales with the CHANGESETS: every term joins at least
+    * one delta side, which AQE broadcasts (diffs are partition-bounded
+    * by construction), so neither old table is ever shuffled — each is
+    * scanned once map-only, and at 100 TB that scan is itself prunable
+    * to the diff's join-key partitions when the table clusters on the
+    * key. Both inputs must pre-project to `keys` + payload columns with
+    * names disjoint across A and B; diffs carry `change_type`.
+    */
+  def applyJoinDiff(view: DataFrame, aDiff: DataFrame, bDiff: DataFrame,
+      aOld: DataFrame, bOld: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = when(col("change_type") === "added", lit(1L)).otherwise(lit(-1L))
+    val aD = aDiff.withColumn("__wa", w).drop("change_type")
+    val bD = bDiff.withColumn("__wb", w).drop("change_type")
+    val terms =
+      aD.join(bOld.withColumn("__wb", lit(1L)), keys)
+        .unionByName(aOld.withColumn("__wa", lit(1L)).join(bD, keys))
+        .unionByName(aD.join(bD, keys))
+    val viewCols = view.columns.toSeq
+    val net = terms
+      .withColumn("__dw", col("__wa") * col("__wb"))
+      .groupBy(viewCols.map(col): _*).agg(sum(col("__dw")).as("__dw"))
+    val cur = view.groupBy(viewCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    cur.join(net, viewCols, "full_outer")
+      .withColumn("__m",
+        coalesce(col("__n"), lit(0L)) + coalesce(col("__dw"), lit(0L)))
+      .where(col("__m") > 0)
+      .withColumn("__i", explode(sequence(lit(1L), col("__m"))))
+      .select(viewCols.map(col): _*)
+  }
 }

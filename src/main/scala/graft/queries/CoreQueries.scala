@@ -886,6 +886,20 @@ object CoreQueries extends QueryPack {
           |SELECT id, CAST(min(hops) AS BIGINT) AS hops
           |FROM walk GROUP BY id""".stripMargin)),
 
+    GraftQuery("g5_kcore",
+      // k-core peel to fixpoint over the decade link graph: dense
+      // sub-communities whose every member keeps >= 3 in-core links.
+      // Recursive CTEs cannot re-aggregate degrees per round, so the
+      // oracle UNROLLS the peel (12 rounds, idempotent once converged;
+      // the operator's own fixpoint guard would flag non-convergence)
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.kCore(edges, k = 3)
+      },
+      oracle = Some(kcoreOracleSql(k = 3, rounds = 12))),
+
     GraftQuery("a19_grouping_sets",
       // explicit GROUPING SETS — the general form CUBE/ROLLUP lower to:
       // a hand-picked subset of grouping combinations in one Expand +
@@ -1435,4 +1449,36 @@ object CoreQueries extends QueryPack {
           |       CAST(sum(CASE WHEN n = fc THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
           |FROM bt WHERE fc IS NOT NULL""".stripMargin))
   )
+
+  /** Unrolled k-core peel for the g5 oracle: round r drops nodes whose
+    * degree in e(r-1) is below k; once converged the remaining rounds
+    * are no-ops, so a fixed unroll depth is exact as long as it covers
+    * the peel depth (the operator's convergence guard enforces that).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+        |    SELECT user_id AS src,
+        |           user_id - user_id % 10 + event_id % 10 AS dst
+        |    FROM events) t
+        |  WHERE src <> dst)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |low$r AS MATERIALIZED (
+        |  SELECT id FROM (
+        |    SELECT a AS id FROM e${r - 1}
+        |    UNION ALL SELECT b FROM e${r - 1}) t
+        |  GROUP BY id HAVING count(*) < $k),
+        |e$r AS MATERIALIZED (
+        |  SELECT a, b FROM e${r - 1}
+        |  WHERE a NOT IN (SELECT id FROM low$r)
+        |    AND b NOT IN (SELECT id FROM low$r))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT id, CAST(count(*) AS INT) AS core_deg FROM (
+      |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds) t
+      |GROUP BY id""".stripMargin)
+    sb.toString
+  }
 }

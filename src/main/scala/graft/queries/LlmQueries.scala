@@ -608,6 +608,85 @@ object LlmQueries extends QueryPack {
       oracle = Some(sqOracle(candidates = 40, k = 5)),
       headline = true),
 
+    GraftQuery("e6_hybrid_rrf",
+      // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
+      // ranking by reciprocal-rank fusion. Each ranking keeps its
+      // top-64 candidates via a distributed TakeOrdered (no global
+      // window over the corpus); RRF then runs over the tiny candidate
+      // union — 1/(60+rank) sums are exact rationals, so the fused
+      // order is engine-portable even where raw scores are floats
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val kwTop = TextOps.bm25Scores(docs, "text", "doc_id",
+            Seq("vector", "merge", "filter"))
+          .orderBy(col("score").desc, col("id")).limit(64)
+          .withColumn("kw_rank", row_number().over(
+            Window.orderBy(col("score").desc, col("id"))))
+          .select(col("id"), col("kw_rank"))
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("q_vec"))
+        val vecTop = emb.crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"),
+            SimOps.cosine(col("embedding").cast("array<double>"),
+              col("q_vec")).as("vsim"))
+          .orderBy(col("vsim").desc, col("id")).limit(64)
+          .withColumn("vec_rank", row_number().over(
+            Window.orderBy(col("vsim").desc, col("id"))))
+          .select(col("id"), col("vec_rank"))
+        kwTop.join(vecTop, Seq("id"), "full_outer")
+          .select(col("id").as("doc_id"), col("kw_rank"), col("vec_rank"),
+            (coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), col("kw_rank"), col("vec_rank"),
+            round(col("rrf"), 6).as("rrf"))
+      },
+      oracle = Some(
+        raw"""WITH base AS (
+           |  SELECT doc_id AS id, string_split($normSql, ' ') AS tk
+           |  FROM documents),
+           |tfs AS (
+           |  SELECT id, len(tk) AS dl,
+           |         len(list_filter(tk, t -> t = 'vector')) AS tf0,
+           |         len(list_filter(tk, t -> t = 'merge'))  AS tf1,
+           |         len(list_filter(tk, t -> t = 'filter')) AS tf2
+           |  FROM base),
+           |stats AS (
+           |  SELECT count(*) AS n, sum(dl) AS sumdl,
+           |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           |  FROM tfs),
+           |kw AS (
+           |  SELECT id,
+           |    log2(1 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/(sumdl/CAST(n AS DOUBLE)))) +
+           |    log2(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/(sumdl/CAST(n AS DOUBLE)))) +
+           |    log2(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/(sumdl/CAST(n AS DOUBLE)))) AS score
+           |  FROM tfs, stats),
+           |kwtop AS (
+           |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS kw_rank
+           |  FROM kw QUALIFY kw_rank <= 64),
+           |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+           |vs AS (
+           |  SELECT c.vec_id AS id,
+           |    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v[i])) /
+           |    (sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]))) *
+           |     sqrt(list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])))) AS vsim
+           |  FROM c, q),
+           |vtop AS (
+           |  SELECT id, CAST(row_number() OVER (ORDER BY vsim DESC, id) AS INT) AS vec_rank
+           |  FROM vs QUALIFY vec_rank <= 64),
+           |fused AS (
+           |  SELECT coalesce(k.id, v.id) AS doc_id, k.kw_rank, v.vec_rank,
+           |         coalesce(1.0/(60 + k.kw_rank), 0) + coalesce(1.0/(60 + v.vec_rank), 0) AS rrf
+           |  FROM kwtop k FULL JOIN vtop v ON k.id = v.id)
+           |SELECT doc_id, kw_rank, vec_rank, round(rrf, 6) AS rrf
+           |FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
     GraftQuery("d4_embed_neardup",
       (s, dir) => SimOps.embeddingNearDups(
         Tables.load(s, dir, "embeddings"), threshold = 0.3)

@@ -86,4 +86,21 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L),
       s"expected rank(0) > rank(1) > rank(others): $ranks")
   }
+
+  test("kCore: cascading peel — removing a pendant exposes the next node") {
+    // triangle 1-2-3, chain 1-4-5: at k=2 the chain peels in TWO rounds
+    // (5 first, then 4 whose degree only then drops below 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core2 = GraphOps.kCore(edges, k = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(core2 == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // the triangle is not a 3-core
+    assert(GraphOps.kCore(edges, k = 3).isEmpty)
+    // duplicate/reversed/self-loop edges don't inflate degrees
+    val noisy = edges.union(Seq((2L, 1L), (1L, 1L), (1L, 2L)).toDF("src", "dst"))
+    assert(GraphOps.kCore(noisy, k = 2).as[(Long, Int)].collect().toMap ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    intercept[IllegalArgumentException](GraphOps.kCore(edges, k = 0))
+  }
 }

@@ -987,6 +987,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25Scores: tf raises, length normalizes, absent terms contribute zero") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "spark merge rows"),          // tf(merge)=1, dl=3
+      (2L, "merge merge spark"),         // tf(merge)=2, same dl -> higher
+      (3L, "spark merge rows spark spark spark"), // tf=1, dl=6 -> lower than doc 1
+      (4L, "nothing relevant here"))     // tf=0 -> score 0
+      .toDF("doc_id", "text")
+    val s = TextOps.bm25Scores(docs, "text", "doc_id", Seq("merge"))
+      .select($"id", $"score").as[(Long, Double)].collect().toMap
+    assert(s(2) > s(1), "higher term frequency must raise the score")
+    assert(s(1) > s(3), "longer document with equal tf must score lower")
+    assert(s(4) == 0.0, "documents without any query term score zero")
+    intercept[IllegalArgumentException] {
+      TextOps.bm25Scores(docs, "text", "doc_id", Seq.empty)
+    }
+  }
+
   test("crossSetMaxSim: per-probe argmax, exact-tie goes to the lowest corpus id") {
     import graft.llm.SimOps
     val corpus = Seq(

@@ -892,6 +892,32 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.schema.fieldNames.contains("f2"))
   }
 
+  test("applyJoinDiff: delta-join equals rejoining the new states (incl. cross term)") {
+    import graft.operators.ViewMaintenance
+    def bag(df: DataFrame): Map[(Long, String, Double, Long), Long] =
+      df.select($"k", $"jt", $"amt", $"cfg").as[(Long, String, Double, Long)]
+        .collect().groupBy(identity).map { case (r, xs) => r -> xs.length.toLong }
+    val aOld = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0))
+      .toDF("k", "jt", "amt")
+    val bOld = Seq(("x", 100L), ("y", 200L)).toDF("jt", "cfg")
+    // cycle: A updates k=1 (x→y) and deletes k=3; B updates cfg(x) —
+    // k=1's row changes BOTH sides if it had stayed on x; the cross
+    // term is exercised by k=3 (removed from A while B's x row swaps)
+    val aDiff = Seq(
+      ("removed", 1L, "x", 10.0), ("added", 1L, "y", 15.0),
+      ("removed", 3L, "x", 30.0))
+      .toDF("change_type", "k", "jt", "amt")
+    val bDiff = Seq(("removed", "x", 100L), ("added", "x", 101L))
+      .toDF("change_type", "jt", "cfg")
+    val aNew = Seq((1L, "y", 15.0), (2L, "y", 20.0)).toDF("k", "jt", "amt")
+    val bNew = Seq(("x", 101L), ("y", 200L)).toDF("jt", "cfg")
+    val viewOld = aOld.join(bOld, "jt").select($"k", $"jt", $"amt", $"cfg")
+    val maintained = ViewMaintenance.applyJoinDiff(
+      viewOld, aDiff, bDiff, aOld, bOld, Seq("jt"))
+    assert(bag(maintained) ==
+      bag(aNew.join(bNew, "jt").select($"k", $"jt", $"amt", $"cfg")))
+  }
+
   // ---- optimistic concurrency (version-claim commits) ----
 
   /** Simulate a concurrent writer that claimed `version` (its list file

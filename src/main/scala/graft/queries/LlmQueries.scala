@@ -608,6 +608,21 @@ object LlmQueries extends QueryPack {
       oracle = Some(sqOracle(candidates = 40, k = 5)),
       headline = true),
 
+    GraftQuery("e7_rp_topk",
+      // random-projection retrieval: shortlist in a 32-dim JL sketch
+      // (md5-derived planes, same matrix family as e2's hyperplanes),
+      // exact-cosine re-rank of the 64 survivors — the dimensionality-
+      // reduction leg of the compression family next to LSH (e2),
+      // IVF (e3), PQ (e4) and SQ (e5)
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.rpTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          dims = 32, candidates = 64)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(rpOracle(dims = 32, candidates = 64, k = 5))),
+
     GraftQuery("e6_hybrid_rrf",
       // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
       // ranking by reciprocal-rank fusion. Each ranking keeps its
@@ -1735,6 +1750,46 @@ object LlmQueries extends QueryPack {
        |  FROM scored)
        |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for the random-projection top-k: the same md5 plane
+    * components as [[bucketSelects]] kept as REAL-VALUED dot products
+    * (no sign bit), reduced-space cosine shortlist, exact re-rank —
+    * mechanically identical to [[SimOps.rpTopK]].
+    */
+  private def rpOracle(dims: Int, candidates: Int, k: Int): String = {
+    def proj(p: Int): String =
+      s"""list_sum(list_transform(generate_series(1, len(v)),
+         |      i -> v[i] * ((('0x' || substr(md5('p${p}_d' || (i-1)), 1, 6))::BIGINT / 8388607.5) - 1.0)))""".stripMargin
+    val rpList = (0 until dims).map(proj).mkString("[", ",\n    ", "]")
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |rp AS (
+       |  SELECT id, $rpList AS r
+       |  FROM c),
+       |apx AS (
+       |  SELECT qr.id AS query_id, rp.id AS nbr_id,
+       |    list_sum(list_transform(generate_series(1, $dims), j -> qr.r[j] * rp.r[j])) /
+       |    (sqrt(list_sum(list_transform(generate_series(1, $dims), j -> qr.r[j] * qr.r[j]))) *
+       |     sqrt(list_sum(list_transform(generate_series(1, $dims), j -> rp.r[j] * rp.r[j])))) AS approx
+       |  FROM rp CROSS JOIN (SELECT id, r FROM rp WHERE id % 50 = 0) qr
+       |  WHERE qr.id <> rp.id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx DESC, nbr_id) AS rn
+       |    FROM apx) t WHERE rn <= $candidates),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id, ${cosSql("qv.v", "nv.v")} AS sim
+       |  FROM cand JOIN c qv ON qv.id = cand.query_id
+       |            JOIN c nv ON nv.id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
 
   /** DuckDB oracle for SimHash multi-index near-dups: identical md5/
     * integer arithmetic as [[DedupOps.simhash]] (uint32 token hashes →

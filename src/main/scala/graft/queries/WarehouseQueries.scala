@@ -205,6 +205,66 @@ object WarehouseQueries extends QueryPack {
           |SELECT v_type, count(*) AS n, round(sum(v_amount), 6) AS total
           |FROM fin GROUP BY v_type""".stripMargin)),
 
+    GraftQuery("s18_join_view_maintain",
+      (s, dir) => {
+        // materialized JOIN-view refresh: facts (keyed by user) and a
+        // dim (keyed by event type, attr = latest user to emit it) each
+        // run their own seed + merge cycle; the view over the SEED
+        // states is then maintained from both tables' CDC diffs via the
+        // bilinear delta (dA·B + A·dB + dA·dB) and must equal joining
+        // the FINAL states directly — which is the oracle's derivation
+        val rootA = Files.createTempDirectory("graft-wh").toString + "/facts_jv"
+        val rootB = Files.createTempDirectory("graft-wh").toString + "/dim_jv"
+        val all = stagedAll(s, dir)
+        val tA = WarehouseTable.create(s, rootA, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        tA.append(d0)
+        tA.merge(all.where(col("i") >= Split))
+        val dimStaged = Tables.load(s, dir, "events")
+          .where(col("event_type") =!= "error")
+          .select(struct(col("event_type").as("t")).as("key"),
+            struct(col("user_id").as("attr")).as("value"),
+            col("event_id").as("i"),
+            timestamp_micros(expr("ts div 1000")).as("partitionTime"),
+            lit(0L).as("batchNumber"))
+        val dimSchema = StructType(Seq(
+          StructField("t", StringType), StructField("attr", LongType)))
+        val tB = WarehouseTable.create(s, rootB, Seq("t"), dimSchema)
+        val b0 = MergeOps.latestPerKey(dimStaged.where(col("i") < Split))
+          .select(col("key.t").as("t"), col("value.attr").as("attr"),
+            col("partitionTime"))
+        tB.append(b0)
+        tB.merge(dimStaged.where(col("i") >= Split))
+        val aOld = tA.readAsOf(1).select(col("k"), col("v_type"), col("v_amount"))
+        val bOld = tB.readAsOf(1).select(col("t").as("v_type"), col("attr"))
+        val aDiff = tA.tableDiff(1, tA.currentVersion)
+          .select(col("change_type"), col("k"), col("v_type"), col("v_amount"))
+        val bDiff = tB.tableDiff(1, tB.currentVersion)
+          .select(col("change_type"), col("t").as("v_type"), col("attr"))
+        val viewOld = aOld.join(bOld, "v_type")
+          .select(col("k"), col("v_type"), col("v_amount"), col("attr"))
+        graft.operators.ViewMaintenance.applyJoinDiff(
+            viewOld, aDiff, bDiff, aOld, bOld, Seq("v_type"))
+          .select(col("k"), col("v_type"),
+            round(col("v_amount"), 6).as("v_amount"), col("attr"))
+      },
+      oracle = Some(mergeCycleCtes +
+        """,
+          |dstaged AS (
+          |  SELECT event_type AS t, event_id AS i, user_id AS attr
+          |  FROM events WHERE event_type <> 'error'),
+          |dimfin AS (
+          |  SELECT t, attr FROM (
+          |    SELECT t, attr, row_number() OVER (PARTITION BY t ORDER BY i DESC) AS rn
+          |    FROM dstaged) x
+          |  WHERE rn = 1)
+          |SELECT fin.k, fin.v_type, round(fin.v_amount, 6) AS v_amount, dimfin.attr
+          |FROM fin JOIN dimfin ON fin.v_type = dimfin.t""".stripMargin)),
+
     GraftQuery("s12_csv_roundtrip",
       // CSV source/sink fidelity: the documents table (free text with
       // quotes/commas) written to CSV by the engine and read back with

@@ -511,6 +511,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((all -- paired -- survivors).isEmpty, "unpaired rows must survive")
   }
 
+  test("rpTopK: exhaustive shortlist equals brute force; 32-dim sketch keeps recall") {
+    import graft.llm.SimOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.where($"vec_id" % 37 === 0)
+    val k = 10
+    val exact = SimOps.bruteForceTopK(emb, queries, k)
+      .select($"query_id", $"nbr_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // candidates >= corpus size: the shortlist cut is a no-op, so the
+    // re-ranked result must equal brute force EXACTLY (same sims, ranks)
+    val n = emb.count().toInt
+    val exhaustive = SimOps.rpTopK(emb, queries, k, dims = 8, candidates = n)
+      .select($"query_id", $"nbr_id", $"sim", $"rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(exhaustive == exact,
+      "rpTopK with an exhaustive shortlist must reproduce bruteForceTopK")
+    // a real 64-candidate shortlist in the 32-dim sketch: recall floor
+    // (measured 0.657 when introduced — these near-random synthetic
+    // embeddings have tiny neighbor margins, the hardest case for any
+    // sketch; cf. lshTopK's 0.650 at the same 32 bits of sign info)
+    val approx = SimOps.rpTopK(emb, queries, k, dims = 32, candidates = 64)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(r => (r._1, r._2))
+    val recall = (exactPairs intersect approx).size.toDouble / exactPairs.size
+    info(f"rp recall@$k at 32 dims / 64 candidates: $recall%.3f")
+    assert(recall >= 0.6, f"RP recall degraded: $recall%.3f < 0.6")
+    intercept[IllegalArgumentException](SimOps.rpTopK(emb, queries, 5, dims = 0))
+    intercept[IllegalArgumentException](
+      SimOps.rpTopK(emb, queries, k = 5, candidates = 3))
+  }
+
   test("lshTopK recall@10 vs brute force is >= 0.6 at 4 planes (sf0.01)") {
     // pins the quality of the (planes, tables) knobs: changing either
     // must be measured against this recall floor, not eyeballed.

@@ -572,9 +572,12 @@ object SimOps {
       .withColumn("_crank", row_number().over(wc))
       .where(col("_crank") <= candidates)
       .select(col("query_id"), col("nbr_id"))
+    // shortlist is queries × candidates id pairs — tiny by contract, so
+    // BOTH rerank joins broadcast it and the corpus never shuffles
+    // (sqTopK discipline; plan-audited)
     val candCorpus = c
-      .join(cand.select(col("nbr_id")).distinct(), Seq("nbr_id"), "left_semi")
-    val exact = cand.join(candCorpus, Seq("nbr_id"))
+      .join(broadcast(cand.select(col("nbr_id")).distinct()), Seq("nbr_id"), "left_semi")
+    val exact = candCorpus.join(broadcast(cand), Seq("nbr_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("nbr_id"),
         nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))

@@ -447,6 +447,54 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e7: exchanges carry the 32-dim sketch, never the full embedding") {
+    val df = SparkEntry.queries("e7_rp_topk")(spark, sf)
+    df.collect() // finalize AQE
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the shortlist ranks in projected space and the exact re-rank
+    // broadcasts queries / semi-filters corpus BY ID — the full
+    // embedding arrays must never cross an exchange
+    val blocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(blocks.nonEmpty, s"no Exchange blocks found:\n$formatted")
+    blocks.foreach { b =>
+      assert(!b.contains("nbr_vec#") && !b.contains("q_vec#") &&
+        !b.contains("embedding#"),
+        s"full embedding shuffled through an exchange:\n$b")
+    }
+  }
+
+  test("e6: corpus rankings cut by TakeOrdered; stats join broadcast; no corpus window") {
+    val df = SparkEntry.queries("e6_hybrid_rrf")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = planOf(df)
+    // each ranking's top-64 is a distributed TakeOrderedAndProject —
+    // the row_number windows run AFTER the 64-row cut, so no Exchange
+    // may feed a Window with corpus-sized input
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"corpus top-k not a distributed TakeOrdered:\n$plan")
+    // the 1-row BM25 stats frame joins the staged corpus as a broadcast
+    // nested loop (no key), never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus stats join not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian leaked:\n$plan")
+    // the rank fusion's full-outer join (SMJ by necessity) runs over the
+    // two 64-row rank lists — no exchange may carry document text,
+    // token arrays, or embeddings, only id/rank/score scalars
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val blocks = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    blocks.foreach { b =>
+      assert(!b.contains("text#") && !b.contains("_tk#") &&
+        !b.contains("embedding#") && !b.contains("q_vec#"),
+        s"corpus payload shuffled through an exchange:\n$b")
+    }
+  }
+
   test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(

@@ -87,6 +87,30 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected rank(0) > rank(1) > rank(others): $ranks")
   }
 
+  test("kCore: random graphs match an in-memory peel") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(5)
+      val raw = Seq.fill(20)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + (trial % 2)
+      var und = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (id, xs) => id -> xs.size }
+        val low = deg.filter(_._2 < k).keySet
+        changed = low.nonEmpty && und.nonEmpty
+        und = und.filterNot(e => low(e._1) || low(e._2))
+      }
+      val expected = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (id, xs) => id -> xs.size }
+      val got = GraphOps.kCore(raw.toDF("src", "dst"), k)
+        .as[(Long, Int)].collect().toMap
+      assert(got == expected, s"trial $trial k=$k edges=$raw")
+    }
+  }
+
   test("kCore: cascading peel — removing a pendant exposes the next node") {
     // triangle 1-2-3, chain 1-4-5: at k=2 the chain peels in TWO rounds
     // (5 first, then 4 whose degree only then drops below 2)

@@ -918,6 +918,52 @@ class WarehouseTableSpec extends AnyFunSuite {
       bag(aNew.join(bNew, "jt").select($"k", $"jt", $"amt", $"cfg")))
   }
 
+  test("applyJoinDiff: random CDC cycles equal rejoining the new states") {
+    import graft.operators.ViewMaintenance
+    // deterministic randomized trials against the ground truth (join
+    // the new states directly): duplicates, multi-row keys, empty
+    // diffs, and vanishing/appearing join partners all fall out of the
+    // generator — the bag compare catches any multiplicity drift
+    val rnd = new scala.util.Random(42)
+    def randA(): Seq[(Long, String, Double)] =
+      Seq.fill(rnd.nextInt(12))(
+        (rnd.nextInt(6).toLong, "j" + rnd.nextInt(4), rnd.nextInt(5).toDouble))
+    def randB(): Seq[(String, Long)] =
+      Seq.fill(rnd.nextInt(8))(("j" + rnd.nextInt(4), rnd.nextInt(3).toLong))
+    def diffBags[R](oldS: Seq[R], newS: Seq[R]): Seq[(String, R)] = {
+      val oc = oldS.groupBy(identity).view.mapValues(_.size)
+      val nc = newS.groupBy(identity).view.mapValues(_.size)
+      (oc.keySet ++ nc.keySet).toSeq.flatMap { r =>
+        val d = nc.getOrElse(r, 0) - oc.getOrElse(r, 0)
+        if (d > 0) Seq.fill(d)(("added", r))
+        else Seq.fill(-d)(("removed", r))
+      }
+    }
+    def bag(df: DataFrame): Map[(Long, String, Double, Long), Long] =
+      df.select($"k", $"jt", $"amt", $"cfg").as[(Long, String, Double, Long)]
+        .collect().groupBy(identity).map { case (r, xs) => r -> xs.length.toLong }
+    for (trial <- 1 to 8) {
+      val (aOldS, aNewS, bOldS, bNewS) = (randA(), randA(), randB(), randB())
+      val aOld = aOldS.toDF("k", "jt", "amt")
+      val bOld = bOldS.toDF("jt", "cfg")
+      val aDiff = diffBags(aOldS, aNewS)
+        .map { case (c, (k, jt, amt)) => (c, k, jt, amt) }
+        .toDF("change_type", "k", "jt", "amt")
+      val bDiff = diffBags(bOldS, bNewS)
+        .map { case (c, (jt, cfg)) => (c, jt, cfg) }
+        .toDF("change_type", "jt", "cfg")
+      val viewOld = aOld.join(bOld, "jt").select($"k", $"jt", $"amt", $"cfg")
+      val maintained = ViewMaintenance.applyJoinDiff(
+        viewOld, aDiff, bDiff, aOld, bOld, Seq("jt"))
+      val direct = aNewS.toDF("k", "jt", "amt")
+        .join(bNewS.toDF("jt", "cfg"), "jt")
+        .select($"k", $"jt", $"amt", $"cfg")
+      assert(bag(maintained) == bag(direct),
+        s"trial $trial: maintained view diverged from direct rejoin " +
+          s"(aOld=$aOldS aNew=$aNewS bOld=$bOldS bNew=$bNewS)")
+    }
+  }
+
   // ---- optimistic concurrency (version-claim commits) ----
 
   /** Simulate a concurrent writer that claimed `version` (its list file

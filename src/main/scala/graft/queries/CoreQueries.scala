@@ -538,6 +538,74 @@ object CoreQueries extends QueryPack {
           |                    AND l3.l_suppkey <> l1.l_suppkey)
           |GROUP BY s.s_name""".stripMargin)),
 
+    GraftQuery("q23_disjunctive_scan",
+      // TPC-H Q19 shape: OR of three conjunctive branches mixing both
+      // join sides' predicates. The filter can only evaluate AFTER the
+      // join, but each branch implies a per-table weakening — brand in
+      // the union of brands, quantity in the union of ranges — which is
+      // pushed manually so both scans prune before the shuffle (Spark
+      // leaves cross-table disjunctions as post-join filters; the
+      // explicit weakened predicates are what a 100 TB scan needs, and
+      // the plan audit pins them reaching the parquet readers)
+      (s, dir) => {
+        val branches = Seq(
+          ("Brand#1", 5, 1.0, 11.0), ("Brand#2", 10, 10.0, 20.0),
+          ("Brand#3", 15, 20.0, 30.0))
+        val p = Tables.load(s, dir, "part")
+          .where(col("p_brand").isin(branches.map(_._1): _*) &&
+            col("p_size") <= branches.map(_._2).max && col("p_size") >= 1)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val l = Tables.load(s, dir, "lineitem")
+          .where(col("l_quantity") >= branches.map(_._3).min &&
+            col("l_quantity") <= branches.map(_._4).max)
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val full = branches.map { case (b, sz, qlo, qhi) =>
+          col("p_brand") === b && col("p_size").between(1, sz) &&
+            col("l_quantity").between(qlo, qhi)
+        }.reduce(_ || _)
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .where(full)
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+      },
+      oracle = Some(
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+          |       count(*) AS n_lines
+          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    GraftQuery("q24_count_distribution",
+      // TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+      // zero-order customers — the left-outer + conditional-count +
+      // count-of-counts double aggregation. The outer join preserves
+      // customers with no qualifying orders (c_count = 0 bucket); both
+      // aggregations partial-combine map-side
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").select(col("c_custkey"))
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      oracle = Some(
+        """SELECT c_count, count(*) AS custdist FROM (
+          |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          |  FROM customer c LEFT OUTER JOIN orders o
+          |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          |  GROUP BY c.c_custkey) t
+          |GROUP BY c_count""".stripMargin)),
+
     GraftQuery("q12_having",
       // aggregate-predicate filtering (HAVING): frequent buyers only —
       // the filter runs on the aggregated row, after the hash aggregate

@@ -276,6 +276,64 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Input/output row for [[throttleStream]]: key + event-time micros +
+    * the deterministic tiebreaker.
+    */
+  final case class ThrottleEvent(key: String, eventUs: Long, tie: Long)
+
+  /** The [[throttleStream]] state machine: one `lastKept` timestamp per
+    * key. Rows within a batch sort by `(eventUs, tie)` before the fold —
+    * the same scan order as the batch operator — and the suppression
+    * clock carries across micro-batches in the state store, so a
+    * cooldown window spanning a batch boundary still suppresses.
+    */
+  private final class ThrottleProcessor(cooldownUs: Long)
+      extends StatefulProcessor[String, ThrottleEvent, ThrottleEvent] {
+    @transient private var lastKept: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastKept = getHandle.getValueState[Long](
+        "lastKept", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ThrottleEvent],
+        timerValues: TimerValues): Iterator[ThrottleEvent] = {
+      var last = if (lastKept.exists()) lastKept.get() else Long.MinValue
+      val out = Seq.newBuilder[ThrottleEvent]
+      rows.toSeq.sortBy(r => (r.eventUs, r.tie)).foreach { r =>
+        if (last == Long.MinValue || r.eventUs - last >= cooldownUs) {
+          out += r
+          last = r.eventUs
+        }
+      }
+      lastKept.update(last)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming cooldown throttle — the micro-batch form of
+    * `TemporalOps.throttle` (w10): keep a row iff at least
+    * `cooldownSeconds` passed since the previous KEPT row of its key,
+    * with the suppression clock carried across batches in per-key
+    * state (one long per key — store size is the live key set).
+    * Matches the batch operator exactly when each key's rows arrive in
+    * event-time order across batches (within a batch any order is
+    * fine — rows sort before the fold); a late row that lands behind
+    * an already-kept timestamp is evaluated against it, never
+    * retroactively un-kept. Requires the RocksDB state store provider
+    * and Append output mode.
+    */
+  def throttleStream(stream: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, cooldownSeconds: Long): Dataset[ThrottleEvent] = {
+    implicit val enc: Encoder[ThrottleEvent] = Encoders.product[ThrottleEvent]
+    stream.select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("eventUs"),
+        col(tieCol).cast("long").as("tie"))
+      .as[ThrottleEvent]
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new ThrottleProcessor(cooldownSeconds * 1000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-key running count/sum/min/max across micro-batches — the
     * incremental per-entity profile an ingest pipeline keeps (rows seen
     * per user, running spend, outlier bounds) without re-aggregating

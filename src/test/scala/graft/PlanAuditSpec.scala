@@ -495,6 +495,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q23: weakened per-table disjunction predicates reach both parquet scans") {
+    val df = SparkEntry.queries("q23_disjunctive_scan")(spark, sf)
+    val plan = planOf(df)
+    val pushed = "PushedFilters: [^\n]*".r.findAllIn(plan).toSeq
+    // lineitem scan: quantity range union; part scan: brand/size union —
+    // without them a 100 TB Q19 reads both tables in full and filters
+    // only after the join
+    assert(pushed.exists(f => f.contains("l_quantity")),
+      s"quantity weakening not pushed to lineitem:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(f => f.contains("p_brand") && f.contains("p_size")),
+      s"brand/size weakening not pushed to part:\n${pushed.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"), s"part side not broadcast:\n$plan")
+  }
+
   test("upsertDelete: batch side broadcast, dest data never shuffled") {
     val dest = spark.range(1000).select($"id".as("k1"), lit("x").as("f1"))
     val staged = spark.range(10).select(

@@ -300,4 +300,41 @@ class StreamOpsSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("throttleStream: suppression clock carries across micro-batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val df = input.toDF().toDF("k", "us", "id")
+        .select($"k", timestamp_micros($"us").as("ts"), $"id")
+      val q = StreamOps.throttleStream(df, "k", "ts", "id",
+          cooldownSeconds = 10)
+        .writeStream.format("memory").queryName("throttled")
+        .outputMode("append").start()
+      try {
+        def s(n: Long) = n * 1000000L
+        // batch 1: a@0 kept, a@5 suppressed; b@0 kept
+        input.addData(("a", s(0), 1L), ("a", s(5), 2L), ("b", s(0), 3L))
+        q.processAllAvailable()
+        // batch 2: a@12 kept (12-0 >= 10); b@4 SUPPRESSED only if the
+        // clock survived the batch boundary; b@11 kept
+        input.addData(("a", s(12), 4L), ("b", s(4), 5L), ("b", s(11), 6L))
+        q.processAllAvailable()
+        val got = spark.table("throttled")
+          .select($"key", $"tie").as[(String, Long)].collect().toSet
+        assert(got == Set(("a", 1L), ("b", 3L), ("a", 4L), ("b", 6L)),
+          s"streamed keep-set wrong: $got")
+        // exact agreement with the batch operator over the union
+        val all = Seq(("a", s(0), 1L), ("a", s(5), 2L), ("b", s(0), 3L),
+          ("a", s(12), 4L), ("b", s(4), 5L), ("b", s(11), 6L))
+          .toDF("k", "us", "id")
+          .select($"k", timestamp_micros($"us").as("ts"), $"id")
+        val batch = graft.operators.TemporalOps.throttle(
+            all, Seq("k"), "ts", "id", cooldownSeconds = 10)
+          .select($"k", $"id").as[(String, Long)].collect().toSet
+        assert(got == batch, s"stream $got != batch $batch")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -57,6 +57,35 @@ object ViewMaintenance {
       .where(col(countCol) > 0)
   }
 
+  /** Refresh a NON-additive aggregate view (min/max — anything where a
+    * removed row cannot be subtracted back out) by re-aggregating ONLY
+    * the groups the changeset touched: untouched groups keep their
+    * previous view rows verbatim; touched groups recompute from the new
+    * table state. Groups the diff deleted entirely drop out (the
+    * recompute finds no rows); groups first seen in the diff appear.
+    *
+    * == 100 TB design ==
+    *
+    * The touched-group key set is diff-sized, so it broadcasts into
+    * both the left-anti (keep untouched) and left-semi (bound the
+    * rescan) joins — the old view is scanned once map-only, and the new
+    * table's rescan is key-bounded: when the table clusters on the
+    * group key, parquet row-group stats prune the scan to the touched
+    * keys' files rather than the whole table. This is the documented
+    * complement to [[applyDiff]], which handles the additive cases.
+    */
+  def refreshMinMax(oldAgg: DataFrame, newTable: DataFrame, diff: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      minCol: String = "vmin", maxCol: String = "vmax"): DataFrame = {
+    val touched = diff.select(groupCols.map(col): _*).distinct()
+    val untouched = oldAgg.join(touched, groupCols, "left_anti")
+    val recomputed = newTable
+      .join(touched, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as(minCol), max(col(valueCol)).as(maxCol))
+    untouched.unionByName(recomputed)
+  }
+
   /** Incrementally maintain an equi-JOIN view `V = A ⋈keys B` (bag
     * semantics) from BOTH tables' CDC diffs. The join is bilinear in
     * signed multiplicities, so the exact delta is three terms:

@@ -205,6 +205,34 @@ object WarehouseQueries extends QueryPack {
           |SELECT v_type, count(*) AS n, round(sum(v_amount), 6) AS total
           |FROM fin GROUP BY v_type""".stripMargin)),
 
+    GraftQuery("s19_minmax_view_refresh",
+      // NON-additive view refresh: min/max per type can't apply the
+      // diff arithmetically (a removed max doesn't subtract), so only
+      // the groups the merge's changeset touched re-aggregate from the
+      // final table — untouched groups keep their seed-state rows. The
+      // oracle derives min/max from the final state directly
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_mm"
+        val all = stagedAll(s, dir)
+        val t = WarehouseTable.create(s, root, Seq("k"), destSchema)
+        val d0 = MergeOps.latestPerKey(all.where(col("i") < Split))
+          .where(col("value").isNotNull)
+          .select(col("key.k").as("k"),
+            col("value.v_type").as("v_type"), col("value.v_amount").as("v_amount"),
+            col("partitionTime"))
+        t.append(d0)
+        t.merge(all.where(col("i") >= Split))
+        val oldAgg = t.readAsOf(1).groupBy(col("v_type"))
+          .agg(min(col("v_amount")).as("vmin"), max(col("v_amount")).as("vmax"))
+        val diff = t.tableDiff(1, t.currentVersion)
+        graft.operators.ViewMaintenance.refreshMinMax(
+          oldAgg, t.read(), diff, Seq("v_type"), "v_amount")
+      },
+      oracle = Some(mergeCycleCtes +
+        """
+          |SELECT v_type, min(v_amount) AS vmin, max(v_amount) AS vmax
+          |FROM fin GROUP BY v_type""".stripMargin)),
+
     GraftQuery("s18_join_view_maintain",
       (s, dir) => {
         // materialized JOIN-view refresh: facts (keyed by user) and a

@@ -964,6 +964,27 @@ class WarehouseTableSpec extends AnyFunSuite {
     }
   }
 
+  test("refreshMinMax: touched groups recompute, untouched keep old rows, deleted drop") {
+    import graft.operators.ViewMaintenance
+    val oldT = Seq(("x", 1.0), ("x", 9.0), ("y", 5.0), ("z", 3.0))
+      .toDF("g", "v")
+    // cycle: x loses its max (9), y gains a new min (2), z is deleted
+    // entirely, w appears; untouched group u exists only in the old agg
+    // (proves untouched rows pass through verbatim, not recomputed)
+    val newT = Seq(("x", 1.0), ("y", 5.0), ("y", 2.0), ("w", 7.0))
+      .toDF("g", "v")
+    val diff = Seq(
+      ("removed", "x", 9.0), ("added", "y", 2.0),
+      ("removed", "z", 3.0), ("added", "w", 7.0))
+      .toDF("change_type", "g", "v")
+    val oldAgg = oldT.groupBy($"g").agg(min($"v").as("vmin"), max($"v").as("vmax"))
+      .union(Seq(("u", -1.0, -1.0)).toDF("g", "vmin", "vmax"))
+    val got = ViewMaintenance.refreshMinMax(oldAgg, newT, diff, Seq("g"), "v")
+      .as[(String, Double, Double)].collect().toSet
+    assert(got == Set(("x", 1.0, 1.0), ("y", 2.0, 5.0), ("w", 7.0, 7.0),
+      ("u", -1.0, -1.0)), s"refresh wrong: $got")
+  }
+
   // ---- optimistic concurrency (version-claim commits) ----
 
   /** Simulate a concurrent writer that claimed `version` (its list file

@@ -9,11 +9,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-    // default; read it as a nanos LongType and convert where needed
-    // (eventsTsMicros) — DuckDB likewise truncates ns → µs TIMESTAMP.
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as a
+    // nanos LongType under nanosAsLong) and TIMESTAMP(MICROS, ntz).
+    // Downstream operators and every oracle assume the nanos-long
+    // representation, so normalize the µs form back to it here (the
+    // session timezone is UTC everywhere, making the NTZ→LTZ cast an
+    // identity on the wall-clock value).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+    else df
   }
 
   /** `events` with `ts` converted from nanos-long to µs TimestampType,

@@ -26,6 +26,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val byName = SparkEntry.queries
+
+    // Inter-query isolation: queries that cache/localCheckpoint release
+    // their own references, but the BLOCKS only die when the RDD object
+    // is GC'd (ContextCleaner), and shuffle files likewise. Across 17
+    // back-to-back queries in one JVM that lag accumulates into storage
+    // evictions and disk pressure that bleed into later queries' times —
+    // so explicitly drop every persisted RDD and nudge the cleaner
+    // between timed queries (outside the timers).
+    def resetSession(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+
     // Warm EVERY headline's plan on the smallest SF so per-query times
     // measure the plan, not first-use codegen/classloading.
     SparkEntry.headlines.foreach { n =>
@@ -33,16 +47,19 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench-warm] $n failed: ${e.getMessage}") }
     }
+    resetSession()
 
     val results: Seq[(String, Either[String, Double])] = SparkEntry.headlines.map { name =>
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         byName(name)(spark, sfDir).count()
         name -> Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+      resetSession()
+      r
     }
 
     def esc(s: String): String =

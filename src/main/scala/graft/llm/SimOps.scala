@@ -589,4 +589,74 @@ object SimOps {
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
+
+  /** Lloyd's k-means over an embedding column — the semantic-clustering
+    * primitive behind cluster-balanced sampling, coreset selection, and
+    * topic-stratified corpus splits. Deterministic end to end: seeds are
+    * the `k` lowest-id vectors, assignment is cosine argmax with ties to
+    * the lowest cell, and each iteration recomputes centroids as the
+    * arithmetic mean of the assigned vectors. Returns one row per input
+    * vector: `(id, cluster, sim)` — the final assignment and its cosine
+    * similarity to the final centroid.
+    *
+    * == 100 TB design ==
+    *
+    * The textbook distributed plan, with both halves bounded:
+    *
+    *  - '''Assignment is map-only.''' Centroids ride in the plan as
+    *    literals (k × dim doubles), so every corpus row computes its
+    *    argmax cell in one projection — the corpus is never shuffled
+    *    and its vectors never enter an exchange.
+    *  - '''The update is a partial aggregation.''' Each executor
+    *    reduces its slice to k rows of (count, per-dimension sums)
+    *    map-side; the exchange carries k × dim doubles per partition,
+    *    independent of corpus size. The driver folds those into the
+    *    next centroid set (k × dim doubles held on the driver — the
+    *    only driver-side state).
+    *
+    * Work per iteration is one corpus scan; total = (iters + 1) scans.
+    * An empty cell keeps its previous centroid (no respawn), so cell
+    * ids are stable across iterations. Zero-norm vectors have NaN
+    * cosine everywhere; `nanvl(-1)` pins them to the first cell
+    * deterministically instead of letting NaN win every argmax.
+    */
+  def kMeans(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toIndexedSeq
+    require(centroids.nonEmpty, "kMeans on an empty corpus")
+    val dim = centroids.head.size
+
+    // cell similarities STAGED as a materialized array attribute so the
+    // argmax references it instead of inlining k cosines twice (the
+    // ivfTopK projection-staging discipline)
+    def assign(cents: Seq[Seq[Double]]): DataFrame =
+      c.withColumn("cellSims",
+          array(cents.map(ct => nanvl(cosine(col("v"), typedLit(ct)), lit(-1d))): _*))
+        .withColumn("cluster",
+          (array_position(col("cellSims"), array_max(col("cellSims"))) - 1).cast("int"))
+        .withColumn("sim", col("cellSims").getItem(col("cluster")))
+        .drop("cellSims")
+
+    for (_ <- 1 to iters) {
+      val sumCols = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i"))
+      val rows = assign(centroids)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
+      centroids = centroids.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            (0 until dim).map(i => r.getDouble(2 + i) / n).toVector
+          case None => old
+        }
+      }
+    }
+    assign(centroids).select(col("id"), col("cluster"), col("sim"))
+  }
 }

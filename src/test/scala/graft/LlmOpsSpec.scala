@@ -447,6 +447,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rt(MultimodalOps.encodeBmpHeader) == dims)
   }
 
+  test("videoMeta: mp4 round trip, truncated payload and junk go to nulls") {
+    val df = Seq((600, 123456, 640, 360), (90000, 1, 1, 1), (1000, 7200000, 3840, 2160))
+      .toDF("ts", "dur", "w", "h")
+    val rt = df.select(MultimodalOps.videoMeta(
+        MultimodalOps.encodeMp4Header($"ts", $"dur", $"w", $"h")).as("v"))
+      .select($"v.format", $"v.brand", $"v.timescale", $"v.duration_ticks",
+        $"v.width", $"v.height")
+      .as[(String, String, Int, Long, Int, Int)].collect().toSeq
+    assert(rt == Seq(("mp4", "isom", 600, 123456L, 640, 360),
+      ("mp4", "isom", 90000, 1L, 1, 1), ("mp4", "isom", 1000, 7200000L, 3840, 2160)))
+    // ftyp magic present but no moov boxes within the scan bound → nulls
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val noBoxes = b(0, 0, 0, 0x10, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm', 0, 0, 2, 0)
+    val junk = b(1, 2, 3, 4, 5, 6, 7, 8)
+    val bad = Seq(("nb", noBoxes), ("junk", junk)).toDF("label", "payload")
+      .select($"label", MultimodalOps.videoMeta($"payload").as("v"))
+      .select($"label", $"v.format", $"v.width").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.isNullAt(2)))).toMap
+    assert(bad("nb") == (("unknown", true)))
+    assert(bad("junk") == (("unknown", true)))
+  }
+
   test("simhashNearDups blocks find perturbed copies, skip unrelated docs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .where($"doc_id" < 40)

@@ -863,6 +863,33 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(q26Sql("supplier", "part", "lineitem"))),
 
+    GraftQuery("q27_nation_volume",
+      // TPC-H Q7 shape: bilateral shipping volume between two nations by
+      // year — a 5-way join where the two nation legs must stay on
+      // opposite sides (supplier's vs customer's), then a year rollup.
+      // Both nation dims broadcast; the fact-fact join shuffles once on
+      // orderkey. Prices are integer-cent-valued doubles but the sums
+      // are rounded anyway (summation order differs across engines).
+      (s, dir) => {
+        Seq("supplier", "lineitem", "orders", "customer", "nation")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
+        s.sql(q27Sql("_v"))
+      },
+      oracle = Some(q27Sql(""))),
+
+    GraftQuery("q28_market_share",
+      // TPC-H Q8 shape: one nation's share of a region's yearly import
+      // volume — conditional-sum ratio over a 6-way join. The CASE'd
+      // numerator and the denominator aggregate in ONE pass (no second
+      // join), and every dim leg broadcasts.
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "orders", "customer",
+          "nation", "region")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
+        s.sql(q28Sql("_v"))
+      },
+      oracle = Some(q28Sql(""))),
+
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a
       // deterministic link graph derived from events; the oracle unrolls
@@ -1605,6 +1632,43 @@ object CoreQueries extends QueryPack {
        |  AND cost = (SELECT min(s2.cost)
        |              FROM supply s2 JOIN asia a2 ON s2.suppkey = a2.s_suppkey
        |              WHERE s2.partkey = p_partkey)""".stripMargin
+
+  /** Shared SQL for q27 (TPC-H Q7 shape); `sfx` suffixes table names so
+    * the Spark temp-view and DuckDB oracle texts stay a single source.
+    */
+  private def q27Sql(sfx: String): String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |       round(sum(volume), 2) AS revenue, count(*) AS n_rows
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         year(o_orderdate) AS l_year,
+       |         l_extendedprice * (1 - l_discount) AS volume
+       |  FROM supplier$sfx, lineitem$sfx, orders$sfx, customer$sfx,
+       |       nation$sfx n1, nation$sfx n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))) shipping
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Shared SQL for q28 (TPC-H Q8 shape). */
+  private def q28Sql(sfx: String): String =
+    s"""SELECT o_year,
+       |       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) /
+       |             sum(volume), 6) AS mkt_share
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year,
+       |         l_extendedprice * (1 - l_discount) AS volume,
+       |         n2.n_name AS nation
+       |  FROM part$sfx, supplier$sfx, lineitem$sfx, orders$sfx,
+       |       customer$sfx, nation$sfx n1, nation$sfx n2, region$sfx
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+       |    AND p_type = 'STANDARD') all_nations
+       |GROUP BY o_year""".stripMargin
 
   /** Shared SQL for q26 (TPC-H Q20 shape). */
   private def q26Sql(supplier: String, part: String, lineitem: String): String =

@@ -124,4 +124,30 @@ object ViewMaintenance {
       .withColumn("__i", explode(sequence(lit(1L), col("__m"))))
       .select(viewCols.map(col): _*)
   }
+
+  /** Per-stratum HLL sketches of a column's distinct values — the
+    * RE-AGGREGATABLE distinct-count state ([[ViewMaintenance]]'s header
+    * says additive-only; sketches are how distinct joins the club). A
+    * refresh appends new strata sketches without touching old ones, and
+    * any rollup (per-day → per-month → global) unions the binary
+    * sketches instead of re-scanning data: distinct-count maintenance
+    * whose refresh cost scales with the CHANGESET, the thing an exact
+    * `count(DISTINCT)` over 100 TB cannot do. Datasketches HLL keeps
+    * exact counts until the coupon list fills (hundreds of values at
+    * the default lgK), so low-cardinality strata estimates are exact —
+    * which is what lets an oracle pin this path with exact SQL.
+    */
+  def distinctSketches(df: DataFrame, strataCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(strataCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Roll stratum sketches up to per-`keyCols` distinct-count estimates
+    * by unioning the binary sketch states (one partial-aggregated
+    * exchange of sketch bytes — no raw values move).
+    */
+  def mergeDistinct(sketches: DataFrame, keyCols: Seq[String],
+      outCol: String = "n_distinct"): DataFrame =
+    sketches.groupBy(keyCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(outCol))
 }

@@ -205,6 +205,26 @@ object WarehouseQueries extends QueryPack {
           |SELECT v_type, count(*) AS n, round(sum(v_amount), 6) AS total
           |FROM fin GROUP BY v_type""".stripMargin)),
 
+    GraftQuery("s20_hll_distinct_view",
+      // incremental DISTINCT view via re-aggregatable sketch state:
+      // per-(user, day) HLL sketches roll up to per-user distinct
+      // event-type counts by unioning sketch bytes — a refresh appends
+      // new day-strata and re-unions, never re-scanning history. The
+      // exact oracle is valid because Datasketches HLL is exact below
+      // its coupon-list bound and event_type has 5 distinct values;
+      // the error bound at real cardinality is spec'd separately.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+        val sketches = graft.operators.ViewMaintenance.distinctSketches(
+          ev, Seq("user_id", "day"), "event_type")
+        graft.operators.ViewMaintenance.mergeDistinct(
+          sketches, Seq("user_id"), "n_types")
+      },
+      oracle = Some(
+        """SELECT user_id, count(DISTINCT event_type) AS n_types
+          |FROM events GROUP BY user_id""".stripMargin)),
+
     GraftQuery("s19_minmax_view_refresh",
       // NON-additive view refresh: min/max per type can't apply the
       // diff arithmetically (a removed max doesn't subtract), so only

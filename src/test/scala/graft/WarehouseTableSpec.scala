@@ -610,6 +610,35 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(maintained == Set(("b", 2L, 22.0), ("c", 1L, 7.0)))
   }
 
+  test("distinctSketches: union-of-strata estimate tracks exact at 60k cardinality") {
+    import graft.operators.ViewMaintenance
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(($"event_id" % 7).as("stratum"), $"event_id")
+    // per-stratum sketches of a HIGH-cardinality value, rolled up to one
+    // global estimate by sketch union — the path s20's oracle can't pin
+    // (estimates stop being exact past the coupon bound)
+    val sketches = ViewMaintenance.distinctSketches(ev, Seq("stratum"), "event_id")
+    val est = ViewMaintenance.mergeDistinct(
+        sketches.withColumn("g", lit(1)), Seq("g"))
+      .select($"n_distinct").as[Long].head()
+    val exact = ev.select($"event_id").distinct().count()
+    val relErr = math.abs(est.toDouble - exact) / exact
+    // default lgK=12 → ~1.6% relative standard error; 5% is generous
+    assert(relErr < 0.05, s"estimate $est vs exact $exact (relErr $relErr)")
+    // rollup-path independence: per-day → global must equal
+    // per-day → per-month → global (register union is associative, so
+    // the estimate can't depend on the rollup tree; note a DIRECT
+    // sketch of the raw column differs legitimately — the HIP estimator
+    // is insertion-order-dependent)
+    val twoLevel = ViewMaintenance.mergeDistinct(
+      ViewMaintenance.distinctSketches(
+          ev.withColumn("month", $"stratum" % 3), Seq("month", "stratum"), "event_id")
+        .groupBy($"month").agg(hll_union_agg($"sketch").as("sketch"))
+        .withColumn("g", lit(1)),
+      Seq("g")).select($"n_distinct").as[Long].head()
+    assert(est == twoLevel, s"flat union $est != two-level union $twoLevel")
+  }
+
   test("snapshot soak: 12 merge cycles stay consistent through a mid-stream vacuum") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -736,7 +736,16 @@ final class WarehouseTable private (
       batchDays: Seq[String]): Seq[String] = {
     val otherDays = listDays().filterNot(batchDays.contains)
     if (otherDays.isEmpty) return Seq.empty
-    val withBloom = otherDays.filter(d => fs.exists(new Path(s"$bloomDir/$d.bloom")))
+    // ONE bloom-dir listing instead of an exists() RPC per day: on a
+    // multi-year table (thousands of partitions) the per-day round
+    // trips would dominate the probe's driver time on object storage
+    val bloomsOnDisk: Set[String] = {
+      val p = new Path(bloomDir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".bloom")).map(_.stripSuffix(".bloom")).toSet
+    }
+    val withBloom = otherDays.filter(bloomsOnDisk.contains)
     // no bloom → must scan (partition written before blooms existed)
     val noBloom = otherDays.filterNot(withBloom.contains)
     if (withBloom.isEmpty) return noBloom

@@ -350,4 +350,55 @@ object StreamOps {
       .transformWithState(new RunningProfileProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Input row for [[leaderboard]]: group + member + score delta. */
+  final case class ScoreEvent(group: String, member: String, value: Double)
+
+  /** One leaderboard row emitted by [[leaderboard]]. */
+  final case class LeaderboardEntry(
+      group: String, rank: Int, member: String, total: Double)
+
+  /** The [[leaderboard]] state machine: per-member cumulative totals in
+    * `MapState` (point lookups/updates against RocksDB — a batch only
+    * reads the members it touches, not the whole map), re-ranking the
+    * full member set only when emitting. State per group is one map
+    * entry per member ever seen; pair with an upstream filter or TTL'd
+    * member pruning when the member domain is unbounded.
+    */
+  private final class LeaderboardProcessor(k: Int)
+      extends StatefulProcessor[String, ScoreEvent, LeaderboardEntry] {
+    @transient private var totals: org.apache.spark.sql.streaming.MapState[String, Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getMapState[String, Double](
+        "totals", Encoders.STRING, Encoders.scalaDouble, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ScoreEvent],
+        timerValues: TimerValues): Iterator[LeaderboardEntry] = {
+      rows.foreach { r =>
+        val cur = if (totals.containsKey(r.member)) totals.getValue(r.member) else 0.0
+        totals.updateValue(r.member, cur + r.value)
+      }
+      totals.iterator().toSeq
+        .sortBy { case (m, t) => (-t, m) }
+        .take(k).zipWithIndex
+        .map { case ((m, t), i) => LeaderboardEntry(key, i + 1, m, t) }
+        .iterator
+    }
+  }
+
+  /** Continuous top-k leaderboard per group across micro-batches: each
+    * batch folds its score deltas into per-member running totals and
+    * emits the group's refreshed top-k (Update mode — downstream sinks
+    * upsert on `(group, rank)`). The streaming form of the W1
+    * top-per-group pattern, with totals accumulated over the stream's
+    * whole history in keyed state rather than recomputed. Requires the
+    * RocksDB state store provider.
+    */
+  def leaderboard(ds: Dataset[ScoreEvent], k: Int): Dataset[LeaderboardEntry] = {
+    implicit val outEnc: Encoder[LeaderboardEntry] = Encoders.product[LeaderboardEntry]
+    ds.groupByKey(_.group)(Encoders.STRING)
+      .transformWithState(new LeaderboardProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -337,4 +337,36 @@ class StreamOpsSpec extends AnyFunSuite {
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("leaderboard: totals accumulate in MapState, ranks refresh per batch") {
+    import graft.streaming.StreamOps.ScoreEvent
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ScoreEvent](spark)
+      val q = StreamOps.leaderboard(input.toDS(), k = 2)
+        .writeStream.format("memory").queryName("board")
+        .outputMode("update").start()
+      try {
+        input.addData(ScoreEvent("g", "alice", 5.0), ScoreEvent("g", "bob", 3.0),
+          ScoreEvent("g", "carol", 1.0), ScoreEvent("h", "dave", 2.0))
+        q.processAllAvailable()
+        val b1 = spark.table("board")
+          .select($"group", $"rank", $"member", $"total")
+          .as[(String, Int, String, Double)].collect().toSet
+        assert(b1 == Set(("g", 1, "alice", 5.0), ("g", 2, "bob", 3.0),
+          ("h", 1, "dave", 2.0)), s"batch-1 board wrong: $b1")
+        // batch 2: carol overtakes (1+9=10); alice untouched but must
+        // keep her cross-batch total; bob drops off the top-2
+        input.addData(ScoreEvent("g", "carol", 9.0))
+        q.processAllAvailable()
+        val rows = spark.table("board")
+          .select($"group", $"rank", $"member", $"total")
+          .as[(String, Int, String, Double)].collect().toSeq
+        val b2 = rows.diff(b1.toSeq).toSet
+        assert(b2 == Set(("g", 1, "carol", 10.0), ("g", 2, "alice", 5.0)),
+          s"batch-2 refresh wrong: $b2")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -590,6 +590,28 @@ object SimOps {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Element-wise mean of an embedding column per group — embedding
+    * pooling (a document vector from its chunk vectors, a class
+    * centroid from its members). One hash aggregation whose partial
+    * state is `dim` running sums + a count per group: map-side combine
+    * reduces every partition to one row per group before the exchange,
+    * so shuffle volume is groups × dim doubles regardless of corpus
+    * size — the same update-step discipline as [[kMeans]], exposed as
+    * an operator. Dimension comes from the first row (vectors must be
+    * uniform — standard for an embedding column).
+    */
+  def meanPool(df: DataFrame, keyCols: Seq[String], vecCol: String,
+      outCol: String = "mean_vec"): DataFrame = {
+    val c = df.withColumn("__v", col(vecCol).cast("array<double>"))
+    val dim = c.select(size(col("__v"))).where(col("__v").isNotNull).head.getInt(0)
+    val sums = (0 until dim).map(i => sum(col("__v").getItem(i)).as(s"__s$i"))
+    c.groupBy(keyCols.map(col): _*)
+      .agg(count(col("__v")).as("__n"), sums: _*)
+      .select(keyCols.map(col) :+
+        array((0 until dim).map(i => col(s"__s$i") / col("__n")): _*).as(outCol) :+
+        col("__n").as("n_vecs"): _*)
+  }
+
   /** Lloyd's k-means over an embedding column — the semantic-clustering
     * primitive behind cluster-balanced sampling, coreset selection, and
     * topic-stratified corpus splits. Deterministic end to end: seeds are

@@ -663,6 +663,30 @@ object LlmQueries extends QueryPack {
           |SELECT id AS vec_id, cell AS cluster, round(sim, 6) AS sim, rk
           |FROM ranked WHERE rk <= 10""".stripMargin)),
 
+    GraftQuery("e9_mean_pool",
+      // embedding pooling: per-label element-wise mean vector (class
+      // centroids / doc-from-chunks). One partial-aggregated hash agg —
+      // shuffle carries labels × dim sums, never vectors; output
+      // exploded to (label, idx, m) scalars for the oracle compare
+      (s, dir) => {
+        val mp = SimOps.meanPool(Tables.load(s, dir, "embeddings"),
+          Seq("label"), "embedding")
+        mp.select(col("label"), col("n_vecs"),
+            posexplode(col("mean_vec")).as(Seq("idx", "m")))
+          .select(col("label"), col("n_vecs"), col("idx"),
+            round(col("m"), 6).as("m"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |z AS (SELECT label, unnest(range(1, len(v) + 1)) - 1 AS idx,
+          |             unnest(v) AS x
+          |      FROM c),
+          |n AS (SELECT label, count(*) AS n_vecs FROM c GROUP BY label),
+          |m AS (SELECT label, idx, avg(x) AS m FROM z GROUP BY label, idx)
+          |SELECT m.label, n.n_vecs, CAST(m.idx AS INT) AS idx,
+          |       round(m.m, 6) AS m
+          |FROM m JOIN n USING (label)""".stripMargin)),
+
     GraftQuery("e6_hybrid_rrf",
       // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
       // ranking by reciprocal-rank fusion. Each ranking keeps its

@@ -1074,6 +1074,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10L, 2L -> 12L))
   }
 
+  test("meanPool: exact element-wise means per group, partial-aggregated plan") {
+    import graft.llm.SimOps
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)), ("b", Seq(10.0f, 0.0f)))
+      .toDF("k", "embedding")
+    val out = SimOps.meanPool(df, Seq("k"), "embedding")
+    val rows = out.select($"k", $"mean_vec", $"n_vecs")
+      .as[(String, Seq[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows("a") == ((Seq(2.0, 3.0), 2L)))
+    assert(rows("b") == ((Seq(10.0, 0.0), 1L)))
+    // two HashAggregates = map-side partial + final: the exchange moves
+    // per-group sums, not vectors
+    val plan = out.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("kMeans: two separated direction blobs split perfectly at k=2") {
     import graft.llm.SimOps
     // blob A points near (1, 0, 0), blob B near (0, 1, 0); seeds are the

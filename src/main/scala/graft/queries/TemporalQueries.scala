@@ -48,6 +48,40 @@ object TemporalQueries extends QueryPack {
           |FROM sess GROUP BY 1, 2""".stripMargin),
       headline = true),
 
+    GraftQuery("a25_twap",
+      // time-weighted average per user: each observation holds until the
+      // next one, so its weight is the gap to the successor (last
+      // observation carries no interval — excluded, exactly like a TWAP
+      // window that closes at the final tick). Weights are exact integer
+      // microsecond gaps from ONE lead() pass over the (user, ts) sort;
+      // only the weighted-sum ratio is floating point, rounded at output
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("dt",
+            unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .where(col("dt").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(
+            round(sum(col("value") * col("dt")) / sum(col("dt")), 6).as("twap"),
+            count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("span_us"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value
+          |  FROM events),
+          |gaps AS (
+          |  SELECT user_id, value,
+          |         lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+          |           - us AS dt
+          |  FROM ev)
+          |SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twap,
+          |       count(*) AS n_intervals, CAST(sum(dt) AS BIGINT) AS span_us
+          |FROM gaps WHERE dt IS NOT NULL GROUP BY user_id""".stripMargin)),
+
     GraftQuery("a6_session_window",
       // the same sessions via Spark's NATIVE session_window aggregation
       // (the streaming-capable form: with a watermark this exact plan

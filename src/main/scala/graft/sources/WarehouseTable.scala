@@ -796,6 +796,25 @@ final class WarehouseTable private (
     existing
   }
 
+  /** Fragmentation-aware compaction policy: rewrite ONLY partitions
+    * holding more than `maxFilesPerDay` data files. One recursive
+    * listing decides (no data read); healthy partitions keep their
+    * files byte-identical, so steady-state maintenance cost tracks the
+    * streaming-append churn, not table size — running blanket
+    * [[compactPartitions]] over a 100 TB table to fix yesterday's
+    * micro-batches is the thing this avoids. Returns the partitions
+    * rewritten.
+    */
+  def compactFragmented(maxFilesPerDay: Int): Seq[String] = {
+    require(maxFilesPerDay > 0, s"maxFilesPerDay must be positive: $maxFilesPerDay")
+    val fragmented = listDays().filter { d =>
+      val p = new Path(s"$dataPath/$partitionCol=$d")
+      fs.exists(p) && fs.listStatus(p).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_")) > maxFilesPerDay
+    }
+    if (fragmented.isEmpty) Seq.empty else compactPartitions(fragmented)
+  }
+
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
 
   /** Drop partitions whose time slice ended more than

@@ -749,6 +749,32 @@ class WarehouseTableSpec extends AnyFunSuite {
       == Seq("upd"))
   }
 
+  test("compactFragmented rewrites only over-threshold days, healthy files untouched") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // day 1: 5 micro-batch appends (fragmented); day 2: one append (healthy)
+    (0 until 5).foreach { b =>
+      t.appendBatch(Seq((b.toLong, s"v$b")).toDF("k1", "f1")
+        .withColumn("partitionTime", ts(1)), batchId = b.toLong)
+    }
+    t.append(Seq((100L, "day2")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def fileNames(day: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/_pday=$day"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .map(_.getPath.getName).toSet
+    val day2Before = fileNames("2024-01-02")
+    assert(t.compactFragmented(maxFilesPerDay = 3) == Seq("2024-01-01"))
+    assert(fileNames("2024-01-01").size <= 3)
+    assert(fileNames("2024-01-02") == day2Before,
+      "healthy partition was rewritten")
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      ((0 until 5).map(b => (b.toLong, s"v$b")) :+ (100L -> "day2")).toSet)
+    // second pass is a no-op: nothing fragmented anymore
+    assert(t.compactFragmented(maxFilesPerDay = 3).isEmpty)
+  }
+
   test("unknown-format bloom files fall back to scanning — never a false negative") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -366,6 +366,20 @@ class StreamOpsSpec extends AnyFunSuite {
         val b2 = rows.diff(b1.toSeq).toSet
         assert(b2 == Set(("g", 1, "carol", 10.0), ("g", 2, "alice", 5.0)),
           s"batch-2 refresh wrong: $b2")
+        // the stream's final per-group board equals the batch plan over
+        // the union of all events (group g refreshed in batch 2; h's
+        // batch-1 board is final since nothing touched it after)
+        val all = Seq(("g", "alice", 5.0), ("g", "bob", 3.0), ("g", "carol", 1.0),
+          ("h", "dave", 2.0), ("g", "carol", 9.0)).toDF("group", "member", "value")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"group").orderBy($"total".desc, $"member")
+        val batchBoard = all.groupBy($"group", $"member")
+          .agg(sum($"value").as("total"))
+          .withColumn("rank", row_number().over(w)).where($"rank" <= 2)
+          .select($"group", $"rank".cast("int"), $"member", $"total")
+          .as[(String, Int, String, Double)].collect().toSet
+        val streamFinal = b2 ++ Set(("h", 1, "dave", 2.0))
+        assert(streamFinal == batchBoard, s"stream $streamFinal != batch $batchBoard")
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }

@@ -17,11 +17,21 @@ object Tables {
     // identity on the wall-clock value).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
-    else df
+    name match {
+      case "events" if df.schema("ts").dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      // the date columns are consumed as timestamps; if a future corpus
+      // regeneration ships them as TIMESTAMP(NANOS) (read as nanos longs
+      // under nanosAsLong), restore the timestamp form
+      case "lineitem" if df.schema("l_shipdate").dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("l_shipdate",
+          org.apache.spark.sql.functions.expr("timestamp_micros(l_shipdate div 1000)"))
+      case "orders" if df.schema("o_orderdate").dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("o_orderdate",
+          org.apache.spark.sql.functions.expr("timestamp_micros(o_orderdate div 1000)"))
+      case _ => df
+    }
   }
 
   /** `events` with `ts` converted from nanos-long to µs TimestampType,

@@ -1129,6 +1129,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(asg == Map(5L -> 0, 6L -> 1, 7L -> 0, 8L -> 1))
   }
 
+  test("kMeans: an emptied cell keeps its centroid instead of crashing") {
+    import graft.llm.SimOps
+    // seeds = ids 1,2,3; every point sits on direction (1,0) except seed
+    // 3's own vector, which its duplicate at id 4 outranks... after one
+    // update all mass concentrates and at least one cell empties — the
+    // run must stay total and keep emitting k distinct centroids
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.001f)), (3L, Seq(1.0f, -0.001f)),
+      (4L, Seq(1.0f, 0.0005f)), (5L, Seq(1.0f, -0.0005f)), (6L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = SimOps.kMeans(df, k = 3, iters = 4)
+      .select($"id", $"cluster").as[(Long, Int)].collect()
+    assert(out.length == 6)
+    assert(out.forall { case (_, c) => c >= 0 && c <= 2 })
+  }
+
   test("kMeans: deterministic across invocations on real embeddings") {
     import graft.llm.SimOps
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -641,6 +641,15 @@ object SimOps {
     * ids are stable across iterations. Zero-norm vectors have NaN
     * cosine everywhere; `nanvl(-1)` pins them to the first cell
     * deterministically instead of letting NaN win every argmax.
+    *
+    * Sizing: the assignment expression holds k fused-cosine branches
+    * and the update k × dim aggregate columns — fine through hundreds
+    * of cells / dims (whole-stage codegen falls back to interpreted
+    * past its method limits, correct but slower). For k in the
+    * thousands, shard the centroid set into literal blocks of ≤256 and
+    * argmax across the per-block argmaxes, or posexplode to
+    * (cluster, idx) pairs for the update — both keep the same exchange
+    * volume.
     */
   def kMeans(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -551,6 +551,41 @@ object TextOps {
         col("__c.l").as("n_chunk_words"),
         col("__c.h").as("chunk_md5"))
   }
+
+  /** Positional inverted index: one `(term, doc, pos)` row per token —
+    * the IR structure behind phrase/proximity search that a bag-of-words
+    * ranking (BM25, [[bm25Scores]]) cannot answer. Tokenization is the
+    * module's whitespace split, 0-based positions. Build is one
+    * posexplode projection (map-only); persist partitioned/clustered by
+    * `term` so a query's postings read is a pruned scan.
+    */
+  def positionalIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+      .where(length(col("term")) > 0)
+
+  /** Exact-phrase search over the positional index: term i must appear
+    * at `anchor + i`, expressed as i−1 equi-joins on `(doc, pos)`
+    * scalars. The first term's postings anchor the chain, so join input
+    * sizes are each term's posting list, not the corpus — selective
+    * phrases cost their rarest term. Returns per-document match counts
+    * and the first anchor position.
+    */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val idx = positionalIndex(df, textCol, idCol)
+    val anchor = idx.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(idx.where(col("term") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic (high-frequency

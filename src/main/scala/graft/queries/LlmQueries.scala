@@ -908,6 +908,27 @@ object LlmQueries extends QueryPack {
           |        ELSE 600 END)) AS BIGINT) AS duration_ms
           |FROM documents""".stripMargin)),
 
+    GraftQuery("t17_phrase_search",
+      // exact-phrase retrieval via the positional inverted index: each
+      // phrase term joins at anchor+i on (doc, pos) scalars, so cost
+      // tracks posting-list sizes, not the corpus. The oracle derives
+      // identical postings with DuckDB's zipped unnest
+      (s, dir) => TextOps.phraseSearch(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        Seq("sort", "merge")),
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+          |         unnest(range(1, len(string_split_regex(lower(trim(text)), '\s+')) + 1)) - 1 AS pos
+          |  FROM documents),
+          |a AS (SELECT doc_id, pos FROM toks WHERE term = 'sort'),
+          |b AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE term = 'merge')
+          |SELECT a.doc_id, count(*) AS n_matches,
+          |       CAST(min(a.pos) AS INT) AS first_pos
+          |FROM a JOIN b USING (doc_id, pos)
+          |GROUP BY a.doc_id""".stripMargin)),
+
     GraftQuery("t16_readability",
       // Flesch reading ease from portable regex counts, plus a per-source
       // aggregate — the classic corpus-quality gate alongside t1/t9

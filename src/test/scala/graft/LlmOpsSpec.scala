@@ -1074,6 +1074,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10L, 2L -> 12L))
   }
 
+  test("phraseSearch: adjacency chain counts overlapping matches, order matters") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" at 0 and 2; "b a" at 1 and 3
+      (2L, "a a a"),       // overlapping "a a" at 0 and 1
+      (3L, "b b"),         // no "a b"
+      (4L, "A  b")         // case-fold + multi-space: "a b" at 0
+    ).toDF("doc_id", "text")
+    def run(p: String*) = TextOps.phraseSearch(docs, "text", "doc_id", p)
+      .select($"doc_id", $"n_matches", $"first_pos")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run("a", "b") == Set((1L, 2L, 0), (4L, 1L, 0)))
+    assert(run("b", "a") == Set((1L, 2L, 1)))
+    assert(run("a", "a") == Set((2L, 2L, 0)))
+    assert(run("a", "b", "a") == Set((1L, 2L, 0)))
+    assert(run("z", "b").isEmpty)
+  }
+
   test("meanPool: exact element-wise means per group, partial-aggregated plan") {
     import graft.llm.SimOps
     val df = Seq(

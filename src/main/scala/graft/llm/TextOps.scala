@@ -586,6 +586,37 @@ object TextOps {
     matches.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
   }
+
+  /** Proximity search: occurrences of `termA` and `termB` within
+    * `window` positions of each other (either order). The join is NEVER
+    * `doc_id`-only (a stopword's postings would make that quadratic per
+    * document): positions bin to `window`-sized buckets and each A
+    * posting probes its own and both neighbor buckets — the 1-D form of
+    * the grid-join discipline (`SpatialOps`), so candidates are bounded
+    * by genuinely-nearby pairs and the exchange carries
+    * `(doc, bucket, pos)` scalars.
+    */
+  def proximitySearch(df: DataFrame, textCol: String, idCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val idx = positionalIndex(df, textCol, idCol)
+    val a = idx.where(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pos_a"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__off"))
+      .withColumn("bucket", floor(col("pos_a") / window) + col("__off"))
+      .drop("__off")
+    val b = idx.where(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pos_b"),
+        floor(col("pos") / window).as("bucket"))
+    // each (pos_a, pos_b) pair meets on exactly ONE bucket (b's own), so
+    // no dedup is needed; pairs are ordered (a-occurrence, b-occurrence)
+    a.join(b, Seq("doc_id", "bucket"))
+      .where(abs(col("pos_a") - col("pos_b")) <= window &&
+        col("pos_a") =!= col("pos_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pos_a") - col("pos_b"))).cast("int").as("min_gap"))
+  }
 }
 
 /** Stopword profiles for the language-ID heuristic (high-frequency

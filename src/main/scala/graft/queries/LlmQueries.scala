@@ -929,6 +929,28 @@ object LlmQueries extends QueryPack {
           |FROM a JOIN b USING (doc_id, pos)
           |GROUP BY a.doc_id""".stripMargin)),
 
+    GraftQuery("t18_proximity_search",
+      // co-occurrence within a 5-token window via bucket-binned postings
+      // (never a doc-only join — a stopword's postings would go
+      // quadratic per document); oracle states the abs-distance join
+      // directly over the same zipped-unnest postings
+      (s, dir) => TextOps.proximitySearch(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        termA = "spark", termB = "merge", window = 5),
+      oracle = Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+          |         unnest(range(1, len(string_split_regex(lower(trim(text)), '\s+')) + 1)) - 1 AS pos
+          |  FROM documents),
+          |a AS (SELECT doc_id, pos AS pos_a FROM toks WHERE term = 'spark'),
+          |b AS (SELECT doc_id, pos AS pos_b FROM toks WHERE term = 'merge')
+          |SELECT a.doc_id, count(*) AS n_pairs,
+          |       CAST(min(abs(pos_a - pos_b)) AS INT) AS min_gap
+          |FROM a JOIN b ON a.doc_id = b.doc_id
+          |WHERE abs(pos_a - pos_b) <= 5 AND pos_a != pos_b
+          |GROUP BY a.doc_id""".stripMargin)),
+
     GraftQuery("t16_readability",
       // Flesch reading ease from portable regex counts, plus a per-source
       // aggregate — the classic corpus-quality gate alongside t1/t9

@@ -1092,6 +1092,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run("z", "b").isEmpty)
   }
 
+  test("proximitySearch: bucket binning finds exactly the within-window pairs") {
+    import graft.llm.TextOps
+    val docs = Seq(
+      (1L, "x a y y y y b"),  // gap 5 == window -> match
+      (2L, "a y y y y y b"),  // gap 6 > window -> no match
+      (3L, "b a b"),          // both orders within window, 2 ordered pairs
+      (4L, "a a b")           // two a-occurrences x one b
+    ).toDF("doc_id", "text")
+    val got = TextOps.proximitySearch(docs, "text", "doc_id", "a", "b", window = 5)
+      .select($"doc_id", $"n_pairs", $"min_gap")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 1L, 5), (3L, 2L, 1), (4L, 2L, 1)), got.toString)
+  }
+
   test("meanPool: exact element-wise means per group, partial-aggregated plan") {
     import graft.llm.SimOps
     val df = Seq(

@@ -890,6 +890,33 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(q28Sql(""))),
 
+    GraftQuery("q29_idle_accounts",
+      // TPC-H Q22 shape: above-average-balance customers with no
+      // orders, grouped by a derived code — an uncorrelated scalar
+      // aggregate threshold plus a null-safe NOT EXISTS anti join.
+      // Boundary exactness: both engines average the same multiset
+      // (order differs only in the last ulps, far from any balance).
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(q29Sql("_v"))
+      },
+      oracle = Some(q29Sql(""))),
+
+    GraftQuery("q30_returned_revenue",
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+      // The global top-k runs as a TakeOrdered over the aggregate, and
+      // the order key is the ROUNDED revenue + custkey so the cutoff is
+      // deterministic across engines (raw float sums differ in
+      // summation order near ties).
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("customer_v")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(q30Sql("_v"))
+      },
+      oracle = Some(q30Sql(""))),
+
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a
       // deterministic link graph derived from events; the oracle unrolls
@@ -1669,6 +1696,30 @@ object CoreQueries extends QueryPack {
        |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
        |    AND p_type = 'STANDARD') all_nations
        |GROUP BY o_year""".stripMargin
+
+  /** Shared SQL for q29 (TPC-H Q22 shape). */
+  private def q29Sql(sfx: String): String =
+    s"""SELECT code, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+       |FROM (SELECT c_custkey, c_acctbal, c_nationkey % 10 AS code
+       |      FROM customer$sfx) c
+       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer$sfx
+       |                   WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders$sfx o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderpriority = '1-URGENT')
+       |GROUP BY code""".stripMargin
+
+  /** Shared SQL for q30 (TPC-H Q10 shape). */
+  private def q30Sql(sfx: String): String =
+    s"""SELECT c_custkey, c_name, revenue FROM (
+       |  SELECT c_custkey, c_name,
+       |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       |  FROM customer$sfx, orders$sfx, lineitem$sfx
+       |  WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |    AND l_returnflag = 'R'
+       |  GROUP BY c_custkey, c_name) t
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
 
   /** Shared SQL for q26 (TPC-H Q20 shape). */
   private def q26Sql(supplier: String, part: String, lineitem: String): String =

@@ -91,4 +91,37 @@ class OperationalSpec extends AnyFunSuite {
       } finally q2.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("leaderboard MapState survives a query restart from its checkpoint") {
+    import graft.streaming.StreamOps.{LeaderboardEntry, ScoreEvent}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("op-ckpt-lb").toString
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(LeaderboardEntry, Long)]
+    try {
+      val input = MemoryStream[ScoreEvent](spark)
+      val board = StreamOps.leaderboard(input.toDS(), k = 2)
+      def start() = board.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[LeaderboardEntry], id: Long) =>
+          sink.synchronized { sink ++= batch.collect().map(_ -> id) }; ()
+        }
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      val q1 = start()
+      try {
+        input.addData(ScoreEvent("g", "alice", 5.0), ScoreEvent("g", "bob", 3.0))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        // bob's +4 must stack on his checkpointed 3 → 7 beats alice's 5
+        input.addData(ScoreEvent("g", "bob", 4.0))
+        q2.processAllAvailable()
+        val lastBatch = sink.synchronized(sink.toList).groupBy(_._2)
+          .maxBy(_._1)._2.map(_._1).toSet
+        assert(lastBatch == Set(LeaderboardEntry("g", 1, "bob", 7.0),
+          LeaderboardEntry("g", 2, "alice", 5.0)),
+          s"restart lost MapState totals: ${sink.toList}")
+      } finally q2.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -917,6 +917,18 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(q30Sql(""))),
 
+    GraftQuery("q31_top_supplier",
+      // TPC-H Q15 shape: the supplier(s) achieving the maximum revenue
+      // in a quarter — an aggregate view consumed twice (once for the
+      // per-supplier totals, once reduced to its max) with equality on
+      // the ROUNDED total, so the float compare is engine-portable.
+      (s, dir) => {
+        Tables.load(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(q31Sql("_v"))
+      },
+      oracle = Some(q31Sql(""))),
+
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a
       // deterministic link graph derived from events; the oracle unrolls
@@ -1696,6 +1708,19 @@ object CoreQueries extends QueryPack {
        |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
        |    AND p_type = 'STANDARD') all_nations
        |GROUP BY o_year""".stripMargin
+
+  /** Shared SQL for q31 (TPC-H Q15 shape). */
+  private def q31Sql(sfx: String): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+       |  FROM lineitem$sfx
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total
+       |FROM supplier$sfx JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total = (SELECT max(total) FROM rev)""".stripMargin
 
   /** Shared SQL for q29 (TPC-H Q22 shape). */
   private def q29Sql(sfx: String): String =

@@ -929,6 +929,31 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(q31Sql(""))),
 
+    GraftQuery("q32_small_order_share",
+      // TPC-H Q17 shape: revenue locked in orders below a fifth of the
+      // part's average quantity — a correlated scalar AVG threshold
+      // Catalyst must decorrelate into a per-part aggregate join.
+      // Quantities are integer-valued, so the 0.2×avg boundary sits far
+      // from any quantity in ulp terms in both engines.
+      (s, dir) => {
+        Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(q32Sql("_v"))
+      },
+      oracle = Some(q32Sql(""))),
+
+    GraftQuery("q33_nation_profit",
+      // TPC-H Q9 shape: profit by supplier nation and year, with the
+      // supply cost derived from lineitem exactly as q25 does (identical
+      // multiset minima are bit-equal across engines, so the amount
+      // expression is the same IEEE arithmetic on both sides).
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "orders", "nation")
+          .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
+        s.sql(q33Sql("_v"))
+      },
+      oracle = Some(q33Sql(""))),
+
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a
       // deterministic link graph derived from events; the oracle unrolls
@@ -1708,6 +1733,35 @@ object CoreQueries extends QueryPack {
        |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
        |    AND p_type = 'STANDARD') all_nations
        |GROUP BY o_year""".stripMargin
+
+  /** Shared SQL for q32 (TPC-H Q17 shape). */
+  private def q32Sql(sfx: String): String =
+    s"""SELECT count(*) AS n_rows,
+       |       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       |FROM lineitem$sfx l JOIN part$sfx ON p_partkey = l.l_partkey
+       |WHERE p_brand = 'Brand#9'
+       |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+       |                      FROM lineitem$sfx l2
+       |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** Shared SQL for q33 (TPC-H Q9 shape). */
+  private def q33Sql(sfx: String): String =
+    s"""WITH supply AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS sk,
+       |         min(l_extendedprice / l_quantity) AS cost
+       |  FROM lineitem$sfx GROUP BY l_partkey, l_suppkey)
+       |SELECT n_name, o_year, round(sum(amount), 2) AS profit
+       |FROM (
+       |  SELECT n_name, year(o_orderdate) AS o_year,
+       |         l_extendedprice * (1 - l_discount)
+       |           - supply.cost * l_quantity AS amount
+       |  FROM part$sfx, supplier$sfx, lineitem$sfx, orders$sfx,
+       |       nation$sfx, supply
+       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |    AND supply.pk = l_partkey AND supply.sk = l_suppkey
+       |    AND p_name LIKE '%bolt%') profit
+       |GROUP BY n_name, o_year""".stripMargin
 
   /** Shared SQL for q31 (TPC-H Q15 shape). */
   private def q31Sql(sfx: String): String =

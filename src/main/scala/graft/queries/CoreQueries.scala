@@ -952,7 +952,8 @@ object CoreQueries extends QueryPack {
           .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
         s.sql(q33Sql("_v"))
       },
-      oracle = Some(q33Sql(""))),
+      oracle = Some(q33Sql("")),
+      headline = true),
 
     GraftQuery("g1_pagerank",
       // iterative graph computation: 5 PageRank rounds over a

@@ -636,7 +636,8 @@ object LlmQueries extends QueryPack {
             round(col("sim"), 6).as("sim"))
       },
       oracle = Some(kMeansOracle(k = 8, iters = 2) +
-        "\nSELECT id AS vec_id, cell AS cluster, round(sim, 6) AS sim FROM a_final")),
+        "\nSELECT id AS vec_id, cell AS cluster, round(sim, 6) AS sim FROM a_final"),
+      headline = true),
 
     GraftQuery("x16_cluster_coreset",
       // cluster-balanced coreset: the 10 vectors nearest each k-means

@@ -523,6 +523,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!finalPlan.contains("SortMergeJoin(full"), s"full-outer resurfaced:\n$finalPlan")
   }
 
+  test("q33: profit join broadcasts every dim leg, no cartesian, no full-table SMJ pileup") {
+    val df = SparkEntry.queries("q33_nation_profit")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q33:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast dim legs:\n$plan")
+  }
+
   test("e8: k-means assignment is map-only — no join, no vector exchange") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = SimOps.kMeans(emb, k = 4, iters = 1)

@@ -229,4 +229,45 @@ object GraphOps {
     und.select(col("a").as("id")).union(und.select(col("b")))
       .groupBy(col("id")).agg(count(lit(1)).cast("int").as("core_deg"))
   }
+
+  /** HITS hub/authority scores (Kleinberg): each round pulls authority
+    * from in-neighbors' hubs, then hubs from out-neighbors' fresh
+    * authorities, L2-normalizing after each half-step. Per round the
+    * work is two edge joins + two key-grouped sums (partial-aggregated,
+    * shuffle on node id scalars) and each normalizer is ONE global
+    * aggregate — a broadcastable scalar at any graph size, same
+    * per-iteration discipline as [[pageRank]]. Scores localCheckpoint
+    * between rounds so the plan doesn't nest `iterations` deep.
+    */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct().cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    // divide one column by its own L2 norm (a one-row aggregate the
+    // optimizer broadcasts), keeping the frame's other columns
+    def l2(df: DataFrame, c: String): DataFrame = {
+      val others = df.columns.filterNot(_ == c)
+      df.crossJoin(df.agg(sqrt(sum(col(c) * col(c))).as("__n")))
+        .select(others.map(col) :+ (col(c) / col("__n")).as(c): _*)
+    }
+    (1 to iterations).foreach { _ =>
+      val authRaw = e.join(scores.select(col("id"), col("hub")), e("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+      val withAuth = nodes
+        .join(authRaw.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .join(scores.select(col("id"), col("hub")), Seq("id"))
+        .select(col("id"), col("hub"), coalesce(col("auth"), lit(0.0)).as("auth"))
+      val authNormed = l2(withAuth, "auth")
+      val hubRaw = e.join(authNormed.select(col("id"), col("auth")), e("dst") === col("id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+      val withHub = nodes
+        .join(hubRaw.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .join(authNormed.select(col("id"), col("auth")), Seq("id"))
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"), col("auth"))
+      scores = l2(withHub, "hub").localCheckpoint(true)
+    }
+    scores
+  }
 }

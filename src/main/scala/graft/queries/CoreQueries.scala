@@ -991,6 +991,21 @@ object CoreQueries extends QueryPack {
           "\nSELECT id, round(rank, 6) AS rank FROM r5").stripMargin
       }),
 
+    GraftQuery("g6_hits",
+      // HITS hub/authority over the g1 link graph, 2 rounds with L2
+      // normalization after each half-step; the oracle unrolls the
+      // identical pulls and normalizers as chained CTEs so every double
+      // is the same IEEE expression in both engines
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          ((col("user_id") * 7 + col("event_id") % 13) % 100).as("dst"))
+        graft.operators.GraphOps.hits(edges, iterations = 2)
+          .select(col("id"), round(col("hub"), 6).as("hub"),
+            round(col("auth"), 6).as("auth"))
+      },
+      oracle = Some(hitsOracleSql(2))),
+
     GraftQuery("g2_components",
       // connected components to fixpoint over an undirected link graph
       // constructed so edges stay within user-id decades (≥ several
@@ -1734,6 +1749,52 @@ object CoreQueries extends QueryPack {
        |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
        |    AND p_type = 'STANDARD') all_nations
        |GROUP BY o_year""".stripMargin
+
+  /** Unrolled HITS iterations for the g6 oracle: each round pulls
+    * authority from in-neighbor hubs, L2-normalizes, pulls hubs from
+    * out-neighbor authorities, L2-normalizes — the exact expression
+    * sequence [[graft.operators.GraphOps.hits]] evaluates.
+    */
+  private def hitsOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH edges AS (
+        |  SELECT DISTINCT user_id AS src,
+        |         (user_id * 7 + event_id % 13) % 100 AS dst
+        |  FROM events
+        |  WHERE user_id != (user_id * 7 + event_id % 13) % 100),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |s0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = s"s${r - 1}"
+      sb.append(s""",
+        |a${r}raw AS (
+        |  SELECT e.dst AS id, sum($p.hub) AS auth
+        |  FROM edges e JOIN $p ON e.src = $p.id GROUP BY 1),
+        |a$r AS (
+        |  SELECT nodes.id, $p.hub, coalesce(a${r}raw.auth, 0.0) AS auth
+        |  FROM nodes JOIN $p ON nodes.id = $p.id
+        |  LEFT JOIN a${r}raw ON nodes.id = a${r}raw.id),
+        |an$r AS (
+        |  SELECT id, hub,
+        |         auth / (SELECT sqrt(sum(auth * auth)) FROM a$r) AS auth
+        |  FROM a$r),
+        |h${r}raw AS (
+        |  SELECT e.src AS id, sum(an$r.auth) AS hub
+        |  FROM edges e JOIN an$r ON e.dst = an$r.id GROUP BY 1),
+        |h$r AS (
+        |  SELECT nodes.id, coalesce(h${r}raw.hub, 0.0) AS hub, an$r.auth
+        |  FROM nodes LEFT JOIN h${r}raw ON nodes.id = h${r}raw.id
+        |  JOIN an$r ON nodes.id = an$r.id),
+        |s$r AS (
+        |  SELECT id,
+        |         hub / (SELECT sqrt(sum(hub * hub)) FROM h$r) AS hub, auth
+        |  FROM h$r)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT id, round(hub, 6) AS hub, round(auth, 6) AS auth
+      |FROM s$rounds""".stripMargin)
+    sb.toString
+  }
 
   /** Shared SQL for q32 (TPC-H Q17 shape). */
   private def q32Sql(sfx: String): String =

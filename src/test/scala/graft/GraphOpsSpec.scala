@@ -127,4 +127,20 @@ class GraphOpsSpec extends AnyFunSuite {
       Map(1L -> 2, 2L -> 2, 3L -> 2))
     intercept[IllegalArgumentException](GraphOps.kCore(edges, k = 0))
   }
+
+  test("hits: star center gets top authority, its pointers get top hubs") {
+    // 1,2,3 -> 0 and 0 -> 4: node 0 is the authority, 1/2/3 the hubs
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 4L)).toDF("src", "dst")
+    val s = GraphOps.hits(edges, iterations = 2)
+      .select($"id", $"hub", $"auth").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val topAuth = s.maxBy(_._2._2)._1
+    assert(topAuth == 0L, s"authority argmax should be the star center: $s")
+    assert(s(1L) == s(2L) && s(2L) == s(3L), s"symmetric hubs must tie: $s")
+    assert(s(1L)._1 > s(0L)._1, s"pointers outrank the center on hub: $s")
+    // L2 norms are 1 after the final round
+    val hubNorm = math.sqrt(s.values.map(v => v._1 * v._1).sum)
+    val authNorm = math.sqrt(s.values.map(v => v._2 * v._2).sum)
+    assert(math.abs(hubNorm - 1.0) < 1e-9 && math.abs(authNorm - 1.0) < 1e-9)
+  }
 }

@@ -240,6 +240,39 @@ object CurationOps {
       .drop("__ws")
   }
 
+  /** Resample to MATCH a target categorical distribution (length-,
+    * language-, or domain-matched corpus construction): keep the
+    * largest subsample whose bucket shares equal `targetShares`, by
+    * Bernoulli-thinning each bucket with probability
+    * `share_b × M / n_b`, where `M = min_b(n_b / share_b)` is the
+    * largest total the scarcest bucket supports. Buckets absent from
+    * the target drop entirely; target buckets absent from the data are
+    * ignored (no renormalization — the caller sees the miss in the
+    * output shares). Selection is the [[hashUnit]] draw — a pure
+    * function of the key, so reruns and scale-ups keep prior picks.
+    *
+    * The only driver-side state is one count per bucket (categorical
+    * by contract); the thinning itself is a map-only filter.
+    */
+  def distributionMatch(df: DataFrame, bucketCol: String,
+      targetShares: Map[String, Double], keyCol: String,
+      salt: String = ""): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must be non-empty")
+    require(targetShares.values.forall(_ > 0), "shares must be positive")
+    val counts = df.groupBy(col(bucketCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targetShares.filter { case (b, _) => counts.contains(b) }
+    if (present.isEmpty) return df.where(lit(false))
+    val m = present.map { case (b, s) => counts(b) / s }.min
+    val keepProb = present.map { case (b, s) => b -> s * m / counts(b) }
+    val u = hashUnit(col(keyCol), salt)
+    val p = keepProb.foldLeft(lit(0.0)) { case (acc, (b, pb)) =>
+      when(col(bucketCol).cast("string") === b, lit(pb)).otherwise(acc)
+    }
+    df.where(u < p)
+  }
+
   /** Deterministic per-stratum budget: the `perStratum` rows of each
     * stratum with the lowest hash draw (ties broken by key). The
     * canonical "cap every language/source at N documents" curation step;

@@ -1590,6 +1590,30 @@ object LlmQueries extends QueryPack {
           |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
           |FROM b GROUP BY shard""".stripMargin)),
 
+    GraftQuery("x17_distribution_match",
+      // language-matched resampling: thin each bucket to the largest
+      // subsample whose shares hit the 4-way-equal target (zh drops by
+      // omission; en is over-represented and thins hardest). The keep
+      // probabilities derive from bucket counts via the same IEEE
+      // expression on both sides; the draw is the frozen md5 unit
+      (s, dir) => CurationOps.distributionMatch(
+        Tables.load(s, dir, "documents"), "lang",
+        Map("en" -> 0.25, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25),
+        "doc_id", salt = "dm1")
+        .select(col("doc_id"), col("lang")),
+      oracle = Some(
+        """WITH c AS (SELECT lang AS b, count(*) AS n FROM documents GROUP BY lang),
+          |t(b, share) AS (VALUES
+          |  ('en', CAST(0.25 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)),
+          |  ('fr', CAST(0.25 AS DOUBLE)), ('es', CAST(0.25 AS DOUBLE))),
+          |m AS (SELECT min(c.n / t.share) AS m FROM c JOIN t USING (b)),
+          |p AS (SELECT t.b, t.share * m.m / c.n AS p
+          |      FROM t JOIN c USING (b) CROSS JOIN m)
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN p ON d.lang = p.b
+          |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':dm1'), 1, 8))::BIGINT
+          |        / 4294967296.0 < p.p""".stripMargin)),
+
     GraftQuery("x15_semantic_leakage",
       // eval-set contamination by MEANING, not text: freeze a test
       // split (deterministic hash split, so it re-derives in SQL), then

@@ -1074,6 +1074,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10L, 2L -> 12L))
   }
 
+  test("distributionMatch: scarcest bucket kept whole, others thinned, rest dropped") {
+    import graft.llm.CurationOps
+    val df = (1 to 300).map { i =>
+      val b = if (i <= 200) "big" else if (i <= 280) "small" else "other"
+      (i.toLong, b)
+    }.toDF("doc_id", "bucket")
+    val out = CurationOps.distributionMatch(df, "bucket",
+      Map("big" -> 0.5, "small" -> 0.5, "missing" -> 0.5), "doc_id", salt = "t")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect()
+    val byB = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // M = min(200/0.5, 80/0.5) = 160 → p_small = 1.0, p_big = 0.4
+    assert(byB.getOrElse("other", 0) == 0, s"non-target bucket leaked: $byB")
+    assert(byB("small") == 80, s"scarcest bucket must keep every row: $byB")
+    assert(byB("big") < 120 && byB("big") > 40, s"big not thinned near 0.4: $byB")
+    // deterministic: rerun picks exactly the same rows
+    val again = CurationOps.distributionMatch(df, "bucket",
+      Map("big" -> 0.5, "small" -> 0.5, "missing" -> 0.5), "doc_id", salt = "t")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect()
+    assert(out.toSet == again.toSet)
+  }
+
   test("phraseSearch: adjacency chain counts overlapping matches, order matters") {
     import graft.llm.TextOps
     val docs = Seq(

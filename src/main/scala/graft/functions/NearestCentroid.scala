@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
+
+/** Nearest-centroid cell assignment as a native Catalyst expression:
+  * `struct(cell INT, sim DOUBLE)` — the argmax-cosine cell over a
+  * centroid matrix (first maximum = lowest cell on ties, NaN cosine
+  * coalesced to -1 so zero-norm vectors land in a deterministic cell
+  * and rank last).
+  *
+  * This is the large-k form of the staged
+  * `array_position(cellSims, array_max(cellSims))` argmax used by
+  * [[graft.llm.SimOps]]: the staged-array form inlines one fused cosine
+  * per centroid into the stage's generated `processNext()`, which
+  * janino refuses outright around a thousand cells (whole-stage codegen
+  * compiles the WHOLE stage into one class, so sharding the expression
+  * into blocks does not help — measured: k=1024 × dim=64 throws
+  * `InternalCompilerException`). Here the centroid matrix rides along
+  * as a reference object and the generated code is ONE static call, so
+  * the stage stays inside whole-stage codegen — and inside the JVM's
+  * 8000-byte JIT method threshold — at any k (spec-pinned at k=1024
+  * with codegen byte-code stats).
+  *
+  * Semantics are bit-identical to the staged form (parity-spec'd):
+  * per-cell cosine accumulates left-to-right exactly like
+  * [[CosineSimilarity]], and null inputs / ragged lengths / null
+  * elements yield null, matching how a null poisons every element of
+  * the staged sims array.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires ARRAY<DOUBLE>, got ${other.simpleString(10)}")
+  }
+
+  // null for a null/ragged/null-element input vector
+  override def nullable: Boolean = true
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  @transient private lazy val centArrays: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], centArrays)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centArrays, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.NearestCentroid.compute($c, $centsRef);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+}
+
+object NearestCentroid {
+
+  /** Column-API entry point (casts the input to `ARRAY<DOUBLE>`). */
+  def apply(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroid(
+      Bridge.expression(vec.cast("array<double>")), centroids))
+
+  /** The fused loop (also the codegen target — a static call per row).
+    * Returns null for ragged lengths or null elements — the same
+    * poisoning the staged per-cell cosines produce.
+    */
+  def compute(vec: ArrayData, cents: Array[Array[Double]]): InternalRow = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    var best = -2.0
+    var bestCell = -1
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      if (cent.length != n) return null
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      i = 0
+      while (i < n) {
+        val xi = vec.getDouble(i)
+        val yi = cent(i)
+        dot += xi * yi
+        nx += xi * xi
+        ny += yi * yi
+        i += 1
+      }
+      var s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      if (s.isNaN) s = -1.0 // nanvl(cosine, -1): zero-norm ranks last
+      // strict greater-than: first maximum wins, matching the staged
+      // array_position(cellSims, array_max(cellSims)) first occurrence
+      if (s > best) { best = s; bestCell = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestCell, best))
+  }
+}

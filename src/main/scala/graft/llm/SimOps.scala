@@ -24,6 +24,76 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
+  /** Centroid count up to which cell assignment stays on the staged
+    * sims-array form (one fused cosine per cell — the expression shape
+    * the e3/e8/d9 SQL oracles re-derive). Past it, whole-stage codegen
+    * would inline every cosine into one generated class and janino
+    * refuses around a thousand cells, so assignment switches to the
+    * [[graft.functions.NearestCentroid]] native expression: constant
+    * generated-code size at any k (spec-pinned at k=1024 with codegen
+    * byte-code stats).
+    */
+  private val AssignBlock = 256
+
+  /** Per-dimension update-aggregation width for [[kMeansCentroids]]:
+    * up to this dimensionality the centroid update runs as one wide
+    * aggregate (dim sum columns, k result rows); past it, the update
+    * posexplodes to (cluster, idx, x) and aggregates k × dim skinny
+    * rows — identical exchange volume, bounded expression count.
+    */
+  private val UpdateWideDims = 128
+
+  /** The deterministic seed quantizer shared by [[ivfTopK]], [[pqTopK]],
+    * [[semanticNearDups]] and [[kMeans]]: the `n` lowest-id vectors
+    * (TakeOrdered — no full sort; tiny driver collect of n × dim
+    * doubles). Engine-portable, so a SQL oracle derives the identical
+    * centroid set.
+    */
+  private def lowestIdVectors(df: DataFrame, n: Int, idName: String,
+      vecName: String): IndexedSeq[Seq[Double]] =
+    df.orderBy(col(idName)).limit(n).select(col(vecName))
+      .collect().map(_.getSeq[Double](0).toVector).toIndexedSeq
+
+  /** Nearest-centroid assignment, map-only: centroids ride in the plan
+    * as literals, each row computes its argmax cell (highest cosine,
+    * lowest cell on ties, NaN→-1 so zero-norm rows land in cell 0
+    * deterministically) in staged projections — no join, no exchange,
+    * vectors never leave the scan.
+    *
+    * For ≤[[AssignBlock]] centroids this is the single staged-array
+    * expression the e3/e8/d9 oracles pin (one fused cosine per cell,
+    * first-occurrence argmax). Past that it switches to the
+    * [[graft.functions.NearestCentroid]] native expression — the
+    * centroid matrix becomes a reference object and the generated code
+    * is one static call, because whole-stage codegen compiles the whole
+    * stage into one class and a thousand inlined cosines throw janino
+    * `InternalCompilerException` no matter how the expression tree is
+    * sharded. Values are bit-identical either way (parity-spec'd: same
+    * left-to-right accumulation, same tie and NaN rules).
+    */
+  private def withNearestCell(df: DataFrame, cents: Seq[Seq[Double]],
+      vecName: String, clusterName: String,
+      simName: Option[String]): DataFrame = {
+    if (cents.size <= AssignBlock) {
+      val staged = df.withColumn("__cellSims",
+        array(cents.map(ct =>
+          nanvl(graft.functions.CosineSimilarity(col(vecName), typedLit(ct)),
+            lit(-1d))): _*))
+      val withC = staged.withColumn(clusterName,
+        (array_position(col("__cellSims"), array_max(col("__cellSims"))) - 1)
+          .cast("int"))
+      simName.fold(withC)(s =>
+          withC.withColumn(s, col("__cellSims").getItem(col(clusterName))))
+        .drop("__cellSims")
+    } else {
+      val withB = df.withColumn("__best",
+          graft.functions.NearestCentroid(col(vecName), cents))
+        .withColumn(clusterName, col("__best.cell"))
+      simName.fold(withB)(s => withB.withColumn(s, col("__best.sim")))
+        .drop("__best")
+    }
+  }
+
   /** Cosine similarity of two double-array columns. Implemented as the
     * fused native Catalyst expression
     * [[graft.functions.CosineSimilarity]] (one codegen'd loop, no
@@ -213,10 +283,14 @@ object SimOps {
     * `numCells` centroid cells once, and each query scores only the
     * vectors of its `nProbe` nearest cells.
     *
-    * Centroids are the `numCells` lowest-id corpus vectors — a
+    * Default centroids are the `numCells` lowest-id corpus vectors — a
     * deterministic, engine-portable stand-in for an offline k-means
-    * train (at real scale the trainer runs once on a sample and ships
-    * its centroids; the serving plan below is identical either way).
+    * train, which keeps the SQL oracle able to derive the identical
+    * quantizer. Pass `centroids` (e.g. from [[kMeansCentroids]]) to
+    * serve against a trained quantizer instead — the serving plan is
+    * identical either way (centroid literals in a map-only projection;
+    * the recall lift of trained centroids over the seed floor is
+    * spec-pinned in `LlmOpsSpec`).
     *
     * == 100 TB design ==
     *
@@ -234,33 +308,40 @@ object SimOps {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, numCells: Int = 16,
       nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(nProbe <= numCells, s"nProbe ($nProbe) must be <= numCells ($numCells)")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-    // deterministic coarse quantizer: lowest-id vectors (TakeOrdered —
-    // no full sort); tiny driver collect of numCells × dim doubles
-    val centroids: Seq[Seq[Double]] = c.orderBy(col("nbr_id"))
-      .limit(numCells).select(col("nbr_vec"))
-      .collect().map(_.getSeq[Double](0).toVector).toVector
+    // coarse quantizer: caller-trained centroids (kMeansCentroids) or
+    // the deterministic lowest-id default (TakeOrdered — no full sort;
+    // tiny driver collect of numCells × dim doubles)
+    val cents: Seq[Seq[Double]] = centroids
+      .map(_.map(_.toVector).toVector)
+      .getOrElse(lowestIdVectors(c, numCells, "nbr_id", "nbr_vec"))
+    require(nProbe <= cents.size,
+      s"nProbe ($nProbe) must be <= number of cells (${cents.size})")
     // all-cells similarity vector, STAGED so the argmax below references
-    // a materialized attribute instead of inlining numCells native
-    // cosines twice (see DedupOps on projection staging). Zero-norm
-    // vectors (or centroids) make cosine 0/0 = NaN, and NaN sorts
-    // HIGHEST in Spark — it would win the argmax and the final rank —
-    // so coalesce NaN to -1: degenerate vectors land deterministically
-    // in the first cell and rank last instead of first.
-    def withCellSims(df: DataFrame, v: String): DataFrame =
+    // a materialized attribute instead of inlining the native cosines
+    // twice (see DedupOps on projection staging). Zero-norm vectors (or
+    // centroids) make cosine 0/0 = NaN, and NaN sorts HIGHEST in
+    // Spark — it would win the argmax and the final rank — so coalesce
+    // NaN to -1: degenerate vectors land deterministically in the first
+    // cell and rank last instead of first. (Assignment shards past 256
+    // cells — see withNearestCell.)
+    def withCellSims(df: DataFrame, v: String): DataFrame = {
+      val blocks = cents.grouped(AssignBlock).toSeq.map(blk =>
+        array(blk.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*))
+      // one array() for the common ≤256-cell case (oracle-pinned plan);
+      // concat of ≤256-wide blocks past that, bounding each expression
       df.withColumn("cellSims",
-        array(centroids.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*))
+        if (blocks.size == 1) blocks.head else concat(blocks: _*))
+    }
     // first-occurrence argmax = highest sim, smallest cell on ties —
     // mirrored in the oracle as ORDER BY sim DESC, cell ASC
-    val argmax = (array_position(col("cellSims"), array_max(col("cellSims"))) - 1)
-      .cast("int").as("cell")
-    val assigned = withCellSims(c, "nbr_vec")
-      .select(col("nbr_id"), col("nbr_vec"), argmax)
+    val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
+      .select(col("nbr_id"), col("nbr_vec"), col("cell"))
     // queries probe their nProbe nearest cells (query set is small by
     // this operator's contract — the window here ranks cells per query)
     val wCells = org.apache.spark.sql.expressions.Window
@@ -316,20 +397,19 @@ object SimOps {
     * plane budget reaches the same recall.
     */
   def semanticNearDups(df: DataFrame, threshold: Double, numCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val c = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val centroids: Seq[Seq[Double]] = c.orderBy(col("id"))
-      .limit(numCells).select(col("v"))
-      .collect().map(_.getSeq[Double](0).toVector).toVector
+    // caller-trained centroids (kMeansCentroids) or the deterministic
+    // lowest-id default the SQL oracle can re-derive
+    val cents: Seq[Seq[Double]] = centroids
+      .map(_.map(_.toVector).toVector)
+      .getOrElse(lowestIdVectors(c, numCells, "id", "v"))
     // staged all-cells similarity + first-occurrence argmax, identical
     // to ivfTopK (NaN → -1 so zero-norm rows land deterministically in
     // cell 0 instead of winning every argmax)
-    val cellSims = array(centroids.map(ct =>
-      nanvl(cosine(col("v"), typedLit(ct)), lit(-1d))): _*)
-    val argmax = (array_position(col("cellSims"), array_max(col("cellSims"))) - 1)
-      .cast("int").as("cell")
-    val assigned = c.withColumn("cellSims", cellSims)
-      .select(col("id"), argmax) // vectors DROP before the exchange
+    val assigned = withNearestCell(c, cents, "v", "cell", None)
+      .select(col("id"), col("cell")) // vectors DROP before the exchange
     // a vector lives in exactly one cell, so each pair forms once — no
     // dedup pass (unlike OR-amplified LSH tables)
     val pairs = assigned.as("a").join(assigned.as("b"),
@@ -350,9 +430,10 @@ object SimOps {
     * [[DedupOps.clusterPairs]]) to its lowest-id member.
     */
   def semanticDedup(df: DataFrame, threshold: Double, numCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
     DedupOps.nearDupSurvivors(df,
-      semanticNearDups(df, threshold, numCells, idCol, vecCol), idCol)
+      semanticNearDups(df, threshold, numCells, idCol, vecCol, centroids), idCol)
 
   /** Product-quantization ANN: the corpus is compressed to one small
     * code per subspace (here `numSubspaces` codes of
@@ -380,14 +461,18 @@ object SimOps {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numSubspaces: Int = 8, numCentroids: Int = 16, candidates: Int = 40,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      codebookVectors: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-    val cents: Seq[Seq[Double]] = c.orderBy(col("nbr_id"))
-      .limit(numCentroids).select(col("nbr_vec"))
-      .collect().map(_.getSeq[Double](0).toVector).toVector
+    // codebook source vectors: caller-trained (e.g. kMeansCentroids —
+    // each full-dim centroid contributes its slice to every subspace
+    // book) or the deterministic lowest-id default the oracle derives
+    val cents: Seq[Seq[Double]] = codebookVectors
+      .map(_.map(_.toVector).toVector)
+      .getOrElse(lowestIdVectors(c, numCentroids, "nbr_id", "nbr_vec"))
     val dim = cents.head.size
     require(dim % numSubspaces == 0,
       s"dim $dim not divisible into $numSubspaces subspaces")
@@ -603,7 +688,11 @@ object SimOps {
   def meanPool(df: DataFrame, keyCols: Seq[String], vecCol: String,
       outCol: String = "mean_vec"): DataFrame = {
     val c = df.withColumn("__v", col(vecCol).cast("array<double>"))
-    val dim = c.select(size(col("__v"))).where(col("__v").isNotNull).head.getInt(0)
+    val dim = c.select(size(col("__v"))).where(col("__v").isNotNull)
+      .limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"meanPool needs at least one non-null vector in '$vecCol'"))
+      .getInt(0)
     val sums = (0 until dim).map(i => sum(col("__v").getItem(i)).as(s"__s$i"))
     c.groupBy(keyCols.map(col): _*)
       .agg(count(col("__v")).as("__n"), sums: _*)
@@ -642,52 +731,77 @@ object SimOps {
     * cosine everywhere; `nanvl(-1)` pins them to the first cell
     * deterministically instead of letting NaN win every argmax.
     *
-    * Sizing: the assignment expression holds k fused-cosine branches
-    * and the update k × dim aggregate columns — fine through hundreds
-    * of cells / dims (whole-stage codegen falls back to interpreted
-    * past its method limits, correct but slower). For k in the
-    * thousands, shard the centroid set into literal blocks of ≤256 and
-    * argmax across the per-block argmaxes, or posexplode to
-    * (cluster, idx) pairs for the update — both keep the same exchange
-    * volume.
+    * Sizing: past [[AssignBlock]] cells the assignment switches to the
+    * [[graft.functions.NearestCentroid]] native expression (centroid
+    * matrix as a reference object, one static call — identical values,
+    * constant generated-code size, spec-pinned at k=1024 with codegen
+    * byte-code stats), and past [[UpdateWideDims]] dimensions the
+    * update posexplodes to (cluster, idx, x) skinny aggregation rows
+    * instead of dim wide sum columns. Both keep the exchange at
+    * k × dim doubles per partition.
     */
   def kMeans(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = kMeansCentroids(corpus, k, iters, idCol, vecCol)
+    withNearestCell(c, cents, "v", "cluster", Some("sim"))
+      .select(col("id"), col("cluster"), col("sim"))
+  }
+
+  /** The trainer half of [[kMeans]]: runs `iters` Lloyd iterations from
+    * the deterministic lowest-id seeds and returns the final centroid
+    * set — the k × dim doubles an offline train ships to the serving
+    * operators ([[ivfTopK]], [[pqTopK]], [[semanticNearDups]] all take
+    * them as their optional `centroids` argument). Same distributed
+    * shape as [[kMeans]]'s scaladoc: map-only assignment, partial-agg
+    * update, k × dim exchange per iteration.
+    */
+  def kMeansCentroids(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): IndexedSeq[Seq[Double]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toVector).toIndexedSeq
+    var centroids = lowestIdVectors(c, k, "id", "v")
     require(centroids.nonEmpty, "kMeans on an empty corpus")
     val dim = centroids.head.size
 
-    // cell similarities STAGED as a materialized array attribute so the
-    // argmax references it instead of inlining k cosines twice (the
-    // ivfTopK projection-staging discipline)
-    def assign(cents: Seq[Seq[Double]]): DataFrame =
-      c.withColumn("cellSims",
-          array(cents.map(ct => nanvl(cosine(col("v"), typedLit(ct)), lit(-1d))): _*))
-        .withColumn("cluster",
-          (array_position(col("cellSims"), array_max(col("cellSims"))) - 1).cast("int"))
-        .withColumn("sim", col("cellSims").getItem(col("cluster")))
-        .drop("cellSims")
-
     for (_ <- 1 to iters) {
-      val sumCols = (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i"))
-      val rows = assign(centroids)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"), sumCols: _*)
-        .collect()
-      val byCell = rows.map(r => r.getInt(0) -> r).toMap
+      val assigned = withNearestCell(c, centroids, "v", "cluster", None)
+      // per-cell (count, per-dimension sums), partial-aggregated map-side
+      // either way; collect is k × dim doubles — the only driver state
+      val sums: Map[Int, (Long, IndexedSeq[Double])] =
+        if (dim <= UpdateWideDims) {
+          assigned.groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n"),
+              (0 until dim).map(i => sum(col("v").getItem(i)).as(s"s$i")): _*)
+            .collect()
+            .map(r => r.getInt(0) ->
+              ((r.getLong(1), (0 until dim).map(i => r.getDouble(2 + i)))))
+            .toMap
+        } else {
+          // skinny form: one (cluster, idx) row per centroid component —
+          // k × dim rows through the exchange (same volume as the wide
+          // form's k rows × dim columns), constant-size expressions
+          val rows = assigned
+            .select(col("cluster"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy(col("cluster"), col("i"))
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+            .collect()
+          rows.groupBy(_.getInt(0)).map { case (cell, rs) =>
+            val byIdx = rs.map(r => r.getInt(1) -> r).toMap
+            cell -> ((byIdx(0).getLong(2),
+              (0 until dim).map(i => byIdx(i).getDouble(3))))
+          }
+        }
       centroids = centroids.zipWithIndex.map { case (old, cell) =>
-        byCell.get(cell) match {
-          case Some(r) =>
-            val n = r.getLong(1).toDouble
-            (0 until dim).map(i => r.getDouble(2 + i) / n).toVector
-          case None => old
+        sums.get(cell) match {
+          case Some((n, s)) => s.map(_ / n.toDouble).toVector
+          case None => old // an emptied cell keeps its centroid
         }
       }
     }
-    assign(centroids).select(col("id"), col("cluster"), col("sim"))
+    centroids
   }
 }

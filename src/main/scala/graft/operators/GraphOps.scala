@@ -35,7 +35,8 @@ object GraphOps {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
+      val prev = ranks
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .join(outDeg, "src")
@@ -46,7 +47,13 @@ object GraphOps {
           (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(true)
+      // the new checkpoint is eager, so the previous round's blocks are
+      // dead the moment it returns — drop them instead of leaking one
+      // storage block per iteration per call
+      if (i > 1) { prev.unpersist(); () }
     }
+    // the final checkpoint no longer reads the cached inputs either
+    e.unpersist(); nodes.unpersist()
     ranks
   }
 
@@ -252,7 +259,8 @@ object GraphOps {
       df.crossJoin(df.agg(sqrt(sum(col(c) * col(c))).as("__n")))
         .select(others.map(col) :+ (col(c) / col("__n")).as(c): _*)
     }
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
+      val prev = scores
       val authRaw = e.join(scores.select(col("id"), col("hub")), e("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
       val withAuth = nodes
@@ -267,7 +275,11 @@ object GraphOps {
         .join(authNormed.select(col("id"), col("auth")), Seq("id"))
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"), col("auth"))
       scores = l2(withHub, "hub").localCheckpoint(true)
+      // eager checkpoint → the previous round's blocks are dead; free
+      // them so library callers don't leak one block per iteration
+      if (i > 1) { prev.unpersist(); () }
     }
+    e.unpersist(); nodes.unpersist()
     scores
   }
 }

@@ -887,10 +887,17 @@ final class WarehouseTable private (
     days.foreach { d =>
       val oldP = new Path(s"$dataPath/$partitionCol=$d")
       val newP = new Path(s"$staging/$partitionCol=$d")
-      if (fs.exists(oldP)) {
-        fs.mkdirs(archDir)
-        fs.rename(oldP, new Path(archDir, s"$partitionCol=$d"))
-      }
+      fs.mkdirs(archDir)
+      // archive the old generation — or an empty MARKER dir when the day
+      // had none. The marker is the crash-recovery journal: a day present
+      // under the archive dir was processed by this swap, so a recovery
+      // of an abandoned claim ([[recoverCrashedClaim]]) knows exactly
+      // which live days are torn new-generation content to roll back.
+      // readAsOf is unaffected: it only consults archives *newer* than
+      // the version it reads, and no manifest lists files for a day that
+      // first appeared at this version (see firstArchiveOf).
+      if (fs.exists(oldP)) fs.rename(oldP, new Path(archDir, s"$partitionCol=$d"))
+      else fs.mkdirs(new Path(archDir, s"$partitionCol=$d"))
       if (fs.exists(newP)) fs.rename(newP, oldP)
     }
     fs.delete(new Path(staging), true)
@@ -932,14 +939,17 @@ final class WarehouseTable private (
   private val appendSafeOps = Set("append", "append-batch", "clone")
 
   /** Header of claimed/committed version `v`: (op — `pending:` prefix
-    * while a swap holds the claim but hasn't finalized —, touched days;
-    * empty day set = unknown, treated as conflicting-with-everything).
+    * while a swap holds the claim but hasn't finalized —, claim/commit
+    * epoch-millis — 0 when unparsable, which reads as maximally stale —,
+    * touched days; empty day set = unknown, treated as
+    * conflicting-with-everything).
     */
-  private def commitMeta(v: Long): (String, Set[String]) = {
+  private def commitMeta(v: Long): (String, Long, Set[String]) = {
     val parts = readMetaString(spark, s"$snapDir/v$v.list")
       .linesIterator.buffered.headOption.getOrElse("")
       .stripPrefix("#").split("\t", 3)
     (parts.headOption.getOrElse("?"),
+      parts.lift(1).flatMap(_.toLongOption).getOrElse(0L),
       parts.lift(2).map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty))
   }
 
@@ -1006,12 +1016,69 @@ final class WarehouseTable private (
     def loop(v: Long): Long =
       if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list", header)) v
       else {
-        val (theirOp, theirDays) = commitMeta(v)
-        if (theirDays.isEmpty || touched.exists(theirDays.contains))
+        val (theirOp, theirTs, theirDays) = commitMeta(v)
+        if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
+          // a writer died mid-swap holding this claim: roll its torn
+          // state back, free the version, and retry the SAME number
+          recoverCrashedClaim(v)
+          loop(v)
+        } else if (theirDays.isEmpty || touched.exists(theirDays.contains))
           concurrentAbort(v, op, theirOp, touched)
-        loop(v + 1)
+        else loop(v + 1)
       }
     loop(currentVersion + 1)
+  }
+
+  private def isStaleClaim(claimTs: Long): Boolean =
+    System.currentTimeMillis() - claimTs > WarehouseTable.staleClaimTimeoutMs
+
+  /** Roll back the torn data state of an abandoned swap claim — a
+    * writer that died after [[claimCommit]] but before
+    * [[finalizeCommit]], detected by a `pending:` header older than
+    * [[WarehouseTable.staleClaimTimeoutMs]] (a finalize is a single
+    * metadata write moments after the claim; minutes of `pending:` can
+    * only mean a dead writer).
+    *
+    * [[swapPartitions]] journals its progress in the claim's archive
+    * dir (real old generations, or empty marker dirs for days that had
+    * none), so recovery is exact:
+    *
+    *  - day present under `history/v<claim>/`: the swap processed it —
+    *    whatever is live is the torn NEW generation; drop it and move
+    *    the archived generation (nothing, for a marker) back;
+    *  - day absent: the swap never reached it; the live generation is
+    *    the intact pre-claim one.
+    *
+    * Blooms of rolled-back days are refreshed (the crashed writer may
+    * have refreshed them against the new generation), the archive dir
+    * is removed — [[vacuum]] never counts an orphaned generation — and
+    * the claim file is deleted, freeing its version number. Concurrent
+    * recoveries are safe: renames/deletes are first-wins idempotent and
+    * the subsequent re-claim goes through the atomic create-if-absent.
+    * The crashed writer's staging dir (`.merge-*`/`.compact-*`/…)
+    * cannot be attributed to a claim and is left behind — it lives
+    * outside `data/`, invisible to every read path.
+    */
+  private def recoverCrashedClaim(v: Long): Unit = {
+    val archDir = new Path(s"$historyDir/v$v")
+    val processed: Seq[String] =
+      if (!fs.exists(archDir)) Seq.empty
+      else fs.listStatus(archDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(s"$partitionCol="))
+        .map(_.stripPrefix(s"$partitionCol="))
+    processed.foreach { d =>
+      val live = new Path(s"$dataPath/$partitionCol=$d")
+      val arch = new Path(archDir, s"$partitionCol=$d")
+      if (fs.exists(live)) fs.delete(live, true)
+      // a marker (empty) archive dir means the day had no pre-claim
+      // generation — rolling back means the day simply disappears
+      if (listDayFiles(arch).nonEmpty) fs.rename(arch, live)
+    }
+    if (fs.exists(archDir)) fs.delete(archDir, true)
+    refreshBlooms(processed.filter(d =>
+      fs.exists(new Path(s"$dataPath/$partitionCol=$d"))))
+    fs.delete(new Path(s"$snapDir/v$v.list"), false)
+    ()
   }
 
   /** Finalize a [[claimCommit]]ed version after its data swap: rewrite
@@ -1024,7 +1091,7 @@ final class WarehouseTable private (
       v: Long): Unit = {
     val prev = manifestBase(v)
     val refreshDays = (touched ++ ((currentVersion + 1) until v).flatMap { w =>
-      if (fs.exists(new Path(s"$snapDir/v$w.list"))) commitMeta(w)._2
+      if (fs.exists(new Path(s"$snapDir/v$w.list"))) commitMeta(w)._3
       else Set.empty[String]
     }).distinct
     val updated = refreshDays.foldLeft(prev) { (m, d) =>
@@ -1066,12 +1133,17 @@ final class WarehouseTable private (
           renderManifest(op, touched, updated))) {
         advanceCurrent(v)
       } else {
-        val (theirOp, theirDays) = commitMeta(v)
-        val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)
-        val theirBase = theirOp.stripPrefix("pending:")
-        if (!appendSafeOps(op) || (!appendSafeOps(theirBase) && overlaps))
-          concurrentAbort(v, op, theirOp, touched)
-        attempt(v + 1, manifestBase(v + 1))
+        val (theirOp, theirTs, theirDays) = commitMeta(v)
+        if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
+          recoverCrashedClaim(v)
+          attempt(v, prev)
+        } else {
+          val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)
+          val theirBase = theirOp.stripPrefix("pending:")
+          if (!appendSafeOps(op) || (!appendSafeOps(theirBase) && overlaps))
+            concurrentAbort(v, op, theirOp, touched)
+          attempt(v + 1, manifestBase(v + 1))
+        }
       }
     }
     attempt(version, manifestBase(version))
@@ -1426,6 +1498,17 @@ object WarehouseTable {
     */
   val broadcastMergeMaxRows: Long =
     sys.env.getOrElse("GRAFT_BROADCAST_MERGE_MAX_ROWS", "1000000").toLong
+
+  /** Age past which a `pending:` swap claim is presumed abandoned (its
+    * writer crashed mid-swap) and eligible for rollback recovery by the
+    * next writer that collides with it — see `recoverCrashedClaim`. A
+    * healthy swap finalizes within seconds of claiming (the claim is
+    * taken AFTER the staged output is fully written), so the default
+    * leaves orders-of-magnitude headroom for slow object stores while
+    * still unblocking the table automatically.
+    */
+  val staleClaimTimeoutMs: Long =
+    sys.env.getOrElse("GRAFT_STALE_CLAIM_TIMEOUT_MS", "900000").toLong
 
   /** R6 — table-handle cache (`BigQuerySinkTask.java:351-365`,
     * `SchemaManager.java:80`): memoizes opens per root; schema stays

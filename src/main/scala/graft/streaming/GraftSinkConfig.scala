@@ -18,6 +18,15 @@ final case class GraftSinkConfig(
     /** Explicit topic → table overrides — `topic2TableMap`
       * (`BigQuerySinkConfig.java:162-226`). Empty = use topic-name rules. */
     topic2TableMap: Map[String, String] = Map.empty,
+    /** The explicit subscription list (the `topics` sink property,
+      * `BigQuerySinkConfig`'s Connect-framework subscription). When
+      * non-empty, [[MergePipeline.processBatch]] routes from THIS set
+      * instead of running a distinct-collect job over each micro-batch
+      * to discover its topics — one fewer job per batch. Leave empty
+      * for pattern subscriptions (`topics.regex`), where the actual
+      * topic set is only knowable from the data. Authoritative when
+      * set: records from topics outside the list are not routed. */
+    subscribedTopics: Seq[String] = Seq.empty,
     /** Sanitize derived table names — `sanitizeTopics`. */
     sanitizeTableNames: Boolean = false,
     /** Upsert/delete mode — `upsertEnabled`/`deleteEnabled`

@@ -80,15 +80,26 @@ object MergePipeline {
       keyFields: Seq[String],
       tableRootFor: TableRouter.Target => String): Int = {
     if (batch.isEmpty) return 0
-    val topics = batch.select(col("topic")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // explicit subscription: the topic universe is config, not data — no
+    // per-batch distinct-collect job. Pattern subscriptions (empty list)
+    // keep the discovery job: only the data knows the matched topics.
+    val explicit = config.subscribedTopics.nonEmpty
+    val topics =
+      if (explicit) config.subscribedTopics
+      else batch.select(col("topic")).distinct()
+        .collect().map(_.getString(0)).toSeq
     // group topics by routed target so multi-topic → one table works
     topics.groupBy(t => TableRouter.route(t, config)).map {
       case (target, topicGroup) =>
         val slice = batch.where(col("topic").isin(topicGroup: _*))
-        val root = tableRootFor(target)
-        if (config.upsertDeleteEnabled) mergeSlice(slice, batchId, config, keyFields, root)
-        else { appendSlice(slice, batchId, config, keyFields, root); 1 }
+        // a configured topic may be silent this batch — skip its flush
+        // (a limit-1 probe, cheaper than the distinct shuffle it replaces)
+        if (explicit && slice.isEmpty) 0
+        else {
+          val root = tableRootFor(target)
+          if (config.upsertDeleteEnabled) mergeSlice(slice, batchId, config, keyFields, root)
+          else { appendSlice(slice, batchId, config, keyFields, root); 1 }
+        }
     }.sum
   }
 

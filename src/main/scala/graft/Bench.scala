@@ -34,6 +34,13 @@ object Bench {
     // evictions and disk pressure that bleed into later queries' times —
     // so explicitly drop every persisted RDD and nudge the cleaner
     // between timed queries (outside the timers).
+    //
+    // NOTE the expected WARNs: unpersisting a locally-checkpointed RDD
+    // logs "cannot be recomputed after unpersisting" per block. That is
+    // benign HERE — every query's results are fully materialized
+    // (collected/counted) before the reset, so nothing downstream will
+    // ever recompute those RDDs. It is a log-noise artifact of the
+    // isolation sweep, not data loss.
     def resetSession(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

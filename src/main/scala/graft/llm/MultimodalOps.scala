@@ -238,8 +238,19 @@ object MultimodalOps {
   def videoMeta(payload: Column): Column = {
     val isMp4 = hex(substring(payload, 5, 4)) === "66747970"
     val hx = hex(substring(payload, 1, 512))
-    val mv = locate("6D766864", hx) // char pos of 'mvhd' tag (1-based)
-    val tk = locate("746B6864", hx)
+    // BYTE-ALIGNED tag scan: a 1-based char position into the hex string
+    // addresses a byte boundary only when odd — an even match is the tag
+    // pattern straddling two unrelated bytes (payload coincidence) and
+    // must read as not-found rather than decode garbage fields. A real
+    // demuxer walks box sizes from `moov`; within this parser's 512-byte
+    // header bound the aligned-first-match rule is equivalent for the
+    // headers it targets.
+    def alignedLocate(tag: String): Column = {
+      val raw = locate(tag, hx)
+      when(raw % 2 === 1, raw).otherwise(lit(0))
+    }
+    val mv = alignedLocate("6D766864") // char pos of 'mvhd' tag (1-based)
+    val tk = alignedLocate("746B6864")
     def beAt(pos: Column, byteOff: Int): Column =
       conv(substring(hx, pos + lit(8 + byteOff * 2), lit(8)), 16, 10).cast("long")
     val timescale = beAt(mv, 12)

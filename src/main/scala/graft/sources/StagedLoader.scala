@@ -105,16 +105,67 @@ object StagedLoader {
   */
 object Retry {
 
-  /** Retryable = transient I/O, mirroring the reference's taxonomy of
-    * backend/quota/IO errors (`BigQueryErrorResponses.java:51-129`);
-    * logic errors (analysis, schema) are not retried.
+  /** The failure families a FILE warehouse actually produces, mirroring
+    * the *structure* of the reference's error taxonomy
+    * (`BigQueryErrorResponses.java:51-129` classifies ~10 reason/code
+    * families into retry vs. fail; quota/rate-limit classes have no
+    * local analog and are dropped, storage-I/O classes gain subclasses):
+    *
+    *  - [[ReadTimeout]] — socket/future timeouts: the remote-store
+    *    analog of the reference's `backendError`/`internalError` retry
+    *    family;
+    *  - [[CorruptRead]] — checksum mismatch mid-transfer: a re-read may
+    *    hit a healthy replica (retryable; a corrupt *source file* keeps
+    *    failing and exhausts the budget — bounded either way);
+    *  - [[PartialVisibility]] — a listed path vanished before the read:
+    *    the commit-swap / eventual-consistency window; the swap
+    *    completes, so a short retry resolves it;
+    *  - [[TransientIo]] — any other `IOException`: the catch-all retry
+    *    family, as in the reference;
+    *  - [[AccessDenied]] — permission failure: PERMANENT (it extends
+    *    `IOException`, so the coarse type test alone would loop on it —
+    *    the reason the taxonomy must test subclasses first);
+    *  - [[Cancelled]] — interrupt-shaped I/O: cooperative cancellation,
+    *    never fought with a retry;
+    *  - [[Logic]] — analysis/schema/config errors: the reference's
+    *    `invalid`/`notFound` permanent family;
+    *  - [[Unknown]] — anything else: fail fast, surface it.
     */
-  def isRetryable(t: Throwable): Boolean = t match {
-    case _: java.io.IOException => true
-    case _: java.util.concurrent.TimeoutException => true
-    case e if e.getCause != null && e.getCause != e => isRetryable(e.getCause)
-    case _ => false
+  sealed abstract class ErrorClass(val retryable: Boolean)
+  case object ReadTimeout extends ErrorClass(true)
+  case object CorruptRead extends ErrorClass(true)
+  case object PartialVisibility extends ErrorClass(true)
+  case object TransientIo extends ErrorClass(true)
+  case object AccessDenied extends ErrorClass(false)
+  case object Cancelled extends ErrorClass(false)
+  case object Logic extends ErrorClass(false)
+  case object Unknown extends ErrorClass(false)
+
+  /** Classify a throwable into its [[ErrorClass]], unwrapping causes
+    * (Spark wraps storage failures in `SparkException`). Subclass order
+    * matters: `AccessControlException`, `ChecksumException`,
+    * `SocketTimeoutException`, `InterruptedIOException` and
+    * `FileNotFoundException` all extend `IOException` and carry
+    * different retry verdicts than the catch-all.
+    */
+  def classify(t: Throwable): ErrorClass = t match {
+    case _: org.apache.hadoop.security.AccessControlException => AccessDenied
+    case _: org.apache.hadoop.fs.ChecksumException => CorruptRead
+    case _: java.net.SocketTimeoutException => ReadTimeout
+    case _: java.io.InterruptedIOException => Cancelled
+    case _: java.io.FileNotFoundException => PartialVisibility
+    case _: java.util.concurrent.TimeoutException => ReadTimeout
+    case _: org.apache.spark.sql.AnalysisException => Logic
+    case _: graft.streaming.GraftConfigException => Logic
+    case _: java.io.IOException => TransientIo
+    case e if e.getCause != null && e.getCause != e => classify(e.getCause)
+    case _ => Unknown
   }
+
+  /** Retryable = the transient storage-I/O families above; logic,
+    * permission and cancellation errors are not retried.
+    */
+  def isRetryable(t: Throwable): Boolean = classify(t).retryable
 
   def withRetry[A](maxRetries: Int = 3, waitMs: Long = 1000L,
       jitterMs: Long = 1000L)(body: => A): A = {

@@ -1019,8 +1019,14 @@ final class WarehouseTable private (
         val (theirOp, theirTs, theirDays) = commitMeta(v)
         if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
           // a writer died mid-swap holding this claim: roll its torn
-          // state back, free the version, and retry the SAME number
+          // state back and free the version. If OUR days overlap the
+          // rolled-back ones, our staged output was computed from the
+          // torn pre-recovery reads — abort so the caller recomputes
+          // against the healed table (the retry finds the version free).
           recoverCrashedClaim(v)
+          if (theirDays.isEmpty || touched.exists(theirDays.contains))
+            concurrentAbort(v, op, s"$theirOp [crashed claim, rolled back]",
+              touched)
           loop(v)
         } else if (theirDays.isEmpty || touched.exists(theirDays.contains))
           concurrentAbort(v, op, theirOp, touched)
@@ -1135,7 +1141,14 @@ final class WarehouseTable private (
       } else {
         val (theirOp, theirTs, theirDays) = commitMeta(v)
         if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
+          // heal the crashed swap first. An overlapping-day append must
+          // then abort: the rollback just deleted the day dirs its files
+          // were already written into (re-run rewrites them); a disjoint
+          // append reclaims the freed version.
           recoverCrashedClaim(v)
+          if (theirDays.isEmpty || touched.exists(theirDays.contains))
+            concurrentAbort(v, op, s"$theirOp [crashed claim, rolled back]",
+              touched)
           attempt(v, prev)
         } else {
           val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.MergeOps
+import graft.sources.WarehouseTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The 100×-evidence the sf0.1 bench cannot give: drive the warehouse
+  * merge at 10× its bench batch size (~1M staged rows built by
+  * key-shifted replication of the sf0.1 events) and pin
+  *
+  *  1. the PLAN selections — the broadcast decomposition below the
+  *     row ceiling (dest never shuffled) and the sort-merge full-outer
+  *     fallback above it — via a QueryExecutionListener over the
+  *     merge's write jobs, and
+  *  2. that wall time scales ~linearly in batch size (a generous bound:
+  *     well under quadratic, which is what a broken candidate-day or
+  *     key-join plan would produce).
+  *
+  * Result equality of the two plans is pinned separately at small scale
+  * (`WarehouseTableSpec`: "broadcast merge plan and shuffle fallback
+  * produce identical state").
+  */
+class BenchScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.1"
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("wh-scale").toString + "/tbl"
+
+  private val destSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("v_type", StringType),
+    StructField("v_amount", DoubleType)))
+
+  /** The s6 staged shape, replicated `copies`× with disjoint key and
+    * event-id ranges — same day span, `copies`× the rows per day.
+    */
+  private def stagedTimes(copies: Int): DataFrame = {
+    val ev = Tables.load(spark, sf, "events")
+    (0 until copies).map { c =>
+      ev.select(
+        struct((col("user_id") + c * 10000000L).as("k")).as("key"),
+        when(col("event_type") =!= "error",
+          struct(col("event_type").as("v_type"), col("value").as("v_amount")))
+          .as("value"),
+        (col("event_id") + c * 1000000000L).as("i"),
+        timestamp_micros(expr("ts div 1000")).as("partitionTime"),
+        lit(0L).as("batchNumber"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Seed a fresh table with the latest non-tombstone state of copy 0
+    * (the s6 seeding pattern), return it.
+    */
+  private def seeded(): WarehouseTable = {
+    val t = WarehouseTable.create(spark, tmpRoot(), Seq("k"), destSchema)
+    val d0 = MergeOps.latestPerKey(stagedTimes(1))
+      .where(col("value").isNotNull)
+      .select(col("key.k").as("k"), col("value.v_type").as("v_type"),
+        col("value.v_amount").as("v_amount"), col("partitionTime"))
+    t.append(d0)
+    t
+  }
+
+  /** Run `body` while capturing every completed query execution's
+    * physical plan string (listener delivery is async — poll until the
+    * capture set is quiet).
+    */
+  private def capturingPlans[A](body: => A): (A, Seq[String]) = {
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = body
+      // async listener bus: wait for the plan stream to go quiet
+      var last = -1
+      var now = plans.synchronized(plans.size)
+      var spins = 0
+      while (last != now && spins < 100) {
+        last = now; Thread.sleep(200)
+        now = plans.synchronized(plans.size); spins += 1
+      }
+      (out, plans.synchronized(plans.toVector))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("10x merge keeps the broadcast decomposition; forced fallback goes sort-merge") {
+    // ---- 1x warm-up + timing base: ~100k staged rows
+    val t1 = seeded()
+    val t1Start = System.nanoTime()
+    t1.merge(stagedTimes(1))
+    val t1Ms = (System.nanoTime() - t1Start) / 1000000.0
+
+    // ---- 10x: ~1M staged rows, same day span
+    val t10 = seeded()
+    val big = stagedTimes(10)
+    val t10Start = System.nanoTime()
+    val (days, plans) = capturingPlans { t10.merge(big) }
+    val t10Ms = (System.nanoTime() - t10Start) / 1000000.0
+    assert(days.nonEmpty)
+
+    // the staged key count is far under the 1M-row broadcast ceiling, so
+    // the decomposed plan must have been selected: its merge write joins
+    // are broadcast, and nothing in the merge ran the full-outer SMJ
+    val writePlans = plans.filter(_.contains("InsertIntoHadoopFsRelation"))
+    assert(writePlans.nonEmpty, s"no write plan captured among ${plans.size}")
+    assert(writePlans.exists(_.contains("BroadcastHashJoin")),
+      s"merge write lost the broadcast decomposition:\n${writePlans.mkString("\n---\n")}")
+    assert(!writePlans.exists(p =>
+        p.contains("SortMergeJoin") && p.contains("FullOuter")),
+      "full-outer SMJ resurfaced below the broadcast ceiling")
+
+    // ~linear scaling: 10x rows may cost at most ~25x wall (generous —
+    // a quadratic candidate or join plan would blow far past this)
+    info(f"merge wall: 1x $t1Ms%.0f ms, 10x $t10Ms%.0f ms (ratio ${t10Ms / t1Ms}%.1f)")
+    assert(t10Ms < t1Ms * 25,
+      f"10x merge cost ${t10Ms / t1Ms}%.1fx the 1x merge — superlinear blow-up")
+
+    // ---- above the ceiling: the same merge shape with a forced 1k-row
+    // ceiling must select the sort-merge full-outer fallback
+    val tF = seeded()
+    val (_, fallbackPlans) = capturingPlans {
+      tF.merge(stagedTimes(1), broadcastMaxRows = 1000L)
+    }
+    val fWrites = fallbackPlans.filter(_.contains("InsertIntoHadoopFsRelation"))
+    assert(fWrites.exists(p => p.contains("SortMergeJoin")),
+      s"row-ceiling fallback did not select sort-merge:\n${fWrites.mkString("\n---\n")}")
+  }
+}

@@ -469,6 +469,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad("junk") == (("unknown", true)))
   }
 
+  test("videoMeta: a byte-straddling mvhd pattern is not a box (alignment guard)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // valid ftyp, then payload bytes whose HEX contains "6d766864"
+    // ('mvhd') starting at an EVEN 1-based char position — the pattern
+    // spans two unrelated bytes (0x06,0xd7,0x66,0x86,0x40) and must read
+    // as "no box" (nulls), not decode garbage timescale/dimensions
+    val straddle = b(0, 0, 0, 0x10, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm',
+      0, 0, 2, 0,
+      0x06, 0xD7, 0x66, 0x86, 0x40, // hex ...06d7668640... (misaligned mvhd)
+      0x07, 0x46, 0xB6, 0x86, 0x40) // hex ...0746b6868640... (misaligned tkhd)
+    val out = Seq(Tuple1(straddle)).toDF("payload")
+      .select(graft.llm.MultimodalOps.videoMeta($"payload").as("v"))
+      .select($"v.format", $"v.timescale").collect().head
+    assert(out.getString(0) == "unknown" && out.isNullAt(1))
+  }
+
   test("simhashNearDups blocks find perturbed copies, skip unrelated docs") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .where($"doc_id" < 40)

@@ -91,6 +91,59 @@ class StagedLoaderSpec extends AnyFunSuite {
     assert(calls3 == 1)
   }
 
+  test("error taxonomy: each storage-I/O class gets its own retry verdict") {
+    import Retry._
+    // one injected fault per class — the classifier must pick the
+    // SUBCLASS verdict even though most of these extend IOException
+    val matrix: Seq[(Throwable, ErrorClass)] = Seq(
+      (new java.net.SocketTimeoutException("read timed out"), ReadTimeout),
+      (new java.util.concurrent.TimeoutException("future"), ReadTimeout),
+      (new org.apache.hadoop.fs.ChecksumException("bad crc", 0L), CorruptRead),
+      (new java.io.FileNotFoundException("part-0000 vanished mid-swap"),
+        PartialVisibility),
+      (new java.io.IOException("connection reset"), TransientIo),
+      (new org.apache.hadoop.security.AccessControlException("denied"),
+        AccessDenied),
+      (new java.io.InterruptedIOException("task killed"), Cancelled),
+      (new graft.streaming.GraftConfigException("bad config"), Logic),
+      (new IllegalStateException("???"), Unknown))
+    matrix.foreach { case (t, expected) =>
+      assert(classify(t) == expected, s"misclassified ${t.getClass.getName}")
+      assert(isRetryable(t) == expected.retryable, t.getClass.getName)
+    }
+    // wrapped causes unwrap: Spark-style wrapping keeps the verdict
+    assert(classify(new RuntimeException("wrapper",
+      new org.apache.hadoop.fs.ChecksumException("inner", 1L))) == CorruptRead)
+    assert(classify(new RuntimeException("wrapper",
+      new org.apache.hadoop.security.AccessControlException("inner"))) == AccessDenied)
+
+    // behavior under withRetry: transient classes spend retry budget...
+    var checksumCalls = 0
+    val ok = withRetry(maxRetries = 2, waitMs = 1, jitterMs = 1) {
+      checksumCalls += 1
+      if (checksumCalls == 1) throw new org.apache.hadoop.fs.ChecksumException("crc", 0L)
+      "recovered"
+    }
+    assert(ok == "recovered" && checksumCalls == 2)
+    var fnfCalls = 0
+    val ok2 = withRetry(maxRetries = 2, waitMs = 1, jitterMs = 1) {
+      fnfCalls += 1
+      if (fnfCalls == 1) throw new java.io.FileNotFoundException("swap window")
+      "visible"
+    }
+    assert(ok2 == "visible" && fnfCalls == 2)
+    // ...permanent classes fail on the FIRST attempt even though they
+    // extend IOException (the coarse type test would have looped here)
+    var deniedCalls = 0
+    intercept[org.apache.hadoop.security.AccessControlException] {
+      withRetry(maxRetries = 5, waitMs = 1, jitterMs = 1) {
+        deniedCalls += 1
+        throw new org.apache.hadoop.security.AccessControlException("denied")
+      }
+    }
+    assert(deniedCalls == 1)
+  }
+
   test("adaptiveAppend evolves schema for new fields, rejects when gated") {
     val whRoot = tmp("wh-a") + "/tbl"
     val t = WarehouseTable.create(spark, whRoot, Seq("k1"), destSchema)

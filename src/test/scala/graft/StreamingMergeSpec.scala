@@ -121,6 +121,35 @@ class StreamingMergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("explicit subscription routes from config — no topic discovery, silent topics skip") {
+    val warehouse = tmp("subs-wh")
+    val cfg = upsertConfig.copy(
+      subscribedTopics = Seq("ds1:tbl_a", "plain", "silent"))
+    val input = MemoryStream[Long](spark)
+    // the batch carries only two of the three subscribed topics; the
+    // silent one must produce zero flushes (isEmpty probe), not an
+    // empty-table side effect
+    val shaped = input.toDS().toDF("i").select(
+      when($"i" % 2 === 0, lit("ds1:tbl_a")).otherwise(lit("plain")).as("topic"),
+      lit(0).as("partition"),
+      $"i".as("offset"),
+      to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"),
+      $"i".as("k1"),
+      struct(concat(lit("v"), $"i").as("f1")).as("value"))
+    val q = MergePipeline.writer(shaped, cfg, Seq("k1"),
+      tmp("subs-ckpt"), t => s"$warehouse/${t.dataset}/${t.table}").start()
+    try {
+      input.addData(0L until 100L)
+      q.processAllAvailable()
+      val a = WarehouseTable.open(spark, s"$warehouse/ds1/tbl_a")
+      val p = WarehouseTable.open(spark, s"$warehouse/default/plain")
+      assert(a.read().count() == 50)
+      assert(p.read().count() == 50)
+      // the silent topic's table root was never created
+      assert(!new java.io.File(s"$warehouse/default/silent").exists())
+    } finally q.stop()
+  }
+
   test("non-upsert mode appends with kafka metadata and key embedding") {
     val warehouse = tmp("append-wh")
     val cfg = GraftSinkConfig(

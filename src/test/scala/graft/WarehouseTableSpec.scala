@@ -1128,18 +1128,116 @@ class WarehouseTableSpec extends AnyFunSuite {
       Set((1L, "a1"), (2L, "b1")))
   }
 
-  test("crashed pending claim: history skips it, readAsOf refuses it, appends pass it") {
+  test("stale crashed claim: history skips it, the next writer recovers and reclaims it") {
     val root = tmpRoot()
     val t = mkTable(root)
     t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
-    // a swap writer claimed v2 on a disjoint day and died mid-swap
+    // a swap writer claimed v2 on a disjoint day and died mid-swap; its
+    // ts=0 header is far past the stale-claim timeout
     hfsWrite(s"$root/_graft/snapshots/v2.list", "#pending:compact\t0\t2024-01-09\n")
     assert(t.history().map(_._1) == Seq(1L))
-    // a disjoint append re-sequences past the orphan claim
+    // the next append detects the stale claim, rolls it back (nothing
+    // was archived here), and RECLAIMS the freed version number
+    t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    assert(t.currentVersion == 2L)
+    assert(t.readAsOf(2).select($"k1").as[Long].collect().toSet == Set(1L, 2L))
+    assert(t.history().map(_._1) == Seq(2L, 1L))
+  }
+
+  test("FRESH pending claim is respected: a disjoint append re-sequences past it") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    // a LIVE swap writer holds v2 on a disjoint day (claimed just now —
+    // not stale, must not be recovered from under it)
+    hfsWrite(s"$root/_graft/snapshots/v2.list",
+      s"#pending:compact\t${System.currentTimeMillis()}\t2024-01-09\n")
     t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
     assert(t.currentVersion == 3L)
     assert(t.readAsOf(3).select($"k1").as[Long].collect().toSet == Set(1L, 2L))
+    // the live writer's claim file is untouched
+    assert(hfsRead(s"$root/_graft/snapshots/v2.list").startsWith("#pending:compact"))
     intercept[IllegalArgumentException](t.readAsOf(2))
+  }
+
+  test("writer dies mid-swap: next writer rolls back the torn state and the table heals") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b1")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1)))) // v3, archives day-1 gen
+    assert(t.currentVersion == 3L)
+
+    // ---- simulate a merge writer that claimed v4 touching day 1 (an
+    // existing generation) and day 3 (brand new), archived both, swapped
+    // the new generations in, and died before finalizeCommit. The torn
+    // live content is VALID parquet (a real crashed writer's staged
+    // output is fully written before the claim) — only uncommitted.
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    hfsWrite(s"$root/_graft/snapshots/v4.list",
+      "#pending:merge\t0\t2024-01-01,2024-01-03\n")
+    // day 1: archive the live generation under the crashed claim...
+    fs.mkdirs(path(s"$root/_graft/history/v4"))
+    fs.rename(path(s"$root/data/_pday=2024-01-01"),
+      path(s"$root/_graft/history/v4/_pday=2024-01-01"))
+    // ...and swap in a torn new generation
+    def writeTorn(day: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpRoot() + "-torn"
+      rows.toDF("k1", "f1").coalesce(1).write.parquet(tmp)
+      val dest = path(s"$root/data/_pday=$day")
+      fs.mkdirs(dest)
+      fs.listStatus(path(tmp)).filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest, f.getPath.getName)))
+    }
+    writeTorn("2024-01-01", Seq((1L, "torn-a3")))
+    // day 3: no prior generation — the swap journals an empty marker
+    fs.mkdirs(path(s"$root/_graft/history/v4/_pday=2024-01-03"))
+    writeTorn("2024-01-03", Seq((9L, "torn-new")))
+
+    // the torn table is still mechanically readable (valid parquet), it
+    // just exposes uncommitted rows until recovery
+    assert(t.read().count() >= 2)
+    // history hides the crashed claim
+    assert(t.history().map(_._1) == Seq(3L, 2L, 1L))
+
+    // ---- a new writer merges day 2: the torn day 3 has no bloom, so
+    // the merge's dest scan included it — its claim overlaps the stale
+    // v4 claim. The collision ROLLS BACK the torn swap, then aborts the
+    // merge (its staged output was computed from the torn reads).
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(staged(Seq((2L, Some("b2"), 20L, 2))))
+    }
+    // the table healed: day 1 back to the committed v3 value, day 3 gone
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b1")))
+    // the retry recomputes against the healed state and reclaims v4
+    t.merge(staged(Seq((2L, Some("b2"), 20L, 2))))
+    assert(t.currentVersion == 4L)
+    // rolled back: day 1 shows the committed v3 value, day 3 is gone,
+    // day 2 shows the new merge
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b2")))
+    // no orphaned archive generation: every history dir belongs to a
+    // finalized swap commit (v3 = first merge, v4 = the healing merge)
+    val histDirs = fs.listStatus(path(s"$root/_graft/history"))
+      .map(_.getPath.getName).toSet
+    assert(histDirs == Set("v3", "v4"), s"orphaned archives: $histDirs")
+    // time travel across the crash still works...
+    assert(t.readAsOf(3).select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b1")))
+    assert(t.readAsOf(2).select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1")))
+    // ...and restore of a pre-crash snapshot commits cleanly on top
+    t.restore(2L)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1")))
+    // vacuum to the newest snapshot drops old archives and counts no
+    // orphans from the crashed claim
+    t.vacuum(retainVersions = 1)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1")))
   }
 
   test("append overlapping a winning swap on the same day aborts") {

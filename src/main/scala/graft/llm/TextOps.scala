@@ -552,6 +552,59 @@ object TextOps {
         col("__c.h").as("chunk_md5"))
   }
 
+  /** Content-defined chunking: split each document at positions where a
+    * hash of the trailing `window`-char context divides `divisor` evenly
+    * — the dedup-stable alternative to fixed windows ([[chunkWords]]):
+    * because boundaries depend only on LOCAL content, an insertion early
+    * in a document shifts every fixed window but leaves all later CDC
+    * chunks byte-identical, so chunk-level dedup keeps matching across
+    * document revisions (the rsync/LBFS/FastCDC property). Expected
+    * chunk length ≈ `divisor` chars. Returns one row per chunk:
+    * `(idCol, chunk_idx, start_char (1-based), n_chars, chunk_md5)`;
+    * empty documents produce none, documents shorter than `window`
+    * produce one whole-document chunk.
+    *
+    * Engine-portable form: the boundary test hashes each position's
+    * trailing window with md5 (O(n·window) work/doc), so a SQL oracle
+    * re-derives identical boundaries. A production build replaces the
+    * boundary predicate with a gear-table rolling hash in a native
+    * `Expression` (O(n)/doc, same plan shape); chunk semantics are
+    * unchanged. Map-only: chunks derive and hash inside the document's
+    * partition — text never crosses an exchange, the output is scalars.
+    * No min/max chunk clamps (FastCDC's normalization) — noted, not
+    * needed for dedup correctness.
+    */
+  def chunkContentDefined(df: DataFrame, textCol: String, idCol: String,
+      window: Int = 16, divisor: Int = 64): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    val staged = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__n"))
+    // interior cut points p in [window, n-1]: a cut AFTER char p when
+    // the hash of chars (p-window, p] divides evenly. Guarded: Spark's
+    // sequence() runs DESCENDING when stop < start, so short docs get
+    // an explicit empty cut list instead of a reversed range
+    val cuts = when(col("__n") - 1 >= window,
+      filter(sequence(lit(window.toLong), col("__n") - 1), p =>
+        conv(substring(md5(col("__t").substr((p - window + 1).cast("int"),
+          lit(window))), 1, 8), 16, 10).cast("long") % divisor === 0))
+      .otherwise(array().cast("array<bigint>"))
+    val withB = staged
+      .withColumn("__bs", concat(array(lit(0L)), cuts, array(col("__n"))))
+    val chunks = transform(sequence(lit(0), size(col("__bs")) - 2), i => {
+      val s = element_at(col("__bs"), i + 1)
+      val e = element_at(col("__bs"), i + 2)
+      struct((s + 1).cast("int").as("s"), (e - s).cast("int").as("l"),
+        md5(col("__t").substr((s + 1).cast("int"), (e - s).cast("int"))).as("h"))
+    })
+    withB
+      .select(col("__id"), posexplode(chunks).as(Seq("__i", "__c")))
+      .where(col("__c.l") > 0) // the n=0 doc's single empty chunk
+      .select(col("__id").as(idCol), col("__i").as("chunk_idx"),
+        col("__c.s").as("start_char"), col("__c.l").as("n_chars"),
+        col("__c.h").as("chunk_md5"))
+  }
+
   /** Positional inverted index: one `(term, doc, pos)` row per token —
     * the IR structure behind phrase/proximity search that a bag-of-words
     * ranking (BM25, [[bm25Scores]]) cannot answer. Tokenization is the

@@ -587,6 +587,47 @@ object LlmQueries extends QueryPack {
       },
       oracle = Some(ivfOracle(numCells = 16, nProbe = 4, k = 5))),
 
+    GraftQuery("e10_ivf_trained",
+      // the trained-quantizer serving path: kMeansCentroids (2 Lloyd
+      // iterations, the e8 regime) ships its centroids into ivfTopK's
+      // optional `centroids` parameter — same map-only serving plan as
+      // e3, centroids now learned instead of lowest-id seeds. The
+      // oracle re-derives the identical training (kMeans CTE unroll)
+      // and serves IVF against the trained cells in SQL
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = SimOps.kMeansCentroids(emb, k = 16, iters = 2)
+        SimOps.ivfTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          nProbe = 4, centroids = Some(cents))
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(kMeansOracle(k = 16, iters = 2) +
+        s""",
+           |qsims AS (
+           |  SELECT q.id, q.v, x.cell,
+           |         CASE WHEN isnan(${cosSql("q.v", "x.cv")}) THEN -1.0
+           |              ELSE ${cosSql("q.v", "x.cv")} END AS sim
+           |  FROM (SELECT id, v FROM c WHERE id % 50 = 0) q CROSS JOIN cent2 x),
+           |qprobe AS (
+           |  SELECT id AS query_id, v AS qv, cell FROM (
+           |    SELECT id, v, cell,
+           |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+           |    FROM qsims) t WHERE rn <= 4),
+           |scored AS (
+           |  SELECT q.query_id, a.id AS nbr_id,
+           |         CASE WHEN isnan(${cosSql("q.qv", "a.v")}) THEN -1.0
+           |              ELSE ${cosSql("q.qv", "a.v")} END AS sim
+           |  FROM qprobe q JOIN a_final a USING (cell)
+           |  WHERE q.query_id != a.id),
+           |rankd AS (
+           |  SELECT query_id, nbr_id, sim,
+           |         row_number() OVER (PARTITION BY query_id
+           |                            ORDER BY sim DESC, nbr_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
+           |FROM rankd WHERE rank <= 5""".stripMargin)),
+
     GraftQuery("e4_pq_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1589,6 +1630,42 @@ object LlmQueries extends QueryPack {
           |SELECT shard, sum(bn)::BIGINT AS n_rows,
           |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
           |FROM b GROUP BY shard""".stripMargin)),
+
+    GraftQuery("x18_cdc_chunks",
+      // content-defined chunking: boundaries where the md5 of the
+      // trailing 16-char window divides 64 evenly — insertion-stable
+      // chunk identities for chunk-level dedup (unlike x11's fixed
+      // windows, which all shift after an edit). Map-only; the oracle
+      // re-derives the identical boundaries and chunk hashes
+      (s, dir) => TextOps.chunkContentDefined(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        window = 16, divisor = 64),
+      oracle = Some(
+        raw"""WITH d AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+           |cuts AS (
+           |  SELECT doc_id, unnest(list_filter(range(16, n), p ->
+           |    ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)), 1, 8))::BIGINT
+           |      % 64 = 0)) AS p
+           |  FROM d WHERE n - 1 >= 16),
+           |c2 AS (
+           |  SELECT d.doc_id, d.text, d.n, coalesce(cl.ps, []) AS ps
+           |  FROM d LEFT JOIN (
+           |    SELECT doc_id, list(p ORDER BY p) AS ps FROM cuts GROUP BY doc_id) cl
+           |  USING (doc_id)),
+           |ch AS (
+           |  SELECT doc_id, text,
+           |         list_prepend(CAST(0 AS BIGINT), list_append(ps, n)) AS bs,
+           |         unnest(range(0, len(ps) + 1)) AS i
+           |  FROM c2)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           |       CAST(bs[CAST(i AS INT) + 1] + 1 AS INT) AS start_char,
+           |       CAST(bs[CAST(i AS INT) + 2] - bs[CAST(i AS INT) + 1] AS INT) AS n_chars,
+           |       md5(substr(text, CAST(bs[CAST(i AS INT) + 1] + 1 AS INT),
+           |                  CAST(bs[CAST(i AS INT) + 2] - bs[CAST(i AS INT) + 1] AS INT)))
+           |         AS chunk_md5
+           |FROM ch
+           |WHERE bs[CAST(i AS INT) + 2] > bs[CAST(i AS INT) + 1]""".stripMargin)),
 
     GraftQuery("x17_distribution_match",
       // language-matched resampling: thin each bucket to the largest

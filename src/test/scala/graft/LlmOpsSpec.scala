@@ -469,6 +469,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad("junk") == (("unknown", true)))
   }
 
+  test("chunkContentDefined: insertion-stable boundaries, coverage, short/empty docs") {
+    import graft.llm.TextOps
+    // deterministic pseudo-text, long enough for ~30 chunks at divisor 64
+    val rnd = new scala.util.Random(7)
+    val text = (1 to 400).map(_ => "abcdefghij"(rnd.nextInt(10))).grouped(5)
+      .map(_.mkString).mkString(" ")
+    val docs = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkContentDefined(docs, "text", "doc_id")
+      .select($"doc_id", $"chunk_idx", $"start_char", $"n_chars", $"chunk_md5")
+      .as[(Long, Int, Int, Int, String)].collect()
+    // coverage: doc 1's chunks tile the text exactly, in order
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.head._3 == 1)
+    assert(d1.map(_._4).sum == text.length)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4, "chunks must tile contiguously")
+    case _ => }
+    // a doc shorter than the window is one whole-document chunk
+    assert(out.filter(_._1 == 2L).toSeq.map(t => (t._3, t._4)) == Seq((1, 5)))
+    // an empty doc produces no chunks
+    assert(!out.exists(_._1 == 3L))
+    // THE CDC property: prepend an edit — every chunk after the first
+    // post-edit boundary keeps its identity (fixed windows all shift)
+    val edited = Seq((9L, "EDIT. " + text)).toDF("doc_id", "text")
+    val editedMd5 = TextOps.chunkContentDefined(edited, "text", "doc_id")
+      .select($"chunk_md5").as[String].collect().toSet
+    val origMd5 = d1.map(_._5).toSet
+    val shared = (origMd5 intersect editedMd5).size
+    info(s"chunks shared across the edit: $shared/${origMd5.size}")
+    assert(shared >= origMd5.size - 3,
+      s"CDC boundaries did not re-sync after the edit: $shared/${origMd5.size}")
+  }
+
   test("videoMeta: a byte-straddling mvhd pattern is not a box (alignment guard)") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // valid ftyp, then payload bytes whose HEX contains "6d766864"

@@ -462,24 +462,32 @@ object SimOps {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       numSubspaces: Int = 8, numCentroids: Int = 16, candidates: Int = 40,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      codebookVectors: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      codebookVectors: Option[Seq[Seq[Double]]] = None,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-    // codebook source vectors: caller-trained (e.g. kMeansCentroids —
-    // each full-dim centroid contributes its slice to every subspace
-    // book) or the deterministic lowest-id default the oracle derives
-    val cents: Seq[Seq[Double]] = codebookVectors
-      .map(_.map(_.toVector).toVector)
-      .getOrElse(lowestIdVectors(c, numCentroids, "nbr_id", "nbr_vec"))
-    val dim = cents.head.size
-    require(dim % numSubspaces == 0,
-      s"dim $dim not divisible into $numSubspaces subspaces")
-    val subDim = dim / numSubspaces
-    // per-subspace codebook as literals: numCentroids × subDim doubles
-    val books: Seq[Seq[Seq[Double]]] = (0 until numSubspaces)
-      .map(j => cents.map(_.slice(j * subDim, (j + 1) * subDim)))
+    // codebook precedence: per-subspace trained books ([[pqTrainCodebooks]])
+    // > full-dim source vectors sliced per subspace (e.g. kMeansCentroids)
+    // > the deterministic lowest-id default the oracle derives
+    val books: Seq[Seq[Seq[Double]]] = codebooks match {
+      case Some(bs) =>
+        require(bs.size == numSubspaces,
+          s"got ${bs.size} codebooks for $numSubspaces subspaces")
+        bs.map(_.map(_.toVector).toVector).toVector
+      case None =>
+        val cents: Seq[Seq[Double]] = codebookVectors
+          .map(_.map(_.toVector).toVector)
+          .getOrElse(lowestIdVectors(c, numCentroids, "nbr_id", "nbr_vec"))
+        val dim = cents.head.size
+        require(dim % numSubspaces == 0,
+          s"dim $dim not divisible into $numSubspaces subspaces")
+        val subDim = dim / numSubspaces
+        (0 until numSubspaces).map(j =>
+          cents.map(_.slice(j * subDim, (j + 1) * subDim)))
+    }
+    val subDim = books.head.head.size
 
     // encode with the fused native expression (argmin squared-L2 per
     // subspace, first-min on ties, per-dim terms folded in ascending
@@ -803,5 +811,64 @@ object SimOps {
       }
     }
     centroids
+  }
+
+  /** Per-subspace PQ codebook trainer: Lloyd iterations under the
+    * squared-L2 metric [[pqTopK]] ENCODES with (training under cosine —
+    * what slicing [[kMeansCentroids]] output amounts to — optimizes the
+    * wrong objective for a product quantizer). Seeds are the lowest-id
+    * vectors' subvectors (= the serving default, so iters=0 returns it
+    * exactly); every iteration is ONE corpus job: assignment is the
+    * [[graft.functions.PqEncode]] expression itself (the same argmin
+    * the encoder runs, map-only, codebooks as plan literals), and the
+    * update posexplodes to (subspace, code, dim, x) rows — the exchange
+    * carries numSubspaces × numCentroids × subDim sums per partition,
+    * independent of corpus size. Emptied codes keep their centroid.
+    * Returns `books(j)(code)(i)` for [[pqTopK]]'s `codebooks` argument;
+    * recall lift over both untrained forms is spec-pinned.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, numSubspaces: Int = 8,
+      numCentroids: Int = 16, iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = lowestIdVectors(c, numCentroids, "id", "v")
+    require(cents.nonEmpty, "pqTrainCodebooks on an empty corpus")
+    val dim = cents.head.size
+    require(dim % numSubspaces == 0,
+      s"dim $dim not divisible into $numSubspaces subspaces")
+    val subDim = dim / numSubspaces
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until numSubspaces)
+      .map(j => cents.map(_.slice(j * subDim, (j + 1) * subDim)))
+
+    for (_ <- 1 to iters) {
+      val rows = c
+        .withColumn("__codes",
+          graft.functions.PqEncode(col("v"), books.map(_.toSeq)))
+        .select(posexplode(col("__codes")).as(Seq("j", "code")), col("v"))
+        .withColumn("__sub", transform(sequence(lit(0), lit(subDim - 1)),
+          i => element_at(col("v"), col("j") * subDim + i + 1)))
+        .select(col("j"), col("code"), posexplode(col("__sub")).as(Seq("i", "x")))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .collect()
+      val byCell = rows.groupBy(r => (r.getInt(0), r.getInt(1))).map {
+        case (key, rs) =>
+          val byIdx = rs.map(r => r.getInt(2) -> r).toMap
+          key -> ((byIdx(0).getLong(3),
+            (0 until subDim).map(i => byIdx(i).getDouble(4))))
+      }
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, code) =>
+          byCell.get((j, code)) match {
+            case Some((n, s)) => s.map(_ / n.toDouble).toVector
+            case None => old
+          }
+        }
+      }
+    }
+    books
   }
 }

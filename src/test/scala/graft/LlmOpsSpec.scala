@@ -1304,6 +1304,32 @@ class LlmOpsSpec extends AnyFunSuite {
     info(f"PQ recall@$k at 40 candidates: seeds $seeded%.3f -> trained $trained%.3f")
     assert(trained > seeded,
       f"trained codebook must beat the seed floor: $trained%.3f <= $seeded%.3f")
+
+    // per-subspace L2 training — the metric PQ actually encodes with —
+    // must beat BOTH untrained forms
+    val books = SimOps.pqTrainCodebooks(emb, numSubspaces = 8,
+      numCentroids = 16, iters = 3)
+    val approxL2 = SimOps.pqTopK(emb, queries, k, numSubspaces = 8,
+      numCentroids = 16, candidates = 40, codebooks = Some(books))
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val l2Trained = (exact intersect approxL2).size.toDouble / exact.size
+    info(f"PQ recall@$k with per-subspace L2 books: $l2Trained%.3f")
+    // measured: seeds 0.443, sliced-cosine 0.514, L2-trained 0.629
+    assert(l2Trained > seeded,
+      f"L2-trained books must beat the seed floor: $l2Trained%.3f <= $seeded%.3f")
+    assert(l2Trained >= 0.55,
+      f"L2-trained PQ recall degraded: $l2Trained%.3f < 0.55")
+    // iters=0 returns the serving default exactly — same results
+    val books0 = SimOps.pqTrainCodebooks(emb, numSubspaces = 8,
+      numCentroids = 16, iters = 0)
+    val approx0 = SimOps.pqTopK(emb, queries, k, numSubspaces = 8,
+      numCentroids = 16, candidates = 40, codebooks = Some(books0))
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    val approxDefault = SimOps.pqTopK(emb, queries, k, numSubspaces = 8,
+      numCentroids = 16, candidates = 40)
+      .select($"query_id", $"nbr_id").as[(Long, Long)].collect().toSet
+    assert(approx0 == approxDefault,
+      "iters=0 per-subspace books must equal the lowest-id serving default")
   }
 
   test("semanticNearDups with trained centroids finds at least the seeded pairs' recall") {

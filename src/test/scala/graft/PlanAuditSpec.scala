@@ -560,4 +560,37 @@ class PlanAuditSpec extends AnyFunSuite {
         s"vector payload in the coreset exchange:\n$b")
     }
   }
+
+  test("e10: trained-centroid IVF keeps the e3 serving shape — corpus never shuffled") {
+    val df = SparkEntry.queries("e10_ivf_trained")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // trained centroids are still plan literals: the probe join
+    // broadcasts the query side, no join regresses to sort-merge, and
+    // every shuffle exchange carries scalars (no vector payload)
+    assert(formatted.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$formatted")
+    assert(!formatted.contains("SortMergeJoin"),
+      s"a join in the trained-IVF plan regressed to sort-merge:\n$formatted")
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_vec#") && !b.contains("cellSims"),
+        s"vector payload shuffled in trained-IVF plan:\n$b")
+    }
+  }
+
+  test("x18: content-defined chunking is map-only — no exchange, text never shuffles") {
+    val df = SparkEntry.queries("x18_cdc_chunks")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // chunk boundaries, hashes and the explode all run inside the
+    // document's scan partition: the whole plan has no exchange at all
+    assert(!formatted.contains("Exchange"), s"CDC chunking shuffles:\n$formatted")
+    assert(!formatted.contains("Join"), s"CDC chunking joins:\n$formatted")
+  }
 }

@@ -813,6 +813,112 @@ object SimOps {
     centroids
   }
 
+  /** Persist an IVF index: the corpus assigned to its centroid cells,
+    * written as parquet PARTITIONED BY cell, plus a `_centroids`
+    * sidecar table — so serving ([[probeIvfIndex]]) reads only the
+    * probed cells' partitions (a `PartitionFilters`-pruned scan, the
+    * plan audit's evidence) instead of re-assigning the corpus per
+    * query batch.
+    *
+    * == 100 TB design ==
+    *
+    * This is the missing serving half of [[ivfTopK]]: assignment cost
+    * is paid ONCE at build (map-only, centroid literals), and every
+    * probe after that is a scan of nProbe/numCells of the data, pruned
+    * at the PARTITION level so the untouched cells' files are never
+    * opened. [[appendToIvfIndex]] assigns only the new batch against
+    * the SAME persisted centroids (map-only, append to its cell
+    * partitions) — the incremental maintenance a streaming corpus
+    * needs; probing build+append equals a from-scratch rebuild exactly
+    * (spec-pinned) because per-row assignment is stateless.
+    */
+  def buildIvfIndex(corpus: DataFrame, root: String, numCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None): Unit = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val cents: Seq[Seq[Double]] = centroids
+      .map(_.map(_.toVector).toVector)
+      .getOrElse(lowestIdVectors(c, numCells, "nbr_id", "nbr_vec"))
+    import spark.implicits._
+    cents.zipWithIndex.map { case (cv, cell) => (cell, cv) }
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$root/_centroids")
+    withNearestCell(c, cents, "nbr_vec", "cell", None)
+      .select(col("nbr_id"), col("nbr_vec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/cells")
+  }
+
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+      root: String): IndexedSeq[Seq[Double]] =
+    spark.read.parquet(s"$root/_centroids").orderBy(col("cell"))
+      .select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toVector).toIndexedSeq
+
+  /** Assign a new batch against the index's persisted centroids and
+    * append it to its cell partitions — map-only, touches only the
+    * cells the batch lands in. Cell ids stay stable, so existing
+    * entries are never rewritten.
+    */
+  def appendToIvfIndex(batch: DataFrame, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = indexCentroids(batch.sparkSession, root)
+    val c = batch.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    withNearestCell(c, cents, "nbr_vec", "cell", None)
+      .select(col("nbr_id"), col("nbr_vec"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
+  }
+
+  /** Serve top-k queries from a persisted IVF index: rank the index's
+    * cells per query (small query set by contract, as [[ivfTopK]]),
+    * then scan ONLY the union of probed cells — a static
+    * `cell IN (...)` filter the reader prunes at the partition level —
+    * and score/rank exactly like [[ivfTopK]]. Output and semantics are
+    * identical to `ivfTopK(corpus, queries, …)` with the same
+    * centroids (oracle-gated via e11).
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = indexCentroids(spark, root)
+    require(nProbe <= cents.size,
+      s"nProbe ($nProbe) must be <= number of cells (${cents.size})")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val cellSims = array(cents.map(ct =>
+      nanvl(cosine(col("q_vec"), typedLit(ct)), lit(-1d))): _*)
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cellSim").desc, col("cell"))
+    val probeCells = q.withColumn("cellSims", cellSims)
+      .select(col("query_id"),
+        posexplode(col("cellSims")).as(Seq("cell", "cellSim")))
+      .withColumn("cellRank", row_number().over(wCells))
+      .where(col("cellRank") <= nProbe)
+      .select(col("cell"), col("query_id"))
+    // the probed-cell union is <= queries × nProbe ints — a bounded
+    // driver collect that becomes the scan's static partition filter
+    val probedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$root/cells")
+      .where(col("cell").isin(probedCells: _*))
+    val qProbes = q.join(broadcast(probeCells), "query_id")
+      .select(col("cell"), col("query_id"), col("q_vec"))
+    val scored = assigned.join(broadcast(qProbes), "cell")
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** Per-subspace PQ codebook trainer: Lloyd iterations under the
     * squared-L2 metric [[pqTopK]] ENCODES with (training under cosine —
     * what slicing [[kMeansCentroids]] output amounts to — optimizes the

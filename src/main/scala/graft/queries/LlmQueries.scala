@@ -628,6 +628,34 @@ object LlmQueries extends QueryPack {
            |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
            |FROM rankd WHERE rank <= 5""".stripMargin)),
 
+    GraftQuery("e11_ivf_index_probe",
+      // the PERSISTED serving path: the corpus is assigned once and
+      // written partitioned by cell (plus a centroid sidecar), a later
+      // batch is appended incrementally against the same centroids, and
+      // the probe scans only the probed cells' partitions (partition-
+      // pruned — plan-audited). Results must equal the from-scratch
+      // ivfTopK plan, so e3's oracle gates the whole index lifecycle:
+      // build → incremental append → pruned probe
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = java.nio.file.Files.createTempDirectory("graft-ivf")
+          .toString + "/idx"
+        // centroids = the full corpus's lowest-id default (what the
+        // oracle derives); passed explicitly so the 80% build slice
+        // doesn't shift the seed set
+        val cents = emb.orderBy(col("vec_id")).limit(16)
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toVector).toSeq
+        SimOps.buildIvfIndex(emb.where(col("vec_id") % 5 =!= 4), root,
+          centroids = Some(cents))
+        SimOps.appendToIvfIndex(emb.where(col("vec_id") % 5 === 4), root)
+        SimOps.probeIvfIndex(s, root, emb.where(col("vec_id") % 50 === 0),
+          k = 5, nProbe = 4)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(ivfOracle(numCells = 16, nProbe = 4, k = 5))),
+
     GraftQuery("e4_pq_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

@@ -1380,6 +1380,18 @@ final class WarehouseTable private (
         .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
         .filter(_ <= minKept)
         .foreach(n => fs.delete(new Path(s"$historyDir/v$n"), true))
+    // abandoned staging output (a crashed writer's not-yet-swapped
+    // .merge-/.compact-/.restore-/.append- dir): claim recovery cannot
+    // attribute a staging dir to its claim, so the vacuum sweeps any
+    // older than the stale-claim timeout — a LIVE writer's staging is
+    // always younger than that by the claim-liveness argument
+    val cutoff = System.currentTimeMillis() - WarehouseTable.staleClaimTimeoutMs
+    val stagingPrefixes = Seq(".merge-", ".compact-", ".restore-", ".append-")
+    fs.listStatus(new Path(root)).toSeq
+      .filter(st => st.isDirectory &&
+        stagingPrefixes.exists(st.getPath.getName.startsWith) &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     removed
   }
 }

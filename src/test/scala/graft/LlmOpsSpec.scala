@@ -1358,6 +1358,39 @@ class LlmOpsSpec extends AnyFunSuite {
       f"trained centroids lost pair recall: $rTrained%.3f < $rSeed%.3f")
   }
 
+  test("IVF index: build + incremental append + probe equals from-scratch ivfTopK") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("ivf-idx").toString + "/idx"
+    val queries = emb.where($"vec_id" % 37 === 0)
+    val cents = emb.orderBy($"vec_id").limit(16)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toVector).toSeq
+    SimOps.buildIvfIndex(emb.where($"vec_id" % 3 =!= 2), root,
+      centroids = Some(cents))
+    SimOps.appendToIvfIndex(emb.where($"vec_id" % 3 === 2), root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"nbr_id", $"rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val probed = rows(SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 4))
+    val direct = rows(SimOps.ivfTopK(emb, queries, k = 5, nProbe = 4,
+      centroids = Some(cents)))
+    assert(probed == direct,
+      "persisted index probe diverged from the from-scratch plan")
+    // appending again with NEW ids only adds — existing results stable
+    // (clone NON-query vectors: a clone of a query vector would rightly
+    // become that query's sim-1.0 top hit)
+    SimOps.appendToIvfIndex(
+      emb.where($"vec_id" >= 1 && $"vec_id" < 5)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"),
+      root)
+    val after = rows(SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 4))
+    // the clones carry IDENTICAL vectors at higher ids: sim ties break
+    // to the lower id, so every rank-1 answer is unchanged (clones can
+    // only enter at worse ranks)
+    assert(after.filter(_._3 == 1) == probed.filter(_._3 == 1),
+      "appending id-shifted clones disturbed rank-1 results")
+  }
+
   // ---- large-k kMeans: blocked assignment stays codegen-compiled and
   //      byte-identical to the flat argmax semantics
 

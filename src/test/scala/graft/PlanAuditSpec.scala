@@ -583,6 +583,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e11: index probe scans ONLY the probed cells — PartitionFilters prune the rest") {
+    val df = SparkEntry.queries("e11_ivf_index_probe")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // the cell IN (...) predicate must reach the scan as a partition
+    // filter (cell is the physical partition column of the index), so
+    // unprobed cells' files are never opened
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe scan not partition-pruned on cell:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a probe join regressed to sort-merge:\n$plan")
+  }
+
   test("x18: content-defined chunking is map-only — no exchange, text never shuffles") {
     val df = SparkEntry.queries("x18_cdc_chunks")(spark, sf)
     df.collect()

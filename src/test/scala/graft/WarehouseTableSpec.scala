@@ -1240,6 +1240,27 @@ class WarehouseTableSpec extends AnyFunSuite {
       Set((1L, "a1"), (2L, "b1")))
   }
 
+  test("vacuum sweeps abandoned staging dirs, keeps a live writer's fresh one") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a1")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // an abandoned merge staging dir from a long-dead writer...
+    fs.mkdirs(path(s"$root/.merge-deadbeef/_pday=2024-01-05"))
+    fs.setTimes(path(s"$root/.merge-deadbeef"), 1000L, -1)
+    // ...and a live writer's staging created just now
+    fs.mkdirs(path(s"$root/.compact-11111111"))
+    t.vacuum(retainVersions = 1)
+    assert(!fs.exists(path(s"$root/.merge-deadbeef")),
+      "stale staging dir survived vacuum")
+    assert(fs.exists(path(s"$root/.compact-11111111")),
+      "fresh (live-writer) staging dir must not be swept")
+    // live data untouched
+    assert(t.read().count() == 1)
+  }
+
   test("append overlapping a winning swap on the same day aborts") {
     val root = tmpRoot()
     val t = mkTable(root)

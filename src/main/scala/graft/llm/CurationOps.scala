@@ -114,6 +114,60 @@ object CurationOps {
     * exact divisions of an integer rank by a literal weight, so the
     * order is engine-portable and reproducible under any layout.
     */
+  /** Curriculum staging: bucket rows into `numStages` easy→hard stages
+    * by a DISCRETIZED difficulty signal (char/token count, quality
+    * decile — anything with bounded distinct values), with a
+    * deterministic hash shuffle key WITHIN each stage — the standard
+    * curriculum-learning order (stage difficulty monotonically, never
+    * difficulty-sort inside a batch). Appends `stage` (0 = easiest) and
+    * `order_key`; consumers materialize the epoch order by writing
+    * sorted on `(stage, order_key)` (range-partition + sort-within,
+    * like [[exportShards]] — no global sort here).
+    *
+    * Stage cut: all rows sharing a difficulty value land in one stage
+    * (stage = ⌊rows-before × numStages / N⌋, capped) — ties never
+    * straddle a boundary, so the assignment is reproducible and
+    * oracle-exact, unlike `ntile`'s positional tie-splitting.
+    *
+    * == 100 TB design ==
+    *
+    * No global window: the stage map derives from the difficulty
+    * HISTOGRAM (one partial-aggregated groupBy; driver state =
+    * distinct difficulty values, bounded by the signal's
+    * discretization) and re-joins as a broadcast. The shuffle key is
+    * md5 arithmetic per row. Nothing row-count-sized ever sits on the
+    * driver and no exchange carries more than the histogram.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+      numStages: Int, salt: String = ""): DataFrame = {
+    require(numStages >= 1, s"numStages must be >= 1, got $numStages")
+    val hist = df.groupBy(col(difficultyCol).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__d")).collect()
+    val total = hist.map(_.getLong(1)).sum
+    require(total > 0, "curriculumOrder on an empty frame")
+    var before = 0L
+    val stages = hist.map { r =>
+      val stage = math.min(before * numStages / total, (numStages - 1).toLong)
+      before += r.getLong(1)
+      (r.get(0), stage.toInt)
+    }
+    val spark = df.sparkSession
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(stages.toSeq.map(s =>
+        org.apache.spark.sql.Row(s._1, s._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__d",
+          df.schema(difficultyCol).dataType),
+        org.apache.spark.sql.types.StructField("stage",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    df.join(broadcast(mapping), col(difficultyCol) === col("__d"))
+      .drop("__d")
+      .withColumn("order_key",
+        md5(to_binary(concat(col(idCol).cast("string"),
+          lit(s":$salt:curriculum")), lit("utf-8"))))
+  }
+
   def interleaveShards(df: DataFrame, sourceCol: String,
       weights: Map[String, Double], numShards: Int, keyCol: String,
       salt: String = ""): DataFrame = {

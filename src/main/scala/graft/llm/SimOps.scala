@@ -330,14 +330,14 @@ object SimOps {
     // NaN to -1: degenerate vectors land deterministically in the first
     // cell and rank last instead of first. (Assignment shards past 256
     // cells — see withNearestCell.)
-    def withCellSims(df: DataFrame, v: String): DataFrame = {
-      val blocks = cents.grouped(AssignBlock).toSeq.map(blk =>
-        array(blk.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*))
-      // one array() for the common ≤256-cell case (oracle-pinned plan);
-      // concat of ≤256-wide blocks past that, bounding each expression
+    def withCellSims(df: DataFrame, v: String): DataFrame =
       df.withColumn("cellSims",
-        if (blocks.size == 1) blocks.head else concat(blocks: _*))
-    }
+        // staged array() for the common ≤256-cell case (oracle-pinned
+        // plan); the CentroidSims native expression past that — same
+        // values, constant generated-code size (see NearestCentroid)
+        if (cents.size <= AssignBlock)
+          array(cents.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*)
+        else graft.functions.CentroidSims(col(v), cents))
     // first-occurrence argmax = highest sim, smallest cell on ties —
     // mirrored in the oracle as ORDER BY sim DESC, cell ASC
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
@@ -887,8 +887,13 @@ object SimOps {
       s"nProbe ($nProbe) must be <= number of cells (${cents.size})")
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-    val cellSims = array(cents.map(ct =>
-      nanvl(cosine(col("q_vec"), typedLit(ct)), lit(-1d))): _*)
+    // same two-regime sims expression as ivfTopK: staged array ≤256
+    // cells, CentroidSims native expression past that
+    val cellSims =
+      if (cents.size <= AssignBlock)
+        array(cents.map(ct =>
+          nanvl(cosine(col("q_vec"), typedLit(ct)), lit(-1d))): _*)
+      else graft.functions.CentroidSims(col("q_vec"), cents)
     val wCells = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cellSim").desc, col("cell"))

@@ -1695,6 +1695,29 @@ object LlmQueries extends QueryPack {
            |FROM ch
            |WHERE bs[CAST(i AS INT) + 2] > bs[CAST(i AS INT) + 1]""".stripMargin)),
 
+    GraftQuery("x19_curriculum_order",
+      // curriculum staging: 4 easy→hard stages cut from the n_chars
+      // histogram (ties never straddle a boundary — reproducible,
+      // unlike ntile), deterministic md5 shuffle key within stages.
+      // The stage map is O(distinct difficulty values) driver state
+      // re-joined broadcast — no global window anywhere
+      (s, dir) => CurationOps.curriculumOrder(
+        Tables.load(s, dir, "documents"), "doc_id", "n_chars", numStages = 4)
+        .select(col("doc_id"), col("n_chars"), col("stage"), col("order_key")),
+      oracle = Some(
+        """WITH h AS (SELECT n_chars AS d, count(*) AS c FROM documents GROUP BY 1),
+          |cum AS (
+          |  SELECT d, coalesce(sum(c) OVER (ORDER BY d
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          |  FROM h),
+          |tot AS (SELECT count(*) AS n FROM documents),
+          |s AS (
+          |  SELECT d, CAST(least(cb * 4 // n, 3) AS INT) AS stage
+          |  FROM cum CROSS JOIN tot)
+          |SELECT doc_id, n_chars, stage,
+          |       md5(doc_id || '::curriculum') AS order_key
+          |FROM documents JOIN s ON n_chars = s.d""".stripMargin)),
+
     GraftQuery("x17_distribution_match",
       // language-matched resampling: thin each bucket to the largest
       // subsample whose shares hit the 4-way-equal target (zh drops by

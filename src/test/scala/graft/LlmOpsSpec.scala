@@ -469,6 +469,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bad("junk") == (("unknown", true)))
   }
 
+  test("curriculumOrder: stages are difficulty-monotone, balanced, ties never straddle") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = CurationOps.curriculumOrder(docs, "doc_id", "n_chars", numStages = 4)
+      .select($"doc_id", $"n_chars", $"stage").as[(Long, Long, Int)].collect()
+    assert(out.length == docs.count())
+    // monotone: every row of stage s has difficulty <= every row of s+1
+    val byStage = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byStage.keySet == Set(0, 1, 2, 3))
+    (0 to 2).foreach { s =>
+      assert(byStage(s).max <= byStage(s + 1).min ||
+        // a shared boundary value must be entirely in ONE stage — so a
+        // max==min overlap can only mean distinct values, never a tie
+        byStage(s).max < byStage(s + 1).min,
+        s"stage $s difficulty overlaps stage ${s + 1}")
+    }
+    // a difficulty value maps to exactly one stage
+    val valueStages = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(valueStages.values.forall(_.size == 1), "a tie straddled a stage cut")
+    // roughly balanced: each stage within 2x of the ideal quarter
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).toMap
+    val ideal = out.length / 4.0
+    sizes.foreach { case (s, n) =>
+      assert(n > ideal / 2 && n < ideal * 2, s"stage $s badly unbalanced: $n vs $ideal")
+    }
+    // deterministic
+    val again = CurationOps.curriculumOrder(docs, "doc_id", "n_chars", 4)
+      .select($"doc_id", $"stage", $"order_key").as[(Long, Int, String)].collect().toSet
+    val first = CurationOps.curriculumOrder(docs, "doc_id", "n_chars", 4)
+      .select($"doc_id", $"stage", $"order_key").as[(Long, Int, String)].collect().toSet
+    assert(again == first)
+  }
+
   test("chunkContentDefined: insertion-stable boundaries, coverage, short/empty docs") {
     import graft.llm.TextOps
     // deterministic pseudo-text, long enough for ~30 chunks at divisor 64
@@ -1459,6 +1491,41 @@ class LlmOpsSpec extends AnyFunSuite {
     val rows = out.select($"cluster").as[Int].collect()
     assert(rows.length == 4000)
     assert(rows.forall(cl => cl >= 0 && cl < 1024))
+  }
+
+  test("CentroidSims parity with the staged sims array; 300-cell IVF stays codegen'd") {
+    import graft.llm.SimOps
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.orderBy($"vec_id").limit(8)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toVector).toSeq
+    // bit-exact parity: same left-to-right fold, same NaN coalescing
+    val staged = emb.select($"vec_id",
+      array(cents.map(ct => nanvl(SimOps.cosine($"embedding", typedLit(ct)),
+        lit(-1d))): _*).as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val native = emb.select($"vec_id",
+      graft.functions.CentroidSims($"embedding", cents).as("s"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(native == staged, "CentroidSims diverged from the staged array form")
+
+    // past the 256-cell regime both the probe ranking and the corpus
+    // assignment run the native expressions — the IVF serve must stay
+    // inside whole-stage codegen and return a full result
+    val cents300 = emb.orderBy($"vec_id").limit(300)
+      .select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toVector).toSeq
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val out = SimOps.ivfTopK(emb, queries, k = 3, nProbe = 8,
+      centroids = Some(cents300))
+    val rows = out.collect()
+    assert(rows.length == queries.count() * 3)
+    import org.apache.spark.sql.execution.debug
+    debug.codegenStringSeq(out.queryExecution.executedPlan).foreach {
+      case (subtree, _, bc) =>
+        assert(bc.maxMethodCodeSize > 0 && bc.maxMethodCodeSize < 8000,
+          s"300-cell IVF codegen out of bounds (${bc.maxMethodCodeSize}):\n$subtree")
+    }
   }
 
   test("kMeans high-dim update (posexplode path) still splits separated blobs") {

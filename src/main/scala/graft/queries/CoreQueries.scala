@@ -1241,6 +1241,73 @@ object CoreQueries extends QueryPack {
           |FROM ev e JOIN c USING (user_id)
           |GROUP BY 1, 2""".stripMargin)),
 
+    GraftQuery("a27_chi2_independence",
+      // Pearson chi-square independence test of lang × source: the full
+      // contingency grid INCLUDING zero-observed cells (their (0−e)²/e
+      // = e still contributes — joining only observed pairs understates
+      // the statistic). Marginals are partial-aggregated scalars; the
+      // grid is |langs|×|sources| rows — driver-trivial at any corpus
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val obs = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("double").as("o"))
+        val rt = d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("rt"))
+        val ct = d.groupBy(col("source")).agg(count(lit(1)).cast("double").as("ct"))
+        val n = d.agg(count(lit(1)).cast("double").as("n"))
+        rt.crossJoin(ct).join(obs, Seq("lang", "source"), "left")
+          .na.fill(0.0, Seq("o"))
+          .crossJoin(broadcast(n))
+          .withColumn("e", col("rt") * col("ct") / col("n"))
+          .agg(
+            round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+            ((countDistinct(col("lang")) - 1) *
+              (countDistinct(col("source")) - 1)).cast("int").as("dof"))
+      },
+      oracle = Some(
+        """WITH o AS (
+          |  SELECT lang, source, count(*)::DOUBLE AS o FROM documents GROUP BY 1, 2),
+          |r AS (SELECT lang, count(*)::DOUBLE AS rt FROM documents GROUP BY 1),
+          |c AS (SELECT source, count(*)::DOUBLE AS ct FROM documents GROUP BY 1),
+          |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+          |grid AS (
+          |  SELECT r.lang, c.source, r.rt, c.ct, coalesce(o.o, 0) AS o
+          |  FROM r CROSS JOIN c LEFT JOIN o USING (lang, source))
+          |SELECT round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 6) AS chi2,
+          |       CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS INT) AS dof
+          |FROM grid CROSS JOIN n""".stripMargin)),
+
+    GraftQuery("a28_last_touch",
+      // last-touch attribution: each purchase credits the user's most
+      // recent PRIOR non-purchase event type; purchases with no prior
+      // touch are unattributed (dropped). One user-partitioned window
+      // pass (scalars only), then a |types|-row aggregate
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .withColumn("touch",
+            last(when(col("event_type") =!= "purchase", col("event_type")),
+              ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase" && col("touch").isNotNull)
+          .groupBy(col("touch"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 6).as("attributed_value"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_type, value,
+          |         last_value(CASE WHEN event_type <> 'purchase'
+          |                         THEN event_type END IGNORE NULLS)
+          |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |           AS touch
+          |  FROM events)
+          |SELECT touch, count(*) AS n_purchases,
+          |       round(sum(value), 6) AS attributed_value
+          |FROM t WHERE event_type = 'purchase' AND touch IS NOT NULL
+          |GROUP BY touch""".stripMargin)),
+
     GraftQuery("a21_markov_transitions",
       // first-order event-sequence model: per-user ordered lag pairs →
       // global transition counts and row-normalized probabilities. One

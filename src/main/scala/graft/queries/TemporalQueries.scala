@@ -48,6 +48,31 @@ object TemporalQueries extends QueryPack {
           |FROM sess GROUP BY 1, 2""".stripMargin),
       headline = true),
 
+    GraftQuery("a26_hopping_window",
+      // hopping (sliding) 1-hour windows every 15 minutes via Spark's
+      // native window() — each event lands in exactly 4 epoch-aligned
+      // windows; the oracle expands the same 4 covering starts with
+      // integer microsecond arithmetic. The streaming-capable form:
+      // with a watermark this exact plan runs on an unbounded stream
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("total_value"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("n_events"), col("total_value")),
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT epoch_ns(ts) // 1000 AS us, value FROM events),
+          |cover AS (
+          |  SELECT ((us // 900000000) - k.k) * 900000000 AS start_us, value
+          |  FROM ev CROSS JOIN generate_series(0, 3) AS k(k))
+          |SELECT make_timestamp(start_us) AS w_start,
+          |       make_timestamp(start_us + 3600000000) AS w_end,
+          |       count(*) AS n_events,
+          |       round(sum(value), 6) AS total_value
+          |FROM cover GROUP BY start_us""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

@@ -137,6 +137,10 @@ object CurationOps {
     * discretization) and re-joins as a broadcast. The shuffle key is
     * md5 arithmetic per row. Nothing row-count-sized ever sits on the
     * driver and no exchange carries more than the histogram.
+    *
+    * Rows with a NULL difficulty are dropped (the equi-join never
+    * matches them) — a curriculum needs a signal; filter or impute
+    * upstream if they must be kept.
     */
   def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
       numStages: Int, salt: String = ""): DataFrame = {

@@ -605,6 +605,37 @@ object TextOps {
         col("__c.h").as("chunk_md5"))
   }
 
+  /** Chunk-level novelty of a new batch against a standing corpus: for
+    * every batch document, how many of its content-defined chunks
+    * ([[chunkContentDefined]]) have never been seen in the corpus —
+    * the dedup-aware training-value signal (a re-crawled page whose
+    * chunks are 95% known contributes 5% new text, whatever its
+    * document-level hash says). Returns
+    * `(idCol, n_chunks, novel_chunks, novelty)` per batch document;
+    * documents with no chunks (empty text) produce no row.
+    *
+    * Scale: both sides reduce to `(doc, chunk_md5)` scalars map-side
+    * (text never crosses an exchange — the x18 discipline), the seen
+    * set dedups to distinct hashes, and the novelty probe is one
+    * anti join on the 16-byte hash. CDC boundaries make the signal
+    * edit-stable: an insertion early in a re-crawled page leaves later
+    * chunks byte-identical, so they still match the corpus.
+    */
+  def chunkNovelty(corpus: DataFrame, batch: DataFrame, textCol: String,
+      idCol: String, window: Int = 16, divisor: Int = 64): DataFrame = {
+    val seen = chunkContentDefined(corpus, textCol, idCol, window, divisor)
+      .select(col("chunk_md5")).distinct()
+    val bc = chunkContentDefined(batch, textCol, idCol, window, divisor)
+      .select(col(idCol), col("chunk_md5"))
+    val totals = bc.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+    val novel = bc.join(seen, Seq("chunk_md5"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("novel_chunks"))
+    totals.join(novel, Seq(idCol), "left")
+      .na.fill(0L, Seq("novel_chunks"))
+      .withColumn("novelty",
+        round(col("novel_chunks") / col("n_chunks"), 6))
+  }
+
   /** Positional inverted index: one `(term, doc, pos)` row per token —
     * the IR structure behind phrase/proximity search that a bag-of-words
     * ranking (BM25, [[bm25Scores]]) cannot answer. Tokenization is the

@@ -1718,6 +1718,32 @@ object LlmQueries extends QueryPack {
           |       md5(doc_id || '::curriculum') AS order_key
           |FROM documents JOIN s ON n_chars = s.d""".stripMargin)),
 
+    GraftQuery("x20_chunk_novelty",
+      // chunk-level novelty of a new crawl (doc_id % 5 = 4) vs the
+      // standing corpus: per new doc, the count and fraction of its
+      // CDC chunks never seen before — the dedup-aware training-value
+      // signal. Both sides shrink to (doc, hash) scalars map-side; the
+      // probe is one anti join on the hash
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TextOps.chunkNovelty(
+          d.where(col("doc_id") % 5 =!= 4),
+          d.where(col("doc_id") % 5 === 4),
+          "text", "doc_id")
+      },
+      oracle = Some(
+        s"""WITH ${cdcChunkSql("c", "doc_id % 5 <> 4")},
+           |${cdcChunkSql("b", "doc_id % 5 = 4")},
+           |seen AS (SELECT DISTINCT chunk_md5 FROM chunks_c),
+           |tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks_b GROUP BY 1),
+           |nov AS (
+           |  SELECT doc_id, count(*) AS novel FROM chunks_b
+           |  WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM seen)
+           |  GROUP BY 1)
+           |SELECT t.doc_id, t.n_chunks, coalesce(nov.novel, 0) AS novel_chunks,
+           |       round(coalesce(nov.novel, 0) / t.n_chunks, 6) AS novelty
+           |FROM tot t LEFT JOIN nov USING (doc_id)""".stripMargin)),
+
     GraftQuery("x17_distribution_match",
       // language-matched resampling: thin each bucket to the largest
       // subsample whose shares hit the 4-way-equal target (zh drops by
@@ -1919,6 +1945,38 @@ object LlmQueries extends QueryPack {
        |  SELECT src, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
        |SELECT id AS vec_id FROM c
        |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin
+
+  /** CDC chunk CTE chain for a filtered slice of `documents` (window 16,
+    * divisor 64 — the x18 parameters): emits `chunks_<sfx>(doc_id,
+    * chunk_md5)` plus its intermediates, suffixed so two slices compose
+    * in one WITH (x20 derives corpus and batch chunk sets this way).
+    */
+  private def cdcChunkSql(sfx: String, pred: String): String =
+    raw"""d_$sfx AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE $pred),
+       |cuts_$sfx AS (
+       |  SELECT doc_id, unnest(list_filter(range(16, n), p ->
+       |    ('0x' || substr(md5(substr(text, CAST(p - 15 AS INT), 16)), 1, 8))::BIGINT
+       |      % 64 = 0)) AS p
+       |  FROM d_$sfx WHERE n - 1 >= 16),
+       |c2_$sfx AS (
+       |  SELECT d.doc_id, d.text, d.n, coalesce(cl.ps, []) AS ps
+       |  FROM d_$sfx d LEFT JOIN (
+       |    SELECT doc_id, list(p ORDER BY p) AS ps FROM cuts_$sfx GROUP BY doc_id) cl
+       |  USING (doc_id)),
+       |ch_$sfx AS (
+       |  SELECT doc_id, text,
+       |         list_prepend(CAST(0 AS BIGINT), list_append(ps, n)) AS bs,
+       |         unnest(range(0, len(ps) + 1)) AS i
+       |  FROM c2_$sfx),
+       |chunks_$sfx AS (
+       |  SELECT doc_id,
+       |         md5(substr(text, CAST(bs[CAST(i AS INT) + 1] + 1 AS INT),
+       |                    CAST(bs[CAST(i AS INT) + 2] - bs[CAST(i AS INT) + 1] AS INT)))
+       |           AS chunk_md5
+       |  FROM ch_$sfx
+       |  WHERE bs[CAST(i AS INT) + 2] > bs[CAST(i AS INT) + 1])""".stripMargin
 
   /** DuckDB oracle prefix for [[SimOps.kMeans]]: the identical Lloyd's
     * iterations unrolled as chained CTEs — lowest-id seeds, cosine

@@ -57,6 +57,89 @@ object CurationOps {
   def hashBucket(key: Column, n: Int, salt: String = ""): Column =
     floor(hashUnit(key, salt) * n).cast("int")
 
+  /** DSIR-style targeted data selection (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * every raw-pool document is scored by the log-likelihood ratio of a
+    * hashed-unigram bag-of-words model of the TARGET domain against one
+    * of the raw pool, deterministic Gumbel noise is added, and the top
+    * `n` survive — importance resampling that shifts the selected
+    * corpus toward the target distribution without training a
+    * classifier.
+    *
+    * Features are whitespace tokens of the normalized text hashed into
+    * `buckets` counts (the paper's hashed n-gram estimator, unigram
+    * shingles); both distributions are Laplace-smoothed (+1 per
+    * bucket). Per-doc weight = Σ_tokens log2(p̂_target(b) / p̂_raw(b)).
+    * Gumbel-top-n equals sampling-without-replacement proportional to
+    * softmax of the weights (Vieira 2014); the Gumbel derives from the
+    * keyed md5 uniform shifted strictly inside (0,1) — u = (h+0.5)/2³²
+    * — so `-ln(-ln(u))` is always finite and the draw is a pure
+    * function of (id, salt) the oracle replays exactly.
+    *
+    * Returns `(idCol, n_tokens, weight, score, rank)` for the selected
+    * docs; token-less documents never enter the pool (they have no
+    * term-frequency rows — mirrored in the oracle).
+    *
+    * == 100 TB design ==
+    *
+    * Token streams compress to the (doc, token, tf) term-frequency
+    * relation before anything wide happens (the t11/t12 wordcount
+    * shape, Zipf-compressed per doc). Bucket models aggregate to
+    * `buckets` rows (map-side partial sums) and BROADCAST back onto
+    * the tf relation; the per-doc weight is one partial-aggregated
+    * groupBy on (id) scalars. Selection is a distributed TakeOrdered
+    * (orderBy + limit = per-partition top-n, never a global window
+    * over the pool); the rank window runs on the n selected rows only.
+    * Ranking keys round to 6 decimals so the order is stable across
+    * engines' last-ulp `log` differences.
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, n: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 64, salt: String = "dsir"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    def tf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"),
+        explode(filter(split(TextOps.normalizeText(col(textCol)), " "),
+          t => length(t) > 0)).as("__tok"))
+      .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
+      .withColumn("__b", pmod(
+        conv(substring(md5(to_binary(col("__tok"), lit("utf-8"))), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)))
+    val rawTf = tf(raw)
+    val tgtTf = tf(target)
+    val tc = tgtTf.groupBy("__b").agg(sum("__tf").as("__tc"))
+    val rc = rawTf.groupBy("__b").agg(sum("__tf").as("__rc"))
+    val tTot = tgtTf.agg(sum("__tf").as("__tt"))
+    val rTot = rawTf.agg(sum("__tf").as("__rt"))
+    // per-token log-ratio: smoothed-count products stay exact int64
+    // (then one exact int→double conversion each) so both engines feed
+    // log2 the identical double; per-doc sums reorder across engines
+    // but the 6-decimal round absorbs reassociation noise (t11 idiom)
+    val wt = rawTf
+      .join(broadcast(tc), Seq("__b"), "left")
+      .join(broadcast(rc), Seq("__b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("__lw", log2(
+        ((coalesce(col("__tc"), lit(0L)) + 1) * (col("__rt") + buckets)) /
+          ((coalesce(col("__rc"), lit(0L)) + 1) * (col("__tt") + buckets))))
+      .groupBy("__id")
+      .agg(sum("__tf").as("n_tokens"),
+        sum(col("__tf") * col("__lw")).as("__w"))
+    val h = conv(substring(md5(to_binary(
+      concat(col("__id").cast("string"), lit(":" + salt)), lit("utf-8"))),
+      1, 8), 16, 10).cast("long").cast("double")
+    val scored = wt.withColumn("score",
+      col("__w") - log(-log((h + 0.5) / 4294967296.0)))
+    val w = Window.orderBy(round(col("score"), 6).desc, col("__id"))
+    scored
+      .orderBy(round(col("score"), 6).desc, col("__id")).limit(n)
+      .withColumn("rank", row_number().over(w))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        round(col("__w"), 6).as("weight"),
+        round(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Attach a `split` column partitioning the frame into `n` equal
     * hash-buckets (see [[hashBucket]]).
     */

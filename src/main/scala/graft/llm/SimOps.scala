@@ -535,6 +535,124 @@ object SimOps {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** IVF-PQ approximate top-k (the IVFADC serving shape of Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the coarse IVF quantizer prunes the corpus
+    * to each query's `nProbe` nearest cells, PQ codes stand in for the
+    * raw vectors INSIDE the probed cells (asymmetric scoring: query
+    * against the code reconstruction), and the top `candidates` per
+    * query re-rank by exact cosine. Composes [[ivfTopK]]'s pruning with
+    * [[pqTopK]]'s compressed scan — the canonical billion-scale layout.
+    *
+    * == 100 TB design ==
+    *
+    * Both quantizers ride in the plan as literals, so cell assignment
+    * AND encoding are one map-only staged projection over the corpus —
+    * the corpus is never shuffled and its vectors never cross an
+    * exchange. The probe join broadcasts the query probes against the
+    * `(cell, id, recon)` rows; relative to [[ivfTopK]] the probed-cell
+    * scan touches reconstructions instead of raw vectors (PQ's
+    * compression win: at 8×16 codes the per-row payload a 100 TB scan
+    * materializes is ~8 bytes, not 8 × dim), and relative to [[pqTopK]]
+    * the approximate pass scores O(corpus × nProbe / numCells) rows
+    * instead of O(corpus). Exact vectors return only for
+    * `queries × candidates` rows via broadcast semi joins on id.
+    *
+    * Both quantizers default to the deterministic lowest-id convention
+    * (oracle-derivable); pass `centroids` / `codebooks` (from
+    * [[kMeansCentroids]] / [[pqTrainCodebooks]]) for trained serving —
+    * the plan shape is identical either way.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nProbe: Int = 4,
+      numSubspaces: Int = 8, numCentroids: Int = 16, candidates: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Seq[Seq[Double]]] = None,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val cents: Seq[Seq[Double]] = centroids
+      .map(_.map(_.toVector).toVector)
+      .getOrElse(lowestIdVectors(c, numCells, "nbr_id", "nbr_vec"))
+    require(nProbe <= cents.size,
+      s"nProbe ($nProbe) must be <= number of cells (${cents.size})")
+    require(candidates >= k,
+      s"candidates ($candidates) must be >= k ($k)")
+    // PQ codebook: trained books or the lowest-id default sliced per
+    // subspace — the same precedence contract as pqTopK
+    val books: Seq[Seq[Seq[Double]]] = codebooks match {
+      case Some(bs) =>
+        require(bs.size == numSubspaces,
+          s"got ${bs.size} codebooks for $numSubspaces subspaces")
+        bs.map(_.map(_.toVector).toVector).toVector
+      case None =>
+        val pc = lowestIdVectors(c, numCentroids, "nbr_id", "nbr_vec")
+        val dim = pc.head.size
+        require(dim % numSubspaces == 0,
+          s"dim $dim not divisible into $numSubspaces subspaces")
+        val subDim = dim / numSubspaces
+        (0 until numSubspaces).map(j =>
+          pc.map(_.slice(j * subDim, (j + 1) * subDim)))
+    }
+
+    // one map-only pass over the corpus: coarse cell + PQ codes +
+    // staged reconstruction (per corpus row, never per (row, query))
+    val recon = flatten(array((0 until numSubspaces)
+      .map(j => element_at(typedLit(books(j)),
+        element_at(col("_codes"), j + 1) + 1)): _*))
+    val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
+      .withColumn("_codes", graft.functions.PqEncode(col("nbr_vec"), books))
+      .select(col("nbr_id"), col("cell"), recon.as("_recon"))
+
+    // queries rank cells on scalars (same staged form ivfTopK audits),
+    // then hang their vectors back on via a broadcast join
+    def withCellSims(df: DataFrame, v: String): DataFrame =
+      df.withColumn("cellSims",
+        if (cents.size <= AssignBlock)
+          array(cents.map(ct => nanvl(cosine(col(v), typedLit(ct)), lit(-1d))): _*)
+        else graft.functions.CentroidSims(col(v), cents))
+    val wCells = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cellSim").desc, col("cell"))
+    val probeCells = withCellSims(q, "q_vec")
+      .select(col("query_id"),
+        posexplode(col("cellSims")).as(Seq("cell", "cellSim")))
+      .withColumn("cellRank", row_number().over(wCells))
+      .where(col("cellRank") <= nProbe)
+      .select(col("cell"), col("query_id"))
+    val qProbes = q.join(broadcast(probeCells), "query_id")
+      .select(col("cell"), col("query_id"), col("q_vec"))
+
+    // asymmetric scan of the probed cells only: approx cosine against
+    // the reconstruction; NaN (zero-norm) pins to -1 = ranks last
+    val approx = assigned.join(broadcast(qProbes), "cell")
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("nbr_id"))
+    val cand = approx
+      .withColumn("_crank", row_number().over(wc))
+      .where(col("_crank") <= candidates)
+      .select(col("query_id"), col("nbr_id"))
+
+    // exact rerank of the candidate pool — corpus side stays map-only
+    val exact = c.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    exact
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
   /** Scalar-quantization (SQ8) ANN: every dimension is affinely mapped
     * to an integer code in `[0, levels-1]` using the corpus's exact
     * per-dimension `[min, max]` range, queries rank the whole corpus by

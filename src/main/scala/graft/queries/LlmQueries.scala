@@ -667,6 +667,24 @@ object LlmQueries extends QueryPack {
         candidates = 40, k = 5, subDim = 8)),
       headline = true),
 
+    GraftQuery("e12_ivfpq_topk",
+      // IVF-PQ (IVFADC): coarse cells prune the corpus per query, PQ
+      // reconstructions stand in for vectors inside the probed cells,
+      // exact rerank of the candidate pool — the billion-scale serving
+      // composition of e3's pruning and e4's compressed scan, with both
+      // quantizers on the deterministic lowest-id convention so the
+      // oracle re-derives the identical pipeline
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.ivfPqTopK(emb, emb.where(col("vec_id") % 50 === 0), k = 5,
+          numCells = 16, nProbe = 4, numSubspaces = 8, numCentroids = 16,
+          candidates = 40)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(ivfPqOracle(numCells = 16, nProbe = 4, numSubspaces = 8,
+        numCentroids = 16, candidates = 40, k = 5, subDim = 8))),
+
     GraftQuery("e5_sq_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1588,6 +1606,58 @@ object LlmQueries extends QueryPack {
           |SELECT doc_id, source, n_chars, tier
           |FROM s ORDER BY sc DESC, doc_id LIMIT 100""".stripMargin)),
 
+    GraftQuery("x21_dsir_sample",
+      // DSIR importance resampling: hashed-unigram likelihood ratio of
+      // the src0 target domain vs the rest of the pool, Gumbel-top-100
+      // (deterministic md5 Gumbel) — the distribution-shifting data
+      // selection of Xie et al. 2023, oracle-replayed end-to-end
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        CurationOps.dsirSample(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          n = 100, buckets = 64, salt = "dsir")
+      },
+      oracle = Some(
+        raw"""WITH norm AS (
+           |  SELECT doc_id, source,
+           |         list_filter(string_split($normSql, ' '), t -> t <> '') AS toks
+           |  FROM documents),
+           |tfr AS (
+           |  SELECT doc_id, source, t AS token, count(*) AS tf
+           |  FROM (SELECT doc_id, source, unnest(toks) AS t FROM norm) z
+           |  GROUP BY 1, 2, 3),
+           |tfb AS (
+           |  SELECT doc_id, source, tf,
+           |         ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS b
+           |  FROM tfr),
+           |tcnt AS (SELECT b, sum(tf) AS tc FROM tfb WHERE source = 'src0' GROUP BY b),
+           |rcnt AS (SELECT b, sum(tf) AS rc FROM tfb WHERE source <> 'src0' GROUP BY b),
+           |tot AS (SELECT
+           |  (SELECT coalesce(sum(tf), 0) FROM tfb WHERE source = 'src0') AS tt,
+           |  (SELECT coalesce(sum(tf), 0) FROM tfb WHERE source <> 'src0') AS rt),
+           |wt AS (
+           |  SELECT f.doc_id, CAST(sum(f.tf) AS BIGINT) AS n_tokens,
+           |         sum(f.tf * log2(
+           |           ((coalesce(t.tc, 0) + 1) * (tot.rt + 64)) /
+           |           ((coalesce(r.rc, 0) + 1) * (tot.tt + 64)))) AS w
+           |  FROM tfb f LEFT JOIN tcnt t USING (b) LEFT JOIN rcnt r USING (b)
+           |       CROSS JOIN tot
+           |  WHERE f.source <> 'src0'
+           |  GROUP BY f.doc_id),
+           |sc AS (
+           |  SELECT doc_id, n_tokens, w,
+           |         w - ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))::BIGINT)
+           |             + 0.5) / 4294967296.0)) AS score
+           |  FROM wt),
+           |sel AS (
+           |  SELECT doc_id, n_tokens, w, score FROM sc
+           |  ORDER BY round(score, 6) DESC, doc_id LIMIT 100)
+           |SELECT doc_id, n_tokens, round(w, 6) AS weight,
+           |       round(score, 6) AS score,
+           |       row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+           |FROM sel""".stripMargin)),
+
     GraftQuery("x12_curation_pipeline",
       // the operators COMPOSED as a real curation run: exact dedup →
       // token-count quality gate → reproducible 60% sample → per-source
@@ -2084,6 +2154,73 @@ object LlmQueries extends QueryPack {
        |  SELECT qc.id AS query_id, r.id AS nbr_id, ${cosSql("qc.v", "r.rv")} AS approx
        |  FROM recon r CROSS JOIN (SELECT id, v FROM c WHERE id % 50 = 0) qc
        |  WHERE qc.id <> r.id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY approx DESC, nbr_id) AS rn
+       |    FROM apx) t WHERE rn <= $candidates),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id, ${cosSql("qv.v", "nv.v")} AS sim
+       |  FROM cand JOIN c qv ON qv.id = cand.query_id
+       |            JOIN c nv ON nv.id = cand.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** DuckDB oracle for the IVF-PQ top-k: [[ivfOracle]]'s coarse cell
+    * assignment and probe composed with [[pqOracle]]'s codebook /
+    * encode / reconstruction, the approximate scan restricted to probed
+    * cells, exact rerank of the candidate pool — [[SimOps.ivfPqTopK]]
+    * re-derived end-to-end in SQL.
+    */
+  private def ivfPqOracle(numCells: Int, nProbe: Int, numSubspaces: Int,
+      numCentroids: Int, candidates: Int, k: Int, subDim: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells) t),
+       |sims AS (
+       |  SELECT c.id, c.v, cent.cell, ${cosSql("c.v", "cent.cv")} AS sim
+       |  FROM c CROSS JOIN cent),
+       |asgn AS (
+       |  SELECT id, cell FROM (
+       |    SELECT id, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT id AS query_id, v AS qv, cell FROM (
+       |    SELECT id, v, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE id % 50 = 0) t WHERE rn <= $nProbe),
+       |pcent AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+       |  FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCentroids) t),
+       |sub AS (
+       |  SELECT c.id, j.j, pcent.cid,
+       |         list_sum(list_transform(generate_series(1, $subDim), i ->
+       |           (c.v[j.j*$subDim + i] - pcent.cv[j.j*$subDim + i])
+       |           * (c.v[j.j*$subDim + i] - pcent.cv[j.j*$subDim + i]))) AS d2
+       |  FROM c, generate_series(0, ${numSubspaces - 1}) AS j(j), pcent),
+       |codes AS (
+       |  SELECT id, j, cid FROM (
+       |    SELECT id, j, cid,
+       |           row_number() OVER (PARTITION BY id, j ORDER BY d2, cid) AS rn
+       |    FROM sub) t WHERE rn = 1),
+       |recon AS (
+       |  SELECT codes.id,
+       |         flatten(list(list_slice(pcent.cv, codes.j*$subDim + 1,
+       |                                 (codes.j+1)*$subDim) ORDER BY codes.j)) AS rv
+       |  FROM codes JOIN pcent USING (cid)
+       |  GROUP BY codes.id),
+       |apx AS (
+       |  SELECT q.query_id, a.id AS nbr_id, ${cosSql("q.qv", "r.rv")} AS approx
+       |  FROM qprobe q JOIN asgn a USING (cell) JOIN recon r ON r.id = a.id
+       |  WHERE q.query_id != a.id),
        |cand AS (
        |  SELECT query_id, nbr_id FROM (
        |    SELECT query_id, nbr_id,

@@ -196,6 +196,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e12: IVF-PQ — corpus map-only, probe/rerank broadcast, scalar shuffles") {
+    val df = SparkEntry.queries("e12_ivfpq_topk")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // same contract as e3 plus the PQ leg: the probed-cell join and the
+    // exact-rerank joins broadcast the small side; the corpus is
+    // assigned + encoded in one map-only projection and never shuffled
+    assert(formatted.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$formatted")
+    assert(!formatted.contains("SortMergeJoin"),
+      s"a join in the IVF-PQ plan regressed to sort-merge:\n$formatted")
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("_recon") &&
+        !b.contains("cellSims") && !b.contains("_codes"),
+        s"vector/code payload shuffled in IVF-PQ plan:\n$b")
+    }
+  }
+
   test("d9: cell exchanges carry (cell,id) only — vectors re-join by id") {
     val df = SparkEntry.queries("d9_semantic_dedup")(spark, sf)
     df.collect()

@@ -245,6 +245,67 @@ object TemporalOps {
     * (transformWithState — see graft.streaming.StreamOps).
     * Output: `keys` + kept rows' (`tsCol`, `tieCol`).
     */
+  /** Two-sided CUSUM changepoint detection per key (Page 1954): over
+    * each key's series ordered by (`tsCol`, `tieCol`),
+    * `s⁺ᵢ = max(0, s⁺ᵢ₋₁ + (xᵢ − μ − k))` and
+    * `s⁻ᵢ = max(0, s⁻ᵢ₋₁ + (μ − xᵢ − k))` accumulate evidence of an
+    * upward / downward mean shift against the key's own mean μ, with
+    * slack `k` absorbing in-control noise; an index alarms when either
+    * statistic exceeds `threshold`. The standard sequential drift
+    * detector for data pipelines (a corpus/source whose quality or
+    * volume signal drifts mid-stream alarms here long before a global
+    * mean moves). Returns per key: `n_obs`, `max_pos`, `max_neg`,
+    * `n_alarms`, `first_alarm` (1-based index, null if never).
+    *
+    * The recursion is a non-linear fold (the max-with-0 reflection), so
+    * it cannot be a window sum: each key's series is gathered, sorted,
+    * and folded in order — per-key series must fit an executor (the
+    * same per-entity contract as [[throttle]] and sessionize; keys are
+    * entities, not the corpus). The groupBy shuffles `(key, ts, tie,
+    * x)` scalars once; the fold is map-side arithmetic.
+    *
+    * Determinism note: μ = Σx/n is float-sum-order-sensitive in
+    * general; feed integer-valued doubles (e.g. cents) and every
+    * partial sum is exact, making μ — and the whole fold — bit-equal
+    * across engines and partitionings.
+    */
+  def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String,
+      slack: Double, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val item = struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+      col(valueCol).cast("double").as("x"))
+    val grouped = df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(item)).as("_evs"),
+        (sum(col(valueCol).cast("double")) / count(lit(1))).as("_mu"),
+        count(lit(1)).as("n_obs"))
+    val acc0 = struct(lit(0.0).as("sp"), lit(0.0).as("sn"),
+      lit(0.0).as("mp"), lit(0.0).as("mn"),
+      lit(0L).as("al"), lit(null).cast(LongType).as("fa"), lit(0L).as("i"))
+    val folded = aggregate(
+      col("_evs"), acc0,
+      (a, e) => {
+        val i = a.getField("i") + 1
+        val sp = greatest(lit(0.0),
+          a.getField("sp") + (e.getField("x") - col("_mu") - slack))
+        val sn = greatest(lit(0.0),
+          a.getField("sn") + (col("_mu") - e.getField("x") - slack))
+        val alarm = sp > threshold || sn > threshold
+        struct(sp.as("sp"), sn.as("sn"),
+          greatest(a.getField("mp"), sp).as("mp"),
+          greatest(a.getField("mn"), sn).as("mn"),
+          (a.getField("al") + when(alarm, 1L).otherwise(0L)).as("al"),
+          coalesce(a.getField("fa"), when(alarm, i)).as("fa"),
+          i.as("i"))
+      })
+    grouped.withColumn("_f", folded)
+      .select(col(keyCol), col("n_obs"),
+        col("_f.mp").as("max_pos"), col("_f.mn").as("max_neg"),
+        col("_f.al").as("n_alarms"), col("_f.fa").as("first_alarm"))
+  }
+
   def throttle(df: DataFrame, keys: Seq[String], tsCol: String,
       tieCol: String, cooldownSeconds: Long): DataFrame = {
     import org.apache.spark.sql.types._

@@ -1006,6 +1006,51 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(hitsOracleSql(2))),
 
+    GraftQuery("g7_personalized_pagerank",
+      // random walk with restart: teleport mass returns to the seed set
+      // {0,20,40,60,80}∩nodes instead of spreading uniformly — the
+      // seed-expansion primitive. Same unrolled-CTE oracle discipline
+      // as g1: the (1-0.85) teleport factor is computed in-engine on
+      // both sides so every double is the same IEEE expression
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          ((col("user_id") * 7 + col("event_id") % 13) % 100).as("dst"))
+        val seeds = s.range(0, 100, 20).select(col("id"))
+        graft.operators.GraphOps.personalizedPageRank(edges, seeds,
+          iterations = 5)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+      },
+      oracle = Some {
+        val iter = (i: Int) =>
+          s"""r$i AS (
+             |  SELECT tele.id,
+             |         (1 - 0.85) * tele.t + 0.85 * coalesce(c.contrib, 0.0) AS rank
+             |  FROM tele LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r${i - 1}.rank / deg.deg) AS contrib
+             |    FROM edges e
+             |    JOIN r${i - 1} ON e.src = r${i - 1}.id
+             |    JOIN deg ON e.src = deg.src
+             |    GROUP BY 1) c ON tele.id = c.id)"""
+        ("""WITH edges AS (
+           |  SELECT DISTINCT user_id AS src,
+           |         (user_id * 7 + event_id % 13) % 100 AS dst
+           |  FROM events),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |params AS (
+           |  SELECT count(*)::DOUBLE AS ns FROM nodes
+           |  WHERE id % 20 = 0 AND id < 100),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+           |tele AS (
+           |  SELECT nodes.id,
+           |         CASE WHEN nodes.id % 20 = 0 AND nodes.id < 100
+           |              THEN 1.0 / params.ns ELSE 0.0 END AS t
+           |  FROM nodes CROSS JOIN params),
+           |r0 AS (SELECT id, t AS rank FROM tele),
+           |""" + (1 to 5).map(iter).mkString(",\n") +
+          "\nSELECT id, round(rank, 6) AS rank FROM r5").stripMargin
+      }),
+
     GraftQuery("g2_components",
       // connected components to fixpoint over an undirected link graph
       // constructed so edges stay within user-id decades (≥ several

@@ -73,6 +73,53 @@ object TemporalQueries extends QueryPack {
           |       round(sum(value), 6) AS total_value
           |FROM cover GROUP BY start_us""".stripMargin)),
 
+    GraftQuery("a29_cusum",
+      // two-sided CUSUM drift detection per user against the user's own
+      // mean, slack 10 units, threshold 300 units. Values scale to exact
+      // integer cents first, so the per-key mean (and therefore the
+      // whole reflected fold) is bit-equal across engines and
+      // partitionings; the oracle replays the recursion as a
+      // per-(key, index) recursive CTE
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("cents", round(col("value") * 100, 0))
+        TemporalOps.cusumChangepoints(ev, "user_id", "ts", "event_id",
+          "cents", slack = 1000.0, threshold = 30000.0)
+          .select(col("user_id"), col("n_obs"),
+            round(col("max_pos") / 100, 6).as("max_pos"),
+            round(col("max_neg") / 100, 6).as("max_neg"),
+            col("n_alarms"), col("first_alarm"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE ev AS (
+          |  SELECT user_id, round(value * 100) AS cents,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS i
+          |  FROM events),
+          |mu AS (
+          |  SELECT user_id, sum(cents) / count(*) AS mu, count(*) AS n_obs
+          |  FROM ev GROUP BY user_id),
+          |rec AS (
+          |  SELECT e.user_id, e.i,
+          |         greatest(0, e.cents - m.mu - 1000) AS sp,
+          |         greatest(0, m.mu - e.cents - 1000) AS sn
+          |  FROM ev e JOIN mu m USING (user_id) WHERE e.i = 1
+          |  UNION ALL
+          |  SELECT e.user_id, e.i,
+          |         greatest(0, r.sp + (e.cents - m.mu - 1000)),
+          |         greatest(0, r.sn + (m.mu - e.cents - 1000))
+          |  FROM rec r
+          |  JOIN ev e ON e.user_id = r.user_id AND e.i = r.i + 1
+          |  JOIN mu m ON m.user_id = e.user_id)
+          |SELECT r.user_id, m.n_obs,
+          |       round(max(sp) / 100, 6) AS max_pos,
+          |       round(max(sn) / 100, 6) AS max_neg,
+          |       CAST(sum(CASE WHEN sp > 30000 OR sn > 30000 THEN 1 ELSE 0 END)
+          |            AS BIGINT) AS n_alarms,
+          |       min(CASE WHEN sp > 30000 OR sn > 30000 THEN i END) AS first_alarm
+          |FROM rec r JOIN mu m USING (user_id)
+          |GROUP BY r.user_id, m.n_obs""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

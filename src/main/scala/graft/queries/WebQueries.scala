@@ -117,6 +117,58 @@ object WebQueries extends QueryPack {
           |       count(DISTINCT lang) AS n_langs
           |FROM documents GROUP BY source""".stripMargin)),
 
+    GraftQuery("a30_cms_heavy_hitters",
+      // count-min heavy hitters over the corpus token stream: the top-20
+      // exact-count tokens with their sketch estimates side by side —
+      // every estimate must dominate its exact count (collisions only
+      // add), and the md5-salted bucket arithmetic is integer-exact so
+      // the oracle replays the whole sketch byte-for-byte
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(filter(
+            split(TextOps.normalizeText(col("text")), " "),
+            t => length(t) > 0)).as("token"))
+        val sketch = graft.operators.SketchOps.countMin(toks, "token",
+          depth = 4, width = 64)
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        val est = graft.operators.SketchOps.cmsEstimate(
+          exact.select(col("token")), sketch, "token", depth = 4, width = 64)
+        val top = exact.join(est, "token")
+          .orderBy(col("exact_cnt").desc, col("token")).limit(20)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(col("exact_cnt").desc, col("token"))))
+          .select(col("token"), col("exact_cnt"), col("est_cnt"), col("rank"))
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split(
+           |    trim(regexp_replace(regexp_replace(lower(text),
+           |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+           |    t -> t <> '')) AS token
+           |  FROM documents),
+           |sk AS (
+           |  SELECT r.r,
+           |         ('0x' || substr(md5('cms' || r.r || ':' || token), 1, 8))::BIGINT
+           |           % 64 AS bucket,
+           |         count(*) AS cnt
+           |  FROM toks CROSS JOIN generate_series(0, 3) AS r(r)
+           |  GROUP BY 1, 2),
+           |exact AS (SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token),
+           |est AS (
+           |  SELECT e.token, min(sk.cnt) AS est_cnt
+           |  FROM exact e CROSS JOIN generate_series(0, 3) AS r(r)
+           |  JOIN sk ON sk.r = r.r
+           |         AND sk.bucket = ('0x' || substr(md5('cms' || r.r || ':' || e.token),
+           |                          1, 8))::BIGINT % 64
+           |  GROUP BY e.token),
+           |top AS (
+           |  SELECT e.token, e.exact_cnt, s.est_cnt
+           |  FROM exact e JOIN est s USING (token)
+           |  ORDER BY e.exact_cnt DESC, e.token LIMIT 20)
+           |SELECT token, exact_cnt, est_cnt,
+           |       row_number() OVER (ORDER BY exact_cnt DESC, token) AS rank
+           |FROM top""".stripMargin)),
+
     GraftQuery("t9_hashed_classifier",
       (s, dir) => TextOps.withHashedLinearScore(
         Tables.load(s, dir, "documents"), "text", numBuckets = 64)

@@ -73,6 +73,34 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("SketchOps.countMin: domination, shard-merge identity, bounded size") {
+    // the relational (oracle-replayable, mergeable) CMS next to the
+    // builtin binary one above: per-cell counters as (row, bucket, cnt)
+    import graft.operators.SketchOps
+    val toks = Tables.load(spark, sf, "documents")
+      .select($"doc_id", explode(split(
+        graft.llm.TextOps.normalizeText($"text"), " ")).as("token"))
+      .where(length($"token") > 0)
+    val sketch = SketchOps.countMin(toks, "token", depth = 4, width = 64)
+    assert(sketch.count() <= 4 * 64, "sketch exceeded depth x width cells")
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("c"))
+    val est = SketchOps.cmsEstimate(exact.select($"token"), sketch, "token",
+      depth = 4, width = 64)
+    val joined = exact.join(est, "token")
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (t, c, e) =>
+      assert(e >= c, s"CMS under-counted '$t': $e < $c") }
+    // mergeability: sketch(half A) + sketch(half B) must equal
+    // sketch(whole) cell-for-cell — the shard roll-up contract
+    val a = SketchOps.countMin(toks.where($"doc_id" % 2 === 0), "token", 4, 64)
+    val b = SketchOps.countMin(toks.where($"doc_id" % 2 =!= 0), "token", 4, 64)
+    val merged = SketchOps.cmsMerge(a, b)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = sketch.as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole, "shard-merged sketch diverges from whole-corpus sketch")
+  }
+
   test("percentile_approx brackets the exact percentile at accuracy 10000") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(expr("percentile(value, 0.5)")).as[Double].head()

@@ -87,6 +87,45 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected rank(0) > rank(1) > rank(others): $ranks")
   }
 
+  test("personalizedPageRank: all-nodes seeding is uniform PageRank; seeds concentrate mass") {
+    val edges = (Seq((0L, 1L)) ++ (1L to 5L).map(i => (i, 0L)) ++
+      Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    // identity: seeding EVERY node makes the teleport vector uniform
+    // 1/N — personalized PageRank degenerates to plain PageRank
+    // (association of (1-d)/N differs by one driver-vs-engine multiply,
+    // so compare to 1e-12, not bit-exact)
+    val all = edges.select($"src".as("id"))
+      .union(edges.select($"dst".as("id"))).distinct()
+    val ppr = GraphOps.personalizedPageRank(edges, all, iterations = 20)
+      .as[(Long, Double)].collect().toMap
+    val pr = GraphOps.pageRank(edges, iterations = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr.keySet == pr.keySet)
+    ppr.foreach { case (id, r) =>
+      assert(math.abs(r - pr(id)) < 1e-12, s"node $id: ppr $r != pr ${pr(id)}") }
+
+    // personalization: seeding only node 3 must shift mass toward 3's
+    // forward neighborhood (4, 5) relative to the uniform walk, and
+    // mass stays conserved (this graph has no dangling nodes)
+    val seeded = GraphOps.personalizedPageRank(edges,
+      Seq(3L).toDF("id"), iterations = 50)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(seeded.values.sum - 1.0) < 1e-9,
+      s"rank mass not conserved: ${seeded.values.sum}")
+    // 1-hop neighbor 4 gains over the uniform walk; 2-hop node 5 need
+    // not (d²-discounted walk mass can sit under plain PageRank's
+    // uniform teleport floor), but it must still beat off-path node 2
+    assert(seeded(4L) > pr(4L),
+      s"seed neighborhood not up-weighted: $seeded vs $pr")
+    assert(seeded(5L) > seeded(2L),
+      s"walk-reachable node should outrank off-path node: $seeded")
+    assert(seeded(2L) < pr(2L),
+      s"off-neighborhood node should lose mass: $seeded vs $pr")
+    // seeds outside the graph are dropped; an empty effective seed set throws
+    intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(edges, Seq(99L).toDF("id"), 2))
+  }
+
   test("kCore: random graphs match an in-memory peel") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {

@@ -253,6 +253,39 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   // ---- throttle ----
 
+  test("cusumChangepoints: hand-computed reflected fold, alarms, and param gates") {
+    import spark.implicits._
+    // key "a": mean 20, slack 2 → downward arm climbs 8/step over the
+    // three 10s (8,16,24), resets on the 30s; upward arm mirrors.
+    // threshold 20 → sn alarms at i=3 (24), sp at i=6 (24): 2 alarms.
+    // key "b": constant series → both arms pinned at 0, no alarm.
+    val rows = Seq(10.0, 10.0, 10.0, 30.0, 30.0, 30.0).zipWithIndex
+      .map { case (x, i) => ("a", i.toLong, i.toLong, x) } ++
+      (0 until 4).map(i => ("b", i.toLong, i.toLong, 5.0))
+    val df = rows.toDF("k", "ts", "tie", "x")
+    val out = TemporalOps.cusumChangepoints(df, "k", "ts", "tie", "x",
+      slack = 2.0, threshold = 20.0)
+      .as[(String, Long, Double, Double, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val a = out("a")
+    assert(a._2 == 6 && a._3 == 24.0 && a._4 == 24.0, s"key a stats: $a")
+    assert(a._5 == 2 && a._6.contains(3L), s"key a alarms: $a")
+    val b = out("b")
+    assert(b._2 == 4 && b._3 == 0.0 && b._4 == 0.0 && b._5 == 0 && b._6.isEmpty,
+      s"key b must be quiet: $b")
+    // order sensitivity: the fold must follow (ts, tie), not input order
+    val shuffled = df.orderBy(rand(42))
+    val again = TemporalOps.cusumChangepoints(shuffled, "k", "ts", "tie", "x",
+      slack = 2.0, threshold = 20.0)
+      .as[(String, Long, Double, Double, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == out, "result must be independent of input row order")
+    intercept[IllegalArgumentException](
+      TemporalOps.cusumChangepoints(df, "k", "ts", "tie", "x", -1.0, 20.0))
+    intercept[IllegalArgumentException](
+      TemporalOps.cusumChangepoints(df, "k", "ts", "tie", "x", 2.0, 0.0))
+  }
+
   test("throttle: clock resets on KEPT rows only (not a gap-session), equal gap keeps") {
     val df = events(
       (1L, "2024-01-01 10:00:00", 1L), // kept (first)

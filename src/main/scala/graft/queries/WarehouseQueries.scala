@@ -101,6 +101,35 @@ object WarehouseQueries extends QueryPack {
       },
       oracle = Some(mergeCycleOracle)),
 
+    GraftQuery("s21_zone_map_prune",
+      // zone-map data skipping: raw events land in a day-partitioned
+      // table, then a range read on event_id — ids are time-correlated,
+      // so the lazy per-day [min,max] maps prune most partitions before
+      // any scan plan is built (asserted in-flight: candidates < days).
+      // The pruned read must equal the plain filter — zone maps are a
+      // superset filter, like the bloom probe
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_zm"
+        val evSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val t = WarehouseTable.create(s, root, Seq("event_id"), evSchema)
+        t.append(Tables.load(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("partitionTime")))
+        val total = t.listDays().size
+        val cand = t.rangeCandidateDays("event_id", 100L, 299L).size
+        require(cand < total, s"zone maps pruned nothing: $cand of $total days")
+        t.readRange("event_id", 100L, 299L)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(
+        """SELECT event_id, event_type, value,
+          |       strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS pday
+          |FROM events WHERE event_id BETWEEN 100 AND 299""".stripMargin)),
+
     GraftQuery("s10_time_travel",
       (s, dir) => {
         // seed (snapshot v1) then merge the second half (v2, which

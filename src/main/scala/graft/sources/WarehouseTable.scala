@@ -259,6 +259,119 @@ final class WarehouseTable private (
       .sorted
   }
 
+  // ---- zone maps (lazy per-day column stats for range pruning) ----
+
+  private def zoneMapDir = s"$root/_graft/zonemaps"
+
+  /** Fingerprint of a day's current file set (names + sizes) — the
+    * staleness key for its cached zone map. Any rewrite (merge,
+    * compaction, restore) changes the file list, so a stale map can
+    * never prune against new data: correctness needs NO write-path
+    * hook, which is what makes the maps self-healing (the bloom
+    * sidecar, by contrast, must be maintained at every write site
+    * because its probe has no cheap staleness witness).
+    */
+  private def dayFingerprint(day: String): String = {
+    val parts = fs.listStatus(new Path(s"$dataPath/$partitionCol=$day"))
+      .filter(_.isFile).map(st => s"${st.getPath.getName}:${st.getLen}")
+      .sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Per-day zone maps (min, max, non-null count) for `colName`,
+    * computed lazily on first use and cached under `_graft/zonemaps`
+    * keyed by each day's file fingerprint; only days whose fingerprint
+    * moved are rescanned — one column-pruned job over exactly those
+    * days. Supported column types: numeric and string.
+    *
+    * == 100 TB design ==
+    *
+    * This is partition-level data skipping ABOVE parquet's row-group
+    * stats: a range predicate on a column correlated with time (ids,
+    * sequence numbers, monotone measures) prunes whole day directories
+    * before the scan plan is even built — no file listing, no footer
+    * reads for skipped days. The stats job reads one column of the
+    * stale days only (pruned explicit schema, same discipline as the
+    * bloom rebuild), and the cache is O(days) tiny sidecar files.
+    */
+  def dayZoneMaps(colName: String): Map[String, (Option[String], Option[String], Long)] = {
+    val f = schema.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $colName"))
+    require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      f.dataType == org.apache.spark.sql.types.StringType,
+      s"zone maps support numeric and string columns, not ${f.dataType.simpleString}")
+    val days = listDays()
+    val fps = days.map(d => d -> dayFingerprint(d)).toMap
+    fs.mkdirs(new Path(s"$zoneMapDir/$colName"))
+    val cached: Map[String, (String, (Option[String], Option[String], Long))] =
+      days.flatMap { d =>
+        val p = s"$zoneMapDir/$colName/$d.props"
+        if (!fs.exists(new Path(p))) None
+        else {
+          val kv = readMetaString(spark, p).linesIterator
+            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+          def b64(k: String): Option[String] = kv.get(k).filter(_.nonEmpty)
+            .map(s => new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
+          kv.get("fp").map(fp =>
+            d -> (fp, (b64("min"), b64("max"), kv.getOrElse("nonnull", "0").toLong)))
+        }
+      }.toMap
+    val stale = days.filter(d => !cached.get(d).exists(_._1 == fps(d)))
+    val fresh: Map[String, (Option[String], Option[String], Long)] =
+      if (stale.isEmpty) Map.empty
+      else {
+        val one = StructType(Seq(f))
+        val c = col(s"`$colName`")
+        readWithTableSchema(stale, Some(one))
+          .groupBy(col(partitionCol).cast("string").as("d"))
+          .agg(min(c).cast("string").as("mn"), max(c).cast("string").as("mx"),
+            count(c).as("nn"))
+          .collect()
+          .map { r =>
+            val d = r.getString(0)
+            val zm = (Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))
+            def enc(o: Option[String]) = o.fold("")(s =>
+              java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8")))
+            writeMetaString(spark, s"$zoneMapDir/$colName/$d.props",
+              s"fp=${fps(d)}\nnonnull=${zm._3}\nmin=${enc(zm._1)}\nmax=${enc(zm._2)}")
+            d -> zm
+          }.toMap
+      }
+    days.map(d => d -> fresh.getOrElse(d, cached(d)._2)).toMap
+  }
+
+  /** The day partitions a `[lo, hi]` range predicate on `colName` can
+    * possibly match — everything else is skipped by zone map. A day of
+    * only-null values never matches a range predicate.
+    */
+  def rangeCandidateDays(colName: String, lo: Any, hi: Any): Seq[String] = {
+    val numeric = schema.fields.find(_.name == colName)
+      .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def le(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    dayZoneMaps(colName).collect {
+      case (d, (Some(mn), Some(mx), nn))
+        if nn > 0 && le(mn, hi.toString) && le(lo.toString, mx) => d
+    }.toSeq.sorted
+  }
+
+  /** Zone-map-pruned range read: only the partitions whose cached
+    * [min, max] for `colName` intersects `[lo, hi]` enter the scan
+    * plan; the residual predicate still applies row-level (zone maps
+    * are a superset filter, like the bloom probe). Result is conformed
+    * to the table schema like [[read]].
+    */
+  def readRange(colName: String, lo: Any, hi: Any): DataFrame = {
+    val keep = rangeCandidateDays(colName, lo, hi)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add(partitionCol, "string"))
+      else conformToSchema(readWithTableSchema(keep))
+    base.where(col(s"`$colName`") >= lit(lo) && col(s"`$colName`") <= lit(hi))
+  }
+
   // ---- append (S3: streaming-insert sink) ----
 
   /** Partitioned append (`SimpleBigQueryWriter.java:63-79`): rows are

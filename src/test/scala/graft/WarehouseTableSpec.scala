@@ -92,6 +92,37 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(plan.contains("_pday"), s"partition col missing from filters:\n$plan")
   }
 
+  test("zone maps: prune by range, self-heal after append and merge, null/string/gate cases") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((10L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    t.append(Seq((20L, null.asInstanceOf[String])).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(3)))
+    // numeric pruning: [1,2] lives only in day 1
+    assert(t.rangeCandidateDays("k1", 1L, 2L) == Seq("2024-01-01"))
+    assert(t.readRange("k1", 1L, 2L).select($"k1").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    // string column works; day 3's all-null f1 can never match a range
+    assert(t.rangeCandidateDays("f1", "a", "b") == Seq("2024-01-01"))
+    assert(t.rangeCandidateDays("f1", "a", "z") == Seq("2024-01-01", "2024-01-02"))
+    // self-healing: append into day 1 moves its fingerprint — the next
+    // probe must see the new max without any write-path hook
+    t.append(Seq((99L, "zz")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    assert(t.rangeCandidateDays("k1", 50L, 100L) == Seq("2024-01-01"))
+    assert(t.readRange("k1", 50L, 100L).select($"k1").as[Long].head() == 99L)
+    // a merge rewrites day files in place — stale maps must not prune
+    // against the pre-merge extremes
+    t.merge(staged(Seq((10L, Some("c2"), 1L, 2))))
+    // day 2's only value moved c → c2: a probe for the OLD value must
+    // no longer see day 2 (day 1's [a, zz] still covers "c" — zone maps
+    // are conservative), and the new value must
+    assert(t.rangeCandidateDays("f1", "c", "c") == Seq("2024-01-01"))
+    assert(t.rangeCandidateDays("f1", "c2", "c2").contains("2024-01-02"))
+    // gates
+    intercept[IllegalArgumentException](t.dayZoneMaps("nope"))
+  }
+
   test("merge: upsert + insert land correctly; untouched partitions not rewritten") {
     val root = tmpRoot()
     val t = mkTable(root)

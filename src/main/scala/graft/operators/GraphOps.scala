@@ -162,6 +162,57 @@ object GraphOps {
     labels
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection: every node starts labeled with its own id; each round,
+    * every node adopts the MOST FREQUENT label among its undirected
+    * neighbors (ties → smallest label; isolated nodes keep their own).
+    * A fixed `rounds` count with synchronous updates keeps the result
+    * deterministic and lets a SQL oracle unroll the identical rounds —
+    * the classic async/random-order LPA trades that for convergence
+    * speed, which a verification oracle cannot replay.
+    *
+    * Distinct from [[connectedComponents]] (min-label): mode-label
+    * propagation splits a connected graph into densely-linked
+    * communities instead of collapsing it to one component per
+    * reachable set. Returns `(id, label)`.
+    *
+    * == 100 TB design ==
+    *
+    * Per round: one edges⋈labels hash join, then a two-stage scalar
+    * aggregation — count per (node, label), max-by per node — both
+    * partial-aggregated; only `(id, label, cnt)` scalars cross the
+    * exchanges, and labels are localCheckpoint'd so the plan stays one
+    * round deep (same discipline as [[pageRank]]).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive: $rounds")
+    val fwd = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = sym.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    (1 to rounds).foreach { _ =>
+      val prev = labels
+      // most frequent neighbor label; first-occurrence tie-break =
+      // (cnt desc, label asc) — mirrored in the oracle's row_number
+      val counts = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("nid"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = counts.groupBy(col("nid"))
+        .agg(min_by(col("label"),
+          struct((-col("cnt")).as("nc"), col("label"))).as("nlabel"))
+      labels = nodes.join(top, nodes("id") === top("nid"), "left")
+        .select(nodes("id"), coalesce(col("nlabel"), nodes("id")).as("label"))
+        .localCheckpoint(true)
+      prev.unpersist(); ()
+    }
+    sym.unpersist(); nodes.unpersist()
+    labels
+  }
+
   /** Per-node triangle count over the undirected simple graph induced
     * by `edges(src, dst)` (self-loops dropped, direction ignored).
     * Returns `(id, triangles)` for every node in at least one triangle.

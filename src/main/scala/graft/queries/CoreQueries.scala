@@ -1076,6 +1076,44 @@ object CoreQueries extends QueryPack {
           |  SELECT r.a, e.dst FROM reach r JOIN sym e ON r.b = e.src)
           |SELECT a AS id, min(b) AS comp FROM reach GROUP BY a""".stripMargin)),
 
+    GraftQuery("g8_label_propagation",
+      // synchronous mode-label propagation (3 rounds) over the
+      // decade-local graph g2 uses — communities, not components: the
+      // most-frequent-neighbor-label update splits each connected
+      // decade into its dense cores. Deterministic (synchronous rounds,
+      // (cnt desc, label asc) tie-break), so the oracle unrolls the
+      // identical rounds as chained CTEs
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.labelPropagation(edges, rounds = 3)
+      },
+      oracle = Some {
+        val round = (i: Int) =>
+          s"""l$i AS (
+             |  SELECT n.id, coalesce(t.nlabel, n.id) AS label
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT nid, label AS nlabel FROM (
+             |      SELECT c.nid, c.label,
+             |             row_number() OVER (PARTITION BY c.nid
+             |                                ORDER BY c.cnt DESC, c.label) AS rn
+             |      FROM (SELECT s.dst AS nid, l.label, count(*) AS cnt
+             |            FROM sym s JOIN l${i - 1} l ON s.src = l.id
+             |            GROUP BY s.dst, l.label) c) x
+             |    WHERE rn = 1) t ON n.id = t.nid)"""
+        ("""WITH e0 AS (
+           |  SELECT DISTINCT user_id AS src,
+           |         user_id - user_id % 10 + event_id % 10 AS dst
+           |  FROM events
+           |  WHERE user_id <> user_id - user_id % 10 + event_id % 10),
+           |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM sym),
+           |l0 AS (SELECT id, id AS label FROM nodes),
+           |""" + (1 to 3).map(round).mkString(",\n") +
+          "\nSELECT id, label FROM l3").stripMargin
+      }),
+
     GraftQuery("g3_triangles",
       // per-node triangle counts; the engine orients each edge
       // low-degree→high-degree (the O(m^1.5) skew bound), the oracle

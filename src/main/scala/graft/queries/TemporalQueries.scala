@@ -120,6 +120,47 @@ object TemporalQueries extends QueryPack {
           |FROM rec r JOIN mu m USING (user_id)
           |GROUP BY r.user_id, m.n_obs""".stripMargin)),
 
+    GraftQuery("a31_ohlc_bars",
+      // OHLC candlestick resampling per (event_type, day): open/close
+      // are single-pass min_by/max_by on the (ts, event_id) order —
+      // no per-bar sort, one partial-aggregated exchange; the oracle
+      // derives the same endpoints from rank-1 rows of two windows
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(
+          round(min_by(col("value"), struct(col("ts"), col("event_id"))), 6)
+            .as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          round(max_by(col("value"), struct(col("ts"), col("event_id"))), 6)
+            .as("close"),
+          count(lit(1)).as("n_trades"),
+          round(sum(col("value")), 6).as("total")),
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type, make_timestamp(epoch_ns(ts)//1000) AS t,
+          |         event_id, value
+          |  FROM events),
+          |d AS (
+          |  SELECT event_type, strftime(t, '%Y-%m-%d') AS day, t, event_id, value
+          |  FROM ev),
+          |w AS (
+          |  SELECT *,
+          |         row_number() OVER (PARTITION BY event_type, day
+          |                            ORDER BY t, event_id) AS ra,
+          |         row_number() OVER (PARTITION BY event_type, day
+          |                            ORDER BY t DESC, event_id DESC) AS rd
+          |  FROM d)
+          |SELECT event_type, day,
+          |       round(max(CASE WHEN ra = 1 THEN value END), 6) AS open,
+          |       round(max(value), 6) AS high,
+          |       round(min(value), 6) AS low,
+          |       round(max(CASE WHEN rd = 1 THEN value END), 6) AS close,
+          |       count(*) AS n_trades,
+          |       round(sum(value), 6) AS total
+          |FROM w GROUP BY 1, 2""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

@@ -126,6 +126,31 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.personalizedPageRank(edges, Seq(99L).toDF("id"), 2))
   }
 
+  test("labelPropagation: bridged cliques split into communities, not components") {
+    // two 4-cliques joined by one bridge edge: min-label components
+    // collapse everything to one blob; mode-label propagation must
+    // keep the cliques apart (hand-traced: A converges to label 1,
+    // B to label 10 after 3 synchronous rounds)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L, 10L)).toDF("src", "dst")
+    val labels = GraphOps.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(labels).toSet == Set(1L),
+      s"clique A not converged to label 1: $labels")
+    assert(Seq(10L, 11L, 12L, 13L).map(labels).toSet == Set(10L),
+      s"clique B not converged to label 10: $labels")
+    val comps = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(comps.size == 1, "sanity: the bridged graph is ONE component")
+    // determinism across input row order
+    val again = GraphOps.labelPropagation(edges.orderBy(rand(7)), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == labels)
+    intercept[IllegalArgumentException](GraphOps.labelPropagation(edges, 0))
+  }
+
   test("kCore: random graphs match an in-memory peel") {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 5) {

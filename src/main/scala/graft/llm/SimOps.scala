@@ -24,6 +24,82 @@ import org.apache.spark.sql.functions._
   */
 object SimOps {
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
+    * greedily pick `k` results balancing relevance against redundancy —
+    * `next = argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`,
+    * ties to the lowest id. The standard diversity pass after any
+    * retrieval stage: near-duplicate hits (which every dense retriever
+    * returns in clumps) cost their redundancy against what is already
+    * selected, so the final k covers the query's neighborhood instead
+    * of one clump. λ=1 degenerates to plain sim order (spec-pinned).
+    *
+    * Input is a CANDIDATE relation `(queryCol, idCol, vecCol, simCol)`
+    * — the top-N of [[bruteForceTopK]] / [[ivfTopK]] / etc. with the
+    * candidate vectors re-joined by id. Output adds `mmr` (the score at
+    * selection time) and `rank`.
+    *
+    * == 100 TB design ==
+    *
+    * The greedy loop is inherently sequential per query with pairwise
+    * candidate sims, so it runs as `mapGroups` over the query key —
+    * per-group imperative Scala on ≤ N candidates (N is the retrieval
+    * budget, 10–100 by contract; O(k·N) cosines per query on arrays
+    * already in memory). Queries distribute across the cluster; the
+    * only exchange is the groupBy of (query, candidate) rows the
+    * retrieval stage already produced. This is the documented
+    * mapGroups exception: a data-dependent argmax loop no relational
+    * form expresses without k self-joins.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double,
+      queryCol: String = "query_id", idCol: String = "nbr_id",
+      vecCol: String = "nbr_vec", simCol: String = "sim"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda out of [0,1]: $lambda")
+    val spark0 = candidates.sparkSession
+    import spark0.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) -1.0 else dot / d
+    }
+    candidates
+      .select(col(queryCol).cast("long").as("q"), col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"), col(simCol).cast("double").as("s"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val cand = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Int)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val used = scala.collection.mutable.BitSet.empty
+        var rank = 1
+        while (rank <= math.min(k, cand.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!used(i)) {
+              val (_, v, s) = cand(i)
+              var red = 0.0
+              chosen.foreach { case (_, sv) => val c = cos(v, sv); if (c > red) red = c }
+              // redundancy floor 0: an anti-correlated candidate should
+              // not be REWARDED beyond its relevance
+              val score = lambda * s - (1.0 - lambda) * red
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          val (id, v, s) = cand(bestIdx)
+          used += bestIdx
+          chosen += ((id, v))
+          selected += ((id, s, bestScore, rank))
+          rank += 1
+        }
+        selected.iterator.map { case (id, s, m, r) => (q, id, s, m, r) }
+      }
+      .toDF(queryCol, idCol, simCol, "mmr", "rank")
+  }
+
   /** Centroid count up to which cell assignment stays on the staged
     * sims-array form (one fused cosine per cell — the expression shape
     * the e3/e8/d9 SQL oracles re-derive). Past it, whole-stage codegen

@@ -1505,6 +1505,19 @@ final class WarehouseTable private (
         stagingPrefixes.exists(st.getPath.getName.startsWith) &&
         st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // zone-map sidecars of days that no longer exist (expired/merged
+    // away): harmless to queries — candidate enumeration starts from
+    // listDays(), never from the sidecar dir — but they accumulate one
+    // tiny file per dropped (day, column) forever without this sweep
+    if (fs.exists(new Path(zoneMapDir))) {
+      val live = listDays().toSet
+      fs.listStatus(new Path(zoneMapDir)).filter(_.isDirectory).foreach { cd =>
+        fs.listStatus(cd.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".props") &&
+            !live.contains(st.getPath.getName.stripSuffix(".props")))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     removed
   }
 }

@@ -743,6 +743,32 @@ class LlmOpsSpec extends AnyFunSuite {
       SimOps.ivfPqTopK(emb, queries, k, candidates = 3))
   }
 
+  test("mmrRerank: near-dup candidate displaced by diverse one; lambda=1 is sim order") {
+    // candidate a (id 1) leads; b (id 2) is a near-duplicate of a
+    // (cos ≈ 0.9998) with almost its relevance; c (id 3) is diverse
+    // (cos(c,a) ≈ 0.72) at lower relevance
+    val cand = Seq(
+      (7L, 1L, Array(0.95, 0.312, 0.0), 0.95),
+      (7L, 2L, Array(0.95, 0.310, 0.02), 0.94),
+      (7L, 3L, Array(0.90, -0.436, 0.0), 0.90))
+      .toDF("query_id", "nbr_id", "nbr_vec", "sim")
+    def ids(lambda: Double) =
+      SimOps.mmrRerank(cand, k = 2, lambda = lambda)
+        .orderBy($"rank").select($"nbr_id").as[Long].collect().toSeq
+    // λ=1: pure relevance → the duplicate clump wins both slots
+    assert(ids(1.0) == Seq(1L, 2L), s"lambda=1 must be plain sim order: ${ids(1.0)}")
+    // λ=0.5: b's redundancy against the already-selected a sinks it;
+    // the diverse c takes slot 2
+    assert(ids(0.5) == Seq(1L, 3L), s"diversity not enforced: ${ids(0.5)}")
+    // rank/mmr well-formed; k beyond the pool truncates cleanly
+    val out = SimOps.mmrRerank(cand, k = 10, lambda = 0.5)
+      .orderBy($"rank").as[(Long, Long, Double, Double, Int)].collect()
+    assert(out.length == 3 && out.map(_._5).toSeq == Seq(1, 2, 3))
+    assert(out.head._4 == 0.5 * 0.95, "first pick's mmr is λ·sim (no redundancy yet)")
+    intercept[IllegalArgumentException](SimOps.mmrRerank(cand, 0, 0.5))
+    intercept[IllegalArgumentException](SimOps.mmrRerank(cand, 2, 1.5))
+  }
+
   test("sqTopK recall@10 vs brute force at 256 levels, 40 candidates (sf0.01)") {
     // SQ8 keeps per-dimension resolution, so its approximate ranking is
     // far closer to exact than PQ's 16-centroid codebook at the same

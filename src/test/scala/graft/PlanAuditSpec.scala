@@ -219,6 +219,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("x21: DSIR — TakeOrdered selection, broadcast bucket models, no text shuffled") {
+    val df = SparkEntry.queries("x21_dsir_sample")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // selection must be a distributed top-n (per-partition top-n before
+    // one singleton exchange), never a global window over the pool
+    assert(formatted.contains("TakeOrderedAndProject"),
+      s"DSIR selection regressed to a global sort/window:\n$formatted")
+    // the bucket count models join back by broadcast (buckets-row sides)
+    assert(formatted.contains("BroadcastHashJoin") ||
+      formatted.contains("BroadcastNestedLoopJoin"),
+      s"bucket models not broadcast:\n$formatted")
+    // no shuffle exchange may carry document text or token strings —
+    // only (id, bucket, tf, weight) scalars move
+    val shuffles = formatted.split("\n\n")
+      .filter(b => b.linesIterator.hasNext &&
+        b.linesIterator.next().matches("""\(\d+\) Exchange.*""") &&
+        b.contains("hashpartitioning"))
+    shuffles.foreach { b =>
+      assert(!b.contains("text#"),
+        s"document text shuffled in DSIR plan:\n$b")
+    }
+  }
+
   test("d9: cell exchanges carry (cell,id) only — vectors re-join by id") {
     val df = SparkEntry.queries("d9_semantic_dedup")(spark, sf)
     df.collect()

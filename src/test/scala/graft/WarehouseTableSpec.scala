@@ -121,6 +121,19 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.rangeCandidateDays("f1", "c2", "c2").contains("2024-01-02"))
     // gates
     intercept[IllegalArgumentException](t.dayZoneMaps("nope"))
+    // vacuum sweeps sidecars of days that disappeared (tombstone empties
+    // day 3); live days' sidecars survive
+    t.merge(staged(Seq((20L, None, 9L, 3))))
+    assert(!t.listDays().contains("2024-01-03"))
+    t.vacuum(retainVersions = 100)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_graft/zonemaps/k1/2024-01-03.props")),
+      "orphan zone map not swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_graft/zonemaps/k1/2024-01-01.props")),
+      "live day's zone map must survive vacuum")
   }
 
   test("merge: upsert + insert land correctly; untouched partitions not rewritten") {

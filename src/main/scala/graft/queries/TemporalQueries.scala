@@ -120,6 +120,53 @@ object TemporalQueries extends QueryPack {
           |FROM rec r JOIN mu m USING (user_id)
           |GROUP BY r.user_id, m.n_obs""".stripMargin)),
 
+    GraftQuery("a32_rfm_segments",
+      // RFM segmentation: per-user recency (days since the corpus's
+      // last day), frequency, monetary (exact cents, so the median
+      // thresholds interpolate from exact integers — no float-sum
+      // boundary ambiguity anywhere); score = how many of the three
+      // median cuts the user clears. Thresholds are one broadcast row;
+      // everything else is one partial-aggregated pass
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          to_date(col("ts")).as("d"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val mx = ev.agg(max(col("d")).as("maxd"))
+        val u = ev.crossJoin(broadcast(mx))
+          .groupBy(col("user_id"), col("maxd"))
+          .agg(count(lit(1)).as("freq"), sum(col("cents")).as("m_cents"),
+            max(col("d")).as("lastd"))
+          .select(col("user_id"), datediff(col("maxd"), col("lastd")).as("r_days"),
+            col("freq"), col("m_cents"))
+        val th = u.agg(
+          expr("percentile(r_days, 0.5D)").as("tr"),
+          expr("percentile(freq, 0.5D)").as("tf"),
+          expr("percentile(m_cents, 0.5D)").as("tm"))
+        u.crossJoin(broadcast(th))
+          .select(col("user_id"), col("r_days"), col("freq"), col("m_cents"),
+            (when(col("freq") >= col("tf"), 1).otherwise(0) +
+              when(col("m_cents") >= col("tm"), 1).otherwise(0) +
+              when(col("r_days") <= col("tr"), 1).otherwise(0)).as("rfm_score"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id, CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS d,
+          |         CAST(round(value * 100) AS BIGINT) AS cents
+          |  FROM events),
+          |mx AS (SELECT max(d) AS maxd FROM ev),
+          |u AS (
+          |  SELECT user_id, date_diff('day', max(d), mx.maxd) AS r_days,
+          |         count(*) AS freq, CAST(sum(cents) AS BIGINT) AS m_cents
+          |  FROM ev CROSS JOIN mx GROUP BY user_id, mx.maxd),
+          |th AS (SELECT quantile_cont(r_days, 0.5) AS tr,
+          |              quantile_cont(freq, 0.5) AS tf,
+          |              quantile_cont(m_cents, 0.5) AS tm FROM u)
+          |SELECT user_id, CAST(r_days AS INT) AS r_days, freq, m_cents,
+          |       (CASE WHEN freq >= tf THEN 1 ELSE 0 END +
+          |        CASE WHEN m_cents >= tm THEN 1 ELSE 0 END +
+          |        CASE WHEN r_days <= tr THEN 1 ELSE 0 END) AS rfm_score
+          |FROM u CROSS JOIN th""".stripMargin)),
+
     GraftQuery("a31_ohlc_bars",
       // OHLC candlestick resampling per (event_type, day): open/close
       // are single-pass min_by/max_by on the (ts, event_id) order —

@@ -135,6 +135,61 @@ object TextOps {
       .drop("__praw", "__sraw")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, appendix A1.1) as per-doc
+    * flag columns plus the conjunction: word-count band [50, 100k],
+    * mean word length band [3, 10], symbol-to-word ratio ("#"/"...")
+    * <= 0.1, <= 90% of lines bullet-started, <= 30% of lines
+    * ellipsis-ended, >= 80% of words alphabetic, >= 2 distinct Gopher
+    * stopwords. Every flag is decided by integer cross-multiplication
+    * (e.g. `10*symbols <= n_words`), never a float threshold, so any
+    * engine derives bit-identical booleans; the reported ratios are
+    * display-rounded afterwards. One pass of staged projections, no
+    * shuffle — at 100 TB this is a map-only scan.
+    */
+  def withGopherRules(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    df
+      .withColumn("n_words", tokenCount(c))
+      .withColumn("__chars", length(regexp_replace(c, "\\s+", "")))
+      .withColumn("__symbols", regexp_count(c, lit("#|\\.\\.\\.")))
+      .withColumn("__toks",
+        when(length(trim(c)) === 0, array().cast("array<string>"))
+          .otherwise(split(trim(c), "\\s+")))
+      .withColumn("__alpha", size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))))
+      .withColumn("__lines",
+        filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0))
+      .withColumn("__nl", size(col("__lines")))
+      .withColumn("__bullet",
+        size(filter(col("__lines"), l => l.rlike("^[-*]"))))
+      .withColumn("__ellip",
+        size(filter(col("__lines"), l => l.rlike("\\.\\.\\.$"))))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(transform(col("__toks"), lower(_))),
+          array(gopherStop.map(lit): _*))))
+      .withColumn("f_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("f_word_len",
+        col("n_words") > 0 &&
+          col("__chars") >= col("n_words") * 3 &&
+          col("__chars") <= col("n_words") * 10)
+      .withColumn("f_symbol", col("__symbols") * 10 <= col("n_words"))
+      .withColumn("f_bullet", col("__bullet") * 10 <= col("__nl") * 9)
+      .withColumn("f_ellipsis", col("__ellip") * 10 <= col("__nl") * 3)
+      .withColumn("f_alpha", col("__alpha") * 5 >= col("n_words") * 4)
+      .withColumn("f_stop", col("n_stop") >= 2)
+      .withColumn("passes",
+        col("f_words") && col("f_word_len") && col("f_symbol") &&
+          col("f_bullet") && col("f_ellipsis") && col("f_alpha") && col("f_stop"))
+      .withColumn("mean_word_len",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("__chars").cast("double") / col("n_words"), 6)))
+      .withColumn("symbol_ratio",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("__symbols").cast("double") / col("n_words"), 6)))
+      .drop("__chars", "__symbols", "__toks", "__alpha", "__lines", "__nl",
+        "__bullet", "__ellip")
+  }
+
   /** Frame-level language ID: identical values to [[langId]], but the
     * tokenization and the four language scores each materialize as their
     * own projection, so the text tokenizes ONCE per row instead of once

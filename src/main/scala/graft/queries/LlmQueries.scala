@@ -1074,6 +1074,77 @@ object LlmQueries extends QueryPack {
           |       sum(n_sylls)::BIGINT AS n_sylls
           |FROM f GROUP BY source""".stripMargin)),
 
+    GraftQuery("t19_gopher_rules",
+      // Gopher quality gates (Rae et al. 2021) over planted document
+      // structure: ' merge '→bullet line, ' scan '→plain line,
+      // ' dup '→ellipsis, ' hash '→symbol, so every rule family sees
+      // real variation. All gates decide on integer cross-products.
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("text"),
+            " spark ", " with "),
+            " dup ", " ... "),
+            " hash ", " # "),
+            " merge ", "\n- "),
+            " scan ", "\n").as("text"))
+        TextOps.withGopherRules(planted, "text")
+          .select(col("doc_id"), col("n_words"), col("n_stop"),
+            col("mean_word_len"), col("symbol_ratio"),
+            col("f_words"), col("f_word_len"), col("f_symbol"),
+            col("f_bullet"), col("f_ellipsis"), col("f_alpha"),
+            col("f_stop"), col("passes"))
+      },
+      oracle = Some(
+        raw"""WITH d AS (
+           |  SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           |      ' spark ', ' with ', 'g'),
+           |      ' dup ', ' ... ', 'g'),
+           |      ' hash ', ' # ', 'g'),
+           |      ' merge ', chr(10) || '- ', 'g'),
+           |      ' scan ', chr(10), 'g') AS text
+           |  FROM documents),
+           |t AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+           |    len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+           |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+           |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+           |                l -> length(l) > 0) AS lines
+           |  FROM d),
+           |u AS (
+           |  SELECT doc_id, n_words, chars, symbols,
+           |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+           |    len(lines) AS nl,
+           |    len(list_filter(lines, l -> regexp_matches(l, '^[-*]'))) AS bullet,
+           |    len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$$'))) AS ellip,
+           |    len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+           |        ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM t)
+           |SELECT doc_id, n_words, n_stop,
+           |  CASE WHEN n_words = 0 THEN 0.0
+           |       ELSE round(chars::DOUBLE / n_words, 6) END AS mean_word_len,
+           |  CASE WHEN n_words = 0 THEN 0.0
+           |       ELSE round(symbols::DOUBLE / n_words, 6) END AS symbol_ratio,
+           |  (n_words >= 50 AND n_words <= 100000) AS f_words,
+           |  (n_words > 0 AND chars >= n_words * 3 AND chars <= n_words * 10) AS f_word_len,
+           |  (symbols * 10 <= n_words) AS f_symbol,
+           |  (bullet * 10 <= nl * 9) AS f_bullet,
+           |  (ellip * 10 <= nl * 3) AS f_ellipsis,
+           |  (alpha * 5 >= n_words * 4) AS f_alpha,
+           |  (n_stop >= 2) AS f_stop,
+           |  ((n_words >= 50 AND n_words <= 100000)
+           |   AND (n_words > 0 AND chars >= n_words * 3 AND chars <= n_words * 10)
+           |   AND (symbols * 10 <= n_words)
+           |   AND (bullet * 10 <= nl * 9)
+           |   AND (ellip * 10 <= nl * 3)
+           |   AND (alpha * 5 >= n_words * 4)
+           |   AND (n_stop >= 2)) AS passes
+           |FROM u""".stripMargin)),
+
     GraftQuery("d6_paragraph_dedup",
       // synthetic paragraph structure ('|'-joined): two text slices
       // around a universal boilerplate paragraph, plus a second

@@ -1651,4 +1651,37 @@ class LlmOpsSpec extends AnyFunSuite {
     // and the trainer is deterministic across invocations on this path
     assert(SimOps.kMeansCentroids(df, 2, 2) == SimOps.kMeansCentroids(df, 2, 2))
   }
+
+  test("withGopherRules: each rule trips on its hand-built violator") {
+    val good = (("the quick brown fox jumps with energy and grace that " * 6) +
+      "counts well beyond fifty words so the word count gate passes " +
+      "and more filler words of ordinary length keep every ratio sane " +
+      "plus extra pad tokens to clear the fifty word floor easily now ").trim
+    val rows = Seq(
+      (1L, good), // passes all
+      (2L, "too short to pass"), // f_words
+      (3L, ("ab " * 60).trim), // f_word_len (mean 2 < 3); also fails stop
+      (4L, good + " " + ("# " * 30).trim), // f_symbol (30 symbols > 10%)
+      (5L, good.split(" ").grouped(8).map("- " + _.mkString(" "))
+        .mkString("\n")), // f_bullet (100% bullet lines)
+      (6L, good.split(" ").grouped(8).map(_.mkString(" ") + " ...")
+        .mkString("\n")), // f_ellipsis (100% ellipsis-ended)
+      (7L, good + " " + ("1234 " * 25).trim), // f_alpha (numeric word flood)
+      (8L, ("quick brown fox jumps high over lazy dogs daily " * 8).trim)) // f_stop
+    val got = TextOps.withGopherRules(rows.toDF("doc_id", "text"), "text")
+      .select($"doc_id", $"f_words", $"f_word_len", $"f_symbol", $"f_bullet",
+        $"f_ellipsis", $"f_alpha", $"f_stop", $"passes")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true, true, true, true, true)))
+    assert(!got(2L)._2 && !got(2L)._9, "short doc must fail the word-count gate")
+    assert(!got(3L)._3, "mean word length 2 must fail the [3,10] band")
+    assert(!got(4L)._4, "symbol flood must fail the 10% symbol gate")
+    assert(!got(5L)._5, "all-bullet doc must fail the 90% bullet gate")
+    assert(!got(6L)._6, "all-ellipsis doc must fail the 30% ellipsis gate")
+    assert(!got(7L)._7, "numeric-word flood must fail the 80% alpha gate")
+    assert(!got(8L)._8, "stopword-free doc must fail the 2-stopword gate")
+    // only the targeted gates fail on 5/6/7 (word counts stay >= 50)
+    assert(got(5L)._2 && got(6L)._2 && got(7L)._2)
+  }
 }

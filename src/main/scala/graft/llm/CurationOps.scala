@@ -498,6 +498,56 @@ object CurationOps {
     raw.map { case (s, v) => s -> v / z }
   }
 
+  /** UniMax budget allocation (Chung et al. 2023): split a total token
+    * budget across domains as uniformly as possible while capping every
+    * domain at `maxEpochs` passes over its own tokens — the
+    * mixture-balancing rule that replaced temperature sampling for
+    * massively multilingual pretraining. Closed-form waterfill instead
+    * of the paper's greedy loop: sort domains by capacity ascending;
+    * domain at rank r takes its full capacity iff
+    * `cap_r * (N - r + 1) <= budget - sum(smaller caps)` — that
+    * predicate is non-increasing in r (f(r+1)-f(r) = (N-r)(cap_r -
+    * cap_{r+1}) <= 0), so the "full" set is a rank prefix and every
+    * other domain splits the leftover evenly. The decision is integer
+    * cross-multiplication throughout; only the final per-domain share is
+    * a division, of the same two integers in any engine.
+    *
+    * Scale: one partial-aggregated pass reduces the corpus to one row
+    * per domain; the waterfill windows over that O(domains) relation
+    * (domains are bounded by contract — languages/sources, not docs).
+    * The corpus itself is never shuffled.
+    */
+  def unimaxBudget(df: DataFrame, domainCol: String, tokensCol: String,
+      totalBudget: Long, maxEpochs: Long = 1L): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val doms = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(sum(col(tokensCol).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val w = Window.orderBy(col("cap"), col("domain"))
+    val all = Window.partitionBy()
+    val ranked = doms
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__prefix",
+        coalesce(sum(col("cap")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("takes_full",
+        col("cap") * (col("__n") - col("__r") + 1) <= lit(totalBudget) - col("__prefix"))
+      .withColumn("__fullsum",
+        coalesce(sum(when(col("takes_full"), col("cap"))).over(all), lit(0L)))
+      .withColumn("__nfull",
+        count(when(col("takes_full"), lit(1))).over(all))
+      .withColumn("allocated",
+        when(col("takes_full"), col("cap").cast("double"))
+          .otherwise((lit(totalBudget) - col("__fullsum")).cast("double")
+            / (col("__n") - col("__nfull"))))
+      .withColumn("epochs", round(col("allocated") / col("n_tokens"), 6))
+      .withColumn("allocated", round(col("allocated"), 4))
+    ranked.select(col("domain"), col("n_tokens"), col("cap"),
+      col("takes_full"), col("allocated"), col("epochs"))
+  }
+
   /** Deterministic sequence packing: assign every document to a fixed
     * token-budget training sequence. Documents order by their hash draw
     * within `numBuckets` hash-range buckets; a document joins the

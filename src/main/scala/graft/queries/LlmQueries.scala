@@ -1800,6 +1800,65 @@ object LlmQueries extends QueryPack {
           |       md5(string_agg(bh, chr(1) ORDER BY blk)) AS keys_md5
           |FROM b GROUP BY shard""".stripMargin)),
 
+    GraftQuery("x22_unimax_budget",
+      // UniMax epoch-capped waterfill over a skewed 6-domain mixture
+      // (web 16/32 of docs ... wiki/forums 1/32 each): the small tail
+      // takes its full 2-epoch capacity, the big domains split the rest.
+      // The full/partial decision is integer cross-multiplication; the
+      // budget is derived from the corpus (2/5 of total tokens) so the
+      // same query is exact at every scale factor.
+      (s, dir) => {
+        val b = col("doc_id") % 32
+        val d = Tables.load(s, dir, "documents").select(
+          when(b < 16, lit("web")).when(b < 24, lit("news"))
+            .when(b < 28, lit("books")).when(b < 30, lit("code"))
+            .when(b === 30, lit("wiki")).otherwise(lit("forums")).as("domain"),
+          TextOps.tokenCount(col("text")).as("n_toks"))
+        // 1-row bounded aggregate: the budget is a scalar input by
+        // contract; deriving it from the corpus keeps the oracle exact
+        val total = d.agg(sum(col("n_toks")).cast("long")).collect()(0).getLong(0)
+        CurationOps.unimaxBudget(d, "domain", "n_toks",
+          totalBudget = total * 2 / 5, maxEpochs = 2)
+      },
+      oracle = Some(
+        raw"""WITH d AS (
+           |  SELECT CASE WHEN doc_id % 32 < 16 THEN 'web'
+           |              WHEN doc_id % 32 < 24 THEN 'news'
+           |              WHEN doc_id % 32 < 28 THEN 'books'
+           |              WHEN doc_id % 32 < 30 THEN 'code'
+           |              WHEN doc_id % 32 = 30 THEN 'wiki'
+           |              ELSE 'forums' END AS domain,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_toks
+           |  FROM documents),
+           |doms AS (
+           |  SELECT domain, sum(n_toks)::BIGINT AS n_tokens,
+           |         sum(n_toks)::BIGINT * 2 AS cap
+           |  FROM d GROUP BY domain),
+           |tot AS (SELECT (sum(n_tokens) * 2) // 5 AS b FROM doms),
+           |rk AS (
+           |  SELECT domain, n_tokens, cap,
+           |    row_number() OVER (ORDER BY cap, domain) AS r,
+           |    coalesce(sum(cap) OVER (ORDER BY cap, domain
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+           |    count(*) OVER () AS n
+           |  FROM doms),
+           |fl AS (
+           |  SELECT rk.*, (SELECT b FROM tot) AS b,
+           |    (cap * (n - r + 1) <= (SELECT b FROM tot) - prefix) AS takes_full
+           |  FROM rk),
+           |ag AS (
+           |  SELECT fl.*,
+           |    coalesce(sum(CASE WHEN takes_full THEN cap END) OVER (), 0) AS fullsum,
+           |    count(CASE WHEN takes_full THEN 1 END) OVER () AS nfull
+           |  FROM fl)
+           |SELECT domain, n_tokens, cap, takes_full,
+           |  round(CASE WHEN takes_full THEN cap::DOUBLE
+           |        ELSE (b - fullsum)::DOUBLE / (n - nfull) END, 4) AS allocated,
+           |  round((CASE WHEN takes_full THEN cap::DOUBLE
+           |         ELSE (b - fullsum)::DOUBLE / (n - nfull) END) / n_tokens, 6) AS epochs
+           |FROM ag""".stripMargin)),
+
     GraftQuery("x18_cdc_chunks",
       // content-defined chunking: boundaries where the md5 of the
       // trailing 16-char window divides 64 evenly — insertion-stable

@@ -860,6 +860,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("unimaxBudget: hand-computed waterfill, budget conservation, epoch cap") {
+    // domains: a=100, b=200, c=1000 tokens; maxEpochs=2 → caps 200/400/2000
+    // budget 1000: a full (200*3=600<=1000), b full (400*2=800<=800),
+    // c partial → (1000-600)/1 = 400 tokens, 0.4 epochs
+    val rows = (1 to 100).map(i => ("a", 1)) ++ (1 to 100).map(i => ("b", 2)) ++
+      (1 to 100).map(i => ("c", 10))
+    val df = rows.toDF("domain", "toks")
+    val got = CurationOps.unimaxBudget(df, "domain", "toks",
+        totalBudget = 1000L, maxEpochs = 2L)
+      .select($"domain", $"n_tokens", $"cap", $"takes_full", $"allocated", $"epochs")
+      .as[(String, Long, Long, Boolean, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 100L, 200L, true, 200.0, 2.0)))
+    assert(got("b") == (("b", 200L, 400L, true, 400.0, 2.0)))
+    assert(got("c") == (("c", 1000L, 2000L, false, 400.0, 0.4)))
+    // conservation: allocations sum to the budget when demand exceeds it
+    assert(got.values.map(_._5).sum == 1000.0)
+    // budget above total capacity: everyone runs at the epoch cap
+    val rich = CurationOps.unimaxBudget(df, "domain", "toks",
+        totalBudget = 100000L, maxEpochs = 2L)
+      .select($"domain", $"takes_full", $"epochs")
+      .as[(String, Boolean, Double)].collect()
+    assert(rich.forall(r => r._2 && r._3 == 2.0))
+    // no domain ever exceeds maxEpochs for any budget
+    val mid = CurationOps.unimaxBudget(df, "domain", "toks",
+        totalBudget = 2500L, maxEpochs = 2L)
+      .select($"epochs").as[Double].collect()
+    assert(mid.forall(_ <= 2.0))
+  }
+
   test("dsirSample: deterministic, exact n, target-planted docs outrank the pool") {
     val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
     // plant raw-pool docs that ARE target-domain text (copies of src0

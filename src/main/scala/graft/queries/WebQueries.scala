@@ -169,6 +169,54 @@ object WebQueries extends QueryPack {
            |       row_number() OVER (ORDER BY exact_cnt DESC, token) AS rank
            |FROM top""".stripMargin)),
 
+    GraftQuery("a33_ddsketch_quantiles",
+      // mergeable exponential-histogram quantiles over event values:
+      // two per-user-shard sketches roll up via ddMerge, and the oracle
+      // sketches the whole stream directly — so the oracle equality IS
+      // the merge-identity proof. Bucket arithmetic is integer-exact
+      // (power-of-two divisors), so both engines derive identical cells
+      (s, dir) => {
+        import graft.operators.SketchOps
+        val ev = Tables.load(s, dir, "events").select(
+          col("event_type"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val sk = SketchOps.ddMerge(
+          SketchOps.ddSketch(ev.where(col("user_id") % 2 === 0), "event_type", "cents"),
+          SketchOps.ddSketch(ev.where(col("user_id") % 2 =!= 0), "event_type", "cents"))
+        SketchOps.ddQuantiles(sk,
+            Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+          .select(col("key").as("event_type"), col("q"), col("bucket"),
+            col("est").as("est_cents"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT event_type AS key, CAST(round(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events),
+          |vp AS (SELECT key, cents FROM v WHERE cents > 0),
+          |e AS (
+          |  SELECT key, cents, length(bin(cents)) - 1 AS ee,
+          |         power(2, length(bin(cents)) - 1) AS p
+          |  FROM vp),
+          |b AS (
+          |  SELECT key, (ee * 8 + CAST(floor((cents - p) * 8 / p) AS INT)) AS bucket
+          |  FROM e),
+          |sk AS (SELECT key, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |c AS (
+          |  SELECT key, bucket,
+          |         sum(cnt) OVER (PARTITION BY key ORDER BY bucket) AS cum,
+          |         sum(cnt) OVER (PARTITION BY key) AS total
+          |  FROM sk),
+          |sel AS (
+          |  SELECT key, qname,
+          |         min(CASE WHEN cum >= (total * num + den - 1) // den
+          |             THEN bucket END) AS bucket
+          |  FROM c CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10),
+          |                            ('p99', 99, 100)) q(qname, num, den)
+          |  GROUP BY 1, 2)
+          |SELECT key AS event_type, qname AS q, bucket,
+          |       power(2, bucket // 8) * (2 * (bucket % 8) + 17) / 16.0 AS est_cents
+          |FROM sel""".stripMargin)),
+
     GraftQuery("t9_hashed_classifier",
       (s, dir) => TextOps.withHashedLinearScore(
         Tables.load(s, dir, "documents"), "text", numBuckets = 64)

@@ -101,6 +101,49 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(merged == whole, "shard-merged sketch diverges from whole-corpus sketch")
   }
 
+  test("SketchOps.ddSketch: relative-error bound, merge identity, bounded size") {
+    import graft.operators.SketchOps
+    val ev = Tables.events(spark, sf).select($"event_type", $"user_id",
+      round($"value" * 100, 0).cast("long").as("cents"))
+    val sk = SketchOps.ddSketch(ev, "event_type", "cents")
+    // size: buckets per key <= subs * bits(max cents)
+    val maxBits = 64 - java.lang.Long.numberOfLeadingZeros(
+      ev.agg(max($"cents")).as[Long].head())
+    val perKey = sk.groupBy($"key").agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect()
+    perKey.foreach { case (k, n) =>
+      assert(n <= 8L * maxBits, s"key $k has $n cells > ${8L * maxBits}") }
+    // every quantile estimate within the 1/(2*subs) = 6.25% relative bound
+    // of the true quantile (both positive; exact quantile via percentile)
+    val qs = SketchOps.ddQuantiles(sk,
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .as[(String, String, Int, Double)].collect()
+    // truth = the discrete order statistic at the sketch's own rank
+    // ceil(q*n): that value provably lands in the selected bucket, so
+    // the midpoint is within 1/(2*subs) relative error of it
+    val sorted = ev.where($"cents" > 0).groupBy($"event_type")
+      .agg(sort_array(collect_list($"cents")).as("v"))
+      .as[(String, Seq[Long])].collect().toMap
+    val rational = Map("p50" -> ((1, 2)), "p90" -> ((9, 10)), "p99" -> ((99, 100)))
+    assert(qs.nonEmpty)
+    qs.foreach { case (k, q, _, est) =>
+      val (num, den) = rational(q)
+      val arr = sorted(k)
+      val truth = arr((num * arr.size + den - 1) / den - 1).toDouble
+      assert(math.abs(est - truth) <= truth * 0.0625 + 1e-9,
+        s"$k/$q estimate $est off true $truth beyond 6.25%") }
+    // shard-merge identity, cell for cell
+    val a = SketchOps.ddSketch(ev.where($"user_id" % 2 === 0), "event_type", "cents")
+    val b = SketchOps.ddSketch(ev.where($"user_id" % 2 =!= 0), "event_type", "cents")
+    val merged = SketchOps.ddMerge(a, b).as[(String, Int, Long)].collect().toSet
+    val whole = sk.as[(String, Int, Long)].collect().toSet
+    assert(merged == whole, "shard-merged dd sketch diverges from whole-stream sketch")
+    // non-positive values are excluded by contract
+    val withZero = Seq(("k", 0L), ("k", -5L), ("k", 3L)).toDF("event_type", "cents")
+    assert(SketchOps.ddSketch(withZero, "event_type", "cents")
+      .agg(sum($"cnt")).as[Long].head() == 1L)
+  }
+
   test("percentile_approx brackets the exact percentile at accuracy 10000") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(expr("percentile(value, 0.5)")).as[Double].head()

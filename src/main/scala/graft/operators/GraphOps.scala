@@ -228,6 +228,49 @@ object GraphOps {
     * which is what makes the count oracle-checkable against a plain
     * id-oriented SQL enumeration.
     */
+  /** Adamic-Adar link prediction (Adamic & Adar 2003): for every
+    * NON-adjacent node pair sharing at least one common neighbor,
+    * `AA(a,b) = Σ_n 1/ln(deg(n))` over the common neighbors n — the
+    * classic "rare shared friends count more" score, still the standard
+    * baseline for link prediction. Returns `(a, b, common, aa_score)`
+    * with `a < b`.
+    *
+    * == 100 TB design ==
+    *
+    * Candidate pairs come from WEDGE enumeration — the neighbor list of
+    * each common-neighbor candidate self-joined on the center — never
+    * from an all-pairs product. `maxDegree` excludes hub centers from
+    * wedge generation (the standard mitigation: a 10M-degree hub would
+    * emit 10¹⁴ wedges, and its `1/ln(deg)` weight is negligible by
+    * construction), bounding the work at O(nodes × maxDegree²) with
+    * only (center, leaf) scalar pairs crossing the exchanges. The
+    * already-adjacent filter is a left-anti hash join on the symmetric
+    * edge relation. A common neighbor is adjacent to both endpoints,
+    * so its degree is ≥ 2 and the `ln` is never zero.
+    */
+  def adamicAdar(edges: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val centers = sym.join(deg.where(col("deg") <= maxDegree),
+        sym("src") === col("n"))
+      .select(col("n"), col("dst").as("leaf"), col("deg"))
+    val wedges = centers.as("x").join(centers.as("y"), "n")
+      .where(col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("a"), col("y.leaf").as("b"),
+        col("x.deg").as("deg"))
+    wedges
+      .join(sym.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("aa_score"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))

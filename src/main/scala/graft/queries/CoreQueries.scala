@@ -1114,6 +1114,46 @@ object CoreQueries extends QueryPack {
           "\nSELECT id, label FROM l3").stripMargin
       }),
 
+    GraftQuery("g9_adamic_adar",
+      // Adamic-Adar link prediction over a SPARSIFIED decade-link graph
+      // (every 4th event — at full density the decade cliques complete
+      // and no non-adjacent pair remains): score every non-adjacent
+      // pair with >= 2 rare shared neighbors. Wedge enumeration (never
+      // all-pairs), hub centers excluded by the maxDegree bound; oracle
+      // replays the identical wedge + anti-join
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events")
+          .where(col("event_id") % 4 === 0)
+          .select(col("user_id").as("src"),
+            (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.adamicAdar(edges, maxDegree = 10000)
+          .where(col("common") >= 2)
+      },
+      oracle = Some(
+        """WITH e0 AS (
+          |  SELECT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events WHERE event_id % 4 = 0),
+          |sym AS (
+          |  SELECT DISTINCT src, dst FROM
+          |    (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0) u
+          |  WHERE src <> dst),
+          |deg AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY src),
+          |centers AS (
+          |  SELECT s.src AS n, s.dst AS leaf, d.deg
+          |  FROM sym s JOIN deg d ON d.n = s.src
+          |  WHERE d.deg <= 10000),
+          |cand AS (
+          |  SELECT x.leaf AS a, y.leaf AS b, x.deg AS deg
+          |  FROM centers x JOIN centers y ON x.n = y.n AND x.leaf < y.leaf),
+          |nonadj AS (
+          |  SELECT a, b, deg FROM cand c
+          |  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = c.a AND s.dst = c.b))
+          |SELECT a, b, count(*) AS common,
+          |       round(sum(1.0 / ln(deg)), 6) AS aa_score
+          |FROM nonadj GROUP BY a, b
+          |HAVING count(*) >= 2""".stripMargin)),
+
     GraftQuery("g3_triangles",
       // per-node triangle counts; the engine orients each edge
       // low-degree→high-degree (the O(m^1.5) skew bound), the oracle

@@ -207,4 +207,33 @@ class GraphOpsSpec extends AnyFunSuite {
     val authNorm = math.sqrt(s.values.map(v => v._2 * v._2).sum)
     assert(math.abs(hubNorm - 1.0) < 1e-9 && math.abs(authNorm - 1.0) < 1e-9)
   }
+
+  test("adamicAdar: hand-traced wedges, adjacency excluded, hub cap honored") {
+    // 1-3, 2-3 (center 3, deg 2); 1-4, 2-4 (center 4, deg 3); 4-5.
+    // non-adjacent pairs: (1,2) via 3 and 4 → 1/ln2 + 1/ln3;
+    // (1,5),(2,5) via 4 → 1/ln3; (3,4) are... 3-4 not adjacent, common {1,2}
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.adamicAdar(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val w2 = 1.0 / math.log(2); val w3 = 1.0 / math.log(3)
+    assert(got((1L, 2L)) == ((2L, r6(w2 + w3))))
+    assert(got((1L, 5L)) == ((1L, r6(w3))))
+    assert(got((2L, 5L)) == ((1L, r6(w3))))
+    // 3 and 4 share neighbors {1, 2} (deg 2 each) and are not adjacent
+    assert(got((3L, 4L)) == ((2L, r6(w2 + w2))))
+    // no adjacent pair is ever scored, and 3-5 share no neighbor
+    val adj = Set((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+    assert(got.keySet.intersect(adj).isEmpty)
+    assert(got.size == 4)
+    // maxDegree = 2 drops center 4 (deg 3): its wedges (1,5)/(2,5)
+    // vanish and (1,2) keeps only center 3's contribution; centers 1
+    // and 2 (deg 2) still emit the (3,4) wedge
+    val capped = GraphOps.adamicAdar(edges, maxDegree = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(capped == Map((1L, 2L) -> ((1L, r6(w2))), (3L, 4L) -> ((2L, r6(w2 + w2)))))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -446,6 +447,38 @@ object TextOps {
     df.join(scored, df(idCol) === scored("__id"), "left")
       .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .drop("__id")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, rank documents by their LM surprisal
+    * ([[withUnigramSurprisal]]) and cut head / middle / tail at rank
+    * terciles — the filtering signal CCNet uses to keep the "head" of
+    * each language's quality distribution. The cut is RANK-based
+    * (`rank*3 <= n`, integer arithmetic, (surprisal, id) total order),
+    * not a float threshold, so bucket membership is engine-exact and
+    * stable under recomputation. Appends `ppl_rank` and `ppl_bucket`.
+    *
+    * Scale: the per-language sort ranks a `(id, lang, surprisal)`
+    * scalar projection — document text never enters the sort exchange
+    * and rejoins by id afterwards. Parallelism is per-language, which
+    * is the natural unit (CCNet cuts per language by construction).
+    */
+  def withPerplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+      langCol: String): DataFrame = {
+    val scored = withUnigramSurprisal(df, textCol, idCol)
+    val slim = scored.select(col(idCol).as("__pid"),
+      col(langCol).as("__plang"), col("surprisal_bits").as("__ps"))
+    val perLang = Window.partitionBy(col("__plang"))
+    val bucketed = slim
+      .withColumn("ppl_rank", row_number().over(
+        perLang.orderBy(col("__ps").asc_nulls_last, col("__pid"))))
+      .withColumn("__pn", count(lit(1)).over(perLang))
+      .withColumn("ppl_bucket",
+        when(col("ppl_rank") * 3 <= col("__pn"), lit("head"))
+          .when(col("ppl_rank") * 3 <= col("__pn") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("__pid"), col("ppl_rank"), col("ppl_bucket"))
+    scored.join(bucketed, scored(idCol) === bucketed("__pid")).drop("__pid")
   }
 
   /** Bigram language-model surprisal (the CCNet-style LM-quality signal

@@ -1388,6 +1388,44 @@ object LlmQueries extends QueryPack {
            |       s.surprisal_bits
            |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)),
 
+    GraftQuery("t20_ccnet_buckets",
+      // CCNet head/middle/tail per language: rank docs by t11's
+      // surprisal within their language, cut at rank terciles — the
+      // cut is integer arithmetic over an engine-exact total order
+      (s, dir) => TextOps.withPerplexityBuckets(
+        Tables.load(s, dir, "documents"), "text", "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("surprisal_bits"),
+          col("ppl_rank"), col("ppl_bucket")),
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split_regex($normSql, '\s+')) AS t
+           |  FROM documents),
+           |tf AS (
+           |  SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> ''
+           |  GROUP BY 1, 2),
+           |vocab AS (SELECT t, sum(tf) AS cnt FROM tf GROUP BY 1),
+           |total AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         round(sum(tf.tf * -log2(v.cnt / tt.total)) / sum(tf.tf), 6)
+           |           AS surprisal_bits
+           |  FROM tf JOIN vocab v USING (t) CROSS JOIN total tt
+           |  GROUP BY 1),
+           |f AS (
+           |  SELECT d.doc_id, d.lang, s.surprisal_bits
+           |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+           |rk AS (
+           |  SELECT doc_id, lang, surprisal_bits,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY surprisal_bits ASC NULLS LAST, doc_id) AS ppl_rank,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM f)
+           |SELECT doc_id, lang, surprisal_bits, ppl_rank,
+           |  CASE WHEN ppl_rank * 3 <= n THEN 'head'
+           |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
+           |       ELSE 'tail' END AS ppl_bucket
+           |FROM rk""".stripMargin)),
+
     GraftQuery("t12_tfidf_keywords",
       // per-doc top-3 TF-IDF keywords; ranking runs on the RAW weight in
       // both engines (identical doubles), output rounds for display

@@ -860,6 +860,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("withPerplexityBuckets: per-lang terciles, head = lowest surprisal") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = graft.llm.TextOps.withPerplexityBuckets(docs, "text", "doc_id", "lang")
+      .select($"doc_id", $"lang", $"surprisal_bits", $"ppl_rank", $"ppl_bucket")
+      .as[(Long, String, Double, Int, String)].collect()
+    assert(got.length == docs.count())
+    val byLang = got.groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val n = rows.length
+      // tercile sizes: head <= middle + 1 shapes; exact integer cut
+      val heads = rows.filter(_._5 == "head")
+      val mids = rows.filter(_._5 == "middle")
+      val tails = rows.filter(_._5 == "tail")
+      assert(heads.length == n / 3, s"$lang head size")
+      assert(heads.length + mids.length == 2 * n / 3, s"$lang head+middle size")
+      assert(tails.length == n - 2 * n / 3, s"$lang tail size")
+      // bucket order follows surprisal order: max(head) <= min(middle) etc.
+      if (heads.nonEmpty && mids.nonEmpty)
+        assert(heads.map(_._3).max <= mids.map(_._3).min + 1e-12)
+      if (mids.nonEmpty && tails.nonEmpty)
+        assert(mids.map(_._3).max <= tails.map(_._3).min + 1e-12)
+      // ranks are a permutation of 1..n
+      assert(rows.map(_._4).sorted.toSeq == (1 to n))
+    }
+  }
+
   test("unimaxBudget: hand-computed waterfill, budget conservation, epoch cap") {
     // domains: a=100, b=200, c=1000 tokens; maxEpochs=2 → caps 200/400/2000
     // budget 1000: a full (200*3=600<=1000), b full (400*2=800<=800),

@@ -155,6 +155,69 @@ object MultimodalOps {
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
 
+  private def be16hex(v: Column): Column = lpad(hex(v.cast("int")), 4, "0")
+
+  /** A syntactically REAL JPEG/JFIF header: SOI, APP0 (JFIF 1.1), an
+    * optional COM segment carrying `comment` (omitted when empty — so
+    * the segment COUNT varies, not just segment lengths), a DQT, and a
+    * baseline SOF0 with the given dimensions. Any JPEG tool that walks
+    * marker segments reads the dimensions back from these bytes.
+    */
+  def encodeJpegHeader(w: Column, h: Column, comment: Column): Column = {
+    val app0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "00" + "00"
+    val dqt = "FFDB" + "0043" + "00" + ("00" * 64)
+    val com = when(length(comment) > 0,
+      concat(lit("FFFE"), be16hex(length(comment) + 2), upper(hex(comment))))
+      .otherwise(lit(""))
+    val sof0 = concat(lit("FFC0" + "0011" + "08"), be16hex(h), be16hex(w),
+      lit("03" + "012200" + "021101" + "031101"))
+    to_binary(concat(lit("FFD8" + app0), com, lit(dqt), sof0), lit("hex"))
+  }
+
+  /** REAL JPEG header parser — and unlike [[videoMeta]]'s bounded tag
+    * scan, a genuine MARKER-SIZE WALK: starting after SOI, each step
+    * reads the current marker's big-endian length and hops over the
+    * segment, stopping at SOF0/SOF2 (where the frame height/width live
+    * at fixed offsets) or freezing on anything malformed (a non-0xFF
+    * byte where a marker belongs → `unknown`, never garbage fields).
+    * The walk is unrolled to `maxSegments` STAGED projections — each
+    * step references the previous position as a bound attribute, not an
+    * inlined expression, so the plan stays linear in the unroll depth
+    * (the staged-projection discipline; an inline fold here would grow
+    * 6^depth sub-expressions). Appends `format`, `width`, `height` (nulls
+    * for non-JPEG). Map-only over the payload's first bytes; the payload
+    * never shuffles.
+    */
+  def withJpegMeta(df: DataFrame, binCol: String,
+      maxSegments: Int = 6): DataFrame = {
+    require(maxSegments > 0, s"maxSegments must be positive: $maxSegments")
+    val p = col(binCol)
+    def u8(off: Column): Column =
+      conv(hex(substring(p, off, lit(1))), 16, 10).cast("int")
+    def u16(off: Column): Column =
+      conv(hex(substring(p, off, lit(2))), 16, 10).cast("int")
+    def isSofAt(pos: Column): Column =
+      u8(pos) === 255 && u8(pos + 1).isin(192, 194)
+    val isJpeg = hex(substring(p, 1, 2)) === "FFD8"
+    var cur = df.withColumn("__jpos", lit(3))
+    (1 to maxSegments).foreach { _ =>
+      val pos = col("__jpos")
+      cur = cur.withColumn("__jpos",
+        when(u8(pos) === 255 && !isSofAt(pos), pos + 2 + u16(pos + 2))
+          .otherwise(pos))
+    }
+    val pos = col("__jpos")
+    cur
+      .withColumn("format",
+        when(isJpeg && isSofAt(pos), lit("jpeg")).otherwise(lit("unknown")))
+      .withColumn("width",
+        when(isJpeg && isSofAt(pos), u16(pos + 7)).otherwise(lit(null).cast("int")))
+      .withColumn("height",
+        when(isJpeg && isSofAt(pos), u16(pos + 5)).otherwise(lit(null).cast("int")))
+      .drop("__jpos")
+  }
+
   /** A real RIFF/WAVE header (PCM "fmt " chunk + "data" chunk header)
     * for the given stream parameters — the 44 bytes any .wav tool reads.
     */

@@ -996,6 +996,34 @@ object LlmQueries extends QueryPack {
           |        ELSE 600 END)) AS BIGINT) AS duration_ms
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m5_jpeg_header",
+      // JPEG sibling of m2 with a genuine MARKER-SIZE WALK: headers
+      // carry a variable-length COM segment (absent entirely for every
+      // 5th doc — segment count varies, not just offsets), so SOF0's
+      // position differs per row and the parser must hop real segment
+      // lengths to find the dimensions. Closed-form oracle pins the
+      // whole encode→walk→decode round trip
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val w = (col("doc_id") % 1920 + 32).cast("int")
+        val h = (col("doc_id") * 3 % 1080 + 32).cast("int")
+        val comment = when(col("doc_id") % 5 === 0, lit(""))
+          .otherwise(repeat(lit("G"), (col("doc_id") % 13 + 1).cast("int")))
+        val withPayload = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            MultimodalOps.encodeJpegHeader(w, h, comment).as("payload"))
+        MultimodalOps.withJpegMeta(withPayload, "payload")
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            length(col("payload")).as("n_bytes"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'jpeg' AS format,
+          |  CAST(doc_id % 1920 + 32 AS INT) AS width,
+          |  CAST(doc_id * 3 % 1080 + 32 AS INT) AS height,
+          |  CAST(108 + CASE WHEN doc_id % 5 = 0 THEN 0
+          |             ELSE 4 + doc_id % 13 + 1 END AS INT) AS n_bytes
+          |FROM documents""".stripMargin)),
+
     GraftQuery("t17_phrase_search",
       // exact-phrase retrieval via the positional inverted index: each
       // phrase term joins at anchor+i on (doc, pos) scalars, so cost

@@ -435,6 +435,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(parsed("??") == (("unknown", None, None)))
   }
 
+  test("withJpegMeta walks hand-written marker segments (not our encoder)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SOI, APP0 (len 16), COM (len 7: "hello"), SOF0 h=200 w=300
+    val jpeg = b(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xFF, 0xFE, 0x00, 0x07, 'h', 'e', 'l', 'l', 'o',
+      0xFF, 0xC0, 0x00, 0x11, 8, 0x00, 0xC8, 0x01, 0x2C, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // progressive SOF2 directly after SOI, no other segments
+    val sof2 = b(0xFF, 0xD8,
+      0xFF, 0xC2, 0x00, 0x11, 8, 0x00, 0x64, 0x00, 0x96, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // corrupt: a segment length pointing at a non-FF byte freezes safely
+    val corrupt = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 1, 2, 9, 9, 9, 9)
+    val junk = b(1, 2, 3, 4, 5, 6, 7, 8)
+    val parsed = graft.llm.MultimodalOps.withJpegMeta(
+      Seq(("jpeg", jpeg), ("sof2", sof2), ("corrupt", corrupt), ("junk", junk))
+        .toDF("label", "payload"), "payload")
+      .select($"label", $"format", $"width", $"height")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(parsed("jpeg") == (("jpeg", Some(300), Some(200))))
+    assert(parsed("sof2") == (("jpeg", Some(150), Some(100))))
+    assert(parsed("corrupt") == (("unknown", None, None)))
+    assert(parsed("junk") == (("unknown", None, None)))
+    // encoder round trip at boundary dims, with and without a comment
+    val rt = graft.llm.MultimodalOps.withJpegMeta(
+      Seq((1, 65535, 1, "c"), (16, 16, 0, ""), (300, 200, 1, "a longer comment"))
+        .toDF("w", "h", "n", "c")
+        .select($"w", $"h", graft.llm.MultimodalOps.encodeJpegHeader(
+          $"w".cast("int"), $"h".cast("int"), $"c").as("payload")),
+      "payload")
+      .select($"w", $"h", $"format", $"width", $"height")
+      .as[(Int, Int, String, Int, Int)].collect()
+    rt.foreach { case (w, h, f, pw, ph) =>
+      assert(f == "jpeg" && pw == w && ph == h, s"round trip broke at ${(w, h)}") }
+  }
+
   test("encode*Header bytes round-trip through imageDims at boundary dims") {
     val dims = Seq((1, 1), (65535, 65535), (1920, 1080), (256, 255))
     val df = dims.toDF("w", "h")

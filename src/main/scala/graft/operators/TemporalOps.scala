@@ -332,4 +332,43 @@ object TemporalOps {
       .select(keyCols :+ timestamp_micros(col("_k.us")).as(tsCol) :+
         col("_k.tie").as(tieCol): _*)
   }
+
+  /** Frequent contiguous event sequences (the n-gram slice of
+    * PrefixSpan-style sequence mining): every length-`length` run of
+    * consecutive `itemCol` values per key, ranked by SUPPORT (distinct
+    * keys exhibiting the sequence — the market-basket definition, so a
+    * single looping user cannot dominate) with total occurrences as the
+    * tiebreak. Returns the top-`topK` as
+    * `(seq, support, occurrences, rank)`.
+    *
+    * == 100 TB design ==
+    *
+    * The per-key window leads over `(key, ts, tie, item)` scalars —
+    * one exchange on the key, no self-joins (a length-n window of
+    * `lead`s replaces the n-way positional self-join a naive SQL
+    * formulation would run). The sequence aggregate partial-aggregates
+    * map-side, and the top-K is a TakeOrdered (per-partition heads,
+    * never a global sort of all sequences).
+    */
+  def frequentSequences(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, itemCol: String, length: Int = 3,
+      topK: Int = 20): DataFrame = {
+    require(length >= 2, s"sequence length must be >= 2: $length")
+    require(topK > 0, s"topK must be positive: $topK")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val items = col(itemCol) +: (1 until length).map(i =>
+      lead(col(itemCol), i).over(w))
+    val seqs = df
+      .select(col(keyCol).as("__k"),
+        concat_ws(">", items: _*).as("seq"),
+        items.last.isNotNull.as("__complete"))
+      .where(col("__complete"))
+    val counts = seqs.groupBy(col("seq"))
+      .agg(countDistinct(col("__k")).as("support"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("support").desc, col("occurrences").desc, col("seq"))
+      .limit(topK)
+    counts.withColumn("rank", row_number().over(
+      Window.orderBy(col("support").desc, col("occurrences").desc, col("seq"))))
+  }
 }

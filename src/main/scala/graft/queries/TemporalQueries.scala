@@ -208,6 +208,33 @@ object TemporalQueries extends QueryPack {
           |       round(sum(value), 6) AS total
           |FROM w GROUP BY 1, 2""".stripMargin)),
 
+    GraftQuery("a34_frequent_seqs",
+      // top-20 length-3 event-type paths by user support: the window
+      // lead form replaces the 3-way positional self-join, support
+      // counts distinct users so loops don't dominate, and the top-K
+      // is a TakeOrdered on a deterministic total order
+      (s, dir) => TemporalOps.frequentSequences(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        length = 3, topK = 20),
+      oracle = Some(
+        """WITH led AS (
+          |  SELECT user_id, event_type AS a,
+          |         lead(event_type, 1) OVER w AS b,
+          |         lead(event_type, 2) OVER w AS c
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |seqs AS (
+          |  SELECT user_id, a || '>' || b || '>' || c AS seq
+          |  FROM led WHERE c IS NOT NULL),
+          |counts AS (
+          |  SELECT seq, count(DISTINCT user_id) AS support,
+          |         count(*) AS occurrences
+          |  FROM seqs GROUP BY seq
+          |  ORDER BY support DESC, occurrences DESC, seq LIMIT 20)
+          |SELECT seq, support, occurrences,
+          |       row_number() OVER (ORDER BY support DESC, occurrences DESC, seq)
+          |         AS rank
+          |FROM counts""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

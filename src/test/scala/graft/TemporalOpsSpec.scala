@@ -327,4 +327,33 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     }
     assert(windows.size == 1, s"expected 1 Window operator, got ${windows.size}")
   }
+
+  test("frequentSequences: support counts users not loops; windows stay per-user") {
+    // user 1 loops a>b>a>b>a (3 occurrences of length-3 runs), users
+    // 2 and 3 each do x>y>z once — support must rank x>y>z (2 users)
+    // over the looped runs (1 user each), occurrences break ties
+    val rows =
+      (1 to 5).map(i => (1L, f"2024-01-01 10:0$i:00", i.toLong,
+        if (i % 2 == 1) "a" else "b")) ++
+      Seq((2L, "2024-01-01 11:01:00", 10L, "x"),
+        (2L, "2024-01-01 11:02:00", 11L, "y"),
+        (2L, "2024-01-01 11:03:00", 12L, "z"),
+        (3L, "2024-01-01 12:01:00", 20L, "x"),
+        (3L, "2024-01-01 12:02:00", 21L, "y"),
+        (3L, "2024-01-01 12:03:00", 22L, "z"))
+    val df = rows.toDF("uid", "t", "eid", "etype")
+      .select($"uid", to_timestamp($"t").as("t"), $"eid", $"etype")
+    val got = TemporalOps.frequentSequences(df, "uid", "t", "eid", "etype",
+        length = 3, topK = 10)
+      .select($"seq", $"support", $"occurrences", $"rank")
+      .as[(String, Long, Long, Int)].collect().sortBy(_._4)
+    assert(got.head == (("x>y>z", 2L, 2L, 1)))
+    // user 1's runs: a>b>a (2 occurrences), b>a>b (1)
+    assert(got(1) == (("a>b>a", 1L, 2L, 2)))
+    assert(got(2) == (("b>a>b", 1L, 1L, 3)))
+    assert(got.length == 3, "incomplete tail windows must not emit sequences")
+    // no cross-user sequence: user boundaries never chain (z of user 2
+    // never leads into user 3's x)
+    assert(!got.map(_._1).contains("y>z>x"))
+  }
 }

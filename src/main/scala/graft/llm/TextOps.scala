@@ -449,6 +449,40 @@ object TextOps {
       .drop("__id")
   }
 
+  /** Boilerplate-stripping HTML→text extraction (the trafilatura-lite
+    * shape every web-corpus pipeline runs before any quality scoring):
+    * drop whole non-content BLOCKS (`<script>`, `<style>`, `<head>`,
+    * `<nav>`, `<footer>` — navigation chrome, not prose), replace the
+    * remaining tags with spaces, decode the six standard entities, and
+    * collapse whitespace. RE2-portable regex chain (non-greedy block
+    * matches, no backreferences), so any engine extracts the identical
+    * text. Map-only scan; pair with [[withHtmlStats]] for the audit
+    * columns.
+    */
+  def stripHtml(c: Column): Column = {
+    val blocks = Seq("script", "style", "head", "nav", "footer")
+    val noBlocks = blocks.foldLeft(c)((acc, t) =>
+      regexp_replace(acc, s"<$t[^>]*>.*?</$t>", " "))
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[stripHtml]] plus the audit columns corpus pipelines filter on:
+    * `clean_text`, `clean_len`, `n_tags` (all tags in the raw HTML),
+    * `n_links` (anchor count — the numerator of link-density
+    * boilerplate heuristics).
+    */
+  def withHtmlStats(df: DataFrame, htmlCol: String): DataFrame = {
+    val c = col(htmlCol)
+    df.withColumn("clean_text", stripHtml(c))
+      .withColumn("clean_len", length(col("clean_text")))
+      .withColumn("n_tags", regexp_count(c, lit("<[^>]+>")))
+      .withColumn("n_links", regexp_count(c, lit("<a[ >]")))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     * language, rank documents by their LM surprisal
     * ([[withUnigramSurprisal]]) and cut head / middle / tail at rank

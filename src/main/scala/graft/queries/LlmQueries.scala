@@ -1454,6 +1454,67 @@ object LlmQueries extends QueryPack {
            |       ELSE 'tail' END AS ppl_bucket
            |FROM rk""".stripMargin)),
 
+    GraftQuery("t21_html_extract",
+      // trafilatura-lite boilerplate stripping: each doc is wrapped in
+      // deterministic page chrome (head/script/style/nav/footer, a
+      // variable link count, entity-encoded prose), and the extractor
+      // must recover exactly the prose — block removal, tag stripping,
+      // entity decoding, and whitespace collapse all pinned by the md5
+      (s, dir) => {
+        val extraLink = when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/x\">archive</a>")).otherwise(lit(""))
+        val html = concat(
+          lit("<html><head><title>Doc</title><script>var x=1;</script>" +
+            "<style>.a{color:red}</style></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/a\">about</a>"),
+          extraLink,
+          lit("</nav><p>"), substring(col("text"), 1, 80),
+          lit("</p><p>"), substring(col("text"), 81, 1000000),
+          lit(" &amp; tail</p><footer>&copy; 2024</footer></body></html>"))
+        TextOps.withHtmlStats(
+          Tables.load(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "html")
+          .select(col("doc_id"),
+            md5(to_binary(col("clean_text"), lit("utf-8"))).as("clean_md5"),
+            col("clean_len"), col("n_tags"), col("n_links"))
+      },
+      oracle = Some(
+        raw"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>Doc</title><script>var x=1;</script>' ||
+           |    '<style>.a{color:red}</style></head><body>' ||
+           |    '<nav><a href="/">home</a> <a href="/a">about</a>' ||
+           |    CASE WHEN doc_id % 3 = 0 THEN '<a href="/x">archive</a>'
+           |         ELSE '' END ||
+           |    '</nav><p>' || substr(text, 1, 80) || '</p><p>' ||
+           |    substr(text, 81) ||
+           |    ' &amp; tail</p><footer>&copy; 2024</footer></body></html>' AS html
+           |  FROM documents),
+           |s1 AS (
+           |  SELECT doc_id, html,
+           |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |      regexp_replace(html,
+           |      '<script[^>]*>.*?</script>', ' ', 'g'),
+           |      '<style[^>]*>.*?</style>', ' ', 'g'),
+           |      '<head[^>]*>.*?</head>', ' ', 'g'),
+           |      '<nav[^>]*>.*?</nav>', ' ', 'g'),
+           |      '<footer[^>]*>.*?</footer>', ' ', 'g') AS nb
+           |  FROM h),
+           |s2 AS (
+           |  SELECT doc_id, html,
+           |    trim(regexp_replace(
+           |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           |        regexp_replace(regexp_replace(regexp_replace(nb,
+           |        '<[^>]*>', ' ', 'g'),
+           |        '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+           |        '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'),
+           |      '\s+', ' ', 'g')) AS clean
+           |  FROM s1)
+           |SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS clean_len,
+           |  len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+           |  len(regexp_extract_all(html, '<a[ >]')) AS n_links
+           |FROM s2""".stripMargin)),
+
     GraftQuery("t12_tfidf_keywords",
       // per-doc top-3 TF-IDF keywords; ranking runs on the RAW weight in
       // both engines (identical doubles), output rounds for display

@@ -899,6 +899,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("stripHtml: blocks drop whole, entities decode after tag strip") {
+    val html = "<html><head><title>T</title><script>if(1<2){a();}</script></head>" +
+      "<body><nav><a href=\"/\">home</a></nav><p>A &amp; B</p>" +
+      "<p>C&nbsp;&lt;tag&gt;</p><footer>f &copy; x</footer></body></html>"
+    val got = graft.llm.TextOps.withHtmlStats(
+      Seq((1L, html)).toDF("id", "html"), "html")
+      .select($"clean_text", $"n_links", $"n_tags")
+      .as[(String, Int, Int)].head()
+    // head (title+script, incl. the embedded '<'), nav, footer all gone;
+    // &lt;tag&gt; decodes AFTER tag stripping so it survives as text
+    assert(got._1 == "A & B C <tag>")
+    assert(got._2 == 1)
+    // unknown entity passes through; empty input stays empty
+    val passThrough = graft.llm.TextOps.withHtmlStats(
+      Seq((1L, "<p>x &bogus; y</p>"), (2L, "")).toDF("id", "html"), "html")
+      .select($"id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(passThrough(1L) == "x &bogus; y" && passThrough(2L) == "")
+  }
+
   test("withPerplexityBuckets: per-lang terciles, head = lowest surprisal") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val got = graft.llm.TextOps.withPerplexityBuckets(docs, "text", "doc_id", "lang")

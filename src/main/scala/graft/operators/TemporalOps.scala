@@ -333,6 +333,42 @@ object TemporalOps {
         col("_k.tie").as(tieCol): _*)
   }
 
+  /** Per-key interval UNION via the classic sweep line: each interval
+    * contributes a (+1 at start, −1 at end) point; sorting the points
+    * and running-summing the deltas gives the active-coverage count,
+    * and the union length is the sum of inter-point gaps where coverage
+    * is positive. Returns per key `(n_intervals, n_merged, covered_us)`
+    * — `n_merged` counts the 0→1 coverage rises, i.e. the merged
+    * intervals. Starts sort before ends at the same instant (delta
+    * DESC), so touching intervals merge; the `(t, delta, tie)` order is
+    * total, making every running sum engine-exact on integer
+    * microseconds.
+    *
+    * Scale: one exchange of `(key, t, ±1, tie)` scalars, one per-key
+    * window pass, one partial-aggregated rollup — never an
+    * interval-overlap self-join (which is O(n²) per key under skew).
+    */
+  def intervalUnion(df: DataFrame, keys: Seq[String], startUsCol: String,
+      endUsCol: String, tieCol: String): DataFrame = {
+    val kc = keys.map(col)
+    def side(t: String, d: Int) = df.select(
+      kc :+ col(t).cast("long").as("__t") :+ lit(d).as("__d") :+
+        col(tieCol).as("__tie"): _*)
+    val pts = side(startUsCol, 1).unionByName(side(endUsCol, -1))
+    val w = Window.partitionBy(kc: _*)
+      .orderBy(col("__t"), col("__d").desc, col("__tie"))
+    pts
+      .withColumn("__active", sum(col("__d")).over(w))
+      .withColumn("__nextt", lead(col("__t"), 1).over(w))
+      .groupBy(kc: _*)
+      .agg(
+        sum(when(col("__d") === 1, 1L).otherwise(0L)).as("n_intervals"),
+        sum(when(col("__active") === 1 && col("__d") === 1, 1L).otherwise(0L))
+          .as("n_merged"),
+        sum(when(col("__active") > 0 && col("__nextt").isNotNull,
+          col("__nextt") - col("__t")).otherwise(0L)).as("covered_us"))
+  }
+
   /** Frequent contiguous event sequences (the n-gram slice of
     * PrefixSpan-style sequence mining): every length-`length` run of
     * consecutive `itemCol` values per key, ranked by SUPPORT (distinct

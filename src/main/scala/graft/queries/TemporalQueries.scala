@@ -235,6 +235,44 @@ object TemporalQueries extends QueryPack {
           |         AS rank
           |FROM counts""".stripMargin)),
 
+    GraftQuery("a35_interval_union",
+      // sweep-line union of per-user busy intervals (event start +
+      // value-hours duration, exact integer microseconds): total
+      // covered time and merged-interval count per user without any
+      // O(n²) overlap self-join
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            round(col("value") * 100, 0).cast("long") * 36000000L).as("e_us"))
+        TemporalOps.intervalUnion(iv, Seq("user_id"), "s_us", "e_us", "event_id")
+      },
+      oracle = Some(
+        """WITH iv AS (
+          |  SELECT user_id, event_id,
+          |         epoch_ns(ts) // 1000 AS s,
+          |         epoch_ns(ts) // 1000
+          |           + CAST(round(value * 100, 0) AS BIGINT) * 36000000 AS e
+          |  FROM events),
+          |pts AS (
+          |  SELECT user_id, s AS t, 1 AS d, event_id FROM iv
+          |  UNION ALL
+          |  SELECT user_id, e AS t, -1 AS d, event_id FROM iv),
+          |m AS (
+          |  SELECT user_id, t, d,
+          |         sum(d) OVER w AS active,
+          |         lead(t) OVER w AS nextt
+          |  FROM pts
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY t, d DESC, event_id))
+          |SELECT user_id,
+          |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals,
+          |  sum(CASE WHEN active = 1 AND d = 1 THEN 1 ELSE 0 END)::BIGINT
+          |    AS n_merged,
+          |  sum(CASE WHEN active > 0 AND nextt IS NOT NULL THEN nextt - t
+          |      ELSE 0 END)::BIGINT AS covered_us
+          |FROM m GROUP BY user_id""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

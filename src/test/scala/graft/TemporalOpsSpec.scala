@@ -328,6 +328,21 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(windows.size == 1, s"expected 1 Window operator, got ${windows.size}")
   }
 
+  test("intervalUnion: overlaps merge, touching merge, gaps split, zero-length ok") {
+    // user 1: [0,10] ∪ [5,20] ∪ [20,25] merge to [0,25]; [30,40] separate
+    // user 2: [0,5] and zero-length [7,7]
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 25L),
+      (1L, 4L, 30L, 40L),
+      (2L, 5L, 0L, 5L), (2L, 6L, 7L, 7L))
+      .toDF("uid", "eid", "s", "e")
+    val got = TemporalOps.intervalUnion(iv, Seq("uid"), "s", "e", "eid")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, 2L, 35L)), s"user 1: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 5L)), s"user 2: ${got(2L)}")
+  }
+
   test("frequentSequences: support counts users not loops; windows stay per-user") {
     // user 1 loops a>b>a>b>a (3 occurrences of length-3 runs), users
     // 2 and 3 each do x>y>z once — support must rank x>y>z (2 users)

@@ -377,6 +377,50 @@ object TextOps {
       .drop("__toks", "__w")
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): the corpus's top-k
+    * adjacent word pairs by pointwise mutual information
+    * `log2(p(xy) / (p(x)·p(y)))` — the classic "strongly associated
+    * phrase" extractor (named entities, idioms, domain terms) that
+    * plain bigram frequency misses because it rewards common words.
+    * The ratio is computed as one integer-product fraction
+    * `cxy·T² / (B·cx·cy)` (all products < 2⁵³, so the doubles are
+    * exact and any engine ranks identically); `minCount` applies the
+    * standard low-frequency PMI correction (rare pairs otherwise
+    * dominate with inflated scores).
+    *
+    * Scale: bigrams derive per document from the token array (no
+    * positional self-join), counts partial-aggregate to (pair, count)
+    * scalars, the two unigram joins are on (token, count) scalars, the
+    * totals are broadcast 1-row frames, and the top-k is a TakeOrdered.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k > 0, s"k must be positive: $k")
+    val arr = filter(split(normalizeText(col(textCol)), " "), x => length(x) > 0)
+    val toks = df.select(explode(arr).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).cast("double").as("tt"))
+    val n1 = greatest(size(arr) - 1, lit(0))
+    val bgs = df.select(explode(zip_with(
+        slice(arr, lit(1), n1), slice(arr, lit(2), n1),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+    val bc = bgs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val btot = bc.agg(sum(col("cxy")).cast("double").as("bb"))
+    val scored = bc.where(col("cxy") >= minCount)
+      .join(uni.select(col("t").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .withColumn("__pmi", log2(col("cxy").cast("double") * col("tt") * col("tt")
+        / (col("bb") * col("cx") * col("cy"))))
+    scored.orderBy(col("__pmi").desc, col("x"), col("y")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__pmi").desc, col("x"), col("y"))))
+      .select(concat_ws(" ", col("x"), col("y")).as("bigram"), col("cxy"),
+        round(col("__pmi"), 6).as("pmi"), col("rank"))
+  }
+
   /** Deterministic stand-in weight for feature bucket `b` — an exact
     * dyadic rational in [−0.5, 0.5): see [[withHashedLinearScore]].
     */

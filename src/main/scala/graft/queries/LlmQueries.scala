@@ -1515,6 +1515,41 @@ object LlmQueries extends QueryPack {
            |  len(regexp_extract_all(html, '<a[ >]')) AS n_links
            |FROM s2""".stripMargin)),
 
+    GraftQuery("t23_pmi_collocations",
+      // corpus-wide top-20 PMI collocations: ranking runs on the RAW
+      // log2 of an exact integer fraction (products < 2^53), so both
+      // engines order identically; output rounds for display
+      (s, dir) => TextOps.pmiCollocations(
+        Tables.load(s, dir, "documents"), "text", minCount = 5, k = 20),
+      oracle = Some(
+        raw"""WITH ws AS (
+           |  SELECT doc_id, list_filter(string_split($normSql, ' '),
+           |                             x -> x <> '') AS w
+           |  FROM documents),
+           |uc AS (SELECT t, count(*) AS c
+           |       FROM (SELECT unnest(w) AS t FROM ws) u GROUP BY t),
+           |tt AS (SELECT sum(c)::DOUBLE AS tt FROM uc),
+           |bc AS (
+           |  SELECT x, y, count(*) AS cxy FROM (
+           |    SELECT w[i] AS x, w[i+1] AS y
+           |    FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+           |          FROM ws) z) b
+           |  GROUP BY x, y),
+           |bb AS (SELECT sum(cxy)::DOUBLE AS bb FROM bc),
+           |sc AS (
+           |  SELECT bc.x, bc.y, bc.cxy,
+           |         log2((bc.cxy::DOUBLE * tt.tt * tt.tt)
+           |              / (bb.bb * ux.c * uy.c)) AS pmi_raw
+           |  FROM bc
+           |  JOIN uc ux ON ux.t = bc.x
+           |  JOIN uc uy ON uy.t = bc.y
+           |  CROSS JOIN tt CROSS JOIN bb
+           |  WHERE bc.cxy >= 5),
+           |top AS (SELECT * FROM sc ORDER BY pmi_raw DESC, x, y LIMIT 20)
+           |SELECT x || ' ' || y AS bigram, cxy, round(pmi_raw, 6) AS pmi,
+           |       row_number() OVER (ORDER BY pmi_raw DESC, x, y) AS rank
+           |FROM top""".stripMargin)),
+
     GraftQuery("t12_tfidf_keywords",
       // per-doc top-3 TF-IDF keywords; ranking runs on the RAW weight in
       // both engines (identical doubles), output rounds for display

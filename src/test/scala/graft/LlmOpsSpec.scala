@@ -899,6 +899,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("pmiCollocations: fixed pair outranks common-word pair at equal frequency") {
+    // "new york" always co-occurs (PMI high); "the cat"/"the dog" halve
+    // the association of "the" with either tail despite equal pair counts
+    val doc = ("new york " * 6) + ("the cat " * 3) + ("the dog " * 3)
+    val got = graft.llm.TextOps.pmiCollocations(
+        Seq((1L, doc.trim)).toDF("id", "text"), "text", minCount = 3, k = 10)
+      .select($"bigram", $"cxy", $"pmi", $"rank")
+      .as[(String, Long, Double, Int)].collect()
+    val byName = got.map(r => r._1 -> r).toMap
+    assert(byName("new york")._4 < byName("the cat")._4,
+      "exclusive pair must outrank the shared-head pair")
+    assert(byName("the cat")._3 == byName("the dog")._3,
+      "symmetric pairs must score identically")
+    // rare pairs below minCount never appear ("york the" occurs 5x at
+    // the seam, "cat the"/"dog the" fewer) — check support floor held
+    assert(got.forall(_._2 >= 3))
+  }
+
   test("stripHtml: blocks drop whole, entities decode after tag strip") {
     val html = "<html><head><title>T</title><script>if(1<2){a();}</script></head>" +
       "<body><nav><a href=\"/\">home</a></nav><p>A &amp; B</p>" +

@@ -218,6 +218,72 @@ object MultimodalOps {
       .drop("__jpos")
   }
 
+  /** A syntactically REAL TIFF header (the container EXIF rides on):
+    * byte-order mark (II/MM — both emitted, chosen per row), magic 42,
+    * a VARIABLE first-IFD offset (`pad` filler bytes precede the IFD,
+    * so parsers must honor the offset pointer), and an ascending-tag
+    * IFD — optional NewSubfileType(254), ImageWidth(256),
+    * ImageLength(257), Compression(259), all type LONG — terminated by
+    * a zero next-IFD pointer. Every multi-byte field respects the
+    * declared byte order, which is the whole point of the format.
+    */
+  def encodeTiffHeader(w: Column, h: Column, littleEndian: Column,
+      pad: Column, extraEntry: Column): Column = {
+    def u16e(v: Column) = when(littleEndian, le16hex(v)).otherwise(be16hex(v))
+    def u32e(v: Column) = when(littleEndian, le32hex(v)).otherwise(be32hex(v))
+    def entry(tag: Int, v: Column) = concat(
+      u16e(lit(tag)), u16e(lit(4)), u32e(lit(1)), u32e(v))
+    val entries = concat(
+      when(extraEntry, entry(254, lit(0))).otherwise(lit("")),
+      entry(256, w), entry(257, h), entry(259, lit(1)))
+    val count = when(extraEntry, lit(4)).otherwise(lit(3))
+    to_binary(concat(
+      when(littleEndian, lit("4949")).otherwise(lit("4D4D")),
+      u16e(lit(42)), u32e(pad + 8), repeat(lit("00"), pad),
+      u16e(count), entries, u32e(lit(0))), lit("hex"))
+  }
+
+  /** REAL TIFF parser: reads the byte-order mark, validates magic 42 IN
+    * THAT BYTE ORDER, follows the first-IFD offset pointer (not a fixed
+    * position), and scans the IFD's declared entry count for the
+    * ImageWidth/ImageLength tags — every u16/u32 read switches
+    * endianness on the header's own declaration. Entry positions are
+    * direct arithmetic off the IFD base (`ifd + 2 + 12·i`), so unlike
+    * [[withJpegMeta]]'s sequential walk no staging is needed; the scan
+    * is a bounded `coalesce` over `maxEntries` independent probes.
+    * Returns `{format, byte_order, width, height}`, nulls for
+    * non-TIFF. Map-only over the payload's first bytes.
+    */
+  def tiffMeta(payload: Column, maxEntries: Int = 6): Column = {
+    def bAt(off: Column) =
+      conv(hex(substring(payload, off, lit(1))), 16, 10).cast("long")
+    val le = hex(substring(payload, 1, 2)) === "4949"
+    val isTiff = hex(substring(payload, 1, 2)).isin("4949", "4D4D")
+    def u16e(off: Column) = when(le, bAt(off) + bAt(off + 1) * 256)
+      .otherwise(bAt(off) * 256 + bAt(off + 1))
+    def u32e(off: Column) = when(le,
+        bAt(off) + bAt(off + 1) * 256 + bAt(off + 2) * 65536 +
+          bAt(off + 3) * 16777216)
+      .otherwise(bAt(off) * 16777216 + bAt(off + 1) * 65536 +
+        bAt(off + 2) * 256 + bAt(off + 3))
+    val magicOk = isTiff && u16e(lit(3)) === 42
+    val ifd = (u32e(lit(5)) + 1).cast("int")
+    val cnt = u16e(ifd)
+    def tagVal(tag: Int): Column = coalesce((0 until maxEntries).map { i =>
+      val pos = ifd + lit(2 + 12 * i)
+      when(lit(i) < cnt && u16e(pos) === tag, u32e(pos + 8))
+    }: _*)
+    val width = tagVal(256)
+    val height = tagVal(257)
+    when(magicOk && width.isNotNull && height.isNotNull, struct(
+      lit("tiff").as("format"),
+      when(le, lit("II")).otherwise(lit("MM")).as("byte_order"),
+      width.cast("int").as("width"), height.cast("int").as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("string").as("byte_order"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
   /** A real RIFF/WAVE header (PCM "fmt " chunk + "data" chunk header)
     * for the given stream parameters — the 44 bytes any .wav tool reads.
     */

@@ -1024,6 +1024,40 @@ object LlmQueries extends QueryPack {
           |             ELSE 4 + doc_id % 13 + 1 END AS INT) AS n_bytes
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m6_tiff_header",
+      // TIFF/EXIF-container sibling of m5: BOTH byte orders exercised
+      // (II for even docs, MM for odd), a variable IFD offset (padding
+      // the pointer must skip), and a variable entry count (ascending
+      // tags, width not always first) — endianness, pointer-following,
+      // and tag scan all pinned by the closed-form oracle
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val w = (col("doc_id") % 4096 + 64).cast("int")
+        val h = (col("doc_id") * 5 % 2160 + 64).cast("int")
+        val le = col("doc_id") % 2 === 0
+        val pad = (col("doc_id") % 16).cast("int")
+        val extra = col("doc_id") % 3 === 0
+        val withPayload = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            MultimodalOps.encodeTiffHeader(w, h, le, pad, extra).as("payload"))
+        withPayload
+          .select(col("doc_id"), MultimodalOps.tiffMeta(col("payload")).as("t"),
+            length(col("payload")).as("n_bytes"))
+          .select(col("doc_id"), col("t.format").as("format"),
+            col("t.byte_order").as("byte_order"),
+            col("t.width").as("width"), col("t.height").as("height"),
+            col("n_bytes"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'tiff' AS format,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+          |  CAST(doc_id % 4096 + 64 AS INT) AS width,
+          |  CAST(doc_id * 5 % 2160 + 64 AS INT) AS height,
+          |  CAST(14 + doc_id % 16
+          |       + 12 * (CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END)
+          |       AS INT) AS n_bytes
+          |FROM documents""".stripMargin)),
+
     GraftQuery("t17_phrase_search",
       // exact-phrase retrieval via the positional inverted index: each
       // phrase term joins at anchor+i on (doc, pos) scalars, so cost

@@ -474,6 +474,42 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(f == "jpeg" && pw == w && ph == h, s"round trip broke at ${(w, h)}") }
   }
 
+  test("tiffMeta parses hand-written II and MM files (not our encoder)") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // little-endian, IFD directly at 8, 2 entries: width 300, height 200
+    val ii = b('I', 'I', 42, 0, 8, 0, 0, 0,
+      2, 0,
+      0x00, 0x01, 4, 0, 1, 0, 0, 0, 0x2C, 0x01, 0, 0, // tag 256 LE, LONG, 300
+      0x01, 0x01, 4, 0, 1, 0, 0, 0, 0xC8, 0x00, 0, 0, // tag 257, 200
+      0, 0, 0, 0)
+    // big-endian, IFD offset 12 (4 pad bytes), width-only IFD → unknown
+    val mmNoHeight = b('M', 'M', 0, 42, 0, 0, 0, 12, 9, 9, 9, 9,
+      0, 1,
+      0x01, 0x00, 0, 4, 0, 0, 0, 1, 0, 0, 0x01, 0x2C,
+      0, 0, 0, 0)
+    // big-endian complete, entries after a leading tag-254 entry
+    val mm = b('M', 'M', 0, 42, 0, 0, 0, 8,
+      0, 3,
+      0x00, 0xFE, 0, 4, 0, 0, 0, 1, 0, 0, 0, 0,
+      0x01, 0x00, 0, 4, 0, 0, 0, 1, 0, 0, 0x01, 0x2C,
+      0x01, 0x01, 0, 4, 0, 0, 0, 1, 0, 0, 0x00, 0xC8,
+      0, 0, 0, 0)
+    val wrongMagic = b('I', 'I', 43, 0, 8, 0, 0, 0)
+    val parsed = Seq(("ii", ii), ("mmNoH", mmNoHeight), ("mm", mm),
+        ("bad", wrongMagic))
+      .toDF("label", "payload")
+      .select($"label", graft.llm.MultimodalOps.tiffMeta($"payload").as("t"))
+      .select($"label", $"t.format", $"t.byte_order", $"t.width", $"t.height")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+    assert(parsed("ii") == (("tiff", "II", Some(300), Some(200))))
+    assert(parsed("mm") == (("tiff", "MM", Some(300), Some(200))))
+    assert(parsed("mmNoH")._1 == "unknown", "width without height is not enough")
+    assert(parsed("bad")._1 == "unknown", "magic 43 must be rejected")
+  }
+
   test("encode*Header bytes round-trip through imageDims at boundary dims") {
     val dims = Seq((1, 1), (65535, 65535), (1920, 1080), (256, 255))
     val df = dims.toDF("w", "h")

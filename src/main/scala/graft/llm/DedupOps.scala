@@ -395,6 +395,59 @@ object DedupOps {
       TextOps.normalizeText, nt => wordShingles(nt, n),
       numHashes, bands, threshold)
 
+  /** Directional CONTAINMENT dedup (Broder's other resemblance measure,
+    * the one Jaccard misses): `C(A,B) = |S(A)∩S(B)| / |S(A)|` flags a
+    * document whose shingles are (mostly) a subset of another's — the
+    * fragment/quote/mirror-page case where a small A inside a big B has
+    * high containment but LOW Jaccard, so MinHash-banded near-dup
+    * passes ([[minhashNearDups]]) structurally under-recall it.
+    * Returns `(contained_id, container_id, n_shared, containment)` with
+    * the smaller shingle set as the contained side (ties → lower id).
+    *
+    * == Candidate generation & 100 TB design ==
+    *
+    * Pairs come from SHARED SHINGLES, not minhash bands: a pair at
+    * containment ≥ τ shares ≥ ⌈τ·|S(A)|⌉ ≥ 1 shingles, so recall is
+    * complete — except pairs whose every shared shingle exceeds
+    * `maxShingleDocs` documents (boilerplate-only overlap, exactly what
+    * containment dedup should not fire on; the cap is the hot-key
+    * guard that bounds the per-shingle pair fan-out at
+    * `maxShingleDocs²`). Exchanges carry `(shingle, id)` scalars; the
+    * verify step re-joins candidate ids against the per-doc shingle
+    * ARRAYS (localCheckpointed once), so document text never crosses
+    * an exchange.
+    */
+  def containmentDups(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, threshold: Double = 0.8,
+      maxShingleDocs: Int = 50): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold: $threshold")
+    require(maxShingleDocs >= 2, s"maxShingleDocs must be >= 2: $maxShingleDocs")
+    val docs = df.select(col(idCol).as("id"),
+        wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .localCheckpoint(true)
+    val exploded = docs.select(col("id"), explode(col("sh")).as("g"))
+    val rare = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDocs).select(col("g"))
+    val capped = exploded.join(rare, "g")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+      .localCheckpoint(true)
+    val verified = pairs
+      .join(docs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("n_shared", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("n1", size(col("sh1"))).withColumn("n2", size(col("sh2")))
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n1"), col("n2")))
+      .where(col("containment") >= threshold)
+    verified.select(
+      when(col("n1") <= col("n2"), col("id1")).otherwise(col("id2")).as("contained_id"),
+      when(col("n1") <= col("n2"), col("id2")).otherwise(col("id1")).as("container_id"),
+      col("n_shared"), round(col("containment"), 6).as("containment"))
+  }
+
   // shift-by-column via exact powers of two (values < 2^32, b <= 31)
   private def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
   private def bitAt(h: Column, b: Column): Column =

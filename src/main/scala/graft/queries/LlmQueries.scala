@@ -279,6 +279,58 @@ object LlmQueries extends QueryPack {
           |  ELSE [] END""".stripMargin,
         0.5))),
 
+    GraftQuery("d14_containment_dedup",
+      // fragment detection: the first 24 words of docs 0-29 are planted
+      // as standalone docs — near-1.0 containment in their source but
+      // LOW Jaccard (21 shingles vs ~50), the case minhash bands
+      // structurally miss. Shared-shingle candidate generation with the
+      // hot-shingle cap; the oracle replays shingling, cap, pairs, and
+      // the directional score exactly
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val base = d.where(col("doc_id") < 150).select(col("doc_id"), col("text"))
+          .unionByName(d.where(col("doc_id") < 30).select(
+            (col("doc_id") + 3000000).as("doc_id"),
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 24), " ")
+              .as("text")))
+        DedupOps.containmentDups(base, "text", "doc_id",
+          n = 4, threshold = 0.8, maxShingleDocs = 50)
+      },
+      oracle = Some(
+        raw"""WITH base AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 150
+           |  UNION ALL
+           |  SELECT doc_id + 3000000,
+           |         array_to_string(string_split_regex(trim(text), '\s+')[1:24], ' ')
+           |  FROM documents WHERE doc_id < 30),
+           |norm AS (SELECT doc_id AS id, $normSql AS t FROM base),
+           |sh AS (
+           |  SELECT id, CASE WHEN len(ws) >= 4 THEN list_distinct(list_transform(
+           |      generate_series(0, len(ws) - 4),
+           |      i -> array_to_string(ws[i+1 : i+4], ' '))) ELSE [] END AS shs
+           |  FROM (SELECT id, string_split_regex(trim(t), '\s+') AS ws FROM norm) w),
+           |nonempty AS (SELECT id, shs FROM sh WHERE len(shs) > 0),
+           |ex AS (SELECT id, unnest(shs) AS g FROM nonempty),
+           |rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM ex GROUP BY g) h
+           |         WHERE c <= 50),
+           |capped AS (SELECT ex.id, ex.g FROM ex JOIN rare USING (g)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS id1, b.id AS id2
+           |  FROM capped a JOIN capped b ON a.g = b.g AND a.id < b.id),
+           |v AS (
+           |  SELECT id1, id2,
+           |         len(list_intersect(s1.shs, s2.shs)) AS n_shared,
+           |         len(s1.shs) AS n1, len(s2.shs) AS n2
+           |  FROM pairs
+           |  JOIN nonempty s1 ON s1.id = pairs.id1
+           |  JOIN nonempty s2 ON s2.id = pairs.id2)
+           |SELECT CASE WHEN n1 <= n2 THEN id1 ELSE id2 END AS contained_id,
+           |       CASE WHEN n1 <= n2 THEN id2 ELSE id1 END AS container_id,
+           |       n_shared::BIGINT AS n_shared,
+           |       round(n_shared::DOUBLE / least(n1, n2), 6) AS containment
+           |FROM v
+           |WHERE n_shared::DOUBLE / least(n1, n2) >= 0.8""".stripMargin)),
+
     GraftQuery("d7_incremental_dedup",
       (s, dir) => {
         val (corpus, newBatch) = corpusAndBatch(s, dir)

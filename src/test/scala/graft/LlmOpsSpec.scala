@@ -935,6 +935,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("containmentDups: fragment flags with high containment despite low Jaccard") {
+    val source = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val fragment = (1 to 15).map(i => s"tok$i").mkString(" ")
+    val unrelated = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, source), (2L, fragment), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentDups(df, "text", "doc_id",
+        n = 4, threshold = 0.8, maxShingleDocs = 50)
+      .as[(Long, Long, Long, Double)].collect()
+    // fragment (12 shingles) fully inside source (57): containment 1.0;
+    // its Jaccard is 12/57 ≈ 0.21 — below any useful near-dup threshold
+    assert(got.toSeq == Seq((2L, 1L, 12L, 1.0)))
+    // hot-shingle cap: shingles shared by > maxShingleDocs docs cannot
+    // generate candidates — 4 clones of one text with cap 3 yield none
+    val clones = (1L to 4L).map(i => (i, source)).toDF("doc_id", "text")
+    assert(DedupOps.containmentDups(clones, "text", "doc_id",
+      n = 4, threshold = 0.8, maxShingleDocs = 3).isEmpty)
+    // but at cap >= 4 every clone pair scores containment 1.0
+    assert(DedupOps.containmentDups(clones, "text", "doc_id",
+      n = 4, threshold = 0.8, maxShingleDocs = 4).count() == 6)
+  }
+
   test("pmiCollocations: fixed pair outranks common-word pair at equal frequency") {
     // "new york" always co-occurs (PMI high); "the cat"/"the dog" halve
     // the association of "the" with either tail despite equal pair counts

@@ -654,4 +654,62 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!formatted.contains("Exchange"), s"CDC chunking shuffles:\n$formatted")
     assert(!formatted.contains("Join"), s"CDC chunking joins:\n$formatted")
   }
+
+  test("g9: wedge enumeration is hash joins only — no cartesian, no broadcast NLJ") {
+    val df = SparkEntry.queries("g9_adamic_adar")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"wedge join went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degenerated to NLJ:\n$plan")
+    // the already-adjacent filter stays an anti join (never a full materialize)
+    assert(plan.contains("LeftAnti"), s"adjacency filter lost the anti join:\n$plan")
+  }
+
+  test("a33: sketch build partial-aggregates before its exchange") {
+    val df = SparkEntry.queries("a33_ddsketch_quantiles")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // partial HashAggregate (map-side cells) must precede the exchange:
+    // shuffle volume is <= keys x buckets per partition, not the stream
+    val firstAgg = plan.indexOf("HashAggregate")
+    val firstExchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial+final aggregate pair:\n$plan")
+    // the quantile read must not re-scan events: the final plan scans
+    // the stream once per shard branch and nothing more (AQE's
+    // toString appends the initial plan — cut it before counting)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(finalPlan).size <= 2,
+      s"quantile read rescans the stream:\n$finalPlan")
+  }
+
+  test("d14: containment exchanges carry (shingle, id) scalars, text never shuffles") {
+    val df = SparkEntry.queries("d14_containment_dedup")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // no exchange's output may carry the text column: shingle arrays
+    // re-join by id from the checkpointed docs relation
+    val exchanges = formatted.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty)
+    assert(!formatted.contains("CartesianProduct"), s"containment went cartesian")
+    val exchangeBlocks = formatted.split("(?=\\(\\d+\\) Exchange)").filter(
+      _.startsWith("(")).filter(_.contains("Exchange"))
+    exchangeBlocks.foreach { b =>
+      val args = b.split("\n").take(4).mkString(" ")
+      assert(!args.contains("text#"), s"text crossed an exchange:\n$b")
+    }
+  }
+
+  test("a35: interval union is one window pass — no join, scalar exchange only") {
+    val df = SparkEntry.queries("a35_interval_union")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.toLowerCase.contains("join"), s"sweep line grew a join:\n$plan")
+    // one shuffle for the per-key window + the final partial-agg pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"rollup lost partial aggregation:\n$plan")
+  }
 }

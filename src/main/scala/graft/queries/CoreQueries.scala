@@ -454,6 +454,46 @@ object CoreQueries extends QueryPack {
           |      FROM events) t
           |GROUP BY bucket""".stripMargin)),
 
+    GraftQuery("a36_benford_check",
+      // Benford first-digit audit per event type: digit counts in ONE
+      // conditional-aggregate pass (map-side partial agg), chi-square
+      // against log10(1+1/d) written as the same fixed 9-term
+      // left-associative sum in both engines, so the doubles are
+      // bit-identical; the df=8 critical value flags deviating streams
+      (s, dir) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        val digit = substring(cents.cast("string"), 1, 1).cast("int")
+        val counts = Tables.events(s, dir)
+          .where(cents > 0)
+          .select(col("event_type"), digit.as("d"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (1 to 9).map(d => sum(when(col("d") === d, 1L).otherwise(0L))
+              .as(s"c$d")): _*)
+        val chi2 = (1 to 9).map { d =>
+          val exp = col("n") * log10(lit(1.0) + lit(1.0) / d)
+          (col(s"c$d") - exp) * (col(s"c$d") - exp) / exp
+        }.reduceLeft(_ + _)
+        counts.select(col("event_type"), col("n"),
+          round(chi2, 6).as("chi2"),
+          (chi2 > 15.507).as("deviates"))
+      },
+      oracle = Some {
+        val terms = (1 to 9).map(d =>
+          s"(c$d - n * log10(1.0 + 1.0 / $d)) * (c$d - n * log10(1.0 + 1.0 / $d))"
+            + s" / (n * log10(1.0 + 1.0 / $d))").mkString(" + ")
+        val sums = (1 to 9).map(d =>
+          s"sum(CASE WHEN d = $d THEN 1 ELSE 0 END)::BIGINT AS c$d").mkString(", ")
+        s"""WITH v AS (
+           |  SELECT event_type,
+           |    substr(CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)::INT AS d
+           |  FROM events WHERE CAST(round(value * 100, 0) AS BIGINT) > 0),
+           |c AS (SELECT event_type, count(*) AS n, $sums FROM v GROUP BY event_type)
+           |SELECT event_type, n, round($terms, 6) AS chi2,
+           |       ($terms) > 15.507 AS deviates
+           |FROM c""".stripMargin
+      }),
+
     GraftQuery("a13_data_profile",
       // data-quality profile in ONE pass over the table: per-column
       // null counts, ranges, and exact distinct cardinalities from a

@@ -421,6 +421,45 @@ object TextOps {
         round(col("__pmi"), 6).as("pmi"), col("rank"))
   }
 
+  /** The first BPE merge round (Sennrich et al. 2016): adjacent
+    * character-pair frequencies over the corpus's word-frequency
+    * relation, with the end-of-word marker `</w>` — exactly the
+    * statistic a tokenizer trainer maximizes to pick its first merge.
+    * Returns the top-k pairs as `(pair, total, n_words, rank)`: `total`
+    * counts occurrences weighted by word frequency (a pair twice in one
+    * word counts twice, as BPE does), `n_words` counts distinct word
+    * types containing the pair.
+    *
+    * Scale: the corpus reduces to the (word, freq) vocabulary first —
+    * Zipf-compressed versus the token stream — so pair explosion runs
+    * over word TYPES; exchanges carry (pair, counts) scalars and the
+    * top-k is a TakeOrdered. (Full BPE training iterates re-segmented
+    * merges — inherently sequential; each round is this same relation
+    * over the current symbol sequences.)
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val vocab = df
+      .select(explode(filter(split(normalizeText(col(textCol)), " "),
+        x => length(x) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // sequence(1, 0) would DESCEND for 1-char words — guard to empty
+    val interior = when(length(col("w")) >= 2,
+      transform(sequence(lit(1), length(col("w")) - 1),
+        i => concat_ws(" ", col("w").substr(i, lit(1)),
+          col("w").substr(i + 1, lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = vocab.select(col("w"), col("freq"), explode(concat(
+        interior,
+        array(concat_ws(" ", col("w").substr(length(col("w")), lit(1)),
+          lit("</w>"))))).as("pair"))
+    val counts = pairs.groupBy(col("pair"))
+      .agg(sum(col("freq")).as("total"), countDistinct(col("w")).as("n_words"))
+      .orderBy(col("total").desc, col("pair")).limit(k)
+    counts.withColumn("rank", row_number().over(
+      Window.orderBy(col("total").desc, col("pair"))))
+  }
+
   /** Deterministic stand-in weight for feature bucket `b` — an exact
     * dyadic rational in [−0.5, 0.5): see [[withHashedLinearScore]].
     */

@@ -2107,6 +2107,35 @@ object LlmQueries extends QueryPack {
            |         ELSE (b - fullsum)::DOUBLE / (n - nfull) END) / n_tokens, 6) AS epochs
            |FROM ag""".stripMargin)),
 
+    GraftQuery("x24_bpe_first_merge",
+      // tokenizer-training statistic: the corpus's top-20 adjacent
+      // character pairs (with </w> markers) over the word-frequency
+      // vocabulary — the argmax of this relation IS BPE's first merge
+      (s, dir) => TextOps.bpePairStats(
+        Tables.load(s, dir, "documents"), "text", k = 20),
+      oracle = Some(
+        raw"""WITH vocab AS (
+           |  SELECT w, count(*) AS freq FROM (
+           |    SELECT unnest(list_filter(string_split($normSql, ' '),
+           |                              x -> x <> '')) AS w
+           |    FROM documents) t
+           |  GROUP BY w),
+           |pairs AS (
+           |  SELECT w, freq,
+           |         CASE WHEN i < length(w)
+           |              THEN substr(w, i, 1) || ' ' || substr(w, i + 1, 1)
+           |              ELSE substr(w, length(w), 1) || ' </w>' END AS pair
+           |  FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS i
+           |        FROM vocab) z),
+           |counts AS (
+           |  SELECT pair, sum(freq)::BIGINT AS total,
+           |         count(DISTINCT w) AS n_words
+           |  FROM pairs GROUP BY pair
+           |  ORDER BY total DESC, pair LIMIT 20)
+           |SELECT pair, total, n_words,
+           |       row_number() OVER (ORDER BY total DESC, pair) AS rank
+           |FROM counts""".stripMargin)),
+
     GraftQuery("x18_cdc_chunks",
       // content-defined chunking: boundaries where the md5 of the
       // trailing 16-char window divides 64 evenly — insertion-stable

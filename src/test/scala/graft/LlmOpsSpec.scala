@@ -935,6 +935,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("bpePairStats: known corpus yields the textbook first merge") {
+    // 5x "hug", 2x "pug", 1x "bug": pair "u g" total 8 dominates;
+    // "g </w>" also 8 — tie broken by pair string ("g </w>" < "u g")
+    val corpus = ("hug " * 5) + ("pug " * 2) + "bug"
+    val got = graft.llm.TextOps.bpePairStats(
+        Seq((1L, corpus.trim)).toDF("id", "text"), "text", k = 10)
+      .select($"pair", $"total", $"n_words", $"rank")
+      .as[(String, Long, Long, Int)].collect()
+    val byPair = got.map(r => r._1 -> r).toMap
+    assert(byPair("u g") == (("u g", 8L, 3L, 2)))
+    assert(byPair("g </w>") == (("g </w>", 8L, 3L, 1)))
+    assert(byPair("h u") == (("h u", 5L, 1L, 3)))
+    assert(byPair("p u")._2 == 2L && byPair("b u")._2 == 1L)
+    // single-char words only contribute their end-of-word pair
+    val single = graft.llm.TextOps.bpePairStats(
+      Seq((1L, "a a b")).toDF("id", "text"), "text", k = 10)
+      .select($"pair", $"total").as[(String, Long)].collect().toMap
+    assert(single == Map("a </w>" -> 2L, "b </w>" -> 1L))
+  }
+
   test("containmentDups: fragment flags with high containment despite low Jaccard") {
     val source = (1 to 60).map(i => s"tok$i").mkString(" ")
     val fragment = (1 to 15).map(i => s"tok$i").mkString(" ")

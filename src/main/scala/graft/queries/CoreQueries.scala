@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.nio.file.Files
@@ -493,6 +494,66 @@ object CoreQueries extends QueryPack {
            |       ($terms) > 15.507 AS deviates
            |FROM c""".stripMargin
       }),
+
+    GraftQuery("a37_ks_drift",
+      // two-sample Kolmogorov-Smirnov drift test per event type (user
+      // shards A/B): D = max|F1-F2| computed as the INTEGER
+      // max|c1*n2 - c2*n1| over the pooled value grid — the whole
+      // statistic is exact arithmetic, no float ECDFs; the 5% critical
+      // value only enters the final flag. Counts partial-aggregate per
+      // (type, value) before the per-type window pass.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          (col("user_id") % 2 === 0).as("in_a"))
+        val counts = ev.groupBy(col("event_type"), col("cents"))
+          .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+            sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+        val byType = Window.partitionBy(col("event_type"))
+        val w = byType.orderBy(col("cents"))
+        val cum = counts
+          .withColumn("cum_a", sum(col("ca")).over(w))
+          .withColumn("cum_b", sum(col("cb")).over(w))
+          .withColumn("n1", sum(col("ca")).over(byType))
+          .withColumn("n2", sum(col("cb")).over(byType))
+        cum.groupBy(col("event_type"))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(abs(col("cum_a") * col("n2") - col("cum_b") * col("n1")))
+              .as("d_num"))
+          .select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+            round(col("d_num").cast("double") / (col("n1") * col("n2")), 6)
+              .as("ks"),
+            (col("d_num").cast("double") / (col("n1") * col("n2")) >
+              lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+                / (col("n1") * col("n2")))).as("drifted"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+          |         (user_id % 2 = 0) AS in_a
+          |  FROM events),
+          |counts AS (
+          |  SELECT event_type, cents,
+          |         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+          |         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END)::BIGINT AS cb
+          |  FROM ev GROUP BY 1, 2),
+          |cum AS (
+          |  SELECT event_type,
+          |         sum(ca) OVER (PARTITION BY event_type ORDER BY cents) AS cum_a,
+          |         sum(cb) OVER (PARTITION BY event_type ORDER BY cents) AS cum_b,
+          |         sum(ca) OVER (PARTITION BY event_type) AS n1,
+          |         sum(cb) OVER (PARTITION BY event_type) AS n2
+          |  FROM counts),
+          |agg AS (
+          |  SELECT event_type, max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2,
+          |         max(abs(cum_a * n2 - cum_b * n1))::BIGINT AS d_num
+          |  FROM cum GROUP BY event_type)
+          |SELECT event_type, n1, n2, d_num,
+          |       round(d_num::DOUBLE / (n1 * n2), 6) AS ks,
+          |       (d_num::DOUBLE / (n1 * n2) >
+          |        1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2))) AS drifted
+          |FROM agg""".stripMargin)),
 
     GraftQuery("a13_data_profile",
       // data-quality profile in ONE pass over the table: per-column

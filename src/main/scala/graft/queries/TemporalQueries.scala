@@ -513,6 +513,49 @@ object TemporalQueries extends QueryPack {
           |            THEN b.bval ELSE f.fval END AS purchase_value
           |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin)),
 
+    GraftQuery("w12_lastk_prior",
+      // feature engineering: each purchase gets the average of its
+      // user's last <=3 PRIOR non-purchase values via IGNORE NULLS
+      // lags — one window exchange of scalars, never the O(n²)
+      // running-collect_list a naive "last k" materializes
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val prior = when(col("event_type") =!= "purchase", col("value"))
+        Tables.events(s, dir)
+          .withColumn("l1", lag(prior, 1, null, ignoreNulls = true).over(w))
+          .withColumn("l2", lag(prior, 2, null, ignoreNulls = true).over(w))
+          .withColumn("l3", lag(prior, 3, null, ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase" && col("l1").isNotNull)
+          .withColumn("n_hist",
+            lit(1) + when(col("l2").isNotNull, 1).otherwise(0)
+              + when(col("l3").isNotNull, 1).otherwise(0))
+          .withColumn("avg_prior3", round(
+            (col("l1") + coalesce(col("l2"), lit(0.0))
+              + coalesce(col("l3"), lit(0.0))) / col("n_hist"), 6))
+          .select(col("event_id"), col("user_id"), col("n_hist"),
+            col("avg_prior3"))
+      },
+      oracle = Some(
+        """WITH t AS (
+          |  SELECT event_id, user_id, event_type,
+          |    lag(CASE WHEN event_type <> 'purchase' THEN value END,
+          |        1 IGNORE NULLS) OVER w AS l1,
+          |    lag(CASE WHEN event_type <> 'purchase' THEN value END,
+          |        2 IGNORE NULLS) OVER w AS l2,
+          |    lag(CASE WHEN event_type <> 'purchase' THEN value END,
+          |        3 IGNORE NULLS) OVER w AS l3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT event_id, user_id,
+          |  (1 + CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END
+          |     + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END) AS n_hist,
+          |  round((l1 + coalesce(l2, 0) + coalesce(l3, 0)) /
+          |        (1 + CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END
+          |           + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END), 6)
+          |    AS avg_prior3
+          |FROM t WHERE event_type = 'purchase' AND l1 IS NOT NULL""".stripMargin)),
+
     GraftQuery("w10_throttle",
       // alert-style cooldown throttle: per (user, event_type), keep an
       // event only if >= 2h passed since the previously KEPT one — the

@@ -284,6 +284,48 @@ object MultimodalOps {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
 
+  /** A syntactically REAL gzip member: magic 1F8B, deflate method,
+    * little-endian mtime, deflate-flag/OS bytes, an opaque compressed
+    * body of `bodyBytes` 0xAA filler (this library treats compressed
+    * payloads as opaque binary — the schema/plumbing pattern of the m1
+    * stub, but the FRAMING here is real), then the standard trailer:
+    * CRC32 and ISIZE as little-endian u32s. Any gzip tool reads mtime
+    * and ISIZE from these bytes.
+    */
+  def encodeGzipMember(mtime: Column, isize: Column, crc: Column,
+      bodyBytes: Column): Column =
+    to_binary(concat(
+      lit("1F8B" + "08" + "00"), le32hex(mtime), lit("00" + "03"),
+      repeat(lit("AA"), bodyBytes), le32hex(crc), le32hex(isize)), lit("hex"))
+
+  /** REAL gzip member parser — the first FOOTER-anchored codec in the
+    * family: ISIZE and CRC32 live in the last 8 bytes, so the reads
+    * anchor at `length(payload)` rather than a fixed offset (exactly
+    * how gzip tools recover the uncompressed size without inflating).
+    * Validates magic 1F8B + deflate method 8, decodes the LE mtime at
+    * byte 5, OS byte at 10, and the trailer pair. Unknown magic →
+    * nulls. Map-only over first/last bytes; the payload never shuffles.
+    */
+  def gzipMeta(payload: Column): Column = {
+    def bAt(off: Column) =
+      conv(hex(substring(payload, off, lit(1))), 16, 10).cast("long")
+    def le32At(off: Column) =
+      bAt(off) + bAt(off + 1) * 256 + bAt(off + 2) * 65536 +
+        bAt(off + 3) * 16777216
+    val n = length(payload)
+    val ok = hex(substring(payload, 1, 2)) === "1F8B" &&
+      bAt(lit(3)) === 8 && n >= 18
+    when(ok, struct(
+      lit("gzip").as("format"),
+      le32At(lit(5)).as("mtime"),
+      bAt(lit(10)).cast("int").as("os"),
+      le32At(n - 7).as("crc32"),
+      le32At(n - 3).as("isize")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("long").as("mtime"), lit(null).cast("int").as("os"),
+        lit(null).cast("long").as("crc32"), lit(null).cast("long").as("isize")))
+  }
+
   /** A real RIFF/WAVE header (PCM "fmt " chunk + "data" chunk header)
     * for the given stream parameters — the 44 bytes any .wav tool reads.
     */

@@ -1110,6 +1110,37 @@ object LlmQueries extends QueryPack {
           |       AS INT) AS n_bytes
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m7_gzip_member",
+      // footer-anchored parsing: gzip's ISIZE/CRC32 live in the LAST 8
+      // bytes, so the reads anchor at length(payload) — variable body
+      // lengths make every trailer offset row-dependent. Closed-form
+      // oracle pins magic, LE mtime, OS, and both trailer fields
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val mtime = (col("doc_id") * 1000 + 1234567).cast("long")
+        val crc = (col("doc_id") * 2654435761L % 4294967296L).cast("long")
+        val body = (col("doc_id") % 23 + 1).cast("int")
+        val withPayload = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            MultimodalOps.encodeGzipMember(mtime, col("n_chars"), crc, body)
+              .as("payload"))
+        withPayload
+          .select(col("doc_id"), MultimodalOps.gzipMeta(col("payload")).as("g"),
+            length(col("payload")).as("n_bytes"))
+          .select(col("doc_id"), col("g.format").as("format"),
+            col("g.mtime").as("mtime"), col("g.os").as("os"),
+            col("g.crc32").as("crc32"), col("g.isize").as("isize"),
+            col("n_bytes"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'gzip' AS format,
+          |  doc_id * 1000 + 1234567 AS mtime,
+          |  3 AS os,
+          |  doc_id * 2654435761 % 4294967296 AS crc32,
+          |  n_chars AS isize,
+          |  CAST(18 + doc_id % 23 + 1 AS INT) AS n_bytes
+          |FROM documents""".stripMargin)),
+
     GraftQuery("t17_phrase_search",
       // exact-phrase retrieval via the positional inverted index: each
       // phrase term joins at anchor+i on (doc, pos) scalars, so cost

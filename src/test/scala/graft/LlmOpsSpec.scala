@@ -510,6 +510,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(parsed("bad")._1 == "unknown", "magic 43 must be rejected")
   }
 
+  test("gzipMeta: hand-written member parses; trailer anchors at the end") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // magic, deflate, no flags, mtime 0x5F000001 LE, xfl, os=unix(3),
+    // 5 body bytes, crc 0x11223344 LE, isize 1000 LE
+    val gz = b(0x1F, 0x8B, 8, 0, 0x01, 0x00, 0x00, 0x5F, 0, 3,
+      1, 2, 3, 4, 5,
+      0x44, 0x33, 0x22, 0x11, 0xE8, 0x03, 0, 0)
+    val junk = b(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18)
+    val tooShort = b(0x1F, 0x8B, 8, 0, 0, 0, 0, 0, 0, 3)
+    val parsed = Seq(("gz", gz), ("junk", junk), ("short", tooShort))
+      .toDF("label", "payload")
+      .select($"label", graft.llm.MultimodalOps.gzipMeta($"payload").as("g"))
+      .select($"label", $"g.format", $"g.mtime", $"g.crc32", $"g.isize", $"g.os")
+      .collect().map(r => r.getString(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(parsed("gz") == (("gzip", 0x5F000001L, 0x11223344L, 1000L)))
+    assert(parsed("junk")._1 == "unknown")
+    assert(parsed("short")._1 == "unknown", "member without a trailer rejected")
+  }
+
   test("encode*Header bytes round-trip through imageDims at boundary dims") {
     val dims = Seq((1, 1), (65535, 65535), (1920, 1080), (256, 255))
     val df = dims.toDF("w", "h")

@@ -498,6 +498,34 @@ object CurationOps {
     raw.map { case (s, v) => s -> v / z }
   }
 
+  /** Reproducible noisy count release: per-group counts plus
+    * Laplace(1/ε) noise derived by INVERSE-CDF from the group's keyed
+    * md5 uniform (shifted `(h+0.5)/2³²`, strictly inside (0,1) so the
+    * log never hits ±∞) — the differential-privacy release MECHANISM
+    * with a deterministic noise source, so a pipeline re-run (or an
+    * oracle) reproduces the release bit-for-bit. NOTE: determinism is
+    * the point here (frozen releases, regression-testable dashboards),
+    * but it is NOT differential privacy proper — DP's guarantee needs
+    * fresh randomness per release; swap the salt per release epoch to
+    * approximate that operationally.
+    *
+    * Scale: one partial-aggregated count, then map-only noise over the
+    * O(groups) relation.
+    */
+  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String = ""): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive: $epsilon")
+    val h = conv(substring(md5(to_binary(
+      concat(col("group").cast("string"), lit(":" + salt)), lit("utf-8"))),
+      1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val centered = u - 0.5
+    val noise = -signum(centered) * log(lit(1.0) - abs(centered) * 2.0) / epsilon
+    df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("released", round(col("n") + noise, 4))
+  }
+
   /** UniMax budget allocation (Chung et al. 2023): split a total token
     * budget across domains as uniformly as possible while capping every
     * domain at `maxEpochs` passes over its own tokens — the

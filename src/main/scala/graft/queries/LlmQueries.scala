@@ -2167,6 +2167,26 @@ object LlmQueries extends QueryPack {
            |       row_number() OVER (ORDER BY total DESC, pair) AS rank
            |FROM counts""".stripMargin)),
 
+    GraftQuery("x25_noisy_counts",
+      // reproducible Laplace-noise release of per-source counts: the
+      // DP mechanism with a keyed-hash noise source, so the release is
+      // frozen and the oracle replays the inverse-CDF draw exactly
+      (s, dir) => CurationOps.noisyCounts(
+        Tables.load(s, dir, "documents"), "source", epsilon = 0.5,
+        salt = "rel1"),
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT source AS grp, count(*) AS n FROM documents GROUP BY source),
+          |u AS (
+          |  SELECT grp, n,
+          |    (('0x' || substr(md5(grp || ':rel1'), 1, 8))::BIGINT::DOUBLE + 0.5)
+          |      / 4294967296.0 AS u
+          |  FROM g)
+          |SELECT grp AS "group", n,
+          |       round(n + -sign(u - 0.5) * ln(1.0 - abs(u - 0.5) * 2.0) / 0.5, 4)
+          |         AS released
+          |FROM u""".stripMargin)),
+
     GraftQuery("x18_cdc_chunks",
       // content-defined chunking: boundaries where the md5 of the
       // trailing 16-char window divides 64 evenly — insertion-stable

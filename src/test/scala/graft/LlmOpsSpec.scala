@@ -1062,6 +1062,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("noisyCounts: deterministic release, salt changes the draw, noise is real") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(salt: String) = CurationOps.noisyCounts(docs, "source", 0.5, salt)
+      .select($"group", $"n", $"released").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val a = run("rel1")
+    assert(a == run("rel1"), "same salt must reproduce the release")
+    val b = run("rel2")
+    assert(a.map(_._1) == b.map(_._1) && a != b, "new salt must redraw noise")
+    // every group actually carries noise, and Laplace(2) noise at 20
+    // groups stays within a loose 40-unit envelope (p ~ 2e-9 per draw)
+    a.foreach { case (g, n, rel) =>
+      val noise = rel - n
+      assert(noise != 0.0, s"$g released the exact count")
+      assert(math.abs(noise) < 40, s"$g noise $noise implausibly large") }
+  }
+
   test("unimaxBudget: hand-computed waterfill, budget conservation, epoch cap") {
     // domains: a=100, b=200, c=1000 tokens; maxEpochs=2 → caps 200/400/2000
     // budget 1000: a full (200*3=600<=1000), b full (400*2=800<=800),

@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{GraphOps, SketchOps, TemporalOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Brute-force cross-checks on seeded random inputs: each operator is
+  * compared against an independent in-memory reference implementation
+  * written the dumb-but-obviously-correct way. This is the third
+  * correctness leg next to the DuckDB oracles (engine-vs-engine) and
+  * the hand-traced unit specs (known answers) — random shapes catch
+  * the boundary cases neither enumerates.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("intervalUnion matches a brute-force sweep on random interval sets") {
+    val rnd = new Random(42)
+    val rows = (1 to 400).map { i =>
+      val key = rnd.nextInt(8).toLong
+      val s = rnd.nextInt(1000).toLong
+      val len = rnd.nextInt(60).toLong // zero-length allowed
+      (key, i.toLong, s, s + len)
+    }
+    val got = TemporalOps.intervalUnion(
+        rows.toDF("k", "eid", "s", "e"), Seq("k"), "s", "e", "eid")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    rows.groupBy(_._1).foreach { case (k, ivs) =>
+      // reference: walk the number line
+      val points = ivs.flatMap(iv => Seq((iv._3, 1), (iv._4, -1)))
+        .sortBy(p => (p._1, -p._2))
+      var active = 0; var covered = 0L; var merged = 0L; var prev = 0L
+      points.foreach { case (t, d) =>
+        if (active > 0) covered += t - prev
+        if (d == 1 && active == 0) merged += 1
+        active += d; prev = t
+      }
+      assert(got(k) == ((ivs.size.toLong, merged, covered)),
+        s"key $k: got ${got(k)}, want (${ivs.size}, $merged, $covered)")
+    }
+  }
+
+  test("ddSketch quantile estimates respect the relative-error bound on skewed data") {
+    val rnd = new Random(7)
+    // log-uniform values spanning 5 orders of magnitude + heavy ties
+    val vals = (1 to 3000).map { _ =>
+      if (rnd.nextBoolean()) math.pow(10, rnd.nextDouble() * 5).toLong.max(1L)
+      else 37L
+    }
+    val df = vals.map(("k", _)).toDF("key", "v")
+    val sk = SketchOps.ddSketch(df, "key", "v")
+    val qs = Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2),
+      ("p75", 3, 4), ("p90", 9, 10), ("p99", 99, 100), ("p100", 1, 1))
+    val est = SketchOps.ddQuantiles(sk, qs)
+      .as[(String, String, Int, Double)].collect()
+      .map(r => r._2 -> r._4).toMap
+    val sorted = vals.sorted
+    qs.foreach { case (name, num, den) =>
+      val rank = (num.toLong * sorted.size + den - 1) / den
+      val truth = sorted(rank.toInt - 1).toDouble
+      assert(math.abs(est(name) - truth) <= truth * 0.0625 + 1e-9,
+        s"$name: est ${est(name)} vs true $truth")
+    }
+  }
+
+  test("frequentSequences matches brute-force trigram support on random streams") {
+    val rnd = new Random(11)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong, i.toLong, s"e${rnd.nextInt(4)}")
+    }
+    val got = TemporalOps.frequentSequences(
+        rows.toDF("u", "t", "eid", "et"), "u", "t", "eid", "et",
+        length = 3, topK = 1000)
+      .select($"seq", $"support", $"occurrences")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ref = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      rs.sortBy(_._2).map(_._4).sliding(3).filter(_.size == 3)
+        .map(w => (u, w.mkString(">"))).toSeq
+    }
+    val refCounts = ref.groupBy(_._2).map { case (seq, hits) =>
+      seq -> ((hits.map(_._1).distinct.size.toLong, hits.size.toLong)) }
+    assert(got == refCounts)
+  }
+
+  test("adamicAdar matches brute force on a random graph") {
+    val rnd = new Random(3)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = GraphOps.adamicAdar(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // reference: adjacency sets
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b && !adj(a).contains(b)
+      common = adj(a).intersect(adj(b)) if common.nonEmpty
+    } yield {
+      val score = common.toSeq.map(n => 1.0 / math.log(adj(n).size)).sum
+      (a, b) -> ((common.size.toLong, math.rint(score * 1e6) / 1e6))
+    }).toMap
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (k, (c, s)) =>
+      assert(c == want(k)._1, s"$k common count")
+      assert(math.abs(s - want(k)._2) <= 1e-6, s"$k score $s vs ${want(k)._2}")
+    }
+  }
+}

@@ -57,6 +57,50 @@ object GraphOps {
     ranks
   }
 
+  /** Weighted PageRank: rank flows along edges in proportion to edge
+    * weight — `rank'(v) = (1-d)/N + d · Σ_u w(u,v)/W(u) · rank(u)` with
+    * `W(u)` the source's total out-weight — the citation-strength /
+    * click-count variant of [[pageRank]] (uniform weights reduce to
+    * it, spec-pinned). Parallel edges must be pre-aggregated to one
+    * `(src, dst, weight)` row; weights must be positive.
+    *
+    * == 100 TB design ==
+    *
+    * Identical per-iteration shape to [[pageRank]]: edges⋈ranks hash
+    * join (plus the (src, W) scalar join), one (dst, contrib)
+    * partial-agg shuffle, localCheckpoint lineage truncation per
+    * round. The weight column rides the edge relation it already
+    * lives in — nothing extra crosses an exchange.
+    */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    (1 to iterations).foreach { i =>
+      val prev = ranks
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outW, "src")
+        .select(col("dst").as("id"),
+          (col("rank") * col("w") / col("wout")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint(true)
+      if (i > 1) { prev.unpersist(); () }
+    }
+    e.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** Personalized PageRank (random walk with restart): like
     * [[pageRank]], but the teleport mass returns to the `seeds` set
     * instead of spreading uniformly —

@@ -1092,6 +1092,46 @@ object CoreQueries extends QueryPack {
           "\nSELECT id, round(rank, 6) AS rank FROM r5").stripMargin
       }),
 
+    GraftQuery("g10_weighted_pagerank",
+      // weighted PageRank over the g1 link graph with deterministic
+      // integer edge weights ((src+dst)%5+1): rank flows proportional
+      // to weight. The oracle unrolls the identical 4 rounds with the
+      // same contrib expression `rank * w / W`, so every double is the
+      // same IEEE arithmetic in both engines
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          ((col("user_id") * 7 + col("event_id") % 13) % 100).as("dst"))
+          .distinct()
+          .withColumn("weight", (col("src") + col("dst")) % 5 + 1)
+        graft.operators.GraphOps.weightedPageRank(edges, iterations = 4)
+          .select(col("id"), round(col("rank"), 6).as("rank"))
+      },
+      oracle = Some {
+        val iter = (i: Int) =>
+          s"""r$i AS (
+             |  SELECT nodes.id,
+             |         (1 - 0.85) / params.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+             |  FROM nodes CROSS JOIN params LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r${i - 1}.rank * e.w / wo.wout) AS contrib
+             |    FROM edges e
+             |    JOIN r${i - 1} ON e.src = r${i - 1}.id
+             |    JOIN wo ON e.src = wo.src
+             |    GROUP BY 1) c ON nodes.id = c.id)"""
+        ("""WITH e0 AS (
+           |  SELECT DISTINCT user_id AS src,
+           |         (user_id * 7 + event_id % 13) % 100 AS dst
+           |  FROM events),
+           |edges AS (
+           |  SELECT src, dst, ((src + dst) % 5 + 1)::DOUBLE AS w FROM e0),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |params AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+           |wo AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+           |r0 AS (SELECT id, 1.0 / params.n AS rank FROM nodes CROSS JOIN params),
+           |""" + (1 to 4).map(iter).mkString(",\n") +
+          "\nSELECT id, round(rank, 6) AS rank FROM r4").stripMargin
+      }),
+
     GraftQuery("g6_hits",
       // HITS hub/authority over the g1 link graph, 2 rounds with L2
       // normalization after each half-step; the oracle unrolls the

@@ -208,6 +208,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(hubNorm - 1.0) < 1e-9 && math.abs(authNorm - 1.0) < 1e-9)
   }
 
+  test("weightedPageRank: uniform weights reduce to pageRank; skew shifts mass") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 1L))
+    val uw = GraphOps.weightedPageRank(
+        edges.map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "weight"),
+        iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    val plain = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    uw.keys.foreach(k => assert(math.abs(uw(k) - plain(k)) < 1e-12,
+      s"node $k: weighted-uniform ${uw(k)} != plain ${plain(k)}"))
+    // tilt 1's out-weight heavily toward 2: node 2 must gain, 3 lose
+    val tilted = GraphOps.weightedPageRank(
+        Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0),
+          (2L, 1L, 1.0)).toDF("src", "dst", "weight"), iterations = 6)
+      .as[(Long, Double)].collect().toMap
+    assert(tilted(2L) > uw(2L) && tilted(3L) < uw(3L))
+    // still a probability distribution on this dangling-free graph
+    assert(math.abs(tilted.values.sum - 1.0) < 1e-9)
+  }
+
   test("adamicAdar: hand-traced wedges, adjacency excluded, hub cap honored") {
     // 1-3, 2-3 (center 3, deg 2); 1-4, 2-4 (center 4, deg 3); 4-5.
     // non-adjacent pairs: (1,2) via 3 and 4 → 1/ln2 + 1/ln3;

@@ -179,6 +179,49 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ddSketch: per-batch sketches merge to the whole-stream sketch") {
+    // the mergeable-summary contract under a stream: each micro-batch
+    // builds its own quantile sketch, ddMerge folds it into the running
+    // one, and after N batches the accumulated sketch is CELL-IDENTICAL
+    // to sketching the concatenated stream — so quantile reads off the
+    // running sketch inherit the batch-mode error bound
+    import graft.operators.SketchOps
+    val input = MemoryStream[(String, Long)](spark)
+    var acc: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDF().toDF("key", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = SketchOps.ddSketch(batch, "key", "v").localCheckpoint(true)
+        acc = Some(acc.map(SketchOps.ddMerge(_, sk).localCheckpoint(true))
+          .getOrElse(sk))
+        ()
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      val rnd = new scala.util.Random(5)
+      (1 to 3).foreach { _ =>
+        val rows = (1 to 200).map(_ =>
+          ("k" + rnd.nextInt(2), (rnd.nextInt(10000) + 1).toLong))
+        all ++= rows
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = acc.get.as[(String, Int, Long)].collect().toSet
+    val whole = SketchOps.ddSketch(all.toSeq.toDF("key", "v"), "key", "v")
+      .as[(String, Int, Long)].collect().toSet
+    assert(streamed == whole, "accumulated stream sketch diverged from batch sketch")
+    // and a quantile read off the streamed sketch respects the bound
+    val p50 = SketchOps.ddQuantiles(acc.get, Seq(("p50", 1, 2)))
+      .as[(String, String, Int, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    all.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val truth = sorted((sorted.size + 1) / 2 - 1).toDouble
+      assert(math.abs(p50(k) - truth) <= truth * 0.0625 + 1e-9,
+        s"$k: streamed p50 ${p50(k)} vs $truth")
+    }
+  }
+
   test("dedupContent streams: identical content suppressed across batches within the horizon") {
     val input = MemoryStream[(Long, String, String)](spark)
     val shaped = input.toDF().toDF("id", "text", "s")

@@ -555,6 +555,51 @@ object CoreQueries extends QueryPack {
           |        1.358 * sqrt((n1 + n2)::DOUBLE / (n1 * n2))) AS drifted
           |FROM agg""".stripMargin)),
 
+    GraftQuery("a38_mad_outliers",
+      // robust outlier detection per event type: median absolute
+      // deviation instead of a18's moment-based z-scores (one planted
+      // extreme value corrupts a stddev but not a median). All medians
+      // interpolate exact integer cents (exact halves/quarters in
+      // IEEE), so both engines derive identical thresholds; the 3σ
+      // equivalent 3·1.4826 enters as one constant product.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(cents, 0.5D)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("d", abs(col("cents") - col("med")))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(expr("percentile(d, 0.5D)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(max(col("med")), 4).as("med_cents"),
+            round(max(col("mad")), 4).as("mad_cents"),
+            sum(when(col("d") > col("mad") * 4.4478, 1L).otherwise(0L))
+              .as("n_outliers"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events),
+          |med AS (
+          |  SELECT event_type, quantile_cont(cents, 0.5) AS med
+          |  FROM ev GROUP BY 1),
+          |dev AS (
+          |  SELECT ev.event_type, cents, abs(cents - med) AS d
+          |  FROM ev JOIN med USING (event_type)),
+          |mad AS (
+          |  SELECT event_type, quantile_cont(d, 0.5) AS mad
+          |  FROM dev GROUP BY 1)
+          |SELECT d.event_type, count(*) AS n,
+          |       round(max(m2.med), 4) AS med_cents,
+          |       round(max(m.mad), 4) AS mad_cents,
+          |       sum(CASE WHEN d.d > m.mad * 4.4478 THEN 1 ELSE 0 END)::BIGINT
+          |         AS n_outliers
+          |FROM dev d JOIN mad m USING (event_type) JOIN med m2 USING (event_type)
+          |GROUP BY 1""".stripMargin)),
+
     GraftQuery("a13_data_profile",
       // data-quality profile in ONE pass over the table: per-column
       // null counts, ranges, and exact distinct cardinalities from a

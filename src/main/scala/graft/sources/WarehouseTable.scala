@@ -895,6 +895,78 @@ final class WarehouseTable private (
     * maintenance job BigQuery's managed storage performs implicitly.
     * Returns the partitions rewritten.
     */
+  /** SHALLOW clone — the zero-copy sibling of [[cloneTo]] (which
+    * deep-clones by rewriting rows): a new independent table over the
+    * SAME data bytes.
+    * Data files hardlink into the clone (zero-copy where the
+    * filesystem supports it; byte-copy fallback otherwise), metadata
+    * (schema/keys/options) is copied, and the bloom + zone-map
+    * sidecars come along — they stay VALID because both are keyed by
+    * (file name, size) fingerprints, which links preserve. The clone
+    * starts a FRESH snapshot lineage (one baseline `clone` commit);
+    * source history does not carry over.
+    *
+    * Divergence safety rests on the table's write discipline: no path
+    * ever mutates a data file in place — merge/compaction/restore
+    * write new files and swap directories, and vacuum deletes names —
+    * so a hardlinked byte range is immutable for as long as either
+    * table references it, and POSIX keeps the inode alive until the
+    * last name drops. Writes to the clone therefore never perturb the
+    * source and vice versa (spec-pinned both directions).
+    */
+  def shallowCloneTo(destRoot: String): WarehouseTable = {
+    val destFs = new Path(destRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!destFs.exists(new Path(s"$destRoot/_graft/schema.json")),
+      s"clone destination is already a table: $destRoot")
+    writeMetaString(spark, s"$destRoot/_graft/schema.json", schema.json)
+    writeMetaString(spark, s"$destRoot/_graft/keys.json",
+      keyFields.mkString("[\"", "\",\"", "\"]"))
+    writeMetaString(spark, s"$destRoot/_graft/options.props",
+      optionsToProps(options))
+    val days = listDays()
+    days.foreach { d =>
+      val srcDir = new Path(s"$dataPath/$partitionCol=$d")
+      val dstDir = new Path(s"$destRoot/data/$partitionCol=$d")
+      destFs.mkdirs(dstDir)
+      fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
+        linkOrCopy(st.getPath, new Path(dstDir, st.getPath.getName), destFs)
+      }
+    }
+    Seq("bloom2", "zonemaps").foreach { side =>
+      val src = new Path(s"$root/_graft/$side")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, destFs,
+          new Path(s"$destRoot/_graft/$side"), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+    val clone = WarehouseTable.open(spark, destRoot)
+    clone.commitSnapshot("clone", days, clone.currentVersion + 1)
+    clone
+  }
+
+  /** Hardlink when source and destination are plain local paths (the
+    * zero-copy case); stream-copy otherwise or when the link fails
+    * (cross-device, store without link support).
+    */
+  private def linkOrCopy(src: Path, dst: Path,
+      destFs: FileSystem): Unit = {
+    val linked =
+      if (src.toUri.getScheme == "file" || src.toUri.getScheme == null) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Exception => false }
+      } else false
+    if (!linked) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, destFs, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+      ()
+    }
+  }
+
   def compactPartitions(days: Seq[String] = listDays()): Seq[String] = {
     val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
     if (existing.isEmpty) return Seq.empty

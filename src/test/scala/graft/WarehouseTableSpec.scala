@@ -162,6 +162,39 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.readDays(Seq("2024-01-03")).inputFiles.toSeq.sorted == day3File)
   }
 
+  test("shallowCloneTo: zero-copy clone reads equal, then diverges both ways safely") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val cloneRoot = tmpRoot()
+    val c = t.shallowCloneTo(cloneRoot)
+    def state(x: WarehouseTable) = x.read().select($"k1", $"f1")
+      .as[(Long, String)].collect().toSet
+    assert(state(c) == state(t))
+    // zero-copy on local fs: the clone's data file is a hardlink
+    val aFile = java.nio.file.Paths.get(
+      c.readDays(Seq("2024-01-01")).inputFiles.head.stripPrefix("file:"))
+    val links = java.nio.file.Files.getAttribute(aFile, "unix:nlink")
+      .asInstanceOf[Number].intValue
+    assert(links >= 2, s"expected a hardlink, nlink=$links")
+    // clone has a fresh lineage: exactly the baseline clone commit
+    assert(c.history().map(_._2) == Seq("clone"))
+    // write to the CLONE: source must not move
+    c.merge(staged(Seq((2L, Some("b2"), 1L, 1), (9L, Some("z"), 2L, 1))))
+    assert(state(c) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z")))
+    assert(state(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // write to the SOURCE: clone must not move
+    t.append(Seq((7L, "q")).toDF("k1", "f1").withColumn("partitionTime", ts(3)))
+    assert(state(t) == Set((1L, "a"), (2L, "b"), (3L, "c"), (7L, "q")))
+    assert(!state(c).contains((7L, "q")))
+    // compacting the source rewrites its files; the clone keeps reading
+    t.compactPartitions()
+    assert(state(c) == Set((1L, "a"), (2L, "b2"), (3L, "c"), (9L, "z")))
+    // destination-already-a-table is rejected
+    intercept[IllegalArgumentException](t.shallowCloneTo(cloneRoot))
+  }
+
   test("merge: update finds key in an older partition via bloom (no cross-day dup)") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -223,6 +223,54 @@ object SimOps {
         col("_best.sim").as("sim"))
   }
 
+  /** Retrieval-quality metrics — the measurement half of the ANN
+    * family: given a TRUTH ranking (e.g. [[bruteForceTopK]]) and a
+    * CANDIDATE ranking (any approximate index), per-query recall@k,
+    * MRR, and binary-relevance NDCG@k. At 100 TB this relation is what
+    * decides quantizer settings: run it on a query sample after every
+    * index build and regression-gate the recall.
+    *
+    * Numeric determinism: both DCG and ideal DCG evaluate as FIXED
+    * k-term left-associative sums over per-rank hit indicators
+    * (aggregated with `max`, so the group-by order cannot reorder
+    * float additions) — any engine derives bit-identical doubles.
+    *
+    * Scale: one (query, nbr) hash join against the relevant set, one
+    * partial-aggregated group-by of indicator scalars; rankings carry
+    * (id, id, rank) only.
+    */
+  def rankMetrics(truth: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 32, s"k out of [1,32]: $k")
+    val rel = truth.where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"))
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = cand.where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"))
+      .join(rel, Seq("query_id", "nbr_id"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"),
+        (min(col("rank")).as("minrank") +:
+          (1 to k).map(r =>
+            max(when(col("rank") === r, 1).otherwise(0)).as(s"__h$r"))): _*)
+    val joined = nRel.join(perQ, Seq("query_id"), "left")
+    val dcg = (1 to k).map(r =>
+        coalesce(col(s"__h$r"), lit(0)).cast("double") / log2(lit(r + 1.0)))
+      .reduceLeft(_ + _)
+    val idcg = (1 to k).map(r =>
+        when(col("n_rel") >= r, lit(1.0) / log2(lit(r + 1.0))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    joined
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("recall_k",
+        round(col("hits").cast("double") / col("n_rel"), 6))
+      .withColumn("mrr",
+        round(coalesce(lit(1.0) / col("minrank"), lit(0.0)), 6))
+      .withColumn("ndcg",
+        round(when(col("n_rel") > 0, dcg / idcg).otherwise(lit(0.0)), 6))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        col("recall_k"), col("mrr"), col("ndcg"))
+  }
+
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

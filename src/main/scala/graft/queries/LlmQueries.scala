@@ -827,6 +827,77 @@ object LlmQueries extends QueryPack {
           |       round(m.m, 6) AS m
           |FROM m JOIN n USING (label)""".stripMargin)),
 
+    GraftQuery("e13_rank_metrics",
+      // the ANN family's measurement relation: per-query recall@5, MRR
+      // and NDCG@5 of the LSH index (e2) against brute-force truth
+      // (e1). DCG/IDCG evaluate as fixed 5-term sums over per-rank hit
+      // indicators, so both engines derive bit-identical doubles
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") % 50 === 0)
+        SimOps.rankMetrics(
+          SimOps.bruteForceTopK(emb, q, k = 5),
+          SimOps.lshTopK(emb, q, k = 5, numPlanes = 4, numTables = 8),
+          k = 5)
+      },
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bq AS (SELECT id, v FROM c WHERE id % 50 = 0),
+           |bscored AS (
+           |  SELECT bq.id AS query_id, c.id AS nbr_id, ${cosSql("bq.v", "c.v")} AS sim
+           |  FROM c, bq WHERE bq.id != c.id),
+           |branked AS (
+           |  SELECT query_id, nbr_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           |  FROM bscored),
+           |b AS (
+           |${bucketSelects(4, 8)}),
+           |lq AS (SELECT id, v, bucket FROM b WHERE id % 50 = 0),
+           |lscored AS (
+           |  SELECT query_id, nbr_id, max(sim) AS sim FROM (
+           |    SELECT lq.id AS query_id, b.id AS nbr_id, ${cosSql("lq.v", "b.v")} AS sim
+           |    FROM b JOIN lq USING (bucket) WHERE lq.id != b.id) raw
+           |  GROUP BY query_id, nbr_id),
+           |lranked AS (
+           |  SELECT query_id, nbr_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           |  FROM lscored),
+           |rel AS (SELECT query_id, nbr_id FROM branked WHERE rank <= 5),
+           |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+           |h AS (
+           |  SELECT l.query_id, l.rank
+           |  FROM lranked l JOIN rel ON rel.query_id = l.query_id
+           |                         AND rel.nbr_id = l.nbr_id
+           |  WHERE l.rank <= 5),
+           |perq AS (
+           |  SELECT query_id, count(*) AS hits, min(rank) AS minrank,
+           |    max(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS h1,
+           |    max(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS h2,
+           |    max(CASE WHEN rank = 3 THEN 1 ELSE 0 END) AS h3,
+           |    max(CASE WHEN rank = 4 THEN 1 ELSE 0 END) AS h4,
+           |    max(CASE WHEN rank = 5 THEN 1 ELSE 0 END) AS h5
+           |  FROM h GROUP BY 1),
+           |j AS (
+           |  SELECT n.query_id, n.n_rel, coalesce(p.hits, 0) AS hits, p.minrank,
+           |    coalesce(p.h1, 0) AS h1, coalesce(p.h2, 0) AS h2,
+           |    coalesce(p.h3, 0) AS h3, coalesce(p.h4, 0) AS h4,
+           |    coalesce(p.h5, 0) AS h5
+           |  FROM nrel n LEFT JOIN perq p ON n.query_id = p.query_id)
+           |SELECT query_id, n_rel, hits::BIGINT AS hits,
+           |  round(hits::DOUBLE / n_rel, 6) AS recall_k,
+           |  round(coalesce(1.0 / minrank, 0.0), 6) AS mrr,
+           |  round(CASE WHEN n_rel > 0 THEN
+           |    (h1::DOUBLE / log2(2.0) + h2::DOUBLE / log2(3.0)
+           |     + h3::DOUBLE / log2(4.0) + h4::DOUBLE / log2(5.0)
+           |     + h5::DOUBLE / log2(6.0)) /
+           |    (CASE WHEN n_rel >= 1 THEN 1.0 / log2(2.0) ELSE 0.0 END
+           |     + CASE WHEN n_rel >= 2 THEN 1.0 / log2(3.0) ELSE 0.0 END
+           |     + CASE WHEN n_rel >= 3 THEN 1.0 / log2(4.0) ELSE 0.0 END
+           |     + CASE WHEN n_rel >= 4 THEN 1.0 / log2(5.0) ELSE 0.0 END
+           |     + CASE WHEN n_rel >= 5 THEN 1.0 / log2(6.0) ELSE 0.0 END)
+           |    ELSE 0.0 END, 6) AS ndcg
+           |FROM j""".stripMargin)),
+
     GraftQuery("e6_hybrid_rrf",
       // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
       // ranking by reciprocal-rank fusion. Each ranking keeps its

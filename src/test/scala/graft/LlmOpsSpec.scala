@@ -957,6 +957,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(run() == out)
   }
 
+  test("rankMetrics: hand-computed recall/MRR/NDCG incl. zero-hit and short-truth") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def l2(x: Double) = math.log(x) / math.log(2)
+    val truth = Seq( // q1 truth: 10,20,30; q2: 7,8,9; q3 short truth: 5 only
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 7L, 1), (2L, 8L, 2), (2L, 9L, 3),
+      (3L, 5L, 1)).toDF("query_id", "nbr_id", "rank")
+    val cand = Seq( // q1 finds 20@1, 99@2, 10@3; q2 finds none; q3 finds 5@2
+      (1L, 20L, 1), (1L, 99L, 2), (1L, 10L, 3),
+      (2L, 55L, 1), (2L, 56L, 2),
+      (3L, 66L, 1), (3L, 5L, 2)).toDF("query_id", "nbr_id", "rank")
+    val got = SimOps.rankMetrics(truth, cand, k = 3)
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // q1: 2/3 recall; first hit at rank 1 → MRR 1; DCG = 1/log2(2)+1/log2(4),
+    // IDCG = 1/log2(2)+1/log2(3)+1/log2(4)
+    val q1Ndcg = r6((1 / l2(2) + 1 / l2(4)) / (1 / l2(2) + 1 / l2(3) + 1 / l2(4)))
+    assert(got(1L) == ((1L, 3L, 2L, r6(2.0 / 3), 1.0, q1Ndcg)))
+    assert(got(2L) == ((2L, 3L, 0L, 0.0, 0.0, 0.0)))
+    // q3: 1/1 recall, hit at rank 2 → MRR 0.5, NDCG = (1/log2(3)) / (1/log2(2))
+    assert(got(3L) == ((3L, 1L, 1L, 1.0, 0.5, r6((1 / l2(3)) / (1 / l2(2))))))
+  }
+
   test("bpePairStats: known corpus yields the textbook first merge") {
     // 5x "hug", 2x "pug", 1x "bug": pair "u g" total 8 dominates;
     // "g </w>" also 8 — tie broken by pair string ("g </w>" < "u g")

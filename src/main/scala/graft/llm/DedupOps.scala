@@ -448,6 +448,27 @@ object DedupOps {
       col("n_shared"), round(col("containment"), 6).as("containment"))
   }
 
+  /** Pick LSH banding parameters for a target Jaccard threshold: among
+    * the divisor pairs `bands × rowsPerBand = numHashes`, choose the
+    * banding whose S-curve inflection `(1/b)^(1/r)` lands closest to
+    * the target (ties → more bands, i.e. higher recall). This is the
+    * knob every minhash deployment hand-tunes; returns
+    * `(bands, rowsPerBand, inflection)`. Driver-side closed form —
+    * feed the result straight into [[minhashNearDups]].
+    */
+  def lshParams(threshold: Double, numHashes: Int): (Int, Int, Double) = {
+    require(threshold > 0.0 && threshold < 1.0, s"bad threshold: $threshold")
+    require(numHashes >= 1, s"numHashes must be positive: $numHashes")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { b =>
+      val r = numHashes / b
+      (b, r, math.pow(1.0 / b, 1.0 / r))
+    }
+    // distance first, then PREFER more bands: at equal distance the
+    // banding with more bands has the gentler low-similarity tail cut,
+    // i.e. better recall at the threshold
+    candidates.minBy { case (b, _, t) => (math.abs(t - threshold), -b) }
+  }
+
   // shift-by-column via exact powers of two (values < 2^32, b <= 31)
   private def pow2(b: Column): Column = pow(lit(2.0), b).cast("long")
   private def bitAt(h: Column, b: Column): Column =

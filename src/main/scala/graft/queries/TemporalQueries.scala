@@ -273,6 +273,60 @@ object TemporalQueries extends QueryPack {
           |      ELSE 0 END)::BIGINT AS covered_us
           |FROM m GROUP BY user_id""".stripMargin)),
 
+    GraftQuery("a39_cadence",
+      // posting-cadence profile per user: inter-arrival gaps log2-
+      // bucketed with the a33 integer trick (length(bin(s))-1), the
+      // modal bucket (ties → smallest) and its share — too-regular
+      // cadence (high share) is the classic bot signal. One window
+      // pass + (user, bucket) scalar aggregates.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .withColumn("gap_s",
+            ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+              / 1000000L).cast("long"))
+          .where(col("gap_s").isNotNull && col("gap_s") > 0)
+          .withColumn("bucket", (length(bin(col("gap_s"))) - 1).cast("int"))
+        val counts = gaps.groupBy(col("user_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = counts.withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("cnt").desc, col("bucket"))))
+          .where(col("rn") === 1)
+        val totals = counts.groupBy(col("user_id")).agg(sum(col("cnt")).as("n_gaps"))
+        totals.join(top, "user_id")
+          .select(col("user_id"), col("n_gaps"),
+            col("bucket").as("modal_bucket"), col("cnt").as("modal_cnt"),
+            round(col("cnt").cast("double") / col("n_gaps"), 6).as("modal_share"),
+            (col("cnt") * 2 > col("n_gaps")).as("regular"))
+      },
+      oracle = Some(
+        """WITH g AS (
+          |  SELECT user_id,
+          |    (epoch_ns(ts) // 1000
+          |     - epoch_ns(lag(ts) OVER (PARTITION BY user_id
+          |                              ORDER BY ts, event_id)) // 1000)
+          |      // 1000000 AS gap_s
+          |  FROM events),
+          |b AS (
+          |  SELECT user_id, length(bin(gap_s)) - 1 AS bucket
+          |  FROM g WHERE gap_s IS NOT NULL AND gap_s > 0),
+          |counts AS (
+          |  SELECT user_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+          |top AS (
+          |  SELECT user_id, bucket, cnt,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY cnt DESC, bucket) AS rn
+          |  FROM counts),
+          |totals AS (SELECT user_id, sum(cnt)::BIGINT AS n_gaps
+          |           FROM counts GROUP BY 1)
+          |SELECT t.user_id, t.n_gaps, p.bucket AS modal_bucket,
+          |       p.cnt AS modal_cnt,
+          |       round(p.cnt::DOUBLE / t.n_gaps, 6) AS modal_share,
+          |       (p.cnt * 2 > t.n_gaps) AS regular
+          |FROM totals t JOIN top p ON p.user_id = t.user_id AND p.rn = 1""".stripMargin)),
+
     GraftQuery("a25_twap",
       // time-weighted average per user: each observation holds until the
       // next one, so its weight is the gap to the successor (last

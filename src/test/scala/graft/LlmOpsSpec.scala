@@ -1000,6 +1000,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(single == Map("a </w>" -> 2L, "b </w>" -> 1L))
   }
 
+  test("lshParams: inflection points match hand math; ties favor recall") {
+    // numHashes=12, tau=0.7: b=3,r=4 -> (1/3)^(1/4) ~ 0.760 beats
+    // b=4,r=3 -> 0.630 (|0.060| < |0.070|)
+    val (b, r, t) = DedupOps.lshParams(0.7, 12)
+    assert(b == 3 && r == 4 && math.abs(t - math.pow(1.0 / 3, 0.25)) < 1e-12)
+    // low threshold wants many bands; high threshold wants long rows
+    assert(DedupOps.lshParams(0.1, 12)._1 == 12)
+    assert(DedupOps.lshParams(0.95, 12)._1 == 1 || DedupOps.lshParams(0.95, 12)._2 >= 6)
+    // 16 hashes at 0.5: 8x2's inflection 0.354 (dist .146) beats 4x4's
+    // 0.707 (dist .207)
+    assert(DedupOps.lshParams(0.5, 16) == ((8, 2, math.sqrt(1.0 / 8))))
+  }
+
   test("containmentDups: fragment flags with high containment despite low Jaccard") {
     val source = (1 to 60).map(i => s"tok$i").mkString(" ")
     val fragment = (1 to 15).map(i => s"tok$i").mkString(" ")

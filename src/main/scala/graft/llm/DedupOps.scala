@@ -448,6 +448,32 @@ object DedupOps {
       col("n_shared"), round(col("containment"), 6).as("containment"))
   }
 
+  /** SOFT dedup: per-document training weights instead of drops —
+    * `w(doc) = 1/|cluster|`, so each duplicate cluster contributes one
+    * effective document to the training mix (Σw = effective corpus
+    * size) while every surface form stays available. The down-weighting
+    * alternative to [[nearDupSurvivors]] when duplicates carry signal
+    * (popular pages ARE more important, just not |copies|× more).
+    * Singletons weigh 1. Returns
+    * `(doc_id, cluster_id, cluster_size, weight)`.
+    *
+    * Scale: labels come from [[clusterPairs]] (O(duplicates) rows);
+    * the corpus joins them by id, sizes aggregate (cluster, count)
+    * scalars — document text never moves.
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val labels = clusterPairs(pairs)
+    val withLabel = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = withLabel.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withLabel.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Pick LSH banding parameters for a target Jaccard threshold: among
     * the divisor pairs `bands × rowsPerBand = numHashes`, choose the
     * banding whose S-curve inflection `(1/b)^(1/r)` lands closest to

@@ -239,6 +239,62 @@ object LlmQueries extends QueryPack {
           |SELECT id AS doc_id FROM base
           |WHERE id NOT IN (SELECT src FROM cluster WHERE cluster_id <> src)""".stripMargin)),
 
+    GraftQuery("d16_soft_dedup_weights",
+      // soft dedup over the c1 cluster graph: 1/|cluster| training
+      // weights, singletons weigh 1, so Σ weights = effective corpus
+      // size — the down-weighting alternative to dropping
+      (s, dir) => DedupOps.softDedupWeights(
+        withNearDups(s, dir),
+        DedupOps.minhashNearDups(withNearDups(s, dir), "text", "doc_id",
+          shingleK = 6, numHashes = 12, bands = 4, threshold = 0.7),
+        "doc_id"),
+      oracle = Some("WITH RECURSIVE " + clusterCtes(0.7) +
+        """,
+          |lab AS (
+          |  SELECT b.id AS doc_id, coalesce(c.cluster_id, b.id) AS cluster_id
+          |  FROM base b LEFT JOIN cluster c ON c.src = b.id),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size
+          |       FROM lab GROUP BY 1)
+          |SELECT doc_id, l.cluster_id, cluster_size,
+          |       round(1.0 / cluster_size, 6) AS weight
+          |FROM lab l JOIN sz USING (cluster_id)""".stripMargin)),
+
+    GraftQuery("e14_matryoshka_eval",
+      // MRL-style truncation measurement: how much retrieval quality
+      // survives keeping only the first half of each embedding —
+      // truncated brute-force rankings scored against full-dim truth
+      // through the e13 metrics relation
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") % 50 === 0)
+        def truncate(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+        SimOps.rankMetrics(
+          SimOps.bruteForceTopK(emb, q, k = 5),
+          SimOps.bruteForceTopK(truncate(emb), truncate(q), k = 5),
+          k = 5)
+      },
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |bq AS (SELECT id, v FROM c WHERE id % 50 = 0),
+           |bscored AS (
+           |  SELECT bq.id AS query_id, c.id AS nbr_id, ${cosSql("bq.v", "c.v")} AS sim
+           |  FROM c, bq WHERE bq.id != c.id),
+           |branked AS (
+           |  SELECT query_id, nbr_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           |  FROM bscored),
+           |t AS (SELECT id, v[1:32] AS v FROM c),
+           |tq AS (SELECT id, v FROM t WHERE id % 50 = 0),
+           |tscored AS (
+           |  SELECT tq.id AS query_id, t.id AS nbr_id, ${cosSql("tq.v", "t.v")} AS sim
+           |  FROM t, tq WHERE tq.id != t.id),
+           |lranked AS (
+           |  SELECT query_id, nbr_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+           |  FROM tscored),
+           |$rankMetricsTailSql""".stripMargin)),
+
     GraftQuery("d12_quality_survivors",
       // FineWeb-style survivor policy: every near-dup cluster keeps its
       // LONGEST member (here the padded copies, making the choice
@@ -862,41 +918,7 @@ object LlmQueries extends QueryPack {
            |  SELECT query_id, nbr_id,
            |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
            |  FROM lscored),
-           |rel AS (SELECT query_id, nbr_id FROM branked WHERE rank <= 5),
-           |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
-           |h AS (
-           |  SELECT l.query_id, l.rank
-           |  FROM lranked l JOIN rel ON rel.query_id = l.query_id
-           |                         AND rel.nbr_id = l.nbr_id
-           |  WHERE l.rank <= 5),
-           |perq AS (
-           |  SELECT query_id, count(*) AS hits, min(rank) AS minrank,
-           |    max(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS h1,
-           |    max(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS h2,
-           |    max(CASE WHEN rank = 3 THEN 1 ELSE 0 END) AS h3,
-           |    max(CASE WHEN rank = 4 THEN 1 ELSE 0 END) AS h4,
-           |    max(CASE WHEN rank = 5 THEN 1 ELSE 0 END) AS h5
-           |  FROM h GROUP BY 1),
-           |j AS (
-           |  SELECT n.query_id, n.n_rel, coalesce(p.hits, 0) AS hits, p.minrank,
-           |    coalesce(p.h1, 0) AS h1, coalesce(p.h2, 0) AS h2,
-           |    coalesce(p.h3, 0) AS h3, coalesce(p.h4, 0) AS h4,
-           |    coalesce(p.h5, 0) AS h5
-           |  FROM nrel n LEFT JOIN perq p ON n.query_id = p.query_id)
-           |SELECT query_id, n_rel, hits::BIGINT AS hits,
-           |  round(hits::DOUBLE / n_rel, 6) AS recall_k,
-           |  round(coalesce(1.0 / minrank, 0.0), 6) AS mrr,
-           |  round(CASE WHEN n_rel > 0 THEN
-           |    (h1::DOUBLE / log2(2.0) + h2::DOUBLE / log2(3.0)
-           |     + h3::DOUBLE / log2(4.0) + h4::DOUBLE / log2(5.0)
-           |     + h5::DOUBLE / log2(6.0)) /
-           |    (CASE WHEN n_rel >= 1 THEN 1.0 / log2(2.0) ELSE 0.0 END
-           |     + CASE WHEN n_rel >= 2 THEN 1.0 / log2(3.0) ELSE 0.0 END
-           |     + CASE WHEN n_rel >= 3 THEN 1.0 / log2(4.0) ELSE 0.0 END
-           |     + CASE WHEN n_rel >= 4 THEN 1.0 / log2(5.0) ELSE 0.0 END
-           |     + CASE WHEN n_rel >= 5 THEN 1.0 / log2(6.0) ELSE 0.0 END)
-           |    ELSE 0.0 END, 6) AS ndcg
-           |FROM j""".stripMargin)),
+           |$rankMetricsTailSql""".stripMargin)),
 
     GraftQuery("e6_hybrid_rrf",
       // hybrid retrieval: BM25 keyword ranking fused with vector-cosine
@@ -2455,6 +2477,48 @@ object LlmQueries extends QueryPack {
       s"  SELECT id, v, '$t:' || $bits AS bucket FROM c"
     }.mkString("\n  UNION ALL\n")
   }
+
+  /** Metrics tail shared by e13/e14: expects `branked` (truth ranking)
+    * and `lranked` (candidate ranking) CTEs with
+    * (query_id, nbr_id, rank) at k = 5. Fixed-order DCG/IDCG sums
+    * mirror [[graft.llm.SimOps.rankMetrics]] term for term.
+    */
+  private val rankMetricsTailSql =
+    """rel AS (SELECT query_id, nbr_id FROM branked WHERE rank <= 5),
+      |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+      |h AS (
+      |  SELECT l.query_id, l.rank
+      |  FROM lranked l JOIN rel ON rel.query_id = l.query_id
+      |                         AND rel.nbr_id = l.nbr_id
+      |  WHERE l.rank <= 5),
+      |perq AS (
+      |  SELECT query_id, count(*) AS hits, min(rank) AS minrank,
+      |    max(CASE WHEN rank = 1 THEN 1 ELSE 0 END) AS h1,
+      |    max(CASE WHEN rank = 2 THEN 1 ELSE 0 END) AS h2,
+      |    max(CASE WHEN rank = 3 THEN 1 ELSE 0 END) AS h3,
+      |    max(CASE WHEN rank = 4 THEN 1 ELSE 0 END) AS h4,
+      |    max(CASE WHEN rank = 5 THEN 1 ELSE 0 END) AS h5
+      |  FROM h GROUP BY 1),
+      |j AS (
+      |  SELECT n.query_id, n.n_rel, coalesce(p.hits, 0) AS hits, p.minrank,
+      |    coalesce(p.h1, 0) AS h1, coalesce(p.h2, 0) AS h2,
+      |    coalesce(p.h3, 0) AS h3, coalesce(p.h4, 0) AS h4,
+      |    coalesce(p.h5, 0) AS h5
+      |  FROM nrel n LEFT JOIN perq p ON n.query_id = p.query_id)
+      |SELECT query_id, n_rel, hits::BIGINT AS hits,
+      |  round(hits::DOUBLE / n_rel, 6) AS recall_k,
+      |  round(coalesce(1.0 / minrank, 0.0), 6) AS mrr,
+      |  round(CASE WHEN n_rel > 0 THEN
+      |    (h1::DOUBLE / log2(2.0) + h2::DOUBLE / log2(3.0)
+      |     + h3::DOUBLE / log2(4.0) + h4::DOUBLE / log2(5.0)
+      |     + h5::DOUBLE / log2(6.0)) /
+      |    (CASE WHEN n_rel >= 1 THEN 1.0 / log2(2.0) ELSE 0.0 END
+      |     + CASE WHEN n_rel >= 2 THEN 1.0 / log2(3.0) ELSE 0.0 END
+      |     + CASE WHEN n_rel >= 3 THEN 1.0 / log2(4.0) ELSE 0.0 END
+      |     + CASE WHEN n_rel >= 4 THEN 1.0 / log2(5.0) ELSE 0.0 END
+      |     + CASE WHEN n_rel >= 5 THEN 1.0 / log2(6.0) ELSE 0.0 END)
+      |    ELSE 0.0 END, 6) AS ndcg
+      |FROM j""".stripMargin
 
   private val cosineSql =
     """list_sum(list_transform(generate_series(1, len(e1.v)), i -> e1.v[i] * e2.v[i])) /

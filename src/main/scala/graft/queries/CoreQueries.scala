@@ -600,6 +600,49 @@ object CoreQueries extends QueryPack {
           |FROM dev d JOIN mad m USING (event_type) JOIN med m2 USING (event_type)
           |GROUP BY 1""".stripMargin)),
 
+    GraftQuery("a40_gini",
+      // value-concentration audit per event type: the Gini coefficient
+      // from the sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)
+      // — every term integer cents, ties rank-order-invariant, one
+      // division at the end. The corpus-domination metric ("how skewed
+      // is spend/token mass across items") in exact arithmetic.
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .where(col("cents") >= 0)
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("total_cents"),
+            sum(col("i") * col("cents")).as("iwx"))
+          .select(col("event_type"), col("n"), col("total_cents"),
+            round((lit(2) * col("iwx") - (col("n") + 1) * col("total_cents"))
+              .cast("double") / (col("n") * col("total_cents")), 6).as("gini"))
+      },
+      oracle = Some(
+        """WITH v AS (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events
+          |  WHERE CAST(round(value * 100, 0) AS BIGINT) >= 0),
+          |r AS (
+          |  SELECT event_type, cents,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY cents, event_id) AS i
+          |  FROM v),
+          |a AS (
+          |  SELECT event_type, count(*) AS n,
+          |         sum(cents)::BIGINT AS total_cents,
+          |         sum(i * cents)::BIGINT AS iwx
+          |  FROM r GROUP BY 1)
+          |SELECT event_type, n, total_cents,
+          |       round((2 * iwx - (n + 1) * total_cents)::DOUBLE
+          |             / (n * total_cents), 6) AS gini
+          |FROM a""".stripMargin)),
+
     GraftQuery("a13_data_profile",
       // data-quality profile in ONE pass over the table: per-column
       // null counts, ranges, and exact distinct cardinalities from a

@@ -2280,6 +2280,77 @@ object LlmQueries extends QueryPack {
           |         AS released
           |FROM u""".stripMargin)),
 
+    GraftQuery("x26_dataset_card",
+      // the per-source datasheet row every corpus release ships: doc
+      // and token counts, mean quality, language mix with its entropy.
+      // Entropy evaluates as a FIXED 5-term fold over the known lang
+      // domain (conditional counts, not data-ordered groups), so both
+      // engines add the same doubles in the same order
+      (s, dir) => {
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        val d = TextOps.withTextStats(Tables.load(s, dir, "documents"), "text")
+        val counts = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            (Seq(sum(col("n_tokens")).as("n_tokens"),
+              round(avg(col("quality")), 4).as("avg_quality"),
+              sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short")) ++
+              langs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L))
+                .as(s"c_$l"))): _*)
+        val n = col("n_docs").cast("double")
+        val entropy = langs.map { l =>
+          val p = col(s"c_$l").cast("double") / n
+          when(col(s"c_$l") > 0, -(p * log2(p))).otherwise(lit(0.0))
+        }.reduceLeft(_ + _)
+        counts.select((Seq(col("source"), col("n_docs"), col("n_tokens"),
+          col("avg_quality"),
+          round(col("n_short").cast("double") / col("n_docs"), 6).as("short_frac"),
+          round(entropy, 6).as("lang_entropy")) ++
+          langs.map(l => col(s"c_$l"))): _*)
+      },
+      oracle = Some {
+        val langs = Seq("en", "de", "fr", "es", "zh")
+        val csums = langs.map(l =>
+          s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS c_$l")
+          .mkString(", ")
+        val ent = langs.map(l =>
+          s"CASE WHEN c_$l > 0 THEN -((c_$l::DOUBLE / n_docs) * " +
+            s"log2(c_$l::DOUBLE / n_docs)) ELSE 0.0 END").mkString(" + ")
+        raw"""WITH t AS (
+           |  SELECT source, lang, n_chars,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_toks,
+           |    round((
+           |      (CASE WHEN length(text) BETWEEN 200 AND 10000 THEN 1.0
+           |            WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) +
+           |      (CASE WHEN praw <= 0.1 THEN 1.0 WHEN praw <= 0.3 THEN 0.5
+           |            ELSE 0.0 END) +
+           |      (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0, 6)
+           |      AS quality
+           |  FROM (
+           |    SELECT *,
+           |      CASE WHEN length(text) = 0 THEN 0.0
+           |           ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE
+           |                / length(text) END AS praw,
+           |      CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |           ELSE len(list_intersect(
+           |                  list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+           |                  ['the','and','of','to','a','in','is','it','that','for']))::DOUBLE
+           |                / len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+           |           END AS sraw
+           |    FROM documents) z),
+           |agg AS (
+           |  SELECT source, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+           |         round(avg(quality), 4) AS avg_quality,
+           |         sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+           |         $csums
+           |  FROM t GROUP BY source)
+           |SELECT source, n_docs, n_tokens, avg_quality,
+           |       round(n_short::DOUBLE / n_docs, 6) AS short_frac,
+           |       round($ent, 6) AS lang_entropy,
+           |       c_en, c_de, c_fr, c_es, c_zh
+           |FROM agg""".stripMargin
+      }),
+
     GraftQuery("x18_cdc_chunks",
       // content-defined chunking: boundaries where the md5 of the
       // trailing 16-char window divides 64 evenly — insertion-stable

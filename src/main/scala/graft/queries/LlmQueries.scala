@@ -385,7 +385,8 @@ object LlmQueries extends QueryPack {
            |       n_shared::BIGINT AS n_shared,
            |       round(n_shared::DOUBLE / least(n1, n2), 6) AS containment
            |FROM v
-           |WHERE n_shared::DOUBLE / least(n1, n2) >= 0.8""".stripMargin)),
+           |WHERE n_shared::DOUBLE / least(n1, n2) >= 0.8""".stripMargin),
+      headline = true),
 
     GraftQuery("d7_incremental_dedup",
       (s, dir) => {

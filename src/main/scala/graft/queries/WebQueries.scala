@@ -215,7 +215,8 @@ object WebQueries extends QueryPack {
           |  GROUP BY 1, 2)
           |SELECT key AS event_type, qname AS q, bucket,
           |       power(2, bucket // 8) * (2 * (bucket % 8) + 17) / 16.0 AS est_cents
-          |FROM sel""".stripMargin)),
+          |FROM sel""".stripMargin),
+      headline = true),
 
     GraftQuery("t9_hashed_classifier",
       (s, dir) => TextOps.withHashedLinearScore(

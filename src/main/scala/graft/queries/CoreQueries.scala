@@ -1383,6 +1383,117 @@ object CoreQueries extends QueryPack {
           |FROM nonadj GROUP BY a, b
           |HAVING count(*) >= 2""".stripMargin)),
 
+    GraftQuery("g11_assortativity",
+      // degree assortativity of the SPARSIFIED decade graph (every 4th
+      // event, like g9 — at full density the cliques complete, every
+      // degree equals 9 and the variance degenerates): Pearson
+      // correlation of endpoint degrees over directed edge-ends —
+      // every Σ is an integer, so the statistic reduces to one exact
+      // fraction with a final sqrt both engines evaluate on identical
+      // doubles. NULL when a degenerate graph has zero degree variance.
+      (s, dir) => {
+        val e0 = Tables.load(s, dir, "events")
+          .where(col("event_id") % 4 === 0)
+          .select(col("user_id").as("src"),
+            (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+        val sym = e0.unionByName(
+          e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+        val ends = sym
+          .join(deg.select(col("n").as("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("n").as("dst"), col("deg").as("y")), "dst")
+        ends.agg(count(lit(1)).as("n_ends"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n_ends"),
+            round(when(
+              (col("n_ends") * col("sxx") - col("sx") * col("sx")) > 0 &&
+                (col("n_ends") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n_ends") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                sqrt((col("n_ends") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n_ends") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))), 6).as("assortativity"))
+      },
+      oracle = Some(
+        """WITH e0 AS (
+          |  SELECT DISTINCT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events
+          |  WHERE event_id % 4 = 0
+          |    AND user_id <> user_id - user_id % 10 + event_id % 10),
+          |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+          |deg AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY 1),
+          |ends AS (
+          |  SELECT dx.deg AS x, dy.deg AS y
+          |  FROM sym JOIN deg dx ON dx.n = sym.src JOIN deg dy ON dy.n = sym.dst),
+          |a AS (
+          |  SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+          |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+          |         sum(y * y)::BIGINT AS syy
+          |  FROM ends)
+          |SELECT n AS n_ends,
+          |       round(CASE WHEN (n * sxx - sx * sx) > 0
+          |                   AND (n * syy - sy * sy) > 0
+          |             THEN (n * sxy - sx * sy)::DOUBLE /
+          |                  sqrt((n * sxx - sx * sx)::DOUBLE
+          |                       * (n * syy - sy * sy)::DOUBLE)
+          |             END, 6) AS assortativity
+          |FROM a""".stripMargin)),
+
+    GraftQuery("a41_daily_autocorr",
+      // lag-1 autocorrelation of each event type's daily cent totals —
+      // the "is today predictive of tomorrow" seasonality probe. Daily
+      // totals are exact integers; the correlation is the same
+      // all-integer Pearson reduction as g11, windowed by day order.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val paired = daily
+          .withColumn("next", lead(col("cents"), 1).over(w))
+          .where(col("next").isNotNull)
+        paired.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("cents")).as("sx"), sum(col("next")).as("sy"),
+            sum(col("cents") * col("next")).as("sxy"),
+            sum(col("cents") * col("cents")).as("sxx"),
+            sum(col("next") * col("next")).as("syy"))
+          .select(col("event_type"), col("n_pairs"),
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6).as("autocorr"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2),
+          |p AS (
+          |  SELECT event_type, cents,
+          |         lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS next
+          |  FROM daily),
+          |f AS (SELECT * FROM p WHERE next IS NOT NULL),
+          |a AS (
+          |  SELECT event_type, count(*) AS n, sum(cents)::BIGINT AS sx,
+          |         sum(next)::BIGINT AS sy, sum(cents * next)::BIGINT AS sxy,
+          |         sum(cents * cents)::BIGINT AS sxx,
+          |         sum(next * next)::BIGINT AS syy
+          |  FROM f GROUP BY 1)
+          |SELECT event_type, n AS n_pairs,
+          |       round((n * sxy - sx * sy)::DOUBLE /
+          |             sqrt((n * sxx - sx * sx)::DOUBLE
+          |                  * (n * syy - sy * sy)::DOUBLE), 6) AS autocorr
+          |FROM a""".stripMargin)),
+
     GraftQuery("g3_triangles",
       // per-node triangle counts; the engine orients each edge
       // low-degree→high-degree (the O(m^1.5) skew bound), the oracle

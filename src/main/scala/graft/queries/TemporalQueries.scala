@@ -577,9 +577,13 @@ object TemporalQueries extends QueryPack {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         val prior = when(col("event_type") =!= "purchase", col("value"))
         Tables.events(s, dir)
-          .withColumn("l1", lag(prior, 1, null, ignoreNulls = true).over(w))
-          .withColumn("l2", lag(prior, 2, null, ignoreNulls = true).over(w))
-          .withColumn("l3", lag(prior, 3, null, ignoreNulls = true).over(w))
+          .withColumn("__prior", prior)
+          // one projection holds all three lags → ONE Window operator
+          // (separate withColumns stack three; plan-audited)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            lag(col("__prior"), 1, null, ignoreNulls = true).over(w).as("l1"),
+            lag(col("__prior"), 2, null, ignoreNulls = true).over(w).as("l2"),
+            lag(col("__prior"), 3, null, ignoreNulls = true).over(w).as("l3"))
           .where(col("event_type") === "purchase" && col("l1").isNotNull)
           .withColumn("n_hist",
             lit(1) + when(col("l2").isNotNull, 1).otherwise(0)

@@ -703,6 +703,43 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("e13: metrics run on (id, id, rank) scalars — embeddings never enter the joins") {
+    val df = SparkEntry.queries("e13_rank_metrics")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the metric joins consume rankings only: no exchange output may
+    // carry an embedding array
+    val exchangeBlocks = formatted.split("(?=\\(\\d+\\) Exchange)")
+      .filter(b => b.startsWith("(") && b.contains("Exchange"))
+    exchangeBlocks.foreach { b =>
+      val head = b.split("\n").take(4).mkString(" ")
+      assert(!head.contains("embedding#"), s"vector crossed a metrics exchange:\n$b")
+    }
+    assert(!formatted.contains("CartesianProduct"))
+  }
+
+  test("x26: dataset card is one aggregation pass over one documents scan") {
+    val df = SparkEntry.queries("x26_dataset_card")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"datasheet rescans the corpus:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial+final aggregate pair:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"datasheet grew a join:\n$plan")
+  }
+
+  test("w12: last-k features ride ONE window operator over one exchange") {
+    val df = SparkEntry.queries("w12_lastk_prior")(spark, sf)
+    df.collect()
+    // AQE hides subplans from a plain collect — count in the final
+    // plan's string rendering instead
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"expected 1 Window op for the 3 lags, got $windows:\n$plan")
+  }
+
   test("a35: interval union is one window pass — no join, scalar exchange only") {
     val df = SparkEntry.queries("a35_interval_union")(spark, sf)
     df.collect()

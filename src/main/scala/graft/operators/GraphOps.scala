@@ -348,6 +348,92 @@ object GraphOps {
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Local clustering coefficient (Watts & Strogatz 1998) per node:
+    * `C(v) = triangles(v) / (deg(v) choose 2)` over the undirected
+    * simple graph. Returns `(id, deg, triangles, wedges, coeff)` for
+    * every node — `triangles` is 0 (not absent) for triangle-free
+    * nodes, `wedges = deg·(deg-1)/2` is the closed form (both exact
+    * longs), and `coeff` is NULL when `deg < 2` (the ratio is
+    * undefined, not zero — a leaf is neither clustered nor
+    * unclustered).
+    *
+    * == 100 TB design ==
+    *
+    * Triangle counts come from [[triangleCounts]]'s degree-oriented
+    * wedge join (the O(m^1.5) skew bound — a hub never self-joins its
+    * own adjacency), degrees from one partial-aggregated scan of the
+    * deduplicated edge relation; the final assembly is a left join of
+    * two (id, long) scalar relations. Nothing wider than two longs
+    * crosses any exchange.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(und.select(col("a").as("src"), col("b").as("dst")))
+    val wedges = (col("deg") * (col("deg") - 1) / 2).cast("long")
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        wedges.as("wedges"),
+        when(col("deg") >= 2,
+          round(coalesce(col("triangles"), lit(0L)) / wedges, 6)).as("coeff"))
+  }
+
+  /** Neighbor-set Jaccard link prediction: for every NON-adjacent pair
+    * sharing at least one common neighbor,
+    * `J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|` with the union by
+    * inclusion-exclusion `deg(a)+deg(b)-common` — the set-overlap
+    * sibling of [[adamicAdar]] (same candidate generation, different
+    * normalization: Jaccard penalizes hub endpoints, AA discounts hub
+    * *witnesses*). Returns `(a, b, common, union_size, jaccard)` with
+    * `a < b`; `common`/`union_size` are exact longs so the only float
+    * is the final rounded division.
+    *
+    * == 100 TB design ==
+    *
+    * Identical wedge-enumeration shape to [[adamicAdar]]: candidates
+    * come from each common-neighbor center's adjacency self-joined on
+    * the center (never all-pairs), hub centers above `maxDegree` are
+    * excluded from wedge generation (their wedge fan-out is quadratic
+    * and a capped center changes `common` only for pairs whose sole
+    * witnesses are hubs), adjacency is removed by a left-anti hash
+    * join, and endpoint degrees re-join as (id, long) scalars after
+    * the wedge aggregation — so the exchanges carry nothing wider than
+    * three longs.
+    */
+  def jaccardLinkPred(edges: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val centers = sym.join(deg.where(col("deg") <= maxDegree),
+        sym("src") === col("n"))
+      .select(col("n"), col("dst").as("leaf"))
+    val common = centers.as("x").join(centers.as("y"), "n")
+      .where(col("x.leaf") < col("y.leaf"))
+      .select(col("x.leaf").as("a"), col("y.leaf").as("b"))
+      .join(sym.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("n").as("a"), col("deg").as("__da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("__db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("__da") + col("__db") - col("common")).as("union_size"),
+        round(col("common") /
+          (col("__da") + col("__db") - col("common")), 6).as("jaccard"))
+  }
+
   /** Minimum hop distance from a seed set by frontier BFS over the
     * UNDIRECTED closure of `edges(src, dst)`. Returns `(id, hops)` for
     * every node reachable from `seeds(id)`; unreachable nodes are

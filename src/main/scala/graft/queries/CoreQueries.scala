@@ -1523,6 +1523,94 @@ object CoreQueries extends QueryPack {
           |      UNION ALL SELECT z FROM tri) n
           |GROUP BY id""".stripMargin)),
 
+    GraftQuery("g12_clustering_coeff",
+      // local clustering coefficient over the decade-link graph:
+      // triangles(v) / (deg(v) choose 2), triangles and wedges both
+      // exact longs, coeff NULL below degree 2 (undefined, not zero).
+      // Same degree-oriented triangle enumeration as g3; the oracle
+      // re-derives both counts id-ordered.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events").select(
+          col("user_id").as("src"),
+          (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.clusteringCoefficient(edges)
+      },
+      oracle = Some(
+        """WITH und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM (SELECT user_id AS src,
+          |               user_id - user_id % 10 + event_id % 10 AS dst
+          |        FROM events) e
+          |  WHERE src <> dst),
+          |deg AS (
+          |  SELECT id, count(*) AS deg
+          |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) n
+          |  GROUP BY id),
+          |tri AS (
+          |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |  FROM und e1
+          |  JOIN und e2 ON e1.b = e2.a
+          |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |tcnt AS (
+          |  SELECT id, count(*) AS triangles
+          |  FROM (SELECT x AS id FROM tri
+          |        UNION ALL SELECT y FROM tri
+          |        UNION ALL SELECT z FROM tri) n
+          |  GROUP BY id)
+          |SELECT d.id, d.deg,
+          |       coalesce(t.triangles, 0)::BIGINT AS triangles,
+          |       ((d.deg * (d.deg - 1)) // 2)::BIGINT AS wedges,
+          |       CASE WHEN d.deg >= 2 THEN
+          |         round(coalesce(t.triangles, 0)::DOUBLE /
+          |               ((d.deg * (d.deg - 1)) // 2), 6) END AS coeff
+          |FROM deg d LEFT JOIN tcnt t ON t.id = d.id""".stripMargin)),
+
+    GraftQuery("g13_jaccard_linkpred",
+      // neighbor-set Jaccard link prediction on the SPARSIFIED decade
+      // graph (every 4th event, like g9): non-adjacent pairs with >= 2
+      // shared neighbors, union by inclusion-exclusion — all counts
+      // exact longs, the ratio the only float. Wedge enumeration, never
+      // all-pairs; the oracle replays the identical wedge + anti-join
+      // and re-joins the endpoint degrees.
+      (s, dir) => {
+        val edges = Tables.load(s, dir, "events")
+          .where(col("event_id") % 4 === 0)
+          .select(col("user_id").as("src"),
+            (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+        graft.operators.GraphOps.jaccardLinkPred(edges, maxDegree = 10000)
+          .where(col("common") >= 2)
+      },
+      oracle = Some(
+        """WITH e0 AS (
+          |  SELECT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events WHERE event_id % 4 = 0),
+          |sym AS (
+          |  SELECT DISTINCT src, dst FROM
+          |    (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0) u
+          |  WHERE src <> dst),
+          |deg AS (SELECT src AS n, count(*) AS deg FROM sym GROUP BY src),
+          |centers AS (
+          |  SELECT s.src AS n, s.dst AS leaf
+          |  FROM sym s JOIN deg d ON d.n = s.src
+          |  WHERE d.deg <= 10000),
+          |cand AS (
+          |  SELECT x.leaf AS a, y.leaf AS b
+          |  FROM centers x JOIN centers y ON x.n = y.n AND x.leaf < y.leaf),
+          |nonadj AS (
+          |  SELECT a, b FROM cand c
+          |  WHERE NOT EXISTS (SELECT 1 FROM sym s WHERE s.src = c.a AND s.dst = c.b)),
+          |cm AS (
+          |  SELECT a, b, count(*) AS common FROM nonadj GROUP BY a, b
+          |  HAVING count(*) >= 2)
+          |SELECT cm.a, cm.b, cm.common,
+          |       (da.deg + db.deg - cm.common)::BIGINT AS union_size,
+          |       round(cm.common::DOUBLE /
+          |             (da.deg + db.deg - cm.common), 6) AS jaccard
+          |FROM cm
+          |JOIN deg da ON da.n = cm.a
+          |JOIN deg db ON db.n = cm.b""".stripMargin)),
+
     GraftQuery("g4_bfs_hops",
       // frontier BFS: min hop distance from the seed set (every 20th
       // user) over the undirected link graph; only the frontier

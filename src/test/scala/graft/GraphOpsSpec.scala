@@ -228,6 +228,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(math.abs(tilted.values.sum - 1.0) < 1e-9)
   }
 
+  test("clusteringCoefficient: K4 closes, leaf undefined, wedge-only node zero") {
+    // K4 on {1,2,3,4}: deg 3, 3 triangles, 3 wedges → coeff 1.0.
+    // Node 5 hangs off 4 (deg 1 → coeff NULL). Node 6 bridges 5 and 7
+    // with no closing edge: deg-2 center of one open wedge → coeff 0.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((3L, 3L, 3L, Some(1.0))))
+    assert(got(2L) == ((3L, 3L, 3L, Some(1.0))))
+    assert(got(3L) == ((3L, 3L, 3L, Some(1.0))))
+    // node 4: neighbors {1,2,3,5}, deg 4, 6 wedges, 3 closed
+    assert(got(4L) == ((4L, 3L, 6L, Some(0.5))))
+    assert(got(5L) == ((2L, 0L, 1L, Some(0.0))))
+    assert(got(6L) == ((2L, 0L, 1L, Some(0.0))))
+    assert(got(7L) == ((1L, 0L, 0L, None)))
+    assert(got.size == 7)
+  }
+
+  test("jaccardLinkPred: hand-traced overlap, adjacency excluded, hub cap honored") {
+    // 1-3, 2-3, 1-4, 2-4, 4-5. Non-adjacent (1,2): N(1)={3,4},
+    // N(2)={3,4} → J = 2/2 = 1. (3,4): N(3)={1,2}, N(4)={1,2,5} →
+    // common 2, union 3. (1,5)/(2,5): common {4}, union 2.
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = GraphOps.jaccardLinkPred(edges)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 2L)) == ((2L, 2L, 1.0)))
+    assert(got((3L, 4L)) == ((2L, 3L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got((1L, 5L)) == ((1L, 2L, 0.5)))
+    assert(got((2L, 5L)) == ((1L, 2L, 0.5)))
+    assert(got.size == 4)
+    // maxDegree = 2 drops center 4 (deg 3): only center 3's (1,2) wedge
+    // and centers 1/2's (3,4) wedges survive — union sizes keep FULL
+    // degrees (the cap bounds candidate generation, not the sets)
+    val capped = GraphOps.jaccardLinkPred(edges, maxDegree = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(capped == Map(
+      (1L, 2L) -> ((1L, 3L, math.rint(1.0 / 3 * 1e6) / 1e6)),
+      (3L, 4L) -> ((2L, 3L, math.rint(2.0 / 3 * 1e6) / 1e6))))
+  }
+
   test("adamicAdar: hand-traced wedges, adjacency excluded, hub cap honored") {
     // 1-3, 2-3 (center 3, deg 2); 1-4, 2-4 (center 4, deg 3); 4-5.
     // non-adjacent pairs: (1,2) via 3 and 4 → 1/ln2 + 1/ln3;

@@ -544,6 +544,55 @@ object WarehouseQueries extends QueryPack {
           |WHERE NOT (s1.k IS NOT NULL AND s1.v_type IS NULL)""".stripMargin),
       headline = true),
 
+    GraftQuery("s22_fk_orphans",
+      // referential-integrity audit across the star schema: one row per
+      // declared FK relation with checked/orphan counts. The first four
+      // relations hold by construction (all-zero orphans — the audit
+      // proves it); the fifth plants a STALE DIMENSION (nation filtered
+      // to n_nationkey < 15) so the orphan path is exercised on real
+      // keys. Parent sides reduce to DISTINCT keys before each join.
+      (s, dir) => {
+        import graft.operators.QualityOps.FkRelation
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+        graft.operators.QualityOps.fkOrphans(Seq(
+          FkRelation("lineitem.l_orderkey->orders", li, "l_orderkey",
+            ord, "o_orderkey"),
+          FkRelation("lineitem.l_partkey->part", li, "l_partkey",
+            Tables.load(s, dir, "part"), "p_partkey"),
+          FkRelation("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables.load(s, dir, "supplier"), "s_suppkey"),
+          FkRelation("orders.o_custkey->customer", ord, "o_custkey",
+            Tables.load(s, dir, "customer"), "c_custkey"),
+          FkRelation("customer.c_nationkey->stale_nation",
+            Tables.load(s, dir, "customer"), "c_nationkey",
+            Tables.load(s, dir, "nation").where(col("n_nationkey") < 15),
+            "n_nationkey")))
+      },
+      oracle = Some {
+        def leg(name: String, child: String, ck: String, parent: String,
+            pk: String, parentFilter: String = "") =
+          s"""SELECT '$name' AS relation, count(*) AS n_checked,
+             |       sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+             |       count(DISTINCT CASE WHEN p.$pk IS NULL THEN c.$ck END) AS n_orphan_keys
+             |FROM $child c
+             |LEFT JOIN (SELECT DISTINCT $pk FROM $parent $parentFilter) p
+             |  ON c.$ck = p.$pk
+             |WHERE c.$ck IS NOT NULL""".stripMargin
+        Seq(
+          leg("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          leg("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          leg("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"),
+          leg("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          leg("customer.c_nationkey->stale_nation", "customer",
+            "c_nationkey", "nation", "n_nationkey",
+            "WHERE n_nationkey < 15")).mkString("\nUNION ALL\n")
+      }),
+
     GraftQuery("a3_batch_counts",
       (s, dir) => graft.operators.BatchOps.batchRowCounts(
         Tables.load(s, dir, "events")

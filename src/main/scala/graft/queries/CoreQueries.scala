@@ -1494,6 +1494,45 @@ object CoreQueries extends QueryPack {
           |                  * (n * syy - sy * sy)::DOUBLE), 6) AS autocorr
           |FROM a""".stripMargin)),
 
+    GraftQuery("a42_journey_regex",
+      // MATCH_RECOGNIZE-style behavioral pattern matching: each user's
+      // ordered event-type journey as one string, then regex counts
+      // over it — funnel completions (`view (click )*purchase`) and
+      // maximal error runs. The journey is assembled by array_sort on
+      // (ts, event_id) structs (event_id is unique, so the order is
+      // total and engine-independent); patterns stay in the
+      // RE2-portable subset both engines match identically, and
+      // non-overlapping left-to-right scan semantics agree. Scale: one
+      // shuffle of (user, type, ts, id) scalars; the journey string
+      // materializes only inside its own user's group, and the regex
+      // runs map-side after the agg.
+      (s, dir) => {
+        val seqs = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x("event_type")), " ").as("journey"))
+        seqs.select(col("user_id"),
+          size(split(col("journey"), " ")).as("n_events"),
+          size(regexp_extract_all(col("journey"),
+            lit("view (?:click )*purchase"), lit(0))).as("n_funnels"),
+          size(regexp_extract_all(col("journey"),
+            lit("error(?: error)*"), lit(0))).as("n_error_runs"))
+      },
+      oracle = Some(
+        """WITH j AS (
+          |  SELECT user_id,
+          |         string_agg(event_type, ' ' ORDER BY ts, event_id) AS journey
+          |  FROM events GROUP BY user_id)
+          |SELECT user_id,
+          |       len(string_split(journey, ' '))::INT AS n_events,
+          |       len(regexp_extract_all(journey,
+          |           'view (?:click )*purchase'))::INT AS n_funnels,
+          |       len(regexp_extract_all(journey,
+          |           'error(?: error)*'))::INT AS n_error_runs
+          |FROM j""".stripMargin)),
+
     GraftQuery("g3_triangles",
       // per-node triangle counts; the engine orients each edge
       // low-degree→high-degree (the O(m^1.5) skew bound), the oracle

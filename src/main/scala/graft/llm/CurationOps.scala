@@ -632,6 +632,41 @@ object CurationOps {
     docs.join(contaminated, docs(idCol) === col("__cid"), "left_anti")
   }
 
+  /** NEAR-dup decontamination verdicts: for every training document,
+    * its maximum exact Jaccard against any eval document surfaced by
+    * MinHash/LSH banding, and a `contaminated` flag at `threshold` —
+    * the fuzzy sibling of [[decontaminate]] (exact n-gram overlap
+    * misses paraphrase-level leaks that survive small edits; LSH
+    * banding catches them the same way near-dup dedup does). Returns
+    * one row per TRAIN doc `(idCol, max_eval_jaccard, contaminated)` —
+    * `max_eval_jaccard` NULL when no eval doc shares a band (verdicts
+    * are explicit, so the downstream filter is a plain
+    * `!contaminated`, never an anti-join against an absent-row set).
+    *
+    * == 100 TB design ==
+    *
+    * Delegates candidate generation to [[DedupOps.incrementalNearDups]]
+    * with the train side as the probe batch: the eval corpus's
+    * `(band, id)` keys are derived once (or passed pre-banded), band
+    * exchanges carry scalars only, and exact Jaccard verifies only
+    * banded candidates. The verdict assembly is a per-train-id max of
+    * scalar `(id, jaccard)` rows plus one broadcast-friendly left join
+    * back to the train ids — document text never crosses an exchange.
+    */
+  def nearDupDecontaminate(train: DataFrame, evalCorpus: DataFrame,
+      textCol: String, idCol: String, shingleK: Int = 6,
+      numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = DedupOps.incrementalNearDups(train, evalCorpus, textCol,
+      idCol, shingleK, numHashes, bands, threshold = 0.0)
+    val mj = pairs.groupBy(col("new_id").as("__id"))
+      .agg(max(col("jaccard")).as("__mj"))
+    train.select(col(idCol))
+      .join(mj, col(idCol) === col("__id"), "left")
+      .select(col(idCol), round(col("__mj"), 6).as("max_eval_jaccard"),
+        coalesce(col("__mj") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** Train→test contamination by word n-gram overlap: for every test
     * document, the fraction of its distinct word `n`-grams that occur
     * anywhere in the train corpus. Returns

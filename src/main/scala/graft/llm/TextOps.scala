@@ -644,6 +644,100 @@ object TextOps {
       .drop("__id")
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): score every TEST
+    * document's trigram positions against counts from a separate TRAIN
+    * corpus —
+    * `S = c₃/c₂` when the trigram was seen, else `0.4·c₂'/c₁'` off the
+    * bigram, else `0.16·c₁/N` off the unigram, else the `0.064/N` OOV
+    * floor (the backoff constants are LITERAL in both engines: 0.4²
+    * in doubles is 0.16000000000000003, so powers are never computed).
+    * The held-out split is what makes backoff real — scored against
+    * itself every trigram is seen (t14's situation) and the backoff
+    * chain is dead code. Returns one row per test doc:
+    * `(idCol, n_trigrams, n_backoff, tri_surprisal)` where
+    * `tri_surprisal` is the mean `-log₂ S` in bits (NULL for docs
+    * under 3 tokens) and `n_backoff` counts positions that left the
+    * trigram level.
+    *
+    * == 100 TB design ==
+    *
+    * The train corpus is scanned twice map-only (trigram emission +
+    * unigram emission) and immediately collapses to hash-count
+    * relations: trigram counts group by the trigram hash WITH its
+    * component hashes attached (functionally dependent — no blowup),
+    * so the prefix/bigram/continuation counts re-aggregate over the
+    * DISTINCT-trigram relation (vocabulary-sized), never the corpus.
+    * Test docs likewise reduce to per-doc hash tf rows before the five
+    * count joins — every exchange carries 16-byte md5 hashes and
+    * longs, text never shuffles. N rides a broadcast 1-row frame.
+    */
+  def withTrigramBackoff(train: DataFrame, test: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val sep = lit("\u0001")
+    def h(c: Column) = md5(to_binary(c, lit("utf-8")))
+    val toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val emitT = {
+      val w = col("__ws")
+      when(size(w) >= 3,
+        transform(sequence(lit(3), size(w)), i => struct(
+          h(concat(element_at(w, i - 2), sep, element_at(w, i - 1), sep,
+            element_at(w, i))).as("th"),
+          h(concat(element_at(w, i - 2), sep, element_at(w, i - 1))).as("ph"),
+          h(concat(element_at(w, i - 1), sep, element_at(w, i))).as("bh"),
+          h(element_at(w, i - 1)).as("fh"),
+          h(element_at(w, i)).as("uh"))))
+        .otherwise(array().cast(
+          "array<struct<th:string,ph:string,bh:string,fh:string,uh:string>>"))
+    }
+    // train side: distinct-trigram counts with component hashes attached
+    val triTrain = train.select(toks.as("__ws"))
+      .select(explode(emitT).as("__e"))
+      .select(col("__e.th").as("__th"), col("__e.ph").as("__ph"),
+        col("__e.bh").as("__bh"), col("__e.fh").as("__fh"))
+      .groupBy(col("__th"), col("__ph"), col("__bh"), col("__fh"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val ct = triTrain.groupBy(col("__th")).agg(sum(col("__c")).as("__ct"))
+    val cp = triTrain.groupBy(col("__ph")).agg(sum(col("__c")).as("__cp"))
+    val cb = triTrain.groupBy(col("__bh")).agg(sum(col("__c")).as("__cb"))
+    val cf = triTrain.groupBy(col("__fh")).agg(sum(col("__c")).as("__cf"))
+    val uni = train.select(explode(toks).as("__w"))
+      .select(h(col("__w")).as("__uh"))
+      .groupBy(col("__uh")).agg(count(lit(1)).as("__cu"))
+      .localCheckpoint(true)
+    val n = uni.agg(sum(col("__cu")).as("__n"))
+    // test side: per-doc trigram tf rows, then five hash-count joins
+    val tf = test.select(col(idCol).as("__id"), toks.as("__ws"))
+      .select(col("__id"), explode(emitT).as("__e"))
+      .groupBy(col("__id"), col("__e.th").as("__th"), col("__e.ph").as("__ph"),
+        col("__e.bh").as("__bh"), col("__e.fh").as("__fh"),
+        col("__e.uh").as("__uh"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val s = when(col("__ct").isNotNull, col("__ct") / col("__cp"))
+      .when(col("__cb").isNotNull, lit(0.4) * col("__cb") / col("__cf"))
+      .when(col("__cu").isNotNull, lit(0.16) * col("__cu") / col("__n"))
+      .otherwise(lit(0.064) / col("__n"))
+    val scored = tf
+      .join(ct, Seq("__th"), "left").join(cp, Seq("__ph"), "left")
+      .join(cb, Seq("__bh"), "left").join(cf, Seq("__fh"), "left")
+      .join(uni, Seq("__uh"), "left")
+      .crossJoin(broadcast(n))
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf")).cast("long").as("n_trigrams"),
+        sum(when(col("__ct").isNull, col("__tf")).otherwise(lit(0L)))
+          .cast("long").as("n_backoff"),
+        round(sum(col("__tf") * -log2(s)) / sum(col("__tf")), 6)
+          .as("tri_surprisal"))
+    test.select(col(idCol))
+      .join(scored, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        col("tri_surprisal"))
+  }
+
   /** TF-IDF keyword extraction: the `k` tokens of each document with the
     * highest `tf · log2(N / df)` weight (N = corpus size, df = documents
     * containing the token), ties broken by token. Returns one row per

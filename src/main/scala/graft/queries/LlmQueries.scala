@@ -656,6 +656,57 @@ object LlmQueries extends QueryPack {
            |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin
       }),
 
+    GraftQuery("x27_neardup_decontam",
+      // NEAR-dup decontamination (the fuzzy sibling of x4's exact
+      // n-gram overlap): train = even docs < 100, eval = odd docs < 100
+      // PLUS planted lightly-padded copies of the first 50 even docs —
+      // those train docs must flag contaminated at 0.7 while untouched
+      // evens report their banded max (or NULL when no band collides).
+      // Candidate generation is d8's incremental LSH (eval banded once,
+      // train probed); the oracle replays the identical two-sided
+      // band join and takes the per-train-doc max exact Jaccard.
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val train = d.where(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+        val eval = d.where(col("doc_id") % 2 === 1 && col("doc_id") < 100)
+          .select(col("doc_id"), col("text"))
+          .unionByName(
+            d.where(col("doc_id") % 2 === 0 && col("doc_id") < 50)
+              .select((col("doc_id") + 1000000).as("doc_id"),
+                concat(col("text"), lit(" extra pad tokens appended")).as("text")))
+        CurationOps.nearDupDecontaminate(train, eval, "text", "doc_id",
+          threshold = 0.7)
+      },
+      oracle = Some(
+        raw"""WITH train AS (
+           |  SELECT doc_id AS id, $normSql AS t FROM documents
+           |  WHERE doc_id % 2 = 0 AND doc_id < 100),
+           |evalb AS (
+           |  SELECT doc_id AS id, $normSql AS t FROM documents
+           |  WHERE doc_id % 2 = 1 AND doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+           |              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+           |  FROM documents WHERE doc_id % 2 = 0 AND doc_id < 50),
+           |sh_t AS (SELECT id, $charShingleSql AS sh FROM train),
+           |sh_e AS (SELECT id, $charShingleSql AS sh FROM evalb),
+           |""".stripMargin +
+          sigBandCtes("sh_t", "band_t") + ",\n" +
+          sigBandCtes("sh_e", "band_e") + ",\n" +
+          raw"""pairs AS (
+             |  SELECT DISTINCT t.id AS tid, e.id AS eid, t.sh AS sh1, e.sh AS sh2
+             |  FROM band_t t JOIN band_e e ON t.band = e.band),
+             |mj AS (
+             |  SELECT tid,
+             |         max(len(list_intersect(sh1, sh2))::DOUBLE
+             |             / len(list_distinct(list_concat(sh1, sh2)))::DOUBLE) AS m
+             |  FROM pairs GROUP BY tid)
+             |SELECT t.id AS doc_id, round(mj.m, 6) AS max_eval_jaccard,
+             |       coalesce(mj.m >= 0.7, false) AS contaminated
+             |FROM train t LEFT JOIN mj ON mj.tid = t.id""".stripMargin)),
+
     GraftQuery("e1_cosine_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1841,6 +1892,73 @@ object LlmQueries extends QueryPack {
            |SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
            |       s.bigram_surprisal
            |FROM documents d LEFT JOIN sc s USING (doc_id)""".stripMargin)),
+
+    GraftQuery("t24_trigram_backoff",
+      // stupid-backoff trigram scoring with a REAL held-out split
+      // (train = even docs, test = odd): unseen trigrams actually back
+      // off, unlike t14's self-scored corpus where every n-gram is
+      // seen. Backoff constants are literal 0.4/0.16/0.064 in both
+      // engines (0.4² in doubles is not 0.16).
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        TextOps.withTrigramBackoff(
+          d.where(col("doc_id") % 2 === 0),
+          d.where(col("doc_id") % 2 === 1), "text", "doc_id")
+      },
+      oracle = Some(
+        raw"""WITH toks AS (
+           |  SELECT doc_id,
+           |         list_filter(string_split_regex($normSql, '\s+'),
+           |                     x -> x <> '') AS ws
+           |  FROM documents),
+           |tri_tr AS (
+           |  SELECT md5(ws[i-2] || chr(1) || ws[i-1] || chr(1) || ws[i]) AS th,
+           |         md5(ws[i-2] || chr(1) || ws[i-1]) AS ph,
+           |         md5(ws[i-1] || chr(1) || ws[i]) AS bh,
+           |         md5(ws[i-1]) AS fh
+           |  FROM (SELECT ws, unnest(range(3, len(ws) + 1)) AS i
+           |        FROM toks WHERE doc_id % 2 = 0 AND len(ws) >= 3) t),
+           |ct AS (SELECT th, count(*) AS c FROM tri_tr GROUP BY 1),
+           |cp AS (SELECT ph, count(*) AS c FROM tri_tr GROUP BY 1),
+           |cb AS (SELECT bh, count(*) AS c FROM tri_tr GROUP BY 1),
+           |cf AS (SELECT fh, count(*) AS c FROM tri_tr GROUP BY 1),
+           |uni AS (
+           |  SELECT md5(w) AS uh, count(*) AS c
+           |  FROM (SELECT unnest(ws) AS w FROM toks WHERE doc_id % 2 = 0) u
+           |  GROUP BY 1),
+           |ntot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+           |tf AS (
+           |  SELECT doc_id,
+           |         md5(ws[i-2] || chr(1) || ws[i-1] || chr(1) || ws[i]) AS th,
+           |         md5(ws[i-2] || chr(1) || ws[i-1]) AS ph,
+           |         md5(ws[i-1] || chr(1) || ws[i]) AS bh,
+           |         md5(ws[i-1]) AS fh,
+           |         md5(ws[i]) AS uh,
+           |         count(*) AS tf
+           |  FROM (SELECT doc_id, ws, unnest(range(3, len(ws) + 1)) AS i
+           |        FROM toks WHERE doc_id % 2 = 1 AND len(ws) >= 3) t
+           |  GROUP BY ALL),
+           |sc AS (
+           |  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_trigrams,
+           |         sum(CASE WHEN ct.c IS NULL THEN tf.tf ELSE 0 END)::BIGINT
+           |           AS n_backoff,
+           |         round(sum(tf.tf * -log2(
+           |           CASE WHEN ct.c IS NOT NULL THEN ct.c::DOUBLE / cp.c
+           |                WHEN cb.c IS NOT NULL THEN 0.4 * cb.c::DOUBLE / cf.c
+           |                WHEN u.c IS NOT NULL
+           |                  THEN 0.16 * u.c::DOUBLE / (SELECT n FROM ntot)
+           |                ELSE 0.064 / (SELECT n FROM ntot) END))
+           |           / sum(tf.tf), 6) AS tri_surprisal
+           |  FROM tf
+           |  LEFT JOIN ct USING (th) LEFT JOIN cp USING (ph)
+           |  LEFT JOIN cb USING (bh) LEFT JOIN cf USING (fh)
+           |  LEFT JOIN uni u USING (uh)
+           |  GROUP BY 1)
+           |SELECT d.doc_id, coalesce(s.n_trigrams, 0)::BIGINT AS n_trigrams,
+           |       coalesce(s.n_backoff, 0)::BIGINT AS n_backoff,
+           |       s.tri_surprisal
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+           |LEFT JOIN sc s USING (doc_id)""".stripMargin)),
 
     GraftQuery("t15_corpus_drift",
       // distribution-drift monitor: KL(P||Q) in bits between the token

@@ -1969,4 +1969,26 @@ class LlmOpsSpec extends AnyFunSuite {
     // only the targeted gates fail on 5/6/7 (word counts stay >= 50)
     assert(got(5L)._2 && got(6L)._2 && got(7L)._2)
   }
+
+  test("withTrigramBackoff: every backoff level hand-traced on a toy split") {
+    import graft.llm.TextOps
+    // train "a b c a b c": trigrams abc:2 bca:1 cab:1; prefixes ab:2
+    // bc:1 ca:1; last-bigrams bc:2 ca:1 ab:1; continuations b:2 c:1
+    // a:1; unigrams a:2 b:2 c:2, N=6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a b c x b"), // abc seen (S=2/2); bcx OOV-word floor; cxb unigram path
+      (2L, "b a b"),     // bab unseen, bigram ab seen → 0.4·cb(ab)/cf(a)=0.4
+      (3L, "x"))         // too short: zero trigrams, NULL surprisal
+      .toDF("doc_id", "text")
+    val got = TextOps.withTrigramBackoff(train, test, "text", "doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6((0.0 + -lg2(0.064 / 6) + -lg2(0.16 * 2 / 6)) / 3)
+    assert(got(1L) == ((3L, 2L, Some(exp1))))
+    assert(got(2L) == ((1L, 1L, Some(r6(-lg2(0.4))))))
+    assert(got(3L) == ((0L, 0L, None)))
+  }
 }

@@ -119,6 +119,95 @@ object DedupOps {
         i => c.substr(i, lit(k)))))
       .otherwise(emptyStrArray)
 
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting scheme): hash every character
+    * `k`-gram of the normalized text, slide a `window` of consecutive
+    * gram hashes, keep each window's MINIMUM, and distinct the
+    * selections. The winnowing guarantee: any match of length
+    * `>= window + k - 1` between two documents shares at least one
+    * fingerprint — unlike uniform sampling, coverage has no gaps, and
+    * unlike full shingle sets the density is ~2/(window+1). Documents
+    * with fewer than `window` grams keep their single minimum; empty
+    * normalized text yields an empty set. Returns `(id, fingerprints:
+    * array<long>)`. Pure codegen'd column arithmetic, map-only.
+    */
+  def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 6, window: Int = 4): DataFrame = {
+    require(k >= 2 && window >= 2, s"need k >= 2 and window >= 2: $k/$window")
+    def hash(c: Column) =
+      conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 8), 16, 10)
+        .cast("long")
+    // LET-BINDING via single-element transform: higher-order functions
+    // are CodegenFallback, and in interpreted evaluation a projection
+    // column referenced inside a lambda is RE-EVALUATED per element —
+    // chained `.select` staging here meant re-normalizing the text
+    // (three regexes) once per gram and once per window, O(len²·regex)
+    // per document (measured: a 200-doc corpus never finished).
+    // `transform(array(e), x => body)` evaluates `e` exactly once per
+    // row and binds it to a lambda VARIABLE, which is free to
+    // re-reference — the Catalyst equivalent of a `let`.
+    val emptyLongs = array().cast("array<long>")
+    val fps = element_at(transform(
+      array(TextOps.normalizeText(col(textCol))), nt =>
+        element_at(transform(
+          array(when(length(nt) >= k,
+            transform(sequence(lit(1), length(nt) - (k - 1)),
+              i => hash(nt.substr(i, lit(k)))))
+            .otherwise(emptyLongs)), gh =>
+            when(size(gh) >= window,
+              array_distinct(transform(
+                sequence(lit(1), size(gh) - (window - 1)),
+                i => array_min(slice(gh, i, lit(window))))))
+              .when(size(gh) > 0, array(array_min(gh)))
+              .otherwise(emptyLongs)), 1)), 1)
+    df.select(col(idCol).as("id"), fps.as("fingerprints"))
+  }
+
+  /** Cross-document overlap from winnowed fingerprints: pairs sharing
+    * `>= minShared` fingerprints, with a containment score
+    * `n_shared / min(|fp₁|, |fp₂|)` — the MOSS-style plagiarism /
+    * fragment-reuse report, and a third candidate-generation scheme
+    * next to MinHash banding and SimHash blocks (winnowing is
+    * position-dense, so it localizes matches the sketch schemes only
+    * score). Returns `(id1, id2, n_shared, containment)`, id1 < id2.
+    *
+    * == 100 TB design ==
+    *
+    * Fingerprints are 8-byte longs: after the map-only
+    * [[winnowedFingerprints]] scan the text is GONE — the exploded
+    * `(id, fingerprint)` relation is checkpointed once and serves the
+    * per-doc counts, the document-frequency cap, and the inverted-
+    * index pair join. `maxDf` drops fingerprints shared by more than
+    * that many documents before pairing (a boilerplate fingerprint in
+    * 10⁶ docs would emit 10¹² pairs and carries no match signal —
+    * the same hub bound as [[graft.operators.GraphOps.adamicAdar]]),
+    * so the pair join fans out at most `maxDf²` per fingerprint. The
+    * containment denominators count ALL fingerprints (capped ones
+    * included), keeping scores conservative and cap-insensitive.
+    */
+  def winnowedOverlap(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 6, window: Int = 4, maxDf: Int = 20,
+      minShared: Long = 5L): DataFrame = {
+    val ex = winnowedFingerprints(df, textCol, idCol, k, window)
+      .select(col("id"), explode(col("fingerprints")).as("f"))
+      .localCheckpoint(true)
+    val cnt = ex.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    val rare = ex.groupBy(col("f")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf).select(col("f"))
+    val exr = ex.join(rare, Seq("f"), "left_semi")
+    val pairs = exr.as("a").join(exr.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    pairs
+      .join(cnt.select(col("id").as("id1"), col("__n").as("__n1")), "id1")
+      .join(cnt.select(col("id").as("id2"), col("__n").as("__n2")), "id2")
+      .select(col("id1"), col("id2"), col("n_shared"),
+        round(col("n_shared") / least(col("__n1"), col("__n2")), 6)
+          .as("containment"))
+  }
+
   /** Word n-gram shingle set (distinct). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")

@@ -155,6 +155,83 @@ object MultimodalOps {
       .otherwise(struct(lit("unknown").as("format"),
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
 
+  private def le24hex(v: Column): Column =
+    concat(
+      lpad(hex(pmod(v, lit(256))), 2, "0"),
+      lpad(hex(pmod(floor(v / 256).cast("long"), lit(256))), 2, "0"),
+      lpad(hex(pmod(floor(v / 65536).cast("long"), lit(256))), 2, "0"))
+  private def le24(p: Column, off: Int): Column =
+    byteAt(p, off) + byteAt(p, off + 1) * 256 + byteAt(p, off + 2) * 65536
+
+  /** A syntactically REAL WebP header in any of the container's three
+    * variants — the dimension encodings genuinely differ per variant,
+    * which is what makes WebP a real parser exercise:
+    *  - `lossy` (VP8): 3-byte frame tag, the 9D 01 2A sync code, then
+    *    width/height as LE u16 whose top 2 bits are scale factors
+    *    (dims are the low 14 bits);
+    *  - `lossless` (VP8L): the 2F signature byte, then width-1 and
+    *    height-1 as adjacent 14-bit fields of one LE u32;
+    *  - `extended` (VP8X): flag byte + 3 reserved, then canvas
+    *    width-1 / height-1 as LE u24.
+    * Dims must be in [1, 16384] (14-bit fields). RIFF sizes are exact,
+    * so any RIFF walker accepts the bytes.
+    */
+  def encodeWebpHeader(w: Column, h: Column, variant: Column): Column = {
+    val lossy = concat(lit("52494646"), le32hex(lit(22)), lit("57454250"),
+      lit("56503820"), le32hex(lit(10)),
+      lit("000000" + "9D012A"), le16hex(w), le16hex(h))
+    val lossless = concat(lit("52494646"), le32hex(lit(17)), lit("57454250"),
+      lit("5650384C"), le32hex(lit(5)), lit("2F"),
+      le32hex((w - 1) + (h - 1) * 16384))
+    val extended = concat(lit("52494646"), le32hex(lit(22)), lit("57454250"),
+      lit("56503858"), le32hex(lit(10)), lit("00" + "000000"),
+      le24hex(w - 1), le24hex(h - 1))
+    to_binary(
+      when(variant === "lossless", lossless)
+        .when(variant === "extended", extended)
+        .otherwise(lossy), lit("hex"))
+  }
+
+  /** REAL WebP parser: validates RIFF + WEBP magic, dispatches on the
+    * first chunk's fourcc, and decodes each variant's own dimension
+    * layout — VP8 checks the sync code and masks the 14-bit dims out
+    * of the scale-carrying LE u16s, VP8L checks the 2F signature and
+    * splits the packed LE u32 bitfield, VP8X reads the LE u24 canvas
+    * fields. Malformed variants (bad sync/signature) and non-WebP
+    * payloads → nulls. Returns `{format, variant, width, height}`.
+    * Pure codegen'd arithmetic over the first 30 bytes, map-only.
+    */
+  def webpMeta(payload: Column): Column = {
+    val isWebp = hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 4)) === "57454250"
+    val fourcc = hex(substring(payload, 13, 4))
+    val nullDims = struct(lit("webp").as("format"),
+      lit(null).cast("string").as("variant"),
+      lit(null).cast("int").as("width"), lit(null).cast("int").as("height"))
+    val lossy = when(hex(substring(payload, 24, 3)) === "9D012A",
+      struct(lit("webp").as("format"), lit("lossy").as("variant"),
+        pmod(le16(payload, 27), lit(16384)).cast("int").as("width"),
+        pmod(le16(payload, 29), lit(16384)).cast("int").as("height")))
+      .otherwise(nullDims)
+    val vp8lBits = le32(payload, 22)
+    val lossless = when(hex(substring(payload, 21, 1)) === "2F",
+      struct(lit("webp").as("format"), lit("lossless").as("variant"),
+        (pmod(vp8lBits, lit(16384)) + 1).cast("int").as("width"),
+        (pmod(floor(vp8lBits / 16384).cast("long"), lit(16384)) + 1)
+          .cast("int").as("height")))
+      .otherwise(nullDims)
+    val extended = struct(lit("webp").as("format"),
+      lit("extended").as("variant"),
+      (le24(payload, 25) + 1).cast("int").as("width"),
+      (le24(payload, 28) + 1).cast("int").as("height"))
+    when(isWebp && fourcc === "56503820", lossy)
+      .when(isWebp && fourcc === "5650384C", lossless)
+      .when(isWebp && fourcc === "56503858", extended)
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("string").as("variant"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
+  }
+
   private def be16hex(v: Column): Column = lpad(hex(v.cast("int")), 4, "0")
 
   /** A syntactically REAL JPEG/JFIF header: SOI, APP0 (JFIF 1.1), an

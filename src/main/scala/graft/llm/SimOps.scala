@@ -289,6 +289,36 @@ object SimOps {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  /** Radius (range) similarity search: ALL corpus neighbors with cosine
+    * `sim >= minSim` per query — the threshold sibling of
+    * [[bruteForceTopK]] for "everything this close" retrieval (near-dup
+    * audits, recall-complete candidate pulls) where top-k's fixed k
+    * either truncates dense neighborhoods or pads sparse ones. Returns
+    * `(query_id, nbr_id, sim)`, no rank — result size is data-driven.
+    *
+    * == 100 TB design ==
+    *
+    * Identical plan shape to [[bruteForceTopK]] minus the window: the
+    * query side broadcasts, the corpus is scanned ONCE map-only with
+    * the fused cosine + threshold filter inside the scan stage — no
+    * shuffle at all (top-k needs the per-query window exchange; a
+    * radius cut is a pure filter, so the whole operator is stage one).
+    * The corpus side never materializes more than (query × survivor)
+    * scalar rows.
+    */
+  def radiusSearch(
+      corpus: DataFrame, queries: DataFrame, minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"),
+      col(vecCol).cast("array<double>").as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+      .where(col("sim") >= minSim)
+      .select(col("query_id"), col("nbr_id"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * md5-derived uniform in [-1, 1] — portable, seedless, reproducible on
     * any engine.

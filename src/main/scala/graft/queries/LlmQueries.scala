@@ -335,6 +335,50 @@ object LlmQueries extends QueryPack {
           |  ELSE [] END""".stripMargin,
         0.5))),
 
+    GraftQuery("d17_winnowed_overlap",
+      // MOSS winnowing fingerprints (k=6 grams, window 4, guarantee:
+      // any >= 9-char shared run fingerprints) over the planted
+      // near-dup corpus: padded copies must surface at containment
+      // ~1.0. Hot fingerprints (document frequency > 20) are dropped
+      // before pairing — the inverted-index hub bound; the oracle
+      // replays grams, window minima, cap, pairs, and the containment
+      // division exactly.
+      (s, dir) => DedupOps.winnowedOverlap(withNearDups(s, dir), "text",
+        "doc_id", k = 6, window = 4, maxDf = 20, minShared = 5L),
+      oracle = Some(
+        raw"""WITH base AS (
+           |  SELECT doc_id AS id, $normSql AS t FROM documents WHERE doc_id < 100
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         trim(regexp_replace(regexp_replace(lower(text || ' extra pad tokens appended'),
+           |              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+           |  FROM documents WHERE doc_id < 100),
+           |gh AS (
+           |  SELECT id, list_transform(generate_series(1, greatest(length(t) - 5, 0)),
+           |           i -> ('0x' || substr(md5(substr(t, i, 6)), 1, 8))::BIGINT) AS h
+           |  FROM base),
+           |fp AS (
+           |  SELECT id,
+           |         CASE WHEN len(h) >= 4 THEN
+           |                list_distinct(list_transform(generate_series(1, len(h) - 3),
+           |                  i -> list_min(h[i:i+3])))
+           |              WHEN len(h) > 0 THEN [list_min(h)]
+           |              ELSE [] END AS fps
+           |  FROM gh),
+           |ex AS (SELECT id, unnest(fps) AS f FROM fp),
+           |cnt AS (SELECT id, len(fps) AS n FROM fp),
+           |rare AS (SELECT f FROM ex GROUP BY f HAVING count(*) <= 20),
+           |exr AS (SELECT id, f FROM ex WHERE f IN (SELECT f FROM rare)),
+           |pairs AS (
+           |  SELECT a.id AS id1, b.id AS id2, count(*) AS n_shared
+           |  FROM exr a JOIN exr b ON a.f = b.f AND a.id < b.id
+           |  GROUP BY 1, 2 HAVING count(*) >= 5)
+           |SELECT id1, id2, n_shared,
+           |       round(n_shared::DOUBLE / least(ca.n, cb.n), 6) AS containment
+           |FROM pairs
+           |JOIN cnt ca ON ca.id = pairs.id1
+           |JOIN cnt cb ON cb.id = pairs.id2""".stripMargin)),
+
     GraftQuery("d14_containment_dedup",
       // fragment detection: the first 24 words of docs 0-29 are planted
       // as standalone docs — near-1.0 containment in their source but
@@ -728,6 +772,30 @@ object LlmQueries extends QueryPack {
           |  FROM scored)
           |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin),
       headline = true),
+
+    GraftQuery("e15_radius_search",
+      // threshold ("range") similarity search: every neighbor at
+      // cosine >= 0.35 of each probe — shuffle-FREE (broadcast probes,
+      // fused cosine+filter in the scan stage; no top-k window), so
+      // result size is data-driven, not k-padded
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.radiusSearch(emb, emb.where(col("vec_id") % 50 === 0),
+          minSim = 0.35)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS sim
+          |  FROM c, q WHERE q.vec_id != c.vec_id)
+          |SELECT query_id, nbr_id, round(sim, 6) AS sim
+          |FROM scored WHERE sim >= 0.35""".stripMargin)),
 
     GraftQuery("e2_ann_lsh",
       (s, dir) => {
@@ -1126,6 +1194,38 @@ object LlmQueries extends QueryPack {
           |  CAST(doc_id % 1920 + 16 AS INT) AS width,
           |  CAST(doc_id * 7 % 1080 + 16 AS INT) AS height,
           |  CASE doc_id % 3 WHEN 0 THEN 29 WHEN 1 THEN 13 ELSE 26 END AS n_bytes
+          |FROM documents""".stripMargin)),
+
+    GraftQuery("m8_webp_header",
+      // WebP round-trip across all THREE container variants — each
+      // stores dimensions differently (VP8: 14-bit fields of
+      // scale-carrying LE u16s behind a sync code; VP8L: two 14-bit
+      // fields packed in one LE u32 behind the 2F signature; VP8X:
+      // LE u24 canvas fields), so the closed-form oracle pins three
+      // distinct bit layouts at once. Map-only over the payload.
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val w = (col("doc_id") % 1920 + 16).cast("int")
+        val h = (col("doc_id") * 7 % 1080 + 16).cast("int")
+        val variant = when(col("doc_id") % 3 === 0, lit("lossy"))
+          .when(col("doc_id") % 3 === 1, lit("lossless"))
+          .otherwise(lit("extended"))
+        val payload = MultimodalOps.encodeWebpHeader(w, h, variant)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), MultimodalOps.webpMeta(payload).as("m"),
+            length(payload).as("n_bytes"))
+          .select(col("doc_id"), col("m.format").as("format"),
+            col("m.variant").as("variant"),
+            col("m.width").as("width"), col("m.height").as("height"),
+            col("n_bytes"))
+      },
+      oracle = Some(
+        """SELECT doc_id, 'webp' AS format,
+          |  CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+          |       ELSE 'extended' END AS variant,
+          |  CAST(doc_id % 1920 + 16 AS INT) AS width,
+          |  CAST(doc_id * 7 % 1080 + 16 AS INT) AS height,
+          |  CASE doc_id % 3 WHEN 1 THEN 25 ELSE 30 END AS n_bytes
           |FROM documents""".stripMargin)),
 
     GraftQuery("m3_audio_header",

@@ -510,6 +510,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(parsed("bad")._1 == "unknown", "magic 43 must be rejected")
   }
 
+  test("webpMeta parses hand-written variants; masks scale bits; rejects bad sync") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val riff = Seq[Int]('R', 'I', 'F', 'F', 22, 0, 0, 0, 'W', 'E', 'B', 'P')
+    // VP8 lossy, w=300 with BOTH scale bits set (0x812C), h=200: the
+    // parser must mask to the low 14 bits
+    val lossy = b(riff ++ Seq[Int]('V', 'P', '8', ' ', 10, 0, 0, 0,
+      0x00, 0x00, 0x00, 0x9D, 0x01, 0x2A, 0x2C, 0x81, 0xC8, 0x00): _*)
+    // VP8L lossless, w=17 h=22 → (16 | 21<<14) = 344080 = 0x00054010 LE
+    val lossless = b(riff ++ Seq[Int]('V', 'P', '8', 'L', 5, 0, 0, 0,
+      0x2F, 0x10, 0x40, 0x05, 0x00): _*)
+    // VP8X extended, canvas 300x200 → u24 fields 299 / 199
+    val extended = b(riff ++ Seq[Int]('V', 'P', '8', 'X', 10, 0, 0, 0,
+      0x00, 0, 0, 0, 0x2B, 0x01, 0x00, 0xC7, 0x00, 0x00): _*)
+    // lossy with a corrupted sync code → webp but undecodable dims
+    val badSync = b(riff ++ Seq[Int]('V', 'P', '8', ' ', 10, 0, 0, 0,
+      0x00, 0x00, 0x00, 0x9D, 0x01, 0x2B, 0x2C, 0x01, 0xC8, 0x00): _*)
+    val junk = b(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+    val parsed = Seq(("lossy", lossy), ("lossless", lossless),
+        ("extended", extended), ("badSync", badSync), ("junk", junk))
+      .toDF("label", "payload")
+      .select($"label", graft.llm.MultimodalOps.webpMeta($"payload").as("m"))
+      .select($"label", $"m.format", $"m.variant", $"m.width", $"m.height")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.getString(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)))).toMap
+    assert(parsed("lossy") == (("webp", Some("lossy"), Some(300), Some(200))))
+    assert(parsed("lossless") == (("webp", Some("lossless"), Some(17), Some(22))))
+    assert(parsed("extended") == (("webp", Some("extended"), Some(300), Some(200))))
+    assert(parsed("badSync") == (("webp", None, None, None)))
+    assert(parsed("junk")._1 == "unknown")
+  }
+
   test("gzipMeta: hand-written member parses; trailer anchors at the end") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // magic, deflate, no flags, mtime 0x5F000001 LE, xfl, os=unix(3),

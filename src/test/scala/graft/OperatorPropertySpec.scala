@@ -120,4 +120,51 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(math.abs(s - want(k)._2) <= 1e-6, s"$k score $s vs ${want(k)._2}")
     }
   }
+
+  test("winnowedFingerprints matches a brute-force winnow on random texts") {
+    import graft.llm.DedupOps
+    val k = 6; val w = 4
+    // the reference re-derives the exact md5-prefix hash the operator
+    // uses, winnows the dumb way, and must agree fingerprint-for-
+    // fingerprint; includes degenerate shapes (short/empty docs)
+    def refHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    def refNorm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+        .replaceAll("\\s+", " ").trim
+    def refWinnow(raw: String): Set[Long] = {
+      val t = refNorm(raw)
+      val grams =
+        if (t.length >= k) (0 to t.length - k).map(i => refHash(t.substring(i, i + k)))
+        else Seq.empty
+      if (grams.isEmpty) Set.empty
+      else if (grams.size < w) Set(grams.min)
+      else grams.sliding(w).map(_.min).toSet
+    }
+    val rnd = new Random(7)
+    val vocab = Seq("spark", "merge", "table", "rows", "Key!", "x9")
+    val docs = (1L to 60L).map { i =>
+      val len = rnd.nextInt(40) // 0-length included
+      (i, (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = DedupOps.winnowedFingerprints(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2.toSet).toMap
+    docs.foreach { case (id, raw) =>
+      assert(got(id) == refWinnow(raw), s"doc $id")
+    }
+    // the winnowing guarantee on a planted pair: two docs sharing a
+    // run of length >= w + k - 1 chars must share a fingerprint
+    val shared = "qqqwwweeerrr" // 12 >= 4 + 6 - 1
+    val pair = Seq((100L, s"abc $shared xyz"), (101L, s"zzz $shared mmm"))
+    val fps = DedupOps.winnowedFingerprints(
+        pair.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert(fps(100L).intersect(fps(101L)).nonEmpty)
+  }
 }

@@ -749,4 +749,82 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
       s"rollup lost partial aggregation:\n$plan")
   }
+
+  test("e15: radius search is shuffle-free — broadcast probes, no exchange, no window") {
+    val df = SparkEntry.queries("e15_radius_search")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"radius cut grew a shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"radius cut grew a window:\n$plan")
+    assert(plan.contains("Broadcast"), s"probe side not broadcast:\n$plan")
+  }
+
+  test("d17: winnowing exchanges carry hash scalars — text and fingerprint arrays stay put") {
+    val df = SparkEntry.queries("d17_winnowed_overlap")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val blocks = formatted.split("(?=\\(\\d+\\) Exchange)")
+      .filter(b => b.startsWith("(") && b.contains("Exchange"))
+    assert(blocks.nonEmpty)
+    blocks.foreach { b =>
+      val head = b.split("\n").take(4).mkString(" ")
+      assert(!head.contains("text#") && !head.contains("fingerprints#"),
+        s"text/fingerprint array crossed an exchange:\n$b")
+    }
+    assert(!formatted.contains("CartesianProduct"))
+  }
+
+  test("t24: trigram-backoff exchanges carry md5 hashes and counts, never text") {
+    val df = SparkEntry.queries("t24_trigram_backoff")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val blocks = formatted.split("(?=\\(\\d+\\) Exchange)")
+      .filter(b => b.startsWith("(") && b.contains("Exchange"))
+    assert(blocks.nonEmpty)
+    blocks.foreach { b =>
+      val head = b.split("\n").take(4).mkString(" ")
+      assert(!head.contains("text#") && !head.contains("__ws#"),
+        s"text/token array crossed an exchange:\n$b")
+    }
+    assert(!formatted.contains("CartesianProduct"),
+      "N must ride a broadcast, not a cartesian")
+  }
+
+  test("g12/g13: wedge-based graph scores never go cartesian, aggregates stay partial") {
+    for (q <- Seq("g12_clustering_coeff", "g13_jaccard_linkpred")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q lost partial aggregation:\n$plan")
+    }
+  }
+
+  test("s22: FK audit reduces each parent to distinct keys before its join") {
+    val df = SparkEntry.queries("s22_fk_orphans")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"))
+    // 5 relations, each: parent distinct (partial+final) + the null-probe
+    // count aggregate — HashAggregates must dominate the plan, and every
+    // child scan must read only its key column
+    assert("HashAggregate".r.findAllIn(plan).size >= 10,
+      s"parent distinct or count aggregation lost:\n$plan")
+    val reads = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq
+    assert(reads.exists(r => r.contains("l_orderkey") && !r.contains("l_extendedprice")),
+      s"FK audit over-reads the fact table:\n${reads.mkString("\n")}")
+  }
+
+  test("a42: journey assembly is one shuffle; regexes run after the aggregate") {
+    val df = SparkEntry.queries("a42_journey_regex")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 user-key exchange, got $exchanges:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"journey regex grew a join:\n$plan")
+  }
 }

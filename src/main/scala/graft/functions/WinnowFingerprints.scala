@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) of an
+  * already-normalized text column as a native Catalyst expression: one
+  * md5 per character `k`-gram, sliding-`window` minima, first-occurrence
+  * distinct — one tight loop, zero intermediate arrays.
+  *
+  * The composed form
+  * ([[graft.llm.DedupOps.winnowedFingerprintsComposed]]) evaluates
+  * interpreted higher-order functions (HOFs are CodegenFallback) with
+  * per-gram and per-window allocation — correct, but the dominant
+  * map-side cost of the winnowed-overlap pipeline. This expression
+  * computes bit-identical values: the gram hash is the digest's first
+  * 4 bytes as an unsigned int, exactly `conv(substr(md5hex, 1, 8), 16,
+  * 10)`, the same h1 as [[MinHashSignature]]. The composed form stays
+  * as the parity reference, mirroring [[CosineSimilarity]]'s pattern.
+  *
+  * Fewer than `window` grams (but at least one) yield the single global
+  * minimum; no grams yield an empty array; null text yields null.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, window: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && window >= 2, s"need k >= 2 and window >= 2: $k/$window")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fingerprints"
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowFingerprints.compute($c, $k, $window);")
+}
+
+object WinnowFingerprints {
+
+  /** Column-API entry point; `text` must already be normalized. */
+  def apply(text: Column, k: Int, window: Int): Column =
+    Bridge.column(WinnowFingerprints(Bridge.expression(text), k, window))
+
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** The fused loop (also the codegen target — a static call per row). */
+  def compute(s: UTF8String, k: Int, window: Int): ArrayData = {
+    // character semantics to match Column.substr on the composed path;
+    // normalized text is [a-z0-9 ], so chars = bytes, but don't rely on it
+    val t = s.toString
+    val n = t.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val md = mdPool.get()
+    val grams = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+      grams(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    // first-occurrence-ordered distinct window minima, matching the
+    // composed form's array_distinct(transform(...)) exactly
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (grams.length < window) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < grams.length) { if (grams(j) < m) m = grams(j); j += 1 }
+      seen.add(m)
+    } else {
+      var st = 0
+      while (st <= grams.length - window) {
+        var m = grams(st)
+        var j = 1
+        while (j < window) {
+          if (grams(st + j) < m) m = grams(st + j)
+          j += 1
+        }
+        seen.add(m)
+        st += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+}

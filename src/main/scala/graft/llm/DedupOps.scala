@@ -132,20 +132,31 @@ object DedupOps {
     * array<long>)`. Pure codegen'd column arithmetic, map-only.
     */
   def winnowedFingerprints(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 6, window: Int = 4): DataFrame = {
+      k: Int = 6, window: Int = 4): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.WinnowFingerprints(
+        TextOps.normalizeText(col(textCol)), k, window).as("fingerprints"))
+
+  /** The composed-Column reference implementation of
+    * [[winnowedFingerprints]] — bit-identical output (parity spec), kept
+    * as the derivation the DuckDB oracle mirrors. Two lessons are
+    * encoded here: (1) higher-order functions are CodegenFallback, and
+    * in interpreted evaluation a projection column referenced inside a
+    * lambda is RE-EVALUATED per element — naive `.select` staging meant
+    * re-normalizing the text (three regexes) once per gram and once per
+    * window, O(len²·regex) per document (measured: a 200-doc corpus
+    * never finished); (2) the fix is LET-BINDING via single-element
+    * transform — `transform(array(e), x => body)` evaluates `e` exactly
+    * once per row and binds it to a lambda VARIABLE, free to
+    * re-reference. Even let-bound, the HOF chain allocates per gram and
+    * per window, which is why the native expression is the hot path.
+    */
+  def winnowedFingerprintsComposed(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 6, window: Int = 4): DataFrame = {
     require(k >= 2 && window >= 2, s"need k >= 2 and window >= 2: $k/$window")
     def hash(c: Column) =
       conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 8), 16, 10)
         .cast("long")
-    // LET-BINDING via single-element transform: higher-order functions
-    // are CodegenFallback, and in interpreted evaluation a projection
-    // column referenced inside a lambda is RE-EVALUATED per element —
-    // chained `.select` staging here meant re-normalizing the text
-    // (three regexes) once per gram and once per window, O(len²·regex)
-    // per document (measured: a 200-doc corpus never finished).
-    // `transform(array(e), x => body)` evaluates `e` exactly once per
-    // row and binds it to a lambda VARIABLE, which is free to
-    // re-reference — the Catalyst equivalent of a `let`.
     val emptyLongs = array().cast("array<long>")
     val fps = element_at(transform(
       array(TextOps.normalizeText(col(textCol))), nt =>

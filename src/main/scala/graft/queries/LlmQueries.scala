@@ -377,7 +377,8 @@ object LlmQueries extends QueryPack {
            |       round(n_shared::DOUBLE / least(ca.n, cb.n), 6) AS containment
            |FROM pairs
            |JOIN cnt ca ON ca.id = pairs.id1
-           |JOIN cnt cb ON cb.id = pairs.id2""".stripMargin)),
+           |JOIN cnt cb ON cb.id = pairs.id2""".stripMargin),
+      headline = true),
 
     GraftQuery("d14_containment_dedup",
       // fragment detection: the first 24 words of docs 0-29 are planted
@@ -2058,7 +2059,8 @@ object LlmQueries extends QueryPack {
            |       coalesce(s.n_backoff, 0)::BIGINT AS n_backoff,
            |       s.tri_surprisal
            |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-           |LEFT JOIN sc s USING (doc_id)""".stripMargin)),
+           |LEFT JOIN sc s USING (doc_id)""".stripMargin),
+      headline = true),
 
     GraftQuery("t15_corpus_drift",
       // distribution-drift monitor: KL(P||Q) in bits between the token

@@ -158,6 +158,15 @@ class OperatorPropertySpec extends AnyFunSuite {
     docs.foreach { case (id, raw) =>
       assert(got(id) == refWinnow(raw), s"doc $id")
     }
+    // native expression == composed-Column reference, ELEMENT ORDER
+    // INCLUDED (both are first-occurrence-ordered distinct minima)
+    val composed = DedupOps.winnowedFingerprintsComposed(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    val native = DedupOps.winnowedFingerprints(
+        docs.toDF("doc_id", "text"), "text", "doc_id", k, w)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    assert(native == composed)
     // the winnowing guarantee on a planted pair: two docs sharing a
     // run of length >= w + k - 1 chars must share a fingerprint
     val shared = "qqqwwweeerrr" // 12 >= 4 + 6 - 1

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental maintenance of additive aggregate views from a snapshot
@@ -150,4 +151,33 @@ object ViewMaintenance {
       outCol: String = "n_distinct"): DataFrame =
     sketches.groupBy(keyCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(outCol))
+
+  /** Incrementally refresh a per-group TOP-K view under APPEND-ONLY
+    * changes: because top-k is monotone under insertion,
+    * `topk(A ∪ B) = topk(topk(A) ∪ B)` — so the refresh unions the
+    * standing k·groups rows with just the appended batch and re-ranks,
+    * never touching the base table. Rank is `(valueCol desc, idCol
+    * asc)` row_number, so ties are deterministic and the view is a
+    * pure function of the table state. NOT valid under deletes (a
+    * delete can promote a row the view already discarded — re-rank the
+    * touched groups from base instead).
+    *
+    * == 100 TB design ==
+    *
+    * Refresh cost scales with `groups × k + |batch|`, not the table:
+    * the union's window is a `row_number() <= k` pattern that Spark's
+    * WindowGroupLimit rewrite turns into a map-side per-partition
+    * top-k before the exchange, so the shuffle carries O(groups × k)
+    * survivors from each side, not the batch's full width.
+    */
+  def refreshTopK(view: DataFrame, appended: DataFrame,
+      groupCols: Seq[String], valueCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val keep = (groupCols :+ idCol :+ valueCol).map(col)
+    val u = view.select(keep: _*).unionByName(appended.select(keep: _*))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).desc, col(idCol))
+    u.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

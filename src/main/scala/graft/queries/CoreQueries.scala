@@ -1533,6 +1533,105 @@ object CoreQueries extends QueryPack {
           |           'error(?: error)*'))::INT AS n_error_runs
           |FROM j""".stripMargin)),
 
+    GraftQuery("a44_abc_pareto",
+      // ABC (Pareto 80/95) inventory classification: parts ranked by
+      // revenue, classed by cumulative share — A while cum <= 80%,
+      // B while <= 95%, C after. Class boundaries decide on INTEGER
+      // cross-multiplication (cum·100 vs total·80/95 in cents), never
+      // a float share, so both engines cut identically even at exact
+      // boundaries. The ordered cumulative sum runs over the
+      // AGGREGATED part relation (catalog-sized, not fact-sized) — the
+      // revenue rollup itself is a partial-aggregated fact scan.
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+        val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = rev.agg(sum(col("cents")).as("__tot"))
+        rev.withColumn("cum", sum(col("cents")).over(w))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("cents").desc, col("l_partkey"))))
+          .crossJoin(broadcast(tot))
+          .select(col("l_partkey"), col("cents"), col("rank"),
+            when(col("cum") * 100 <= col("__tot") * 80, "A")
+              .when(col("cum") * 100 <= col("__tot") * 95, "B")
+              .otherwise("C").as("abc_class"))
+      },
+      oracle = Some(
+        """WITH rev AS (
+          |  SELECT l_partkey,
+          |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM lineitem GROUP BY 1),
+          |ranked AS (
+          |  SELECT l_partkey, cents,
+          |         CAST(row_number() OVER (ORDER BY cents DESC, l_partkey) AS INT) AS rank,
+          |         sum(cents) OVER (ORDER BY cents DESC, l_partkey
+          |                          ROWS UNBOUNDED PRECEDING) AS cum,
+          |         sum(cents) OVER () AS tot
+          |  FROM rev)
+          |SELECT l_partkey, cents, rank,
+          |       CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+          |            WHEN cum * 100 <= tot * 95 THEN 'B'
+          |            ELSE 'C' END AS abc_class
+          |FROM ranked""".stripMargin)),
+
+    GraftQuery("a43_conversion_latency",
+      // funnel latency percentiles per signup cohort: each user's time
+      // from first signup to first subsequent purchase, quartiles per
+      // signup week. Latencies are exact integer MICROS and the
+      // quartile fracs (0.25/0.5/0.75) interpolate in exact binary
+      // fractions below 2^53, so both engines' percentile formulas
+      // produce identical doubles. Cohort weeks are integer `div`, not
+      // date_trunc. Non-converted users stay in the denominator (NULL
+      // latency, counted signups).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("us"))
+        val su = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("su_us"))
+        val pu = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pu_us"))
+        val conv = su.join(pu, "user_id")
+          .where(col("pu_us") >= col("su_us"))
+          .groupBy(col("user_id"))
+          .agg(min(col("pu_us") - col("su_us")).as("lat_us"))
+        su.select(col("user_id"),
+            expr("su_us div 604800000000").as("cohort_wk"))
+          .join(conv, Seq("user_id"), "left")
+          .groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("n_signups"),
+            count(col("lat_us")).as("n_converted"),
+            round(count(col("lat_us")) / count(lit(1)), 6)
+              .as("conversion_rate"),
+            expr("percentile(lat_us, 0.25D)").as("p25_us"),
+            expr("percentile(lat_us, 0.5D)").as("p50_us"),
+            expr("percentile(lat_us, 0.75D)").as("p75_us"))
+      },
+      oracle = Some(
+        """WITH su AS (
+          |  SELECT user_id, min(epoch_us(ts)) AS su_us
+          |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+          |pu AS (
+          |  SELECT user_id, epoch_us(ts) AS pu_us
+          |  FROM events WHERE event_type = 'purchase'),
+          |conv AS (
+          |  SELECT su.user_id, min(pu_us - su_us) AS lat_us
+          |  FROM su JOIN pu USING (user_id)
+          |  WHERE pu_us >= su_us GROUP BY 1),
+          |base AS (
+          |  SELECT su.user_id, su_us // 604800000000 AS cohort_wk, lat_us
+          |  FROM su LEFT JOIN conv ON conv.user_id = su.user_id)
+          |SELECT cohort_wk, count(*) AS n_signups,
+          |       count(lat_us) AS n_converted,
+          |       round(count(lat_us)::DOUBLE / count(*), 6) AS conversion_rate,
+          |       quantile_cont(lat_us, 0.25) AS p25_us,
+          |       quantile_cont(lat_us, 0.5) AS p50_us,
+          |       quantile_cont(lat_us, 0.75) AS p75_us
+          |FROM base GROUP BY 1""".stripMargin)),
+
     GraftQuery("g3_triangles",
       // per-node triangle counts; the engine orients each edge
       // low-degree→high-degree (the O(m^1.5) skew bound), the oracle

@@ -798,6 +798,58 @@ object LlmQueries extends QueryPack {
           |SELECT query_id, nbr_id, round(sim, 6) AS sim
           |FROM scored WHERE sim >= 0.35""".stripMargin)),
 
+    GraftQuery("e16_knn_classify",
+      // k-NN label prediction over the embedding corpus: each probe's
+      // label predicted by majority vote of its 5 nearest neighbors
+      // (cosine), ties broken (count desc, label asc) so the vote is
+      // deterministic. The neighbor search is e1's broadcast-probe
+      // scan; the vote aggregates (query, label, n) scalars. The
+      // oracle re-ranks and re-votes in SQL.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val nbrs = SimOps.bruteForceTopK(emb,
+          emb.where(col("vec_id") % 50 === 0), k = 5)
+        val votes = nbrs
+          .join(emb.select(col("vec_id").as("nbr_id"),
+            col("label").as("nbr_label")), "nbr_id")
+          .groupBy(col("query_id"), col("nbr_label"))
+          .agg(count(lit(1)).as("n"))
+        val pred = votes.groupBy(col("query_id"))
+          .agg(min_by(col("nbr_label"),
+            struct((-col("n")).as("nc"), col("nbr_label"))).as("pred_label"))
+        pred.join(emb.select(col("vec_id").as("query_id"),
+            col("label").as("true_label")), "query_id")
+          .select(col("query_id"), col("true_label"), col("pred_label"),
+            (col("pred_label") === col("true_label")).as("correct"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |q AS (SELECT vec_id, v FROM c WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, c.label AS nbr_label,
+          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS sim
+          |  FROM c, q WHERE q.vec_id != c.vec_id),
+          |top5 AS (
+          |  SELECT query_id, nbr_label FROM (
+          |    SELECT query_id, nbr_label,
+          |           row_number() OVER (PARTITION BY query_id
+          |                              ORDER BY sim DESC, nbr_id) AS rk
+          |    FROM scored) t WHERE rk <= 5),
+          |votes AS (
+          |  SELECT query_id, nbr_label, count(*) AS n
+          |  FROM top5 GROUP BY 1, 2),
+          |pred AS (
+          |  SELECT query_id, nbr_label AS pred_label FROM (
+          |    SELECT query_id, nbr_label,
+          |           row_number() OVER (PARTITION BY query_id
+          |                              ORDER BY n DESC, nbr_label) AS rk
+          |    FROM votes) t WHERE rk = 1)
+          |SELECT p.query_id, c.label AS true_label, p.pred_label,
+          |       p.pred_label = c.label AS correct
+          |FROM pred p JOIN c ON c.vec_id = p.query_id""".stripMargin)),
+
     GraftQuery("e2_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

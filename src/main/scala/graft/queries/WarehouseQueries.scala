@@ -593,6 +593,35 @@ object WarehouseQueries extends QueryPack {
             "WHERE n_nationkey < 15")).mkString("\nUNION ALL\n")
       }),
 
+    GraftQuery("s24_topk_view_refresh",
+      // incremental top-k view maintenance: the view is built over the
+      // first 80% of events, then refreshed with ONLY the appended 20%
+      // — top-k is monotone under insertion, so the refresh equals a
+      // full recompute, which is EXACTLY what the oracle runs (top-3
+      // over the whole table). Ties break on event_id, making the view
+      // a pure function of table state.
+      (s, dir) => {
+        import graft.operators.ViewMaintenance
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        val base = ev.where(col("event_id") % 10 < 8)
+        val appended = ev.where(col("event_id") % 10 >= 8)
+        val view = ViewMaintenance.refreshTopK(
+          base.limit(0), base, Seq("event_type"), "cents", "event_id", k = 3)
+        ViewMaintenance.refreshTopK(view, appended,
+          Seq("event_type"), "cents", "event_id", k = 3)
+      },
+      oracle = Some(
+        """SELECT event_type, event_id, cents, rank FROM (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+          |         CAST(row_number() OVER (
+          |           PARTITION BY event_type
+          |           ORDER BY CAST(round(value * 100, 0) AS BIGINT) DESC,
+          |                    event_id) AS INT) AS rank
+          |  FROM events) t
+          |WHERE rank <= 3""".stripMargin)),
+
     GraftQuery("a3_batch_counts",
       (s, dir) => graft.operators.BatchOps.batchRowCounts(
         Tables.load(s, dir, "events")

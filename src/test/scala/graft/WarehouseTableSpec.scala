@@ -687,6 +687,27 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(maintained == Set(("b", 2L, 22.0), ("c", 1L, 7.0)))
   }
 
+  test("refreshTopK: chained appends equal recompute; promotion and ties behave") {
+    import graft.operators.ViewMaintenance
+    def topk(df: org.apache.spark.sql.DataFrame) = ViewMaintenance
+      .refreshTopK(df.limit(0), df, Seq("g"), "v", "id", k = 2)
+    val a = Seq(("x", 1L, 10L), ("x", 2L, 30L), ("x", 3L, 20L),
+      ("y", 4L, 5L)).toDF("g", "id", "v")
+    val b = Seq(("x", 5L, 25L), ("y", 6L, 5L), ("z", 7L, 1L)).toDF("g", "id", "v")
+    val view0 = topk(a)
+    val refreshed = ViewMaintenance.refreshTopK(view0, b, Seq("g"), "v", "id", 2)
+      .select($"g", $"id", $"v", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    val direct = topk(a.unionByName(b))
+      .select($"g", $"id", $"v", $"rank")
+      .as[(String, Long, Long, Int)].collect().toSet
+    assert(refreshed == direct)
+    // appended 25 displaces 20 in x; tie at v=5 in y breaks on id asc;
+    // a brand-new group appears from the batch alone
+    assert(refreshed == Set(("x", 2L, 30L, 1), ("x", 5L, 25L, 2),
+      ("y", 4L, 5L, 1), ("y", 6L, 5L, 2), ("z", 7L, 1L, 1)))
+  }
+
   test("distinctSketches: union-of-strata estimate tracks exact at 60k cardinality") {
     import graft.operators.ViewMaintenance
     val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")

@@ -407,4 +407,63 @@ object TemporalOps {
     counts.withColumn("rank", row_number().over(
       Window.orderBy(col("support").desc, col("occurrences").desc, col("seq"))))
   }
+
+  /** Holt's linear-trend exponential smoothing per key (double
+    * exponential smoothing): ordered observations fold through
+    * `l_t = α·y_t + (1-α)·(l_{t-1}+b_{t-1})`,
+    * `b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}`, initialized
+    * `l_1 = y_1, b_1 = y_2 - y_1`. Returns one row per key:
+    * `(keyCol, n_obs, level, trend, forecast)` with
+    * `forecast = level + horizon·trend` (all rounded to 6), keys with
+    * fewer than two observations dropped (no trend is derivable).
+    *
+    * Determinism: the recursion fixes the floating-point evaluation
+    * ORDER, so any engine replaying the same recurrence on the same
+    * doubles produces bit-identical results — the oracle replays it
+    * with a recursive CTE. Within the fold, `l_t` is written ONCE as
+    * an expression and re-derived for the trend update from the same
+    * lambda-variable inputs, so both occurrences round identically.
+    *
+    * == 100 TB design ==
+    *
+    * The series collapse to per-key arrays via `collect_list` — valid
+    * because a smoothing series is bounded by the OBSERVATION HORIZON
+    * (days × keys), not the fact count: the daily rollup that feeds
+    * this is the partial-aggregated heavy stage, and what shuffles
+    * here is one (key, n_obs) array row per key. The fold itself is a
+    * single `aggregate` HOF per row — sequential by definition (each
+    * step consumes the previous level), so no distribution is lost.
+    */
+  def holtForecast(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, alpha: Double = 0.5, beta: Double = 0.5,
+      horizon: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"smoothing factors must be in (0,1): $alpha/$beta")
+    val series = df
+      .select(col(keyCol).as("__k"),
+        struct(col(tsCol).as("t"), col(valueCol).cast("double").as("y")).as("__o"))
+      .groupBy(col("__k"))
+      .agg(array_sort(collect_list(col("__o"))).as("__ys"))
+      .where(size(col("__ys")) >= 2)
+    val y1 = col("__ys").getItem(0).getField("y")
+    val y2 = col("__ys").getItem(1).getField("y")
+    val folded = aggregate(
+      slice(col("__ys"), lit(2), size(col("__ys")) - 1),
+      struct(y1.as("l"), (y2 - y1).as("b")),
+      (acc, o) => {
+        val lNew = lit(alpha) * o.getField("y") +
+          lit(1 - alpha) * (acc.getField("l") + acc.getField("b"))
+        struct(lNew.as("l"),
+          (lit(beta) * (lNew - acc.getField("l")) +
+            lit(1 - beta) * acc.getField("b")).as("b"))
+      })
+    series
+      .select(col("__k").as(keyCol), size(col("__ys")).as("n_obs"),
+        folded.as("__f"))
+      .select(col(keyCol), col("n_obs"),
+        round(col("__f.l"), 6).as("level"),
+        round(col("__f.b"), 6).as("trend"),
+        round(col("__f.l") + lit(horizon.toDouble) * col("__f.b"), 6)
+          .as("forecast"))
+  }
 }

@@ -1533,6 +1533,96 @@ object CoreQueries extends QueryPack {
           |           'error(?: error)*'))::INT AS n_error_runs
           |FROM j""".stripMargin)),
 
+    GraftQuery("a46_trend_ols",
+      // least-squares daily trend per event type: slope/intercept of
+      // cents vs day index from the closed-form Σ identities — n, Σx,
+      // Σy, Σxy, Σxx are all exact integers (day index from a window
+      // rank), so the slope is one exact fraction and the only floats
+      // are the two final divisions. The regression complement of
+      // a45's recursive smoothing: same series, stateless reduction.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        daily
+          .withColumn("x", row_number().over(w).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("cents")).as("sy"),
+            sum(col("x") * col("cents")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("slope_cents_per_day"),
+            round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("intercept_cents"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2),
+          |xy AS (
+          |  SELECT event_type, cents,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS x
+          |  FROM daily),
+          |a AS (
+          |  SELECT event_type, count(*) AS n, sum(x)::BIGINT AS sx,
+          |         sum(cents)::BIGINT AS sy, sum(x * cents)::BIGINT AS sxy,
+          |         sum(x * x)::BIGINT AS sxx
+          |  FROM xy GROUP BY 1)
+          |SELECT event_type, n,
+          |       round((n * sxy - sx * sy)::DOUBLE
+          |             / (n * sxx - sx * sx), 6) AS slope_cents_per_day,
+          |       round((sy * sxx - sx * sxy)::DOUBLE
+          |             / (n * sxx - sx * sx), 6) AS intercept_cents
+          |FROM a""".stripMargin)),
+
+    GraftQuery("a45_holt_forecast",
+      // Holt linear-trend smoothing of each event type's daily cent
+      // totals, 7-day-ahead forecast. The fold fixes the float
+      // evaluation ORDER, so the oracle's recursive CTE replaying the
+      // identical recurrence on the identical doubles lands on
+      // bit-identical level/trend — determinism by sequencing, not by
+      // integer-only arithmetic.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        graft.operators.TemporalOps.holtForecast(daily, "event_type",
+          "day", "cents", alpha = 0.5, beta = 0.5, horizon = 7)
+      },
+      oracle = Some(
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2),
+          |ord AS (
+          |  SELECT event_type, cents,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+          |  FROM daily),
+          |n AS (SELECT event_type, max(t) AS n FROM ord GROUP BY 1),
+          |rec AS (
+          |  SELECT o1.event_type, 1 AS t, o1.cents::DOUBLE AS l,
+          |         (o2.cents - o1.cents)::DOUBLE AS b
+          |  FROM ord o1 JOIN ord o2
+          |    ON o1.event_type = o2.event_type AND o1.t = 1 AND o2.t = 2
+          |  UNION ALL
+          |  SELECT r.event_type, r.t + 1,
+          |         0.5 * o.cents + 0.5 * (r.l + r.b),
+          |         0.5 * ((0.5 * o.cents + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+          |  FROM rec r JOIN ord o
+          |    ON o.event_type = r.event_type AND o.t = r.t + 1)
+          |SELECT r.event_type, n.n::INT AS n_obs, round(r.l, 6) AS level,
+          |       round(r.b, 6) AS trend,
+          |       round(r.l + 7.0 * r.b, 6) AS forecast
+          |FROM rec r JOIN n USING (event_type) WHERE r.t = n.n""".stripMargin)),
+
     GraftQuery("a44_abc_pareto",
       // ABC (Pareto 80/95) inventory classification: parts ranked by
       // revenue, classed by cumulative share — A while cum <= 80%,

@@ -371,4 +371,32 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // never leads into user 3's x)
     assert(!got.map(_._1).contains("y>z>x"))
   }
+
+  test("holtForecast matches a reference fold; short series dropped") {
+    def ref(ys: Seq[Double], a: Double, b: Double, h: Int): (Double, Double, Double) = {
+      var l = ys(0); var t = ys(1) - ys(0)
+      ys.drop(1).foreach { y =>
+        val lNew = a * y + (1 - a) * (l + t)
+        t = b * (lNew - l) + (1 - b) * t
+        l = lNew
+      }
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      (r6(l), r6(t), r6(l + h * t))
+    }
+    val rows = Seq(
+      ("up", Seq(10.0, 12.0, 15.0, 13.0, 18.0, 21.0)),
+      ("flat", Seq(5.0, 5.0, 5.0, 5.0)),
+      ("short", Seq(42.0))) // < 2 obs: no trend derivable, dropped
+      .flatMap { case (k, ys) => ys.zipWithIndex.map { case (y, i) => (k, i, y) } }
+    val got = graft.operators.TemporalOps.holtForecast(
+        rows.toDF("k", "t", "y"), "k", "t", "y",
+        alpha = 0.4, beta = 0.3, horizon = 5)
+      .as[(String, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (ul, ut, uf) = ref(Seq(10.0, 12.0, 15.0, 13.0, 18.0, 21.0), 0.4, 0.3, 5)
+    assert(got("up") == ((6, ul, ut, uf)))
+    // a constant series smooths to itself with zero trend
+    assert(got("flat") == ((4, 5.0, 0.0, 5.0)))
+    assert(!got.contains("short"))
+  }
 }

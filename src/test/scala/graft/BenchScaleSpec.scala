@@ -146,4 +146,43 @@ class BenchScaleSpec extends AnyFunSuite {
     assert(fWrites.exists(p => p.contains("SortMergeJoin")),
       s"row-ceiling fallback did not select sort-merge:\n${fWrites.mkString("\n---\n")}")
   }
+
+  /** Synthetic corpus for the dedup scale proof: `n` docs of ~40
+    * md5-derived pseudo-words (content unique per doc), plus a planted
+    * near-dup partner for every 100th doc. Deterministic, no RNG.
+    */
+  private def syntheticDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select($"id".as("doc_id"),
+        concat_ws(" ", (0 until 40).map(w =>
+          substring(md5(concat($"id".cast("string"), lit(s":w$w"))), 1, 8)): _*)
+          .as("text"))
+      .unionByName(
+        spark.range(0L, n.toLong, 100L).select(($"id" + 10000000L).as("doc_id"),
+          concat_ws(" ", ((0 until 40).map(w =>
+            substring(md5(concat($"id".cast("string"), lit(s":w$w"))), 1, 8))
+            :+ lit("tail pad")): _*).as("text")))
+  }
+
+  test("10x winnowed dedup scales ~linearly; planted pairs still surface") {
+    import graft.llm.DedupOps
+    def run(n: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val pairs = DedupOps.winnowedOverlap(syntheticDocs(n), "text", "doc_id",
+          minShared = 10L)
+        .where(col("id2") - col("id1") === 10000000L)
+        .count()
+      (pairs, (System.nanoTime() - t0) / 1000000.0)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (p1, ms1) = run(2000)
+    val (p10, ms10) = run(20000)
+    // every planted partner shares a long run with its source, so the
+    // winnowing guarantee surfaces all of them at both scales
+    assert(p1 == 20 && p10 == 200,
+      s"planted near-dups lost at scale: $p1/20, $p10/200")
+    info(f"winnowed overlap wall: 1x $ms1%.0f ms, 10x $ms10%.0f ms (ratio ${ms10 / ms1}%.1f)")
+    assert(ms10 < ms1 * 25,
+      f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the dedup path")
+  }
 }

@@ -1533,6 +1533,56 @@ object CoreQueries extends QueryPack {
           |           'error(?: error)*'))::INT AS n_error_runs
           |FROM j""".stripMargin)),
 
+    GraftQuery("a47_trimmed_mean",
+      // 10% trimmed mean per event type — the robust location estimate
+      // between a8's moment mean and a38's median. The trim is
+      // RANK-based (drop the k = n÷10 lowest and highest by
+      // (cents, event_id)), so the cut is pure integer arithmetic —
+      // no percentile interpolation anywhere — and the kept-set mean
+      // is one exact integer fraction rounded at the end.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        val ranked = ev
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+        ranked.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            round(sum(col("cents")) / count(lit(1)), 6).as("raw_mean_cents"),
+            sum(when(col("rk") > expr("n div 10") &&
+              col("rk") <= col("n") - expr("n div 10"), col("cents")))
+              .as("__ts"),
+            sum(when(col("rk") > expr("n div 10") &&
+              col("rk") <= col("n") - expr("n div 10"), 1L).otherwise(0L))
+              .as("n_kept"))
+          .select(col("event_type"), col("n"), col("n_kept"),
+            round(col("__ts") / col("n_kept"), 6).as("trimmed_mean_cents"),
+            col("raw_mean_cents"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events),
+          |ranked AS (
+          |  SELECT event_type, cents,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY cents, event_id) AS rk,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev)
+          |SELECT event_type, max(n) AS n,
+          |       sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+          |                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+          |       round(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+          |                      THEN cents END)::DOUBLE /
+          |             sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+          |                      THEN 1 ELSE 0 END), 6) AS trimmed_mean_cents,
+          |       round(sum(cents)::DOUBLE / count(*), 6) AS raw_mean_cents
+          |FROM ranked GROUP BY event_type""".stripMargin)),
+
     GraftQuery("a46_trend_ols",
       // least-squares daily trend per event type: slope/intercept of
       // cents vs day index from the closed-form Σ identities — n, Σx,

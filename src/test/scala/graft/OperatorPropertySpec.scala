@@ -121,6 +121,50 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardLinkPred matches brute force on a random graph") {
+    val rnd = new Random(11)
+    val edges = (1 to 160).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val got = GraphOps.jaccardLinkPred(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // reference: adjacency sets the dumb way
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      a <- nodes; b <- nodes if a < b
+      if !adj(a).contains(b)
+      common = adj(a).intersect(adj(b)).size if common >= 1
+    } yield {
+      val union = (adj(a) ++ adj(b)).size
+      (a, b) -> ((common.toLong, union.toLong,
+        math.rint(common.toDouble / union * 1e6) / 1e6))
+    }).toMap
+    assert(got == want)
+  }
+
+  test("refreshTopK equals recompute across random append sequences") {
+    import graft.operators.ViewMaintenance
+    val rnd = new Random(23)
+    def batch(n: Int, idBase: Long) = (0 until n).map(i =>
+      (rnd.nextInt(5).toLong, idBase + i, rnd.nextInt(40).toLong))
+    val batches = Seq(batch(30, 0L), batch(25, 1000L), batch(40, 2000L))
+    val dfs = batches.map(_.toDF("g", "id", "v"))
+    var view = ViewMaintenance.refreshTopK(
+      dfs.head.limit(0), dfs.head, Seq("g"), "v", "id", k = 4)
+    dfs.tail.foreach { b =>
+      view = ViewMaintenance.refreshTopK(view, b, Seq("g"), "v", "id", k = 4)
+    }
+    val all = dfs.reduce(_ unionByName _)
+    val direct = ViewMaintenance.refreshTopK(
+        all.limit(0), all, Seq("g"), "v", "id", k = 4)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(view.as[(Long, Long, Long, Int)].collect().toSet == direct)
+  }
+
   test("winnowedFingerprints matches a brute-force winnow on random texts") {
     import graft.llm.DedupOps
     val k = 6; val w = 4

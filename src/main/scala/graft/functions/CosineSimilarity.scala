@@ -133,6 +133,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       CosineSimilarity.builder)) // arity-validated, same as register()
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      MinHashSignature.builder))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      WinnowFingerprints.builder))
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)

@@ -58,6 +58,20 @@ object MinHashSignature {
   def apply(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
 
+  /** SQL builder: `minhash_signature(shingles, numHashes)` — the hash
+    * count must be an integer literal (it fixes the output arity).
+    */
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "minhash_signature takes (shingles, numHashes)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    args(1) match {
+      case Literal(n: Int, _) => MinHashSignature(args.head, n)
+      case _ => throw new IllegalArgumentException(
+        "minhash_signature numHashes must be an integer literal")
+    }
+  }
+
   private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

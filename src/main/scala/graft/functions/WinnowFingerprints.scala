@@ -59,6 +59,24 @@ object WinnowFingerprints {
   def apply(text: Column, k: Int, window: Int): Column =
     Bridge.column(WinnowFingerprints(Bridge.expression(text), k, window))
 
+  /** SQL builder: `winnow_fingerprints(text, k, window)` — k/window
+    * must be integer literals (they shape the expression, like a
+    * window frame bound).
+    */
+  private[functions] val builder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = { args =>
+    require(args.length == 3,
+      "winnow_fingerprints takes (text, k, window)")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    (args(1), args(2)) match {
+      case (Literal(k: Int, _), Literal(w: Int, _)) =>
+        WinnowFingerprints(args.head, k, w)
+      case _ => throw new IllegalArgumentException(
+        "winnow_fingerprints k/window must be integer literals")
+    }
+  }
+
   private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

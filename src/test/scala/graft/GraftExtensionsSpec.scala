@@ -71,4 +71,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(out.as[Long].head() == 20L)
     } finally spark.conf.unset(ApproxDistinctRewrite.FlagKey)
   }
+
+  test("SQL surface: minhash_signature and winnow_fingerprints resolve and match the Column API") {
+    import spark.implicits._
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('abcdef', 'bcdefg'), 4) AS s")
+      .as[Seq[Long]].head()
+    val sigCol = Seq(Seq("abcdef", "bcdefg")).toDF("sh")
+      .select(graft.functions.MinHashSignature($"sh", 4).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig == sigCol && sig.length == 4)
+    val fp = spark.sql(
+      "SELECT winnow_fingerprints('the quick brown fox', 6, 4) AS f")
+      .as[Seq[Long]].head()
+    val fpCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.WinnowFingerprints($"t", 6, 4).as("f"))
+      .as[Seq[Long]].head()
+    assert(fp == fpCol && fp.nonEmpty)
+    // non-literal shape parameters are rejected with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT winnow_fingerprints('x', 1 + 5, 4)").collect())
+    assert(err.getMessage.contains("integer literal")
+      || err.getMessage.contains("winnow_fingerprints"))
+  }
 }

@@ -1533,6 +1533,99 @@ object CoreQueries extends QueryPack {
           |           'error(?: error)*'))::INT AS n_error_runs
           |FROM j""".stripMargin)),
 
+    GraftQuery("a48_association_rules",
+      // market-basket association rules over per-user event-type
+      // baskets: support / confidence / lift for every ordered type
+      // pair (antecedent → consequent). Every statistic is a ratio of
+      // exact integer user counts — distinct-type baskets bound the
+      // pair fan-out at |types|² per user, so the pair join is a
+      // small-dimension self-join, never row-scale. Lift > 1 reads
+      // "purchase co-occurs with signup more than independence
+      // predicts"; the oracle re-derives all three ratios.
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val nUsers = baskets.agg(
+          count_distinct(col("user_id")).as("n_users"))
+        val typeCounts = baskets.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_t"))
+        val pairs = baskets.as("a").join(baskets.as("b"), "user_id")
+          .where(col("a.event_type") =!= col("b.event_type"))
+          .groupBy(col("a.event_type").as("antecedent"),
+            col("b.event_type").as("consequent"))
+          .agg(count(lit(1)).as("n_both"))
+        pairs
+          .join(typeCounts.select(col("event_type").as("antecedent"),
+            col("n_t").as("n_ante")), "antecedent")
+          .join(typeCounts.select(col("event_type").as("consequent"),
+            col("n_t").as("n_cons")), "consequent")
+          .crossJoin(broadcast(nUsers))
+          .select(col("antecedent"), col("consequent"), col("n_both"),
+            round(col("n_both") / col("n_users").cast("double"), 6)
+              .as("support"),
+            round(col("n_both") / col("n_ante"), 6).as("confidence"),
+            round((col("n_both") * col("n_users").cast("double")) /
+              (col("n_ante") * col("n_cons")), 6).as("lift"))
+      },
+      oracle = Some(
+        """WITH baskets AS (
+          |  SELECT DISTINCT user_id, event_type FROM events),
+          |nu AS (SELECT count(DISTINCT user_id) AS n FROM baskets),
+          |tc AS (SELECT event_type, count(*) AS n_t FROM baskets GROUP BY 1),
+          |pairs AS (
+          |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+          |         count(*) AS n_both
+          |  FROM baskets a JOIN baskets b ON a.user_id = b.user_id
+          |  WHERE a.event_type <> b.event_type
+          |  GROUP BY 1, 2)
+          |SELECT antecedent, consequent, n_both,
+          |       round(n_both::DOUBLE / nu.n, 6) AS support,
+          |       round(n_both::DOUBLE / ta.n_t, 6) AS confidence,
+          |       round((n_both * (nu.n)::DOUBLE) / (ta.n_t * tb.n_t), 6) AS lift
+          |FROM pairs
+          |JOIN tc ta ON ta.event_type = pairs.antecedent
+          |JOIN tc tb ON tb.event_type = pairs.consequent
+          |CROSS JOIN nu""".stripMargin)),
+
+    GraftQuery("a49_stickiness",
+      // DAU/MAU stickiness per month: mean daily distinct users over
+      // monthly distinct users — the standard engagement ratio. Sums
+      // of daily distinct counts are exact integers, so the ratio is
+      // one exact fraction; months key on integer year*100+month, not
+      // date_trunc strings.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          to_date(col("ts")).as("day"),
+          (year(col("ts")) * 100 + month(col("ts"))).cast("long").as("ym"))
+        val dau = ev.groupBy(col("ym"), col("day"))
+          .agg(count_distinct(col("user_id")).as("dau"))
+        val daily = dau.groupBy(col("ym"))
+          .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+        val mau = ev.groupBy(col("ym"))
+          .agg(count_distinct(col("user_id")).as("mau"))
+        daily.join(mau, "ym")
+          .select(col("ym"), col("n_days"), col("mau"),
+            round(col("dau_sum") / col("n_days"), 6).as("avg_dau"),
+            round(col("dau_sum") / (col("n_days") * col("mau")), 6)
+              .as("stickiness"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS day,
+          |         (year(ts) * 100 + month(ts))::BIGINT AS ym
+          |  FROM events),
+          |dau AS (
+          |  SELECT ym, day, count(DISTINCT user_id) AS dau
+          |  FROM ev GROUP BY 1, 2),
+          |daily AS (
+          |  SELECT ym, count(*) AS n_days, sum(dau)::BIGINT AS dau_sum
+          |  FROM dau GROUP BY 1),
+          |mau AS (SELECT ym, count(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+          |SELECT daily.ym, n_days, mau,
+          |       round(dau_sum::DOUBLE / n_days, 6) AS avg_dau,
+          |       round(dau_sum::DOUBLE / (n_days * mau), 6) AS stickiness
+          |FROM daily JOIN mau ON mau.ym = daily.ym""".stripMargin)),
+
     GraftQuery("a47_trimmed_mean",
       // 10% trimmed mean per event type — the robust location estimate
       // between a8's moment mean and a38's median. The trim is

@@ -1533,6 +1533,93 @@ object CoreQueries extends QueryPack {
           |           'error(?: error)*'))::INT AS n_error_runs
           |FROM j""".stripMargin)),
 
+    GraftQuery("q34_skyline_parts",
+      // SKYLINE (Pareto-dominance) query: parts not dominated on
+      // (cheaper price, larger size). The engine computes it in
+      // O(n log n) with two windows — max size over STRICTLY cheaper
+      // rows (range frame to -1 cent) and max size within the same
+      // price — while the oracle keeps the textbook quadratic
+      // NOT EXISTS dominance test: same set, structurally different
+      // derivations. Prices compare in exact integer cents. The
+      // global-ordered window runs over the CATALOG-sized part
+      // relation (same contract as a44's Pareto cumsum); for a
+      // fact-scale 2-D skyline, partition-local skylines union then
+      // re-skyline (skyline is distributive) before this window.
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part").select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
+          col("p_size"))
+        val wLess = Window.orderBy(col("cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy(col("cents"))
+        p.withColumn("mx_less", max(col("p_size")).over(wLess))
+          .withColumn("mx_eq", max(col("p_size")).over(wEq))
+          .where(!(coalesce(col("mx_less") >= col("p_size"), lit(false)) ||
+            col("mx_eq") > col("p_size")))
+          .select(col("p_partkey"), col("cents"), col("p_size"))
+      },
+      oracle = Some(
+        """WITH p AS (
+          |  SELECT p_partkey, CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents,
+          |         p_size
+          |  FROM part)
+          |SELECT p_partkey, cents, p_size FROM p a
+          |WHERE NOT EXISTS (
+          |  SELECT 1 FROM p b
+          |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+          |    AND (b.cents < a.cents OR b.p_size > a.p_size))""".stripMargin)),
+
+    GraftQuery("a50_dow_effect",
+      // seasonality strength as eta-squared: how much of the variance
+      // in daily cent totals the day-of-week explains,
+      // SS_between/SS_total — both sums of squares reduce to exact
+      // integer Σs cross-multiplied over group sizes (the g11 trick
+      // lifted to ANOVA), so the only float is the final ratio.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val g = daily.groupBy(col("dow"))
+          .agg(count(lit(1)).as("m"), sum(col("y")).as("sg"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("st"),
+          sum(col("y") * col("y")).as("sqt"))
+        // SS_total = Σy² − (Σy)²/n ; SS_between = Σ_g (Σ_g y)²/m_g − (Σy)²/n
+        // multiply through by n·Πm? — instead: keep each term an exact
+        // integer RATIO pair: between/total = (n·Σ_g sg²/m_g − st²) /
+        // (n·sqt − st²); Σ_g sg²/m_g is rational — use per-group exact
+        // double sg²/m_g? sg² can exceed 2^53. Scale instead by common
+        // denominator: compare via double on values < 2^53 after
+        // dividing cents by 100 (whole dollars keeps magnitudes safe).
+        g.crossJoin(broadcast(tot))
+          .select(col("dow"), col("m"), col("sg"), col("n"), col("st"),
+            col("sqt"))
+          .groupBy(col("n"), col("st"), col("sqt"))
+          .agg(sum(col("sg").cast("double") * col("sg") / col("m"))
+            .as("sb"))
+          .select(
+            round((lit(1.0) * col("n") * col("sb") -
+              col("st").cast("double") * col("st")) /
+              (lit(1.0) * col("n") * col("sqt") -
+                col("st").cast("double") * col("st")), 6).as("eta_sq"),
+            col("n").as("n_days"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS y,
+          |         dayofweek(CAST(ts AS DATE))::BIGINT AS dow0
+          |  FROM events GROUP BY 1),
+          |d2 AS (SELECT day, y, dow0 FROM daily),
+          |g AS (SELECT dow0, count(*) AS m, sum(y)::BIGINT AS sg FROM d2 GROUP BY 1),
+          |tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS st,
+          |               sum(y * y)::BIGINT AS sqt FROM d2),
+          |sb AS (SELECT sum(sg::DOUBLE * sg / m) AS sb FROM g)
+          |SELECT round((1.0 * n * sb - st::DOUBLE * st) /
+          |             (1.0 * n * sqt - st::DOUBLE * st), 6) AS eta_sq,
+          |       n AS n_days
+          |FROM tot, sb""".stripMargin)),
+
     GraftQuery("a48_association_rules",
       // market-basket association rules over per-user event-type
       // baskets: support / confidence / lift for every ordered type

@@ -819,6 +819,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"FK audit over-reads the fact table:\n${reads.mkString("\n")}")
   }
 
+  test("q34: skyline is window-based — the quadratic dominance join stays in the oracle") {
+    val df = SparkEntry.queries("q34_skyline_parts")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    assert(!plan.toLowerCase.contains("join"),
+      s"skyline grew a dominance join:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1, s"no window:\n$plan")
+    // one scan of part, nothing else
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  test("a44/a48: ordered analytics run on aggregated relations, facts partial-aggregate") {
+    for (q <- Seq("a44_abc_pareto", "a48_association_rules")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$q went cartesian:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"$q lost partial aggregation:\n$plan")
+    }
+  }
+
+  test("a45: holt fold is one collect_list exchange; the recursion never joins per step") {
+    val df = SparkEntry.queries("a45_holt_forecast")(spark, sf)
+    df.collect()
+    val plan = planOf(df).split("== Initial Plan ==").head
+    // daily rollup exchange + series-assembly exchange; NO iterative
+    // join chain (the fold is one expression, not |series| joins)
+    assert(!plan.toLowerCase.contains("join"), s"holt grew a join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("a42: journey assembly is one shuffle; regexes run after the aggregate") {
     val df = SparkEntry.queries("a42_journey_regex")(spark, sf)
     df.collect()

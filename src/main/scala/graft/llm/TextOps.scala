@@ -667,10 +667,14 @@ object TextOps {
     * relations: trigram counts group by the trigram hash WITH its
     * component hashes attached (functionally dependent — no blowup),
     * so the prefix/bigram/continuation counts re-aggregate over the
-    * DISTINCT-trigram relation (vocabulary-sized), never the corpus.
-    * Test docs likewise reduce to per-doc hash tf rows before the five
-    * count joins — every exchange carries 16-byte md5 hashes and
-    * longs, text never shuffles. N rides a broadcast 1-row frame.
+    * DISTINCT-trigram relation (vocabulary-sized), never the corpus —
+    * and the prefix/continuation counts then ATTACH to the trigram/
+    * bigram relations (a probe needs `c₂` only when its trigram was
+    * seen, `c₁'` only when its bigram was), so the probe side runs
+    * three count joins, not five. Test docs likewise reduce to per-doc
+    * hash tf rows before those joins — every exchange carries 16-byte
+    * md5 hashes and longs, text never shuffles. N rides a broadcast
+    * 1-row frame.
     */
   def withTrigramBackoff(train: DataFrame, test: DataFrame,
       textCol: String, idCol: String): DataFrame = {
@@ -698,30 +702,37 @@ object TextOps {
       .groupBy(col("__th"), col("__ph"), col("__bh"), col("__fh"))
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    val ct = triTrain.groupBy(col("__th")).agg(sum(col("__c")).as("__ct"))
+    // a probe needs the PREFIX count only when its trigram was seen and
+    // the CONTINUATION count only when its bigram was seen — so both
+    // attach to the trigram/bigram relation at BUILD time (vocabulary-
+    // sized joins, once), collapsing the probe side from five hash
+    // joins to three
     val cp = triTrain.groupBy(col("__ph")).agg(sum(col("__c")).as("__cp"))
-    val cb = triTrain.groupBy(col("__bh")).agg(sum(col("__c")).as("__cb"))
+    val ct = triTrain.groupBy(col("__th"))
+      .agg(sum(col("__c")).as("__ct"), first(col("__ph")).as("__ph"))
+      .join(cp, "__ph").select(col("__th"), col("__ct"), col("__cp"))
     val cf = triTrain.groupBy(col("__fh")).agg(sum(col("__c")).as("__cf"))
+    val cb = triTrain.groupBy(col("__bh"))
+      .agg(sum(col("__c")).as("__cb"), first(col("__fh")).as("__fh"))
+      .join(cf, "__fh").select(col("__bh"), col("__cb"), col("__cf"))
     val uni = train.select(explode(toks).as("__w"))
       .select(h(col("__w")).as("__uh"))
       .groupBy(col("__uh")).agg(count(lit(1)).as("__cu"))
       .localCheckpoint(true)
     val n = uni.agg(sum(col("__cu")).as("__n"))
-    // test side: per-doc trigram tf rows, then five hash-count joins
+    // test side: per-doc trigram tf rows, then three hash-count joins
     val tf = test.select(col(idCol).as("__id"), toks.as("__ws"))
       .select(col("__id"), explode(emitT).as("__e"))
-      .groupBy(col("__id"), col("__e.th").as("__th"), col("__e.ph").as("__ph"),
-        col("__e.bh").as("__bh"), col("__e.fh").as("__fh"),
-        col("__e.uh").as("__uh"))
+      .groupBy(col("__id"), col("__e.th").as("__th"),
+        col("__e.bh").as("__bh"), col("__e.uh").as("__uh"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
     val s = when(col("__ct").isNotNull, col("__ct") / col("__cp"))
       .when(col("__cb").isNotNull, lit(0.4) * col("__cb") / col("__cf"))
       .when(col("__cu").isNotNull, lit(0.16) * col("__cu") / col("__n"))
       .otherwise(lit(0.064) / col("__n"))
     val scored = tf
-      .join(ct, Seq("__th"), "left").join(cp, Seq("__ph"), "left")
-      .join(cb, Seq("__bh"), "left").join(cf, Seq("__fh"), "left")
+      .join(ct, Seq("__th"), "left")
+      .join(cb, Seq("__bh"), "left")
       .join(uni, Seq("__uh"), "left")
       .crossJoin(broadcast(n))
       .groupBy(col("__id"))

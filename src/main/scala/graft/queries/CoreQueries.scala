@@ -1569,6 +1569,101 @@ object CoreQueries extends QueryPack {
           |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
           |    AND (b.cents < a.cents OR b.p_size > a.p_size))""".stripMargin)),
 
+    GraftQuery("a51_wow_growth",
+      // week-over-week growth per event type: lag on weekly cent
+      // totals, growth as one exact integer fraction (NULL on a zero
+      // base week rather than an infinity). Weeks key on integer
+      // epoch-week arithmetic like a20, never date_trunc strings.
+      (s, dir) => {
+        val weekly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+        weekly
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .select(col("event_type"), col("wk"), col("cents"), col("prev"),
+            round(when(col("prev") > 0,
+              (col("cents") - col("prev")).cast("double") / col("prev")), 6)
+              .as("wow_growth"))
+      },
+      oracle = Some(
+        """WITH weekly AS (
+          |  SELECT event_type, epoch(ts)::BIGINT // 604800 AS wk,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2),
+          |lagged AS (
+          |  SELECT event_type, wk, cents,
+          |         lag(cents) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+          |  FROM weekly)
+          |SELECT event_type, wk, cents, prev,
+          |       round(CASE WHEN prev > 0
+          |             THEN (cents - prev)::DOUBLE / prev END, 6) AS wow_growth
+          |FROM lagged""".stripMargin)),
+
+    GraftQuery("w13_rolling_corr",
+      // rolling 7-day Pearson correlation between the click and
+      // purchase daily revenue series — the co-movement monitor. All
+      // six Σs are ROWS-frame window sums of exact integer cents, so
+      // the statistic is one exact fraction per day (g11's reduction
+      // under a sliding frame); degenerate windows (zero variance,
+      // n < 3) are NULL. The ordered window runs over the DAY grid
+      // (horizon-sized, like a44/q34), not facts.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            sum(when(col("event_type") === "click",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(col("x")).over(w))
+          .withColumn("sy", sum(col("y")).over(w))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w))
+          .withColumn("syy", sum(col("y") * col("y")).over(w))
+          .select(col("day").cast("string").as("day"), col("n").as("n_days"),
+            round(when(col("n") >= 3 &&
+              (col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+              (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                  (col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))), 6).as("corr7"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT CAST(ts AS DATE) AS day,
+          |         sum(CASE WHEN event_type = 'click'
+          |                  THEN CAST(round(value * 100, 0) AS BIGINT)
+          |                  ELSE 0 END)::BIGINT AS x,
+          |         sum(CASE WHEN event_type = 'purchase'
+          |                  THEN CAST(round(value * 100, 0) AS BIGINT)
+          |                  ELSE 0 END)::BIGINT AS y
+          |  FROM events GROUP BY 1),
+          |win AS (
+          |  SELECT day,
+          |         count(*) OVER w AS n,
+          |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+          |         sum(x * y) OVER w AS sxy,
+          |         sum(x * x) OVER w AS sxx,
+          |         sum(y * y) OVER w AS syy
+          |  FROM daily
+          |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+          |SELECT strftime(day, '%Y-%m-%d') AS day, n::BIGINT AS n_days,
+          |       round(CASE WHEN n >= 3
+          |                   AND (n * sxx - sx * sx) > 0
+          |                   AND (n * syy - sy * sy) > 0
+          |             THEN (n * sxy - sx * sy)::DOUBLE /
+          |                  sqrt((n * sxx - sx * sx)::DOUBLE
+          |                       * (n * syy - sy * sy)::DOUBLE)
+          |             END, 6) AS corr7
+          |FROM win""".stripMargin)),
+
     GraftQuery("a50_dow_effect",
       // seasonality strength as eta-squared: how much of the variance
       // in daily cent totals the day-of-week explains,

@@ -2164,6 +2164,40 @@ object CoreQueries extends QueryPack {
           |JOIN deg da ON da.n = cm.a
           |JOIN deg db ON db.n = cm.b""".stripMargin)),
 
+    GraftQuery("g14_reciprocity",
+      // directed-graph reciprocity: the fraction of distinct directed
+      // decade-link edges whose reverse edge also exists — the classic
+      // "is attention mutual" network statistic. One self-join on the
+      // deduplicated edge relation (scalar pairs), both counts exact
+      // longs, one final rounded division.
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id").as("src"),
+            (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+        val recip = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .select(col("a.src"), col("a.dst"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+          .select(col("n_edges"), col("n_recip"),
+            round(col("n_recip") / col("n_edges").cast("double"), 6)
+              .as("reciprocity"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT DISTINCT user_id AS src,
+          |         user_id - user_id % 10 + event_id % 10 AS dst
+          |  FROM events
+          |  WHERE user_id <> user_id - user_id % 10 + event_id % 10),
+          |r AS (
+          |  SELECT count(*) AS n_recip FROM e a
+          |  JOIN e b ON a.src = b.dst AND a.dst = b.src),
+          |t AS (SELECT count(*) AS n_edges FROM e)
+          |SELECT n_edges, n_recip,
+          |       round(n_recip::DOUBLE / n_edges, 6) AS reciprocity
+          |FROM t, r""".stripMargin)),
+
     GraftQuery("g4_bfs_hops",
       // frontier BFS: min hop distance from the seed set (every 20th
       // user) over the undirected link graph; only the frontier

@@ -850,6 +850,44 @@ object LlmQueries extends QueryPack {
           |       p.pred_label = c.label AS correct
           |FROM pred p JOIN c ON c.vec_id = p.query_id""".stripMargin)),
 
+    GraftQuery("e17_embedding_isotropy",
+      // embedding-space health probe: cosine distribution over a
+      // DETERMINISTIC hash-drawn pair sample (ids with vec_id%20==0
+      // crossed against vec_id%20==1 — bounded (n/20)² pairs, stable
+      // under corpus growth). High mean cosine on random pairs is the
+      // anisotropy smell that degrades retrieval. Exact mean + exact
+      // median (same sorted doubles, same interpolation formula in
+      // both engines).
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = emb.where(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("ida"), col("v").as("va"))
+        val b = emb.where(col("vec_id") % 20 === 1)
+          .select(col("vec_id").as("idb"), col("v").as("vb"))
+        a.crossJoin(broadcast(b))
+          .select(graft.functions.CosineSimilarity(col("va"), col("vb"))
+            .as("cos"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("cos")), 6).as("mean_cos"),
+            round(expr("percentile(cos, 0.5D)"), 6).as("p50_cos"),
+            round(max(col("cos")), 6).as("max_cos"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |a AS (SELECT vec_id, v FROM c WHERE vec_id % 20 = 0),
+          |b AS (SELECT vec_id, v FROM c WHERE vec_id % 20 = 1),
+          |cos AS (
+          |  SELECT
+          |    list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS cos
+          |  FROM a, b)
+          |SELECT count(*) AS n_pairs, round(avg(cos), 6) AS mean_cos,
+          |       round(quantile_cont(cos, 0.5), 6) AS p50_cos,
+          |       round(max(cos), 6) AS max_cos
+          |FROM cos""".stripMargin)),
+
     GraftQuery("e2_ann_lsh",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")

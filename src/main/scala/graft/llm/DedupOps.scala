@@ -91,7 +91,7 @@ object DedupOps {
       Bridge.expression(lit(expected)),
       Bridge.expression(lit(BloomFilter.optimalNumOfBits(expected, fpp))))
       .toAggregateExpression())
-    val bloomBytes = corpusH.agg(aggCol.as("b")).head.getAs[Array[Byte]](0)
+    val bloomBytes = corpusH.agg(aggCol.as("b")).head().getAs[Array[Byte]](0)
     // null sketch = empty corpus: nothing to dedup against
     if (bloomBytes == null) return dedupWithin(newH)
 

@@ -535,7 +535,7 @@ object GraphOps {
     def l2(df: DataFrame, c: String): DataFrame = {
       val others = df.columns.filterNot(_ == c)
       df.crossJoin(df.agg(sqrt(sum(col(c) * col(c))).as("__n")))
-        .select(others.map(col) :+ (col(c) / col("__n")).as(c): _*)
+        .select(others.toIndexedSeq.map(col) :+ (col(c) / col("__n")).as(c): _*)
     }
     (1 to iterations).foreach { i =>
       val prev = scores

@@ -232,6 +232,57 @@ object MultimodalOps {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height")))
   }
 
+  /** MPEG-1 Layer III bitrate table (kbps), indices 1-14; 0 is "free"
+    * and 15 forbidden. Samplerate table indices 0-2; 3 reserved.
+    */
+  private val Mp3Bitrates =
+    Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Samplerates = Seq(44100, 48000, 32000)
+
+  /** A REAL MPEG-1 Layer III frame header: 11-bit sync, version 11
+    * (MPEG-1), layer 01 (III), no CRC → bytes FF FB; byte 3 packs
+    * `bitrateIdx«4 | samplerateIdx«2 | padding«1`; byte 4 zero
+    * (stereo). `bitrateIdx` in [1,14], `samplerateIdx` in [0,2].
+    */
+  def encodeMp3Header(bitrateIdx: Column, samplerateIdx: Column,
+      padding: Column): Column =
+    to_binary(concat(lit("FFFB"),
+      lpad(hex(shiftleft(bitrateIdx, 4)
+        .bitwiseOR(shiftleft(samplerateIdx, 2))
+        .bitwiseOR(shiftleft(padding, 1)).cast("int")), 2, "0"),
+      lit("00")), lit("hex"))
+
+  /** REAL MP3 frame-header parser: checks the sync + MPEG-1/Layer-III
+    * bits, splits byte 3 into its bit fields, resolves bitrate and
+    * samplerate through the STANDARD's lookup tables (literal arrays —
+    * the table lookup is the point of the format), and derives the
+    * frame length by the spec's integer formula
+    * `144·bitrate·1000 ÷ samplerate + padding`. Free/forbidden bitrate
+    * indices and the reserved samplerate index → nulls. Returns
+    * `{format, bitrate_kbps, samplerate_hz, frame_bytes}`. Map-only
+    * over 4 bytes.
+    */
+  def mp3Meta(payload: Column): Column = {
+    val b3 = byteAt(payload, 3)
+    val brIdx = floor(b3 / 16).cast("int")
+    val srIdx = pmod(floor(b3 / 4).cast("int"), lit(4))
+    val pad = pmod(floor(b3 / 2).cast("int"), lit(2))
+    val brTable = array(Mp3Bitrates.map(lit): _*)
+    val srTable = array(Mp3Samplerates.map(lit): _*)
+    val ok = hex(substring(payload, 1, 2)) === "FFFB" &&
+      brIdx.between(1, 14) && srIdx.between(0, 2)
+    val br = element_at(brTable, brIdx)
+    val sr = element_at(srTable, srIdx + 1)
+    when(ok, struct(lit("mp3").as("format"),
+      br.as("bitrate_kbps"), sr.as("samplerate_hz"),
+      (floor((lit(144000L) * br) / sr).cast("int") + pad)
+        .as("frame_bytes")))
+      .otherwise(struct(lit("unknown").as("format"),
+        lit(null).cast("int").as("bitrate_kbps"),
+        lit(null).cast("int").as("samplerate_hz"),
+        lit(null).cast("int").as("frame_bytes")))
+  }
+
   private def be16hex(v: Column): Column = lpad(hex(v.cast("int")), 4, "0")
 
   /** A syntactically REAL JPEG/JFIF header: SOI, APP0 (JFIF 1.1), an

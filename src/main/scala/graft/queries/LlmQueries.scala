@@ -1319,6 +1319,49 @@ object LlmQueries extends QueryPack {
           |  CASE doc_id % 3 WHEN 1 THEN 25 ELSE 30 END AS n_bytes
           |FROM documents""".stripMargin)),
 
+    GraftQuery("m9_mp3_header",
+      // MP3 frame-header round-trip: sync/version/layer bits, packed
+      // byte-3 bit fields, and the STANDARD's bitrate/samplerate
+      // lookup tables, frame length by the spec's integer formula.
+      // Every 15th doc plants a free-bitrate header (idx 0) that must
+      // parse to nulls. Oracle pins the tables and formula closed-form.
+      (s, dir) => {
+        import graft.llm.MultimodalOps
+        val brIdx = when(col("doc_id") % 15 === 0, lit(0))
+          .otherwise((col("doc_id") % 14 + 1).cast("int"))
+        val srIdx = (col("doc_id") % 3).cast("int")
+        val pad = (col("doc_id") % 2).cast("int")
+        val payload = MultimodalOps.encodeMp3Header(brIdx, srIdx, pad)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), MultimodalOps.mp3Meta(payload).as("m"))
+          .select(col("doc_id"), col("m.format").as("format"),
+            col("m.bitrate_kbps").as("bitrate_kbps"),
+            col("m.samplerate_hz").as("samplerate_hz"),
+            col("m.frame_bytes").as("frame_bytes"))
+      },
+      oracle = Some(
+        """WITH params AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 15 = 0 THEN 0
+          |              ELSE (doc_id % 14 + 1)::INT END AS br_idx,
+          |         (doc_id % 3)::INT AS sr_idx,
+          |         (doc_id % 2)::INT AS pad
+          |  FROM documents),
+          |resolved AS (
+          |  SELECT doc_id, br_idx,
+          |         CASE WHEN br_idx BETWEEN 1 AND 14 THEN
+          |           ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[br_idx]
+          |         END AS br,
+          |         ([44100,48000,32000])[sr_idx + 1] AS sr, pad
+          |  FROM params)
+          |SELECT doc_id,
+          |       CASE WHEN br IS NULL THEN 'unknown' ELSE 'mp3' END AS format,
+          |       br::INT AS bitrate_kbps,
+          |       CASE WHEN br IS NULL THEN NULL ELSE sr END::INT AS samplerate_hz,
+          |       CASE WHEN br IS NULL THEN NULL
+          |            ELSE (144000 * br) // sr + pad END::INT AS frame_bytes
+          |FROM resolved""".stripMargin)),
+
     GraftQuery("m3_audio_header",
       // audio sibling of m2: real RIFF/WAVE PCM headers encoded from
       // deterministic stream parameters, parsed back from the bytes at

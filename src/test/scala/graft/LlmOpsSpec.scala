@@ -543,6 +543,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(parsed("junk")._1 == "unknown")
   }
 
+  test("mp3Meta parses hand-written frame headers; rejects free/forbidden indices") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 128 kbps (idx 9), 44100 Hz (idx 0), no padding:
+    // byte3 = 1001 00 0 0 = 0x90; frame = 144*128000/44100 = 417
+    val f128 = b(0xFF, 0xFB, 0x90, 0x00)
+    // 320 kbps (idx 14), 32000 Hz (idx 2), padding:
+    // byte3 = 1110 10 1 0 = 0xEA; frame = 144*320000/32000 + 1 = 1441
+    val f320 = b(0xFF, 0xFB, 0xEA, 0x00)
+    val free = b(0xFF, 0xFB, 0x00, 0x00)      // bitrate idx 0 = "free"
+    val forbidden = b(0xFF, 0xFB, 0xF0, 0x00) // bitrate idx 15
+    val reservedSr = b(0xFF, 0xFB, 0x9C, 0x00) // samplerate idx 3
+    val mpeg2 = b(0xFF, 0xF3, 0x90, 0x00)     // version bits != MPEG-1
+    val parsed = Seq(("f128", f128), ("f320", f320), ("free", free),
+        ("forbidden", forbidden), ("rsr", reservedSr), ("mpeg2", mpeg2))
+      .toDF("label", "payload")
+      .select($"label", graft.llm.MultimodalOps.mp3Meta($"payload").as("m"))
+      .select($"label", $"m.format", $"m.bitrate_kbps", $"m.frame_bytes")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(parsed("f128") == (("mp3", Some(128), Some(417))))
+    assert(parsed("f320") == (("mp3", Some(320), Some(1441))))
+    assert(parsed("free")._1 == "unknown")
+    assert(parsed("forbidden")._1 == "unknown")
+    assert(parsed("rsr")._1 == "unknown")
+    assert(parsed("mpeg2")._1 == "unknown")
+  }
+
   test("gzipMeta: hand-written member parses; trailer anchors at the end") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     // magic, deflate, no flags, mtime 0x5F000001 LE, xfl, os=unix(3),

@@ -644,6 +644,33 @@ object TextOps {
       .drop("__id")
   }
 
+  /** Code-vs-prose detection signals — the pretraining-corpus routing
+    * filter (code wants different tokenization, dedup, and mixture
+    * weights than prose). Four cheap structural signals:
+    * code-punctuation density (`{}();=[]<>`), programming-keyword
+    * hits (`\b`-anchored, RE2-portable), indented-line fraction, and
+    * line count — and an `is_code` verdict decided ENTIRELY by integer
+    * cross-multiplication (25·code_chars ≥ chars with ≥ 2 keywords, or
+    * ≥ half the lines indented with ≥ 1 keyword), never a float
+    * threshold. Appends `n_code_chars, n_keywords, n_indent_lines,
+    * n_lines, is_code`. Map-only scan.
+    */
+  def withCodeSignals(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df
+      .withColumn("n_code_chars", regexp_count(c, lit("[{}();=\\[\\]<>]")))
+      .withColumn("n_keywords", regexp_count(c, lit(
+        "\\b(def|class|import|return|function|var|const|void|elif|lambda)\\b")))
+      .withColumn("n_indent_lines",
+        regexp_count(c, lit("(?m)^(  |\\t)")))
+      .withColumn("n_lines",
+        size(split(c, "\n")))
+      .withColumn("is_code",
+        (col("n_code_chars") * 25 >= length(c) && col("n_keywords") >= 2) ||
+          (col("n_indent_lines") * 2 >= col("n_lines") &&
+            col("n_keywords") >= 1))
+  }
+
   /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): score every TEST
     * document's trigram positions against counts from a separate TRAIN

@@ -1598,6 +1598,45 @@ object LlmQueries extends QueryPack {
           |       sum(n_sylls)::BIGINT AS n_sylls
           |FROM f GROUP BY source""".stripMargin)),
 
+    GraftQuery("t25_code_detect",
+      // code-vs-prose routing filter: every 10th doc gets a planted
+      // code block (indented lines, keywords, brace/paren density) and
+      // must flag is_code; untouched word-salad prose must not. The
+      // verdict is pure integer cross-multiplication; the keyword and
+      // indent regexes stay in the RE2-portable subset ((?m) inline
+      // flag included).
+      (s, dir) => {
+        val planted = Tables.load(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(
+              "\ndef load(x):\n  return x + 1\n  import os\nclass T:\n  void f();")))
+            .otherwise(col("text")).as("text"))
+        TextOps.withCodeSignals(planted, "text")
+          .select(col("doc_id"), col("n_code_chars"), col("n_keywords"),
+            col("n_indent_lines"), col("n_lines"), col("is_code"))
+      },
+      oracle = Some(
+        """WITH planted AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 10 = 0 THEN text ||
+          |           chr(10) || 'def load(x):' ||
+          |           chr(10) || '  return x + 1' ||
+          |           chr(10) || '  import os' ||
+          |           chr(10) || 'class T:' ||
+          |           chr(10) || '  void f();'
+          |         ELSE text END AS text
+          |  FROM documents)
+          |SELECT doc_id,
+          |  len(regexp_extract_all(text, '[{}();=\[\]<>]'))::INT AS n_code_chars,
+          |  len(regexp_extract_all(text,
+          |      '\b(def|class|import|return|function|var|const|void|elif|lambda)\b'))::INT
+          |    AS n_keywords,
+          |  len(regexp_extract_all(text, '(?m)^(  |\t)'))::INT AS n_indent_lines,
+          |  len(string_split(text, chr(10)))::INT AS n_lines,
+          |  (n_code_chars * 25 >= length(text) AND n_keywords >= 2)
+          |    OR (n_indent_lines * 2 >= n_lines AND n_keywords >= 1) AS is_code
+          |FROM planted""".stripMargin)),
+
     GraftQuery("t19_gopher_rules",
       // Gopher quality gates (Rae et al. 2021) over planted document
       // structure: ' merge '→bullet line, ' scan '→plain line,

@@ -2164,6 +2164,44 @@ object CoreQueries extends QueryPack {
           |JOIN deg da ON da.n = cm.a
           |JOIN deg db ON db.n = cm.b""".stripMargin)),
 
+    GraftQuery("g15_degree_histogram",
+      // log2-bucketed degree distribution of the SPARSIFIED decade
+      // graph (every 4th event, like g9 — at full density the cliques
+      // complete and every degree is 9) — the power-law diagnostic that decides hub caps (g9/g13
+      // maxDegree) and skew salting. Buckets come from integer
+      // bit-length arithmetic (floor(log2(deg)) via repeated halving
+      // in SQL = length of the binary string minus one), all counts
+      // exact.
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .where(col("event_id") % 4 === 0)
+          .select(col("user_id").as("src"),
+            (col("user_id") - col("user_id") % 10 + col("event_id") % 10).as("dst"))
+          .where(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b")).distinct()
+        val deg = e.select(col("a").as("id")).union(e.select(col("b")))
+          .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        deg.groupBy((length(conv(col("deg"), 10, 2)) - 1).cast("long")
+            .as("log2_bucket"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      },
+      oracle = Some(
+        """WITH und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM (SELECT user_id AS src,
+          |               user_id - user_id % 10 + event_id % 10 AS dst
+          |        FROM events WHERE event_id % 4 = 0) e
+          |  WHERE src <> dst),
+          |deg AS (
+          |  SELECT id, count(*) AS deg
+          |  FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) n
+          |  GROUP BY id)
+          |SELECT (length(bin(deg)) - 1)::BIGINT AS log2_bucket,
+          |       count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+          |FROM deg GROUP BY 1""".stripMargin)),
+
     GraftQuery("g14_reciprocity",
       // directed-graph reciprocity: the fraction of distinct directed
       // decade-link edges whose reverse edge also exists — the classic

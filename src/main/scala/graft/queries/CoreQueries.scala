@@ -1569,6 +1569,79 @@ object CoreQueries extends QueryPack {
           |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
           |    AND (b.cents < a.cents OR b.p_size > a.p_size))""".stripMargin)),
 
+    GraftQuery("w14_cumulative_share",
+      // running share of group total per user within each event type
+      // (the "how many users cover 80% of revenue" curve, grouped):
+      // per-user cents ranked desc, cumulative sum over the group
+      // window, share = cum/total — both exact longs until the final
+      // division. The window runs over the per-user AGGREGATED
+      // relation (users × types), not events.
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents").desc, col("user_id"))
+        perUser
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum", sum(col("cents")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("cents")).over(
+            Window.partitionBy(col("event_type"))))
+          .select(col("event_type"), col("user_id"), col("cents"),
+            col("rank"), round(col("cum") / col("total").cast("double"), 6)
+              .as("cum_share"))
+      },
+      oracle = Some(
+        """WITH per_user AS (
+          |  SELECT event_type, user_id,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, user_id, cents,
+          |       CAST(row_number() OVER w AS INT) AS rank,
+          |       round(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING)::DOUBLE /
+          |             sum(cents) OVER (PARTITION BY event_type), 6)
+          |         AS cum_share
+          |FROM per_user
+          |WINDOW w AS (PARTITION BY event_type
+          |             ORDER BY cents DESC, user_id)""".stripMargin)),
+
+    GraftQuery("a52_interarrival_quartiles",
+      // inter-arrival time quartiles per event type: consecutive-event
+      // gaps in exact integer MICROS (lead over (ts, event_id)), then
+      // the exact-binary-fraction quartile trick from a43 — the
+      // latency-distribution companion to a39's modal cadence.
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+          .where(col("gap_us").isNotNull)
+        gaps.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_us, 0.25D)").as("p25_us"),
+            expr("percentile(gap_us, 0.5D)").as("p50_us"),
+            expr("percentile(gap_us, 0.75D)").as("p75_us"),
+            max(col("gap_us")).as("max_us"))
+      },
+      oracle = Some(
+        """WITH e AS (
+          |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events),
+          |gaps AS (
+          |  SELECT event_type,
+          |         lead(us) OVER (PARTITION BY event_type
+          |                        ORDER BY us, event_id) - us AS gap_us
+          |  FROM e)
+          |SELECT event_type, count(*) AS n_gaps,
+          |       quantile_cont(gap_us, 0.25) AS p25_us,
+          |       quantile_cont(gap_us, 0.5) AS p50_us,
+          |       quantile_cont(gap_us, 0.75) AS p75_us,
+          |       max(gap_us) AS max_us
+          |FROM gaps WHERE gap_us IS NOT NULL
+          |GROUP BY 1""".stripMargin)),
+
     GraftQuery("a51_wow_growth",
       // week-over-week growth per event type: lag on weekly cent
       // totals, growth as one exact integer fraction (NULL on a zero

@@ -135,4 +135,29 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .as[Double].collect()
     assert(math.abs(s(0) - 1.0) < 1e-12)
   }
+
+  test("radiusSearch: threshold inclusive, self excluded, empty result well-formed") {
+    import graft.llm.SimOps
+    // unit vectors at 0°, 60°, 90°, 180° from the x axis: cosines to
+    // the 0° probe are exactly representable (0.5 via sqrt(3)/2 is
+    // not, but the DOT product is computed from these literals
+    // identically on both paths, so the comparisons are stable)
+    val s3 = math.sqrt(3) / 2
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, s3.toFloat)),   // ~60° → cos ≈ 0.5
+      (2L, Array(0.0f, 1.0f)),         // 90° → cos 0
+      (3L, Array(-1.0f, 0.0f)))        // 180° → cos -1
+      .toDF("vec_id", "embedding")
+    val probe = corpus.where($"vec_id" === 0L)
+    val got = SimOps.radiusSearch(corpus, probe, minSim = 0.49)
+      .as[(Long, Long, Double)].collect().map(r => r._2 -> r._3).toMap
+    // neighbor 1 is inside the radius, 2 and 3 outside, self excluded
+    assert(got.keySet == Set(1L))
+    assert(math.abs(got(1L) - 0.5) < 1e-6)
+    // a radius nothing satisfies returns empty, not an error
+    assert(SimOps.radiusSearch(corpus, probe, minSim = 0.99).count() == 0)
+    // minSim = -1 returns the whole corpus minus self
+    assert(SimOps.radiusSearch(corpus, probe, minSim = -1.0).count() == 3)
+  }
 }

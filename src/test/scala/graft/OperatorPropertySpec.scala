@@ -220,4 +220,43 @@ class OperatorPropertySpec extends AnyFunSuite {
       .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
     assert(fps(100L).intersect(fps(101L)).nonEmpty)
   }
+
+  test("winnowedOverlap matches brute-force pair statistics under the df cap") {
+    import graft.llm.DedupOps
+    val rnd = new Random(99)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "merge", "spark")
+    val docs = (1L to 40L).map { i =>
+      (i, (1 to 12 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // reference: fingerprint sets from the already-parity-checked
+    // operator, then dumb set arithmetic with the df cap
+    val fps = DedupOps.winnowedFingerprints(
+        docs.toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    val dfCount = fps.values.toSeq.flatten.groupBy(identity).map {
+      case (f, xs) => f -> xs.size
+    }
+    def want(maxDf: Int, minShared: Long) = {
+      val rare = dfCount.filter(_._2 <= maxDf).keySet
+      (for {
+        a <- fps.keys.toSeq.sorted; b <- fps.keys.toSeq.sorted if a < b
+        shared = fps(a).intersect(fps(b)).intersect(rare).size
+        if shared >= minShared
+      } yield (a, b) -> ((shared.toLong, math.rint(
+        shared.toDouble / math.min(fps(a).size, fps(b).size) * 1e6) / 1e6)))
+        .toMap
+    }
+    def got(maxDf: Int, minShared: Long) =
+      DedupOps.winnowedOverlap(docs.toDF("doc_id", "text"), "text",
+          "doc_id", maxDf = maxDf, minShared = minShared)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // uncapped: the tiny-vocab corpus shares plenty of fingerprints
+    val wUncapped = want(1000, 3L)
+    assert(wUncapped.nonEmpty && got(1000, 3L) == wUncapped)
+    // a binding cap must agree too (here it prunes the hot boilerplate
+    // fingerprints and most pairs with them)
+    assert(got(8, 1L) == want(8, 1L))
+  }
 }

@@ -1569,6 +1569,41 @@ object CoreQueries extends QueryPack {
           |  WHERE b.cents <= a.cents AND b.p_size >= a.p_size
           |    AND (b.cents < a.cents OR b.p_size > a.p_size))""".stripMargin)),
 
+    GraftQuery("a53_hhi_concentration",
+      // Herfindahl-Hirschman concentration of user revenue per event
+      // type: HHI = Σ shareᵢ² = Σ centsᵢ² / (Σ centsᵢ)² — both sums
+      // exact integers, one final division (the market-concentration
+      // companion to a40's Gini; HHI is the antitrust-standard form).
+      // Also the effective number of users 1/HHI.
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        perUser.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("cents")).as("__s"),
+            sum(col("cents") * col("cents")).as("__sq"))
+          .select(col("event_type"), col("n_users"),
+            round(col("__sq").cast("double") /
+              (col("__s").cast("double") * col("__s")), 6).as("hhi"),
+            round((col("__s").cast("double") * col("__s")) /
+              col("__sq"), 6).as("effective_users"))
+      },
+      oracle = Some(
+        """WITH per_user AS (
+          |  SELECT event_type, user_id,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY 1, 2),
+          |a AS (
+          |  SELECT event_type, count(*) AS n_users,
+          |         sum(cents)::BIGINT AS s,
+          |         sum(cents * cents)::BIGINT AS sq
+          |  FROM per_user GROUP BY 1)
+          |SELECT event_type, n_users,
+          |       round(sq::DOUBLE / (s::DOUBLE * s), 6) AS hhi,
+          |       round((s::DOUBLE * s) / sq, 6) AS effective_users
+          |FROM a""".stripMargin)),
+
     GraftQuery("w14_cumulative_share",
       // running share of group total per user within each event type
       // (the "how many users cover 80% of revenue" curve, grouped):

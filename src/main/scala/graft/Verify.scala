@@ -22,6 +22,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // start marker so engine WARNs (codegen fallback, broadcast
+      // timeouts…) in the interleaved log attribute to a query
+      System.err.println(s"[verify-start] $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

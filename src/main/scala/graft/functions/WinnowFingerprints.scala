@@ -82,17 +82,31 @@ object WinnowFingerprints {
 
   /** The fused loop (also the codegen target — a static call per row). */
   def compute(s: UTF8String, k: Int, window: Int): ArrayData = {
-    // character semantics to match Column.substr on the composed path;
-    // normalized text is [a-z0-9 ], so chars = bytes, but don't rely on it
+    // CODE-POINT semantics to match Column.substr/length on the composed
+    // path: Spark counts code points, Java String counts UTF-16 units,
+    // and the function is SQL-registered for arbitrary input — a
+    // supplementary-plane character must not split a gram differently
+    // here than in the composed reference. (Normalized internal text is
+    // ASCII, where the two coincide — but don't rely on it.)
     val t = s.toString
-    val n = t.length
-    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val nChars = t.length
+    // offsets(i) = UTF-16 index where code point i starts
+    val offsets = new Array[Int](nChars + 1)
+    var ncp = 0
+    var ci = 0
+    while (ci < nChars) {
+      offsets(ncp) = ci
+      ci += Character.charCount(t.codePointAt(ci))
+      ncp += 1
+    }
+    offsets(ncp) = nChars
+    if (ncp < k) return new GenericArrayData(Array.empty[Long])
     val md = mdPool.get()
-    val grams = new Array[Long](n - k + 1)
+    val grams = new Array[Long](ncp - k + 1)
     var i = 0
-    while (i <= n - k) {
+    while (i <= ncp - k) {
       md.reset()
-      val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+      val d = md.digest(t.substring(offsets(i), offsets(i + k)).getBytes("UTF-8"))
       grams(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       i += 1

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Declarative data-quality audits over warehouse relations — the
   * dbt-test / Deequ-style checks a pipeline runs before promoting a
@@ -42,11 +43,29 @@ object QualityOps {
   def fkOrphans(relations: Seq[FkRelation]): DataFrame = {
     require(relations.nonEmpty, "fkOrphans needs at least one relation")
     relations.map { r =>
-      val child = r.child
-        .select(col(r.childKey).cast("long").as("__k"))
-        .where(col("__k").isNotNull)
-      val parent = r.parent
-        .select(col(r.parentKey).cast("long").as("__k"))
+      // Compare keys in their NATIVE type: a silent cast-to-long would
+      // turn string/UUID keys into NULL and exclude them from the audit
+      // entirely (an all-clean report over zero checked rows). Equal
+      // types join as-is; two integral types widen losslessly to long;
+      // anything else is a declaration error the caller must resolve by
+      // casting explicitly — fail loud, never silently skip.
+      val ct = r.child.schema(r.childKey).dataType
+      val pt = r.parent.schema(r.parentKey).dataType
+      def integral(t: DataType) =
+        t == ByteType || t == ShortType || t == IntegerType || t == LongType
+      val keyType: Option[DataType] = (ct, pt) match {
+        case (a, b) if a == b => None
+        case (a, b) if integral(a) && integral(b) => Some(LongType)
+        case _ => throw new IllegalArgumentException(
+          s"fkOrphans(${r.name}): key types $ct vs $pt are not directly " +
+            "comparable — cast one side explicitly before declaring the relation")
+      }
+      def key(df: DataFrame, c: String) = keyType match {
+        case Some(t) => df.select(col(c).cast(t).as("__k"))
+        case None => df.select(col(c).as("__k"))
+      }
+      val child = key(r.child, r.childKey).where(col("__k").isNotNull)
+      val parent = key(r.parent, r.parentKey)
         .where(col("__k").isNotNull)
         .distinct()
         .withColumn("__hit", lit(1))

@@ -268,6 +268,11 @@ object TemporalOps {
     * general; feed integer-valued doubles (e.g. cents) and every
     * partial sum is exact, making μ — and the whole fold — bit-equal
     * across engines and partitionings.
+    *
+    * The unbounded-stream analog carries the fold accumulator per key
+    * in a state store with μ as config (a stream cannot see its own
+    * future mean): [[graft.streaming.StreamOps.cusumStream]], spec-
+    * pinned to agree with this operator bit-for-bit given the same μ.
     */
   def cusumChangepoints(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valueCol: String,

@@ -1697,7 +1697,7 @@ object CoreQueries extends QueryPack {
       },
       oracle = Some(
         """WITH weekly AS (
-          |  SELECT event_type, epoch(ts)::BIGINT // 604800 AS wk,
+          |  SELECT event_type, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk,
           |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
           |  FROM events GROUP BY 1, 2),
           |lagged AS (
@@ -1787,24 +1787,30 @@ object CoreQueries extends QueryPack {
           .agg(count(lit(1)).as("m"), sum(col("y")).as("sg"))
         val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("st"),
           sum(col("y") * col("y")).as("sqt"))
-        // SS_total = Σy² − (Σy)²/n ; SS_between = Σ_g (Σ_g y)²/m_g − (Σy)²/n
-        // multiply through by n·Πm? — instead: keep each term an exact
-        // integer RATIO pair: between/total = (n·Σ_g sg²/m_g − st²) /
-        // (n·sqt − st²); Σ_g sg²/m_g is rational — use per-group exact
-        // double sg²/m_g? sg² can exceed 2^53. Scale instead by common
-        // denominator: compare via double on values < 2^53 after
-        // dividing cents by 100 (whole dollars keeps magnitudes safe).
+        // SS_total = Σy² − (Σy)²/n ; SS_between = Σ_g (Σ_g y)²/m_g − (Σy)²/n.
+        // eta² is scale-invariant, so the squared terms use DOLLARS
+        // (cents/100) to pull magnitudes 4 orders below the cents
+        // version before any double multiply; and the Σ over the ≤7
+        // dow groups is SEVEN EXPLICIT TERMS added left-to-right (one
+        // conditional agg per dow — each sums exactly one row — then a
+        // literal addition chain), so both engines execute the same
+        // IEEE op sequence: no partition-order summation wobble can
+        // land the ratio on a round-to-6 boundary. The integer Σs
+        // (m, sg, st, sqt, n) stay exact longs up to this final step.
+        val terms = (1 to 7).map(d =>
+          sum(when(col("dow") === d,
+            (col("sg") / lit(100.0)) * (col("sg") / lit(100.0)) / col("m")))
+            .as(s"t$d"))
+        val sb = (1 to 7).map(d => coalesce(col(s"t$d"), lit(0.0)))
+          .reduceLeft(_ + _)
+        val stD = col("st") / lit(100.0)
         g.crossJoin(broadcast(tot))
-          .select(col("dow"), col("m"), col("sg"), col("n"), col("st"),
-            col("sqt"))
           .groupBy(col("n"), col("st"), col("sqt"))
-          .agg(sum(col("sg").cast("double") * col("sg") / col("m"))
-            .as("sb"))
+          .agg(terms.head, terms.tail: _*)
           .select(
-            round((lit(1.0) * col("n") * col("sb") -
-              col("st").cast("double") * col("st")) /
-              (lit(1.0) * col("n") * col("sqt") -
-                col("st").cast("double") * col("st")), 6).as("eta_sq"),
+            round((lit(1.0) * col("n") * sb - stD * stD) /
+              (lit(1.0) * col("n") * (col("sqt") / lit(10000.0)) -
+                stD * stD), 6).as("eta_sq"),
             col("n").as("n_days"))
       },
       oracle = Some(
@@ -1817,9 +1823,25 @@ object CoreQueries extends QueryPack {
           |g AS (SELECT dow0, count(*) AS m, sum(y)::BIGINT AS sg FROM d2 GROUP BY 1),
           |tot AS (SELECT count(*) AS n, sum(y)::BIGINT AS st,
           |               sum(y * y)::BIGINT AS sqt FROM d2),
-          |sb AS (SELECT sum(sg::DOUBLE * sg / m) AS sb FROM g)
-          |SELECT round((1.0 * n * sb - st::DOUBLE * st) /
-          |             (1.0 * n * sqt - st::DOUBLE * st), 6) AS eta_sq,
+          |-- one term per dow (DuckDB dayofweek is 0..6, Sunday=0 — the
+          |-- engine's Spark dayofweek d maps to dow0 = d-1), summed in
+          |-- a FIXED left-to-right order to mirror the engine exactly
+          |sb AS (SELECT
+          |  sum(CASE WHEN dow0 = 0 THEN (sg/100.0)*(sg/100.0)/m END) AS t1,
+          |  sum(CASE WHEN dow0 = 1 THEN (sg/100.0)*(sg/100.0)/m END) AS t2,
+          |  sum(CASE WHEN dow0 = 2 THEN (sg/100.0)*(sg/100.0)/m END) AS t3,
+          |  sum(CASE WHEN dow0 = 3 THEN (sg/100.0)*(sg/100.0)/m END) AS t4,
+          |  sum(CASE WHEN dow0 = 4 THEN (sg/100.0)*(sg/100.0)/m END) AS t5,
+          |  sum(CASE WHEN dow0 = 5 THEN (sg/100.0)*(sg/100.0)/m END) AS t6,
+          |  sum(CASE WHEN dow0 = 6 THEN (sg/100.0)*(sg/100.0)/m END) AS t7
+          |  FROM g)
+          |SELECT round((1.0 * n * (coalesce(t1, 0.0) + coalesce(t2, 0.0)
+          |               + coalesce(t3, 0.0) + coalesce(t4, 0.0)
+          |               + coalesce(t5, 0.0) + coalesce(t6, 0.0)
+          |               + coalesce(t7, 0.0))
+          |              - (st/100.0) * (st/100.0)) /
+          |             (1.0 * n * (sqt/10000.0)
+          |              - (st/100.0) * (st/100.0)), 6) AS eta_sq,
           |       n AS n_days
           |FROM tot, sb""".stripMargin)),
 

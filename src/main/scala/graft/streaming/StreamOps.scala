@@ -334,6 +334,92 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Input row for [[cusumStream]]: key + event-time micros + tiebreak
+    * + observed value.
+    */
+  final case class CusumEvent(key: String, eventUs: Long, tie: Long, x: Double)
+
+  /** Running CUSUM summary emitted per touched key per batch by
+    * [[cusumStream]] — same fields as the batch operator's output row.
+    */
+  final case class CusumSummary(key: String, nObs: Long, maxPos: Double,
+      maxNeg: Double, nAlarms: Long, firstAlarm: Option[Long])
+
+  private final case class CusumAcc(sp: Double, sn: Double, mp: Double,
+      mn: Double, al: Long, fa: Long, i: Long) // fa == 0 ⇒ no alarm yet
+
+  /** The [[cusumStream]] state machine: the whole fold accumulator
+    * (s⁺, s⁻, their maxima, alarm count, first-alarm index, row index)
+    * is ONE ValueState row per key. Within a batch rows sort by
+    * `(eventUs, tie)` — the same scan order as the batch operator — and
+    * the accumulator carries across micro-batches, so a drift building
+    * up over many batches alarms exactly when the batch fold would.
+    * The arithmetic reproduces `TemporalOps.cusumChangepoints`'s op
+    * order exactly (`(x − μ) − slack`, then the max-with-0 reflection),
+    * so on integer-valued doubles the two are bit-equal.
+    */
+  private final class CusumProcessor(means: Map[String, Double],
+      defaultMean: Double, slack: Double, threshold: Double)
+      extends StatefulProcessor[String, CusumEvent, CusumSummary] {
+    @transient private var acc: ValueState[CusumAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[CusumAcc](
+        "cusum", Encoders.product[CusumAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CusumEvent],
+        timerValues: TimerValues): Iterator[CusumSummary] = {
+      val mu = means.getOrElse(key, defaultMean)
+      var a =
+        if (acc.exists()) acc.get()
+        else CusumAcc(0.0, 0.0, 0.0, 0.0, 0L, 0L, 0L)
+      rows.toSeq.sortBy(r => (r.eventUs, r.tie)).foreach { r =>
+        val i = a.i + 1
+        val sp = math.max(0.0, a.sp + (r.x - mu - slack))
+        val sn = math.max(0.0, a.sn + (mu - r.x - slack))
+        val alarm = sp > threshold || sn > threshold
+        a = CusumAcc(sp, sn, math.max(a.mp, sp), math.max(a.mn, sn),
+          a.al + (if (alarm) 1L else 0L),
+          if (a.fa != 0L) a.fa else if (alarm) i else 0L, i)
+      }
+      acc.update(a)
+      Iterator.single(CusumSummary(key, a.i, a.mp, a.mn, a.al,
+        if (a.fa == 0L) None else Some(a.fa)))
+    }
+  }
+
+  /** Streaming two-sided CUSUM drift detection — the unbounded-stream
+    * analog of `TemporalOps.cusumChangepoints` (a29). The batch
+    * operator derives μ from each key's own full series; a stream
+    * cannot see its future, so the in-control mean is CONFIG here —
+    * `targetMeans` maps each monitored key to its control target
+    * (monitored entities are a bounded config set, driver-side map by
+    * contract), `defaultMean` covers unmapped keys. Feeding the batch
+    * operator's own μ reproduces its result exactly (spec-pinned).
+    * Emits the refreshed per-key summary for every key a batch touches
+    * (Update mode — downstream sinks upsert on `key`). State is one
+    * fixed-width accumulator per key, independent of stream length.
+    * Requires the RocksDB state store provider.
+    */
+  def cusumStream(stream: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, slack: Double, threshold: Double,
+      targetMeans: Map[String, Double], defaultMean: Double = 0.0)
+      : Dataset[CusumSummary] = {
+    require(slack >= 0, s"slack must be >= 0: $slack")
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    implicit val enc: Encoder[CusumEvent] = Encoders.product[CusumEvent]
+    implicit val outEnc: Encoder[CusumSummary] = Encoders.product[CusumSummary]
+    stream.select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("eventUs"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[CusumEvent]
+      .groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(
+        new CusumProcessor(targetMeans, defaultMean, slack, threshold),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-key running count/sum/min/max across micro-batches — the
     * incremental per-entity profile an ingest pipeline keeps (rows seen
     * per user, running spend, outlier bounds) without re-aggregating

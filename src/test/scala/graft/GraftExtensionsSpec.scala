@@ -94,4 +94,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal")
       || err.getMessage.contains("winnow_fingerprints"))
   }
+
+  test("winnow_fingerprints counts CODE POINTS: supplementary-plane input matches substr gram boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 3; val w = 2
+    // emoji are 2 UTF-16 units but 1 code point — the SQL function must
+    // slice grams exactly like Column.substr (code points), not Java chars
+    val raw = "a😀b😁cde😂fg"
+    val df = Seq(raw).toDF("t")
+    def hash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 8), 16, 10)
+        .cast("long")
+    val grams = df.select(transform(
+        sequence(lit(1), length($"t") - (k - 1)),
+        i => hash($"t".substr(i, lit(k)))).as("g"))
+      .as[Seq[Long]].head()
+    val want =
+      (if (grams.size < w) Seq(grams.min)
+       else grams.sliding(w).map(_.min).toSeq).distinct
+    val got = df
+      .select(graft.functions.WinnowFingerprints($"t", k, w).as("f"))
+      .as[Seq[Long]].head()
+    assert(got == want)
+    // and via the SQL registration too
+    df.createOrReplaceTempView("wf_sp")
+    val sqlF = spark.sql(s"SELECT winnow_fingerprints(t, $k, $w) AS f FROM wf_sp")
+      .as[Seq[Long]].head()
+    assert(sqlF == want)
+  }
 }

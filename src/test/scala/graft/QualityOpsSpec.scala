@@ -41,4 +41,29 @@ class QualityOpsSpec extends AnyFunSuite {
     // parent reduces to DISTINCT keys first: 2 checked, 1 orphan (6)
     assert(got == (("r", 2L, 1L, 1L)))
   }
+
+  test("fkOrphans: string/UUID keys audit in native type (no silent cast-to-null)") {
+    val child = Seq("u-1", "u-1", "u-9", "not-a-number").toDF("fk")
+    val parent = Seq("u-1", "u-2").toDF("pk")
+    val got = QualityOps.fkOrphans(Seq(
+      FkRelation("r", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().head
+    // all 4 string keys are CHECKED; "u-9" and "not-a-number" orphan
+    assert(got == (("r", 4L, 2L, 2L)))
+  }
+
+  test("fkOrphans: integral widths widen losslessly; incompatible types fail loud") {
+    val childI = Seq(1, 2, 7).toDF("fk") // int child vs long parent
+    val parentL = Seq(1L, 2L).toDF("pk")
+    val got = QualityOps.fkOrphans(Seq(
+      FkRelation("r", childI, "fk", parentL, "pk")))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("r", 3L, 1L, 1L)))
+    // string child vs long parent: a declaration error, not a silent skip
+    val childS = Seq("1").toDF("fk")
+    val e = intercept[IllegalArgumentException] {
+      QualityOps.fkOrphans(Seq(FkRelation("bad", childS, "fk", parentL, "pk")))
+    }
+    assert(e.getMessage.contains("bad"))
+  }
 }

@@ -381,6 +381,64 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("cusumStream: fold state carries across batches and matches the batch operator exactly") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // integer-valued doubles → every partial sum exact → batch μ and
+      // both folds are bit-equal (the operators' documented contract)
+      val b1 = Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("b", 1L, 5.0))
+      val b2 = Seq(("a", 3L, 30.0), ("a", 4L, 30.0), ("b", 2L, 5.0),
+        ("b", 3L, 50.0), ("b", 4L, 5.0))
+      val all = b1 ++ b2
+      // the stream's in-control mean is config; feed it the batch
+      // operator's own μ = Σx/n so the two must agree bit-for-bit
+      val mus = all.groupBy(_._1).map { case (k, xs) =>
+        k -> xs.map(_._3).sum / xs.size
+      }
+      val input = MemoryStream[(String, Long, Double)](spark)
+      val df = input.toDF().toDF("k", "id", "x")
+        .select($"k", timestamp_micros($"id" * 1000000L).as("ts"),
+          $"id", $"x")
+      val q = StreamOps.cusumStream(df, "k", "ts", "id", "x",
+          slack = 1.0, threshold = 15.0, targetMeans = mus)
+        .writeStream.format("memory").queryName("cusum")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*)
+        q.processAllAvailable()
+        input.addData(b2: _*)
+        q.processAllAvailable()
+        // Update mode re-emits per batch: last emission per key (max
+        // nObs) is the carried accumulator — drift built across the
+        // batch BOUNDARY must alarm exactly as the single batch fold
+        val rows = spark.table("cusum")
+          .select($"key", $"nObs", $"maxPos", $"maxNeg", $"nAlarms",
+            $"firstAlarm")
+          .as[(String, Long, Double, Double, Long, Option[Long])]
+          .collect()
+        val last = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+        val batch = graft.operators.TemporalOps.cusumChangepoints(
+            all.toDF("k", "id", "x")
+              .select($"k", timestamp_micros($"id" * 1000000L).as("ts"),
+                $"id", $"x"),
+            "k", "ts", "id", "x", slack = 1.0, threshold = 15.0)
+          .select($"k", $"n_obs", $"max_pos", $"max_neg", $"n_alarms",
+            $"first_alarm")
+          .as[(String, Long, Double, Double, Long, Option[Long])]
+          .collect().map(r => r._1 -> r).toMap
+        assert(last.keySet == batch.keySet)
+        last.foreach { case (k, got) =>
+          assert(got == batch(k), s"key $k: stream $got != batch ${batch(k)}")
+        }
+        // and the drift genuinely alarmed (the test isn't vacuous)
+        assert(last("a")._5 > 0, s"'a' never alarmed: ${last("a")}")
+        // intermediate emission existed for batch 1 (state was live)
+        assert(rows.exists(r => r._1 == "a" && r._2 == 2L))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("leaderboard: totals accumulate in MapState, ranks refresh per batch") {
     import graft.streaming.StreamOps.ScoreEvent
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",

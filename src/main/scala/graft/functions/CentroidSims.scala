@@ -65,6 +65,18 @@ object CentroidSims {
     Bridge.column(CentroidSims(
       Bridge.expression(vec.cast("array<double>")), centroids))
 
+  /** SQL builder: `centroid_sims(vec, array(array(…), …))` — constant
+    * centroid matrix folded at resolution; vec casts like the Column
+    * API.
+    */
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "centroid_sims takes (vec, centroids)")
+    CentroidSims(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, ArrayType(DoubleType)),
+      ConstArgs.matrix(args(1), "centroid_sims centroids"))
+  }
+
   /** The fused loop (also the codegen target). Same per-cell
     * accumulation order as [[CosineSimilarity]]/[[NearestCentroid]].
     */

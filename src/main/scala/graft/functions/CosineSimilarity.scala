@@ -141,6 +141,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
       WinnowFingerprints.builder))
+    // ANN primitives: constant centroid matrices / codebooks / shape
+    // counts fold at resolution (ConstArgs) and ride into codegen as
+    // reference objects — SQL users get the same fused loops as the
+    // Column API
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      NearestCentroid.builder))
+    ext.injectFunction((
+      FunctionIdentifier("centroid_sims"),
+      new ExpressionInfo(classOf[CentroidSims].getName, "centroid_sims"),
+      CentroidSims.builder))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      PqEncode.builder))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+      HyperplaneBuckets.builder))
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)

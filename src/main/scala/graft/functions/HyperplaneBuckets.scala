@@ -55,6 +55,20 @@ object HyperplaneBuckets {
   def apply(vec: Column, numPlanes: Int, numTables: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(vec), numPlanes, numTables))
 
+  /** SQL builder: `hyperplane_buckets(vec, numPlanes, numTables)` —
+    * shape parameters must be integer literals; vec casts to
+    * `ARRAY<DOUBLE>`.
+    */
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      "hyperplane_buckets takes (vec, numPlanes, numTables)")
+    HyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, ArrayType(DoubleType)),
+      ConstArgs.intLit(args(1), "hyperplane_buckets numPlanes"),
+      ConstArgs.intLit(args(2), "hyperplane_buckets numTables"))
+  }
+
   private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 

@@ -80,6 +80,19 @@ object NearestCentroid {
     Bridge.column(NearestCentroid(
       Bridge.expression(vec.cast("array<double>")), centroids))
 
+  /** SQL builder: `nearest_centroid(vec, array(array(…), …))` — the
+    * centroid matrix must be a constant array literal (it shapes the
+    * expression; [[ConstArgs.matrix]] folds it at resolution). The
+    * vector argument casts to `ARRAY<DOUBLE>` like the Column API.
+    */
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "nearest_centroid takes (vec, centroids)")
+    NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, ArrayType(DoubleType)),
+      ConstArgs.matrix(args(1), "nearest_centroid centroids"))
+  }
+
   /** The fused loop (also the codegen target — a static call per row).
     * Returns null for ragged lengths or null elements — the same
     * poisoning the staged per-cell cosines produce.

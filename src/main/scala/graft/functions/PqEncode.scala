@@ -68,6 +68,18 @@ object PqEncode {
   def apply(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(vec), books))
 
+  /** SQL builder: `pq_encode(vec, array(array(array(…))))` — the
+    * codebook (subspace → centroid → dims) must be a constant array
+    * literal, folded at resolution; vec casts to `ARRAY<DOUBLE>`.
+    */
+  private[functions] val builder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, "pq_encode takes (vec, codebooks)")
+    PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        args.head, ArrayType(DoubleType)),
+      ConstArgs.cube(args(1), "pq_encode codebooks"))
+  }
+
   /** The fused loop (also the codegen target — a static call per row).
     * `books(j)(c)(i)` = dimension `i` of centroid `c` in subspace `j`;
     * subspace `j` covers vector dims `[j·subDim, (j+1)·subDim)`.

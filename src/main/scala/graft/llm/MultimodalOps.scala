@@ -381,8 +381,25 @@ object MultimodalOps {
     * is a bounded `coalesce` over `maxEntries` independent probes.
     * Returns `{format, byte_order, width, height}`, nulls for
     * non-TIFF. Map-only over the payload's first bytes.
+    *
+    * Backed by the native [[graft.functions.TiffMeta]] expression: the
+    * composed Column form below re-derives the endianness branch and
+    * IFD pointer inside every tag probe and its single generated method
+    * exceeds janino's 64 KB limit at the default `maxEntries` — janino
+    * then drops the WHOLE project stage to interpreted evaluation
+    * (observed in the m6 sf0.1 sweep). The composed form stays as
+    * [[tiffMetaComposed]], the bit-parity reference.
     */
-  def tiffMeta(payload: Column, maxEntries: Int = 6): Column = {
+  def tiffMeta(payload: Column, maxEntries: Int = 6): Column =
+    graft.functions.TiffMeta(payload, maxEntries)
+
+  /** The composed-Column TIFF walk [[tiffMeta]] replaced — kept as the
+    * parity reference ([[graft.functions.TiffMeta]] must match it
+    * bit-for-bit, including out-of-bounds-null, negative-offset
+    * read-from-end, and cast-wrap semantics; spec-pinned on
+    * hand-written, encoder-built, and random payloads).
+    */
+  def tiffMetaComposed(payload: Column, maxEntries: Int = 6): Column = {
     def bAt(off: Column) =
       conv(hex(substring(payload, off, lit(1))), 16, 10).cast("long")
     val le = hex(substring(payload, 1, 2)) === "4949"
@@ -395,7 +412,14 @@ object MultimodalOps {
       .otherwise(bAt(off) * 16777216 + bAt(off + 1) * 65536 +
         bAt(off + 2) * 256 + bAt(off + 3))
     val magicOk = isTiff && u16e(lit(3)) === 42
-    val ifd = (u32e(lit(5)) + 1).cast("int")
+    // bound the pointer BEFORE the int cast: under ANSI mode (Spark 4's
+    // default) a garbage 32-bit pointer would throw CAST_OVERFLOW and
+    // kill the whole query on ONE corrupt file, and every probe offset
+    // must stay inside int range; out-of-range pointers are corrupt
+    // files → null ifd poisons every probe → unknown (fuzz-found)
+    val ifdMax = lit((Int.MaxValue - 12 * maxEntries - 2).toLong)
+    val ifdPtr = u32e(lit(5))
+    val ifd = when(ifdPtr + 1 <= ifdMax, (ifdPtr + 1).cast("int"))
     val cnt = u16e(ifd)
     def tagVal(tag: Int): Column = coalesce((0 until maxEntries).map { i =>
       val pos = ifd + lit(2 + 12 * i)
@@ -403,7 +427,10 @@ object MultimodalOps {
     }: _*)
     val width = tagVal(256)
     val height = tagVal(257)
-    when(magicOk && width.isNotNull && height.isNotNull, struct(
+    // dims past int range are corrupt too (same ANSI cast hazard)
+    val dimMax = lit(Int.MaxValue.toLong)
+    when(magicOk && width.isNotNull && height.isNotNull &&
+        width <= dimMax && height <= dimMax, struct(
       lit("tiff").as("format"),
       when(le, lit("II")).otherwise(lit("MM")).as("byte_order"),
       width.cast("int").as("width"), height.cast("int").as("height")))

@@ -1143,6 +1143,50 @@ object SimOps {
       .write.mode("append").partitionBy("cell").parquet(s"$root/cells")
   }
 
+  /** Re-partition a persisted IVF index under NEW centroids — the
+    * maintenance [[appendToIvfIndex]] alone cannot provide: appends
+    * assign against the build-time centroids forever, so after a
+    * distribution-shifted corpus grows the frozen centroids stop
+    * tracking the data and recall decays silently. Pass centroids
+    * trained on the CURRENT contents (e.g. [[kMeansCentroids]] over
+    * `readIvfIndex`) to recover it (spec-pinned on a shifted corpus).
+    *
+    * The rebuild is staged-then-swapped: the re-assigned cells and
+    * centroid sidecar are fully written under `_rebuild` (so the read
+    * of the old index completes before anything moves), then swapped in
+    * with two directory renames and the old generation vacuumed —
+    * probes see either the old or the new index, never a partial one,
+    * but concurrent WRITERS must be quiesced (single-writer contract,
+    * like the build itself).
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, centroids: Seq[Seq[Double]]): Unit = {
+    require(centroids.nonEmpty, "rebuild needs at least one centroid")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$root/_rebuild"
+    fs.delete(new Path(staging), true) // clear a crashed prior attempt
+    buildIvfIndex(
+      spark.read.parquet(s"$root/cells").select(col("nbr_id"), col("nbr_vec")),
+      staging, centroids.size, "nbr_id", "nbr_vec", Some(centroids))
+    val old = new Path(s"$root/_old")
+    fs.delete(old, true)
+    fs.mkdirs(old)
+    Seq("cells", "_centroids").foreach { d =>
+      fs.rename(new Path(s"$root/$d"), new Path(s"$root/_old/$d"))
+      fs.rename(new Path(s"$staging/$d"), new Path(s"$root/$d"))
+    }
+    fs.delete(new Path(staging), true)
+    fs.delete(old, true) // vacuum the superseded generation
+  }
+
+  /** The index's current contents in [[buildIvfIndex]]'s column shape
+    * (`nbr_id`, `nbr_vec`) — the training input for a rebuild.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    spark.read.parquet(s"$root/cells").select(col("nbr_id"), col("nbr_vec"))
+
   /** Serve top-k queries from a persisted IVF index: rank the index's
     * cells per query (small query set by contract, as [[ivfTopK]]),
     * then scan ONLY the union of probed cells — a static

@@ -932,7 +932,12 @@ object CoreQueries extends QueryPack {
           |       count(*) OVER w AS n_last_hour,
           |       round(sum(value) OVER w, 6) AS sum_last_hour
           |FROM (SELECT user_id, event_id, value,
-          |             epoch(make_timestamp(epoch_ns(ts)//1000)) AS es
+          |             -- floor to whole seconds: Spark's unix_timestamp
+          |             -- truncates, and DuckDB's epoch() keeps
+          |             -- fractional seconds — an event pair ~3600.x s
+          |             -- apart would otherwise frame differently
+          |             CAST(floor(epoch(make_timestamp(epoch_ns(ts)//1000)))
+          |                  AS BIGINT) AS es
           |      FROM events) t
           |WINDOW w AS (PARTITION BY user_id ORDER BY es
           |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin)),

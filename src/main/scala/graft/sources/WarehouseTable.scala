@@ -248,6 +248,64 @@ final class WarehouseTable private (
       readWithTableSchema(existing)
   }
 
+  /** Committed-files read of `days` at CURRENT — the dest input every
+    * SWAP op (merge/compact) must use instead of a directory listing
+    * (soak-found fix): a listing sweeps a concurrent append's
+    * landed-but-uncommitted files into the rewrite; when that append's
+    * conflict walk aborts it and it retries, its rows exist twice. The
+    * manifest holds exactly the committed files. Pre-snapshot tables
+    * (no commit yet — bootstrap) fall back to the listing; a file a
+    * concurrent swap archives mid-read fails the job with the
+    * documented transient FAILED_READ (retryable).
+    */
+  /** Convert a stale-read failure — a concurrent swap moved files this
+    * op had planned to read (plan-time PATH_NOT_FOUND or execution-time
+    * FAILED_READ/FileNotFound) — into the protocol's typed retryable
+    * abort. The op committed nothing; re-running reads the new
+    * generation. Genuine data loss still surfaces: a re-run fails the
+    * same way against a table whose CURRENT manifest references the
+    * missing file, which readAsOf reports as corruption.
+    */
+  private def guardStaleRead[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable if {
+        var c: Throwable = e; var hit = false; var depth = 0
+        while (c != null && depth < 12 && !hit) {
+          val m = String.valueOf(c.getMessage)
+          hit = c.isInstanceOf[java.io.FileNotFoundException] ||
+            m.contains("FAILED_READ") || m.contains("PATH_NOT_FOUND")
+          c = c.getCause; depth += 1
+        }
+        hit
+      } =>
+        throw new java.util.ConcurrentModificationException(
+          "a concurrent swap archived files this operation had planned " +
+            s"to read — re-run against the current table state: ${e.getMessage}")
+    }
+
+  private def readCommitted(days: Seq[String]): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add(partitionCol, "string"))
+    val cur = currentVersion
+    if (cur == 0L) {
+      // CURRENT=0 (a created, snapshot-enabled table): committed state
+      // is EMPTY — a listing would read concurrent writers' uncommitted
+      // files. No CURRENT at all: legacy pre-snapshot dir, listing is
+      // the only source of truth (single-writer by assumption).
+      return if (fs.exists(new Path(s"$snapDir/CURRENT"))) empty
+      else conformToSchema(readDays(days))
+    }
+    val manifest = readManifest(cur)
+    val paths = days.flatMap(d => manifest.getOrElse(d, Seq.empty)
+      .map(f => s"$dataPath/$partitionCol=$d/$f"))
+    if (paths.isEmpty) empty
+    else guardStaleRead(conformToSchema(
+      spark.read.schema(schema).option("basePath", dataPath)
+        .parquet(paths: _*)))
+  }
+
   def listDays(): Seq[String] = {
     val p = new Path(dataPath)
     if (!fs.exists(p)) Seq.empty
@@ -406,14 +464,21 @@ final class WarehouseTable private (
       val touched = dayBlooms.map(_.getString(0)).toSeq
       val preExisting = touched.filter(d =>
         d != null && fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
-      clusteredWrite(routed).write
-        .mode(SaveMode.Append)
-        .partitionBy(partitionCol)
-        .parquet(dataPath)
+      // conflict window opens BEFORE any file lands (commitSnapshot doc)
+      val readBase = currentVersion
+      val myFiles = writeStagedInto(clusteredWrite(routed))
       upsertBlooms(
         dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
         preExisting)
-      if (touched.nonEmpty) commitSnapshot("append", touched, currentVersion + 1)
+      if (myFiles.nonEmpty) {
+        try commitSnapshot("append", myFiles, readBase + 1)
+        catch { case e: java.util.ConcurrentModificationException =>
+          // an overlapping swap won the window: remove what we landed
+          // (a retry re-appends it) so the winner's state stays exact
+          deleteLanded(myFiles)
+          throw e
+        }
+      }
       expireOldPartitions()
       autoVacuum()
     } finally routed.unpersist()
@@ -471,26 +536,35 @@ final class WarehouseTable private (
     val preExisting = touched
       .filter(dirName => fs.exists(new Path(s"$dataPath/$dirName")))
       .map(_.stripPrefix(s"$partitionCol=")).toSet
-    touched.foreach { dirName =>
+    // conflict window opens BEFORE any file lands (commitSnapshot doc)
+    val readBase = currentVersion
+    val myFiles: Map[String, Seq[String]] = touched.map { dirName =>
       val destDir = new Path(s"$dataPath/$dirName")
       fs.mkdirs(destDir)
       // replay cleanup: drop this batch's files from a previous attempt
       fs.listStatus(destDir).toSeq
         .filter(_.getPath.getName.startsWith(s"b$batchId-"))
         .foreach(st => fs.delete(st.getPath, false))
-      fs.listStatus(new Path(s"$staging/$dirName")).toSeq
+      val names = fs.listStatus(new Path(s"$staging/$dirName")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        .zipWithIndex.foreach { case (st, i) =>
-          fs.rename(st.getPath, new Path(destDir, s"b$batchId-$i-${st.getPath.getName}"))
+        .zipWithIndex.map { case (st, i) =>
+          val name = s"b$batchId-$i-${st.getPath.getName}"
+          fs.rename(st.getPath, new Path(destDir, name))
+          name
         }
-    }
+      dirName.stripPrefix(s"$partitionCol=") -> names
+    }.filter(_._2.nonEmpty).toMap
     fs.delete(stagingPath, true)
-    val touchedDays = touched.map(_.stripPrefix(s"$partitionCol="))
     upsertBlooms(
       dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
       preExisting)
-    if (touchedDays.nonEmpty)
-      commitSnapshot("append-batch", touchedDays, currentVersion + 1)
+    if (myFiles.nonEmpty) {
+      try commitSnapshot("append-batch", myFiles, readBase + 1)
+      catch { case e: java.util.ConcurrentModificationException =>
+        deleteLanded(myFiles)
+        throw e
+      }
+    }
     expireOldPartitions()
     autoVacuum()
   }
@@ -558,6 +632,8 @@ final class WarehouseTable private (
     val src = MergeOps.latestPerKey(staged)
     src.cache()
     try {
+      // conflict window opens before the dest read (claimCommit doc)
+      val readBase = currentVersion
       // ONE collect (and one cache materialization) serves the source
       // row count, the touched-day set, and the bloom probe's key hashes:
       // src is one-row-per-key, so the per-(day,hash) counts sum to the
@@ -571,18 +647,19 @@ final class WarehouseTable private (
       val keyHashes = dayHash.map(_.getLong(1)).distinct
       val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
 
-      val dest = conformToSchema(readDays(days))
+      val dest = readCommitted(days)
       val merged =
         if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete)
         else mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-      clusteredWrite(merged).write
-        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      val v = claimCommit("merge", days)
+      guardStaleRead(clusteredWrite(merged).write
+        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+      val stagedFiles = stagedDayFiles(staging)
+      val v = claimCommit("merge", days, readBase + 1)
       swapPartitions(staging, days, v)
       refreshBlooms(days)
-      finalizeCommit("merge", days, v)
+      finalizeCommit("merge", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
       days
@@ -655,6 +732,8 @@ final class WarehouseTable private (
     val fenced = MergeOps.tombstoneFence(staged)
     fenced.cache()
     try {
+      // conflict window opens before the dest read (claimCommit doc)
+      val readBase = currentVersion
       // one collect doubles as the emptiness check: touched days from
       // all rows, probe hashes from the tombstones (only deletes need
       // to find existing rows)
@@ -668,7 +747,7 @@ final class WarehouseTable private (
       val tombSrc = fenced.where(col("value").isNull)
       val days = (batchDays ++ bloomCandidateDays(tombHashes, batchDays)).distinct.sorted
 
-      val dest = conformToSchema(readDays(days))
+      val dest = readCommitted(days)
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
       val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*).distinct()
       // batch-bounded key set broadcast → dest is never shuffled here either
@@ -681,12 +760,13 @@ final class WarehouseTable private (
       val merged = survivors.unionByName(inserts)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-      clusteredWrite(merged).write
-        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-      val v = claimCommit("merge-delete", days)
+      guardStaleRead(clusteredWrite(merged).write
+        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+      val stagedFiles = stagedDayFiles(staging)
+      val v = claimCommit("merge-delete", days, readBase + 1)
       swapPartitions(staging, days, v)
       refreshBlooms(days)
-      finalizeCommit("merge-delete", days, v)
+      finalizeCommit("merge-delete", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
       days
@@ -925,14 +1005,15 @@ final class WarehouseTable private (
     writeMetaString(spark, s"$destRoot/_graft/options.props",
       optionsToProps(options))
     val days = listDays()
-    days.foreach { d =>
+    val dayFiles: Map[String, Seq[String]] = days.map { d =>
       val srcDir = new Path(s"$dataPath/$partitionCol=$d")
       val dstDir = new Path(s"$destRoot/data/$partitionCol=$d")
       destFs.mkdirs(dstDir)
-      fs.listStatus(srcDir).filter(_.isFile).foreach { st =>
+      d -> fs.listStatus(srcDir).toSeq.filter(_.isFile).map { st =>
         linkOrCopy(st.getPath, new Path(dstDir, st.getPath.getName), destFs)
-      }
-    }
+        st.getPath.getName
+      }.filterNot(n => n.startsWith("_") || n.startsWith("."))
+    }.filter(_._2.nonEmpty).toMap
     Seq("bloom2", "zonemaps").foreach { side =>
       val src = new Path(s"$root/_graft/$side")
       if (fs.exists(src))
@@ -941,7 +1022,7 @@ final class WarehouseTable private (
           spark.sparkContext.hadoopConfiguration)
     }
     val clone = WarehouseTable.open(spark, destRoot)
-    clone.commitSnapshot("clone", days, clone.currentVersion + 1)
+    clone.commitSnapshot("clone", dayFiles, clone.currentVersion + 1)
     clone
   }
 
@@ -970,13 +1051,16 @@ final class WarehouseTable private (
   def compactPartitions(days: Seq[String] = listDays()): Seq[String] = {
     val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
     if (existing.isEmpty) return Seq.empty
+    // conflict window opens before the dest read (claimCommit doc)
+    val readBase = currentVersion
     val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
-    clusteredWrite(conformToSchema(readDays(existing))).write
-      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    val v = claimCommit("compact", existing)
+    guardStaleRead(clusteredWrite(readCommitted(existing)).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val v = claimCommit("compact", existing, readBase + 1)
     swapPartitions(staging, existing, v)
     refreshBlooms(existing)
-    finalizeCommit("compact", existing, v)
+    finalizeCommit("compact", existing, v, stagedFiles)
     autoVacuum()
     existing
   }
@@ -1012,12 +1096,13 @@ final class WarehouseTable private (
   def expirePartitions(asOfMs: Long): Seq[String] = options.partitionExpirationMs match {
     case None => Seq.empty
     case Some(ttl) =>
+      val readBase = currentVersion
       val cutoff = asOfMs - ttl
       val dropped = listDays().filter(d => sliceEndMs(d).exists(_ < cutoff))
       if (dropped.isEmpty) return Seq.empty
       // logical delete: the expired generation is archived for snapshot
       // reads ([[readAsOf]]) and physically removed by [[vacuum]]
-      val v = claimCommit("expire", dropped)
+      val v = claimCommit("expire", dropped, readBase + 1)
       val archDir = new Path(s"$historyDir/v$v")
       dropped.foreach { d =>
         fs.mkdirs(archDir)
@@ -1028,7 +1113,7 @@ final class WarehouseTable private (
           if (fs.exists(bloom)) fs.delete(bloom, false)
         }
       }
-      finalizeCommit("expire", dropped, v)
+      finalizeCommit("expire", dropped, v, Map.empty) // all dropped
       dropped
   }
 
@@ -1064,6 +1149,15 @@ final class WarehouseTable private (
     * removed from `data/`. Replaced generations are renamed (not
     * deleted) into `_graft/history/v<archiveVersion>/` so snapshot reads
     * ([[readAsOf]]) stay serviceable until [[vacuum]].
+    */
+  /** Multi-writer note (soak-spec pinned): the swap MOVES the old
+    * generation into the version archive, so a live-path reader whose
+    * plan listed files before the swap fails transiently with
+    * `FAILED_READ.FILE_NOT_EXIST`. No data is lost — the files are in
+    * the archive (`readAsOf` serves them) and the new generation is
+    * complete before CURRENT advances — but concurrent writers must
+    * treat that failure as a retryable abort, exactly like a lost
+    * claim: re-plan and the retry reads the new generation.
     */
   private def swapPartitions(staging: String, days: Seq[String],
       archiveVersion: Long): Unit = {
@@ -1175,6 +1269,40 @@ final class WarehouseTable private (
     if (v > currentVersion)
       writeMetaString(spark, s"$snapDir/CURRENT", v.toString)
 
+  /** Block until version `v`'s claim resolves: the file is gone
+    * (rolled back), finalized, or stale (the caller's next look
+    * recovers it). Commits must NEVER sequence past an unfinalized
+    * claim (soak-found): a lower version finalizing after a higher one
+    * builds its manifest from a base that misses the higher commit,
+    * and the old listing-based repair for that hole swept concurrent
+    * writers' uncommitted files into manifests. A healthy claim
+    * holder finalizes within seconds (the claim is taken after staging
+    * completes), so the wait is short and bounded by the stale-claim
+    * timeout.
+    */
+  private def awaitClaimResolution(v: Long, op: String,
+      touched: Seq[String]): Unit = {
+    val budget = WarehouseTable.claimWaitMs
+    val deadline = System.currentTimeMillis() + budget
+    var backoff = 25L
+    var waiting = true
+    while (waiting) {
+      waiting =
+        try fs.exists(new Path(s"$snapDir/v$v.list")) && {
+          val m = commitMeta(v)
+          isPendingOp(m._1) && !isStaleClaim(m._2)
+        }
+        catch { case _: java.io.IOException => false } // vanished mid-check
+      if (waiting) {
+        if (System.currentTimeMillis() > deadline)
+          concurrentAbort(v, op, s"pending claim unresolved after ${budget}ms",
+            touched)
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, 2000L)
+      }
+    }
+  }
+
   private def concurrentAbort(v: Long, op: String, theirOp: String,
       touched: Seq[String]): Nothing =
     throw new java.util.ConcurrentModificationException(
@@ -1193,8 +1321,17 @@ final class WarehouseTable private (
     * winners whose days are disjoint, and aborts (before any data is
     * touched) when days overlap — the staged output was computed from
     * state the winner has since replaced.
+    *
+    * `fromVersion` (soak-found fix) must be `readBase + 1` where
+    * `readBase` is CURRENT when the op STARTED READING: the walk then
+    * examines every version committed during the read/stage window.
+    * Starting at claim-time CURRENT+1 would silently skip a winner
+    * that finalized mid-stage — this op's staged output was computed
+    * from state that winner replaced, and committing it would resurrect
+    * the old generation (lost update).
     */
-  private def claimCommit(op: String, touched: Seq[String]): Long = {
+  private def claimCommit(op: String, touched: Seq[String],
+      fromVersion: Long): Long = {
     val header = s"#pending:$op\t${System.currentTimeMillis()}\t" +
       touched.distinct.sorted.mkString(",") + "\n"
     @annotation.tailrec
@@ -1213,11 +1350,16 @@ final class WarehouseTable private (
             concurrentAbort(v, op, s"$theirOp [crashed claim, rolled back]",
               touched)
           loop(v)
+        } else if (isPendingOp(theirOp)) {
+          // never sequence past an UNFINALIZED claim (awaitClaimResolution
+          // doc) — wait for it to finalize/roll back, then re-examine
+          awaitClaimResolution(v, op, touched)
+          loop(v)
         } else if (theirDays.isEmpty || touched.exists(theirDays.contains))
           concurrentAbort(v, op, theirOp, touched)
         else loop(v + 1)
       }
-    loop(currentVersion + 1)
+    loop(fromVersion)
   }
 
   private def isStaleClaim(claimTs: Long): Boolean =
@@ -1273,52 +1415,84 @@ final class WarehouseTable private (
   }
 
   /** Finalize a [[claimCommit]]ed version after its data swap: rewrite
-    * the claimed file with the real manifest — the newest finalized
-    * manifest below `v`, with the touched days (plus the days of any
-    * disjoint winner we re-sequenced past, so their entries are not
-    * dropped) refreshed from directory listings — then advance CURRENT.
+    * the claimed file with the real manifest, then advance CURRENT.
+    * The base is the newest finalized manifest below `v` — COMPLETE,
+    * because commits never sequence past an unfinalized claim
+    * ([[awaitClaimResolution]]); this op's touched days take EXACTLY
+    * the staged generation's file names (`stagedFiles`; a touched day
+    * absent from it was swapped OUT and drops from the manifest).
+    * File-exact, never directory-listed (soak-found fix): a listing
+    * taken here would sweep a concurrent append's
+    * landed-but-uncommitted files into this manifest — files that
+    * append deletes when its own conflict walk aborts it, leaving this
+    * manifest referencing nothing. Residual corner (documented, out of
+    * normal operation): a version number freed by stale-claim recovery
+    * and reclaimed while a HIGHER version is mid-finalize can still
+    * finalize out of order — its manifest is then only ever visible at
+    * its historical position (CURRENT never regresses).
     */
   private def finalizeCommit(op: String, touched: Seq[String],
-      v: Long): Unit = {
+      v: Long, stagedFiles: Map[String, Seq[String]]): Unit = {
     val prev = manifestBase(v)
-    val refreshDays = (touched ++ ((currentVersion + 1) until v).flatMap { w =>
-      if (fs.exists(new Path(s"$snapDir/v$w.list"))) commitMeta(w)._3
-      else Set.empty[String]
-    }).distinct
-    val updated = refreshDays.foldLeft(prev) { (m, d) =>
-      val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
-      if (files.isEmpty) m - d else m.updated(d, files)
+    val updated = touched.foldLeft(prev) { (m, d) =>
+      stagedFiles.get(d).filter(_.nonEmpty) match {
+        case Some(files) => m.updated(d, files)
+        case None => m - d
+      }
     }
     writeMetaString(spark, s"$snapDir/v$v.list",
       renderManifest(op, touched, updated))
     advanceCurrent(v)
   }
 
+  /** The staged generation's day → file names (the exact manifest
+    * entries [[finalizeCommit]] records for a swap's touched days).
+    * The staging dir is private to this writer, so the listing is
+    * race-free.
+    */
+  private def stagedDayFiles(staging: String): Map[String, Seq[String]] = {
+    val p = new Path(staging)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .map(dir => dir.getPath.getName.stripPrefix(s"$partitionCol=") ->
+        listDayFiles(dir.getPath))
+      .filter(_._2.nonEmpty).toMap
+  }
+
   /** Commit snapshot `version` for an APPEND-type op: the previous
-    * manifest with the touched days' entries refreshed from a directory
-    * listing (removed days drop out). Driver-side metadata only — one
-    * small text read + write and O(touched days) listings, NEVER a
-    * relisting of the whole table, so per-flush commit cost is
+    * manifest with EXACTLY this writer's landed files added to the
+    * touched days' entries. File-exact (soak-found fix): a directory
+    * listing here would sweep a CONCURRENT writer's
+    * landed-but-uncommitted files into this manifest — files that
+    * writer deletes when it aborts, leaving this manifest referencing
+    * nothing. Driver-side metadata only; per-flush commit cost is
     * independent of table history.
     *
     * == Optimistic concurrency ==
     *
     * The version file doubles as the claim (create-if-absent, full body
-    * in one write). On a lost claim an append re-sequences: it rebases
-    * on the newest finalized manifest below the next free version and
-    * re-lists its own touched days — its files are additive and
+    * in one write). `version` must be `readBase + 1` where `readBase`
+    * is CURRENT before the op landed any file — the walk then examines
+    * EVERY version committed since (the conflict window; starting at
+    * claim-time CURRENT+1 would silently skip a swap that finalized
+    * while our files were landing). On a lost claim an append
+    * re-sequences: it rebases on the newest finalized manifest below
+    * the next free version and re-adds its own files — additive and
     * uniquely named, so the union is exact (the auto-resolution Delta
-    * applies to blind appends). The exception: when the winner is a
-    * SWAP op on an overlapping day, the append aborts — the swap may
-    * have archived the just-appended files. CURRENT only ever advances.
+    * applies to blind appends). When any winner in the walk is a SWAP
+    * op on an overlapping day, the append aborts — the swap replaced
+    * the generation this append landed into (the caller deletes its
+    * landed files and rethrows). CURRENT only ever advances.
     */
-  private def commitSnapshot(op: String, touched: Seq[String],
+  private def commitSnapshot(op: String, myFiles: Map[String, Seq[String]],
       version: Long): Unit = {
+    val touched = myFiles.keys.toSeq.sorted
     @annotation.tailrec
     def attempt(v: Long, prev: Map[String, Seq[String]]): Unit = {
-      val updated = touched.foldLeft(prev) { (m, d) =>
-        val files = listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))
-        if (files.isEmpty) m - d else m.updated(d, files)
+      val updated = myFiles.foldLeft(prev) { case (m, (d, names)) =>
+        m.updated(d, (m.getOrElse(d, Seq.empty) ++ names).distinct)
       }
       if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list",
           renderManifest(op, touched, updated))) {
@@ -1335,10 +1509,14 @@ final class WarehouseTable private (
             concurrentAbort(v, op, s"$theirOp [crashed claim, rolled back]",
               touched)
           attempt(v, prev)
+        } else if (isPendingOp(theirOp)) {
+          // never sequence past an UNFINALIZED claim (awaitClaimResolution
+          // doc): wait, then re-examine this slot with the same base
+          awaitClaimResolution(v, op, touched)
+          attempt(v, prev)
         } else {
           val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)
-          val theirBase = theirOp.stripPrefix("pending:")
-          if (!appendSafeOps(op) || (!appendSafeOps(theirBase) && overlaps))
+          if (!appendSafeOps(op) || (!appendSafeOps(theirOp) && overlaps))
             concurrentAbort(v, op, theirOp, touched)
           attempt(v + 1, manifestBase(v + 1))
         }
@@ -1419,9 +1597,19 @@ final class WarehouseTable private (
         .map(n => s"$historyDir/v$n").getOrElse(dataPath)
       val have = listDayFiles(new Path(s"$base/$partitionCol=$d")).toSet
       val missing = files.filterNot(have.contains)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"snapshot v$version: ${missing.size} file(s) of $partitionCol=$d " +
-          s"missing from $base (vacuumed or externally modified)")
+      if (missing.nonEmpty) {
+        // TOCTOU (soak-found): a concurrent vacuum deletes manifests
+        // BEFORE archives, so if this snapshot's manifest is gone NOW,
+        // the files vanished because the version was legitimately
+        // vacuumed under this read — report that retryable condition,
+        // not a spurious corruption
+        if (!fs.exists(new Path(s"$snapDir/v$version.list")))
+          throw new IllegalStateException(
+            s"snapshot v$version was vacuumed concurrently with this read")
+        throw new IllegalStateException(
+          s"snapshot v$version: ${missing.size} file(s) of $partitionCol=$d " +
+            s"missing from $base (vacuumed or externally modified)")
+      }
       (base, d, files)
     }
     located.groupBy(_._1).toSeq.map { case (base, entries) =>
@@ -1440,15 +1628,19 @@ final class WarehouseTable private (
     * restore can be restored away. Returns the partitions rewritten.
     */
   def restore(version: Long): Seq[String] = {
-    val rows = readAsOf(version) // validates the version / vacuum state
+    val readBase = currentVersion
+    // guarded: the plan-time file-existence check races concurrent
+    // swaps exactly like readCommitted's (typed retryable abort)
+    val rows = guardStaleRead(readAsOf(version))
     val days = (readManifest(version).keys.toSeq ++ listDays()).distinct.sorted
     val staging = s"$root/.restore-${UUID.randomUUID().toString.take(8)}"
-    clusteredWrite(rows).write
-      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    val v = claimCommit("restore", days)
+    guardStaleRead(clusteredWrite(rows).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val v = claimCommit("restore", days, readBase + 1)
     swapPartitions(staging, days, v)
     refreshBlooms(days)
-    finalizeCommit("restore", days, v)
+    finalizeCommit("restore", days, v, stagedFiles)
     autoVacuum()
     days
   }
@@ -1470,16 +1662,58 @@ final class WarehouseTable private (
     dest
   }
 
+  /** Stage a partitioned write under a job-unique dir, then move the
+    * (uniquely-named) part files into the live partitions. Writing
+    * `mode(Append)` straight at `dataPath` makes every concurrent
+    * append share the Hadoop committer's `$dataPath/_temporary/0` —
+    * one job's commit deletes it under the other mid-write
+    * (`TASK_WRITE_FAILED`, found by the multi-writer soak). A per-job
+    * staging dir removes the shared mutable directory entirely; the
+    * moves are O(files) driver-side renames of names that carry the
+    * job's UUID (no collision), the pattern [[appendBatch]] already
+    * uses for replay convergence.
+    */
+  private def writeStagedInto(df: DataFrame): Map[String, Seq[String]] = {
+    val staging = s"$root/.append-${UUID.randomUUID().toString.take(8)}"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    try {
+      fs.listStatus(new Path(staging)).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partitionCol=")).map { dir =>
+        val dest = new Path(s"$dataPath/${dir.getPath.getName}")
+        fs.mkdirs(dest)
+        val names = fs.listStatus(dir.getPath).toSeq.filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_")).map { f =>
+          fs.rename(f.getPath, new Path(dest, f.getPath.getName))
+          f.getPath.getName
+        }
+        dir.getPath.getName.stripPrefix(s"$partitionCol=") -> names
+      }.filter(_._2.nonEmpty).toMap
+    } finally { fs.delete(new Path(staging), true); () }
+  }
+
+  /** Best-effort removal of files this writer landed but could not
+    * commit (its claim walk hit an overlapping swap): leaving them
+    * would double the rows when the caller retries. Files a concurrent
+    * swap already archived are simply absent here — readAsOf ignores
+    * archive files its manifest doesn't list, so they are inert.
+    */
+  private def deleteLanded(myFiles: Map[String, Seq[String]]): Unit =
+    myFiles.foreach { case (d, names) =>
+      names.foreach { n =>
+        val p = new Path(s"$dataPath/$partitionCol=$d/$n")
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+    }
+
   /** Write pre-routed rows (carrying `_pday`) through the clustering
     * layout, refresh blooms, and commit a snapshot — the ingest half of
     * [[cloneTo]].
     */
   private def writeRouted(df: DataFrame, op: String): Unit = {
-    clusteredWrite(df).write
-      .mode(SaveMode.Append).partitionBy(partitionCol).parquet(dataPath)
-    val touched = listDays()
-    refreshBlooms(touched)
-    if (touched.nonEmpty) commitSnapshot(op, touched, currentVersion + 1)
+    val readBase = currentVersion
+    val myFiles = writeStagedInto(clusteredWrite(df))
+    refreshBlooms(myFiles.keys.toSeq)
+    if (myFiles.nonEmpty) commitSnapshot(op, myFiles, readBase + 1)
   }
 
   /** Time-based travel (BigQuery `FOR SYSTEM_TIME AS OF` analog): the
@@ -1733,6 +1967,16 @@ object WarehouseTable {
   val staleClaimTimeoutMs: Long =
     sys.env.getOrElse("GRAFT_STALE_CLAIM_TIMEOUT_MS", "900000").toLong
 
+  /** How long a committer waits for a LIVE pending claim below its
+    * slot to finalize before treating it as a conflict
+    * (ConcurrentModificationException). System property so tests can
+    * shrink it; read per call.
+    */
+  def claimWaitMs: Long =
+    sys.props.get("graft.claimWaitMs").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_CLAIM_WAIT_MS").map(_.toLong))
+      .getOrElse(60000L)
+
   /** R6 — table-handle cache (`BigQuerySinkTask.java:351-365`,
     * `SchemaManager.java:80`): memoizes opens per root; schema stays
     * fresh (read from meta per call).
@@ -1763,6 +2007,14 @@ object WarehouseTable {
       writeMetaString(spark, s"$root/_graft/keys.json",
         keyFields.mkString("[\"", "\",\"", "\"]"))
       writeMetaString(spark, s"$root/_graft/options.props", optionsToProps(options))
+      // seed CURRENT=0 so a created table is snapshot-enabled from
+      // birth: without it, manifestBase falls back to a FULL DIRECTORY
+      // LISTING during the first commits — which, under concurrent
+      // writers, sweeps another writer's landed-but-uncommitted files
+      // into the first manifest (dangling when that writer aborts;
+      // soak-found). The listing fallback remains only for legacy
+      // pre-snapshot directories adopted via open().
+      writeMetaString(spark, s"$root/_graft/snapshots/CURRENT", "0")
       new WarehouseTable(spark, root, keyFields, options)
     } else new WarehouseTable(spark, root, keyFields, readOptions(spark, root))
   }
@@ -1819,34 +2071,87 @@ object WarehouseTable {
     }
   }
 
+  /** Meta I/O bypasses the local ChecksumFileSystem layer entirely
+    * (soak-found): its create() opens the `.crc` SIDECAR with
+    * overwrite=true BEFORE the exclusive data-file create, so two
+    * racing claimants can leave the winner's claim file permanently
+    * mismatched against the loser's truncated sidecar — every
+    * subsequent read of that version then throws ChecksumException and
+    * the table is bricked for the process. On local paths, writes go
+    * through java.nio (temp + ATOMIC_MOVE for replace; hard-link for
+    * create-if-absent — atomic AND full-content-visible), reads through
+    * the raw filesystem (no sidecar verification). Non-local
+    * filesystems (HDFS create is atomic, object stores map to
+    * conditional puts) keep the plain Hadoop path.
+    */
+  private def localNioPath(p: Path): Option[java.nio.file.Path] = {
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  private def rawFs(fs: FileSystem): FileSystem = fs match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
   private def writeMetaString(spark: SparkSession, path: String, s: String): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    localNioPath(p) match {
+      case Some(lp) =>
+        java.nio.file.Files.createDirectories(lp.getParent)
+        val tmp = lp.resolveSibling(
+          s".tmp-${UUID.randomUUID().toString.take(8)}-${lp.getFileName}")
+        java.nio.file.Files.write(tmp, s.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, lp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // drop any stale sidecar a ChecksumFileSystem writer left (test
+        // helpers, pre-migration files) so checksum-layer readers don't
+        // verify old sums against new content
+        rawFs(fs).delete(new Path(p.getParent, s".${p.getName}.crc"), false)
+        ()
+      case None =>
+        val out = fs.create(p, true)
+        try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** Create-if-absent write: false when the path already exists (the
-    * optimistic-concurrency claim primitive — atomic create on
-    * HDFS/local; map to a conditional put on object stores).
+    * optimistic-concurrency claim primitive — hard-link publish on
+    * local, atomic create on HDFS; map to a conditional put on object
+    * stores).
     */
   private def tryWriteNewMetaString(spark: SparkSession, path: String,
       s: String): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val out = fs.create(p, false)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException => if (fs.exists(p)) false else throw e
+    localNioPath(p) match {
+      case Some(lp) =>
+        java.nio.file.Files.createDirectories(lp.getParent)
+        val tmp = lp.resolveSibling(
+          s".tmp-${UUID.randomUUID().toString.take(8)}-${lp.getFileName}")
+        java.nio.file.Files.write(tmp, s.getBytes("UTF-8"))
+        try { java.nio.file.Files.createLink(lp, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally { java.nio.file.Files.deleteIfExists(tmp); () }
+      case None =>
+        try {
+          val out = fs.create(p, false)
+          try out.write(s.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException => if (fs.exists(p)) false else throw e
+        }
     }
   }
 
   private def readMetaString(spark: SparkSession, path: String): String = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = rawFs(p.getFileSystem(spark.sparkContext.hadoopConfiguration))
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()

@@ -95,6 +95,69 @@ class GraftExtensionsSpec extends AnyFunSuite {
       || err.getMessage.contains("winnow_fingerprints"))
   }
 
+  test("SQL surface: ANN primitives resolve and match the Column API") {
+    import spark.implicits._
+    val vec = Seq(0.6, 0.8, 0.0, 0.1)
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val df = Seq(vec).toDF("v")
+    df.createOrReplaceTempView("ann_v")
+    val centsSql = cents.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+    // nearest_centroid: struct(cell, sim)
+    val ncSql = spark.sql(
+      s"SELECT nearest_centroid(v, $centsSql) AS nc FROM ann_v")
+      .select($"nc.cell", $"nc.sim").as[(Int, Double)].head()
+    val ncCol = df.select(graft.functions.NearestCentroid($"v", cents).as("nc"))
+      .select($"nc.cell", $"nc.sim").as[(Int, Double)].head()
+    assert(ncSql == ncCol && ncSql._1 == 1) // 0.8 on dim 1 dominates
+
+    // centroid_sims: per-cell cosine array
+    val csSql = spark.sql(
+      s"SELECT centroid_sims(v, $centsSql) AS cs FROM ann_v")
+      .as[Seq[Double]].head()
+    val csCol = df.select(graft.functions.CentroidSims($"v", cents).as("cs"))
+      .as[Seq[Double]].head()
+    assert(csSql == csCol && csSql.length == 2)
+
+    // pq_encode: 2 subspaces × 2 centroids of dim 2
+    val books = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(0.0, 0.2)))
+    val booksSql = books.map(_.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+    val pqSql = spark.sql(
+      s"SELECT pq_encode(v, $booksSql) AS c FROM ann_v")
+      .as[Seq[Int]].head()
+    val pqCol = df.select(graft.functions.PqEncode($"v", books).as("c"))
+      .as[Seq[Int]].head()
+    assert(pqSql == pqCol && pqSql.length == 2)
+
+    // hyperplane_buckets: integer-literal shape args
+    val hbSql = spark.sql(
+      "SELECT hyperplane_buckets(v, 4, 2) AS b FROM ann_v")
+      .as[Seq[String]].head()
+    val hbCol = df.select(graft.functions.HyperplaneBuckets($"v", 4, 2).as("b"))
+      .as[Seq[String]].head()
+    assert(hbSql == hbCol && hbSql.length == 2)
+
+    // non-constant centroids are a resolution-time error, not a per-row
+    // evaluation — the matrix shapes the expression
+    val errNc = intercept[Exception](spark.sql(
+      "SELECT nearest_centroid(v, array(v)) AS nc FROM ann_v").collect())
+    assert(errNc.getMessage.contains("constant")
+      || errNc.getMessage.contains("nearest_centroid"))
+    val errHb = intercept[Exception](spark.sql(
+      "SELECT hyperplane_buckets(v, 1 + 3, 2) AS b FROM ann_v").collect())
+    assert(errHb.getMessage.contains("integer literal")
+      || errHb.getMessage.contains("hyperplane_buckets"))
+    // integer centroid literals coerce to double like SQL users expect
+    val ncInt = spark.sql(
+      "SELECT nearest_centroid(v, array(array(1, 0, 0, 0), array(0, 1, 0, 0))) AS nc FROM ann_v")
+      .select($"nc.cell").as[Int].head()
+    assert(ncInt == 1)
+  }
+
   test("winnow_fingerprints counts CODE POINTS: supplementary-plane input matches substr gram boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -510,6 +510,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(parsed("bad")._1 == "unknown", "magic 43 must be rejected")
   }
 
+  test("native TiffMeta == composed form on encoder, truncated, and random payloads") {
+    import graft.llm.MultimodalOps
+    val rnd = new scala.util.Random(42)
+    // encoder-built valid TIFFs across both endiannesses, pads, extras
+    val valid = (1 to 40).map { i =>
+      (s"v$i",
+        (i % 4096 + 64, i * 5 % 2160 + 64, i % 2 == 0, i % 16, i % 3 == 0))
+    }
+    val validDf = valid.toDF("label", "p")
+      .select($"label", MultimodalOps.encodeTiffHeader(
+        $"p._1", $"p._2", $"p._3", $"p._4", $"p._5").as("payload"))
+    // random garbage + truncations of a valid header + II/MM prefixes
+    // with corrupt bodies: the null/out-of-bounds/wrap paths
+    val fuzz = (1 to 60).map { i =>
+      val bytes = i % 3 match {
+        case 0 => Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+        case 1 =>
+          val b = Array[Byte]('I', 'I', 42, 0) ++
+            Array.fill(rnd.nextInt(30))(rnd.nextInt(256).toByte)
+          b.take(4 + rnd.nextInt(b.length - 3))
+        case _ => Array[Byte]('M', 'M', 0, 42) ++
+          Array.fill(rnd.nextInt(12))(rnd.nextInt(256).toByte)
+      }
+      (s"f$i", bytes)
+    }
+    val fuzzDf = fuzz.toDF("label", "payload")
+    Seq(validDf, fuzzDf).foreach { df =>
+      val both = df.select($"label",
+          MultimodalOps.tiffMeta($"payload").as("n"),
+          MultimodalOps.tiffMetaComposed($"payload").as("c"))
+        .collect()
+      both.foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"${r.getString(0)}: native ${r.get(1)} != composed ${r.get(2)}")
+      }
+    }
+  }
+
   test("webpMeta parses hand-written variants; masks scale bits; rejects bad sync") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     val riff = Seq[Int]('R', 'I', 'F', 'F', 22, 0, 0, 0, 'W', 'E', 'B', 'P')
@@ -1872,6 +1910,54 @@ class LlmOpsSpec extends AnyFunSuite {
     // only enter at worse ranks)
     assert(after.filter(_._3 == 1) == probed.filter(_._3 == 1),
       "appending id-shifted clones disturbed rank-1 results")
+  }
+
+  test("rebuildIvfIndex: trained centroids recover recall after a distribution-shifted append") {
+    val root = java.nio.file.Files.createTempDirectory("ivf-rebuild")
+      .toString + "/idx"
+    def v(x: Double, y: Double, z: Double, w: Double) = Seq(x, y, z, w)
+    // base corpus: tight clusters around the two build-time centroids
+    val base = (0 until 20).map(i => (i.toLong, v(1, 0.001 * i, 0, 0))) ++
+      (20 until 40).map(i => (i.toLong, v(0.001 * (i - 20), 1, 0, 0)))
+    // the shift: a NEW cluster around (1,1,0,0)/√2 — exactly between
+    // the frozen cells, alternating ±δ on dim 1 so its members split
+    // half/half across them (the silent-recall-decay shape)
+    val shifted = (0 until 20).map { j =>
+      val m = 0.001 * (j / 2 + 1)
+      val d = if (j % 2 == 0) m else -m
+      (100L + j, v(1, 1 + d, 0, 0))
+    }
+    val baseDf = base.toDF("vec_id", "embedding")
+    val shiftDf = shifted.toDF("vec_id", "embedding")
+    SimOps.buildIvfIndex(baseDf, root,
+      centroids = Some(Seq(v(1, 0, 0, 0), v(0, 1, 0, 0))))
+    SimOps.appendToIvfIndex(shiftDf, root)
+    val all = baseDf.unionByName(shiftDf)
+    val queries = Seq((9999L, v(1, 1, 0, 0))).toDF("vec_id", "embedding")
+    val k = 8
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select($"nbr_id").as[Long].collect().toSet
+    val truth = hits(SimOps.bruteForceTopK(all, queries, k))
+    val before = hits(SimOps.probeIvfIndex(spark, root, queries, k, nProbe = 1))
+    val recallBefore = (truth & before).size.toDouble / k
+    // the probe reads ONE frozen cell; the shifted cluster's best
+    // matches live in BOTH — recall must have decayed or the test is
+    // vacuous (construction gives exactly half)
+    assert(recallBefore <= 0.5, s"shifted cluster did not split: $recallBefore")
+    // 'trained' centroids representative of the CURRENT contents (the
+    // spec pins the rebuild mechanics; kMeansCentroids over
+    // readIvfIndex is the production trainer)
+    val trained = Seq(v(1, 0, 0, 0), v(0, 1, 0, 0),
+      v(0.7071067811865476, 0.7071067811865476, 0, 0), v(0, 0, 0, 1))
+    SimOps.rebuildIvfIndex(spark, root, trained)
+    // contents preserved exactly; old generation + staging vacuumed
+    assert(SimOps.readIvfIndex(spark, root).count() == all.count())
+    assert(!new java.io.File(s"$root/_rebuild").exists())
+    assert(!new java.io.File(s"$root/_old").exists())
+    val after = hits(SimOps.probeIvfIndex(spark, root, queries, k, nProbe = 1))
+    assert((truth & after).size == k,
+      s"recall did not recover: before=$recallBefore " +
+        s"after=${(truth & after).size.toDouble / k}")
   }
 
   // ---- large-k kMeans: blocked assignment stays codegen-compiled and

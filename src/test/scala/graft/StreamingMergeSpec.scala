@@ -340,4 +340,56 @@ class StreamingMergeSpec extends AnyFunSuite {
     GraftSinkConfig(clusteringFieldNames = Seq("a", "b"),
       timePartitioningType = "MONTH", partitionExpirationMs = Some(1000L)).validate()
   }
+
+  test("KafkaSource.options: exact connector option map per config shape") {
+    import graft.streaming.KafkaSource
+    import graft.streaming.KafkaSource.{Assign, Config, TopicPattern, Topics}
+    // explicit topic list → subscribe, comma-joined; defaults explicit
+    assert(KafkaSource.options(
+      Config("b1:9092,b2:9092", Topics(Seq("rows", "events")))) == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "rows,events",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "true"))
+    // regex → subscribePattern (the reference's topics.regex mode),
+    // plus backpressure, offsets JSON, loss tolerance, group prefix
+    assert(KafkaSource.options(
+      Config("b:9092", TopicPattern("metrics-.*"),
+        startingOffsets = """{"metrics-a":{"0":42}}""",
+        failOnDataLoss = false,
+        maxOffsetsPerTrigger = Some(100000L),
+        groupIdPrefix = Some("graft"))) == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribePattern" -> "metrics-.*",
+      "startingOffsets" -> """{"metrics-a":{"0":42}}""",
+      "failOnDataLoss" -> "false",
+      "maxOffsetsPerTrigger" -> "100000",
+      "groupIdPrefix" -> "graft"))
+    // explicit partition assignment; consumer props get the kafka. prefix
+    assert(KafkaSource.options(
+      Config("b:9092", Assign("""{"t":[0,1]}"""),
+        kafkaConsumerProps = Map(
+          "security.protocol" -> "SASL_SSL",
+          "kafka.session.timeout.ms" -> "30000"))) == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "assign" -> """{"t":[0,1]}""",
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "true",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.session.timeout.ms" -> "30000"))
+    // config-time validation, not connector-time failures
+    intercept[IllegalArgumentException](Topics(Seq.empty))
+    intercept[IllegalArgumentException](Topics(Seq("a,b")))
+    intercept[java.util.regex.PatternSyntaxException](TopicPattern("["))
+    intercept[IllegalArgumentException](Assign("not-json"))
+    intercept[IllegalArgumentException](
+      Config("", Topics(Seq("t"))))
+    intercept[IllegalArgumentException](
+      Config("b:9092", Topics(Seq("t")), startingOffsets = "beginning"))
+    intercept[IllegalArgumentException](
+      Config("b:9092", Topics(Seq("t")), maxOffsetsPerTrigger = Some(0L)))
+    intercept[IllegalArgumentException](
+      Config("b:9092", Topics(Seq("t")),
+        kafkaConsumerProps = Map("kafka.bootstrap.servers" -> "x")))
+  }
 }

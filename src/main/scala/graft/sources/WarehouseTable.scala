@@ -453,23 +453,31 @@ final class WarehouseTable private (
     // bounded): the write otherwise re-scans and re-routes the input
     routed.cache()
     try {
-      // ONE aggregation over the cached batch yields both the touched-day
-      // set and each day's batch bloom — replacing the old plan's separate
-      // distinct-collect AND the post-write re-scan of the written files
-      // (refreshBlooms): two fewer jobs and one less pass per flush, which
-      // at streaming cadence is the append path's dominant fixed cost
-      val dayBlooms = routed
-        .groupBy(col(partitionCol).cast("string").as("d"))
-        .agg(bloomAggColumn.as("bloom")).collect()
-      val touched = dayBlooms.map(_.getString(0)).toSeq
-      val preExisting = touched.filter(d =>
-        d != null && fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
       // conflict window opens BEFORE any file lands (commitSnapshot doc)
       val readBase = currentVersion
-      val myFiles = writeStagedInto(clusteredWrite(routed))
-      upsertBlooms(
-        dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
-        preExisting)
+      // write FIRST: the staged move reports the touched days, which
+      // dirs pre-existed, and the batch's on-disk size — all free FS
+      // metadata — so bloom maintenance needs no day-discovery job
+      val (myFiles, preExisting, stagedBytes) = writeStagedInto(clusteredWrite(routed))
+      // blooms BEFORE the commit: a concurrent merge must never probe a
+      // committed version whose new keys its day blooms don't cover.
+      // Micro-batch-sized appends collect raw (day, hash) pairs off the
+      // cache — no aggregation exchange, one job — and build the day
+      // blooms driver-side (bit-identical sizing to the aggregate, so
+      // upsertBlooms' mergeInPlace keeps working); a bulk append above
+      // the byte gate keeps the distributed bloom aggregation, whose
+      // shuffle spreads construction and ships only O(days) blooms back
+      val dayBlooms: Seq[(String, Array[Byte])] =
+        if (myFiles.isEmpty) Seq.empty
+        else if (stagedBytes <= WarehouseTable.appendHashCollectMaxBytes)
+          driverDayBlooms(routed.select(
+            col(partitionCol).cast("string").as("d"),
+            xxhash64(keyString(keyFields.map(col))).as("h")).collect())
+        else routed
+          .groupBy(col(partitionCol).cast("string").as("d"))
+          .agg(bloomAggColumn.as("bloom")).collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      upsertBlooms(dayBlooms, preExisting)
       if (myFiles.nonEmpty) {
         try commitSnapshot("append", myFiles, readBase + 1)
         catch { case e: java.util.ConcurrentModificationException =>
@@ -526,13 +534,28 @@ final class WarehouseTable private (
     // lost update).
     val keySet = keyFields.toSet
     val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
-    val dayBlooms =
-      if (touched.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.option("basePath", staging)
-        .schema(keySchema.add(StructField(partitionCol, StringType)))
-        .parquet(touched.map(d => s"$staging/$d"): _*)
-        .groupBy(col(partitionCol).cast("string").as("d"))
-        .agg(bloomAggColumn.as("bloom")).collect()
+    val stagedBytes = touched.map(dirName =>
+      fs.listStatus(new Path(s"$staging/$dirName"))
+        .filter(_.isFile).map(_.getLen).sum).sum
+    val dayBlooms: Seq[(String, Array[Byte])] =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val stagedDf = spark.read.option("basePath", staging)
+          .schema(keySchema.add(StructField(partitionCol, StringType)))
+          .parquet(touched.map(d => s"$staging/$d"): _*)
+        // micro-batches under the byte gate: raw (day, hash) collect,
+        // day blooms built driver-side — one scan job, no aggregation
+        // exchange (same fold as [[append]]); bulk batches keep the
+        // distributed aggregation
+        if (stagedBytes <= WarehouseTable.appendHashCollectMaxBytes)
+          driverDayBlooms(stagedDf.select(
+            col(partitionCol).cast("string").as("d"),
+            xxhash64(keyString(keyFields.map(col))).as("h")).collect())
+        else stagedDf
+          .groupBy(col(partitionCol).cast("string").as("d"))
+          .agg(bloomAggColumn.as("bloom")).collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      }
     val preExisting = touched
       .filter(dirName => fs.exists(new Path(s"$dataPath/$dirName")))
       .map(_.stripPrefix(s"$partitionCol=")).toSet
@@ -555,9 +578,7 @@ final class WarehouseTable private (
       dirName.stripPrefix(s"$partitionCol=") -> names
     }.filter(_._2.nonEmpty).toMap
     fs.delete(stagingPath, true)
-    upsertBlooms(
-      dayBlooms.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq,
-      preExisting)
+    upsertBlooms(dayBlooms, preExisting)
     if (myFiles.nonEmpty) {
       try commitSnapshot("append-batch", myFiles, readBase + 1)
       catch { case e: java.util.ConcurrentModificationException =>
@@ -594,8 +615,11 @@ final class WarehouseTable private (
   def insertNewOnly(df: DataFrame, partitionTimeCol: String = "partitionTime"): DataFrame = {
     df.cache()
     try {
+      // no .distinct(): the batch is key-unique by contract (doc above),
+      // so the raw hash projection collects the same set without an
+      // aggregation exchange — one job instead of an AQE round-trip
       val hashes = df.select(xxhash64(keyString(keyFields.map(col))).as("h"))
-        .distinct().collect().map(_.getLong(0))
+        .collect().map(_.getLong(0)).distinct
       if (hashes.isEmpty) return df // empty batch: nothing to do
       // probe ALL partitions (empty batch-day exclusion), keys could be anywhere
       val candDays = bloomCandidateDays(hashes, Seq.empty)
@@ -635,16 +659,25 @@ final class WarehouseTable private (
       // conflict window opens before the dest read (claimCommit doc)
       val readBase = currentVersion
       // ONE collect (and one cache materialization) serves the source
-      // row count, the touched-day set, and the bloom probe's key hashes:
-      // src is one-row-per-key, so the per-(day,hash) counts sum to the
-      // exact row count and the groups ≈ batch keys — small either way
-      val dayHash = src.groupBy(stagedSlice("").as("d"),
-        xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"))
-        .count().collect()
+      // row count, the touched-day set, the bloom probe's key hashes,
+      // AND the post-swap bloom union (unionBloomsAfterSwap). src is
+      // one-row-per-key, so the raw (day, hash, live) projection is
+      // already ~distinct — same driver bound as a grouped collect, but
+      // with no aggregation exchange the collect is a single
+      // post-dedup-shuffle stage (one fewer job per flush)
+      val dayHash = src.select(stagedSlice("").as("d"),
+        xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"),
+        col("value").isNotNull.as("live"))
+        .collect()
       if (dayHash.isEmpty) return Seq.empty // nothing staged → nothing to rewrite
-      val srcRows = dayHash.map(_.getLong(2)).sum
+      val srcRows = dayHash.length.toLong
       val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
       val keyHashes = dayHash.map(_.getLong(1)).distinct
+      // live (non-tombstone) hashes per slice day: exactly the keys the
+      // merge could INSERT into that day — tombstones never insert, and
+      // updated keys are already covered by their dest day's bloom
+      val liveDayHashes = dayHash.filter(r => r.getBoolean(2) && r.getString(0) != null)
+        .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
       val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
 
       val dest = readCommitted(days)
@@ -653,12 +686,14 @@ final class WarehouseTable private (
         else mergeJoin(dest, src, delete)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+      val preExisting = days.filter(d =>
+        fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
       guardStaleRead(clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
       val stagedFiles = stagedDayFiles(staging)
       val v = claimCommit("merge", days, readBase + 1)
       swapPartitions(staging, days, v)
-      refreshBlooms(days)
+      unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
       finalizeCommit("merge", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
@@ -686,7 +721,10 @@ final class WarehouseTable private (
       delete: Boolean): DataFrame = {
     val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
     val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
-    val srcKeys = src.select(col("key")).distinct()
+    // no .distinct(): src is latestPerKey output (one row per key), and
+    // an anti join is insensitive to duplicate build rows anyway —
+    // skipping the dedup exchange saves a job round per flush
+    val srcKeys = src.select(col("key"))
     val survivors = dest.as("d").join(broadcast(srcKeys.as("s")), keyCond, "left_anti")
     // when delete is off, a (precondition-violating) tombstone updates
     // matched rows to null values and inserts null-value rows — exactly
@@ -700,7 +738,9 @@ final class WarehouseTable private (
           vfs.map(f => col(s"s.value.$f").as(f)) :+
           col(s"d.$partitionCol").as(partitionCol): _*)
       .localCheckpoint(true)
-    val matchedKeys = updates.select(keyFields.map(col): _*).distinct()
+    // keys straight off the checkpoint, duplicates tolerated (anti join
+    // below) — bounded by matched dest rows ≈ batch keys
+    val matchedKeys = updates.select(keyFields.map(col): _*)
     val insCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
     val inserts = live.as("s").join(broadcast(matchedKeys.as("m")), insCond, "left_anti")
       .select(
@@ -744,12 +784,19 @@ final class WarehouseTable private (
       if (dayHash.isEmpty) return Seq.empty // nothing survives the fence
       val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
       val tombHashes = dayHash.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
+      // non-tombstone hashes per slice day, for the post-swap bloom
+      // union: delete-only mode plain-inserts every surviving live row
+      val liveDayHashes = dayHash.filter(r => !r.getBoolean(2) && r.getString(0) != null)
+        .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
       val tombSrc = fenced.where(col("value").isNull)
       val days = (batchDays ++ bloomCandidateDays(tombHashes, batchDays)).distinct.sorted
 
       val dest = readCommitted(days)
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
-      val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*).distinct()
+      // no .distinct(): the fence leaves ~one tombstone per key, an
+      // anti join is insensitive to duplicate build rows, and skipping
+      // the dedup exchange keeps the write a one-round job
+      val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*)
       // batch-bounded key set broadcast → dest is never shuffled here either
       val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
       val vfs = staged.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
@@ -760,12 +807,14 @@ final class WarehouseTable private (
       val merged = survivors.unionByName(inserts)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+      val preExisting = days.filter(d =>
+        fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
       guardStaleRead(clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
       val stagedFiles = stagedDayFiles(staging)
       val v = claimCommit("merge-delete", days, readBase + 1)
       swapPartitions(staging, days, v)
-      refreshBlooms(days)
+      unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
       finalizeCommit("merge-delete", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
@@ -826,15 +875,100 @@ final class WarehouseTable private (
     * blooms of the same table mergeable (same bit width, same hash
     * count), which [[upsertBlooms]] relies on.
     */
-  private def bloomAggColumn: Column = {
+  private def bloomAgg(child: Column): Column = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     val items = WarehouseTable.bloomExpectedItems
     Bridge.column(new BloomFilterAggregate(
-      Bridge.expression(xxhash64(keyString(keyFields.map(col)))),
+      Bridge.expression(child),
       Bridge.expression(lit(items)),
       Bridge.expression(lit(BloomFilter.optimalNumOfBits(items, 0.01))))
       .toAggregateExpression())
+  }
+
+  private def bloomAggColumn: Column =
+    bloomAgg(xxhash64(keyString(keyFields.map(col))))
+
+  /** Post-swap bloom maintenance for the merge paths WITHOUT re-reading
+    * the rewritten files: the batch's per-day live key hashes — already
+    * on the driver from the probe's day-collect — are unioned into each
+    * rewritten day's bloom, driver-side, zero jobs.
+    *
+    * Valid because a day's post-merge keyset is a subset of
+    * (old keyset ∪ batch keys): survivors and updates were in the old
+    * bloom, inserts are batch keys routed to their slice day, and
+    * deletes only REMOVE keys. The union therefore stays a SUPERSET of
+    * the day's keys — the only property [[bloomCandidateDays]] needs
+    * for correctness. Deleted keys linger as stale bits, costing
+    * candidate scans (never wrong results); staleness is bounded by the
+    * periodic exact rebuild — every [[WarehouseTable.bloomRebuildEvery]]
+    * -th committed version runs [[refreshBlooms]] instead, as does any
+    * [[compactPartitions]].
+    *
+    * Per-day cases: day dir gone after the swap → bloom removed; fresh
+    * day → bloom = exactly the batch hashes routed there; pre-existing
+    * day with no batch hashes (pure bloom-candidate that only kept/lost
+    * rows) → old bloom untouched (already a superset); pre-existing +
+    * batch hashes → old ∪ batch. Any day whose existing bloom is
+    * unreadable, legacy-format, or size-incompatible falls back to the
+    * exact rebuild — the same self-healing contract as [[upsertBlooms]].
+    */
+  /** Build per-day blooms on the driver from raw (day, key-hash) rows —
+    * bit-identical sizing to [[bloomAgg]], so the results stay
+    * mergeable with aggregate-built blooms. O(batch) input by the
+    * callers' byte gates; rows with a null day are skipped.
+    */
+  private def driverDayBlooms(
+      pairs: Array[org.apache.spark.sql.Row]): Seq[(String, Array[Byte])] = {
+    val items = WarehouseTable.bloomExpectedItems
+    pairs.filter(_.getString(0) != null).groupBy(_.getString(0))
+      .map { case (d, rs) =>
+        val b = BloomFilter.create(items, BloomFilter.optimalNumOfBits(items, 0.01))
+        rs.foreach(r => b.putLong(r.getLong(1)))
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        d -> bos.toByteArray
+      }.toSeq
+  }
+
+  private def unionBloomsAfterSwap(days: Seq[String],
+      liveDayHashes: Map[String, Array[Long]], preExisting: Set[String],
+      version: Long): Unit = {
+    if (version % WarehouseTable.bloomRebuildEvery == 0) {
+      refreshBlooms(days); return
+    }
+    fs.mkdirs(new Path(bloomDir))
+    val items = WarehouseTable.bloomExpectedItems
+    def batchBloom(hashes: Array[Long]): BloomFilter = {
+      val b = BloomFilter.create(items, BloomFilter.optimalNumOfBits(items, 0.01))
+      hashes.foreach(b.putLong)
+      b
+    }
+    def writeBloom(p: Path, b: BloomFilter): Unit = {
+      val out = new BufferedOutputStream(fs.create(p, true))
+      try { out.write(WarehouseTable.BloomMagic); b.writeTo(out) }
+      finally out.close()
+    }
+    val rebuild = days.filter { d =>
+      val bloomPath = new Path(s"$bloomDir/$d.bloom")
+      if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) {
+        if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+        false // day emptied by the merge: no bloom, nothing to rebuild
+      } else {
+        val hashes = liveDayHashes.getOrElse(d, Array.empty[Long])
+        val hadLegacy = fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))
+        if (!preExisting.contains(d)) { writeBloom(bloomPath, batchBloom(hashes)); false }
+        else if (hadLegacy) true // legacy-era partition: rebuild + retire
+        else WarehouseTable.readVersionedBloom(fs, bloomPath) match {
+          case None => true // missing/unreadable existing bloom: rebuild
+          case Some(_) if hashes.isEmpty => false // old bloom already covers
+          case Some(old) =>
+            try { old.mergeInPlace(batchBloom(hashes)); writeBloom(bloomPath, old); false }
+            catch { case scala.util.control.NonFatal(_) => true }
+        }
+      }
+    }
+    if (rebuild.nonEmpty) refreshBlooms(rebuild)
   }
 
   private def refreshBlooms(days: Seq[String]): Unit = {
@@ -892,7 +1026,18 @@ final class WarehouseTable private (
         catch { case scala.util.control.NonFatal(_) => None }
       val hadLegacy = fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))
       val merged: Option[BloomFilter] = batch.flatMap { b =>
-        if (!preExisting.contains(d)) Some(b) // fresh partition: batch IS the keyset
+        if (!preExisting.contains(d)) {
+          // fresh partition: batch IS the keyset — unless a CONCURRENT
+          // append to the same fresh day already wrote its bloom, in
+          // which case overwriting would drop that writer's keys
+          // (under-approximation = probe misses = duplicate keys);
+          // union with it instead, rebuild if the union can't be formed
+          if (!fs.exists(p)) Some(b)
+          else WarehouseTable.readVersionedBloom(fs, p).flatMap { other =>
+            try { other.mergeInPlace(b); Some(other) }
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }
         else if (hadLegacy) None // legacy-era partition: rebuild + retire
         else WarehouseTable.readVersionedBloom(fs, p).flatMap { old =>
           try { old.mergeInPlace(b); Some(old) }
@@ -1059,6 +1204,9 @@ final class WarehouseTable private (
     val stagedFiles = stagedDayFiles(staging)
     val v = claimCommit("compact", existing, readBase + 1)
     swapPartitions(staging, existing, v)
+    // compaction never changes the keyset, so the day blooms stay
+    // valid — but it IS the designated tightening point for the stale
+    // bits the merge-path bloom union leaves behind: rebuild exactly
     refreshBlooms(existing)
     finalizeCommit("compact", existing, v, stagedFiles)
     autoVacuum()
@@ -1673,21 +1821,32 @@ final class WarehouseTable private (
     * job's UUID (no collision), the pattern [[appendBatch]] already
     * uses for replay convergence.
     */
-  private def writeStagedInto(df: DataFrame): Map[String, Seq[String]] = {
+  /** Stage the append under a unique dir, then move its files into the
+    * table partitions. Returns (day → moved file names, the days whose
+    * partition dir pre-existed this write, total staged bytes) — the
+    * last two feed bloom maintenance for free (no extra job).
+    */
+  private def writeStagedInto(df: DataFrame):
+      (Map[String, Seq[String]], Set[String], Long) = {
     val staging = s"$root/.append-${UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     try {
-      fs.listStatus(new Path(staging)).toSeq.filter(st => st.isDirectory &&
+      var bytes = 0L
+      val preExisting = Set.newBuilder[String]
+      val files = fs.listStatus(new Path(staging)).toSeq.filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s"$partitionCol=")).map { dir =>
+        val day = dir.getPath.getName.stripPrefix(s"$partitionCol=")
         val dest = new Path(s"$dataPath/${dir.getPath.getName}")
-        fs.mkdirs(dest)
+        if (fs.exists(dest)) preExisting += day else fs.mkdirs(dest)
         val names = fs.listStatus(dir.getPath).toSeq.filter(f => f.isFile &&
             !f.getPath.getName.startsWith("_")).map { f =>
+          bytes += f.getLen
           fs.rename(f.getPath, new Path(dest, f.getPath.getName))
           f.getPath.getName
         }
-        dir.getPath.getName.stripPrefix(s"$partitionCol=") -> names
+        day -> names
       }.filter(_._2.nonEmpty).toMap
+      (files, preExisting.result(), bytes)
     } finally { fs.delete(new Path(staging), true); () }
   }
 
@@ -1711,7 +1870,7 @@ final class WarehouseTable private (
     */
   private def writeRouted(df: DataFrame, op: String): Unit = {
     val readBase = currentVersion
-    val myFiles = writeStagedInto(clusteredWrite(df))
+    val (myFiles, _, _) = writeStagedInto(clusteredWrite(df))
     refreshBlooms(myFiles.keys.toSeq)
     if (myFiles.nonEmpty) commitSnapshot(op, myFiles, readBase + 1)
   }
@@ -1947,6 +2106,28 @@ object WarehouseTable {
     */
   val bloomExpectedItems: Long =
     sys.env.getOrElse("GRAFT_BLOOM_EXPECTED_ITEMS", "1000000").toLong
+
+  /** Cadence of the exact bloom rebuild on the merge paths: merges
+    * union the batch's key hashes into the touched day blooms
+    * driver-side (zero jobs — see `unionBloomsAfterSwap`), which keeps
+    * the superset invariant but lets deleted keys linger as stale bits;
+    * every N-th committed version pays the distributed `refreshBlooms`
+    * re-scan to tighten them. 1 restores rebuild-every-merge.
+    */
+  /** Byte gate below which an append collects raw (day, key-hash) pairs
+    * to the driver and builds day blooms locally (one cache-read job, no
+    * aggregation exchange); above it the distributed bloom aggregation
+    * runs instead — a bulk load's hash set would not fit the driver, and
+    * its shuffle cost is amortized by the data volume anyway.
+    */
+  val appendHashCollectMaxBytes: Long =
+    sys.env.getOrElse("GRAFT_APPEND_HASH_COLLECT_MAX_BYTES",
+      (256L << 20).toString).toLong
+
+  def bloomRebuildEvery: Long =
+    math.max(1L, sys.props.get("graft.bloomRebuildEvery")
+      .orElse(sys.env.get("GRAFT_BLOOM_REBUILD_EVERY"))
+      .getOrElse("16").toLong)
 
   /** Batch-size ceiling for the broadcast merge plan; above it the merge
     * falls back to the full-outer sort-merge join. Micro-batches are

@@ -27,12 +27,25 @@ object ProfileS6 {
     val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobStarts.put(s.jobId, System.nanoTime())
+        val exec = Option(s.properties).map(_.getProperty("spark.sql.execution.id")).orNull
+        val last = s.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')).getOrElse("")
+        println(s"[prof]   job ${s.jobId}: execId=$exec nStages=${s.stageInfos.size} last=$last")
+      }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val t0 = jobStarts.remove(e.jobId)
         if (t0 != 0L) { jobCount.incrementAndGet(); jobNanos.addAndGet(System.nanoTime() - t0) }
       }
+    })
+
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        println(f"[prof]   exec ${qe.id}: fn=$funcName ${durationNs / 1e9}%6.3f s " +
+          s"plan=${qe.logical.simpleString(1).takeWhile(_ != '\n').take(120)}")
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     })
 
     def time[A](label: String)(body: => A): A = {

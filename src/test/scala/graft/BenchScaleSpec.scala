@@ -147,6 +147,38 @@ class BenchScaleSpec extends AnyFunSuite {
       s"row-ceiling fallback did not select sort-merge:\n${fWrites.mkString("\n---\n")}")
   }
 
+  test("merge flush is a bounded-job pipeline (<= 10 Spark jobs)") {
+    // per-job launch overhead dominates small-flush wall time, so the
+    // flush's job count IS the latency model: 1 probe collect + the
+    // bloom-candidate probe + the checkpointed update scan + the staged
+    // write (AQE stage jobs + broadcasts) — and NOTHING after the swap
+    // (blooms are unioned driver-side from the probe's own collect)
+    val t = seeded()
+    val batch = stagedTimes(1)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.merge(batch)
+      // async listener bus: wait for the count to go quiet
+      var last = -1
+      var now = jobs.get()
+      var spins = 0
+      while (last != now && spins < 50) {
+        last = now; Thread.sleep(200); now = jobs.get(); spins += 1
+      }
+      assert(jobs.get() <= 10,
+        s"merge flush ran ${jobs.get()} Spark jobs — the bounded-job " +
+          "pipeline regressed (target <= 10: probe collect, bloom probe, " +
+          "update checkpoint, staged write incl. AQE/broadcast jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Synthetic corpus for the dedup scale proof: `n` docs of ~40
     * md5-derived pseudo-words (content unique per doc), plus a planted
     * near-dup partner for every 100th doc. Deterministic, no RNG.

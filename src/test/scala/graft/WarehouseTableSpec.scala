@@ -227,6 +227,37 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(state == Set((1L, "new", "2024-01-01"), (7L, "z", "2024-01-01")))
   }
 
+  test("merge-path bloom union: superset survives deletes; rebuild cadence tightens stale bits") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // day1 holds k=1..3; day2 holds k=9
+    t.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((9L, "z")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    // v3: tombstone k=3 from a day-5 batch — union path (default
+    // cadence): day1 is rewritten without k=3, but its bloom keeps
+    // k=3 as a stale bit (the union never removes)
+    t.merge(staged(Seq((3L, None, 1L, 5))))
+    assert(t.read().select($"k1").as[Long].collect().toSet == Set(1L, 2L, 9L))
+    // superset invariant: an update to k=1 still finds day1
+    val days1 = t.merge(staged(Seq((1L, Some("a2"), 2L, 5))))
+    assert(days1.contains("2024-01-01"))
+    // stale bit observable: deleting the ALREADY-GONE k=3 still pulls
+    // day1 into the scan set — over-approximation, never under
+    val days2 = t.merge(staged(Seq((3L, None, 3L, 5))))
+    assert(days2.contains("2024-01-01"))
+    // exact-rebuild cadence: force rebuild-every-commit, touch day1,
+    // and the same probe no longer scans day1 (stale k=3 bit gone)
+    sys.props("graft.bloomRebuildEvery") = "1"
+    try {
+      t.merge(staged(Seq((1L, Some("a3"), 4L, 5))))
+      val days3 = t.merge(staged(Seq((3L, None, 5L, 5))))
+      assert(!days3.contains("2024-01-01"),
+        s"day1 bloom should have been rebuilt exact (no stale k=3): $days3")
+    } finally sys.props -= "graft.bloomRebuildEvery"
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+      Set((1L, "a3"), (2L, "b"), (9L, "z")))
+  }
+
   test("broadcast merge plan and shuffle fallback produce identical state") {
     def runMerge(maxRows: Long): Set[(Long, Option[String], String)] = {
       val root = tmpRoot()

@@ -2120,9 +2120,10 @@ object WarehouseTable {
     * runs instead — a bulk load's hash set would not fit the driver, and
     * its shuffle cost is amortized by the data volume anyway.
     */
-  val appendHashCollectMaxBytes: Long =
-    sys.env.getOrElse("GRAFT_APPEND_HASH_COLLECT_MAX_BYTES",
-      (256L << 20).toString).toLong
+  def appendHashCollectMaxBytes: Long =
+    sys.props.get("graft.appendHashCollectMaxBytes")
+      .orElse(sys.env.get("GRAFT_APPEND_HASH_COLLECT_MAX_BYTES"))
+      .getOrElse((256L << 20).toString).toLong
 
   def bloomRebuildEvery: Long =
     math.max(1L, sys.props.get("graft.bloomRebuildEvery")

@@ -258,6 +258,24 @@ class WarehouseTableSpec extends AnyFunSuite {
       Set((1L, "a3"), (2L, "b"), (9L, "z")))
   }
 
+  test("bulk-append bloom path (above the hash-collect byte gate) stays probe-correct") {
+    // force the distributed-aggregation branch that big seed loads take:
+    // the same cross-day update probe must still find the key, proving
+    // the aggregate-built and driver-built blooms are interchangeable
+    sys.props("graft.appendHashCollectMaxBytes") = "0"
+    try {
+      val root = tmpRoot()
+      val t = mkTable(root)
+      t.append(Seq((1L, "old"), (2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+      t.appendBatch(
+        Seq((5L, "e")).toDF("k1", "f1").withColumn("partitionTime", ts(2)), 7L)
+      val days = t.merge(staged(Seq((1L, Some("new"), 1L, 5), (5L, Some("e2"), 2L, 6))))
+      assert(days.contains("2024-01-01") && days.contains("2024-01-02"))
+      assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet ==
+        Set((1L, "new"), (2L, "b"), (5L, "e2")))
+    } finally sys.props -= "graft.appendHashCollectMaxBytes"
+  }
+
   test("broadcast merge plan and shuffle fallback produce identical state") {
     def runMerge(maxRows: Long): Set[(Long, Option[String], String)] = {
       val root = tmpRoot()

@@ -217,11 +217,24 @@ final class WarehouseTable private (
     * The partition column stays directory-inferred, exactly as before.
     */
   private def readWithTableSchema(days: Seq[String],
-      projected: Option[StructType] = None): DataFrame =
-    spark.read
+      projected: Option[StructType] = None): DataFrame = {
+    val df = spark.read
       .schema(projected.getOrElse(schema))
       .option("basePath", dataPath)
       .parquet(days.map(d => s"$dataPath/$partitionCol=$d"): _*)
+    // the partition column comes from directory inference, which finds
+    // NOTHING when a concurrent swap archived every file of the listed
+    // days between the caller's existence check and this listing — the
+    // df then silently lacks `partitionCol` and downstream references
+    // explode as UNRESOLVED_COLUMN. Surface it as the protocol's typed
+    // retryable stale-read abort instead (nothing committed; a re-run
+    // reads the new generation).
+    if (!df.columns.contains(partitionCol))
+      throw new java.util.ConcurrentModificationException(
+        s"partitions ${days.mkString(",")} were emptied by a concurrent " +
+          "swap while being listed — re-run against the current table state")
+    df
+  }
 
   /** Project a raw partition read onto the persisted table schema:
     * evolution-added columns missing from older files become NULL, extra
@@ -496,12 +509,16 @@ final class WarehouseTable private (
   /** Exactly-once batch append for the streaming path. `foreachBatch` is
     * at-least-once: a batch whose write succeeded but whose checkpoint
     * commit didn't is replayed, and a plain [[append]] would duplicate
-    * its rows. Here the batch is staged under its batchId (Overwrite —
-    * replay-safe) and the staged files are then moved into partitions
-    * under deterministic `b<batchId>-` names, with any same-batchId files
-    * from a previous attempt removed first — so a replay converges to
-    * exactly the same files (the Spark-native analog of the reference's
-    * insertId dedup + preCommit offset bookkeeping,
+    * its rows. A COMMITTED batch is detected first — by its durable
+    * `_graft/batches/b<batchId>` marker, or (crash between commit and
+    * marker) by its `b<batchId>-` files in the CURRENT manifest — and
+    * the replay returns without touching the table: under file-exact
+    * manifests, re-landing a committed batch's files would orphan every
+    * older snapshot that references the originals (the multi-writer
+    * soak caught exactly this). An UNCOMMITTED prior attempt's files
+    * reference nothing, so they are swept and re-landed under
+    * deterministic `b<batchId>-` names (the Spark-native analog of the
+    * reference's insertId dedup + preCommit offset bookkeeping,
     * `MergeBatches.java:286-299`). Requires deterministic partition
     * routing across replays, i.e. event-time partitioning (T6); the
     * processing-time mode has the same day-boundary caveat as the
@@ -509,6 +526,17 @@ final class WarehouseTable private (
     */
   def appendBatch(df: DataFrame, batchId: Long,
       partitionTimeCol: String = "partitionTime"): Unit = {
+    // replay of a COMMITTED batch: durable no-op. Marker first (cheap),
+    // then the CURRENT manifest (covers a crash between the snapshot
+    // commit and the marker write).
+    val marker = new Path(s"$root/_graft/batches/b$batchId")
+    if (fs.exists(marker)) return
+    val curV = currentVersion
+    if (curV > 0L && readManifest(curV).values.exists(
+        _.exists(_.startsWith(s"b$batchId-")))) {
+      writeMetaString(spark, marker.toString, "committed")
+      return
+    }
     val kafkaCols = Seq("topic", "partition", "offset")
     val deduped =
       if (kafkaCols.forall(df.columns.contains)) df.dropDuplicates(kafkaCols)
@@ -586,6 +614,9 @@ final class WarehouseTable private (
         throw e
       }
     }
+    // durable only AFTER the snapshot committed: a crash anywhere above
+    // leaves no marker, and the replay re-runs from the manifest check
+    writeMetaString(spark, marker.toString, "committed")
     expireOldPartitions()
     autoVacuum()
   }

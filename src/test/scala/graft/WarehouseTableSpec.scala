@@ -258,6 +258,37 @@ class WarehouseTableSpec extends AnyFunSuite {
       Set((1L, "a3"), (2L, "b"), (9L, "z")))
   }
 
+  test("appendBatch replay of a COMMITTED batch is a durable no-op") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1))
+    t.appendBatch(batch, 42L)
+    val v = t.currentVersion
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b")))
+    // replay with the marker present: nothing happens
+    t.appendBatch(batch, 42L)
+    assert(t.currentVersion == v, "marker replay must not commit")
+    // crash window: marker lost but the snapshot committed — the replay
+    // must detect the batch in the CURRENT manifest, NOT re-land files
+    // (re-landing would orphan snapshot v's manifest, which references
+    // the original file names — the soak-found corruption)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_graft/batches/b42"), false)
+    t.appendBatch(batch, 42L)
+    assert(t.currentVersion == v, "manifest-check replay must not commit")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/batches/b42")),
+      "manifest-check replay must restore the marker")
+    assert(t.readAsOf(v).select($"k1", $"f1").as[(Long, String)].collect().toSet == rows,
+      "snapshot v must remain fully readable after the replay")
+    assert(t.read().count() == 2, "no duplicated rows after replays")
+    // a NEW batch still appends normally
+    t.appendBatch(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(1)), 43L)
+    assert(t.read().count() == 3)
+  }
+
   test("bulk-append bloom path (above the hash-collect byte gate) stays probe-correct") {
     // force the distributed-aggregation branch that big seed loads take:
     // the same cross-day update probe must still find the key, proving
@@ -1485,12 +1516,35 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(10) match {
+            rnd.nextInt(12) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
                 t.append(Seq((key, v)).toDF("k1", "f1")
                   .withColumn("partitionTime", ts(dayOf(key))))
+                committedOps.incrementAndGet()
+              case 10 =>
+                // exactly-once streaming flush, sometimes REPLAYED: the
+                // second call must converge to the same files, never
+                // duplicate the key (b<batchId>- replay cleanup)
+                val v = s"b$tid-$op"
+                attempted.add(key -> v)
+                val batch = Seq((key, v)).toDF("k1", "f1")
+                  .withColumn("partitionTime", ts(dayOf(key)))
+                val batchId = tid * 100000L + op
+                t.appendBatch(batch, batchId)
+                if (rnd.nextBoolean()) t.appendBatch(batch, batchId)
+                committedOps.incrementAndGet()
+              case 11 =>
+                // content-addressed ingest (disjoint key namespace per
+                // thread — cross-WRITER content dedup is a pipeline
+                // contract, not a table one): re-ingesting one of this
+                // thread's own keys must be dropped, never duplicated
+                val ik = tid * 100000L + 50000L + rnd.nextInt(op + 1)
+                val v = s"i$tid-$op"
+                attempted.add(ik -> v)
+                t.insertNewOnly(Seq((ik, v)).toDF("k1", "f1")
+                  .withColumn("partitionTime", ts(dayOf(ik))))
                 committedOps.incrementAndGet()
               case 5 | 6 =>
                 // upsert an earlier key of THIS thread (or insert fresh)

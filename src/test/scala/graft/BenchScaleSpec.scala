@@ -217,4 +217,106 @@ class BenchScaleSpec extends AnyFunSuite {
     assert(ms10 < ms1 * 25,
       f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the dedup path")
   }
+
+  /** Corpus for the containment scale proof: `n` big docs of 40
+    * doc-unique pseudo-words, plus for every 100th doc a FRAGMENT that
+    * is its first 15 words — the quote/mirror-page shape containment
+    * dedup exists for (containment 1.0, Jaccard ~0.3, so minhash-banded
+    * near-dup structurally under-recalls it). Deterministic, no RNG.
+    */
+  private def fragmentDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    def words(k: Int) = (0 until k).map(w =>
+      substring(md5(concat($"id".cast("string"), lit(s":w$w"))), 1, 8))
+    spark.range(n.toLong)
+      .select($"id".as("doc_id"), concat_ws(" ", words(40): _*).as("text"))
+      .unionByName(
+        spark.range(0L, n.toLong, 100L).select(
+          ($"id" + 10000000L).as("doc_id"),
+          concat_ws(" ", words(15): _*).as("text")))
+  }
+
+  test("10x containment dedup scales ~linearly; planted fragments still surface") {
+    import graft.llm.DedupOps
+    def run(n: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val pairs = DedupOps.containmentDups(fragmentDocs(n), "text", "doc_id")
+        .where(col("contained_id") - col("container_id") === 10000000L &&
+          col("containment") === 1.0)
+        .count()
+      (pairs, (System.nanoTime() - t0) / 1000000.0)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (p1, ms1) = run(2000)
+    val (p10, ms10) = run(20000)
+    // a 15-word fragment's 12 4-shingles are all in its source (and
+    // rare — doc-unique words keep every shared shingle at df=2, far
+    // under the hot-shingle cap), so recall-complete candidate
+    // generation must surface every planted pair at both scales
+    assert(p1 == 20 && p10 == 200,
+      s"planted fragments lost at scale: $p1/20, $p10/200")
+    info(f"containment wall: 1x $ms1%.0f ms, 10x $ms10%.0f ms (ratio ${ms10 / ms1}%.1f)")
+    assert(ms10 < ms1 * 25,
+      f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the " +
+        "shared-shingle candidate path")
+  }
+
+  /** Train/test corpora for the trigram-LM scale proof. Train: `n` docs
+    * of 40 words off a FIXED 500-word vocabulary (so the distinct-
+    * trigram relation stays vocabulary-sized as the corpus grows — the
+    * exact property the 100 TB design note claims). Test: `n/10` docs
+    * alternating vocabulary words with doc-unique OOV words, so every
+    * doc exercises the full backoff chain. Deterministic, no RNG.
+    */
+  private def lmTrain(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(concat_ws(" ", (0 until 40).map(w =>
+      substring(md5(concat(lit("v"),
+        (($"id" * 7 + w * 13) % 500).cast("string"))), 1, 8)): _*).as("text"))
+  }
+
+  private def lmTest(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong / 10).select($"id".as("doc_id"),
+      concat_ws(" ", (0 until 40).map(w =>
+        if (w % 2 == 0)
+          substring(md5(concat(lit("v"),
+            (($"id" * 11 + w * 17) % 500).cast("string"))), 1, 8)
+        else
+          substring(md5(concat($"id".cast("string"), lit(s":oov$w"))), 1, 8)
+      ): _*).as("text"))
+  }
+
+  test("10x trigram LM scoring scales ~linearly; counts stay vocabulary-sized") {
+    import graft.llm.TextOps
+    def run(n: Int): (Array[org.apache.spark.sql.Row], Double) = {
+      val t0 = System.nanoTime()
+      val rows = TextOps.withTrigramBackoff(lmTrain(n), lmTest(n),
+          "text", "doc_id")
+        .agg(count(lit(1)).as("docs"),
+          min(col("n_trigrams")).as("min_tri"),
+          max(col("n_trigrams")).as("max_tri"),
+          sum(col("n_backoff")).as("backoffs"),
+          count(when(col("tri_surprisal").isNull, 1)).as("unscored"))
+        .collect()
+      (rows, (System.nanoTime() - t0) / 1000000.0)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (r1, ms1) = run(2000)
+    val (r10, ms10) = run(20000)
+    for ((r, n) <- Seq((r1(0), 2000), (r10(0), 20000))) {
+      assert(r.getLong(0) == n / 10, s"docs scored: ${r.getLong(0)} != ${n / 10}")
+      assert(r.getLong(1) == 38L && r.getLong(2) == 38L,
+        s"every 40-word doc has exactly 38 trigram positions, got " +
+          s"[${r.getLong(1)}, ${r.getLong(2)}]")
+      // interleaved OOV words force positions off the trigram level in
+      // every doc — the backoff chain must actually fire at both scales
+      assert(r.getLong(3) > 0L, "no backoff positions — held-out split broken")
+      assert(r.getLong(4) == 0L, s"${r.getLong(4)} docs left unscored")
+    }
+    info(f"trigram LM wall: 1x $ms1%.0f ms, 10x $ms10%.0f ms (ratio ${ms10 / ms1}%.1f)")
+    assert(ms10 < ms1 * 25,
+      f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the " +
+        "count-relation joins")
+  }
 }

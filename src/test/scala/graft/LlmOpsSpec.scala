@@ -1912,13 +1912,14 @@ class LlmOpsSpec extends AnyFunSuite {
       "appending id-shifted clones disturbed rank-1 results")
   }
 
-  test("index probe I/O is bounded by the probed-cell fraction (measured bytes)") {
+  test("index probe I/O is bounded by the probed-cell fraction (measured file selection)") {
     // the plan-level proof (PlanAuditSpec e11) pins PartitionFilters;
-    // this pins the CONSEQUENCE with task input metrics: 16 equal-size
-    // cells, so a 1-of-16 probe must READ ~1/16 of what a 16-of-16
-    // probe reads — the property that makes a persisted index serve
-    // cheaply at 100 TB (probe cost scales with cells probed, not
-    // corpus size)
+    // this pins the CONSEQUENCE with the scan operator's own selection
+    // metrics (numFiles/filesSize — the files the reader actually
+    // chose after pruning): over 16 equal-size cells, a 1-of-16 probe
+    // must select ~1/16 of the file bytes a 16-of-16 probe selects —
+    // the property that makes a persisted index serve cheaply at
+    // 100 TB (probe cost scales with cells probed, not corpus size)
     val root = java.nio.file.Files.createTempDirectory("ivf-io").toString + "/idx"
     val dims = 64
     // cluster c lives on dim block [4c, 4c+4); equal 1000-vector cells
@@ -1934,34 +1935,10 @@ class LlmOpsSpec extends AnyFunSuite {
     SimOps.buildIvfIndex(corpus, root, centroids = Some(cents))
     val queries = Seq((99999L, cents(3).toSeq)).toDF("vec_id", "embedding")
 
-    def bytesReadOf(body: => Unit): Long = {
-      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          if (e.taskMetrics != null)
-            bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
-          ()
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        body
-        // async listener bus: wait for the byte count to go quiet
-        var last = -1L; var now = bytes.get(); var spins = 0
-        while (last != now && spins < 50) {
-          last = now; Thread.sleep(200); now = bytes.get(); spins += 1
-        }
-        bytes.get()
-      } finally spark.sparkContext.removeSparkListener(listener)
+    val (narrow, m1) = ScanMetrics.selectedByQueries(spark) {
+      SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 1).collect()
     }
-
-    var narrow: Array[org.apache.spark.sql.Row] = Array.empty
-    val b1 = bytesReadOf {
-      narrow = SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 1)
-        .collect()
-    }
-    val b16 = bytesReadOf {
+    val (_, m16) = ScanMetrics.selectedByQueries(spark) {
       SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 16).collect()
     }
     // the 1-cell probe still answers correctly: the query is centroid 3,
@@ -1969,13 +1946,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(narrow.length == 5 &&
       narrow.forall(_.getLong(1) % 16 == 3),
       s"1-probe answers left the query's cell: ${narrow.mkString(",")}")
-    info(f"probe bytes: 1/16 cells ${b1 / 1024}%d KiB, 16/16 ${b16 / 1024}%d KiB " +
-      f"(ratio ${b1.toDouble / b16}%.3f)")
-    assert(b1 > 0, "input metrics captured nothing — the proof is vacuous")
-    // expected ratio ~1/16 plus shared metadata; 0.25 is a 4x margin
-    assert(b1 < b16 / 4,
-      f"1-of-16 probe read ${b1.toDouble / b16}%.2fx of the full scan — " +
-        "partition pruning is not bounding probe I/O")
+    info(f"probe selection: 1/16 cells ${m1.fileBytes / 1024}%d KiB " +
+      f"(${m1.numFiles} files), 16/16 ${m16.fileBytes / 1024}%d KiB " +
+      f"(${m16.numFiles} files, ratio ${m1.fileBytes.toDouble / m16.fileBytes}%.3f)")
+    assert(m1.fileBytes > 0, "scan metrics captured nothing — the proof is vacuous")
+    // expected ratio ~1/16 with equal cells; 0.25 is a 4x margin
+    assert(m1.fileBytes < m16.fileBytes / 4,
+      f"1-of-16 probe selected ${m1.fileBytes.toDouble / m16.fileBytes}%.2fx " +
+        "of the full scan — partition pruning is not bounding probe I/O")
   }
 
   test("rebuildIvfIndex: trained centroids recover recall after a distribution-shifted append") {

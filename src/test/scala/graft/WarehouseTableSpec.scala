@@ -289,6 +289,73 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("insertNewOnly history-probe I/O is bloom-pruned to candidate days (measured file selection)") {
+    // the doc's 100 TB claim, measured with the scan operator's own
+    // selection metrics (files chosen AFTER pruning): a probe whose
+    // keys live in ONE of 8 days must select ~1/8 of the table's file
+    // bytes, and an all-fresh batch (no true bloom hit) selects at
+    // most fp days. fpp=0.01 blooms can flag extra days — the bounds
+    // leave room for a couple. Column pruning to the key columns is
+    // pinned via the probe scan's captured read schema.
+    val root = tmpRoot()
+    val wideSchema = StructType(Seq(
+      StructField("k1", LongType), StructField("payload", StringType)))
+    val t = WarehouseTable.create(spark, root, Seq("k1"), wideSchema)
+    // 8 days x 20k rows, ~192B incompressible payload per row
+    val seed = spark.range(160000L).select(
+      $"id".as("k1"),
+      concat((0 until 6).map(i =>
+        md5(concat($"id".cast("string"), lit(s":p$i")))): _*).as("payload"),
+      to_timestamp(format_string("2024-01-%02d 12:00:00",
+        ($"id" % 8 + 1).cast("int"))).as("partitionTime"))
+    t.append(seed)
+
+    val (_, mFull) = ScanMetrics.selectedByQueries(spark) {
+      t.read().agg(sum(length($"payload"))).collect(); ()
+    }
+    // 50 keys that live in day 3 (id % 8 == 2) + 50 fresh keys: the
+    // probe must scan day 3, drop the 50 dupes, append the 50 fresh
+    val probeBatch = spark.range(50L)
+      .select(($"id" * 8 + 2).as("k1"))
+      .unionByName(spark.range(50L).select(($"id" + 1000000L).as("k1")))
+      .select($"k1",
+        concat((0 until 6).map(i =>
+          md5(concat($"k1".cast("string"), lit(s":q$i")))): _*).as("payload"),
+        to_timestamp(lit("2024-01-03 12:00:00")).as("partitionTime"))
+    val before = t.read().count()
+    val (_, mProbe) = ScanMetrics.selectedByQueries(spark) {
+      t.insertNewOnly(probeBatch); ()
+    }
+    assert(t.read().count() == before + 50, "insert-if-absent semantics broke")
+    info(f"history-probe selection: full ${mFull.fileBytes / 1024}%d KiB " +
+      f"(${mFull.numFiles} files), probe ${mProbe.fileBytes / 1024}%d KiB " +
+      f"(${mProbe.numFiles} files, ratio ${mProbe.fileBytes.toDouble / mFull.fileBytes}%.3f)")
+    assert(mProbe.fileBytes > 0, "scan metrics captured nothing — vacuous")
+    // 1 true day + room for ~2 fp days = 3/8; anything near 1.0 means
+    // the bloom probe stopped pruning
+    assert(mProbe.fileBytes < mFull.fileBytes * 3 / 8,
+      f"history probe selected ${mProbe.fileBytes.toDouble / mFull.fileBytes}%.2fx " +
+        "of a full scan — bloom day-pruning is not bounding probe I/O")
+    // ...and the candidate-day scan itself is COLUMN-pruned to the key:
+    // at 100 TB the payload is the table, so reading it would void the
+    // day-pruning win
+    assert(mProbe.readSchemas.exists(_ == Seq("k1")),
+      s"no key-only scan in the probe — read schemas: ${mProbe.readSchemas}")
+
+    // all-fresh batch: no true bloom hit — at most fp days selected
+    val freshBatch = spark.range(10L)
+      .select(($"id" + 2000000L).as("k1"),
+        lit("x").as("payload"),
+        to_timestamp(lit("2024-01-05 12:00:00")).as("partitionTime"))
+    val (_, mFresh) = ScanMetrics.selectedByQueries(spark) {
+      t.insertNewOnly(freshBatch); ()
+    }
+    info(f"all-fresh probe selection: ${mFresh.fileBytes / 1024}%d KiB " +
+      f"(${mFresh.numFiles} files)")
+    assert(mFresh.fileBytes < mFull.fileBytes * 2 / 8,
+      "a no-hit batch selected more than fp-level data files")
+  }
+
   test("bulk-append bloom path (above the hash-collect byte gate) stays probe-correct") {
     // force the distributed-aggregation branch that big seed loads take:
     // the same cross-day update probe must still find the key, proving

@@ -136,6 +136,39 @@ object TextOps {
       .drop("__praw", "__sraw")
   }
 
+  /** Sentence segmentation statistics: split on terminal-punctuation
+    * runs (`[.!?]+`), trim, drop empties, then count sentences and
+    * whitespace tokens per sentence. Appends `n_sentences,
+    * n_sentence_tokens, max_sentence_tokens, avg_sentence_tokens`
+    * (all 0 for a sentence-less doc — no nullable ints). The length
+    * profile readability/quality gates consume, and the pre-pass a
+    * sentence-level chunker needs.
+    *
+    * Scale: staged projections — the sentence array and per-sentence
+    * token counts each materialize ONCE (HOF lambdas are interpreted;
+    * let-binding keeps the split from re-running per element). Map-only
+    * scan, no shuffle, no UDFs.
+    */
+  def withSentenceStats(df: DataFrame, textCol: String): DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val stoks = transform(col("__sents"),
+      s => size(filter(split(s, "\\s+"), t => t =!= "")).cast("long"))
+    df.withColumn("__sents", sents)
+      .withColumn("__stoks", stoks)
+      .withColumn("n_sentences", size(col("__sents")).cast("long"))
+      .withColumn("n_sentence_tokens",
+        coalesce(aggregate(col("__stoks"), lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("max_sentence_tokens",
+        coalesce(array_max(col("__stoks")), lit(0L)))
+      .withColumn("avg_sentence_tokens",
+        when(col("n_sentences") > 0,
+          round(col("n_sentence_tokens") / col("n_sentences"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__sents", "__stoks")
+  }
+
   /** Gopher quality rules (Rae et al. 2021, appendix A1.1) as per-doc
     * flag columns plus the conjunction: word-count band [50, 100k],
     * mean word length band [3, 10], symbol-to-word ratio ("#"/"...")

@@ -63,7 +63,37 @@ object TemporalOps {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      rightTie: String): DataFrame = {
+      rightTie: String): DataFrame =
+    asofJoinBackwardImpl(left, right, keys, leftTs, rightTs, payload, rightTie)
+
+  /** [[asofJoinBackward]] with a staleness bound (pandas
+    * `merge_asof(tolerance=...)`): a match older than
+    * `toleranceSeconds` before the left row is treated as NO match —
+    * `asof_ts` and the payload come back NULL. The lookup a serving
+    * join actually wants: "the user's latest state, unless it's gone
+    * stale". Same union-merge plan as the unbounded form (the bound is
+    * a post-fold projection, not a join-shape change), so the same
+    * one-exchange cost and skew bound.
+    */
+  def asofJoinBackwardWithin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String], rightTie: String,
+      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0,
+      s"toleranceSeconds must be >= 0: $toleranceSeconds")
+    val matched = asofJoinBackwardImpl(left, right, keys, leftTs, rightTs,
+      payload, rightTie)
+    val inBound = col("asof_ts").isNotNull &&
+      unix_micros(col(leftTs)) - unix_micros(col("asof_ts")) <=
+        toleranceSeconds * 1000000L
+    ("asof_ts" +: payload).foldLeft(matched) { (df, f) =>
+      df.withColumn(f, when(inBound, col(s"`$f`")))
+    }
+  }
+
+  private def asofJoinBackwardImpl(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String], rightTie: String): DataFrame = {
     val keyCols = keys.map(col)
     // per-(key, ts) survivor: greatest tie wins (partial-aggregable)
     val payStruct = struct(col(rightTs).as("asof_ts") +: payload.map(col): _*)

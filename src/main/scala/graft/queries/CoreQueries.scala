@@ -1993,6 +1993,59 @@ object CoreQueries extends QueryPack {
           |       round(sum(cents)::DOUBLE / count(*), 6) AS raw_mean_cents
           |FROM ranked GROUP BY event_type""".stripMargin)),
 
+    GraftQuery("a54_winsorized_stats",
+      // a47's robust-location companion: instead of DROPPING the k =
+      // n÷10 tail rows per side, CLIP them to the surviving boundary
+      // values (rank k+1 low, rank n−k high) — the outlier treatment
+      // that keeps n constant (reward/feature clipping). Rank-based
+      // like a47: bounds are actual data cents, the winsorized sum is
+      // Σ(middle) + k·(lo + hi) in exact integers, one division at
+      // the end.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"), round(col("value") * 100, 0).cast("long").as("cents"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cents"), col("event_id"))
+        val ranked = ev
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+        ranked.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rk") === expr("n div 10") + 1, col("cents")))
+              .as("lo_cents"),
+            max(when(col("rk") === col("n") - expr("n div 10"), col("cents")))
+              .as("hi_cents"),
+            sum(when(col("rk") > expr("n div 10") &&
+              col("rk") <= col("n") - expr("n div 10"), col("cents"))
+              .otherwise(0L)).as("__mid"))
+          .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+            round((col("__mid") +
+              expr("n div 10") * (col("lo_cents") + col("hi_cents"))) /
+              col("n"), 6).as("winsorized_mean_cents"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_type, event_id,
+          |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+          |  FROM events),
+          |ranked AS (
+          |  SELECT event_type, cents,
+          |         row_number() OVER (PARTITION BY event_type
+          |                            ORDER BY cents, event_id) AS rk,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev)
+          |SELECT event_type, max(n) AS n,
+          |       max(CASE WHEN rk = n // 10 + 1 THEN cents END) AS lo_cents,
+          |       max(CASE WHEN rk = n - n // 10 THEN cents END) AS hi_cents,
+          |       round((sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+          |                       THEN cents ELSE 0 END)
+          |              + (max(n) // 10) *
+          |                (max(CASE WHEN rk = n // 10 + 1 THEN cents END) +
+          |                 max(CASE WHEN rk = n - n // 10 THEN cents END)))::DOUBLE
+          |             / max(n), 6) AS winsorized_mean_cents
+          |FROM ranked GROUP BY event_type""".stripMargin)),
+
     GraftQuery("a46_trend_ols",
       // least-squares daily trend per event type: slope/intercept of
       // cents vs day index from the closed-form Σ identities — n, Σx,

@@ -1637,6 +1637,37 @@ object LlmQueries extends QueryPack {
           |    OR (n_indent_lines * 2 >= n_lines AND n_keywords >= 1) AS is_code
           |FROM planted""".stripMargin)),
 
+    GraftQuery("t26_sentence_stats",
+      // sentence segmentation profile: split on terminal-punctuation
+      // runs, trim, drop empties; count sentences and whitespace
+      // tokens per sentence — the length profile readability gates
+      // and sentence-level chunkers consume. All-integer except the
+      // rounded mean; sentence-less docs get zeros, not NULLs
+      (s, dir) => TextOps.withSentenceStats(
+        Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_sentences"), col("n_sentence_tokens"),
+          col("max_sentence_tokens"), col("avg_sentence_tokens")),
+      oracle = Some(
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    list_filter(list_transform(
+          |      regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+          |      x -> x <> '') AS sents
+          |  FROM documents),
+          |t AS (
+          |  SELECT doc_id, sents,
+          |    list_transform(sents, x -> len(list_filter(
+          |      regexp_split_to_array(x, '\s+'), w -> w <> ''))) AS stoks
+          |  FROM s)
+          |SELECT doc_id,
+          |  len(sents)::BIGINT AS n_sentences,
+          |  coalesce(list_sum(stoks), 0)::BIGINT AS n_sentence_tokens,
+          |  coalesce(list_max(stoks), 0)::BIGINT AS max_sentence_tokens,
+          |  CASE WHEN len(sents) > 0
+          |    THEN round(coalesce(list_sum(stoks), 0)::DOUBLE / len(sents), 6)
+          |    ELSE 0.0 END AS avg_sentence_tokens
+          |FROM t""".stripMargin)),
+
     GraftQuery("t19_gopher_rules",
       // Gopher quality gates (Rae et al. 2021) over planted document
       // structure: ' merge '→bullet line, ' scan '→plain line,

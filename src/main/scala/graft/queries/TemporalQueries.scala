@@ -430,6 +430,42 @@ object TemporalQueries extends QueryPack {
           |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin),
       headline = true),
 
+    GraftQuery("j13_asof_tolerance",
+      // j6 with a staleness bound (pandas merge_asof tolerance): a
+      // purchase more than 6 hours before the event is treated as no
+      // match — the "latest state, unless stale" serving lookup
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val purchases = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+        TemporalOps.asofJoinBackwardWithin(ev, purchases, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+          rightTie = "event_id", toleranceSeconds = 6 * 3600L)
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            col("asof_ts").as("purchase_ts"), col("value").as("purchase_value"))
+      },
+      oracle = Some(
+        """WITH ev AS (
+          |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts)//1000) AS ts,
+          |         event_type
+          |  FROM events),
+          |p AS (
+          |  SELECT user_id, ts, value FROM (
+          |    SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts, value,
+          |           row_number() OVER (PARTITION BY user_id, ts
+          |                              ORDER BY event_id DESC) AS rn
+          |    FROM events WHERE event_type = 'purchase') t
+          |  WHERE rn = 1)
+          |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+          |       CASE WHEN p.ts >= e.ts - INTERVAL '6' HOUR THEN p.ts END
+          |         AS purchase_ts,
+          |       CASE WHEN p.ts >= e.ts - INTERVAL '6' HOUR THEN p.value END
+          |         AS purchase_value
+          |FROM ev e ASOF LEFT JOIN p
+          |  ON e.user_id = p.user_id AND p.ts <= e.ts""".stripMargin)),
+
     GraftQuery("j7_range_join",
       // error events falling inside any 45-minute promo window opened
       // by a purchase of a low-id user — a genuine no-equi-key range

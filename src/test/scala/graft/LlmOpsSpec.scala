@@ -1912,6 +1912,28 @@ class LlmOpsSpec extends AnyFunSuite {
       "appending id-shifted clones disturbed rank-1 results")
   }
 
+  test("withSentenceStats: segmentation, token counts, edge docs") {
+    val docs = Seq(
+      (1L, "One two three. Four five! Six?"), // 3 sentences, 3/2/1 tokens
+      (2L, ""),                               // no sentences at all
+      (3L, "no terminal punctuation here"),   // one unterminated sentence
+      (4L, "...!!!"),                         // separators only
+      (5L, "a.b.c"),                          // no spaces around terminals
+      (6L, "  Padded .  spaced ! "))          // trims around separators
+      .toDF("doc_id", "text")
+    val out = TextOps.withSentenceStats(docs, "text")
+      .select($"doc_id", $"n_sentences", $"n_sentence_tokens",
+        $"max_sentence_tokens", $"avg_sentence_tokens")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 6L, 3L, 2.0),
+      (2L, 0L, 0L, 0L, 0.0),
+      (3L, 1L, 4L, 4L, 4.0),
+      (4L, 0L, 0L, 0L, 0.0),
+      (5L, 3L, 3L, 1L, 1.0),
+      (6L, 2L, 2L, 1L, 1.0)))
+  }
+
   test("index probe I/O is bounded by the probed-cell fraction (measured file selection)") {
     // the plan-level proof (PlanAuditSpec e11) pins PartitionFilters;
     // this pins the CONSEQUENCE with the scan operator's own selection

@@ -99,6 +99,38 @@ class TemporalOpsSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(joins.isEmpty, s"as-of must be the union-merge plan, found: ${joins.map(_.nodeName)}")
   }
 
+  test("asofJoinBackwardWithin: stale matches null out; bounds inclusive; extremes") {
+    val (left, right) = asofFixture
+    def run(tolSec: Long) =
+      TemporalOps.asofJoinBackwardWithin(left, right, Seq("uid"),
+        "t", "t", Seq("v"), rightTie = "eid", toleranceSeconds = tolSec)
+        .select($"eid", $"asof_ts", $"v")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+          Option(r.get(2)))).toSet
+    // 1h bound, inclusive: eid 11's match is EXACTLY 3600s old — kept;
+    // eid 12's (08:00 -> 09:00) is also exactly 3600s — kept
+    assert(run(3600L) == Set(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (11L, Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (12L, Some(ts("2024-01-01 08:00:00")), Some(1.0)),
+      (13L, None, None)))
+    // one second under: both hour-old matches go stale
+    assert(run(3599L) == Set(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (11L, None, None), (12L, None, None), (13L, None, None)))
+    // zero tolerance: only the equal-timestamp match survives
+    assert(run(0L) == Set(
+      (10L, Some(ts("2024-01-01 10:00:00")), Some(7.0)),
+      (11L, None, None), (12L, None, None), (13L, None, None)))
+    // huge tolerance degenerates to the unbounded operator
+    val unbounded = TemporalOps.asofJoinBackward(left, right, Seq("uid"),
+      "t", "t", Seq("v"), rightTie = "eid")
+      .select($"eid", $"asof_ts", $"v")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)),
+        Option(r.get(2)))).toSet
+    assert(run(365L * 86400L) == unbounded)
+  }
+
   // ---- pointInInterval ----
 
   test("pointInInterval: inclusive start, exclusive end, multi-bin intervals match once") {

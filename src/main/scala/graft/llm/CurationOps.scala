@@ -57,6 +57,50 @@ object CurationOps {
   def hashBucket(key: Column, n: Int, salt: String = ""): Column =
     floor(hashUnit(key, salt) * n).cast("int")
 
+  /** Per-document curation PROVENANCE — the complement of the survivor
+    * pipeline (x12's stage composition): every input document gets a
+    * verdict explaining its fate instead of silently vanishing. Stages
+    * and precedence mirror the pipeline's order:
+    *
+    *  1. `exact_dup` — text md5 already canonicalized to a lower id;
+    *     `survivor_id` = that canonical (the stage-local survivor —
+    *     the doc that replaced it, whatever later stages do to it);
+    *  2. `low_quality` — canonical, but under `minTokens` whitespace
+    *     tokens; `survivor_id` = −1 (dropped, nothing replaced it);
+    *  3. `sampled_out` — failed the reproducible `salt`ed Bernoulli
+    *     draw ([[hashSample]]'s exact predicate); `survivor_id` = −1;
+    *  4. `kept` — `survivor_id` = itself.
+    *
+    * The kept set is BY CONSTRUCTION the pipeline's own output under
+    * the same parameters (oracle-pinned vs x12's stages). The audit
+    * table a data-governance pipeline publishes next to each drop.
+    *
+    * Scale: text reduces to (md5, token count, draw) in the first
+    * map-only pass; the canonical join exchanges those scalars keyed
+    * by hash — document text never crosses an exchange. Sentinel −1
+    * instead of NULL keeps the column non-nullable end to end.
+    */
+  def curationProvenance(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int, sampleFraction: Double, salt: String): DataFrame = {
+    require(minTokens >= 0, s"minTokens must be >= 0: $minTokens")
+    require(sampleFraction >= 0.0 && sampleFraction <= 1.0,
+      s"fraction out of [0,1]: $sampleFraction")
+    val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(to_binary(col(textCol), lit("utf-8"))).as("__h"),
+      TextOps.tokenCount(col(textCol)).as("__ntok"),
+      (hashUnit(col(idCol), salt) < sampleFraction).as("__sel"))
+    val canon = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__canon"))
+    hashed.join(canon, "__h")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("__canon"), lit("exact_dup"))
+          .when(col("__ntok") < minTokens, lit("low_quality"))
+          .when(!col("__sel"), lit("sampled_out"))
+          .otherwise(lit("kept")).as("verdict"),
+        when(col("doc_id") =!= col("__canon"), col("__canon"))
+          .when(col("__ntok") < minTokens || !col("__sel"), lit(-1L))
+          .otherwise(col("doc_id")).as("survivor_id"))
+  }
+
   /** DSIR-style targeted data selection (Xie et al., "Data Selection
     * for Language Models via Importance Resampling", NeurIPS 2023):
     * every raw-pool document is scored by the log-likelihood ratio of a

@@ -2562,6 +2562,36 @@ object LlmQueries extends QueryPack {
            |        FROM s) t)
            |SELECT doc_id, source, n_chars FROM c WHERE cum <= 3000""".stripMargin)),
 
+    GraftQuery("x28_curation_provenance",
+      // the complement of x12: EVERY document gets a verdict (kept /
+      // exact_dup / low_quality / sampled_out) and a stage-local
+      // survivor id instead of silently vanishing — the audit table a
+      // governance pipeline publishes next to each drop. Same stage
+      // parameters as x12, so the kept set here IS x12's pre-budget
+      // survivor set
+      (s, dir) => CurationOps.curationProvenance(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        minTokens = 30, sampleFraction = 0.6, salt = "pipe")
+        .select(col("doc_id"), col("verdict"), col("survivor_id")),
+      oracle = Some(
+        raw"""WITH c AS (
+           |  SELECT doc_id,
+           |    min(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok,
+           |    ('0x' || substr(md5(doc_id::VARCHAR || ':pipe'), 1, 8))::BIGINT
+           |      / 4294967296.0 < 0.6 AS sel
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN doc_id <> canon THEN 'exact_dup'
+           |       WHEN ntok < 30 THEN 'low_quality'
+           |       WHEN NOT sel THEN 'sampled_out'
+           |       ELSE 'kept' END AS verdict,
+           |  CASE WHEN doc_id <> canon THEN canon
+           |       WHEN ntok < 30 OR NOT sel THEN -1
+           |       ELSE doc_id END AS survivor_id
+           |FROM c""".stripMargin)),
+
     GraftQuery("x10_export_manifest",
       // the export terminal: shuffle-shard the corpus, write one ordered
       // JSONL file per shard, and return the manifest whose per-shard

@@ -644,6 +644,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a probe join regressed to sort-merge:\n$plan")
   }
 
+  test("x28: provenance exchanges carry (hash, ntok, draw) scalars, text never shuffles") {
+    val df = SparkEntry.queries("x28_curation_provenance")(spark, sf)
+    df.collect()
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the canonical join keys on the text md5; documents reduce to
+    // scalars map-side, so no exchange's output may carry text
+    val exchangeBlocks = formatted.split("(?=\\(\\d+\\) Exchange)").filter(
+      _.startsWith("(")).filter(_.contains("Exchange"))
+    assert(exchangeBlocks.nonEmpty)
+    exchangeBlocks.foreach { b =>
+      val args = b.split("\n").take(4).mkString(" ")
+      assert(!args.contains("text#"), s"text crossed an exchange:\n$b")
+    }
+    assert(!formatted.contains("CartesianProduct"), "provenance went cartesian")
+  }
+
   test("x18: content-defined chunking is map-only — no exchange, text never shuffles") {
     val df = SparkEntry.queries("x18_cdc_chunks")(spark, sf)
     df.collect()

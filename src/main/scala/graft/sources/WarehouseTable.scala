@@ -617,6 +617,17 @@ final class WarehouseTable private (
     // durable only AFTER the snapshot committed: a crash anywhere above
     // leaves no marker, and the replay re-runs from the manifest check
     writeMetaString(spark, marker.toString, "committed")
+    // bound the marker directory: a streaming table commits one marker
+    // per micro-batch forever. foreachBatch only ever replays batches
+    // AFTER the last checkpoint commit — batchIds are monotonic, so a
+    // batch 64 ids back can never replay again (the checkpoint that
+    // produced it committed long ago). Sliding window, best-effort (a
+    // missed delete is retried at id+64); the manifest scan above
+    // additionally covers any window-aged batch whose files survive.
+    if (batchId >= 64L) {
+      try { fs.delete(new Path(s"$root/_graft/batches/b${batchId - 64L}"), false); () }
+      catch { case _: java.io.IOException => () }
+    }
     expireOldPartitions()
     autoVacuum()
   }

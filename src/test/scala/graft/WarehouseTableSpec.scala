@@ -289,6 +289,24 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("appendBatch marker directory is bounded by the sliding window") {
+    // one marker per micro-batch forever is unbounded metadata growth;
+    // a batch 64 ids back can never replay (its checkpoint committed
+    // long ago), so its marker is swept on the current commit
+    val root = tmpRoot()
+    val t = mkTable(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$root/_graft/batches/b36")
+    fs.mkdirs(old.getParent)
+    val os = fs.create(old); os.writeBytes("committed"); os.close()
+    t.appendBatch(Seq((1L, "a")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)), 100L)
+    assert(!fs.exists(old), "marker 64 ids back must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/batches/b100")),
+      "the committed batch's own marker must exist")
+  }
+
   test("insertNewOnly history-probe I/O is bloom-pruned to candidate days (measured file selection)") {
     // the doc's 100 TB claim, measured with the scan operator's own
     // selection metrics (files chosen AFTER pruning): a probe whose

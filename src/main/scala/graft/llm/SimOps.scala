@@ -1135,6 +1135,7 @@ object SimOps {
     */
   def appendToIvfIndex(batch: DataFrame, root: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    recoverIvfRebuild(batch.sparkSession, root) // crashed-swap cleanup
     val cents = indexCentroids(batch.sparkSession, root)
     val c = batch.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
@@ -1153,31 +1154,76 @@ object SimOps {
     *
     * The rebuild is staged-then-swapped: the re-assigned cells and
     * centroid sidecar are fully written under `_rebuild` (so the read
-    * of the old index completes before anything moves), then swapped in
-    * with two directory renames and the old generation vacuumed —
-    * probes see either the old or the new index, never a partial one,
-    * but concurrent WRITERS must be quiesced (single-writer contract,
-    * like the build itself).
+    * of the old index completes before anything moves) and sealed with
+    * a `_COMPLETE` marker; the swap then EVACUATES both live dirs to
+    * `_old` before installing either staged dir — old and new never
+    * coexist in live positions, so a crash anywhere leaves either a
+    * consistent generation or a loudly-missing directory, NEVER the
+    * silent mix (new cells ranked by old centroids) an interleaved
+    * swap risks. A crashed swap is rolled forward (marker present) or
+    * discarded (marker absent) by the next writer op — concurrent
+    * WRITERS must be quiesced (single-writer contract, like the build
+    * itself); a probe racing the swap instant fails loudly on the
+    * missing path and retries against the recovered index.
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, centroids: Seq[Seq[Double]]): Unit = {
     require(centroids.nonEmpty, "rebuild needs at least one centroid")
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIvfRebuild(spark, root) // finish/abort any crashed swap first
     val staging = s"$root/_rebuild"
-    fs.delete(new Path(staging), true) // clear a crashed prior attempt
+    fs.delete(new Path(staging), true) // clear a crashed prior BUILD
     buildIvfIndex(
       spark.read.parquet(s"$root/cells").select(col("nbr_id"), col("nbr_vec")),
       staging, centroids.size, "nbr_id", "nbr_vec", Some(centroids))
+    fs.create(new Path(s"$staging/_COMPLETE")).close() // staging sealed
     val old = new Path(s"$root/_old")
     fs.delete(old, true)
     fs.mkdirs(old)
-    Seq("cells", "_centroids").foreach { d =>
-      fs.rename(new Path(s"$root/$d"), new Path(s"$root/_old/$d"))
-      fs.rename(new Path(s"$staging/$d"), new Path(s"$root/$d"))
-    }
+    // evacuate BOTH, then install BOTH (doc above)
+    Seq("cells", "_centroids").foreach(d =>
+      fs.rename(new Path(s"$root/$d"), new Path(s"$root/_old/$d")))
+    Seq("cells", "_centroids").foreach(d =>
+      fs.rename(new Path(s"$staging/$d"), new Path(s"$root/$d")))
     fs.delete(new Path(staging), true)
     fs.delete(old, true) // vacuum the superseded generation
+  }
+
+  /** Writer-side crash recovery for [[rebuildIvfIndex]]'s swap. `_old`
+    * absent ⇒ no swap ever started: any `_rebuild` leftover is a dead
+    * partial build, deleted. `_old` present with a `_COMPLETE`-sealed
+    * staging ⇒ roll the swap FORWARD (a live dir not yet evacuated —
+    * `_old/<d>` missing — is old-generation and moves out; a missing
+    * live dir gets the staged one installed). `_old` present without
+    * the marker can only mean a crash before any rename (the marker
+    * writes first), so the staging is discarded and any evacuated dir
+    * restored, belt-and-braces.
+    */
+  private def recoverIvfRebuild(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$root/_old")
+    val staging = s"$root/_rebuild"
+    if (!fs.exists(old)) {
+      fs.delete(new Path(staging), true)
+      return
+    }
+    val complete = fs.exists(new Path(s"$staging/_COMPLETE"))
+    Seq("cells", "_centroids").foreach { d =>
+      val live = new Path(s"$root/$d")
+      val oldD = new Path(s"$root/_old/$d")
+      val stagedD = new Path(s"$staging/$d")
+      if (complete) {
+        if (!fs.exists(oldD) && fs.exists(live)) fs.rename(live, oldD)
+        if (!fs.exists(live) && fs.exists(stagedD)) fs.rename(stagedD, live)
+      } else {
+        if (!fs.exists(live) && fs.exists(oldD)) fs.rename(oldD, live)
+      }
+    }
+    fs.delete(new Path(staging), true)
+    fs.delete(old, true)
   }
 
   /** The index's current contents in [[buildIvfIndex]]'s column shape

@@ -1978,6 +1978,53 @@ class LlmOpsSpec extends AnyFunSuite {
         "of the full scan — partition pruning is not bounding probe I/O")
   }
 
+  test("rebuildIvfIndex crash recovery: sealed staging rolls forward, unsealed rolls back") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("ivf-crash")
+      .toString + "/idx"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def v(x: Double, y: Double) = Seq(x, y)
+    val base = Seq((0L, v(1, 0.01)), (1L, v(1, -0.01)),
+      (10L, v(0.01, 1)), (11L, v(-0.01, 1))).toDF("vec_id", "embedding")
+    val centsA = Seq(v(1, 0), v(0, 1))
+    val centsB = Seq(v(0, 1), v(1, 0)) // rebuild swaps the cell order
+    SimOps.buildIvfIndex(base, root, centroids = Some(centsA))
+
+    // -- forward case: seal a complete staged rebuild, then "crash" in
+    // the WORST mid-swap state — cells evacuated, _centroids still the
+    // old generation (the silent-mix risk an interleaved swap has)
+    SimOps.buildIvfIndex(SimOps.readIvfIndex(spark, root),
+      s"$root/_rebuild", 2, "nbr_id", "nbr_vec", Some(centsB))
+    fs.create(new Path(s"$root/_rebuild/_COMPLETE")).close()
+    fs.mkdirs(new Path(s"$root/_old"))
+    assert(fs.rename(new Path(s"$root/cells"), new Path(s"$root/_old/cells")))
+    // next writer op must recover FORWARD before touching the index
+    SimOps.appendToIvfIndex(Seq((100L, v(0.02, 1))).toDF("vec_id", "embedding"), root)
+    assert(!fs.exists(new Path(s"$root/_old")), "old generation not vacuumed")
+    assert(!fs.exists(new Path(s"$root/_rebuild")), "staging not vacuumed")
+    assert(SimOps.readIvfIndex(spark, root).count() == 5)
+    // the NEW generation is live: under centsB, cell 0 is the (0,1)
+    // centroid — so the append above landed with the y-cluster
+    val cv0 = spark.read.parquet(s"$root/_centroids").orderBy(col("cell"))
+      .select(col("cv")).first().getSeq[Double](0)
+    assert(cv0 == Seq(0.0, 1.0), s"centroids are not the rebuilt generation: $cv0")
+    val hits = SimOps.probeIvfIndex(spark, root,
+        Seq((9999L, v(0, 1))).toDF("vec_id", "embedding"), k = 3, nProbe = 1)
+      .select($"nbr_id").as[Long].collect().toSet
+    assert(hits == Set(10L, 11L, 100L),
+      s"1-cell probe against the recovered index missed the y-cluster: $hits")
+
+    // -- rollback case: _old present but staging UNSEALED (crash before
+    // any rename — the marker writes first) → staging discarded, index
+    // untouched
+    fs.mkdirs(new Path(s"$root/_old"))
+    fs.mkdirs(new Path(s"$root/_rebuild/cells"))
+    SimOps.appendToIvfIndex(Seq((101L, v(1, 0.02))).toDF("vec_id", "embedding"), root)
+    assert(!fs.exists(new Path(s"$root/_old")) &&
+      !fs.exists(new Path(s"$root/_rebuild")), "unsealed swap not cleaned")
+    assert(SimOps.readIvfIndex(spark, root).count() == 6)
+  }
+
   test("rebuildIvfIndex: trained centroids recover recall after a distribution-shifted append") {
     val root = java.nio.file.Files.createTempDirectory("ivf-rebuild")
       .toString + "/idx"

@@ -2046,6 +2046,77 @@ object CoreQueries extends QueryPack {
           |             / max(n), 6) AS winsorized_mean_cents
           |FROM ranked GROUP BY event_type""".stripMargin)),
 
+    GraftQuery("a55_cuped",
+      // CUPED variance reduction (Deng et al. 2013, the standard
+      // experimentation readout): per-user pre-period spend is the
+      // covariate, post-period spend the metric, θ = cov(x,y)/var(x)
+      // pooled over all users, and each variant's adjusted mean is
+      // ȳ_v − θ·(x̄_v − x̄). Every Σ (n, Σx, Σy, Σxy, Σxx, per-variant
+      // Σ) is an exact integer in cents; θ and the means combine those
+      // integers in ONE spelled-out double expression mirrored
+      // verbatim in the oracle (casts before multiplies — n·Σxy in
+      // longs could overflow at corpus scale). Variant = user_id mod 2
+      // (deterministic synthetic assignment).
+      (s, dir) => {
+        val per = Tables.events(s, dir)
+          .select(col("user_id"),
+            to_date(col("ts")).as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("day") < lit("2024-01-16"), col("cents"))
+              .otherwise(0L)).as("x"),
+            sum(when(col("day") >= lit("2024-01-16"), col("cents"))
+              .otherwise(0L)).as("y"))
+          .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long"))
+        val g = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("theta",
+            (col("sxy").cast("double") * col("n") -
+              col("sx").cast("double") * col("sy")) /
+            (col("sxx").cast("double") * col("n") -
+              col("sx").cast("double") * col("sx")))
+        per.groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sxv"),
+            sum(col("y")).as("syv"))
+          .crossJoin(broadcast(g))
+          .select(col("variant"), col("n_users"),
+            round(col("syv").cast("double") / col("n_users"), 6)
+              .as("raw_mean_cents"),
+            round(col("syv").cast("double") / col("n_users") -
+              col("theta") * (col("sxv").cast("double") / col("n_users") -
+                col("sx").cast("double") / col("n")), 6)
+              .as("cuped_mean_cents"),
+            round(col("theta"), 6).as("theta"))
+      },
+      oracle = Some(
+        """WITH per AS (
+          |  SELECT user_id,
+          |         sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+          |                  THEN CAST(round(value * 100, 0) AS BIGINT)
+          |                  ELSE 0 END) AS x,
+          |         sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+          |                  THEN CAST(round(value * 100, 0) AS BIGINT)
+          |                  ELSE 0 END) AS y,
+          |         user_id % 2 AS variant
+          |  FROM events GROUP BY user_id),
+          |g AS (
+          |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |         sum(x * y) AS sxy, sum(x * x) AS sxx,
+          |         (sum(x * y)::DOUBLE * count(*) -
+          |            sum(x)::DOUBLE * sum(y)) /
+          |         (sum(x * x)::DOUBLE * count(*) -
+          |            sum(x)::DOUBLE * sum(x)) AS theta
+          |  FROM per)
+          |SELECT variant, count(*) AS n_users,
+          |       round(sum(y)::DOUBLE / count(*), 6) AS raw_mean_cents,
+          |       round(sum(y)::DOUBLE / count(*) -
+          |             g.theta * (sum(x)::DOUBLE / count(*) -
+          |                        g.sx::DOUBLE / g.n), 6) AS cuped_mean_cents,
+          |       round(g.theta, 6) AS theta
+          |FROM per, g GROUP BY variant, g.theta, g.sx, g.n""".stripMargin)),
+
     GraftQuery("a46_trend_ols",
       // least-squares daily trend per event type: slope/intercept of
       // cents vs day index from the closed-form Σ identities — n, Σx,

@@ -774,6 +774,38 @@ object LlmQueries extends QueryPack {
           |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin),
       headline = true),
 
+    GraftQuery("e18_filtered_topk",
+      // FILTERED vector search — the serving shape every metadata-aware
+      // retrieval needs ("top-k among label-1 vectors only"). The
+      // predicate applies BEFORE ranking (post-filtering top-k instead
+      // under-fills k — the classic filtered-ANN mistake), and it is a
+      // plain relational filter so it pushes to the corpus scan
+      // (PushedFilters), shrinking the candidate set at the source at
+      // 100 TB rather than after the similarity math
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimOps.bruteForceTopK(emb.where(col("label") % 4 === 1),
+          emb.where(col("vec_id") % 50 === 0), k = 5)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings WHERE label % 4 = 1),
+          |q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |      FROM embeddings WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+          |    list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+          |    (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+          |     sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS sim
+          |  FROM c, q WHERE q.vec_id != c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, nbr_id, sim,
+          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+          |  FROM scored)
+          |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
     GraftQuery("e15_radius_search",
       // threshold ("range") similarity search: every neighbor at
       // cosine >= 0.35 of each probe — shuffle-FREE (broadcast probes,

@@ -644,6 +644,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a probe join regressed to sort-merge:\n$plan")
   }
 
+  test("e18: the metadata predicate reaches the corpus scan, before the similarity math") {
+    val df = SparkEntry.queries("e18_filtered_topk")(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    // filtered ANN must shrink candidates AT THE SOURCE: the label
+    // predicate shows up at the scan (pushed or scan-adjacent filter),
+    // not after the cosine computation
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label filter did not reach the corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"filtered top-k went cartesian:\n$plan")
+  }
+
   test("x28: provenance exchanges carry (hash, ntok, draw) scalars, text never shuffles") {
     val df = SparkEntry.queries("x28_curation_provenance")(spark, sf)
     df.collect()

@@ -2117,6 +2117,105 @@ object CoreQueries extends QueryPack {
           |       round(g.theta, 6) AS theta
           |FROM per, g GROUP BY variant, g.theta, g.sx, g.n""".stripMargin)),
 
+    GraftQuery("w15_peak_drawdown",
+      // worst peak-to-trough decline of the daily revenue series per
+      // event type — the drawdown diagnostic a metric dashboard runs
+      // on any KPI: running max over the day-ordered totals minus the
+      // current total, maximized. Exact integer cents end to end; the
+      // window partitions by event_type, so the sort is per-group.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("peak", max(col("cents")).over(w))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            max(col("peak")).as("peak_cents"),
+            max(col("peak") - col("cents")).as("max_drawdown_cents"))
+      },
+      oracle = Some(
+        """WITH daily AS (
+          |  SELECT event_type, CAST(ts AS DATE) AS day,
+          |         sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS cents
+          |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+          |r AS (
+          |  SELECT event_type, cents,
+          |         max(cents) OVER (PARTITION BY event_type ORDER BY day
+          |                          ROWS UNBOUNDED PRECEDING) AS peak
+          |  FROM daily)
+          |SELECT event_type, count(*) AS n_days,
+          |       max(peak) AS peak_cents,
+          |       max(peak - cents) AS max_drawdown_cents
+          |FROM r GROUP BY event_type""".stripMargin)),
+
+    GraftQuery("a56_mann_whitney",
+      // the nonparametric companion to a55: Mann-Whitney rank-sum test
+      // between the two variants on per-user post-period spend. Pooled
+      // AVERAGE ranks (tie groups share rank() + (|ties|−1)/2 — exact
+      // binary halves), U_a = Σ_A ranks − n_a(n_a+1)/2, and the
+      // rank-biserial effect size as the single final division. A
+      // global rank window over USERS (one experiment's units — the
+      // bounded relation, not events).
+      (s, dir) => {
+        val per = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("day") >= lit("2024-01-16"), col("cents"))
+            .otherwise(0L)).as("y"))
+          .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long"))
+        val ranked = per
+          .withColumn("avg_rank",
+            rank().over(Window.orderBy(col("y"))).cast("double") +
+              (count(lit(1)).over(Window.partitionBy(col("y"))) - 1)
+                .cast("double") / 2.0)
+        ranked.agg(
+            sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+            sum(when(col("variant") === 0, col("avg_rank"))
+              .otherwise(0.0)).as("__ra"))
+          .select(col("n_a"), col("n_b"),
+            (col("__ra") - col("n_a").cast("double") * (col("n_a") + 1) / 2.0)
+              .as("u_a"))
+          .select(col("n_a"), col("n_b"), round(col("u_a"), 6).as("u_a"),
+            round(col("n_a").cast("double") * col("n_b") - col("u_a"), 6)
+              .as("u_b"),
+            round((col("u_a") - (col("n_a").cast("double") * col("n_b") -
+              col("u_a"))) / (col("n_a").cast("double") * col("n_b")), 6)
+              .as("rank_biserial"))
+      },
+      oracle = Some(
+        """WITH per AS (
+          |  SELECT user_id,
+          |         sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+          |                  THEN CAST(round(value * 100, 0) AS BIGINT)
+          |                  ELSE 0 END) AS y,
+          |         user_id % 2 AS variant
+          |  FROM events GROUP BY user_id),
+          |r AS (
+          |  SELECT variant,
+          |         rank() OVER (ORDER BY y)::DOUBLE +
+          |           (count(*) OVER (PARTITION BY y) - 1)::DOUBLE / 2.0
+          |           AS avg_rank
+          |  FROM per),
+          |agg AS (
+          |  SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          |         sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          |         sum(CASE WHEN variant = 0 THEN avg_rank ELSE 0.0 END) AS ra
+          |  FROM r),
+          |u AS (
+          |  SELECT n_a, n_b,
+          |         ra - n_a::DOUBLE * (n_a + 1) / 2.0 AS u_a
+          |  FROM agg)
+          |SELECT n_a, n_b, round(u_a, 6) AS u_a,
+          |       round(n_a::DOUBLE * n_b - u_a, 6) AS u_b,
+          |       round((u_a - (n_a::DOUBLE * n_b - u_a)) /
+          |             (n_a::DOUBLE * n_b), 6) AS rank_biserial
+          |FROM u""".stripMargin)),
+
     GraftQuery("a46_trend_ols",
       // least-squares daily trend per event type: slope/intercept of
       // cents vs day index from the closed-form Σ identities — n, Σx,

@@ -261,6 +261,51 @@ class BenchScaleSpec extends AnyFunSuite {
         "shared-shingle candidate path")
   }
 
+  /** Synthetic graph for the graph-family scale proof: `n` nodes in
+    * `n/1000` ring communities of 1000 (edges i→i+1 mod ring) plus a
+    * deterministic long-range chord per 10th node INSIDE its ring —
+    * component count and structure are known exactly at any scale.
+    */
+  private def ringGraph(n: Int): DataFrame = {
+    import spark.implicits._
+    val ring = lit(1000L)
+    val base = spark.range(n.toLong).select($"id".as("src"),
+      (($"id" / ring).cast("long") * ring + ($"id" + 1) % ring).as("dst"))
+    val chords = spark.range(0L, n.toLong, 10L).select($"id".as("src"),
+      (($"id" / ring).cast("long") * ring + ($"id" + 497) % ring).as("dst"))
+    base.unionByName(chords)
+  }
+
+  test("10x graph ops scale ~linearly; component structure exact at both scales") {
+    import graft.operators.GraphOps
+    def run(n: Int): (Long, Double, Double) = {
+      val t0 = System.nanoTime()
+      val comps = GraphOps.connectedComponents(ringGraph(n))
+        .select(col("comp")).distinct().count()
+      val tComp = (System.nanoTime() - t0) / 1000000.0
+      val t1 = System.nanoTime()
+      val rankSum = GraphOps.pageRank(ringGraph(n), iterations = 3)
+        .agg(sum(col("rank"))).collect()(0).getDouble(0)
+      val tPr = (System.nanoTime() - t1) / 1000000.0
+      assert(math.abs(rankSum - 1.0) < 1e-6,
+        f"pagerank mass not conserved at n=$n: $rankSum%.8f")
+      (comps, tComp, tPr)
+    }
+    run(10000) // warm-up: JIT + codegen compile, outside both timers
+    val (c1, tc1, tp1) = run(10000)
+    val (c10, tc10, tp10) = run(100000)
+    // each 1000-node ring is one component — exactly n/1000 of them
+    assert(c1 == 10L && c10 == 100L,
+      s"component structure broke at scale: $c1/10, $c10/100")
+    info(f"components wall: 1x $tc1%.0f ms, 10x $tc10%.0f ms (ratio ${tc10 / tc1}%.1f)")
+    info(f"pagerank wall:   1x $tp1%.0f ms, 10x $tp10%.0f ms (ratio ${tp10 / tp1}%.1f)")
+    // pointer jumping is O(log d) ROUNDS (ring diameter is constant
+    // here, so round count is flat); pagerank is 3 fixed joins — both
+    // must stay far under quadratic
+    assert(tc10 < tc1 * 25, f"10x components cost ${tc10 / tc1}%.1fx — superlinear")
+    assert(tp10 < tp1 * 25, f"10x pagerank cost ${tp10 / tp1}%.1fx — superlinear")
+  }
+
   /** Train/test corpora for the trigram-LM scale proof. Train: `n` docs
     * of 40 words off a FIXED 500-word vocabulary (so the distinct-
     * trigram relation stays vocabulary-sized as the corpus grows — the

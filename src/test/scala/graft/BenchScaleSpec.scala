@@ -261,6 +261,42 @@ class BenchScaleSpec extends AnyFunSuite {
         "shared-shingle candidate path")
   }
 
+  test("10x as-of join scales ~linearly; every matched version exact at both scales") {
+    import graft.operators.TemporalOps
+    // n events over n/100 users (constant 100 rows/user — the per-key
+    // sort bound stays flat as users scale); per-user dim versions at
+    // ts = k*100 with value k, so every event's expected as-of match
+    // is floor(t/100) — exact at any scale
+    def data(n: Int): (DataFrame, DataFrame) = {
+      import spark.implicits._
+      val u = (n / 100).toLong
+      val left = spark.range(n.toLong).select(($"id" % u).as("uid"),
+        timestamp_seconds(expr(s"(id div $u) * 7 + 1")).as("t"), $"id".as("eid"))
+      val right = spark.range(u * 8).select(($"id" % u).as("uid"),
+        timestamp_seconds(expr(s"(id div $u) * 100")).as("t"),
+        expr(s"id div $u").as("version"), $"id".as("rid"))
+      (left, right)
+    }
+    def run(n: Int): (Long, Double) = {
+      val (l, r) = data(n)
+      val t0 = System.nanoTime()
+      val bad = TemporalOps.asofJoinBackward(l, r, Seq("uid"),
+          "t", "t", Seq("version"), rightTie = "rid")
+        .where(col("version").isNull ||
+          col("version") =!= expr("unix_timestamp(t) div 100"))
+        .count()
+      (bad, (System.nanoTime() - t0) / 1000000.0)
+    }
+    run(20000) // warm-up: JIT + codegen compile, outside both timers
+    val (b1, ms1) = run(20000)
+    val (b10, ms10) = run(200000)
+    assert(b1 == 0L && b10 == 0L,
+      s"as-of matched a wrong version at scale: $b1, $b10 mismatches")
+    info(f"as-of join wall: 1x $ms1%.0f ms, 10x $ms10%.0f ms (ratio ${ms10 / ms1}%.1f)")
+    assert(ms10 < ms1 * 25,
+      f"10x as-of cost ${ms10 / ms1}%.1fx — superlinear blow-up in the union-merge plan")
+  }
+
   /** Synthetic graph for the graph-family scale proof: `n` nodes in
     * `n/1000` ring communities of 1000 (edges i→i+1 mod ring) plus a
     * deterministic long-range chord per 10th node INSIDE its ring —

@@ -1912,6 +1912,30 @@ class LlmOpsSpec extends AnyFunSuite {
       "appending id-shifted clones disturbed rank-1 results")
   }
 
+  test("curationProvenance kept set equals the composed pipeline's output") {
+    // the operator's contract: verdicts are not a parallel
+    // implementation of the pipeline, they ARE the pipeline's decisions
+    // — the kept set must equal exactDedup → quality gate → hashSample
+    // composed with the same parameters, doc for doc
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val kept = CurationOps.curationProvenance(docs, "text", "doc_id",
+        minTokens = 30, sampleFraction = 0.6, salt = "pipe")
+      .where($"verdict" === "kept")
+      .select($"doc_id").as[Long].collect().toSet
+    val pipeline = CurationOps.hashSample(
+        DedupOps.exactDedup(docs, "text", "doc_id")
+          .where(TextOps.tokenCount(col("text")) >= 30),
+        0.6, "doc_id", salt = "pipe")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == pipeline,
+      s"provenance kept set diverged from the pipeline: " +
+        s"only-provenance=${(kept -- pipeline).take(5)}, " +
+        s"only-pipeline=${(pipeline -- kept).take(5)}")
+    // and every doc is accounted for exactly once
+    assert(CurationOps.curationProvenance(docs, "text", "doc_id",
+      30, 0.6, "pipe").count() == docs.count())
+  }
+
   test("withSentenceStats: segmentation, token counts, edge docs") {
     val docs = Seq(
       (1L, "One two three. Four five! Six?"), // 3 sentences, 3/2/1 tokens

@@ -161,6 +161,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
       HyperplaneBuckets.builder))
+    ext.injectFunction((
+      FunctionIdentifier("gear_cdc_chunks"),
+      new ExpressionInfo(classOf[GearCdcChunks].getName, "gear_cdc_chunks"),
+      GearCdcChunks.builder))
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)

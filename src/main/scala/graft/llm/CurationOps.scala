@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** Ceiling on distinct buckets [[distributionMatch]] will collect —
+    * its driver state is one count per bucket, sound only for
+    * categorical columns; this cap turns a mistaken high-cardinality
+    * bucket column (doc_id) into a loud error instead of an unbounded
+    * collect.
+    */
+  def distributionMatchMaxBuckets: Int =
+    sys.props.get("graft.distributionMatchMaxBuckets")
+      .orElse(sys.env.get("GRAFT_DISTRIBUTION_MATCH_MAX_BUCKETS"))
+      .map(_.toInt).getOrElse(100000)
+
   /** Deterministic uniform draw in [0,1): the first 8 md5 hex chars of
     * `key:salt` as a uint32, scaled by 2^-32. Changing the salt yields
     * an independent draw (fresh sample/split without touching the key).
@@ -444,9 +455,21 @@ object CurationOps {
       salt: String = ""): DataFrame = {
     require(targetShares.nonEmpty, "targetShares must be non-empty")
     require(targetShares.values.forall(_ > 0), "shares must be positive")
-    val counts = df.groupBy(col(bucketCol).cast("string").as("b"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // enforce the "one count per bucket, categorical by contract" bound
+    // BEFORE collecting: a caller passing a high-cardinality column
+    // (doc_id) would otherwise collect unbounded driver state. The cap
+    // is orders of magnitude above any real categorical (languages,
+    // domains, length deciles) and costs one extra distinct aggregate
+    // over a single already-grouped column.
+    val cap = CurationOps.distributionMatchMaxBuckets
+    val rows = df.groupBy(col(bucketCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"distributionMatch: '$bucketCol' has more than $cap distinct " +
+        "buckets — not a categorical column (set " +
+        "graft.distributionMatchMaxBuckets to raise the cap)")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = targetShares.filter { case (b, _) => counts.contains(b) }
     if (present.isEmpty) return df.where(lit(false))
     val m = present.map { case (b, s) => counts(b) / s }.min

@@ -975,6 +975,82 @@ object TextOps {
         col("__c.h").as("chunk_md5"))
   }
 
+  /** Content-defined chunking with the GEAR-TABLE ROLLING HASH — the
+    * production O(n)-per-document boundary function
+    * ([[graft.functions.GearCdcChunks]]), replacing
+    * [[chunkContentDefined]]'s engine-portable md5-per-window test
+    * (O(n·window·md5), the most expensive per-byte text op in the
+    * engine). Same output shape and the same edit-locality guarantee
+    * (boundaries see only the trailing ≤32 code points); the boundary
+    * SET differs — gear and md5 are different hash functions — so the
+    * two chunkers are siblings, not drop-in equals. Expected chunk
+    * length ≈ `divisor` code points. Map-only like the md5 form: one
+    * native expression per document, output scalars, text never
+    * crosses an exchange.
+    */
+  def chunkContentDefinedGear(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 64): DataFrame = {
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
+    df.select(col(idCol).as("__id"),
+        graft.functions.GearCdcChunks(col(textCol), divisor).as("__cs"))
+      .select(col("__id"), posexplode(col("__cs")).as(Seq("__i", "__c")))
+      .where(col("__c.l") > 0)
+      .select(col("__id").as(idCol), col("__i").as("chunk_idx"),
+        col("__c.s").as("start_char"), col("__c.l").as("n_chars"),
+        col("__c.h").as("chunk_md5"))
+  }
+
+  /** Bit-parity reference for [[chunkContentDefinedGear]], composed
+    * from stock Spark expressions (the [[graft.functions.CosineSimilarity]]
+    * pattern: every native expression keeps a composed twin that any
+    * SQL engine can re-derive). The gear hash at position `p` expands
+    * to `Σ_{i=p-31..p} G[cp_i mod 256]·2^(p-i) mod 2^32`; each term is
+    * computed overflow-free as `(G mod 2^(32-k))·2^k` (equal to
+    * `(G·2^k) mod 2^32`), so the whole sum stays < 2^37 — safe under
+    * ANSI mode. O(n·32) interpreted HOFs per document: parity harness
+    * only, never the hot path.
+    */
+  def gearCdcChunksComposed(df: DataFrame, textCol: String, idCol: String,
+      divisor: Int = 64): DataFrame = {
+    val gearArr = array(
+      graft.functions.GearCdcChunks.gearTable.map(lit(_)): _*)
+    val w = graft.functions.GearCdcChunks.Window
+    def pow2(k: Column): Column = pow(lit(2.0), k).cast("long")
+    val staged = df.select(col(idCol).as("__id"), col(textCol).as("__t"),
+      length(col(textCol)).cast("long").as("__n"), gearArr.as("__g"))
+    def gearAt(i: Column): Column = element_at(col("__g"),
+      (pmod(ascii(col("__t").substr(i.cast("int"), lit(1))), lit(256)) + 1)
+        .cast("int"))
+    def hashAt(p: Column): Column = pmod(
+      aggregate(
+        sequence(greatest(lit(1L), p - (w - 1)), p),
+        lit(0L),
+        (acc, i) => {
+          val k = p - i
+          acc + (gearAt(i) % pow2(lit(32L) - k)) * pow2(k)
+        }),
+      lit(4294967296L))
+    val cuts = when(col("__n") - 1 >= w,
+      filter(sequence(lit(w.toLong), col("__n") - 1), p =>
+        hashAt(p) % divisor === 0))
+      .otherwise(array().cast("array<bigint>"))
+    val withB = staged
+      .withColumn("__bs", concat(array(lit(0L)), cuts, array(col("__n"))))
+    val chunks = transform(sequence(lit(0), size(col("__bs")) - 2), i => {
+      val s = element_at(col("__bs"), i + 1)
+      val e = element_at(col("__bs"), i + 2)
+      struct((s + 1).cast("int").as("s"), (e - s).cast("int").as("l"),
+        md5(to_binary(col("__t").substr((s + 1).cast("int"),
+          (e - s).cast("int")), lit("utf-8"))).as("h"))
+    })
+    withB
+      .select(col("__id"), posexplode(chunks).as(Seq("__i", "__c")))
+      .where(col("__c.l") > 0)
+      .select(col("__id").as(idCol), col("__i").as("chunk_idx"),
+        col("__c.s").as("start_char"), col("__c.l").as("n_chars"),
+        col("__c.h").as("chunk_md5"))
+  }
+
   /** Chunk-level novelty of a new batch against a standing corpus: for
     * every batch document, how many of its content-defined chunks
     * ([[chunkContentDefined]]) have never been seen in the corpus —

@@ -2922,6 +2922,51 @@ object LlmQueries extends QueryPack {
            |       round(coalesce(nov.novel, 0) / t.n_chunks, 6) AS novelty
            |FROM tot t LEFT JOIN nov USING (doc_id)""".stripMargin)),
 
+    GraftQuery("x29_cdc_gear",
+      // content-defined chunking with the PRODUCTION gear-table rolling
+      // hash (GearCdcChunks): O(n) per document vs x18's O(n·window·md5)
+      // md5-per-window boundary test — same output shape, same
+      // edit-locality guarantee, different (cheaper) boundary function.
+      // The gear table is derived (G[j] = first 4 md5 bytes of
+      // "gear-j"), so the oracle re-derives the table AND every
+      // boundary: h(p) = Σ_{k=0..31} G[cp_{p-k} mod 256]·2^k mod 2^32,
+      // each term computed overflow-free as (G mod 2^(32-k))·2^k
+      (s, dir) => TextOps.chunkContentDefinedGear(
+        Tables.load(s, dir, "documents"), "text", "doc_id", divisor = 64),
+      oracle = Some(
+        raw"""WITH g AS (
+           |  SELECT list_transform(range(0, 256), j ->
+           |    ('0x' || substr(md5('gear-' || j), 1, 8))::BIGINT) AS gt),
+           |d AS (
+           |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, gt
+           |  FROM documents CROSS JOIN g),
+           |cuts AS (
+           |  SELECT doc_id, unnest(list_filter(range(32, n), p ->
+           |    (list_sum(list_transform(range(0, 32), k ->
+           |       (gt[(unicode(substr(text, CAST(p - k AS INT), 1)) % 256) + 1]
+           |          % (1::BIGINT << CAST(32 - k AS INT)))
+           |         * (1::BIGINT << CAST(k AS INT))))
+           |     % 4294967296) % 64 = 0)) AS p
+           |  FROM d WHERE n - 1 >= 32),
+           |c2 AS (
+           |  SELECT d.doc_id, d.text, d.n, coalesce(cl.ps, []) AS ps
+           |  FROM d LEFT JOIN (
+           |    SELECT doc_id, list(p ORDER BY p) AS ps FROM cuts GROUP BY doc_id) cl
+           |  USING (doc_id)),
+           |ch AS (
+           |  SELECT doc_id, text,
+           |         list_prepend(CAST(0 AS BIGINT), list_append(ps, n)) AS bs,
+           |         unnest(range(0, len(ps) + 1)) AS i
+           |  FROM c2)
+           |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           |       CAST(bs[CAST(i AS INT) + 1] + 1 AS INT) AS start_char,
+           |       CAST(bs[CAST(i AS INT) + 2] - bs[CAST(i AS INT) + 1] AS INT) AS n_chars,
+           |       md5(substr(text, CAST(bs[CAST(i AS INT) + 1] + 1 AS INT),
+           |                  CAST(bs[CAST(i AS INT) + 2] - bs[CAST(i AS INT) + 1] AS INT)))
+           |         AS chunk_md5
+           |FROM ch
+           |WHERE bs[CAST(i AS INT) + 2] > bs[CAST(i AS INT) + 1]""".stripMargin)),
+
     GraftQuery("x17_distribution_match",
       // language-matched resampling: thin each bucket to the largest
       // subsample whose shares hit the 4-way-equal target (zh drops by

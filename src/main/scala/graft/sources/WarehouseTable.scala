@@ -180,12 +180,47 @@ final class WarehouseTable private (
 
   /** Evolve the persisted schema from an observed batch schema using the
     * reference's unionization rules (`SchemaManager.java:212-281`).
+    *
+    * Concurrency: read-union-write is a lost-update window (two
+    * concurrent evolves adding different fields would each rebase on
+    * the pre-evolution schema and the last write would drop the
+    * other's field — a torn schema). Serialized by a lease-style lock
+    * file (atomic create-if-absent, the commit protocol's primitive):
+    * the union is recomputed UNDER the lock, so every evolution rebases
+    * on the latest persisted schema and the schema file only ever
+    * grows. A crashed holder's lock goes stale after 60 s (evolution is
+    * a driver-side metadata op — seconds, not minutes) and is broken by
+    * the next evolver; lock acquisition failing within the claim-wait
+    * budget aborts retryably like any commit conflict.
     */
   def evolveSchema(observed: StructType,
       policy: EvolutionPolicy = EvolutionPolicy()): StructType = {
-    val evolved = SchemaUnion.evolve(Seq(schema, observed), policy)
-    writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
-    evolved
+    val lock = s"$root/_graft/schema.lock"
+    val lockPath = new Path(lock)
+    val deadline = System.currentTimeMillis() + WarehouseTable.claimWaitMs
+    var backoff = 10L
+    while (!tryWriteNewMetaString(spark, lock,
+        System.currentTimeMillis().toString)) {
+      val heldSince =
+        try readMetaString(spark, lock).trim.toLongOption.getOrElse(0L)
+        catch { case _: java.io.IOException => Long.MaxValue } // vanished
+      if (heldSince != Long.MaxValue &&
+          System.currentTimeMillis() - heldSince > 60000L)
+        fs.delete(lockPath, false) // stale: holder crashed mid-evolve
+      else if (System.currentTimeMillis() > deadline)
+        throw new java.util.ConcurrentModificationException(
+          s"schema evolution lock on $root unresolved after " +
+            s"${WarehouseTable.claimWaitMs}ms — re-run")
+      else {
+        Thread.sleep(backoff)
+        backoff = math.min(backoff * 2, 500L)
+      }
+    }
+    try {
+      val evolved = SchemaUnion.evolve(Seq(schema, observed), policy)
+      writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
+      evolved
+    } finally { fs.delete(lockPath, false); () }
   }
 
   // ---- read ----
@@ -240,9 +275,10 @@ final class WarehouseTable private (
     * evolution-added columns missing from older files become NULL, extra
     * file columns are dropped, order follows the schema.
     */
-  private def conformToSchema(df: DataFrame): DataFrame = {
+  private def conformToSchema(df: DataFrame,
+      snap: StructType = schema): DataFrame = {
     val have = df.columns.toSet
-    val cols = schema.fields.toSeq.map { f =>
+    val cols = snap.fields.toSeq.map { f =>
       if (have.contains(f.name)) col(s"`${f.name}`")
       else lit(null).cast(f.dataType).as(f.name)
     } :+ col(partitionCol)
@@ -297,10 +333,11 @@ final class WarehouseTable private (
             s"to read — re-run against the current table state: ${e.getMessage}")
     }
 
-  private def readCommitted(days: Seq[String]): DataFrame = {
+  private def readCommitted(days: Seq[String],
+      snap: StructType = schema): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schema.add(partitionCol, "string"))
+      snap.add(partitionCol, "string"))
     val cur = currentVersion
     if (cur == 0L) {
       // CURRENT=0 (a created, snapshot-enabled table): committed state
@@ -308,15 +345,15 @@ final class WarehouseTable private (
       // files. No CURRENT at all: legacy pre-snapshot dir, listing is
       // the only source of truth (single-writer by assumption).
       return if (fs.exists(new Path(s"$snapDir/CURRENT"))) empty
-      else conformToSchema(readDays(days))
+      else conformToSchema(readDays(days), snap)
     }
     val manifest = readManifest(cur)
     val paths = days.flatMap(d => manifest.getOrElse(d, Seq.empty)
       .map(f => s"$dataPath/$partitionCol=$d/$f"))
     if (paths.isEmpty) empty
     else guardStaleRead(conformToSchema(
-      spark.read.schema(schema).option("basePath", dataPath)
-        .parquet(paths: _*)))
+      spark.read.schema(snap).option("basePath", dataPath)
+        .parquet(paths: _*), snap))
   }
 
   def listDays(): Seq[String] = {
@@ -471,7 +508,8 @@ final class WarehouseTable private (
       // write FIRST: the staged move reports the touched days, which
       // dirs pre-existed, and the batch's on-disk size — all free FS
       // metadata — so bloom maintenance needs no day-discovery job
-      val (myFiles, preExisting, stagedBytes) = writeStagedInto(clusteredWrite(routed))
+      val (myFiles, preExisting, stagedBytes, stagedRowsOrOver) =
+        writeStagedInto(clusteredWrite(routed))
       // blooms BEFORE the commit: a concurrent merge must never probe a
       // committed version whose new keys its day blooms don't cover.
       // Micro-batch-sized appends collect raw (day, hash) pairs off the
@@ -482,7 +520,7 @@ final class WarehouseTable private (
       // shuffle spreads construction and ships only O(days) blooms back
       val dayBlooms: Seq[(String, Array[Byte])] =
         if (myFiles.isEmpty) Seq.empty
-        else if (stagedBytes <= WarehouseTable.appendHashCollectMaxBytes)
+        else if (WarehouseTable.useDriverBloomFold(stagedBytes, stagedRowsOrOver))
           driverDayBlooms(routed.select(
             col(partitionCol).cast("string").as("d"),
             xxhash64(keyString(keyFields.map(col))).as("h")).collect())
@@ -493,9 +531,11 @@ final class WarehouseTable private (
       upsertBlooms(dayBlooms, preExisting)
       if (myFiles.nonEmpty) {
         try commitSnapshot("append", myFiles, readBase + 1)
-        catch { case e: java.util.ConcurrentModificationException =>
-          // an overlapping swap won the window: remove what we landed
-          // (a retry re-appends it) so the winner's state stays exact
+        catch { case e: Throwable =>
+          // an overlapping swap won the window — or the commit failed
+          // for ANY other reason: remove what we landed (a retry
+          // re-appends it) so no phantom uncommitted rows linger in
+          // the live dirs (deleteLanded is best-effort idempotent)
           deleteLanded(myFiles)
           throw e
         }
@@ -525,15 +565,31 @@ final class WarehouseTable private (
     * reference's insertId window.
     */
   def appendBatch(df: DataFrame, batchId: Long,
-      partitionTimeCol: String = "partitionTime"): Unit = {
-    // replay of a COMMITTED batch: durable no-op. Marker first (cheap),
-    // then the CURRENT manifest (covers a crash between the snapshot
-    // commit and the marker write).
-    val marker = new Path(s"$root/_graft/batches/b$batchId")
+      partitionTimeCol: String = "partitionTime",
+      streamId: String = "default"): Unit = {
+    // markers and batch tags are NAMESPACED by streamId (advisor-found):
+    // a stream restarted with a fresh checkpoint reuses small batchIds,
+    // and un-namespaced markers from the old run would silently no-op
+    // its real new batches. Callers pass a checkpoint-derived id.
+    val ns = streamId.map(c =>
+      if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
+    val tag = s"$ns:$batchId"
+    val filePrefix =
+      if (ns == "default") s"b$batchId-" else s"$ns-b$batchId-"
+    // replay of a COMMITTED batch: durable no-op. Marker first (cheap);
+    // then the CURRENT manifest's batches header — written ATOMICALLY
+    // with the commit and carried forward by every later commit, so it
+    // covers both the crash-between-commit-and-marker window AND the
+    // case where a merge/compact has since rewritten the batch's files
+    // (which erases the b<id>- names the legacy check below relies on).
+    val marker = new Path(s"$root/_graft/batches/" +
+      (if (ns == "default") s"b$batchId" else s"$ns-b$batchId"))
     if (fs.exists(marker)) return
     val curV = currentVersion
-    if (curV > 0L && readManifest(curV).values.exists(
-        _.exists(_.startsWith(s"b$batchId-")))) {
+    val committedDurably = curV > 0L && manifestBatches(curV).contains(tag)
+    // legacy fallback (pre-batches-header tables): file-name prefixes
+    if (committedDurably || (curV > 0L && readManifest(curV).values.exists(
+        _.exists(_.startsWith(filePrefix))))) {
       writeMetaString(spark, marker.toString, "committed")
       return
     }
@@ -562,9 +618,12 @@ final class WarehouseTable private (
     // lost update).
     val keySet = keyFields.toSet
     val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
-    val stagedBytes = touched.map(dirName =>
-      fs.listStatus(new Path(s"$staging/$dirName"))
-        .filter(_.isFile).map(_.getLen).sum).sum
+    val stagedFileStatuses = touched.flatMap(dirName =>
+      fs.listStatus(new Path(s"$staging/$dirName")).toSeq.filter(_.isFile))
+    val stagedBytes = stagedFileStatuses.map(_.getLen).sum
+    // lazy: footer reads only happen when the byte gate already passed
+    def stagedRows = parquetRowCount(stagedFileStatuses
+      .filterNot(_.getPath.getName.startsWith("_")).map(_.getPath))
     val dayBlooms: Seq[(String, Array[Byte])] =
       if (touched.isEmpty) Seq.empty
       else {
@@ -575,7 +634,7 @@ final class WarehouseTable private (
         // day blooms built driver-side — one scan job, no aggregation
         // exchange (same fold as [[append]]); bulk batches keep the
         // distributed aggregation
-        if (stagedBytes <= WarehouseTable.appendHashCollectMaxBytes)
+        if (WarehouseTable.useDriverBloomFold(stagedBytes, stagedRows))
           driverDayBlooms(stagedDf.select(
             col(partitionCol).cast("string").as("d"),
             xxhash64(keyString(keyFields.map(col))).as("h")).collect())
@@ -594,12 +653,12 @@ final class WarehouseTable private (
       fs.mkdirs(destDir)
       // replay cleanup: drop this batch's files from a previous attempt
       fs.listStatus(destDir).toSeq
-        .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+        .filter(_.getPath.getName.startsWith(filePrefix))
         .foreach(st => fs.delete(st.getPath, false))
       val names = fs.listStatus(new Path(s"$staging/$dirName")).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
         .zipWithIndex.map { case (st, i) =>
-          val name = s"b$batchId-$i-${st.getPath.getName}"
+          val name = s"$filePrefix$i-${st.getPath.getName}"
           fs.rename(st.getPath, new Path(destDir, name))
           name
         }
@@ -608,8 +667,11 @@ final class WarehouseTable private (
     fs.delete(stagingPath, true)
     upsertBlooms(dayBlooms, preExisting)
     if (myFiles.nonEmpty) {
-      try commitSnapshot("append-batch", myFiles, readBase + 1)
-      catch { case e: java.util.ConcurrentModificationException =>
+      try commitSnapshot("append-batch", myFiles, readBase + 1, Some(tag))
+      catch { case e: Throwable =>
+        // any commit failure (not just the typed abort): the landed
+        // files reference nothing — sweep them so a non-retried caller
+        // doesn't leave phantom rows in the live dirs forever
         deleteLanded(myFiles)
         throw e
       }
@@ -625,7 +687,9 @@ final class WarehouseTable private (
     // missed delete is retried at id+64); the manifest scan above
     // additionally covers any window-aged batch whose files survive.
     if (batchId >= 64L) {
-      try { fs.delete(new Path(s"$root/_graft/batches/b${batchId - 64L}"), false); () }
+      val aged = if (ns == "default") s"b${batchId - 64L}"
+        else s"$ns-b${batchId - 64L}"
+      try { fs.delete(new Path(s"$root/_graft/batches/$aged"), false); () }
       catch { case _: java.io.IOException => () }
     }
     expireOldPartitions()
@@ -722,10 +786,18 @@ final class WarehouseTable private (
         .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
       val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
 
-      val dest = readCommitted(days)
+      // ONE schema snapshot for the whole op: the dest read, the update
+      // and insert column lists, and the union all see the same fields.
+      // A concurrent evolveSchema between two `schema` reads inside one
+      // merge would otherwise tear the plan (soak-found: dest read with
+      // the evolved schema unions against batch-shaped updates →
+      // CANNOT_RESOLVE_COLUMN). The evolved field reaches these rows on
+      // the NEXT flush; reads conform it to NULL meanwhile.
+      val snap = schema
+      val dest = readCommitted(days, snap)
       val merged =
-        if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete)
-        else mergeJoin(dest, src, delete)
+        if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete, snap)
+        else mergeJoin(dest, src, delete, snap)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       val preExisting = days.filter(d =>
@@ -733,9 +805,23 @@ final class WarehouseTable private (
       guardStaleRead(clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
       val stagedFiles = stagedDayFiles(staging)
+      // exact blooms from the PRIVATE staging dir, computed BEFORE the
+      // claim (stagedExactBlooms doc), on the periodic tightening
+      // cadence — decided on the EXPECTED version readBase+1; if
+      // contention re-sequences the claim the tightening slips a
+      // version, a maintenance schedule, not a correctness property —
+      // or immediately when any touched day's bloom needs healing
+      val exactBlooms =
+        if ((readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
+            days.exists(bloomNeedsHeal))
+          Some(stagedExactBlooms(staging))
+        else None
       val v = claimCommit("merge", days, readBase + 1)
       swapPartitions(staging, days, v)
-      unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
+      exactBlooms match {
+        case Some(bs) => writeExactBlooms(days, bs)
+        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting)
+      }
       finalizeCommit("merge", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
@@ -760,8 +846,12 @@ final class WarehouseTable private (
     * a fallback-equality spec pin that.
     */
   private def mergeJoinBroadcast(dest: DataFrame, src: DataFrame,
-      delete: Boolean): DataFrame = {
-    val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      delete: Boolean, snap: StructType): DataFrame = {
+    // snapshot-aligned batch values: fields the batch lacks become NULL
+    val srcVal = mergeValueFields(src, snap).map { case (f, inBatch) =>
+      if (inBatch) col(s"s.value.`${f.name}`").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
     val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
     // no .distinct(): src is latestPerKey output (one row per key), and
     // an anti join is insensitive to duplicate build rows anyway —
@@ -777,7 +867,7 @@ final class WarehouseTable private (
     val updates = dest.as("d").join(broadcast(live.as("s")), keyCond, "inner")
       .select(
         keyFields.map(f => col(s"d.$f").as(f)) ++
-          vfs.map(f => col(s"s.value.$f").as(f)) :+
+          srcVal :+
           col(s"d.$partitionCol").as(partitionCol): _*)
       .localCheckpoint(true)
     // keys straight off the checkpoint, duplicates tolerated (anti join
@@ -787,9 +877,29 @@ final class WarehouseTable private (
     val inserts = live.as("s").join(broadcast(matchedKeys.as("m")), insCond, "left_anti")
       .select(
         keyFields.map(f => col(s"s.key.$f").as(f)) ++
-          vfs.map(f => col(s"s.value.$f").as(f)) :+
+          srcVal :+
           stagedSlice("s.").as(partitionCol): _*)
     survivors.unionByName(updates).unionByName(inserts)
+  }
+
+  /** Non-key fields of the op's schema snapshot, each flagged with
+    * whether the batch's `value` struct carries it. Fields the batch
+    * lacks relax to NULL on update/insert (the engine's relaxation
+    * semantics — [[graft.streaming.MergePipeline]] conforms batches the
+    * same way); batch fields ABSENT from the snapshot fail loud — they
+    * would otherwise be dropped silently, so the caller must evolve the
+    * table schema first.
+    */
+  private def mergeValueFields(src: DataFrame,
+      snap: StructType): Seq[(StructField, Boolean)] = {
+    val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSet
+    val keySet = keyFields.toSet
+    val valueFields = snap.fields.toSeq.filterNot(f => keySet.contains(f.name))
+    val unknown = vfs -- valueFields.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"batch value fields ${unknown.mkString(", ")} are not in the table " +
+        "schema — evolve the table schema before merging")
+    valueFields.map(f => f -> vfs.contains(f.name))
   }
 
   /** Insert-routing slice for a staged upsert row: the configured record
@@ -833,7 +943,10 @@ final class WarehouseTable private (
       val tombSrc = fenced.where(col("value").isNull)
       val days = (batchDays ++ bloomCandidateDays(tombHashes, batchDays)).distinct.sorted
 
-      val dest = readCommitted(days)
+      // one schema snapshot for the whole op (merge doc): dest read and
+      // insert columns must agree under a concurrent evolveSchema
+      val snap = schema
+      val dest = readCommitted(days, snap)
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
       // no .distinct(): the fence leaves ~one tombstone per key, an
       // anti join is insensitive to duplicate build rows, and skipping
@@ -841,10 +954,12 @@ final class WarehouseTable private (
       val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*)
       // batch-bounded key set broadcast → dest is never shuffled here either
       val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
-      val vfs = staged.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
       val inserts = fenced.where(col("value").isNotNull).select(
         keyFields.map(f => col(s"key.$f").as(f)) ++
-          vfs.map(f => col(s"value.$f").as(f)) :+
+          mergeValueFields(fenced, snap).map { case (f, inBatch) =>
+            if (inBatch) col(s"value.`${f.name}`").as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } :+
           stagedSlice("").as(partitionCol): _*)
       val merged = survivors.unionByName(inserts)
 
@@ -854,9 +969,17 @@ final class WarehouseTable private (
       guardStaleRead(clusteredWrite(merged).write
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
       val stagedFiles = stagedDayFiles(staging)
+      val exactBlooms =
+        if ((readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
+            days.exists(bloomNeedsHeal))
+          Some(stagedExactBlooms(staging))
+        else None
       val v = claimCommit("merge-delete", days, readBase + 1)
       swapPartitions(staging, days, v)
-      unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
+      exactBlooms match {
+        case Some(bs) => writeExactBlooms(days, bs)
+        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting)
+      }
       finalizeCommit("merge-delete", days, v, stagedFiles)
       expireOldPartitions()
       autoVacuum()
@@ -868,17 +991,25 @@ final class WarehouseTable private (
     * merge join (sort-merge — full-outer cannot broadcast). Updates keep
     * the dest row's partition day; inserts get their slice.
     */
-  private def mergeJoin(dest: DataFrame, src: DataFrame, delete: Boolean): DataFrame = {
-    val vfs = src.schema("value").dataType.asInstanceOf[StructType].fieldNames.toSeq
+  private def mergeJoin(dest: DataFrame, src: DataFrame, delete: Boolean,
+      snap: StructType): DataFrame = {
     val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
     val joined = dest.as("d").join(src.as("s"), keyCond, "full_outer")
     val srcPresent = col("s.key").isNotNull
     val base =
       if (delete) joined.where(!(srcPresent && col("s.value").isNull))
       else joined
+    // matched rows take the batch value for every snapshot field (absent
+    // batch fields relax to NULL — same as the broadcast plan);
+    // survivors keep their dest values
     base.select(
       keyFields.map(f => coalesce(col(s"s.key.$f"), col(s"d.$f")).as(f)) ++
-        vfs.map(f => when(srcPresent, col(s"s.value.$f")).otherwise(col(s"d.$f")).as(f)) :+
+        mergeValueFields(src, snap).map { case (f, inBatch) =>
+          val fromSrc =
+            if (inBatch) col(s"s.value.`${f.name}`")
+            else lit(null).cast(f.dataType)
+          when(srcPresent, fromSrc).otherwise(col(s"d.`${f.name}`")).as(f.name)
+        } :+
         coalesce(col(s"d.$partitionCol"), stagedSlice("s.")).as(partitionCol): _*)
   }
 
@@ -960,6 +1091,18 @@ final class WarehouseTable private (
     * mergeable with aggregate-built blooms. O(batch) input by the
     * callers' byte gates; rows with a null day are skipped.
     */
+  /** Total record count of the given parquet files, straight from
+    * their footers — O(files) driver-side metadata reads, no data
+    * pages. Feeds the bloom-fold row gate.
+    */
+  private def parquetRowCount(paths: Seq[Path]): Long =
+    paths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+
   private def driverDayBlooms(
       pairs: Array[org.apache.spark.sql.Row]): Seq[(String, Array[Byte])] = {
     val items = WarehouseTable.bloomExpectedItems
@@ -973,12 +1116,83 @@ final class WarehouseTable private (
       }.toSeq
   }
 
-  private def unionBloomsAfterSwap(days: Seq[String],
-      liveDayHashes: Map[String, Array[Long]], preExisting: Set[String],
-      version: Long): Unit = {
-    if (version % WarehouseTable.bloomRebuildEvery == 0) {
-      refreshBlooms(days); return
+  /** EXACT per-day blooms of a staged swap output, aggregated from the
+    * PRIVATE staging dir — the replacement for rebuilding from live
+    * dirs. Two properties matter: the distributed scan runs BEFORE the
+    * caller claims its commit (advisor-found: a rebuild held the
+    * pending claim long enough to time out every concurrent
+    * committer's claim wait), and it reads only this writer's staging
+    * files, so no concurrent swap can race it (a post-finalize rebuild
+    * over live dirs could overwrite a newer merge's bloom with stale
+    * content that misses its keys — a superset violation). The staged
+    * output IS the touched days' complete new generation, so the
+    * result is exact; the caller writes it driver-side in-claim via
+    * [[writeExactBlooms]] (O(days) metadata writes, microseconds).
+    */
+  private def stagedExactBlooms(staging: String): Map[String, Array[Byte]] = {
+    val dayDirs = fs.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .filter(dir => listDayFiles(dir.getPath).nonEmpty)
+    if (dayDirs.isEmpty) return Map.empty
+    val keySet = keyFields.toSet
+    val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+    spark.read.option("basePath", staging)
+      .schema(keySchema.add(StructField(partitionCol, StringType)))
+      .parquet(dayDirs.map(_.getPath.toString): _*)
+      .groupBy(col(partitionCol).cast("string").as("d"))
+      .agg(bloomAggColumn.as("bloom")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+  }
+
+  /** Install pre-computed exact day blooms after a swap: days swapped
+    * away (or absent from the staged bloom map) lose their bloom —
+    * missing blooms read as always-candidate, the conservative
+    * direction. Driver-side metadata writes only; safe to run while
+    * holding the commit claim.
+    */
+  private def writeExactBlooms(days: Seq[String],
+      blooms: Map[String, Array[Byte]]): Unit = {
+    fs.mkdirs(new Path(bloomDir))
+    days.foreach { d =>
+      val bloomPath = new Path(s"$bloomDir/$d.bloom")
+      blooms.get(d).filter(_ =>
+          fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) match {
+        case Some(bytes) =>
+          val out = new BufferedOutputStream(fs.create(bloomPath, true))
+          try { out.write(WarehouseTable.BloomMagic); out.write(bytes) }
+          finally out.close()
+          val legacy = new Path(s"$legacyBloomDir/$d.bloom")
+          if (fs.exists(legacy)) fs.delete(legacy, false)
+        case None =>
+          if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+      }
     }
+  }
+
+  /** A touched pre-existing day whose bloom cannot take the driver-side
+    * union — legacy-format file, missing, or a header without the
+    * current magic. Such a flush switches to the exact staged-bloom
+    * path, which heals the day immediately (the old in-claim
+    * refreshBlooms contract) while keeping distributed work out of the
+    * claim window. Header-only probe: 4 bytes, not the whole bloom.
+    */
+  private def bloomNeedsHeal(d: String): Boolean = {
+    if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) return false
+    if (fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))) return true
+    val p = new Path(s"$bloomDir/$d.bloom")
+    if (!fs.exists(p)) return true // pre-existing day, no bloom yet
+    val in = fs.open(p)
+    try {
+      val m = new Array[Byte](WarehouseTable.BloomMagic.length)
+      val n = in.read(m)
+      n != m.length || !java.util.Arrays.equals(m, WarehouseTable.BloomMagic)
+    } finally in.close()
+  }
+
+  private def unionBloomsAfterSwap(days: Seq[String],
+      liveDayHashes: Map[String, Array[Long]],
+      preExisting: Set[String]): Unit = {
     fs.mkdirs(new Path(bloomDir))
     val items = WarehouseTable.bloomExpectedItems
     def batchBloom(hashes: Array[Long]): BloomFilter = {
@@ -1010,7 +1224,19 @@ final class WarehouseTable private (
         }
       }
     }
-    if (rebuild.nonEmpty) refreshBlooms(rebuild)
+    // failed-union days (unreadable/legacy/size-incompatible existing
+    // bloom — rare self-heal): DROP the stale bloom instead of a
+    // live-dir rebuild scan. Missing blooms read as always-candidate
+    // (conservative), and the next periodic exact pass — computed from
+    // staging, outside any claim — restores them. This keeps the claim
+    // window free of distributed work AND avoids the stale-overwrite
+    // race a post-finalize live-dir rebuild would have.
+    rebuild.foreach { d =>
+      val p = new Path(s"$bloomDir/$d.bloom")
+      if (fs.exists(p)) fs.delete(p, false)
+      val legacy = new Path(s"$legacyBloomDir/$d.bloom")
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+    }
   }
 
   private def refreshBlooms(days: Seq[String]): Unit = {
@@ -1244,12 +1470,15 @@ final class WarehouseTable private (
     guardStaleRead(clusteredWrite(readCommitted(existing)).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
     val stagedFiles = stagedDayFiles(staging)
+    // compaction is the designated tightening point for the stale bits
+    // the merge-path bloom union leaves behind: ALWAYS exact, computed
+    // from the private staging dir before the claim (stagedExactBlooms
+    // doc — no distributed work inside the claim window, no race with
+    // concurrent swaps)
+    val exactBlooms = stagedExactBlooms(staging)
     val v = claimCommit("compact", existing, readBase + 1)
     swapPartitions(staging, existing, v)
-    // compaction never changes the keyset, so the day blooms stay
-    // valid — but it IS the designated tightening point for the stale
-    // bits the merge-path bloom union leaves behind: rebuild exactly
-    refreshBlooms(existing)
+    writeExactBlooms(existing, exactBlooms)
     finalizeCommit("compact", existing, v, stagedFiles)
     autoVacuum()
     existing
@@ -1424,30 +1653,83 @@ final class WarehouseTable private (
 
   private def isPendingOp(op: String): Boolean = op.startsWith("pending:")
 
+  /** The newest FINALIZED version below `v` (pending claims hold no
+    * file lists); 0 when none exists.
+    */
+  private def finalizedBelow(v: Long): Long = {
+    var w = v - 1
+    while (w > 0) {
+      if (fs.exists(new Path(s"$snapDir/v$w.list"))) {
+        if (!isPendingOp(commitMeta(w)._1)) return w
+      }
+      w -= 1
+    }
+    0L
+  }
+
   /** The manifest to rebase a commit of version `v` on: the newest
     * FINALIZED version below `v` (pending claims hold no file lists), or
     * a full day listing for a pre-snapshot table.
     */
   private def manifestBase(v: Long): Map[String, Seq[String]] = {
-    var w = v - 1
-    while (w > 0) {
-      if (fs.exists(new Path(s"$snapDir/v$w.list"))) {
-        if (!isPendingOp(commitMeta(w)._1)) return readManifest(w)
-      }
-      w -= 1
-    }
-    if (!fs.exists(new Path(s"$snapDir/CURRENT")))
+    val w = finalizedBelow(v)
+    if (w > 0) readManifest(w)
+    else if (!fs.exists(new Path(s"$snapDir/CURRENT")))
       listDays().map(d =>
         d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
     else Map.empty
   }
 
+  /** Committed-batch tags to carry into a commit rebased at `v`: the
+    * batches line of the newest finalized version below it.
+    */
+  private def batchesBase(v: Long): Seq[String] = {
+    val w = finalizedBelow(v)
+    if (w > 0) manifestBatches(w) else Seq.empty
+  }
+
+  /** Committed exactly-once batch tags (`<streamId>:<batchId>`)
+    * recorded in snapshot `version`'s manifest header. Durable against
+    * merge/compact rewrites — unlike the `b<id>-` file-name prefixes,
+    * which a rewrite erases — because every commit carries the line
+    * forward from its base manifest (advisor-found replay hole).
+    */
+  private[sources] def manifestBatches(version: Long): Seq[String] = {
+    val p = new Path(s"$snapDir/v$version.list")
+    if (version <= 0 || !fs.exists(p)) Seq.empty
+    else readMetaString(spark, p.toString).linesIterator
+      .find(_.startsWith("#batches\t"))
+      .map(_.stripPrefix("#batches\t").split(",").filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** Window-prune the carried batch tags when adding `tag`
+    * (`<streamId>:<batchId>`): same-stream tags more than 64 ids behind
+    * drop (batchIds are monotonic per checkpoint; foreachBatch only
+    * replays batches after the last checkpoint commit, so a tag 64 ids
+    * back can never replay again — the bound that keeps the manifest
+    * header O(streams), not O(stream lifetime)). Other streams' tags
+    * are untouched.
+    */
+  private def pruneBatchTags(batches: Seq[String], tag: String): Seq[String] = {
+    val sep = tag.lastIndexOf(':')
+    val (ns, id) = (tag.take(sep), tag.drop(sep + 1).toLong)
+    batches.filter { b =>
+      val s = b.lastIndexOf(':')
+      s < 0 || b.take(s) != ns || b.drop(s + 1).toLongOption.forall(_ > id - 64L)
+    }
+  }
+
   private def renderManifest(op: String, touched: Seq[String],
-      updated: Map[String, Seq[String]]): String = {
+      updated: Map[String, Seq[String]],
+      batches: Seq[String] = Seq.empty): String = {
     val body = new StringBuilder()
     body.append('#').append(op).append('\t')
       .append(System.currentTimeMillis()).append('\t')
       .append(touched.distinct.sorted.mkString(",")).append('\n')
+    if (batches.nonEmpty)
+      body.append("#batches\t")
+        .append(batches.distinct.sorted.mkString(",")).append('\n')
     updated.toSeq.sortBy(_._1).foreach { case (d, files) =>
       files.sorted.foreach(f =>
         body.append(d).append('\t').append(f).append('\n'))
@@ -1520,14 +1802,23 @@ final class WarehouseTable private (
     * from state that winner replaced, and committing it would resurrect
     * the old generation (lost update).
     */
-  private def claimCommit(op: String, touched: Seq[String],
+  private[sources] def claimCommit(op: String, touched: Seq[String],
       fromVersion: Long): Long = {
     val header = s"#pending:$op\t${System.currentTimeMillis()}\t" +
       touched.distinct.sorted.mkString(",") + "\n"
     @annotation.tailrec
     def loop(v: Long): Long =
-      if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list", header)) v
-      else {
+      if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list", header)) {
+        // a free slot BELOW current is not free — it is a COMMITTED
+        // version whose manifest a concurrent vacuum deleted during
+        // this op's read/stage window (retention < window). Its days
+        // are unknowable, and claiming it would finalize a manifest
+        // CURRENT never points at while the swap replaces live data
+        // the real CURRENT manifest still references (persistent stale
+        // reads). Release the slot and abort — the retry re-reads.
+        checkClaimedAboveCurrent(v, op, touched)
+        v
+      } else {
         val (theirOp, theirTs, theirDays) = commitMeta(v)
         if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
           // a writer died mid-swap holding this claim: roll its torn
@@ -1550,6 +1841,28 @@ final class WarehouseTable private (
         else loop(v + 1)
       }
     loop(fromVersion)
+  }
+
+  /** Guard against claiming a vacuumed committed slot (advisor-found):
+    * the version walk starts at readBase+1, and if auto-vacuum deleted
+    * a manifest in (readBase, CURRENT] during the op's read/stage
+    * window, create-if-absent succeeds on the vacuumed slot even
+    * though the version number is already spent. The winner must
+    * therefore verify v > CURRENT *after* winning; on failure the
+    * just-written file is removed (freeing nothing that was ours to
+    * take) and the op aborts retryably. Safe against the reverse race:
+    * while we hold an unfinalized claim at v, no writer sequences past
+    * it ([[awaitClaimResolution]]), so CURRENT cannot advance to >= v
+    * between this check and our finalize.
+    */
+  private def checkClaimedAboveCurrent(v: Long, op: String,
+      touched: Seq[String]): Unit = {
+    val cur = currentVersion
+    if (v <= cur) {
+      fs.delete(new Path(s"$snapDir/v$v.list"), false)
+      concurrentAbort(v, op,
+        s"vacuumed committed version (CURRENT=$cur)", touched)
+    }
   }
 
   private def isStaleClaim(claimTs: Long): Boolean =
@@ -1598,8 +1911,15 @@ final class WarehouseTable private (
       if (listDayFiles(arch).nonEmpty) fs.rename(arch, live)
     }
     if (fs.exists(archDir)) fs.delete(archDir, true)
-    refreshBlooms(processed.filter(d =>
-      fs.exists(new Path(s"$dataPath/$partitionCol=$d"))))
+    // DROP rolled-back days' blooms rather than rebuilding from live
+    // dirs (the crashed writer may have refreshed them against the new
+    // generation): missing blooms read as always-candidate —
+    // conservative — and recovery stays free of distributed scans that
+    // could race a concurrent writer's immediate re-swap of these days
+    processed.foreach { d =>
+      val p = new Path(s"$bloomDir/$d.bloom")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
     fs.delete(new Path(s"$snapDir/v$v.list"), false)
     ()
   }
@@ -1631,7 +1951,7 @@ final class WarehouseTable private (
       }
     }
     writeMetaString(spark, s"$snapDir/v$v.list",
-      renderManifest(op, touched, updated))
+      renderManifest(op, touched, updated, batchesBase(v)))
     advanceCurrent(v)
   }
 
@@ -1676,16 +1996,24 @@ final class WarehouseTable private (
     * the generation this append landed into (the caller deletes its
     * landed files and rethrows). CURRENT only ever advances.
     */
-  private def commitSnapshot(op: String, myFiles: Map[String, Seq[String]],
-      version: Long): Unit = {
+  private[sources] def commitSnapshot(op: String, myFiles: Map[String, Seq[String]],
+      version: Long, batchTag: Option[String] = None): Unit = {
     val touched = myFiles.keys.toSeq.sorted
     @annotation.tailrec
-    def attempt(v: Long, prev: Map[String, Seq[String]]): Unit = {
+    def attempt(v: Long, prev: Map[String, Seq[String]],
+        prevBatches: Seq[String]): Unit = {
       val updated = myFiles.foldLeft(prev) { case (m, (d, names)) =>
         m.updated(d, (m.getOrElse(d, Seq.empty) ++ names).distinct)
       }
+      val batches = batchTag
+        .fold(prevBatches)(t => pruneBatchTags(prevBatches, t) :+ t)
       if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list",
-          renderManifest(op, touched, updated))) {
+          renderManifest(op, touched, updated, batches))) {
+        // vacuumed-slot guard (see [[checkClaimedAboveCurrent]]): a
+        // manifest committed at v <= CURRENT is invisible to the chain
+        // (advanceCurrent no-ops) AND was rebased on a base missing
+        // every commit in (base, CURRENT] — abort, never publish it
+        checkClaimedAboveCurrent(v, op, touched)
         advanceCurrent(v)
       } else {
         val (theirOp, theirTs, theirDays) = commitMeta(v)
@@ -1698,21 +2026,21 @@ final class WarehouseTable private (
           if (theirDays.isEmpty || touched.exists(theirDays.contains))
             concurrentAbort(v, op, s"$theirOp [crashed claim, rolled back]",
               touched)
-          attempt(v, prev)
+          attempt(v, prev, prevBatches)
         } else if (isPendingOp(theirOp)) {
           // never sequence past an UNFINALIZED claim (awaitClaimResolution
           // doc): wait, then re-examine this slot with the same base
           awaitClaimResolution(v, op, touched)
-          attempt(v, prev)
+          attempt(v, prev, prevBatches)
         } else {
           val overlaps = theirDays.isEmpty || touched.exists(theirDays.contains)
           if (!appendSafeOps(op) || (!appendSafeOps(theirOp) && overlaps))
             concurrentAbort(v, op, theirOp, touched)
-          attempt(v + 1, manifestBase(v + 1))
+          attempt(v + 1, manifestBase(v + 1), batchesBase(v + 1))
         }
       }
     }
-    attempt(version, manifestBase(version))
+    attempt(version, manifestBase(version), batchesBase(version))
   }
 
   /** Committed snapshots, newest first: (version, operation, commit
@@ -1827,9 +2155,13 @@ final class WarehouseTable private (
     guardStaleRead(clusteredWrite(rows).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
     val stagedFiles = stagedDayFiles(staging)
+    // restore CAN resurrect keys the current blooms don't cover:
+    // exact blooms from the private staging dir, computed before the
+    // claim (stagedExactBlooms doc)
+    val exactBlooms = stagedExactBlooms(staging)
     val v = claimCommit("restore", days, readBase + 1)
     swapPartitions(staging, days, v)
-    refreshBlooms(days)
+    writeExactBlooms(days, exactBlooms)
     finalizeCommit("restore", days, v, stagedFiles)
     autoVacuum()
     days
@@ -1865,15 +2197,24 @@ final class WarehouseTable private (
     */
   /** Stage the append under a unique dir, then move its files into the
     * table partitions. Returns (day → moved file names, the days whose
-    * partition dir pre-existed this write, total staged bytes) — the
-    * last two feed bloom maintenance for free (no extra job).
+    * partition dir pre-existed this write, total staged bytes, total
+    * staged rows or -1) — the last three feed bloom maintenance for
+    * free (no extra job). Rows come from the parquet footers, read
+    * from the PRIVATE staging paths before the rename (the landed dest
+    * paths can be archived by a concurrent swap mid-read — soak-found
+    * FileNotFoundException); footer reads stop the moment cumulative
+    * bytes blow the fold's byte gate (rows then report -1 = over), so
+    * a bulk load never pays O(files) footer round trips for a gate it
+    * already failed.
     */
   private def writeStagedInto(df: DataFrame):
-      (Map[String, Seq[String]], Set[String], Long) = {
+      (Map[String, Seq[String]], Set[String], Long, Long) = {
     val staging = s"$root/.append-${UUID.randomUUID().toString.take(8)}"
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    val byteGate = WarehouseTable.appendHashCollectMaxBytes
     try {
       var bytes = 0L
+      var rows = 0L
       val preExisting = Set.newBuilder[String]
       val files = fs.listStatus(new Path(staging)).toSeq.filter(st => st.isDirectory &&
           st.getPath.getName.startsWith(s"$partitionCol=")).map { dir =>
@@ -1883,12 +2224,15 @@ final class WarehouseTable private (
         val names = fs.listStatus(dir.getPath).toSeq.filter(f => f.isFile &&
             !f.getPath.getName.startsWith("_")).map { f =>
           bytes += f.getLen
+          if (rows >= 0L && bytes <= byteGate)
+            rows += parquetRowCount(Seq(f.getPath))
+          else rows = -1L
           fs.rename(f.getPath, new Path(dest, f.getPath.getName))
           f.getPath.getName
         }
         day -> names
       }.filter(_._2.nonEmpty).toMap
-      (files, preExisting.result(), bytes)
+      (files, preExisting.result(), bytes, rows)
     } finally { fs.delete(new Path(staging), true); () }
   }
 
@@ -1912,7 +2256,7 @@ final class WarehouseTable private (
     */
   private def writeRouted(df: DataFrame, op: String): Unit = {
     val readBase = currentVersion
-    val (myFiles, _, _) = writeStagedInto(clusteredWrite(df))
+    val (myFiles, _, _, _) = writeStagedInto(clusteredWrite(df))
     refreshBlooms(myFiles.keys.toSeq)
     if (myFiles.nonEmpty) commitSnapshot(op, myFiles, readBase + 1)
   }
@@ -2012,6 +2356,30 @@ final class WarehouseTable private (
         stagingPrefixes.exists(st.getPath.getName.startsWith) &&
         st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // landed-but-uncommitted files in LIVE partition dirs (a writer
+    // that crashed between writeStagedInto's moves and its snapshot
+    // commit, before deleteLanded could run): invisible to
+    // readCommitted, but phantom rows for the listing-based read()
+    // forever. A live data file absent from the CURRENT manifest is
+    // referenced by NO retained manifest — swaps/expire archive whole
+    // day dirs out of live, and append files enter CURRENT at commit
+    // or are swept by deleteLanded — so one older than the stale-claim
+    // timeout (no live writer is mid-commit on it) is garbage.
+    if (fs.exists(new Path(s"$snapDir/CURRENT"))) {
+      val manifest = readManifest(cur)
+      listDays().foreach { d =>
+        val dir = new Path(s"$dataPath/$partitionCol=$d")
+        val known = manifest.getOrElse(d, Seq.empty).toSet
+        if (fs.exists(dir))
+          fs.listStatus(dir).toSeq
+            .filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+                !known.contains(n) && st.getModificationTime < cutoff
+            }
+            .foreach(st => fs.delete(st.getPath, false))
+      }
+    }
     // zone-map sidecars of days that no longer exist (expired/merged
     // away): harmless to queries — candidate enumeration starts from
     // listDays(), never from the sidecar dir — but they accumulate one
@@ -2166,6 +2534,32 @@ object WarehouseTable {
     sys.props.get("graft.appendHashCollectMaxBytes")
       .orElse(sys.env.get("GRAFT_APPEND_HASH_COLLECT_MAX_BYTES"))
       .getOrElse((256L << 20).toString).toLong
+
+  /** Row-count gate for the same driver-side fold (advisor-found): the
+    * driver heap cost is rows × ~16 B regardless of on-disk bytes, and
+    * rows-per-byte varies ~100× between fat-document and skinny-key
+    * tables — a 250 MB batch of 8-byte keys is ~108 M hashes. Both
+    * gates must pass; row counts come free from the staged parquet
+    * footers (O(files) metadata reads, no data pages), fetched only
+    * when the byte gate already passed. Default 8 M rows ≈ ~128 MB of
+    * driver hash state.
+    */
+  def appendHashCollectMaxRows: Long =
+    sys.props.get("graft.appendHashCollectMaxRows")
+      .orElse(sys.env.get("GRAFT_APPEND_HASH_COLLECT_MAX_ROWS"))
+      .getOrElse("8000000").toLong
+
+  /** The driver-vs-distributed bloom-fold decision, in one place for
+    * both append paths: the fold collects one (day, hash) pair per row,
+    * so BOTH the byte gate (scan cost) and the row gate (driver heap,
+    * rows × ~16 B — rows-per-byte varies ~100× between fat-document and
+    * skinny-key tables) must pass. `rowsOrOver < 0` means the caller
+    * already found the batch over-gate and skipped exact counting.
+    */
+  private[graft] def useDriverBloomFold(stagedBytes: Long,
+      rowsOrOver: Long): Boolean =
+    stagedBytes <= appendHashCollectMaxBytes && rowsOrOver >= 0L &&
+      rowsOrOver <= appendHashCollectMaxRows
 
   def bloomRebuildEvery: Long =
     math.max(1L, sys.props.get("graft.bloomRebuildEvery")

@@ -75,7 +75,13 @@ object KafkaSource {
       s"startingOffsets must be earliest|latest|{json}: $startingOffsets")
     require(maxOffsetsPerTrigger.forall(_ > 0),
       s"maxOffsetsPerTrigger must be positive: $maxOffsetsPerTrigger")
-    require(!kafkaConsumerProps.contains("kafka.bootstrap.servers"),
+    // normalize before checking: options() adds the `kafka.` prefix to
+    // unprefixed pass-throughs, so a bare "bootstrap.servers" would end
+    // up as "kafka.bootstrap.servers" and silently override the
+    // dedicated field (the props map is ++'d last) — reject both forms
+    require(!kafkaConsumerProps.keys
+        .map(k => if (k.startsWith("kafka.")) k.stripPrefix("kafka.") else k)
+        .exists(_ == "bootstrap.servers"),
       "pass bootstrapServers via the dedicated field")
   }
 

@@ -56,10 +56,17 @@ object MergePipeline {
       checkpointDir: String,
       tableRootFor: TableRouter.Target => String): DataStreamWriter[Row] = {
     config.validate()
+    // exactly-once namespace: batchIds are only monotonic WITHIN one
+    // checkpoint lineage, so the append path's replay markers/tags are
+    // namespaced by a checkpoint-derived id — a stream restarted with
+    // a fresh checkpoint reuses small batchIds and must not collide
+    // with the old run's committed-batch records
+    val streamId = java.util.UUID
+      .nameUUIDFromBytes(checkpointDir.getBytes("UTF-8")).toString.take(8)
     val w = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, config, keyFields, tableRootFor)
+        processBatch(batch, batchId, config, keyFields, tableRootFor, streamId)
         ()
       }
     if (config.mergeIntervalMs > 0)
@@ -78,28 +85,29 @@ object MergePipeline {
       batchId: Long,
       config: GraftSinkConfig,
       keyFields: Seq[String],
-      tableRootFor: TableRouter.Target => String): Int = {
-    if (batch.isEmpty) return 0
-    // explicit subscription: the topic universe is config, not data — no
-    // per-batch distinct-collect job. Pattern subscriptions (empty list)
-    // keep the discovery job: only the data knows the matched topics.
+      tableRootFor: TableRouter.Target => String,
+      streamId: String = "default"): Int = {
+    // ONE job discovers the present-topic set AND per-topic counts,
+    // regardless of the configured-topic count: the per-topic limit-1
+    // probes this replaces cost one job each, so a 100-topic explicit
+    // subscription paid 100 probe jobs per micro-batch. The count map
+    // also serves mergeSlice's threshold check — no second count job.
+    val present: Map[String, Long] = batch.groupBy(col("topic")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (present.isEmpty) return 0
     val explicit = config.subscribedTopics.nonEmpty
     val topics =
-      if (explicit) config.subscribedTopics
-      else batch.select(col("topic")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      if (explicit) config.subscribedTopics.filter(present.contains)
+      else present.keys.toSeq.sorted
     // group topics by routed target so multi-topic → one table works
     topics.groupBy(t => TableRouter.route(t, config)).map {
       case (target, topicGroup) =>
         val slice = batch.where(col("topic").isin(topicGroup: _*))
-        // a configured topic may be silent this batch — skip its flush
-        // (a limit-1 probe, cheaper than the distinct shuffle it replaces)
-        if (explicit && slice.isEmpty) 0
-        else {
-          val root = tableRootFor(target)
-          if (config.upsertDeleteEnabled) mergeSlice(slice, batchId, config, keyFields, root)
-          else { appendSlice(slice, batchId, config, keyFields, root); 1 }
-        }
+        val sliceRows = topicGroup.flatMap(present.get).sum
+        val root = tableRootFor(target)
+        if (config.upsertDeleteEnabled)
+          mergeSlice(slice, sliceRows, batchId, config, keyFields, root)
+        else { appendSlice(slice, batchId, config, keyFields, root, streamId); 1 }
     }.sum
   }
 
@@ -119,16 +127,18 @@ object MergePipeline {
     * key (keys live in one partition), so sequential chunk flushes
     * preserve last-write-wins. Returns the number of merge flushes.
     */
-  private def mergeSlice(slice: DataFrame, batchId: Long, config: GraftSinkConfig,
-      keyFields: Seq[String], root: String): Int = {
+  private def mergeSlice(slice: DataFrame, sliceRows: Long, batchId: Long,
+      config: GraftSinkConfig, keyFields: Seq[String], root: String): Int = {
     val threshold = config.mergeRecordsThreshold
-    if (threshold <= 0) { mergeOnce(slice, batchId, config, keyFields, root); return 1 }
-    slice.cache()
-    try {
-      val n = slice.count()
-      if (n <= threshold) { mergeOnce(slice, batchId, config, keyFields, root); 1 }
-      else {
-        val numChunks = math.ceil(n.toDouble / threshold).toInt
+    // sliceRows comes from processBatch's single discovery aggregation —
+    // no count job here; the under-threshold (steady-state) path also
+    // skips the cache (the slice is consumed exactly once)
+    if (threshold <= 0 || sliceRows <= threshold) {
+      mergeOnce(slice, batchId, config, keyFields, root); 1
+    } else {
+      slice.cache()
+      try {
+        val numChunks = math.ceil(sliceRows.toDouble / threshold).toInt
         val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
         val chunked = slice.withColumn("__chunk", ntile(numChunks).over(w))
         (1 to numChunks).foreach { k =>
@@ -136,8 +146,8 @@ object MergePipeline {
             batchId, config, keyFields, root)
         }
         numChunks
-      }
-    } finally { slice.unpersist(); () }
+      } finally { slice.unpersist(); () }
+    }
   }
 
   /** One merge flush: tombstone-filter, wrap, evolve the destination
@@ -178,7 +188,7 @@ object MergePipeline {
   }
 
   private def appendSlice(rawSlice: DataFrame, batchId: Long, config: GraftSinkConfig,
-      keyFields: Seq[String], root: String): Unit = {
+      keyFields: Seq[String], root: String, streamId: String): Unit = {
     // P2 — tombstones are skipped outside delete mode (`BigQuerySinkTask.java:258`)
     val slice = Staging.filterTombstones(rawSlice, deleteEnabled = false)
     val spark = slice.sparkSession
@@ -205,6 +215,6 @@ object MergePipeline {
       if (flat.columns.contains(f.name)) col(s"`${f.name}`")
       else lit(null).cast(f.dataType).as(f.name)
     } :+ col("partitionTime"): _*)
-    table.appendBatch(conformed, batchId)
+    table.appendBatch(conformed, batchId, streamId = streamId)
   }
 }

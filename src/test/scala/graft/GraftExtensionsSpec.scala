@@ -186,4 +186,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[Seq[Long]].head()
     assert(sqlF == want)
   }
+
+  test("SQL surface: gear_cdc_chunks resolves and matches the Column API") {
+    import spark.implicits._
+    val text = "All work and no play makes Jack a dull boy. " * 10
+    val df = Seq(text).toDF("t")
+    df.createOrReplaceTempView("gear_t")
+    val sqlChunks = spark.sql(
+      "SELECT explode(gear_cdc_chunks(t, 32)) AS c FROM gear_t")
+      .select($"c.s", $"c.l", $"c.h").as[(Int, Int, String)].collect().toSeq
+    val colChunks = df.select(explode(
+        graft.functions.GearCdcChunks($"t", 32)).as("c"))
+      .select($"c.s", $"c.l", $"c.h").as[(Int, Int, String)].collect().toSeq
+    assert(sqlChunks == colChunks && sqlChunks.size > 1)
+    // shape arg must be a literal
+    val err = intercept[Exception](
+      spark.sql("SELECT gear_cdc_chunks('x', 1 + 5)").collect())
+    assert(err.getMessage.contains("integer literal")
+      || err.getMessage.contains("gear_cdc_chunks"))
+  }
 }

@@ -1665,6 +1665,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("distributionMatch: a high-cardinality bucket column fails loud, never an unbounded collect") {
+    import graft.llm.CurationOps
+    // driver state is one count per bucket BY CONTRACT — a caller who
+    // passes doc_id must get a typed error, not a silent OOM-shaped
+    // collect. Cap lowered for the test via the documented knob.
+    val df = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("doc_id", "bucket")
+    sys.props("graft.distributionMatchMaxBuckets") = "100"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CurationOps.distributionMatch(df, "bucket",
+          Map("b1" -> 0.5, "b2" -> 0.5), "doc_id", salt = "t").count()
+      }
+      assert(e.getMessage.contains("distinct"), e.getMessage)
+      // at-or-under the cap still works
+      val small = (1 to 100).map(i => (i.toLong, s"g${i % 100}")).toDF("doc_id", "bucket")
+      CurationOps.distributionMatch(small, "bucket",
+        Map("g1" -> 0.5, "g2" -> 0.5), "doc_id", salt = "t").count()
+    } finally { sys.props.remove("graft.distributionMatchMaxBuckets"); () }
+  }
+
   test("phraseSearch: adjacency chain counts overlapping matches, order matters") {
     import graft.llm.TextOps
     val docs = Seq(

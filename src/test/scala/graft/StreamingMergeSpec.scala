@@ -150,6 +150,46 @@ class StreamingMergeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("20 configured topics cost ONE discovery job, not one probe per topic") {
+    // explicit subscriptions used to run a limit-1 isEmpty probe per
+    // configured topic per micro-batch — 20 probe jobs here. The single
+    // groupBy(topic).count discovery job replaces them AND serves the
+    // merge-threshold check; total jobs must stay proportional to the
+    // topics PRESENT (2), not the topics CONFIGURED (20).
+    val warehouse = tmp("jobdiet-wh")
+    val cfg = GraftSinkConfig(kafkaDataFieldName = Some("kafkaData"),
+      subscribedTopics = (1 to 18).map(i => s"silent$i") ++ Seq("ta", "tb"))
+    val batch = spark.range(100).toDF("i").select(
+      when($"i" % 2 === 0, lit("ta")).otherwise(lit("tb")).as("topic"),
+      lit(0).as("partition"), $"i".as("offset"),
+      to_timestamp(lit("2024-03-01 10:00:00")).as("timestamp"),
+      $"i".as("k1"),
+      struct(concat(lit("v"), $"i").as("f1")).as("value"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MergePipeline.processBatch(batch, 0L, cfg, Seq("k1"),
+        t => s"$warehouse/${t.dataset}/${t.table}")
+      var last = -1; var now = jobs.get(); var spins = 0
+      while (last != now && spins < 50) {
+        last = now; Thread.sleep(200); now = jobs.get(); spins += 1
+      }
+      assert(jobs.get() <= 16,
+        s"processBatch ran ${jobs.get()} jobs for 2 present topics — " +
+          "per-configured-topic probes are back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // both present topics landed; no silent-topic side effects
+    assert(WarehouseTable.open(spark, s"$warehouse/default/ta").read().count() == 50)
+    assert(WarehouseTable.open(spark, s"$warehouse/default/tb").read().count() == 50)
+    assert(!new java.io.File(s"$warehouse/default/silent1").exists())
+  }
+
   test("non-upsert mode appends with kafka metadata and key embedding") {
     val warehouse = tmp("append-wh")
     val cfg = GraftSinkConfig(
@@ -391,5 +431,11 @@ class StreamingMergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Config("b:9092", Topics(Seq("t")),
         kafkaConsumerProps = Map("kafka.bootstrap.servers" -> "x")))
+    // UNPREFIXED form too: options() adds the kafka. prefix to raw
+    // pass-throughs, so a bare bootstrap.servers would silently
+    // override the dedicated field (props are ++'d last)
+    intercept[IllegalArgumentException](
+      Config("b:9092", Topics(Seq("t")),
+        kafkaConsumerProps = Map("bootstrap.servers" -> "x")))
   }
 }

@@ -1648,6 +1648,10 @@ class WarehouseTableSpec extends AnyFunSuite {
     // BEFORE the op so the set over-approximates what can appear; a row
     // outside it in ANY version is corruption
     val attempted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String)]()
+    // every schema field a writer SUCCESSFULLY evolved in — all must
+    // survive to the final schema (evolve-vs-evolve lost updates and
+    // evolve-vs-swap tears both surface here)
+    val evolvedFields = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val aborted = new java.util.concurrent.atomic.AtomicInteger
     val committedOps = new java.util.concurrent.atomic.AtomicInteger
     val unexpected = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -1670,7 +1674,7 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(12) match {
+            rnd.nextInt(13) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
@@ -1716,6 +1720,17 @@ class WarehouseTableSpec extends AnyFunSuite {
               case 9 =>
                 t.vacuum(retainVersions = 5)
                 committedOps.incrementAndGet()
+              case 12 =>
+                // concurrent schema evolution (round-11 op-mix addition):
+                // a new nullable field mid-soak, racing appends, swaps
+                // and OTHER evolutions — any conflict must be the typed
+                // abort, and a SUCCESSFUL evolve must never be lost
+                val fname = s"ef_${tid}_$op"
+                val evolved = t.evolveSchema(StructType(
+                  t.schema.fields :+ StructField(fname, LongType, nullable = true)))
+                assert(evolved.fieldNames.contains(fname))
+                evolvedFields.add(fname)
+                committedOps.incrementAndGet()
             }
           } catch {
             // overlap aborts and vacuumed-away restore targets are the
@@ -1754,6 +1769,16 @@ class WarehouseTableSpec extends AnyFunSuite {
     info(s"soak: ${committedOps.get()} committed, ${aborted.get()} aborted cleanly")
 
     val t = WarehouseTable.open(spark, root)
+    // every SUCCESSFUL evolution survives: the lease-serialized
+    // read-union-write can never lose a field to a concurrent evolve
+    // or be torn by a racing swap
+    val evolvedSet = {
+      val it = evolvedFields.iterator(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    val lostFields = evolvedSet -- t.schema.fieldNames.toSet
+    assert(lostFields.isEmpty, s"evolved fields lost: $lostFields")
+    assert(DataType.fromJson(t.schema.json) == t.schema, "schema file torn")
     // 1. history is strictly monotone and duplicate-free
     val h = t.history().map(_._1)
     assert(h == h.sorted.reverse && h.distinct == h, s"history not monotone: $h")

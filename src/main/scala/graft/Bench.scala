@@ -83,6 +83,24 @@ object Bench {
         } else name -> Right((times.min, times.max - times.min))
       }
 
+    // Reference throughput-parity probe (the one performance figure the
+    // reference publishes): 1 M upsert/delete records through the
+    // streaming merge pipeline in 10 flushes, survivor-verified inside.
+    // One rep (it is a 1 M-row end-to-end run, not a plan microbench);
+    // reported as its own JSON field, NOT folded into the headline
+    // total, so cross-round totals stay comparable.
+    val streamProbe: Either[String, (Double, Long)] =
+      try {
+        val wh = Files.createTempDirectory("bench-stream-wh").toString
+        val ck = Files.createTempDirectory("bench-stream-ckpt").toString
+        val r = graft.streaming.ThroughputProbe.run(spark, wh, ck, 1000000L)
+        resetSession()
+        Right(r)
+      } catch { case e: Throwable =>
+        resetSession()
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -104,9 +122,18 @@ object Bench {
       s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
     val nFailed = results.count(_._2.isLeft)
+    val probeJson = streamProbe match {
+      case Right((wall, survivors)) =>
+        val rps = math.rint(1000000L / wall)
+        s"""{"sec":${math.rint(wall * 1000) / 1000},"rec_per_s":$rps,""" +
+          s""""records":1000000,"flushes":10,"survivors":$survivors,""" +
+          s""""reference_budget_sec":600}"""
+      case Left(m) => s"""{"error":"${esc(m)}"}"""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"reps":$reps,"agg":"min",""" +
+        s""""stream_merge_1m":$probeJson,""" +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""
 
     // emit on stdout AND stderr (sbt decorates stdout with [info]), plus

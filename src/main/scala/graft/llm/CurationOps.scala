@@ -755,18 +755,24 @@ object CurationOps {
       .select(explode(col("ng")).as("g"))
       .select(md5(to_binary(col("g"), lit("utf-8"))).as("h"))
       .distinct()
-    val testG = grams(test)
-    val totals = testG.select(col("id"), size(col("ng")).as("n_ngrams"))
-    val hits = testG
-      .select(col("id"), explode(col("ng")).as("g"))
-      .select(col("id"), md5(to_binary(col("g"), lit("utf-8"))).as("h"))
-      .join(trainH, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
-    totals.join(hits, Seq("id"), "left")
+    // ONE pass over the test side: totals and hit counts come from the
+    // same exploded scan. The test side often sits atop an expensive
+    // upstream (a composed curation pipeline); the previous
+    // totals/hits split evaluated that upstream twice. explode_outer
+    // keeps gram-less docs (g = null joins nothing → 0 hits); the
+    // exchange carries (id, n_ngrams, hash) scalars only.
+    grams(test)
+      .select(col("id"), size(col("ng")).as("n_ngrams"),
+        explode_outer(col("ng")).as("g"))
       .select(col("id"), col("n_ngrams"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("g").isNotNull,
+          md5(to_binary(col("g"), lit("utf-8")))).as("h"))
+      .join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
+      .groupBy(col("id"), col("n_ngrams"))
+      .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .select(col("id"), col("n_ngrams"), col("n_overlap"),
         round(when(col("n_ngrams") === 0, lit(0.0))
-          .otherwise(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          .otherwise(col("n_overlap").cast("double") /
             col("n_ngrams").cast("double")), 6).as("overlap_ratio"))
   }
 

@@ -219,15 +219,22 @@ object DedupOps {
           .as("containment"))
   }
 
-  /** Word n-gram shingle set (distinct). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = split(trim(c), "\\s+")
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(emptyStrArray)
-  }
+  /** Word n-gram shingle set (distinct).
+    *
+    * The token split is LET-BOUND through a one-element transform so it
+    * evaluates once per row: HOF lambdas are interpreted, and inlining
+    * `split()` into the sliding lambda re-runs it per output shingle —
+    * O(tokens²) per document (measured: the sf0.1 contamination probe
+    * dropped 12.2 s → ~1 s with the binding). The lambda variable is a
+    * row-local value; referencing it per element is O(1).
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    flatten(transform(array(split(trim(c), "\\s+")), toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(emptyStrArray)))
 
   /** Per-shingle hash pair `{h1, h2}` (first/second 8 hex chars of ONE
     * md5 as uint32s) — the base of Kirsch-Mitzenmacher double hashing.

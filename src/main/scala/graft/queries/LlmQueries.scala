@@ -2922,6 +2922,103 @@ object LlmQueries extends QueryPack {
            |       round(coalesce(nov.novel, 0) / t.n_chunks, 6) AS novelty
            |FROM tot t LEFT JOIN nov USING (doc_id)""".stripMargin)),
 
+    GraftQuery("pipeline_e2e",
+      // the COMPOSED training-data run as one bench headline: exact
+      // dedup → quality gates (token floor + repetition) → eval-set
+      // decontamination → per-source token budget → shuffle-shard.
+      // x12/x28 pin composition correctness of the curation spine; this
+      // headline tracks the wall-clock number a real pipeline run cares
+      // about and catches cross-operator regressions (cache churn,
+      // exchange reuse) no single-operator headline sees. Every stage's
+      // oracle fragment is the one its standalone query already passes
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val deduped = DedupOps.exactDedup(docs, "text", "doc_id")
+        val gated = TextOps.withRepetitionStats(deduped, "text")
+          .where(TextOps.tokenCount(col("text")) >= 30 &&
+            col("dup_word_ratio") <= 0.6)
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        // decontamination: drop docs sharing >= 50% of their 5-grams
+        // with the eval probe set (doc_id % 97 == 0)
+        val evalSet = docs.where(col("doc_id") % 97 === 0)
+        val contaminated = CurationOps.ngramContamination(
+          evalSet, gated, "text", "doc_id", n = 5)
+          .where(col("overlap_ratio") >= 0.5)
+          .select(col("id").as("doc_id"))
+        // materialize the expensive upstream ONCE: the budget stage's
+        // kept-keys semi-join references `clean` on both sides, and
+        // without a checkpoint the dedup→gates→decontam subtree would
+        // execute twice (plan-audited) — the composed pipeline's whole
+        // point is paying each stage once
+        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val budgeted = CurationOps.tokenBudgetSample(clean, "source",
+          tokenBudget = 50000L, tokensCol = "n_chars", keyCol = "doc_id",
+          salt = "e2e")
+        CurationOps.shuffleShards(budgeted, numShards = 8,
+          keyCol = "doc_id", salt = "e2e")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("shard"), col("shard_pos"))
+      },
+      headline = true,
+      oracle = Some {
+        val ngram5 =
+          """CASE WHEN len(string_split_regex(nt, '\s+')) >= 5
+            |  THEN list_distinct(list_transform(
+            |    generate_series(0, len(string_split_regex(nt, '\s+')) - 5),
+            |    i -> array_to_string(string_split_regex(nt, '\s+')[i+1 : i+5], ' ')))
+            |  ELSE [] END""".stripMargin
+        raw"""WITH d1 AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+           |                                 ORDER BY doc_id) AS rn
+           |    FROM documents) t WHERE rn = 1),
+           |q AS (
+           |  SELECT doc_id, text, source, n_chars,
+           |         CASE WHEN length($normSql) = 0 THEN []
+           |              ELSE string_split($normSql, ' ') END AS toks
+           |  FROM d1
+           |  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+           |                        x -> x <> '')) >= 30),
+           |g AS (
+           |  SELECT doc_id, text, source, n_chars FROM q
+           |  WHERE len(toks) = 0
+           |     OR round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 6) <= 0.6),
+           |tg AS (
+           |  SELECT doc_id, source, n_chars, $ngram5 AS ng
+           |  FROM (SELECT doc_id, source, n_chars, $normSql AS nt FROM g) gn),
+           |ev AS (
+           |  SELECT DISTINCT unnest($ngram5) AS eg
+           |  FROM (SELECT $normSql AS nt FROM documents WHERE doc_id % 97 = 0) e),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS n_overlap
+           |  FROM (SELECT doc_id, unnest(ng) AS gg FROM tg) x
+           |  WHERE gg IN (SELECT eg FROM ev) GROUP BY doc_id),
+           |clean AS (
+           |  SELECT t.doc_id, t.source, t.n_chars
+           |  FROM tg t LEFT JOIN hits h USING (doc_id)
+           |  WHERE round(CASE WHEN len(t.ng) = 0 THEN 0.0
+           |                   ELSE coalesce(h.n_overlap, 0)::DOUBLE / len(t.ng)
+           |              END, 6) < 0.5),
+           |b AS (
+           |  SELECT doc_id, source, n_chars,
+           |         sum(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id
+           |                            ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':e2e'), 1, 8))::BIGINT
+           |               / 4294967296.0 AS u
+           |        FROM clean) t),
+           |kept AS (SELECT doc_id, source, n_chars FROM b WHERE cum <= 50000)
+           |SELECT doc_id, source, n_chars, shard,
+           |       CAST(row_number() OVER (PARTITION BY shard ORDER BY u2, doc_id) AS INT)
+           |         AS shard_pos
+           |FROM (SELECT doc_id, source, n_chars,
+           |        CAST(floor((('0x' || substr(md5(doc_id::VARCHAR || ':e2e:shard'), 1, 8))::BIGINT
+           |          / 4294967296.0) * 8) AS INT) AS shard,
+           |        ('0x' || substr(md5(doc_id::VARCHAR || ':e2e:order'), 1, 8))::BIGINT
+           |          / 4294967296.0 AS u2
+           |      FROM kept) z""".stripMargin
+      }),
+
     GraftQuery("x29_cdc_gear",
       // content-defined chunking with the PRODUCTION gear-table rolling
       // hash (GearCdcChunks): O(n) per document vs x18's O(n·window·md5)

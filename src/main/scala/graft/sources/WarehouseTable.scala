@@ -5,7 +5,7 @@ import graft.schema.{EvolutionPolicy, SchemaUnion}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
 import java.io.{BufferedInputStream, BufferedOutputStream}
@@ -2062,6 +2062,109 @@ final class WarehouseTable private (
       }
       // in-flight (or crashed) swap claims are not committed snapshots
       .filterNot(h => isPendingOp(h._2))
+  }
+
+  /** One health/observability relation for the table — the maintenance
+    * dashboard a 100 TB operator reads before deciding to compact,
+    * rebuild or vacuum. Built ENTIRELY from existing metadata: live-dir
+    * listings, the CURRENT manifest, bloom/zone-map sidecar headers and
+    * the snapshot/archive directories — O(days) driver-side FS metadata
+    * calls, never a data scan.
+    *
+    * One row per live day partition:
+    *  - `files`, `bytes`: live data files and their size
+    *  - `manifest_files`: files the CURRENT manifest references for the
+    *    day; `unmanifested_files` > 0 flags landed-but-uncommitted
+    *    leftovers (vacuum reconciles them once aged)
+    *  - `bloom`: `ok` / `stale-format` (legacy or wrong magic — read as
+    *    always-candidate until the next exact pass heals it) / `missing`
+    *  - `bloom_stale_versions`: committed versions that touched the day
+    *    AFTER its bloom file was last written — 0 in steady state; > 0
+    *    means merge probes over-scan this day until a compact or
+    *    periodic exact pass tightens it
+    *  - `zonemap_cols`: columns with a range sidecar for the day
+    *  - `archived_generations`: superseded generations [[vacuum]] can
+    *    still reclaim
+    *  - `needs_compact`: `files > maxFilesPerDay` — feed to
+    *    [[compactFragmented]]
+    *  - `snapshot_versions`, `current_version`: table-level constants on
+    *    every row (retention decisions)
+    */
+  def describeHealth(maxFilesPerDay: Int = 64): DataFrame = {
+    require(maxFilesPerDay > 0, s"maxFilesPerDay must be positive: $maxFilesPerDay")
+    val cur = currentVersion
+    val manifest = if (cur > 0L) readManifest(cur) else Map.empty[String, Seq[String]]
+    val commits = history().map { case (v, _, ts) => (v, ts, commitMeta(v)._3) }
+    val snapshotCount = commits.size.toLong
+    val archived: Map[String, Long] =
+      if (!fs.exists(new Path(historyDir))) Map.empty
+      else fs.listStatus(new Path(historyDir)).toSeq.filter(_.isDirectory)
+        .flatMap(vd => fs.listStatus(vd.getPath).toSeq
+          .map(_.getPath.getName).filter(_.startsWith(s"$partitionCol="))
+          .map(_.stripPrefix(s"$partitionCol=")))
+        .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val zmCols: Map[String, Long] =
+      if (!fs.exists(new Path(zoneMapDir))) Map.empty
+      else fs.listStatus(new Path(zoneMapDir)).toSeq.filter(_.isDirectory)
+        .flatMap(cd => fs.listStatus(cd.getPath).toSeq
+          .map(_.getPath.getName).filter(_.endsWith(".props"))
+          .map(_.stripSuffix(".props")))
+        .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val rows = listDays().map { d =>
+      val dir = new Path(s"$dataPath/$partitionCol=$d")
+      val files = fs.listStatus(dir).toSeq.filter(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      val known = manifest.getOrElse(d, Seq.empty).toSet
+      val unmanifested =
+        if (cur == 0L) 0L
+        else files.count(f => !known.contains(f.getPath.getName)).toLong
+      val bloomPath = new Path(s"$bloomDir/$d.bloom")
+      val legacyPath = new Path(s"$legacyBloomDir/$d.bloom")
+      val bloomState =
+        if (!fs.exists(bloomPath) && !fs.exists(legacyPath)) "missing"
+        else if (bloomNeedsHeal(d)) "stale-format"
+        else "ok"
+      val bloomMtime =
+        if (fs.exists(bloomPath)) fs.getFileStatus(bloomPath).getModificationTime
+        else 0L
+      // a bloom is written INSIDE its commit's protocol step, before
+      // finalizeCommit stamps the manifest — so the newest touching
+      // commit is not stale-making when the bloom write falls within
+      // its claim window; anything older than that window since the
+      // bloom write is genuine staleness (merge probes over-scan)
+      val staleVersions =
+        if (bloomState != "ok") 0L // not comparable — the state column says it all
+        else commits
+          .filter { case (_, _, touched) => touched.isEmpty || touched.contains(d) }
+          .sortBy(-_._1).zipWithIndex.count { case ((_, ts, _), idx) =>
+            ts > bloomMtime &&
+              !(idx == 0 && ts - bloomMtime <= WarehouseTable.staleClaimTimeoutMs)
+          }.toLong
+      org.apache.spark.sql.Row(
+        d, files.size.toLong, files.map(_.getLen).sum,
+        manifest.getOrElse(d, Seq.empty).size.toLong, unmanifested,
+        bloomState, staleVersions, zmCols.getOrElse(d, 0L),
+        archived.getOrElse(d, 0L), files.size > maxFilesPerDay,
+        snapshotCount, cur)
+    }
+    val healthSchema = StructType(Seq(
+      StructField("day", StringType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("manifest_files", LongType, nullable = false),
+      StructField("unmanifested_files", LongType, nullable = false),
+      StructField("bloom", StringType, nullable = false),
+      StructField("bloom_stale_versions", LongType, nullable = false),
+      StructField("zonemap_cols", LongType, nullable = false),
+      StructField("archived_generations", LongType, nullable = false),
+      StructField("needs_compact", BooleanType, nullable = false),
+      StructField("snapshot_versions", LongType, nullable = false),
+      StructField("current_version", LongType, nullable = false)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      healthSchema)
   }
 
   /** Time-travel read: the table exactly as of snapshot `version`

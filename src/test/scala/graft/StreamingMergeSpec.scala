@@ -337,6 +337,22 @@ class StreamingMergeSpec extends AnyFunSuite {
     assert(t.read().count() == 2 * n1)
   }
 
+  test("reference throughput probe: 1M records / 10 partitions / 10 merge flushes, exact survivors") {
+    // the reference's one published performance figure
+    // (UpsertDeleteBigQuerySinkConnectorIT.java:285-371): 1 M records,
+    // key = i/2, tombstone at i%4==3, ten merge flushes, < 10 minutes.
+    // ThroughputProbe verifies the exact i%4==1 survivor set internally
+    // (values AND count) and throws on any violation.
+    import graft.streaming.ThroughputProbe
+    val (wall, survivors) = ThroughputProbe.run(
+      spark, tmp("tp-wh"), tmp("tp-ckpt"), n = 1000000L, flushes = 10)
+    assert(survivors == 250000L)
+    info(f"1M-record streaming merge: $wall%.1f s (${1000000 / wall}%.0f rec/s; " +
+      "reference budget 600 s)")
+    assert(wall < 600.0,
+      f"1M-record streaming merge took $wall%.1f s — outside the reference's 10-minute envelope")
+  }
+
   // ---- router unit cases (BigQuerySinkTask.java:180-245)
   test("TableRouter: map override, dataset split, sanitize fallback") {
     val base = GraftSinkConfig(defaultDataset = "dd")

@@ -1639,6 +1639,84 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)))
   }
 
+  test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // 3 appends into day 1 (fragmentation), 1 into day 2
+    t.append(Seq((1L, "a")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((2L, "b")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((3L, "c")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((10L, "x")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    // zone maps for k1 exist once a range probe built them
+    t.rangeCandidateDays("k1", 1L, 3L)
+
+    // the health scan itself must run NO Spark jobs (metadata only)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val health =
+      try t.describeHealth(maxFilesPerDay = 2)
+      finally spark.sparkContext.removeSparkListener(listener)
+    val byDay = health.collect().map(r => r.getString(0) -> r).toMap
+    assert(byDay.keySet == Set("2024-01-01", "2024-01-02"))
+
+    val d1 = byDay("2024-01-01")
+    assert(d1.getLong(1) == 3L, "day 1 should hold 3 files")
+    assert(d1.getLong(2) > 0L)
+    assert(d1.getLong(3) == 3L, "manifest should reference all 3 files")
+    assert(d1.getLong(4) == 0L, "no unmanifested files after clean commits")
+    assert(d1.getString(5) == "ok")
+    assert(d1.getLong(7) >= 1L, "k1 zone map should be counted")
+    assert(d1.getBoolean(9), "3 files > maxFilesPerDay=2 must flag needs_compact")
+    val d2 = byDay("2024-01-02")
+    assert(d2.getLong(1) == 1L && !d2.getBoolean(9))
+    assert(d1.getLong(10) == 4L, "4 committed snapshots")
+    assert(d1.getLong(11) == 4L, "current version 4")
+
+    // the maintenance decision the relation exists for: compact the
+    // flagged day, and the next health read is clean and exact-bloomed
+    import org.apache.spark.sql.functions.col
+    val flagged = health.where(col("needs_compact")).select(col("day"))
+      .collect().map(_.getString(0)).toSeq
+    assert(flagged == Seq("2024-01-01"))
+    t.compactFragmented(2)
+    val after = t.describeHealth(maxFilesPerDay = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(after("2024-01-01").getLong(1) <= 2L)
+    assert(!after("2024-01-01").getBoolean(9))
+    assert(after("2024-01-01").getString(5) == "ok")
+    assert(after("2024-01-01").getLong(6) == 0L,
+      "compact writes exact blooms — staleness must read 0")
+    assert(after("2024-01-01").getLong(8) >= 1L,
+      "the compacted-away generation should show as archived")
+
+    // landed-but-uncommitted file surfaces in unmanifested_files
+    val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(
+      s"$root/data/_pday=2024-01-02/stray-uncommitted.parquet")
+    val out = fsys.create(stray, false)
+    out.write("x".getBytes("UTF-8")); out.close()
+    val h2 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h2("2024-01-02").getLong(4) == 1L,
+      "stray landed file must surface as unmanifested")
+
+    // a GENUINELY stale bloom (written long before commits that touched
+    // the day) reads as stale_versions > 0
+    val bloomFile = new org.apache.hadoop.fs.Path(
+      s"$root/_graft/bloom2/2024-01-01.bloom")
+    assert(fsys.exists(bloomFile))
+    fsys.setTimes(bloomFile, System.currentTimeMillis() - 7200000L, -1)
+    val h3 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h3("2024-01-01").getLong(6) > 0L,
+      "a bloom 2h older than its day's commits must read stale")
+  }
+
   test("randomized multi-writer soak: commit-protocol invariants hold under adversarial interleaving") {
     val root = tmpRoot()
     mkTable(root)

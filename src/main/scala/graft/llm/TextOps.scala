@@ -276,6 +276,24 @@ object TextOps {
     * most-frequent-bigram count is O(tokens × distinct-bigrams) per row
     * — bounded by document length, map-only, no shuffle anywhere.
     */
+  /** Duplicate-word ratio alone, as a predicate-friendly Column — the
+    * single-stat fast path for pipelines that gate on repetition
+    * without needing [[withRepetitionStats]]'s line/bigram columns
+    * (those cost two more per-doc array passes). Same value as the
+    * `dup_word_ratio` column, bit-exactly: same normalization, same
+    * rounding. The token split is let-bound through a one-element
+    * transform (interpreted HOF lambdas re-run inlined children per
+    * element — the [[graft.llm.DedupOps.wordShingles]] note).
+    */
+  def dupWordRatio(c: Column): Column =
+    element_at(transform(array(split(normalizeText(c), " ")), toks =>
+      // empty normalized text splits to [""] — 1 distinct of 1 → 0.0,
+      // the same value withRepetitionStats assigns the empty case
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          size(array_distinct(toks)).cast("double") /
+            size(toks).cast("double"), 6))), 1)
+
   def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
@@ -1013,7 +1031,7 @@ object TextOps {
   def gearCdcChunksComposed(df: DataFrame, textCol: String, idCol: String,
       divisor: Int = 64): DataFrame = {
     val gearArr = array(
-      graft.functions.GearCdcChunks.gearTable.map(lit(_)): _*)
+      graft.functions.GearCdcChunks.gearTable.toIndexedSeq.map(lit(_)): _*)
     val w = graft.functions.GearCdcChunks.Window
     def pow2(k: Column): Column = pow(lit(2.0), k).cast("long")
     val staged = df.select(col(idCol).as("__id"), col(textCol).as("__t"),

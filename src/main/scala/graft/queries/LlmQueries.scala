@@ -2934,9 +2934,11 @@ object LlmQueries extends QueryPack {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val deduped = DedupOps.exactDedup(docs, "text", "doc_id")
-        val gated = TextOps.withRepetitionStats(deduped, "text")
+        // single-stat gate: dupWordRatio alone skips the line/bigram
+        // array passes withRepetitionStats would also compute
+        val gated = deduped
           .where(TextOps.tokenCount(col("text")) >= 30 &&
-            col("dup_word_ratio") <= 0.6)
+            TextOps.dupWordRatio(col("text")) <= 0.6)
           .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
         // decontamination: drop docs sharing >= 50% of their 5-grams
         // with the eval probe set (doc_id % 97 == 0)

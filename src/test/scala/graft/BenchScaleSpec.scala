@@ -400,4 +400,70 @@ class BenchScaleSpec extends AnyFunSuite {
       f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the " +
         "count-relation joins")
   }
+
+  /** Corpus for the composed-pipeline scale proof: `n` base docs of 40
+    * doc-unique pseudo-words (clear the 30-token floor with zero
+    * repetition), plus an EXACT copy of every 50th doc under a new id —
+    * the dedup stage's prey. Deterministic, no RNG; source/n_chars
+    * columns as the pipeline expects.
+    */
+  private def pipelineDocs(n: Int): DataFrame = {
+    import spark.implicits._
+    def words = (0 until 40).map(w =>
+      substring(md5(concat($"id".cast("string"), lit(s":w$w"))), 1, 8))
+    spark.range(n.toLong)
+      .select($"id".as("doc_id"), concat_ws(" ", words: _*).as("text"))
+      .unionByName(
+        spark.range(0L, n.toLong, 50L).select(
+          ($"id" + 30000000L).as("doc_id"),
+          concat_ws(" ", words: _*).as("text")))
+      .withColumn("source", concat(lit("src"), (col("doc_id") % 4).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("10x composed curation pipeline scales ~linearly; every stage's effect exact at both scales") {
+    import graft.llm.{CurationOps, DedupOps, TextOps}
+    // the pipeline_e2e shape: exact dedup → token+repetition gates →
+    // eval-probe decontamination → budget (sized to keep all) → shard
+    def run(n: Int): (Long, Long, Double) = {
+      val docs = pipelineDocs(n)
+      val t0 = System.nanoTime()
+      val deduped = DedupOps.exactDedup(docs, "text", "doc_id")
+      val gated = TextOps.withRepetitionStats(deduped, "text")
+        .where(TextOps.tokenCount(col("text")) >= 30 &&
+          col("dup_word_ratio") <= 0.6)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val evalSet = docs.where(col("doc_id") < n && col("doc_id") % 97 === 0)
+      val contaminated = CurationOps.ngramContamination(
+        evalSet, gated, "text", "doc_id", n = 5)
+        .where(col("overlap_ratio") >= 0.5).select(col("id").as("doc_id"))
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      val budgeted = CurationOps.tokenBudgetSample(clean, "source",
+        tokenBudget = 1000000000L, tokensCol = "n_chars", keyCol = "doc_id",
+        salt = "sp")
+      val out = CurationOps.shuffleShards(budgeted, numShards = 8,
+        keyCol = "doc_id", salt = "sp")
+      val (survivors, shards) = {
+        val r = out.agg(count(lit(1)), countDistinct(col("shard"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      (survivors, shards, (System.nanoTime() - t0) / 1000000.0)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (s1, sh1, ms1) = run(2000)
+    val (s10, sh10, ms10) = run(20000)
+    // exact stage accounting: the n/50 planted copies die in dedup, the
+    // ⌈n/97⌉ eval probes die in decontamination (self-overlap 1.0, and
+    // doc-unique words keep every other doc at overlap 0), gates and
+    // the over-sized budget keep everything else
+    def expected(n: Int) = n.toLong - (1L + (n - 1) / 97)
+    assert(s1 == expected(2000), s"1x survivors $s1 != ${expected(2000)}")
+    assert(s10 == expected(20000), s"10x survivors $s10 != ${expected(20000)}")
+    assert(sh1 == 8L && sh10 == 8L, s"shard fan-out broken: $sh1/$sh10")
+    info(f"composed pipeline wall: 1x $ms1%.0f ms, 10x $ms10%.0f ms (ratio ${ms10 / ms1}%.1f)")
+    assert(ms10 < ms1 * 25,
+      f"10x corpus cost ${ms10 / ms1}%.1fx — superlinear blow-up in the " +
+        "composed pipeline")
+  }
 }

@@ -1433,6 +1433,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0.0, 0.0, 0.0)), s"empty doc must be all zeros: $out")
   }
 
+  test("dupWordRatio column matches withRepetitionStats bit-exactly on real docs and edges") {
+    // the single-stat fast path must never drift from the full form
+    val real = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .where($"doc_id" < 150).select($"doc_id", $"text")
+    val edges = Seq(
+      (9001L, "buy now buy now buy now"),
+      (9002L, ""), (9003L, null: String),
+      (9004L, "!!! ??? ..."), // normalizes to empty
+      (9005L, "one"), (9006L, "a a a a a a"))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(edges)
+    val rows = TextOps.withRepetitionStats(docs, "text")
+      .select($"doc_id", $"dup_word_ratio",
+        TextOps.dupWordRatio($"text").as("fast"))
+      .collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val full = if (r.isNullAt(1)) null else r.getDouble(1)
+      val fast = if (r.isNullAt(2)) null else r.getDouble(2)
+      assert(full == fast, s"doc ${r.getLong(0)}: full=$full fast=$fast")
+    }
+  }
+
   test("scrubPii masks emails, IPs, and phones; counts agree") {
     val docs = Seq(
       (1L, "mail a.b+c@ex-ample.org or 10.0.42.7, call +1 (415) 555-0199 now"),

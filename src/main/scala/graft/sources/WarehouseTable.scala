@@ -586,7 +586,10 @@ final class WarehouseTable private (
       (if (ns == "default") s"b$batchId" else s"$ns-b$batchId"))
     if (fs.exists(marker)) return
     val curV = currentVersion
-    val committedDurably = curV > 0L && manifestBatches(curV).contains(tag)
+    // tags carry a commit timestamp as a third segment (age pruning);
+    // match on the ns:id prefix so either form detects the replay
+    val committedDurably = curV > 0L && manifestBatches(curV)
+      .exists(t => t == tag || t.startsWith(s"$tag:"))
     // legacy fallback (pre-batches-header tables): file-name prefixes
     if (committedDurably || (curV > 0L && readManifest(curV).values.exists(
         _.exists(_.startsWith(filePrefix))))) {
@@ -667,7 +670,8 @@ final class WarehouseTable private (
     fs.delete(stagingPath, true)
     upsertBlooms(dayBlooms, preExisting)
     if (myFiles.nonEmpty) {
-      try commitSnapshot("append-batch", myFiles, readBase + 1, Some(tag))
+      try commitSnapshot("append-batch", myFiles, readBase + 1,
+        Some(s"$tag:${System.currentTimeMillis()}"))
       catch { case e: Throwable =>
         // any commit failure (not just the typed abort): the landed
         // files reference nothing — sweep them so a non-retried caller
@@ -1703,20 +1707,39 @@ final class WarehouseTable private (
       .getOrElse(Seq.empty)
   }
 
-  /** Window-prune the carried batch tags when adding `tag`
-    * (`<streamId>:<batchId>`): same-stream tags more than 64 ids behind
-    * drop (batchIds are monotonic per checkpoint; foreachBatch only
-    * replays batches after the last checkpoint commit, so a tag 64 ids
-    * back can never replay again — the bound that keeps the manifest
-    * header O(streams), not O(stream lifetime)). Other streams' tags
-    * are untouched.
+  /** Window- and age-prune the carried batch tags when adding `tag`
+    * (`<streamId>:<batchId>:<commitMillis>`):
+    *
+    *  - SAME-stream tags more than 64 ids behind drop (batchIds are
+    *    monotonic per checkpoint; foreachBatch only replays batches
+    *    after the last checkpoint commit, so a tag 64 ids back can
+    *    never replay again — the bound that keeps a live stream's tags
+    *    O(window), not O(stream lifetime));
+    *  - OTHER streams' tags drop wholesale once that stream's NEWEST
+    *    tag is older than [[WarehouseTable.batchTagRetentionMs]]: a
+    *    stream silent that long is a dead checkpoint lineage (a live
+    *    foreachBatch replays within minutes of its crash, not days),
+    *    and without the age prune every ephemeral fresh-checkpoint
+    *    restart would leave up to 64 tags in every future manifest
+    *    FOREVER — O(restarts) metadata growth. Tags without a
+    *    timestamp (transitional format) are kept.
     */
   private def pruneBatchTags(batches: Seq[String], tag: String): Seq[String] = {
-    val sep = tag.lastIndexOf(':')
-    val (ns, id) = (tag.take(sep), tag.drop(sep + 1).toLong)
+    val now = System.currentTimeMillis()
+    def parse(t: String): (String, Long, Option[Long]) = {
+      val parts = t.split(":")
+      (parts(0), parts.lift(1).flatMap(_.toLongOption).getOrElse(-1L),
+        parts.lift(2).flatMap(_.toLongOption))
+    }
+    val (ns, id, _) = parse(tag)
+    val newestTs: Map[String, Long] = batches.map(parse)
+      .collect { case (n, _, Some(ts)) if n != ns => n -> ts }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).max }
+    val retention = WarehouseTable.batchTagRetentionMs
     batches.filter { b =>
-      val s = b.lastIndexOf(':')
-      s < 0 || b.take(s) != ns || b.drop(s + 1).toLongOption.forall(_ > id - 64L)
+      val (bn, bid, _) = parse(b)
+      if (bn == ns) bid > id - 64L
+      else newestTs.get(bn).forall(ts => now - ts <= retention)
     }
   }
 
@@ -2483,6 +2506,19 @@ final class WarehouseTable private (
             .foreach(st => fs.delete(st.getPath, false))
       }
     }
+    // exactly-once batch markers of dead checkpoint lineages: the
+    // append path ages out its OWN stream's markers (sliding 64-id
+    // window), but a stream restarted with a fresh checkpoint never
+    // revisits its old namespace — those markers would sit forever.
+    // Age them out on the same retention as the manifest batch tags.
+    val batchesDir = new Path(s"$root/_graft/batches")
+    if (fs.exists(batchesDir)) {
+      val tagCutoff =
+        System.currentTimeMillis() - WarehouseTable.batchTagRetentionMs
+      fs.listStatus(batchesDir).toSeq
+        .filter(st => st.isFile && st.getModificationTime < tagCutoff)
+        .foreach(st => fs.delete(st.getPath, false))
+    }
     // zone-map sidecars of days that no longer exist (expired/merged
     // away): harmless to queries — candidate enumeration starts from
     // listDays(), never from the sidecar dir — but they accumulate one
@@ -2663,6 +2699,18 @@ object WarehouseTable {
       rowsOrOver: Long): Boolean =
     stagedBytes <= appendHashCollectMaxBytes && rowsOrOver >= 0L &&
       rowsOrOver <= appendHashCollectMaxRows
+
+  /** How long a checkpoint lineage's exactly-once records (manifest
+    * batch tags + marker files) outlive its last commit. A live stream
+    * replays a crashed batch within minutes; 7 days is generous slack
+    * for a paused-and-resumed stream, while still bounding per-manifest
+    * tag state at O(streams active in the window) instead of
+    * O(restarts ever).
+    */
+  def batchTagRetentionMs: Long =
+    sys.props.get("graft.batchTagRetentionMs")
+      .orElse(sys.env.get("GRAFT_BATCH_TAG_RETENTION_MS"))
+      .getOrElse((7L * 24 * 3600 * 1000).toString).toLong
 
   def bloomRebuildEvery: Long =
     math.max(1L, sys.props.get("graft.bloomRebuildEvery")

@@ -115,7 +115,8 @@ class CommitProtocolSpec extends AnyFunSuite {
     val manifest = t.read().inputFiles.mkString("\n")
     assert(!manifest.contains("b7-"), "merge should have rewritten b7- files")
     // the tag survives in the manifest header, carried by the merge
-    assert(t.manifestBatches(t.currentVersion).contains("default:7"))
+    assert(t.manifestBatches(t.currentVersion)
+      .exists(_.startsWith("default:7:")))
     // replay: must converge, not duplicate
     t.appendBatch(b, batchId = 7L)
     val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toSet
@@ -145,11 +146,39 @@ class CommitProtocolSpec extends AnyFunSuite {
     }
     val tags = t.manifestBatches(t.currentVersion)
     assert(tags.nonEmpty)
-    val ids = tags.map(_.stripPrefix("default:").toLong)
+    val ids = tags.map(_.split(":")(1).toLong)
     assert(ids.max == 69L)
     assert(ids.min > 69L - 64L - 1L,
       s"tags older than the replay window survived pruning: ${ids.min}")
     assert(tags.size <= 65, s"manifest batch header grew unbounded: ${tags.size}")
+  }
+
+  test("a dead checkpoint lineage's tags and markers age out of the table") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.appendBatch(batch(Seq(1L -> "a")), batchId = 0L, streamId = "deadCkpt")
+    assert(t.manifestBatches(t.currentVersion).exists(_.startsWith("deadCkpt:")))
+    // a week passes: the dead lineage's last commit is beyond retention
+    sys.props("graft.batchTagRetentionMs") = "50"
+    try {
+      Thread.sleep(100)
+      t.appendBatch(batch(Seq(2L -> "b")), batchId = 0L, streamId = "liveCkpt")
+      val tags = t.manifestBatches(t.currentVersion)
+      assert(!tags.exists(_.startsWith("deadCkpt:")),
+        s"dead stream's tags still carried: $tags")
+      assert(tags.exists(_.startsWith("liveCkpt:")))
+      // both batches' DATA is intact — only the exactly-once metadata ages
+      assert(t.read().count() == 2)
+      // markers: the dead lineage's marker file ages out via vacuum
+      val markers = path(s"$root/_graft/batches")
+      assert(fs(root).listStatus(markers).exists(
+        _.getPath.getName.startsWith("deadCkpt-")))
+      Thread.sleep(100)
+      t.vacuum(retainVersions = 10)
+      assert(!fs(root).listStatus(markers).exists(
+          _.getPath.getName.startsWith("deadCkpt-")),
+        "dead lineage's marker survived vacuum past retention")
+    } finally { sys.props.remove("graft.batchTagRetentionMs"); () }
   }
 
   // ---- 3. concurrent schema evolution ----

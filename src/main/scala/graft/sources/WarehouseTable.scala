@@ -1186,12 +1186,18 @@ final class WarehouseTable private (
     if (fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))) return true
     val p = new Path(s"$bloomDir/$d.bloom")
     if (!fs.exists(p)) return true // pre-existing day, no bloom yet
-    val in = fs.open(p)
     try {
-      val m = new Array[Byte](WarehouseTable.BloomMagic.length)
-      val n = in.read(m)
-      n != m.length || !java.util.Arrays.equals(m, WarehouseTable.BloomMagic)
-    } finally in.close()
+      val in = fs.open(p)
+      try {
+        val m = new Array[Byte](WarehouseTable.BloomMagic.length)
+        val n = in.read(m)
+        n != m.length || !java.util.Arrays.equals(m, WarehouseTable.BloomMagic)
+      } finally in.close()
+    } catch {
+      // vanished between exists and open (a concurrent swap dropped
+      // it): missing ⇒ heal — the conservative direction
+      case _: java.io.IOException => true
+    }
   }
 
   private def unionBloomsAfterSwap(days: Seq[String],
@@ -2133,7 +2139,11 @@ final class WarehouseTable private (
           .map(_.getPath.getName).filter(_.endsWith(".props"))
           .map(_.stripSuffix(".props")))
         .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
-    val rows = listDays().map { d =>
+    // flatMap + per-day tolerance: health reads run CONCURRENTLY with
+    // writers, and a swap can archive a day dir (or its bloom) between
+    // the listing and the stat calls — such a day is simply absent from
+    // this health snapshot rather than crashing the report
+    val rows = listDays().flatMap { d => try {
       val dir = new Path(s"$dataPath/$partitionCol=$d")
       val files = fs.listStatus(dir).toSeq.filter(st =>
         st.isFile && !st.getPath.getName.startsWith("_") &&
@@ -2164,13 +2174,13 @@ final class WarehouseTable private (
             ts > bloomMtime &&
               !(idx == 0 && ts - bloomMtime <= WarehouseTable.staleClaimTimeoutMs)
           }.toLong
-      org.apache.spark.sql.Row(
+      Some(org.apache.spark.sql.Row(
         d, files.size.toLong, files.map(_.getLen).sum,
         manifest.getOrElse(d, Seq.empty).size.toLong, unmanifested,
         bloomState, staleVersions, zmCols.getOrElse(d, 0L),
         archived.getOrElse(d, 0L), files.size > maxFilesPerDay,
-        snapshotCount, cur)
-    }
+        snapshotCount, cur))
+    } catch { case _: java.io.IOException => None } }
     val healthSchema = StructType(Seq(
       StructField("day", StringType, nullable = false),
       StructField("files", LongType, nullable = false),

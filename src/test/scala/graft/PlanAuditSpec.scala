@@ -891,4 +891,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user-key exchange, got $exchanges:\n$plan")
     assert(!plan.toLowerCase.contains("join"), s"journey regex grew a join:\n$plan")
   }
+
+  test("pipeline_e2e: every join broadcasts; no cartesian; the pipeline pays once") {
+    val df = SparkEntry.queries("pipeline_e2e")(spark, sf)
+    df.collect() // finalize AQE (also materializes the localCheckpoint)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"cartesian in the pipeline:\n$plan")
+    // the decontamination/budget/shard joins must all broadcast — the
+    // big side (the curated corpus) is never shuffled for a join
+    assert(!plan.contains("SortMergeJoin"),
+      s"a pipeline join fell back to sort-merge:\n$plan")
+    // the dedup→gates→decontam upstream is checkpointed: the post-budget
+    // plan reads the checkpoint (Scan ExistingRDD), so the expensive
+    // subtree cannot appear (and so cannot execute) twice
+    assert(plan.contains("Scan ExistingRDD"),
+      s"upstream checkpoint missing — budget self-join would re-run the pipeline:\n$plan")
+    val mdScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("doc_id"))
+    assert(mdScans <= 3,
+      s"documents scanned $mdScans times — upstream re-execution is back:\n$plan")
+  }
 }

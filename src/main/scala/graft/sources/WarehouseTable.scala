@@ -198,29 +198,45 @@ final class WarehouseTable private (
     val lock = s"$root/_graft/schema.lock"
     val lockPath = new Path(lock)
     val deadline = System.currentTimeMillis() + WarehouseTable.claimWaitMs
+    val nonce = UUID.randomUUID().toString
+    def lockContent() =
+      try Some(readMetaString(spark, lock).trim)
+      catch { case _: java.io.IOException => None } // vanished
     var backoff = 10L
-    while (!tryWriteNewMetaString(spark, lock,
-        System.currentTimeMillis().toString)) {
-      val heldSince =
-        try readMetaString(spark, lock).trim.toLongOption.getOrElse(0L)
-        catch { case _: java.io.IOException => Long.MaxValue } // vanished
-      if (heldSince != Long.MaxValue &&
-          System.currentTimeMillis() - heldSince > 60000L)
-        fs.delete(lockPath, false) // stale: holder crashed mid-evolve
-      else if (System.currentTimeMillis() > deadline)
-        throw new java.util.ConcurrentModificationException(
-          s"schema evolution lock on $root unresolved after " +
-            s"${WarehouseTable.claimWaitMs}ms — re-run")
-      else {
-        Thread.sleep(backoff)
-        backoff = math.min(backoff * 2, 500L)
+    while (System.currentTimeMillis() <= deadline) {
+      if (tryWriteNewMetaString(spark, lock,
+          s"${System.currentTimeMillis()}:$nonce")) {
+        val evolved = SchemaUnion.evolve(Seq(schema, observed), policy)
+        writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
+        // ownership verify AFTER the write: a breaker that misjudged
+        // this lock as stale (its staleness read raced our acquire)
+        // may have deleted it mid-union, letting another evolver's
+        // write interleave with ours — in that case our union may be
+        // the torn one, so retry the whole acquire+union (the schema
+        // file only grows; a re-run under a held lock repairs any
+        // interleaving)
+        val owned = lockContent().exists(_.endsWith(s":$nonce"))
+        if (owned) { fs.delete(lockPath, false); return evolved }
+        // lock is gone or a successor's — never delete what isn't ours
+      } else {
+        val held = lockContent()
+        val heldSince = held.flatMap(_.split(":").headOption)
+          .flatMap(_.toLongOption)
+        if (heldSince.exists(ts => System.currentTimeMillis() - ts > 60000L)) {
+          // stale: holder crashed mid-evolve. Re-read IMMEDIATELY before
+          // the break — if the content changed since the staleness
+          // decision, a new holder acquired in between and the lock is
+          // live; deleting it would let two evolvers into the section
+          if (lockContent() == held) fs.delete(lockPath, false)
+        } else {
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 500L)
+        }
       }
     }
-    try {
-      val evolved = SchemaUnion.evolve(Seq(schema, observed), policy)
-      writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
-      evolved
-    } finally { fs.delete(lockPath, false); () }
+    throw new java.util.ConcurrentModificationException(
+      s"schema evolution lock on $root unresolved after " +
+        s"${WarehouseTable.claimWaitMs}ms — re-run")
   }
 
   // ---- read ----

@@ -130,6 +130,36 @@ object WarehouseQueries extends QueryPack {
           |       strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS pday
           |FROM events WHERE event_id BETWEEN 100 AND 299""".stripMargin)),
 
+    GraftQuery("s25_delete_where",
+      // predicate DELETE: land events in a day-partitioned table, then
+      // DELETE WHERE (type OR value range) — only days holding matches
+      // are rewritten (asserted in-flight); survivors are exactly the
+      // rows where the predicate is not TRUE (SQL DELETE semantics)
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_dw"
+        val evSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val t = WarehouseTable.create(s, root, Seq("event_id"), evSchema)
+        t.append(Tables.load(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("partitionTime")))
+        val before = t.currentVersion
+        val touched = t.deleteWhere(
+          col("event_type") === "click" || col("value") > 400.0)
+        require(touched.nonEmpty, "delete matched nothing — query vacuous")
+        require(t.readAsOf(before).count() > t.read().count(),
+          "pre-delete snapshot must still hold the deleted rows")
+        t.read().select(col("event_id"), col("event_type"), col("value"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(
+        """SELECT event_id, event_type, value,
+          |       strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS pday
+          |FROM events
+          |WHERE NOT (event_type = 'click' OR value > 400.0)""".stripMargin)),
+
     GraftQuery("s10_time_travel",
       (s, dir) => {
         // seed (snapshot v1) then merge the second half (v2, which

@@ -1529,6 +1529,52 @@ final class WarehouseTable private (
     if (fragmented.isEmpty) Seq.empty else compactPartitions(fragmented)
   }
 
+  /** Predicate DELETE (`DELETE FROM t WHERE cond` — beyond the
+    * reference, which only deletes by key tombstone): rows where `cond`
+    * is TRUE are removed; FALSE and NULL rows survive (SQL DELETE
+    * semantics). Returns the rewritten days.
+    *
+    * == 100 TB design ==
+    *
+    * One pruned committed scan (predicate pushdown reaches the parquet
+    * scan) finds the days that actually HOLD matches — only those are
+    * rewritten and swapped; a delete touching 3 of 10,000 days rewrites
+    * 3. The rewrite itself is the merge/compact swap discipline: staged
+    * into a private dir, committed under a claim, old generation
+    * archived for time travel. A day deleted empty drops from the table
+    * (and loses its bloom); surviving days keep their blooms — deletion
+    * only removes keys, so the existing blooms stay supersets (sound;
+    * the next compact tightens them).
+    */
+  def deleteWhere(cond: Column): Seq[String] = {
+    val readBase = currentVersion
+    val allDays = listDays()
+    if (allDays.isEmpty) return Seq.empty
+    val snap = schema
+    val days = guardStaleRead(readCommitted(allDays, snap).where(cond)
+      .groupBy(col(partitionCol).cast("string").as("d")).count().collect())
+      .map(_.getString(0)).toSeq.sorted
+    if (days.isEmpty) return Seq.empty
+    val survivors = readCommitted(days, snap)
+      .where(!coalesce(cond, lit(false)))
+    val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(survivors).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val v = claimCommit("delete-where", days, readBase + 1)
+    swapPartitions(staging, days, v)
+    days.foreach { d =>
+      if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) {
+        val p = new Path(s"$bloomDir/$d.bloom")
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+    }
+    finalizeCommit("delete-where", days, v, stagedFiles)
+    expireOldPartitions()
+    autoVacuum()
+    days
+  }
+
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
 
   /** Drop partitions whose time slice ended more than

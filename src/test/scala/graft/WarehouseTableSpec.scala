@@ -1639,6 +1639,38 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p2)))
   }
 
+  test("deleteWhere: SQL null semantics, emptied day drops, history intact, no-match no-op") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(Seq((1L, "keep"), (2L, "drop"), (3L, null.asInstanceOf[String]))
+      .toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    t.append(Seq((4L, "drop")).toDF("k1", "f1").withColumn("partitionTime", ts(2)))
+    val preDelete = t.currentVersion
+    val touched = t.deleteWhere($"f1" === "drop")
+    assert(touched == Seq("2024-01-01", "2024-01-02"))
+    // NULL-cond row survives (DELETE removes only where cond is TRUE)
+    val rows = t.read().select($"k1", $"f1").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows == Map(1L -> "keep", 3L -> null), s"wrong survivors: $rows")
+    // day 2 was deleted empty: dropped from the table, bloom gone
+    assert(t.listDays() == Seq("2024-01-01"))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/_graft/bloom2/2024-01-02.bloom")))
+    // time travel still shows the pre-delete generation
+    assert(t.readAsOf(preDelete).count() == 4)
+    // a no-match delete commits nothing
+    val v = t.currentVersion
+    assert(t.deleteWhere($"f1" === "absent").isEmpty)
+    assert(t.currentVersion == v)
+    // surviving day's bloom stayed a superset: re-ingest of a surviving
+    // key is still dropped
+    t.insertNewOnly(Seq((1L, "keep")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    assert(t.read().count() == 2)
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)
@@ -1752,7 +1784,7 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(14) match {
+            rnd.nextInt(15) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
@@ -1815,6 +1847,14 @@ class WarehouseTableSpec extends AnyFunSuite {
                 // absent this snapshot); it must never crash or block
                 val h = t.describeHealth().collect()
                 assert(h.forall(_.getLong(1) >= 0L))
+                committedOps.incrementAndGet()
+              case 14 =>
+                // predicate delete of one of THIS thread's earlier keys:
+                // a swap op racing everything else; deletion only
+                // removes rows, so the subset/uniqueness invariants
+                // below still pin it
+                val dk = tid * 100000L + rnd.nextInt(op + 1)
+                t.deleteWhere($"k1" === dk)
                 committedOps.incrementAndGet()
             }
           } catch {

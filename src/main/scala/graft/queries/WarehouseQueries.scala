@@ -160,6 +160,40 @@ object WarehouseQueries extends QueryPack {
           |FROM events
           |WHERE NOT (event_type = 'click' OR value > 400.0)""".stripMargin)),
 
+    GraftQuery("s26_update_where",
+      // predicate UPDATE: all assignments evaluate against the OLD row
+      // (SQL semantics), only days holding matches rewrite, keys stay
+      // untouched so the day blooms remain exact
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-wh").toString + "/events_uw"
+        val evSchema = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val t = WarehouseTable.create(s, root, Seq("event_id"), evSchema)
+        t.append(Tables.load(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("value"),
+          timestamp_micros(expr("ts div 1000")).as("partitionTime")))
+        val before = t.currentVersion
+        val touched = t.updateWhere(col("event_type") === "error",
+          Map("event_type" -> lit("error_archived"),
+            "value" -> (col("value") * -1.0)))
+        require(touched.nonEmpty, "update matched nothing — query vacuous")
+        require(t.readAsOf(before)
+          .where(col("event_type") === "error").count() > 0,
+          "pre-update snapshot must still hold the original rows")
+        t.read().select(col("event_id"), col("event_type"), col("value"),
+          col("_pday").cast("string").as("pday"))
+      },
+      oracle = Some(
+        """SELECT event_id,
+          |       CASE WHEN event_type = 'error' THEN 'error_archived'
+          |            ELSE event_type END AS event_type,
+          |       CASE WHEN event_type = 'error' THEN value * -1.0
+          |            ELSE value END AS value,
+          |       strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d') AS pday
+          |FROM events""".stripMargin)),
+
     GraftQuery("s10_time_travel",
       (s, dir) => {
         // seed (snapshot v1) then merge the second half (v2, which

@@ -1575,6 +1575,63 @@ final class WarehouseTable private (
     days
   }
 
+  /** Predicate UPDATE (`UPDATE t SET c = e, ... WHERE cond` — the
+    * sibling of [[deleteWhere]], completing the DML square next to
+    * append/merge): rows where `cond` is TRUE take every assignment;
+    * FALSE/NULL rows are unchanged. SQL UPDATE semantics: all
+    * assignment expressions evaluate against the OLD row (one
+    * projection computes them simultaneously, so `SET a = b, b = a`
+    * swaps). Key fields and the partition-routing field cannot be
+    * assigned — a key change is a delete+insert (merge's job), and a
+    * partition-field change would strand the row in a day its value no
+    * longer matches.
+    *
+    * Same 100 TB shape as [[deleteWhere]]: one pushdown-pruned scan
+    * finds the days holding matches, only those rewrite under the
+    * commit claim, the old generation stays time-travelable. Keys are
+    * untouched, so the day blooms remain EXACT (not merely supersets).
+    */
+  def updateWhere(cond: Column,
+      assignments: Map[String, Column]): Seq[String] = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val snap = schema
+    val keySet = keyFields.toSet
+    val badKeys = assignments.keySet.intersect(keySet)
+    require(badKeys.isEmpty,
+      s"cannot assign key fields ${badKeys.mkString(", ")} — use merge")
+    options.partitionField.foreach(pf => require(!assignments.contains(pf),
+      s"cannot assign the partition-routing field $pf"))
+    val unknown = assignments.keySet -- snap.fieldNames.toSet
+    require(unknown.isEmpty,
+      s"assigned fields ${unknown.mkString(", ")} are not in the table schema")
+    val readBase = currentVersion
+    val allDays = listDays()
+    if (allDays.isEmpty) return Seq.empty
+    val days = guardStaleRead(readCommitted(allDays, snap).where(cond)
+      .groupBy(col(partitionCol).cast("string").as("d")).count().collect())
+      .map(_.getString(0)).toSeq.sorted
+    if (days.isEmpty) return Seq.empty
+    val condT = coalesce(cond, lit(false))
+    val cols = snap.fields.toSeq.map { f =>
+      assignments.get(f.name) match {
+        case Some(e) =>
+          when(condT, e.cast(f.dataType)).otherwise(col(s"`${f.name}`")).as(f.name)
+        case None => col(s"`${f.name}`")
+      }
+    } :+ col(partitionCol)
+    val updated = readCommitted(days, snap).select(cols: _*)
+    val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(updated).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val v = claimCommit("update-where", days, readBase + 1)
+    swapPartitions(staging, days, v)
+    finalizeCommit("update-where", days, v, stagedFiles)
+    expireOldPartitions()
+    autoVacuum()
+    days
+  }
+
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
 
   /** Drop partitions whose time slice ended more than

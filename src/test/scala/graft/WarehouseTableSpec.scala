@@ -1671,6 +1671,47 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("updateWhere: old-row SET semantics, null-cond rows untouched, guarded assignments") {
+    val root = tmpRoot()
+    val wideSchema = StructType(Seq(
+      StructField("k1", LongType),
+      StructField("f1", StringType),
+      StructField("f2", StringType)))
+    val t = WarehouseTable.create(spark, root, Seq("k1"), wideSchema)
+    t.append(Seq((1L, "a", "b"), (2L, "x", "y"), (3L, null, "z"))
+      .toDF("k1", "f1", "f2").withColumn("partitionTime", ts(1)))
+    t.append(Seq((4L, "other", "day")).toDF("k1", "f1", "f2")
+      .withColumn("partitionTime", ts(2)))
+    val preUpdate = t.currentVersion
+    // SET f1 = f2, f2 = f1 — both read the OLD row: a swap, not a copy
+    val touched = t.updateWhere($"k1" <= 2L,
+      Map("f1" -> $"f2", "f2" -> $"f1"))
+    assert(touched == Seq("2024-01-01"), s"day 2 must not rewrite: $touched")
+    val rows = t.read().select($"k1", $"f1", $"f2").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows(1L) == (("b", "a")) && rows(2L) == (("y", "x")),
+      s"assignments did not evaluate against the old row: $rows")
+    assert(rows(3L) == ((null, "z")) && rows(4L) == (("other", "day")),
+      s"unmatched rows changed: $rows")
+    // NULL cond: rows where the predicate is NULL stay untouched
+    t.updateWhere($"f1" === "b" && $"f2".isNotNull && lit(null).cast("boolean"),
+      Map("f2" -> lit("never")))
+    assert(t.read().where($"f2" === "never").count() == 0)
+    // time travel shows the pre-update generation
+    val old = t.readAsOf(preUpdate).select($"k1", $"f1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(old(1L) == "a")
+    // keys stay covered by the (exact) blooms after the rewrite
+    t.insertNewOnly(Seq((1L, "p", "q")).toDF("k1", "f1", "f2")
+      .withColumn("partitionTime", ts(1)))
+    assert(t.read().count() == 4, "re-ingest after update duplicated a key")
+    // guarded: keys, unknown fields, and the partition-routing field
+    intercept[IllegalArgumentException](
+      t.updateWhere($"k1" === 1L, Map("k1" -> lit(9L))))
+    intercept[IllegalArgumentException](
+      t.updateWhere($"k1" === 1L, Map("nope" -> lit("x"))))
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -1825,7 +1825,7 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(15) match {
+            rnd.nextInt(16) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
@@ -1896,6 +1896,15 @@ class WarehouseTableSpec extends AnyFunSuite {
                 // below still pin it
                 val dk = tid * 100000L + rnd.nextInt(op + 1)
                 t.deleteWhere($"k1" === dk)
+                committedOps.incrementAndGet()
+              case 15 =>
+                // predicate update of one of THIS thread's earlier keys
+                // (value recorded as attempted BEFORE the op so the
+                // subset invariant keeps holding)
+                val uk = tid * 100000L + rnd.nextInt(op + 1)
+                val nv = s"u$tid-$op"
+                attempted.add(uk -> nv)
+                t.updateWhere($"k1" === uk, Map("f1" -> lit(nv)))
                 committedOps.incrementAndGet()
             }
           } catch {

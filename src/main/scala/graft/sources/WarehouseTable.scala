@@ -197,7 +197,15 @@ final class WarehouseTable private (
       policy: EvolutionPolicy = EvolutionPolicy()): StructType = {
     val lock = s"$root/_graft/schema.lock"
     val lockPath = new Path(lock)
-    val deadline = System.currentTimeMillis() + WarehouseTable.claimWaitMs
+    var deadline = System.currentTimeMillis() + WarehouseTable.claimWaitMs
+    // an un-owned schema.json write (a breaker deleted our lock
+    // mid-union, possibly interleaving with another evolver) must get
+    // at least one full repair pass even when the claim-wait deadline
+    // has already lapsed (advisor-found): exiting right after the torn
+    // write would persist it with no repair. One extension, not
+    // unbounded — a second tear inside the extended window still
+    // throws, but by then a repair ATTEMPT ran.
+    var repairCredit = true
     val nonce = UUID.randomUUID().toString
     def lockContent() =
       try Some(readMetaString(spark, lock).trim)
@@ -207,17 +215,29 @@ final class WarehouseTable private (
       if (tryWriteNewMetaString(spark, lock,
           s"${System.currentTimeMillis()}:$nonce")) {
         val evolved = SchemaUnion.evolve(Seq(schema, observed), policy)
-        writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
-        // ownership verify AFTER the write: a breaker that misjudged
-        // this lock as stale (its staleness read raced our acquire)
-        // may have deleted it mid-union, letting another evolver's
-        // write interleave with ours — in that case our union may be
-        // the torn one, so retry the whole acquire+union (the schema
-        // file only grows; a re-run under a held lock repairs any
-        // interleaving)
-        val owned = lockContent().exists(_.endsWith(s":$nonce"))
-        if (owned) { fs.delete(lockPath, false); return evolved }
-        // lock is gone or a successor's — never delete what isn't ours
+        // re-verify ownership IMMEDIATELY before the write: if a
+        // breaker already deleted our lock during the union, writing
+        // now would knowingly race the next evolver — retry the
+        // acquire instead (nothing persisted yet, no repair needed)
+        if (lockContent().exists(_.endsWith(s":$nonce"))) {
+          writeMetaString(spark, s"$root/_graft/schema.json", evolved.json)
+          // ownership verify AFTER the write: a breaker that misjudged
+          // this lock as stale (its staleness read raced our acquire)
+          // may have deleted it mid-write, letting another evolver's
+          // write interleave with ours — in that case our union may be
+          // the torn one, so retry the whole acquire+union (the schema
+          // file only grows; a re-run under a held lock repairs any
+          // interleaving)
+          val owned = lockContent().exists(_.endsWith(s":$nonce"))
+          if (owned) { fs.delete(lockPath, false); return evolved }
+          // lock is gone or a successor's — never delete what isn't
+          // ours. Guarantee the repair pass a torn write needs:
+          if (repairCredit && System.currentTimeMillis() >
+              deadline - WarehouseTable.claimWaitMs / 2) {
+            repairCredit = false
+            deadline = System.currentTimeMillis() + WarehouseTable.claimWaitMs
+          }
+        }
       } else {
         val held = lockContent()
         val heldSince = held.flatMap(_.split(":").headOption)
@@ -524,7 +544,7 @@ final class WarehouseTable private (
       // write FIRST: the staged move reports the touched days, which
       // dirs pre-existed, and the batch's on-disk size — all free FS
       // metadata — so bloom maintenance needs no day-discovery job
-      val (myFiles, preExisting, stagedBytes, stagedRowsOrOver) =
+      val (myFiles, preExisting, stagedBytes, stagedRowsOrOver, landing) =
         writeStagedInto(clusteredWrite(routed))
       // blooms BEFORE the commit: a concurrent merge must never probe a
       // committed version whose new keys its day blooms don't cover.
@@ -547,15 +567,25 @@ final class WarehouseTable private (
       upsertBlooms(dayBlooms, preExisting)
       if (myFiles.nonEmpty) {
         try commitSnapshot("append", myFiles, readBase + 1)
-        catch { case e: Throwable =>
-          // an overlapping swap won the window — or the commit failed
-          // for ANY other reason: remove what we landed (a retry
-          // re-appends it) so no phantom uncommitted rows linger in
-          // the live dirs (deleteLanded is best-effort idempotent)
-          deleteLanded(myFiles)
-          throw e
+        catch {
+          case e: WarehouseTable.CommitIndeterminateException =>
+            // the finalized manifest may be live (CURRENT unreadable
+            // mid-failure): deleting the landed files could orphan a
+            // published manifest — leave everything for the operator;
+            // the landing marker keeps the sweep off them meanwhile
+            throw e
+          case e: Throwable =>
+            // an overlapping swap won the window — or the commit failed
+            // for ANY other reason with the manifest verifiably
+            // unpublished: remove what we landed (a retry re-appends
+            // it) so no phantom uncommitted rows linger in the live
+            // dirs (deleteLanded is best-effort idempotent)
+            deleteLanded(myFiles)
+            releaseLandingMarker(landing)
+            throw e
         }
       }
+      releaseLandingMarker(landing)
       expireOldPartitions()
       autoVacuum()
     } finally routed.unpersist()
@@ -640,7 +670,9 @@ final class WarehouseTable private (
     val stagedFileStatuses = touched.flatMap(dirName =>
       fs.listStatus(new Path(s"$staging/$dirName")).toSeq.filter(_.isFile))
     val stagedBytes = stagedFileStatuses.map(_.getLen).sum
-    // lazy: footer reads only happen when the byte gate already passed
+    // footer reads only happen when the byte gate already passed
+    // (advisor-found: a def passed to a strict parameter still
+    // evaluates, so the short-circuit must be explicit)
     def stagedRows = parquetRowCount(stagedFileStatuses
       .filterNot(_.getPath.getName.startsWith("_")).map(_.getPath))
     val dayBlooms: Seq[(String, Array[Byte])] =
@@ -653,7 +685,8 @@ final class WarehouseTable private (
         // day blooms built driver-side — one scan job, no aggregation
         // exchange (same fold as [[append]]); bulk batches keep the
         // distributed aggregation
-        if (WarehouseTable.useDriverBloomFold(stagedBytes, stagedRows))
+        if (stagedBytes <= WarehouseTable.appendHashCollectMaxBytes &&
+            WarehouseTable.useDriverBloomFold(stagedBytes, stagedRows))
           driverDayBlooms(stagedDf.select(
             col(partitionCol).cast("string").as("d"),
             xxhash64(keyString(keyFields.map(col))).as("h")).collect())
@@ -667,6 +700,9 @@ final class WarehouseTable private (
       .map(_.stripPrefix(s"$partitionCol=")).toSet
     // conflict window opens BEFORE any file lands (commitSnapshot doc)
     val readBase = currentVersion
+    // landing marker BEFORE the first rename (see writeStagedInto doc)
+    val landing = writeLandingMarker(s"b$batchId-$ns",
+      touched.map(_.stripPrefix(s"$partitionCol=")))
     val myFiles: Map[String, Seq[String]] = touched.map { dirName =>
       val destDir = new Path(s"$dataPath/$dirName")
       fs.mkdirs(destDir)
@@ -688,14 +724,22 @@ final class WarehouseTable private (
     if (myFiles.nonEmpty) {
       try commitSnapshot("append-batch", myFiles, readBase + 1,
         Some(s"$tag:${System.currentTimeMillis()}"))
-      catch { case e: Throwable =>
-        // any commit failure (not just the typed abort): the landed
-        // files reference nothing — sweep them so a non-retried caller
-        // doesn't leave phantom rows in the live dirs forever
-        deleteLanded(myFiles)
-        throw e
+      catch {
+        case e: WarehouseTable.CommitIndeterminateException =>
+          // manifest possibly published (see [[append]]): never delete
+          // the landed files; the landing marker protects them
+          throw e
+        case e: Throwable =>
+          // any other commit failure with the manifest verifiably
+          // unpublished: the landed files reference nothing — sweep
+          // them so a non-retried caller doesn't leave phantom rows in
+          // the live dirs forever
+          deleteLanded(myFiles)
+          releaseLandingMarker(landing)
+          throw e
       }
     }
+    releaseLandingMarker(landing)
     // durable only AFTER the snapshot committed: a crash anywhere above
     // leaves no marker, and the replay re-runs from the manifest check
     writeMetaString(spark, marker.toString, "committed")
@@ -2157,12 +2201,75 @@ final class WarehouseTable private (
         .fold(prevBatches)(t => pruneBatchTags(prevBatches, t) :+ t)
       if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list",
           renderManifest(op, touched, updated, batches))) {
-        // vacuumed-slot guard (see [[checkClaimedAboveCurrent]]): a
-        // manifest committed at v <= CURRENT is invisible to the chain
-        // (advanceCurrent no-ops) AND was rebased on a base missing
-        // every commit in (base, CURRENT] — abort, never publish it
-        checkClaimedAboveCurrent(v, op, touched)
-        advanceCurrent(v)
+        // The manifest just written is DURABLE, so every failure below
+        // is compensated (advisor-found): an uncompensated failure
+        // would leave a finalized v.list the next commit rebases on
+        // while the caller's cleanup deletes the data files it
+        // references — committed-data loss. Failures whose published
+        // state cannot be determined rethrow typed
+        // ([[WarehouseTable.CommitIndeterminateException]]) so callers
+        // keep their landed files.
+        def indeterminate(why: String, cause: Throwable): Nothing =
+          throw new WarehouseTable.CommitIndeterminateException(
+            s"commit v$v of $root failed post-write — $why; published " +
+              "state unknown, landed files must be kept", cause)
+        val cur =
+          try currentVersion
+          catch { case io: java.io.IOException =>
+            indeterminate("CURRENT unreadable", io) }
+        if (v <= cur) {
+          // v <= CURRENT admits TWO histories: the slot was a VACUUMED
+          // committed version (CURRENT was already past it — our
+          // manifest rebased on a base missing every commit in
+          // (base, CURRENT] and must never publish; the r11 guard's
+          // case), or a concurrent committer sequenced PAST our
+          // finalized manifest in the microseconds since the write
+          // (ours is in the chain via its rebase — publishing already
+          // happened). The shared claim-path guard can assume the
+          // first (a pending claim blocks successors); a finalized
+          // append manifest cannot — so distinguish by the chain
+          // itself: the CURRENT manifest carries our files iff a
+          // successor rebased on us.
+          val inChain =
+            try {
+              val chain = readManifest(cur)
+              myFiles.forall { case (d, names) =>
+                val have = chain.getOrElse(d, Seq.empty).toSet
+                names.forall(have.contains)
+              }
+            } catch { case io: java.io.IOException =>
+              indeterminate(s"chain manifest v$cur unreadable", io) }
+          if (!inChain) {
+            try { fs.delete(new Path(s"$snapDir/v$v.list"), false); () }
+            catch { case io: java.io.IOException =>
+              indeterminate("stale-slot manifest could not be removed", io) }
+            concurrentAbort(v, op,
+              s"vacuumed committed version (CURRENT=$cur)", touched)
+          }
+          // published through the successor's rebase — success
+        } else {
+          try advanceCurrent(v)
+          catch { case scala.util.control.NonFatal(e) =>
+            val published =
+              try Some(currentVersion >= v)
+              catch { case _: java.io.IOException => None }
+            published match {
+              case Some(true) => () // advance landed (ours or a successor's)
+              case Some(false) =>
+                // verifiably unpublished: remove the manifest so the
+                // caller's file cleanup is safe. (Residual corner,
+                // documented like finalizeCommit's: a concurrent
+                // committer that read this v.list as its rebase base
+                // in the microseconds before this delete.)
+                try { fs.delete(new Path(s"$snapDir/v$v.list"), false); () }
+                catch { case io: java.io.IOException =>
+                  indeterminate("unpublished manifest could not be removed",
+                    io) }
+                throw e
+              case None => indeterminate("CURRENT unreadable", e)
+            }
+          }
+        }
       } else {
         val (theirOp, theirTs, theirDays) = commitMeta(v)
         if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
@@ -2463,16 +2570,29 @@ final class WarehouseTable private (
     * already failed.
     */
   private def writeStagedInto(df: DataFrame):
-      (Map[String, Seq[String]], Set[String], Long, Long) = {
-    val staging = s"$root/.append-${UUID.randomUUID().toString.take(8)}"
+      (Map[String, Seq[String]], Set[String], Long, Long, Path) = {
+    val stagingId = UUID.randomUUID().toString.take(8)
+    val staging = s"$root/.append-$stagingId"
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
     val byteGate = WarehouseTable.appendHashCollectMaxBytes
     try {
+      val dayDirs = fs.listStatus(new Path(staging)).toSeq.filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$partitionCol="))
+      // landing marker BEFORE the first rename (advisor-found): rename
+      // preserves mtime, so the vacuum's landed-but-uncommitted sweep
+      // would otherwise age these files from their staging WRITE time —
+      // a landing whose bloom build + commit walk outlives the stale
+      // window would have its files swept mid-protocol and the later
+      // commit would publish a manifest referencing deleted files. The
+      // marker's own mtime IS the landing time; the sweep skips its
+      // days until the marker is released (commit or cleanup) or ages
+      // past the long landing retention (crashed writer).
+      val marker = writeLandingMarker(stagingId,
+        dayDirs.map(_.getPath.getName.stripPrefix(s"$partitionCol=")))
       var bytes = 0L
       var rows = 0L
       val preExisting = Set.newBuilder[String]
-      val files = fs.listStatus(new Path(staging)).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$partitionCol=")).map { dir =>
+      val files = dayDirs.map { dir =>
         val day = dir.getPath.getName.stripPrefix(s"$partitionCol=")
         val dest = new Path(s"$dataPath/${dir.getPath.getName}")
         if (fs.exists(dest)) preExisting += day else fs.mkdirs(dest)
@@ -2487,9 +2607,29 @@ final class WarehouseTable private (
         }
         day -> names
       }.filter(_._2.nonEmpty).toMap
-      (files, preExisting.result(), bytes, rows)
+      (files, preExisting.result(), bytes, rows, marker)
     } finally { fs.delete(new Path(staging), true); () }
   }
+
+  private def landingsDir = s"$root/_graft/landings"
+
+  /** Durable record that a writer is mid-landing on the listed days:
+    * created before the first staged-file rename, released once the
+    * files are either committed (in the manifest, so the sweep's
+    * known-set excludes them) or deleted by the failure cleanup. Its
+    * mtime is the LANDING time — the staleness clock the vacuum sweep
+    * needs, which the landed files' own (rename-preserved) mtimes do
+    * not provide.
+    */
+  private def writeLandingMarker(id: String, days: Seq[String]): Path = {
+    val p = new Path(s"$landingsDir/$id")
+    writeMetaString(spark, p.toString, days.mkString("\n"))
+    p
+  }
+
+  private def releaseLandingMarker(p: Path): Unit =
+    try { fs.delete(p, false); () }
+    catch { case _: java.io.IOException => () }
 
   /** Best-effort removal of files this writer landed but could not
     * commit (its claim walk hit an overlapping swap): leaving them
@@ -2511,9 +2651,10 @@ final class WarehouseTable private (
     */
   private def writeRouted(df: DataFrame, op: String): Unit = {
     val readBase = currentVersion
-    val (myFiles, _, _, _) = writeStagedInto(clusteredWrite(df))
+    val (myFiles, _, _, _, landing) = writeStagedInto(clusteredWrite(df))
     refreshBlooms(myFiles.keys.toSeq)
     if (myFiles.nonEmpty) commitSnapshot(op, myFiles, readBase + 1)
+    releaseLandingMarker(landing)
   }
 
   /** Time-based travel (BigQuery `FOR SYSTEM_TIME AS OF` analog): the
@@ -2618,11 +2759,36 @@ final class WarehouseTable private (
     // forever. A live data file absent from the CURRENT manifest is
     // referenced by NO retained manifest — swaps/expire archive whole
     // day dirs out of live, and append files enter CURRENT at commit
-    // or are swept by deleteLanded — so one older than the stale-claim
-    // timeout (no live writer is mid-commit on it) is garbage.
+    // or are swept by deleteLanded. Age is NOT measurable from the
+    // file's own mtime (rename preserves it — that would clock from
+    // the staging WRITE, advisor-found): a LIVE landing is protected
+    // by its landing marker, whose mtime is the true landing time;
+    // only days under no young marker are swept. Crashed writers
+    // leave their marker behind, so their files (and the marker) age
+    // out together on the long landing retention.
     if (fs.exists(new Path(s"$snapDir/CURRENT"))) {
+      val landCutoff =
+        System.currentTimeMillis() - WarehouseTable.landingRetentionMs
+      val landings = new Path(landingsDir)
+      val protectedDays: Set[String] =
+        if (!fs.exists(landings)) Set.empty
+        else fs.listStatus(landings).toSeq.filter(_.isFile).flatMap { st =>
+          if (st.getModificationTime < landCutoff) {
+            // aged marker: its writer is long dead; drop it so the
+            // files it covered become sweepable below
+            try { fs.delete(st.getPath, false); () }
+            catch { case _: java.io.IOException => () }
+            Seq.empty
+          } else
+            // a marker that vanishes mid-read was just released by its
+            // writer — the files are committed (in the known-set) or
+            // already deleted, so skipping the protection is safe
+            try readMetaString(spark, st.getPath.toString)
+              .linesIterator.filter(_.nonEmpty).toSeq
+            catch { case _: java.io.IOException => Seq.empty }
+        }.toSet
       val manifest = readManifest(cur)
-      listDays().foreach { d =>
+      listDays().filterNot(protectedDays.contains).foreach { d =>
         val dir = new Path(s"$dataPath/$partitionCol=$d")
         val known = manifest.getOrElse(d, Seq.empty).toSet
         if (fs.exists(dir))
@@ -2840,6 +3006,29 @@ object WarehouseTable {
     sys.props.get("graft.batchTagRetentionMs")
       .orElse(sys.env.get("GRAFT_BATCH_TAG_RETENTION_MS"))
       .getOrElse((7L * 24 * 3600 * 1000).toString).toLong
+
+  /** How long a landing marker (and the landed-but-uncommitted files it
+    * covers) survives before the vacuum sweeps both. Deliberately much
+    * longer than the stale-claim timeout: the marker is only ever left
+    * behind by a CRASHED writer (live ones release it at commit or
+    * cleanup), and the cost of waiting is a few orphan files invisible
+    * to committed reads — while sweeping too early under a live writer
+    * whose bloom build outlives the window is committed-data loss.
+    */
+  def landingRetentionMs: Long =
+    sys.props.get("graft.landingRetentionMs")
+      .orElse(sys.env.get("GRAFT_LANDING_RETENTION_MS"))
+      .getOrElse((24L * 3600 * 1000).toString).toLong
+
+  /** A commit failed after its finalized manifest was durably written
+    * and the published/unpublished state could not be determined
+    * (CURRENT unreadable mid-failure). Callers must NOT delete their
+    * landed data files — the manifest may be live and referencing
+    * them; the operator (or the next writer's recovery pass)
+    * reconciles.
+    */
+  final class CommitIndeterminateException(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)
 
   def bloomRebuildEvery: Long =
     math.max(1L, sys.props.get("graft.bloomRebuildEvery")

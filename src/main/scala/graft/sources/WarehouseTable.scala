@@ -120,7 +120,7 @@ final class WarehouseTable private (
     * whole files. At 100 TB this is the difference between scanning a
     * day partition and touching one file of it.
     */
-  private def clusteredWrite(df: DataFrame): DataFrame =
+  private[sources] def clusteredWrite(df: DataFrame): DataFrame =
     if (options.clusteringFields.isEmpty)
       // Unclustered tables still need day-aligned write tasks: written
       // as-is, every one of the plan's N tasks holds rows of every day
@@ -369,7 +369,7 @@ final class WarehouseTable private (
             s"to read — re-run against the current table state: ${e.getMessage}")
     }
 
-  private def readCommitted(days: Seq[String],
+  private[sources] def readCommitted(days: Seq[String],
       snap: StructType = schema): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1580,40 +1580,81 @@ final class WarehouseTable private (
     *
     * == 100 TB design ==
     *
-    * One pruned committed scan (predicate pushdown reaches the parquet
-    * scan) finds the days that actually HOLD matches — only those are
-    * rewritten and swapped; a delete touching 3 of 10,000 days rewrites
-    * 3. The rewrite itself is the merge/compact swap discipline: staged
-    * into a private dir, committed under a claim, old generation
-    * archived for time travel. A day deleted empty drops from the table
-    * (and loses its bloom); surviving days keep their blooms — deletion
-    * only removes keys, so the existing blooms stay supersets (sound;
-    * the next compact tightens them).
+    * FILE-granular write amplification (Delta-class): one pruned
+    * committed scan (predicate pushdown reaches the parquet scan,
+    * `input_file_name` is evaluated post-scan) finds the exact
+    * (day, file) pairs that HOLD matches — only those FILES are
+    * rewritten and archived; every other file in a matched day is
+    * carried forward untouched, byte-identical, never read. A delete
+    * matching one file of a 400-file day moves one file, not 400. The
+    * rewrite keeps the merge/compact swap discipline: staged into a
+    * private dir, committed under a day-level claim, the replaced
+    * files archived for time travel ([[readAsOf]] resolves per file).
+    * A day deleted empty drops from the table (and loses its bloom);
+    * surviving days keep their blooms — deletion only removes keys, so
+    * the existing blooms stay supersets (sound; the next compact
+    * tightens them, and [[describeHealth]] counts the staleness).
     */
-  def deleteWhere(cond: Column): Seq[String] = {
+  def deleteWhere(cond: Column): Seq[String] =
+    rewriteWhere("delete-where", cond,
+      df => df.where(!coalesce(cond, lit(false))), schema)
+
+  /** Shared file-granular engine of [[deleteWhere]] / [[updateWhere]]:
+    * find the exact matched files with one pushdown scan, rewrite ONLY
+    * those through `rewrite`, carry every other file of the touched
+    * days forward untouched, and commit under the swap claim. `snap`
+    * is the caller's ONE schema snapshot for the whole op (the
+    * soak-found evolve-vs-merge tear discipline).
+    */
+  private def rewriteWhere(op: String, cond: Column,
+      rewrite: DataFrame => DataFrame, snap: StructType): Seq[String] = {
     val readBase = currentVersion
     val allDays = listDays()
     if (allDays.isEmpty) return Seq.empty
-    val snap = schema
-    val days = guardStaleRead(readCommitted(allDays, snap).where(cond)
-      .groupBy(col(partitionCol).cast("string").as("d")).count().collect())
-      .map(_.getString(0)).toSeq.sorted
-    if (days.isEmpty) return Seq.empty
-    val survivors = readCommitted(days, snap)
-      .where(!coalesce(cond, lit(false)))
+    // ONE scan finds the (day, file) pairs actually holding matches —
+    // exact (not footer-min/max "may match"), from the same pruned
+    // pushdown scan that used to find only the days
+    val matches = guardStaleRead(readCommitted(allDays, snap).where(cond)
+      .groupBy(col(partitionCol).cast("string").as("d"),
+        input_file_name().as("f")).count().collect())
+    if (matches.isEmpty) return Seq.empty
+    val replaced: Map[String, Seq[String]] = matches.toSeq
+      .map(r => (r.getString(0), r.getString(1).split('/').last))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.sorted }
+    val days = replaced.keys.toSeq.sorted
+    // carry-forward = the base generation minus the replaced files.
+    // Safe against concurrent commits: any overlapping-day commit
+    // between readBase and the claim aborts this op's claim walk, so
+    // the base manifest restricted to these days is stable.
+    val base: Map[String, Seq[String]] =
+      if (readBase > 0L) readManifest(readBase)
+      else days.map(d =>
+        d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
+    val carry: Map[String, Seq[String]] = days.map { d =>
+      val gone = replaced(d).toSet
+      d -> base.getOrElse(d, Seq.empty).filterNot(gone.contains)
+    }.toMap
+    // the rewrite reads ONLY the matched files
+    val matchedPaths = days.flatMap(d =>
+      replaced(d).map(f => s"$dataPath/$partitionCol=$d/$f"))
+    val source = conformToSchema(
+      spark.read.schema(snap).option("basePath", dataPath)
+        .parquet(matchedPaths: _*), snap)
     val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-    guardStaleRead(clusteredWrite(survivors).write
+    guardStaleRead(clusteredWrite(rewrite(source)).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
     val stagedFiles = stagedDayFiles(staging)
-    val v = claimCommit("delete-where", days, readBase + 1)
-    swapPartitions(staging, days, v)
+    val v = claimCommit(op, days, readBase + 1)
+    swapFilesGranular(staging, replaced, v)
     days.foreach { d =>
       if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) {
         val p = new Path(s"$bloomDir/$d.bloom")
         if (fs.exists(p)) fs.delete(p, false)
       }
     }
-    finalizeCommit("delete-where", days, v, stagedFiles)
+    val newDayFiles = days.map(d =>
+      d -> (carry(d) ++ stagedFiles.getOrElse(d, Seq.empty))).toMap
+    finalizeCommit(op, days, v, newDayFiles)
     expireOldPartitions()
     autoVacuum()
     days
@@ -1630,10 +1671,12 @@ final class WarehouseTable private (
     * partition-field change would strand the row in a day its value no
     * longer matches.
     *
-    * Same 100 TB shape as [[deleteWhere]]: one pushdown-pruned scan
-    * finds the days holding matches, only those rewrite under the
-    * commit claim, the old generation stays time-travelable. Keys are
-    * untouched, so the day blooms remain EXACT (not merely supersets).
+    * Same 100 TB shape as [[deleteWhere]] — FILE-granular: one
+    * pushdown-pruned scan finds the exact files holding matches, only
+    * those rewrite under the commit claim (unmatched files of the same
+    * day carry forward untouched), the replaced generation stays
+    * time-travelable. Keys are untouched, so the day blooms remain
+    * EXACT (not merely supersets).
     */
   def updateWhere(cond: Column,
       assignments: Map[String, Column]): Seq[String] = {
@@ -1648,13 +1691,6 @@ final class WarehouseTable private (
     val unknown = assignments.keySet -- snap.fieldNames.toSet
     require(unknown.isEmpty,
       s"assigned fields ${unknown.mkString(", ")} are not in the table schema")
-    val readBase = currentVersion
-    val allDays = listDays()
-    if (allDays.isEmpty) return Seq.empty
-    val days = guardStaleRead(readCommitted(allDays, snap).where(cond)
-      .groupBy(col(partitionCol).cast("string").as("d")).count().collect())
-      .map(_.getString(0)).toSeq.sorted
-    if (days.isEmpty) return Seq.empty
     val condT = coalesce(cond, lit(false))
     val cols = snap.fields.toSeq.map { f =>
       assignments.get(f.name) match {
@@ -1663,17 +1699,7 @@ final class WarehouseTable private (
         case None => col(s"`${f.name}`")
       }
     } :+ col(partitionCol)
-    val updated = readCommitted(days, snap).select(cols: _*)
-    val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
-    guardStaleRead(clusteredWrite(updated).write
-      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
-    val stagedFiles = stagedDayFiles(staging)
-    val v = claimCommit("update-where", days, readBase + 1)
-    swapPartitions(staging, days, v)
-    finalizeCommit("update-where", days, v, stagedFiles)
-    expireOldPartitions()
-    autoVacuum()
-    days
+    rewriteWhere("update-where", cond, df => df.select(cols: _*), snap)
   }
 
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
@@ -1774,6 +1800,45 @@ final class WarehouseTable private (
     fs.delete(new Path(staging), true)
   }
 
+  /** File-granular sibling of [[swapPartitions]] for the predicate DML
+    * rewrites: inside each touched day, ONLY the `replaced` files are
+    * renamed into the version archive and the staged rewrite renamed
+    * in; every other live file is carried forward untouched —
+    * Delta-class write amplification (an UPDATE matching one file of a
+    * 400-file day moves one file, not 400). The archive day dir gets a
+    * `_partial` marker FIRST (before any rename): it is the
+    * crash-recovery journal discriminator that tells
+    * [[recoverCrashedClaim]] to roll back file-by-file instead of
+    * restoring a whole-day generation, and underscore-prefixed names
+    * are invisible to every file listing ([[listDayFiles]]) and to
+    * [[readAsOf]]'s archive resolution.
+    */
+  private[sources] def swapFilesGranular(staging: String,
+      replaced: Map[String, Seq[String]], archiveVersion: Long): Unit = {
+    fs.mkdirs(new Path(dataPath))
+    val archDir = new Path(s"$historyDir/v$archiveVersion")
+    replaced.toSeq.sortBy(_._1).foreach { case (d, names) =>
+      val liveDir = new Path(s"$dataPath/$partitionCol=$d")
+      val archDayDir = new Path(archDir, s"$partitionCol=$d")
+      fs.mkdirs(archDayDir)
+      writeMetaString(spark,
+        new Path(archDayDir, WarehouseTable.PartialSwapMarker).toString,
+        names.mkString("\n"))
+      names.foreach(n =>
+        fs.rename(new Path(liveDir, n), new Path(archDayDir, n)))
+      val stagedDay = new Path(s"$staging/$partitionCol=$d")
+      if (fs.exists(stagedDay))
+        listDayFiles(stagedDay).foreach(n =>
+          fs.rename(new Path(stagedDay, n), new Path(liveDir, n)))
+      // every file replaced, nothing rewritten back, nothing carried:
+      // the day is gone — drop the empty dir so listDays()/bloom
+      // bookkeeping see it as such
+      if (fs.exists(liveDir) && fs.listStatus(liveDir).isEmpty)
+        fs.delete(liveDir, true)
+    }
+    fs.delete(new Path(staging), true)
+  }
+
   // ---- snapshots / time travel ----
 
   private def snapDir = s"$root/_graft/snapshots"
@@ -1792,7 +1857,7 @@ final class WarehouseTable private (
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
 
   /** Manifest of snapshot `version`: day → data file names. */
-  private def readManifest(version: Long): Map[String, Seq[String]] = {
+  private[sources] def readManifest(version: Long): Map[String, Seq[String]] = {
     val p = new Path(s"$snapDir/v$version.list")
     if (version <= 0 || !fs.exists(p)) Map.empty
     else readMetaString(spark, p.toString).linesIterator
@@ -2094,13 +2159,36 @@ final class WarehouseTable private (
       else fs.listStatus(archDir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith(s"$partitionCol="))
         .map(_.stripPrefix(s"$partitionCol="))
+    // file-level rollback needs the generation the claim rebased on
+    lazy val baseManifest = manifestBase(v)
     processed.foreach { d =>
       val live = new Path(s"$dataPath/$partitionCol=$d")
       val arch = new Path(archDir, s"$partitionCol=$d")
-      if (fs.exists(live)) fs.delete(live, true)
-      // a marker (empty) archive dir means the day had no pre-claim
-      // generation — rolling back means the day simply disappears
-      if (listDayFiles(arch).nonEmpty) fs.rename(arch, live)
+      if (fs.exists(new Path(arch, WarehouseTable.PartialSwapMarker))) {
+        // FILE-granular swap ([[swapFilesGranular]]): only the archived
+        // files left the live dir; the rest of the generation never
+        // moved. Roll back by deleting live files NOT in the base
+        // manifest (the torn new generation — plus any concurrent
+        // append's uncommitted files, which abort on the rolled-back
+        // overlap exactly like the whole-day path) and moving the
+        // archived files back.
+        val known = baseManifest.getOrElse(d, Seq.empty).toSet
+        if (fs.exists(live))
+          fs.listStatus(live).toSeq.filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+              !known.contains(n)
+          }.foreach(st => fs.delete(st.getPath, false))
+        else fs.mkdirs(live)
+        listDayFiles(arch).foreach { n =>
+          fs.rename(new Path(arch, n), new Path(live, n)); ()
+        }
+      } else {
+        if (fs.exists(live)) fs.delete(live, true)
+        // a marker (empty) archive dir means the day had no pre-claim
+        // generation — rolling back means the day simply disappears
+        if (listDayFiles(arch).nonEmpty) fs.rename(arch, live)
+      }
     }
     if (fs.exists(archDir)) fs.delete(archDir, true)
     // DROP rolled-back days' blooms rather than rebuilding from live
@@ -2152,7 +2240,7 @@ final class WarehouseTable private (
     * The staging dir is private to this writer, so the listing is
     * race-free.
     */
-  private def stagedDayFiles(staging: String): Map[String, Seq[String]] = {
+  private[sources] def stagedDayFiles(staging: String): Map[String, Seq[String]] = {
     val p = new Path(staging)
     if (!fs.exists(p)) Map.empty
     else fs.listStatus(p).toSeq
@@ -2429,12 +2517,14 @@ final class WarehouseTable private (
   /** Time-travel read: the table exactly as of snapshot `version`
     * (BigQuery `FOR SYSTEM_TIME AS OF` / Delta `VERSION AS OF` analog).
     *
-    * Resolution is per PARTITION, driver-side metadata only: a day whose
-    * content changed after `version` was archived wholesale by the first
-    * post-`version` swap/expire that touched it, so its as-of files live
-    * in exactly one place — that archive, or the live partition if the
-    * day was never rewritten since (post-`version` appends only ADD
-    * files, which the manifest's file list excludes). Each location
+    * Resolution is per FILE, driver-side metadata only: an as-of file
+    * lives in exactly one place — the archive of the swap that replaced
+    * it (whole-day swaps archive a generation wholesale; file-granular
+    * DML archives just the replaced files), or the live partition if it
+    * was never replaced (post-`version` appends only ADD files, which
+    * the manifest's file list excludes). Candidate locations per day
+    * are its post-`version` archives oldest-first then the live dir,
+    * consulted only until every manifest file is bound. Each location
     * group becomes one parquet read (partition column inferred from the
     * directory layout under its basePath); the scan plan is the same
     * pruned explicit-schema read as [[read]]. Throws when the snapshot
@@ -2463,21 +2553,36 @@ final class WarehouseTable private (
         .filter(_ > version).sorted
     // ONE directory listing per archive generation (not one existence
     // probe per day × archive — O(days × versions) round trips on an
-    // object store): day → earliest post-`version` archive holding it
-    val firstArchiveOf: Map[String, Long] = archives
+    // object store): day → post-`version` archives holding it, oldest
+    // first. Resolution is then per FILE: a whole-day swap puts every
+    // as-of file in the day's first archive (one listing, as before),
+    // but a FILE-granular DML rewrite ([[swapFilesGranular]]) archives
+    // only the replaced files — the carried-forward siblings live in a
+    // later archive or are still live, so each file binds to the first
+    // location that holds it (files are immutable and uniquely named:
+    // exactly one location ever does).
+    val archivesOfDay: Map[String, Seq[Long]] = archives
       .flatMap { n =>
         fs.listStatus(new Path(s"$historyDir/v$n")).toSeq
           .map(_.getPath.getName)
           .filter(_.startsWith(s"$partitionCol="))
           .map(_.stripPrefix(s"$partitionCol=") -> n)
       }
-      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).min }
-    val located = manifest.toSeq.map { case (d, files) =>
-      val base = firstArchiveOf.get(d)
-        .map(n => s"$historyDir/v$n").getOrElse(dataPath)
-      val have = listDayFiles(new Path(s"$base/$partitionCol=$d")).toSet
-      val missing = files.filterNot(have.contains)
-      if (missing.nonEmpty) {
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
+    val located = manifest.toSeq.flatMap { case (d, files) =>
+      val bases = archivesOfDay.getOrElse(d, Seq.empty)
+        .map(n => s"$historyDir/v$n") :+ dataPath
+      val groups = Seq.newBuilder[(String, String, Seq[String])]
+      var remaining = files
+      val it = bases.iterator
+      while (remaining.nonEmpty && it.hasNext) {
+        val base = it.next()
+        val have = listDayFiles(new Path(s"$base/$partitionCol=$d")).toSet
+        val (found, rest) = remaining.partition(have.contains)
+        if (found.nonEmpty) groups += ((base, d, found))
+        remaining = rest
+      }
+      if (remaining.nonEmpty) {
         // TOCTOU (soak-found): a concurrent vacuum deletes manifests
         // BEFORE archives, so if this snapshot's manifest is gone NOW,
         // the files vanished because the version was legitimately
@@ -2487,10 +2592,11 @@ final class WarehouseTable private (
           throw new IllegalStateException(
             s"snapshot v$version was vacuumed concurrently with this read")
         throw new IllegalStateException(
-          s"snapshot v$version: ${missing.size} file(s) of $partitionCol=$d " +
-            s"missing from $base (vacuumed or externally modified)")
+          s"snapshot v$version: ${remaining.size} file(s) of " +
+            s"$partitionCol=$d missing from every candidate location " +
+            "(vacuumed or externally modified)")
       }
-      (base, d, files)
+      groups.result()
     }
     located.groupBy(_._1).toSeq.map { case (base, entries) =>
       conformToSchema(spark.read.schema(schema).option("basePath", base)
@@ -2905,6 +3011,14 @@ object WarehouseTable {
 
   /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
   private[sources] val BloomMagic: Array[Byte] = "GFB2".getBytes("UTF-8")
+
+  /** Marker file inside a version-archive day dir recording that the
+    * archive holds only the REPLACED files of a file-granular swap
+    * ([[WarehouseTable.swapFilesGranular]]), not a whole generation;
+    * its body lists the replaced names. Underscore-prefixed, so every
+    * data-file listing ignores it.
+    */
+  private[sources] val PartialSwapMarker: String = "_partial"
 
   /** Ceiling on a bloom file's size; anything larger is corrupt by
     * construction (the largest bloom we ever write is ~1.2 MB per 1 M

@@ -1712,6 +1712,46 @@ class WarehouseTableSpec extends AnyFunSuite {
       t.updateWhere($"k1" === 1L, Map("nope" -> lit("x"))))
   }
 
+  test("file-granular DML: a one-key UPDATE/DELETE in a 10-file day rewrites " +
+      "only the matched file; carried files never move; time travel exact") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // 10 separate appends → 10 files in one day, one key each
+    (1 to 10).foreach(i => t.append(
+      Seq((i.toLong, s"v$i")).toDF("k1", "f1").withColumn("partitionTime", ts(1))))
+    val before = t.read().inputFiles.map(_.split('/').last).toSet
+    assert(before.size == 10, s"expected 10 files, got ${before.size}")
+    val preVer = t.currentVersion
+    // write amplification: exactly ONE file replaced, nine carried
+    t.updateWhere($"k1" === 7L, Map("f1" -> lit("upd")))
+    val after = t.read().inputFiles.map(_.split('/').last).toSet
+    assert((before -- after).size == 1,
+      s"one-key update replaced ${(before -- after).size} files, expected 1")
+    assert((before & after).size == 9, "carried files were rewritten")
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows(7L) == "upd" && rows(1L) == "v1" && rows.size == 10)
+    // per-file time travel: the replaced file resolves to the version
+    // archive, the nine carried files to the live dir — one as-of read
+    val old = t.readAsOf(preVer).select($"k1", $"f1").as[(Long, String)]
+      .collect().toMap
+    assert(old(7L) == "v7" && old.size == 10, s"as-of read wrong: $old")
+    // DELETE at the same granularity; the rewrite survivors stay exact
+    val before2 = t.read().inputFiles.map(_.split('/').last).toSet
+    t.deleteWhere($"k1" === 3L)
+    assert((before2 -- t.read().inputFiles.map(_.split('/').last).toSet).size == 1)
+    assert(t.read().count() == 9)
+    // a delete that empties its file entirely: file drops, no rewrite in
+    t.deleteWhere($"k1" === 5L)
+    assert(t.read().count() == 8)
+    // time travel across BOTH partial-archive generations still exact
+    assert(t.readAsOf(preVer).count() == 10)
+    // blooms after the update stayed exact: re-ingest of an updated key
+    // is still dropped by insertNewOnly
+    t.insertNewOnly(Seq((7L, "dupe")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    assert(t.read().count() == 8, "bloom lost an updated key")
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -280,4 +280,80 @@ class CommitProtocolSpec extends AnyFunSuite {
         "distributed-branch bloom missed its own keys: re-ingest duplicated rows")
     } finally { sys.props.remove("graft.appendHashCollectMaxRows"); () }
   }
+
+  // ---- 5. file-granular DML crash injection ----
+
+  test("DML crash between file-granular swap and finalize: committed readers " +
+      "abort (never a mix), recovery restores the generation, replay converges") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    (1 to 4).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"))))
+    val cur = t.currentVersion
+    val day = "2024-01-01"
+    // the one file holding k1=2 (each append wrote its own file)
+    val fname = t.read().where($"k1" === 2L)
+      .select(input_file_name()).head.getString(0).split('/').last
+    val liveNamesBefore = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    // stage the rewrite (k1=2 updated), claim, swap — then CRASH before
+    // finalizeCommit: the exact window the file-granular `_partial`
+    // journal exists for
+    val staging = s"$root/.merge-crash1"
+    Seq((2L, "upd")).toDF("k1", "f1").withColumn("_pday", lit(day))
+      .write.partitionBy("_pday").parquet(staging)
+    val v = t.claimCommit("update-where", Seq(day), cur + 1)
+    t.swapFilesGranular(staging, Map(day -> Seq(fname)), v)
+    assert(t.currentVersion == cur, "crashed swap must not advance CURRENT")
+    // committed reader: the manifest's replaced file is in the archive,
+    // so the stale-read guard aborts retryably — never a mixed read
+    intercept[java.util.ConcurrentModificationException] {
+      t.readCommitted(Seq(day)).count()
+    }
+    // a PINNED old snapshot still reads exactly, resolving per file
+    // across the partial archive (replaced file) and live (carried)
+    assert(t.readAsOf(cur - 1).count() == 3,
+      "as-of read during a torn partial swap lost rows")
+    // age the claim and collide with it: recovery rolls the day back
+    val claimPath = java.nio.file.Paths.get(
+      s"$root/_graft/snapshots/v$v.list")
+    val aged = new String(java.nio.file.Files.readAllBytes(claimPath), "UTF-8")
+      .replaceFirst("\\t\\d+\\t",
+        "\t" + (System.currentTimeMillis() - 20L * 60 * 1000) + "\t")
+    java.nio.file.Files.write(claimPath, aged.getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.claimCommit("compact", Seq(day), v)
+    }
+    // rolled back file-by-file: the exact pre-claim file set is live
+    val liveNamesAfter = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    assert(liveNamesAfter == liveNamesBefore,
+      s"rollback did not restore the generation: $liveNamesAfter vs $liveNamesBefore")
+    assert(t.currentVersion == cur && !fs(root).exists(
+      path(s"$root/_graft/snapshots/v$v.list")))
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4"),
+      s"rollback corrupted rows: $rows")
+    // replay of the op converges to the intended result
+    t.updateWhere($"k1" === 2L, Map("f1" -> lit("upd")))
+    val after = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "v1", 2L -> "upd", 3L -> "v3", 4L -> "v4"))
+    assert(t.readAsOf(cur).select($"k1", $"f1").as[(Long, String)]
+      .collect().toMap.apply(2L) == "v2", "pre-replay snapshot lost")
+  }
+
+  test("DML crash after staging (before any claim): the orphan staging dir " +
+      "is swept by vacuum once aged") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a")))
+    t.append(batch(Seq(2L -> "b")))
+    val orphan = s"$root/.merge-dmlcrash"
+    fs(root).mkdirs(path(s"$orphan/_pday=2024-01-01"))
+    val old = System.currentTimeMillis() - 2 * WarehouseTable.staleClaimTimeoutMs
+    fs(root).setTimes(path(orphan), old, old)
+    t.vacuum(retainVersions = 5)
+    assert(!fs(root).exists(path(orphan)),
+      "aged DML staging dir survived vacuum")
+    assert(t.read().count() == 2)
+  }
 }

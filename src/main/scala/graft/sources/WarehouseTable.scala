@@ -564,7 +564,7 @@ final class WarehouseTable private (
           .groupBy(col(partitionCol).cast("string").as("d"))
           .agg(bloomAggColumn.as("bloom")).collect()
           .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
-      upsertBlooms(dayBlooms, preExisting)
+      upsertBlooms(dayBlooms, preExisting, readBase + 1)
       if (myFiles.nonEmpty) {
         try commitSnapshot("append", myFiles, readBase + 1)
         catch {
@@ -720,7 +720,7 @@ final class WarehouseTable private (
       dirName.stripPrefix(s"$partitionCol=") -> names
     }.filter(_._2.nonEmpty).toMap
     fs.delete(stagingPath, true)
-    upsertBlooms(dayBlooms, preExisting)
+    upsertBlooms(dayBlooms, preExisting, readBase + 1)
     if (myFiles.nonEmpty) {
       try commitSnapshot("append-batch", myFiles, readBase + 1,
         Some(s"$tag:${System.currentTimeMillis()}"))
@@ -883,8 +883,8 @@ final class WarehouseTable private (
       val v = claimCommit("merge", days, readBase + 1)
       swapPartitions(staging, days, v)
       exactBlooms match {
-        case Some(bs) => writeExactBlooms(days, bs)
-        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting)
+        case Some(bs) => writeExactBlooms(days, bs, v)
+        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
       }
       finalizeCommit("merge", days, v, stagedFiles)
       expireOldPartitions()
@@ -1041,8 +1041,8 @@ final class WarehouseTable private (
       val v = claimCommit("merge-delete", days, readBase + 1)
       swapPartitions(staging, days, v)
       exactBlooms match {
-        case Some(bs) => writeExactBlooms(days, bs)
-        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting)
+        case Some(bs) => writeExactBlooms(days, bs, v)
+        case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
       }
       finalizeCommit("merge-delete", days, v, stagedFiles)
       expireOldPartitions()
@@ -1209,23 +1209,56 @@ final class WarehouseTable private (
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
   }
 
+  /** Write one format-3 bloom file: magic, the commit-version stamp the
+    * content covers (the exact-staleness witness [[describeHealth]]
+    * counts against), then the serialized filter.
+    */
+  private def writeBloomFile(p: Path, stamp: Long,
+      write: java.io.OutputStream => Unit): Unit = {
+    val out = new BufferedOutputStream(fs.create(p, true))
+    try {
+      out.write(WarehouseTable.BloomMagic3)
+      out.write(java.nio.ByteBuffer.allocate(8).putLong(stamp).array())
+      write(out)
+    } finally out.close()
+  }
+
+  /** Re-stamp existing day blooms to `stamp` without changing content —
+    * for committed ops that provably do not change a day's key set
+    * (updateWhere: keys are unassignable). Bumps ONLY blooms already
+    * current through the op's read base (`oldStamp >= readBase`): a
+    * bloom that had fallen behind (a prior DELETE left it a superset)
+    * keeps its old stamp, so the health staleness count keeps
+    * recording the tightness loss instead of this op hiding it. Runs
+    * under the held claim: a concurrent overlapping append aborts at
+    * the claim walk and re-unions its keys on retry, so the
+    * read-rewrite here cannot lose a committed key (the
+    * [[writeExactBlooms]] argument).
+    */
+  private def restampBlooms(days: Seq[String], stamp: Long,
+      readBase: Long): Unit =
+    days.foreach { d =>
+      val p = new Path(s"$bloomDir/$d.bloom")
+      WarehouseTable.readStampedBloom(fs, p).foreach { case (old, b) =>
+        if (old >= readBase) writeBloomFile(p, stamp, b.writeTo(_))
+      }
+    }
+
   /** Install pre-computed exact day blooms after a swap: days swapped
     * away (or absent from the staged bloom map) lose their bloom —
     * missing blooms read as always-candidate, the conservative
     * direction. Driver-side metadata writes only; safe to run while
-    * holding the commit claim.
+    * holding the commit claim. `stamp` is the claim's commit version.
     */
   private def writeExactBlooms(days: Seq[String],
-      blooms: Map[String, Array[Byte]]): Unit = {
+      blooms: Map[String, Array[Byte]], stamp: Long): Unit = {
     fs.mkdirs(new Path(bloomDir))
     days.foreach { d =>
       val bloomPath = new Path(s"$bloomDir/$d.bloom")
       blooms.get(d).filter(_ =>
           fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) match {
         case Some(bytes) =>
-          val out = new BufferedOutputStream(fs.create(bloomPath, true))
-          try { out.write(WarehouseTable.BloomMagic); out.write(bytes) }
-          finally out.close()
+          writeBloomFile(bloomPath, stamp, _.write(bytes))
           val legacy = new Path(s"$legacyBloomDir/$d.bloom")
           if (fs.exists(legacy)) fs.delete(legacy, false)
         case None =>
@@ -1249,9 +1282,12 @@ final class WarehouseTable private (
     try {
       val in = fs.open(p)
       try {
-        val m = new Array[Byte](WarehouseTable.BloomMagic.length)
+        val m = new Array[Byte](WarehouseTable.BloomMagic3.length)
         val n = in.read(m)
-        n != m.length || !java.util.Arrays.equals(m, WarehouseTable.BloomMagic)
+        // only the stamped format-3 header is healthy; a format-2 file
+        // still reads (stamp 0) but heals to format-3 on the next
+        // exact pass so the staleness column becomes exact for it
+        n != m.length || !java.util.Arrays.equals(m, WarehouseTable.BloomMagic3)
       } finally in.close()
     } catch {
       // vanished between exists and open (a concurrent swap dropped
@@ -1262,7 +1298,7 @@ final class WarehouseTable private (
 
   private def unionBloomsAfterSwap(days: Seq[String],
       liveDayHashes: Map[String, Array[Long]],
-      preExisting: Set[String]): Unit = {
+      preExisting: Set[String], stamp: Long): Unit = {
     fs.mkdirs(new Path(bloomDir))
     val items = WarehouseTable.bloomExpectedItems
     def batchBloom(hashes: Array[Long]): BloomFilter = {
@@ -1270,11 +1306,8 @@ final class WarehouseTable private (
       hashes.foreach(b.putLong)
       b
     }
-    def writeBloom(p: Path, b: BloomFilter): Unit = {
-      val out = new BufferedOutputStream(fs.create(p, true))
-      try { out.write(WarehouseTable.BloomMagic); b.writeTo(out) }
-      finally out.close()
-    }
+    def writeBloom(p: Path, b: BloomFilter): Unit =
+      writeBloomFile(p, stamp, b.writeTo(_))
     val rebuild = days.filter { d =>
       val bloomPath = new Path(s"$bloomDir/$d.bloom")
       if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) {
@@ -1309,7 +1342,7 @@ final class WarehouseTable private (
     }
   }
 
-  private def refreshBlooms(days: Seq[String]): Unit = {
+  private def refreshBlooms(days: Seq[String], stamp: Long): Unit = {
     val existing = days.filter(d => fs.exists(new Path(s"$dataPath/$partitionCol=$d")))
     days.filterNot(existing.contains).foreach { d =>
       val bloomPath = new Path(s"$bloomDir/$d.bloom")
@@ -1328,12 +1361,8 @@ final class WarehouseTable private (
       .collect()
     fs.mkdirs(new Path(bloomDir))
     rows.foreach { r =>
-      val out = new BufferedOutputStream(
-        fs.create(new Path(s"$bloomDir/${r.getString(0)}.bloom"), true))
-      try {
-        out.write(WarehouseTable.BloomMagic)
-        out.write(r.getAs[Array[Byte]](1))
-      } finally out.close()
+      writeBloomFile(new Path(s"$bloomDir/${r.getString(0)}.bloom"), stamp,
+        _.write(r.getAs[Array[Byte]](1)))
       // retire the format-1 bloom, if this table predates the format bump
       val legacy = new Path(s"$legacyBloomDir/${r.getString(0)}.bloom")
       if (fs.exists(legacy)) fs.delete(legacy, false)
@@ -1354,7 +1383,7 @@ final class WarehouseTable private (
     * i.e. correctness of the pruned merge) always holds.
     */
   private def upsertBlooms(dayBlooms: Seq[(String, Array[Byte])],
-      preExisting: Set[String]): Unit = {
+      preExisting: Set[String], stamp: Long): Unit = {
     if (dayBlooms.isEmpty) return
     fs.mkdirs(new Path(bloomDir))
     val rebuild = dayBlooms.filter(_._1 != null).flatMap { case (d, bytes) =>
@@ -1384,14 +1413,12 @@ final class WarehouseTable private (
       }
       merged match {
         case Some(b) =>
-          val out = new BufferedOutputStream(fs.create(p, true))
-          try { out.write(WarehouseTable.BloomMagic); b.writeTo(out) }
-          finally out.close()
+          writeBloomFile(p, stamp, b.writeTo(_))
           None
         case None => Some(d)
       }
     }
-    if (rebuild.nonEmpty) refreshBlooms(rebuild)
+    if (rebuild.nonEmpty) refreshBlooms(rebuild, stamp)
   }
 
   /** Probe for partitions *outside* the batch's own days that might hold
@@ -1548,7 +1575,7 @@ final class WarehouseTable private (
     val exactBlooms = stagedExactBlooms(staging)
     val v = claimCommit("compact", existing, readBase + 1)
     swapPartitions(staging, existing, v)
-    writeExactBlooms(existing, exactBlooms)
+    writeExactBlooms(existing, exactBlooms, v)
     finalizeCommit("compact", existing, v, stagedFiles)
     autoVacuum()
     existing
@@ -1597,7 +1624,8 @@ final class WarehouseTable private (
     */
   def deleteWhere(cond: Column): Seq[String] =
     rewriteWhere("delete-where", cond,
-      df => df.where(!coalesce(cond, lit(false))), schema)
+      df => df.where(!coalesce(cond, lit(false))), schema,
+      preservesKeys = false)
 
   /** Shared file-granular engine of [[deleteWhere]] / [[updateWhere]]:
     * find the exact matched files with one pushdown scan, rewrite ONLY
@@ -1607,7 +1635,8 @@ final class WarehouseTable private (
     * soak-found evolve-vs-merge tear discipline).
     */
   private def rewriteWhere(op: String, cond: Column,
-      rewrite: DataFrame => DataFrame, snap: StructType): Seq[String] = {
+      rewrite: DataFrame => DataFrame, snap: StructType,
+      preservesKeys: Boolean): Seq[String] = {
     val readBase = currentVersion
     val allDays = listDays()
     if (allDays.isEmpty) return Seq.empty
@@ -1652,6 +1681,12 @@ final class WarehouseTable private (
         if (fs.exists(p)) fs.delete(p, false)
       }
     }
+    // a key-preserving rewrite (UPDATE) leaves the day blooms as tight
+    // as it found them — re-stamp current blooms to this commit so the
+    // health staleness column reads 0; a DELETE leaves them supersets
+    // on purpose, and the un-bumped stamp is precisely what surfaces
+    // that as heal-worthy
+    if (preservesKeys) restampBlooms(days, v, readBase)
     val newDayFiles = days.map(d =>
       d -> (carry(d) ++ stagedFiles.getOrElse(d, Seq.empty))).toMap
     finalizeCommit(op, days, v, newDayFiles)
@@ -1699,7 +1734,8 @@ final class WarehouseTable private (
         case None => col(s"`${f.name}`")
       }
     } :+ col(partitionCol)
-    rewriteWhere("update-where", cond, df => df.select(cols: _*), snap)
+    rewriteWhere("update-where", cond, df => df.select(cols: _*), snap,
+      preservesKeys = true)
   }
 
   // ---- partition expiration (SchemaManager.java:74, partitionExpiration) ----
@@ -2422,9 +2458,10 @@ final class WarehouseTable private (
     *  - `bloom`: `ok` / `stale-format` (legacy or wrong magic — read as
     *    always-candidate until the next exact pass heals it) / `missing`
     *  - `bloom_stale_versions`: committed versions that touched the day
-    *    AFTER its bloom file was last written — 0 in steady state; > 0
-    *    means merge probes over-scan this day until a compact or
-    *    periodic exact pass tightens it
+    *    ABOVE the bloom's commit-version stamp (format-3 header) — an
+    *    EXACT count, immune to clock skew and preserved mtimes; 0 in
+    *    steady state, > 0 means merge probes over-scan this day until
+    *    a compact or periodic exact pass tightens it
     *  - `zonemap_cols`: columns with a range sidecar for the day
     *  - `archived_generations`: superseded generations [[vacuum]] can
     *    still reclaim
@@ -2472,22 +2509,21 @@ final class WarehouseTable private (
         if (!fs.exists(bloomPath) && !fs.exists(legacyPath)) "missing"
         else if (bloomNeedsHeal(d)) "stale-format"
         else "ok"
-      val bloomMtime =
-        if (fs.exists(bloomPath)) fs.getFileStatus(bloomPath).getModificationTime
-        else 0L
-      // a bloom is written INSIDE its commit's protocol step, before
-      // finalizeCommit stamps the manifest — so the newest touching
-      // commit is not stale-making when the bloom write falls within
-      // its claim window; anything older than that window since the
-      // bloom write is genuine staleness (merge probes over-scan)
+      // EXACT staleness from the bloom's commit-version stamp (format-3
+      // header): committed versions that touched the day strictly above
+      // the version the bloom's content covers. No clocks, no mtime, no
+      // claim-window tolerance — a bloom written by commit v reads 0
+      // until the next touching commit regardless of clock skew, and a
+      // DELETE that deliberately leaves the bloom a superset reads
+      // exactly the number of commits it fell behind.
       val staleVersions =
         if (bloomState != "ok") 0L // not comparable — the state column says it all
-        else commits
-          .filter { case (_, _, touched) => touched.isEmpty || touched.contains(d) }
-          .sortBy(-_._1).zipWithIndex.count { case ((_, ts, _), idx) =>
-            ts > bloomMtime &&
-              !(idx == 0 && ts - bloomMtime <= WarehouseTable.staleClaimTimeoutMs)
+        else {
+          val stamp = WarehouseTable.readBloomStamp(fs, bloomPath).getOrElse(0L)
+          commits.count { case (cv, _, touched) =>
+            cv > stamp && (touched.isEmpty || touched.contains(d))
           }.toLong
+        }
       Some(org.apache.spark.sql.Row(
         d, files.size.toLong, files.map(_.getLen).sum,
         manifest.getOrElse(d, Seq.empty).size.toLong, unmanifested,
@@ -2629,7 +2665,7 @@ final class WarehouseTable private (
     val exactBlooms = stagedExactBlooms(staging)
     val v = claimCommit("restore", days, readBase + 1)
     swapPartitions(staging, days, v)
-    writeExactBlooms(days, exactBlooms)
+    writeExactBlooms(days, exactBlooms, v)
     finalizeCommit("restore", days, v, stagedFiles)
     autoVacuum()
     days
@@ -2758,7 +2794,7 @@ final class WarehouseTable private (
   private def writeRouted(df: DataFrame, op: String): Unit = {
     val readBase = currentVersion
     val (myFiles, _, _, _, landing) = writeStagedInto(clusteredWrite(df))
-    refreshBlooms(myFiles.keys.toSeq)
+    refreshBlooms(myFiles.keys.toSeq, readBase + 1)
     if (myFiles.nonEmpty) commitSnapshot(op, myFiles, readBase + 1)
     releaseLandingMarker(landing)
   }
@@ -3012,6 +3048,18 @@ object WarehouseTable {
   /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
   private[sources] val BloomMagic: Array[Byte] = "GFB2".getBytes("UTF-8")
 
+  /** Format-3 bloom magic ("GFB3"): the magic is followed by an 8-byte
+    * big-endian COMMIT-VERSION STAMP — the version whose committed
+    * key-set the bloom covers — then the serialized filter. The stamp
+    * is what makes [[WarehouseTable.describeHealth]]'s staleness
+    * column exact (count committed versions touching the day above the
+    * stamp) instead of the old mtime-vs-commit-timestamp heuristic,
+    * which clock skew or archival mtime preservation misclassifies in
+    * both directions. Format-2 files still read (stamp 0 — maximally
+    * stale, so health drives their heal).
+    */
+  private[sources] val BloomMagic3: Array[Byte] = "GFB3".getBytes("UTF-8")
+
   /** Marker file inside a version-archive day dir recording that the
     * archive holds only the REPLACED files of a file-granular swap
     * ([[WarehouseTable.swapFilesGranular]]), not a whole generation;
@@ -3036,26 +3084,57 @@ object WarehouseTable {
     * word, not just `IOException`), and the length word is validated
     * against the file size before `readFrom` may allocate from it.
     */
-  private[graft] def readVersionedBloom(fs: FileSystem, p: Path): Option[BloomFilter] = {
+  private[graft] def readVersionedBloom(fs: FileSystem, p: Path): Option[BloomFilter] =
+    readStampedBloom(fs, p).map(_._2)
+
+  /** Read a bloom with its commit-version stamp: (stamp, filter).
+    * Format-3 carries the stamp after the magic; format-2 reads as
+    * stamp 0 (unknown — maximally stale).
+    */
+  private[graft] def readStampedBloom(fs: FileSystem,
+      p: Path): Option[(Long, BloomFilter)] = {
     // spark BloomFilterImpl body layout: version int, numHashFunctions
     // int, numWords int, then numWords longs
     val headerLen = 12
     try {
       val len = fs.getFileStatus(p).getLen
-      if (len < BloomMagic.length + headerLen || len > BloomMaxBytes) return None
-      val body = new Array[Byte]((len - BloomMagic.length).toInt)
+      if (len > BloomMaxBytes) return None
       val in = new java.io.DataInputStream(new BufferedInputStream(fs.open(p)))
       try {
         val magic = new Array[Byte](BloomMagic.length)
+        if (len < magic.length + headerLen) return None
         in.readFully(magic)
-        if (!java.util.Arrays.equals(magic, BloomMagic)) return None
+        val (stamp, bodyLen) =
+          if (java.util.Arrays.equals(magic, BloomMagic3)) {
+            if (len < magic.length + 8 + headerLen) return None
+            (in.readLong(), (len - magic.length - 8).toInt)
+          } else if (java.util.Arrays.equals(magic, BloomMagic))
+            (0L, (len - magic.length).toInt)
+          else return None
+        val body = new Array[Byte](bodyLen)
         in.readFully(body)
+        val numWords = java.nio.ByteBuffer.wrap(body).getInt(8)
+        if (numWords < 0 || headerLen + 8L * numWords > body.length) None
+        else Some((stamp,
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(body))))
       } finally in.close()
-      val numWords = java.nio.ByteBuffer.wrap(body).getInt(8)
-      if (numWords < 0 || headerLen + 8L * numWords > body.length) None
-      else Some(BloomFilter.readFrom(new java.io.ByteArrayInputStream(body)))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Header-only stamp read (12 bytes, no filter deserialization) for
+    * the health relation; None for missing/unknown-format files.
+    */
+  private[graft] def readBloomStamp(fs: FileSystem, p: Path): Option[Long] =
+    try {
+      val in = new java.io.DataInputStream(fs.open(p))
+      try {
+        val magic = new Array[Byte](BloomMagic.length)
+        in.readFully(magic)
+        if (java.util.Arrays.equals(magic, BloomMagic3)) Some(in.readLong())
+        else if (java.util.Arrays.equals(magic, BloomMagic)) Some(0L)
+        else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Bloom sizing: expected keys per partition (1% fpp ⇒ ~1.2 MB at 1M
     * keys). At real scale this is a per-table config; oversizing costs

@@ -1819,15 +1819,42 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(h2("2024-01-02").getLong(4) == 1L,
       "stray landed file must surface as unmanifested")
 
-    // a GENUINELY stale bloom (written long before commits that touched
-    // the day) reads as stale_versions > 0
+    // SKEWED MTIME is NOT staleness: the stamp makes the count exact.
+    // The old mtime-vs-commit-timestamp heuristic read a bloom whose
+    // file mtime lags its day's commits as stale — but mtime skew
+    // (clock drift, archival copies, rename-preserved times) says
+    // nothing about content. Backdate the file 2h: still 0.
     val bloomFile = new org.apache.hadoop.fs.Path(
       s"$root/_graft/bloom2/2024-01-01.bloom")
     assert(fsys.exists(bloomFile))
     fsys.setTimes(bloomFile, System.currentTimeMillis() - 7200000L, -1)
     val h3 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
-    assert(h3("2024-01-01").getLong(6) > 0L,
-      "a bloom 2h older than its day's commits must read stale")
+    assert(h3("2024-01-01").getLong(6) == 0L,
+      "mtime skew misclassified a stamped bloom as stale")
+
+    // key-preserving UPDATE on a current bloom re-stamps: still 0
+    t.updateWhere($"k1" === 1L, Map("f1" -> lit("a2")))
+    val h4 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h4("2024-01-01").getLong(6) == 0L,
+      "a key-preserving update over a current bloom must not read stale")
+    // GENUINE staleness reads exactly: a DELETE leaves the day bloom a
+    // superset on purpose (keys removed, bloom untouched) — one
+    // touching commit above the stamp, exactly 1
+    t.deleteWhere($"k1" === 2L)
+    val h5 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h5("2024-01-01").getLong(6) == 1L,
+      s"one post-stamp delete must read exactly 1, got ${h5("2024-01-01").getLong(6)}")
+    // an UPDATE after the delete must NOT hide the delete's tightness
+    // loss behind a fresh stamp: the count keeps growing until a heal
+    t.updateWhere($"k1" === 1L, Map("f1" -> lit("a3")))
+    val h6 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h6("2024-01-01").getLong(6) == 2L,
+      "an update over a fallen-behind bloom hid the delete's staleness")
+    // the heal the column drives: a compact writes an exact stamped
+    // bloom and the count returns to 0
+    t.compactPartitions(Seq("2024-01-01"))
+    val h7 = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h7("2024-01-01").getLong(6) == 0L, "compact must reset staleness")
   }
 
   test("randomized multi-writer soak: commit-protocol invariants hold under adversarial interleaving") {

@@ -2011,11 +2011,63 @@ class WarehouseTableSpec extends AnyFunSuite {
         }
       })
     }
+    // 5th actor (round-12): a MAINTENANCE loop that drives compaction,
+    // bloom healing and vacuum FROM the health relation — the decision
+    // loop README documents, now exercised under adversarial
+    // concurrency. Health verdicts must never destroy data a writer
+    // holds: every op it issues goes through the same claim protocol,
+    // so a day a writer is mid-swap on aborts retryably here, and the
+    // full-version invariants below pin that nothing was lost.
+    val writersDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintCompact = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintHeal = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintVacuum = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintenance = new Thread(() => {
+      val t = WarehouseTable.open(spark, root)
+      while (!writersDone.get()) {
+        try {
+          val health = t.describeHealth(maxFilesPerDay = 3).collect()
+          val fragmented = health.filter(_.getBoolean(9))
+          if (fragmented.nonEmpty) {
+            if (t.compactFragmented(3).nonEmpty) { maintCompact.incrementAndGet(); () }
+          }
+          val staleBlooms = health.filter(r =>
+            r.getString(5) != "ok" || r.getLong(6) > 0L).map(_.getString(0))
+          if (staleBlooms.nonEmpty) {
+            t.compactPartitions(staleBlooms.toSeq)
+            maintHeal.incrementAndGet(); ()
+          }
+          if (health.exists(_.getLong(8) > 3L)) {
+            t.vacuum(retainVersions = 5)
+            maintVacuum.incrementAndGet(); ()
+          }
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+          case _: IllegalArgumentException => ()
+          case e: IllegalStateException
+              if String.valueOf(e.getMessage).contains("vacuumed") => ()
+          case e: org.apache.spark.SparkException
+              if String.valueOf(e.getMessage).contains("FAILED_READ")
+                || hasFileNotFound(e) => ()
+          case _: java.io.IOException => ()
+          case e: Throwable =>
+            unexpected.add(s"maintenance: ${e.getClass.getName} ${e.getMessage}")
+        }
+        Thread.sleep(15)
+      }
+    })
     threads.foreach(_.start())
+    maintenance.start()
     threads.foreach(_.join(300000))
+    writersDone.set(true)
+    maintenance.join(120000)
     assert(unexpected.isEmpty, s"unexpected failures: $unexpected")
     assert(committedOps.get() > nThreads, "soak committed almost nothing — vacuous")
-    info(s"soak: ${committedOps.get()} committed, ${aborted.get()} aborted cleanly")
+    assert(maintCompact.get() + maintHeal.get() + maintVacuum.get() > 0,
+      "the health-driven maintenance actor never acted — vacuous")
+    info(s"soak: ${committedOps.get()} committed, ${aborted.get()} aborted cleanly, " +
+      s"maintenance: ${maintCompact.get()} compactions, ${maintHeal.get()} " +
+      s"bloom heals, ${maintVacuum.get()} vacuums")
 
     val t = WarehouseTable.open(spark, root)
     // every SUCCESSFUL evolution survives: the lease-serialized

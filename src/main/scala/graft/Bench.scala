@@ -89,17 +89,27 @@ object Bench {
     // One rep (it is a 1 M-row end-to-end run, not a plan microbench);
     // reported as its own JSON field, NOT folded into the headline
     // total, so cross-round totals stay comparable.
-    val streamProbe: Either[String, (Double, Long)] =
+    def probe(n: Long): Either[String, (Double, Long)] =
       try {
         val wh = Files.createTempDirectory("bench-stream-wh").toString
         val ck = Files.createTempDirectory("bench-stream-ckpt").toString
-        val r = graft.streaming.ThroughputProbe.run(spark, wh, ck, 1000000L)
+        val r = graft.streaming.ThroughputProbe.run(spark, wh, ck, n)
         resetSession()
         Right(r)
       } catch { case e: Throwable =>
         resetSession()
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
+    val streamProbe: Either[String, (Double, Long)] = probe(1000000L)
+
+    // Optional 10 M-record tier (SPARK_GRAFT_PROBE_10M=1): the same
+    // probe at 10× the reference's own topology — survivor set
+    // (2.5 M rows, exact i%4==1 values) asserted inside run(). Gated
+    // out of the default bench so per-round totals stay comparable.
+    val streamProbe10m: Option[Either[String, (Double, Long)]] =
+      if (sys.env.get("SPARK_GRAFT_PROBE_10M").contains("1"))
+        Some(probe(10000000L))
+      else None
 
     def esc(s: String): String =
       s.flatMap {
@@ -122,18 +132,70 @@ object Bench {
       s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right((mn, _))) => mn }.sum
     val nFailed = results.count(_._2.isLeft)
-    val probeJson = streamProbe match {
-      case Right((wall, survivors)) =>
-        val rps = math.rint(1000000L / wall)
-        s"""{"sec":${math.rint(wall * 1000) / 1000},"rec_per_s":$rps,""" +
-          s""""records":1000000,"flushes":10,"survivors":$survivors,""" +
-          s""""reference_budget_sec":600}"""
-      case Left(m) => s"""{"error":"${esc(m)}"}"""
-    }
+    def probeJsonOf(res: Either[String, (Double, Long)], n: Long): String =
+      res match {
+        case Right((wall, survivors)) =>
+          val rps = math.rint(n / wall)
+          s"""{"sec":${math.rint(wall * 1000) / 1000},"rec_per_s":$rps,""" +
+            s""""records":$n,"flushes":10,"survivors":$survivors,""" +
+            s""""reference_budget_sec":600}"""
+        case Left(m) => s"""{"error":"${esc(m)}"}"""
+      }
+    val probeJson = probeJsonOf(streamProbe, 1000000L)
+    val probe10mJson = streamProbe10m
+      .map(r => s""""stream_merge_10m":${probeJsonOf(r, 10000000L)},""")
+      .getOrElse("")
+
+    // Optional full-headline 10× sweep (SPARK_GRAFT_SCALE10X=1): run
+    // every headline against the synthetic sf1-equivalent corpus
+    // (Scale10x.materialize — in-copy structure preserved, cross-copy
+    // interaction suppressed) and record sec + the scaling exponent
+    // e = ln(t10/t1)/ln(10) per headline (e <= ~1 is linear-or-better;
+    // job-launch-bound sub-second headlines read low/noisy by nature).
+    val scale10xJson: String =
+      if (!sys.env.get("SPARK_GRAFT_SCALE10X").contains("1")) ""
+      else {
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE10X_DIR",
+          "/tmp/graft_scale10x")
+        try {
+          graft.tools.Scale10x.materialize(spark, sfDir, dir)
+          resetSession()
+          val t1 = results.collect { case (k, Right((mn, _))) => k -> mn }.toMap
+          val t10 = SparkEntry.headlines.map { name =>
+            val t0 = System.nanoTime()
+            val r = try {
+              byName(name)(spark, dir).count()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+            resetSession()
+            name -> r
+          }
+          val secs = t10.map {
+            case (k, Right(s)) => s""""${esc(k)}":${math.rint(s * 1000) / 1000}"""
+            case (k, Left(_)) => s""""${esc(k)}":-1"""
+          }.mkString("{", ",", "}")
+          val exps = t10.collect { case (k, Right(s)) if t1.contains(k) && t1(k) > 0 =>
+            val e = math.log(s / t1(k)) / math.log(10.0)
+            s""""${esc(k)}":${math.rint(e * 100) / 100}"""
+          }.mkString("{", ",", "}")
+          val scaleErrs = t10.collect { case (k, Left(m)) =>
+            s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
+          val total10 = t10.collect { case (_, Right(s)) => s }.sum
+          s""""scale10x":{"dir":"${esc(dir)}","copies":10,""" +
+            s""""total_sec":${math.rint(total10 * 1000) / 1000},""" +
+            s""""queries":$secs,"exponent":$exps,"errors":$scaleErrs},"""
+        } catch { case e: Throwable =>
+          s""""scale10x":{"error":"${esc(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).take(200))}"},"""
+        }
+      }
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"reps":$reps,"agg":"min",""" +
         s""""stream_merge_1m":$probeJson,""" +
+        probe10mJson + scale10xJson +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""
 
     // emit on stdout AND stderr (sbt decorates stdout with [info]), plus

@@ -858,6 +858,40 @@ final class WarehouseTable private (
       // CANNOT_RESOLVE_COLUMN). The evolved field reaches these rows on
       // the NEXT flush; reads conform it to NULL meanwhile.
       val snap = schema
+      // FILE-granular flush (the steady-state micro-batch path): the
+      // keys-only dest scan yields the exact matched-file set, only
+      // those files rewrite, everything else carries forward untouched.
+      // Falls back to the whole-day swap when the batch is bulk (SMJ
+      // territory), on the exact-bloom tightening/heal flushes (their
+      // staged blooms must cover whole days), or on a pre-snapshot
+      // table (no manifest to carry forward from).
+      val fileGranular = srcRows <= broadcastMaxRows && readBase > 0L &&
+        (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
+        !days.exists(bloomNeedsHeal)
+      if (fileGranular) {
+        val (merged, matchedFiles) = mergeFileGranularPlan(days, src, delete, snap)
+        val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+        val preExisting = days.filter(d =>
+          fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
+        guardStaleRead(clusteredWrite(merged).write
+          .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+        val stagedFiles = stagedDayFiles(staging)
+        val base = readManifest(readBase)
+        val affected = (matchedFiles.keySet ++ stagedFiles.keySet).toSeq.sorted
+        val newDayFiles = affected.map { d =>
+          val gone = matchedFiles.getOrElse(d, Seq.empty).toSet
+          d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
+            stagedFiles.getOrElse(d, Seq.empty))
+        }.toMap
+        val v = claimCommit("merge", days, readBase + 1)
+        swapFilesGranular(staging,
+          affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v)
+        unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
+        finalizeCommit("merge", affected, v, newDayFiles)
+        expireOldPartitions()
+        autoVacuum()
+        return days
+      }
       val dest = readCommitted(days, snap)
       val merged =
         if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete, snap)
@@ -891,6 +925,85 @@ final class WarehouseTable private (
       autoVacuum()
       days
     } finally src.unpersist()
+  }
+
+  /** The file-granular broadcast merge plan: (merged rows to stage,
+    * day → matched file names to replace).
+    *
+    * == Why this is strictly cheaper than the whole-day plan ==
+    *
+    * The whole-day broadcast plan reads the candidate days TWICE: a
+    * column-pruned keys scan (the updates leg) and a full-row scan (the
+    * survivors leg). Here the keys scan additionally carries
+    * `input_file_name`, so the inner join against the batch keys yields
+    * the EXACT matched-file set as a by-product — and the full-row
+    * survivors scan then touches ONLY those files. A 10-key flush into
+    * a day of hundreds of well-clustered files reads and rewrites a
+    * handful; every unmatched file carries forward without a byte of
+    * I/O. Same legs otherwise: survivors (anti), updates (inner ⋈
+    * batch values), inserts (anti vs matched keys), every join
+    * broadcasting the bounded batch side, the dest never shuffled.
+    *
+    * The matched-file join uses ALL batch keys — including tombstones
+    * (the `touched` set) — because a file whose only hits are
+    * tombstones still must rewrite (to drop those rows); `updates`
+    * then joins the live subset only.
+    */
+  private def mergeFileGranularPlan(days: Seq[String], src: DataFrame,
+      delete: Boolean, snap: StructType): (DataFrame, Map[String, Seq[String]]) = {
+    val srcVal = mergeValueFields(src, snap).map { case (f, inBatch) =>
+      if (inBatch) col(s"s.value.`${f.name}`").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val srcKeys = src.select(col("key"))
+    val live = if (delete) src.where(col("value").isNotNull) else src
+    val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.key.$f")).reduce(_ && _)
+    // keys + slice + file name only: Catalyst prunes the scan to the
+    // key columns' pages (same cost as the old updates leg)
+    val destKeys = readCommitted(days, snap).select(
+      keyFields.map(f => col(s"`$f`")) :+ col(partitionCol) :+
+        element_at(split(input_file_name(), "/"), -1).as("_gfile"): _*)
+    // matched dest rows, materialized once (≤ batch keys): serves the
+    // matched-file collect, the updates leg, and the insert anti-key set
+    val touched = guardStaleRead(destKeys.as("d")
+      .join(broadcast(srcKeys.as("s")), keyCond, "inner")
+      .select(keyFields.map(f => col(s"d.`$f`").as(f)) :+
+        col(s"d.$partitionCol").as(partitionCol) :+ col("_gfile"): _*)
+      .localCheckpoint(true))
+    // raw collect off the checkpoint + driver-side dedup: the pair set
+    // is batch-bounded and a distinct() would cost an exchange plus an
+    // extra AQE job per flush (job count IS small-flush latency)
+    val matchedFiles: Map[String, Seq[String]] = touched
+      .select(col(partitionCol).cast("string"), col("_gfile"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getString(1)).distinct.toSeq.sorted }
+    val matchedPaths = matchedFiles.toSeq.flatMap { case (d, names) =>
+      names.map(n => s"$dataPath/$partitionCol=$d/$n")
+    }
+    val destMatched =
+      if (matchedPaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          snap.add(partitionCol, "string"))
+      else conformToSchema(spark.read.schema(snap)
+        .option("basePath", dataPath).parquet(matchedPaths: _*), snap)
+    val survivors = destMatched.as("d")
+      .join(broadcast(srcKeys.as("s")), keyCond, "left_anti")
+    val updCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
+    val updates = touched.as("m").join(broadcast(live.as("s")), updCond, "inner")
+      .select(
+        keyFields.map(f => col(s"m.`$f`").as(f)) ++
+          srcVal :+
+          col(s"m.$partitionCol").as(partitionCol): _*)
+    val matchedKeys = touched.select(keyFields.map(f => col(s"`$f`")): _*)
+    val insCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
+    val inserts = live.as("s").join(broadcast(matchedKeys.as("m")), insCond, "left_anti")
+      .select(
+        keyFields.map(f => col(s"s.key.$f").as(f)) ++
+          srcVal :+
+          stagedSlice("s.").as(partitionCol): _*)
+    (survivors.unionByName(updates).unionByName(inserts), matchedFiles)
   }
 
   /** The preferred merge plan: a full-outer join can never broadcast in
@@ -1010,14 +1123,11 @@ final class WarehouseTable private (
       // one schema snapshot for the whole op (merge doc): dest read and
       // insert columns must agree under a concurrent evolveSchema
       val snap = schema
-      val dest = readCommitted(days, snap)
       val keyCond = keyFields.map(f => col(s"d.$f") === col(s"s.$f")).reduce(_ && _)
       // no .distinct(): the fence leaves ~one tombstone per key, an
       // anti join is insensitive to duplicate build rows, and skipping
       // the dedup exchange keeps the write a one-round job
       val tombKeys = tombSrc.select(keyFields.map(f => col(s"key.$f").as(f)): _*)
-      // batch-bounded key set broadcast → dest is never shuffled here either
-      val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
       val inserts = fenced.where(col("value").isNotNull).select(
         keyFields.map(f => col(s"key.$f").as(f)) ++
           mergeValueFields(fenced, snap).map { case (f, inBatch) =>
@@ -1025,6 +1135,63 @@ final class WarehouseTable private (
             else lit(null).cast(f.dataType).as(f.name)
           } :+
           stagedSlice("").as(partitionCol): _*)
+      // FILE-granular (merge doc): only files actually HOLDING a
+      // tombstoned key rewrite; inserts are pure additions. Whole-day
+      // fallback on the exact-bloom tightening/heal flushes and
+      // pre-snapshot tables.
+      val fileGranular = readBase > 0L &&
+        (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
+        !days.exists(bloomNeedsHeal)
+      if (fileGranular) {
+        // one keys-only pruned scan yields the matched (day, file)
+        // pairs; batch-bounded collect, driver-side dedup (no exchange)
+        val destKeys = readCommitted(days, snap).select(
+          keyFields.map(f => col(s"`$f`")) :+ col(partitionCol) :+
+            element_at(split(input_file_name(), "/"), -1).as("_gfile"): _*)
+        val matchedFiles: Map[String, Seq[String]] =
+          guardStaleRead(destKeys.as("d")
+            .join(broadcast(tombKeys.as("s")), keyCond, "inner")
+            .select(col(s"d.$partitionCol").cast("string"), col("_gfile"))
+            .collect())
+            .groupBy(_.getString(0))
+            .map { case (d, rs) => d -> rs.map(_.getString(1)).distinct.toSeq.sorted }
+        val matchedPaths = matchedFiles.toSeq.flatMap { case (d, names) =>
+          names.map(n => s"$dataPath/$partitionCol=$d/$n") }
+        val destMatched =
+          if (matchedPaths.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              snap.add(partitionCol, "string"))
+          else conformToSchema(spark.read.schema(snap)
+            .option("basePath", dataPath).parquet(matchedPaths: _*), snap)
+        val survivors = destMatched.as("d")
+          .join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
+        val merged = survivors.unionByName(inserts)
+        val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+        val preExisting = days.filter(d =>
+          fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
+        guardStaleRead(clusteredWrite(merged).write
+          .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+        val stagedFiles = stagedDayFiles(staging)
+        val base = readManifest(readBase)
+        val affected = (matchedFiles.keySet ++ stagedFiles.keySet).toSeq.sorted
+        val newDayFiles = affected.map { d =>
+          val gone = matchedFiles.getOrElse(d, Seq.empty).toSet
+          d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
+            stagedFiles.getOrElse(d, Seq.empty))
+        }.toMap
+        val v = claimCommit("merge-delete", days, readBase + 1)
+        swapFilesGranular(staging,
+          affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v)
+        unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
+        finalizeCommit("merge-delete", affected, v, newDayFiles)
+        expireOldPartitions()
+        autoVacuum()
+        return days
+      }
+      val dest = readCommitted(days, snap)
+      // batch-bounded key set broadcast → dest is never shuffled here either
+      val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
       val merged = survivors.unionByName(inserts)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
@@ -1857,15 +2024,21 @@ final class WarehouseTable private (
       val liveDir = new Path(s"$dataPath/$partitionCol=$d")
       val archDayDir = new Path(archDir, s"$partitionCol=$d")
       fs.mkdirs(archDayDir)
+      // an empty `names` list is a pure-addition day (a merge inserting
+      // into — or creating — a day with no matched files): the marker
+      // still journals it, so crash recovery knows to sweep the
+      // renamed-in additions and restore nothing
       writeMetaString(spark,
         new Path(archDayDir, WarehouseTable.PartialSwapMarker).toString,
         names.mkString("\n"))
       names.foreach(n =>
         fs.rename(new Path(liveDir, n), new Path(archDayDir, n)))
       val stagedDay = new Path(s"$staging/$partitionCol=$d")
-      if (fs.exists(stagedDay))
+      if (fs.exists(stagedDay)) {
+        fs.mkdirs(liveDir) // fresh day: created by this swap
         listDayFiles(stagedDay).foreach(n =>
           fs.rename(new Path(stagedDay, n), new Path(liveDir, n)))
+      }
       // every file replaced, nothing rewritten back, nothing carried:
       // the day is gone — drop the empty dir so listDays()/bloom
       // bookkeeping see it as such
@@ -2219,6 +2392,11 @@ final class WarehouseTable private (
         listDayFiles(arch).foreach { n =>
           fs.rename(new Path(arch, n), new Path(live, n)); ()
         }
+        // a day the crashed swap CREATED (pure-addition marker, no
+        // archived generation): rolling back leaves an empty dir — drop
+        // it so the day reads as never having existed
+        if (fs.exists(live) && fs.listStatus(live).isEmpty)
+          fs.delete(live, true)
       } else {
         if (fs.exists(live)) fs.delete(live, true)
         // a marker (empty) archive dir means the day had no pre-claim

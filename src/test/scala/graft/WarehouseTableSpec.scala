@@ -1752,6 +1752,43 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().count() == 8, "bloom lost an updated key")
   }
 
+  test("file-granular MERGE: a one-key flush into a 10-file day rewrites only " +
+      "the matched file; tombstone-only hits still sweep their file") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    (1 to 10).foreach(i => t.append(
+      Seq((i.toLong, s"v$i")).toDF("k1", "f1").withColumn("partitionTime", ts(1))))
+    val before = t.read().inputFiles.map(_.split('/').last).toSet
+    assert(before.size == 10)
+    // upsert ONE existing key + insert ONE new key
+    t.merge(staged(Seq((7L, Some("m7"), 1L, 1), (99L, Some("m99"), 1L, 1))))
+    val after = t.read().inputFiles.map(_.split('/').last).toSet
+    assert((before -- after).size == 1,
+      s"one-key merge replaced ${(before -- after).size} files, expected 1")
+    assert((before & after).size == 9, "carried files were rewritten by merge")
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows(7L) == "m7" && rows(99L) == "m99" && rows(1L) == "v1" &&
+      rows.size == 11, s"merge rows wrong: $rows")
+    // a TOMBSTONE-only hit must still rewrite its file (the matched-file
+    // join uses all batch keys, not just live rows)
+    val before2 = t.read().inputFiles.map(_.split('/').last).toSet
+    t.merge(staged(Seq((3L, None, 2L, 1))))
+    val rows2 = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(!rows2.contains(3L) && rows2.size == 10,
+      s"tombstone-only merge failed to delete: $rows2")
+    assert((before2 -- t.read().inputFiles.map(_.split('/').last).toSet).size == 1)
+    // a pure-insert flush into a FRESH day adds files without touching
+    // day 1 at all
+    val before3 = t.read().inputFiles.map(_.split('/').last).toSet
+    t.merge(staged(Seq((200L, Some("fresh"), 3L, 2))))
+    val after3 = t.read().inputFiles.map(_.split('/').last).toSet
+    assert((before3 -- after3).isEmpty, "pure insert must carry every file")
+    assert(t.listDays() == Seq("2024-01-01", "2024-01-02"))
+    // time travel across the file-granular merges still exact
+    val hist = t.history().map(_._1).sorted
+    assert(t.readAsOf(hist(hist.size - 4)).count() == 10) // pre-merge state
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -19,10 +19,12 @@ import org.apache.spark.sql.util.QueryExecutionListener
 object ScanMetrics {
 
   final case class ScanTotals(numFiles: Long, fileBytes: Long,
-      readSchemas: List[Seq[String]] = Nil) {
+      readSchemas: List[Seq[String]] = Nil,
+      numFilesPerScan: List[Long] = Nil) {
     def +(o: ScanTotals): ScanTotals =
       ScanTotals(numFiles + o.numFiles, fileBytes + o.fileBytes,
-        readSchemas ++ o.readSchemas)
+        readSchemas ++ o.readSchemas,
+        numFilesPerScan ++ o.numFilesPerScan)
   }
 
   private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
@@ -68,10 +70,10 @@ object ScanMetrics {
       val totals = seen.synchronized {
         import scala.jdk.CollectionConverters._
         seen.asScala.toList.map { s =>
-          ScanTotals(
-            s.metrics.get("numFiles").map(_.value).getOrElse(0L),
+          val n = s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+          ScanTotals(n,
             s.metrics.get("filesSize").map(_.value).getOrElse(0L),
-            List(s.requiredSchema.fieldNames.toSeq))
+            List(s.requiredSchema.fieldNames.toSeq), List(n))
         }.foldLeft(ScanTotals(0, 0))(_ + _)
       }
       (out, totals)

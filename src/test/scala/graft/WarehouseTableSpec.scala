@@ -1789,6 +1789,54 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.readAsOf(hist(hist.size - 4)).count() == 10) // pre-merge state
   }
 
+  test("file-granular I/O, measured: full-row scans of a one-key merge and " +
+      "update touch only the matched file; wide scans stay key-pruned") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // 8 files in one day, each with a fat payload so full-row reads are
+    // distinguishable from key-column reads by file selection alone
+    val fat = "x" * 4096
+    (1 to 8).foreach(i => t.append(
+      Seq((i.toLong, s"$fat-$i")).toDF("k1", "f1")
+        .withColumn("partitionTime", ts(1))))
+    def fullRowScans(m: ScanMetrics.ScanTotals): (Long, Int) = {
+      // classify captured scans by required schema: the survivors /
+      // rewrite legs need the value column (f1); the matched-file keys
+      // scan must NOT (that it reads all files is fine — it reads only
+      // the key column's pages)
+      val idx = m.readSchemas.zipWithIndex
+      (idx.count(_._1.contains("f1")).toLong, idx.size)
+    }
+    // ---- merge: one upserted key ----
+    val (_, mMerge) = ScanMetrics.selectedByQueries(spark) {
+      t.merge(staged(Seq((5L, Some("upd"), 1L, 1))))
+    }
+    // every captured scan that carries f1 must be over the matched file
+    // set (1 file), never the whole day (8 files): assert per-scan via
+    // the summed file count of f1-scans vs the keys-only scans
+    val f1Files = mMerge.readSchemas.zip(fileCountsOf(mMerge))
+      .filter(_._1.contains("f1")).map(_._2).sum
+    assert(f1Files <= 1L,
+      s"one-key merge full-row-scanned $f1Files files (expected <= 1): " +
+        s"schemas=${mMerge.readSchemas}")
+    assert(fullRowScans(mMerge)._2 > 0, "no scans captured — vacuous")
+    // ---- updateWhere: one matched key ----
+    val (_, mUpd) = ScanMetrics.selectedByQueries(spark) {
+      t.updateWhere($"k1" === 2L, Map("f1" -> lit("u2")))
+    }
+    val f1FilesUpd = mUpd.readSchemas.zip(fileCountsOf(mUpd))
+      .filter(_._1.contains("f1")).map(_._2).sum
+    assert(f1FilesUpd <= 1L,
+      s"one-key update full-row-scanned $f1FilesUpd files (expected <= 1): " +
+        s"schemas=${mUpd.readSchemas}")
+    // results stay exact
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows(5L) == "upd" && rows(2L) == "u2" && rows(1L) == s"$fat-1")
+  }
+
+  /** Per-scan file counts aligned with [[ScanMetrics.ScanTotals.readSchemas]]. */
+  private def fileCountsOf(m: ScanMetrics.ScanTotals): Seq[Long] = m.numFilesPerScan
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -876,14 +876,21 @@ final class WarehouseTable private (
         guardStaleRead(clusteredWrite(merged).write
           .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
         val stagedFiles = stagedDayFiles(staging)
-        val base = readManifest(readBase)
         val affected = (matchedFiles.keySet ++ stagedFiles.keySet).toSeq.sorted
+        val v = claimCommit("merge", days, readBase + 1)
+        // carry-forward base AFTER winning the claim, from the exact
+        // manifest finalize will rebase on: reading readBase's manifest
+        // earlier would race a concurrent vacuum (retention shorter
+        // than the stage window reads an empty map and silently drops
+        // the carried files); manifestBase(v) cannot be vacuumed while
+        // this claim is held, and our days' entries in it equal the
+        // read-time ones (any overlapping commit aborted the claim walk)
+        val base = manifestBase(v)
         val newDayFiles = affected.map { d =>
           val gone = matchedFiles.getOrElse(d, Seq.empty).toSet
           d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
             stagedFiles.getOrElse(d, Seq.empty))
         }.toMap
-        val v = claimCommit("merge", days, readBase + 1)
         swapFilesGranular(staging,
           affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v)
         unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
@@ -1173,14 +1180,16 @@ final class WarehouseTable private (
         guardStaleRead(clusteredWrite(merged).write
           .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
         val stagedFiles = stagedDayFiles(staging)
-        val base = readManifest(readBase)
         val affected = (matchedFiles.keySet ++ stagedFiles.keySet).toSeq.sorted
+        val v = claimCommit("merge-delete", days, readBase + 1)
+        // carry-forward base AFTER the claim, from finalize's own rebase
+        // manifest (vacuum-race argument at the merge call site)
+        val base = manifestBase(v)
         val newDayFiles = affected.map { d =>
           val gone = matchedFiles.getOrElse(d, Seq.empty).toSet
           d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
             stagedFiles.getOrElse(d, Seq.empty))
         }.toMap
-        val v = claimCommit("merge-delete", days, readBase + 1)
         swapFilesGranular(staging,
           affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v)
         unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
@@ -1818,18 +1827,6 @@ final class WarehouseTable private (
       .map(r => (r.getString(0), r.getString(1).split('/').last))
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).distinct.sorted }
     val days = replaced.keys.toSeq.sorted
-    // carry-forward = the base generation minus the replaced files.
-    // Safe against concurrent commits: any overlapping-day commit
-    // between readBase and the claim aborts this op's claim walk, so
-    // the base manifest restricted to these days is stable.
-    val base: Map[String, Seq[String]] =
-      if (readBase > 0L) readManifest(readBase)
-      else days.map(d =>
-        d -> listDayFiles(new Path(s"$dataPath/$partitionCol=$d"))).toMap
-    val carry: Map[String, Seq[String]] = days.map { d =>
-      val gone = replaced(d).toSet
-      d -> base.getOrElse(d, Seq.empty).filterNot(gone.contains)
-    }.toMap
     // the rewrite reads ONLY the matched files
     val matchedPaths = days.flatMap(d =>
       replaced(d).map(f => s"$dataPath/$partitionCol=$d/$f"))
@@ -1841,6 +1838,19 @@ final class WarehouseTable private (
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
     val stagedFiles = stagedDayFiles(staging)
     val v = claimCommit(op, days, readBase + 1)
+    // carry-forward = the base generation minus the replaced files,
+    // read AFTER winning the claim from the exact manifest finalize
+    // rebases on (manifestBase(v) also covers the legacy pre-snapshot
+    // listing fallback): a pre-claim readManifest(readBase) would race
+    // a concurrent vacuum of that version — an empty map would silently
+    // drop every carried file from the new manifest. Our days' entries
+    // are read-time-stable regardless (overlapping commits abort the
+    // claim walk).
+    val base = manifestBase(v)
+    val carry: Map[String, Seq[String]] = days.map { d =>
+      val gone = replaced(d).toSet
+      d -> base.getOrElse(d, Seq.empty).filterNot(gone.contains)
+    }.toMap
     swapFilesGranular(staging, replaced, v)
     days.foreach { d =>
       if (!fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) {

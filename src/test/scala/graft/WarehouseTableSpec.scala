@@ -993,6 +993,90 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().select($"f1").as[String].head() == "v12")
   }
 
+  test("model-based time travel: a random append/merge/DML/compact " +
+      "sequence reads EVERY retained version exactly (mixed whole-day and " +
+      "partial archives)") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    val rnd = new scala.util.Random(20261215)
+    // the model: expected (k1 -> f1) state after each committed version
+    val expected = scala.collection.mutable.Map[Long, Map[Long, String]]()
+    var state = Map.empty[Long, String]
+    def record(): Unit = {
+      // ops may commit >1 version (restore); record the final state at
+      // the version the op left CURRENT at
+      expected(t.currentVersion) = state
+      ()
+    }
+    def day(k: Long): Int = (k % 3 + 1).toInt
+    for (i <- 0 until 30) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          // append only FRESH keys (appends allow duplicates, which
+          // would break the model's k1 -> f1 function); existing keys
+          // route through merge so the op mix stays rich
+          val k = rnd.nextInt(12).toLong
+          val v = s"a$i"
+          if (!state.contains(k)) {
+            t.append(Seq((k, v)).toDF("k1", "f1")
+              .withColumn("partitionTime", ts(day(k))))
+          } else t.merge(staged(Seq((k, Some(v), 1000L + i, day(k)))))
+          state += k -> v; record()
+        case 3 | 4 | 5 =>
+          val k = rnd.nextInt(12).toLong
+          val v = s"m$i"
+          t.merge(staged(Seq((k, Some(v), 1000L + i, day(k)))))
+          state += k -> v; record()
+        case 6 =>
+          val k = rnd.nextInt(12).toLong
+          t.merge(staged(Seq((k, None, 1000L + i, day(k))))) // tombstone
+          state -= k; record()
+        case 7 =>
+          // predicate delete of a random existing key
+          if (state.nonEmpty) {
+            val k = state.keys.toSeq(rnd.nextInt(state.size))
+            t.deleteWhere($"k1" === k)
+            state -= k; record()
+          }
+        case 8 =>
+          if (state.nonEmpty) {
+            val k = state.keys.toSeq(rnd.nextInt(state.size))
+            t.updateWhere($"k1" === k, Map("f1" -> lit(s"u$i")))
+            state += k -> s"u$i"; record()
+          }
+        case 9 =>
+          if (t.listDays().nonEmpty) {
+            t.compactPartitions()
+            record() // state unchanged; whole-day archives interleave
+          }
+      }
+    }
+    assert(expected.size > 10, "model recorded too few versions — vacuous")
+    // EVERY recorded version reads exactly its model state, resolving
+    // per file across whatever mix of whole-day and _partial archives
+    // the random sequence produced
+    expected.toSeq.sortBy(_._1).foreach { case (v, want) =>
+      val got = t.readAsOf(v).select($"k1", $"f1").as[(Long, String)]
+        .collect().toMap
+      assert(got == want, s"version $v read $got, model says $want")
+    }
+    // and the diffs compose: applying tableDiff(v, v') to the model
+    // state at v yields the state at v' for a sampled pair
+    val vs = expected.keys.toSeq.sorted
+    val (vFrom, vTo) = (vs(vs.size / 3), vs(2 * vs.size / 3))
+    val diff = t.tableDiff(vFrom, vTo)
+      .select($"change_type", $"k1", $"f1")
+      .as[(String, Long, String)].collect()
+    // removals first, then additions: an updated key appears as one
+    // removed + one added row, in no particular order
+    val afterRemove = diff.collect { case ("removed", k, _) => k }
+      .foldLeft(expected(vFrom))(_ - _)
+    val applied = diff.collect { case ("added", k, f) => k -> f }
+      .foldLeft(afterRemove)(_ + _)
+    assert(applied == expected(vTo),
+      s"diff $vFrom->$vTo does not transport the model state")
+  }
+
   test("time travel reads pre-evolution snapshots under the evolved schema") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -146,17 +146,22 @@ object Bench {
       .map(r => s""""stream_merge_10m":${probeJsonOf(r, 10000000L)},""")
       .getOrElse("")
 
-    // Optional full-headline 10× sweep (SPARK_GRAFT_SCALE10X=1): run
-    // every headline against the synthetic sf1-equivalent corpus
-    // (Scale10x.materialize — in-copy structure preserved, cross-copy
-    // interaction suppressed) and record sec + the scaling exponent
+    // Full-headline 10× sweep (default ON; SPARK_GRAFT_SCALE10X=0
+    // skips): run every headline against the synthetic sf1-equivalent
+    // corpus (Scale10x.materialize — in-copy structure preserved,
+    // cross-copy interaction suppressed; cached across runs by its
+    // done-marker) and record sec + the scaling exponent
     // e = ln(t10/t1)/ln(10) per headline (e <= ~1 is linear-or-better;
     // job-launch-bound sub-second headlines read low/noisy by nature).
+    // Reported as its own section — the headline total stays the plain
+    // sfDir figure, so cross-round totals remain comparable.
     val scale10xJson: String =
-      if (!sys.env.get("SPARK_GRAFT_SCALE10X").contains("1")) ""
+      if (sys.env.get("SPARK_GRAFT_SCALE10X").contains("0")) ""
       else {
+        // default dir is keyed by the source corpus so a cached
+        // materialization is never reused across scale factors
         val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE10X_DIR",
-          "/tmp/graft_scale10x")
+          s"/tmp/graft_scale10x_${Paths.get(sfDir).getFileName}")
         try {
           graft.tools.Scale10x.materialize(spark, sfDir, dir)
           resetSession()

@@ -1757,6 +1757,71 @@ final class WarehouseTable private (
     existing
   }
 
+  /** Bin-packing compaction (Delta OPTIMIZE analog, file-granular):
+    * within each day, consolidate ONLY the data files smaller than
+    * `smallBytes` into a fresh generation and carry every
+    * already-healthy file forward untouched. Selection is pure
+    * metadata (the CURRENT manifest joined to one live-dir listing —
+    * no data read decides); the rewrite reads exactly the small files.
+    * Keys are untouched, so day blooms stay as tight as they were and
+    * are re-stamped to this commit ([[updateWhere]]'s argument).
+    * Returns the days rewritten.
+    *
+    * == 100 TB design ==
+    *
+    * Streaming ingest leaves a long tail of micro-batch files per day;
+    * whole-day [[compactPartitions]] pays I/O proportional to RESIDENT
+    * data to fix churn-proportional fragmentation. This pays
+    * churn-proportional I/O: a day holding 5 compacted 1 GB files and
+    * 300 flush files rewrites the 300 small ones and never touches the
+    * 5 GB.
+    */
+  def compactSmall(smallBytes: Long,
+      minSmallFiles: Int = 2): Seq[String] = {
+    require(smallBytes > 0, s"smallBytes must be positive: $smallBytes")
+    require(minSmallFiles >= 2, s"minSmallFiles must be >= 2: $minSmallFiles")
+    val readBase = currentVersion
+    if (readBase == 0L) return Seq.empty // pre-snapshot: use compactPartitions
+    val snap = schema
+    val manifest = readManifest(readBase)
+    val smallByDay: Map[String, Seq[String]] = manifest.flatMap { case (d, names) =>
+      val dir = new Path(s"$dataPath/$partitionCol=$d")
+      if (!fs.exists(dir)) None
+      else {
+        val sizes = fs.listStatus(dir).toSeq
+          .filter(_.isFile).map(st => st.getPath.getName -> st.getLen).toMap
+        val small = names.filter(n => sizes.get(n).exists(_ < smallBytes))
+        if (small.size >= minSmallFiles) Some(d -> small.sorted) else None
+      }
+    }
+    if (smallByDay.isEmpty) return Seq.empty
+    val days = smallByDay.keys.toSeq.sorted
+    val smallPaths = days.flatMap(d =>
+      smallByDay(d).map(n => s"$dataPath/$partitionCol=$d/$n"))
+    val source = conformToSchema(spark.read.schema(snap)
+      .option("basePath", dataPath).parquet(smallPaths: _*), snap)
+    val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
+    // clusteredWrite day-aligns and consolidates on its own (rebalance
+    // hint / range repartition): small days collapse to one file
+    guardStaleRead(clusteredWrite(source).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val v = claimCommit("compact-small", days, readBase + 1)
+    // carry-forward base after the claim (vacuum-race argument at the
+    // merge call site)
+    val base = manifestBase(v)
+    val newDayFiles = days.map { d =>
+      val gone = smallByDay(d).toSet
+      d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
+        stagedFiles.getOrElse(d, Seq.empty))
+    }.toMap
+    swapFilesGranular(staging, smallByDay, v)
+    restampBlooms(days, v, readBase)
+    finalizeCommit("compact-small", days, v, newDayFiles)
+    autoVacuum()
+    days
+  }
+
   /** Fragmentation-aware compaction policy: rewrite ONLY partitions
     * holding more than `maxFilesPerDay` data files. One recursive
     * listing decides (no data read); healthy partitions keep their

@@ -1921,6 +1921,49 @@ class WarehouseTableSpec extends AnyFunSuite {
   /** Per-scan file counts aligned with [[ScanMetrics.ScanTotals.readSchemas]]. */
   private def fileCountsOf(m: ScanMetrics.ScanTotals): Seq[Long] = m.numFilesPerScan
 
+  test("compactSmall: consolidates only sub-threshold files, carries big " +
+      "files untouched, keys stay bloom-covered, history intact") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    // one BIG file (5000 distinct rows — incompressible enough to
+    // dwarf the flush files) + 6 small flush files in day 1
+    val big = spark.range(1000, 6000).select($"id".as("k1"),
+      md5($"id".cast("string")).as("f1"))
+    t.append(big.withColumn("partitionTime", ts(1)))
+    (1 to 6).foreach(i => t.append(
+      Seq((i.toLong, s"s$i")).toDF("k1", "f1").withColumn("partitionTime", ts(1))))
+    val before = t.read().inputFiles.map(_.split('/').last).toSet
+    assert(before.size == 7)
+    val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bigStatus = fsys.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/data/_pday=2024-01-01")).filter(_.isFile).maxBy(_.getLen)
+    val bigName = bigStatus.getPath.getName
+    val preVer = t.currentVersion
+    // threshold = the big file's exact size: `< smallBytes` keeps it
+    val days = t.compactSmall(smallBytes = bigStatus.getLen)
+    assert(days == Seq("2024-01-01"))
+    val after = t.read().inputFiles.map(_.split('/').last).toSet
+    assert(after.contains(bigName), "the big file must carry forward untouched")
+    assert(after.size < before.size,
+      s"small files did not consolidate: ${after.size} vs ${before.size}")
+    assert((before -- after).size == 6, "exactly the 6 small files replace")
+    // rows identical, time travel exact
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows.size == 5006 && rows(3L) == "s3")
+    assert(t.readAsOf(preVer).count() == 5006)
+    // blooms re-stamped current (keys unchanged): health staleness 0,
+    // and a compacted key still dedups on re-ingest
+    val h = t.describeHealth().collect().map(r => r.getString(0) -> r).toMap
+    assert(h("2024-01-01").getLong(6) == 0L,
+      "compactSmall must re-stamp the untouched-key blooms")
+    t.insertNewOnly(Seq((3L, "dupe")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    assert(t.read().count() == 5006, "bloom lost a compacted key")
+    // idempotent no-op when nothing is small enough
+    assert(t.compactSmall(smallBytes = 10).isEmpty)
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)
@@ -2193,12 +2236,19 @@ class WarehouseTableSpec extends AnyFunSuite {
     val maintVacuum = new java.util.concurrent.atomic.AtomicInteger(0)
     val maintenance = new Thread(() => {
       val t = WarehouseTable.open(spark, root)
+      var tick = 0
       while (!writersDone.get()) {
+        tick += 1
         try {
           val health = t.describeHealth(maxFilesPerDay = 3).collect()
           val fragmented = health.filter(_.getBoolean(9))
           if (fragmented.nonEmpty) {
-            if (t.compactFragmented(3).nonEmpty) { maintCompact.incrementAndGet(); () }
+            // alternate the two compaction shapes: whole-day rewrite
+            // and the bin-packing small-file consolidation
+            val acted =
+              if (tick % 2 == 0) t.compactSmall(smallBytes = 1 << 20).nonEmpty
+              else t.compactFragmented(3).nonEmpty
+            if (acted) { maintCompact.incrementAndGet(); () }
           }
           val staleBlooms = health.filter(r =>
             r.getString(5) != "ok" || r.getLong(6) > 0L).map(_.getString(0))

@@ -2715,6 +2715,9 @@ final class WarehouseTable private (
     *    EXACT count, immune to clock skew and preserved mtimes; 0 in
     *    steady state, > 0 means merge probes over-scan this day until
     *    a compact or periodic exact pass tightens it
+    *  - `small_files`: data files under `smallFileBytes` — the
+    *    churn tail [[compactSmall]] consolidates (bin-packing
+    *    maintenance cost stays proportional to churn, not residency)
     *  - `zonemap_cols`: columns with a range sidecar for the day
     *  - `archived_generations`: superseded generations [[vacuum]] can
     *    still reclaim
@@ -2723,8 +2726,10 @@ final class WarehouseTable private (
     *  - `snapshot_versions`, `current_version`: table-level constants on
     *    every row (retention decisions)
     */
-  def describeHealth(maxFilesPerDay: Int = 64): DataFrame = {
+  def describeHealth(maxFilesPerDay: Int = 64,
+      smallFileBytes: Long = 32L << 20): DataFrame = {
     require(maxFilesPerDay > 0, s"maxFilesPerDay must be positive: $maxFilesPerDay")
+    require(smallFileBytes > 0, s"smallFileBytes must be positive: $smallFileBytes")
     val cur = currentVersion
     val manifest = if (cur > 0L) readManifest(cur) else Map.empty[String, Seq[String]]
     val commits = history().map { case (v, _, ts) => (v, ts, commitMeta(v)._3) }
@@ -2782,7 +2787,8 @@ final class WarehouseTable private (
         manifest.getOrElse(d, Seq.empty).size.toLong, unmanifested,
         bloomState, staleVersions, zmCols.getOrElse(d, 0L),
         archived.getOrElse(d, 0L), files.size > maxFilesPerDay,
-        snapshotCount, cur))
+        snapshotCount, cur,
+        files.count(_.getLen < smallFileBytes).toLong))
     } catch { case _: java.io.IOException => None } }
     val healthSchema = StructType(Seq(
       StructField("day", StringType, nullable = false),
@@ -2796,7 +2802,8 @@ final class WarehouseTable private (
       StructField("archived_generations", LongType, nullable = false),
       StructField("needs_compact", BooleanType, nullable = false),
       StructField("snapshot_versions", LongType, nullable = false),
-      StructField("current_version", LongType, nullable = false)))
+      StructField("current_version", LongType, nullable = false),
+      StructField("small_files", LongType, nullable = false)))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),

@@ -2002,6 +2002,8 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(d2.getLong(1) == 1L && !d2.getBoolean(9))
     assert(d1.getLong(10) == 4L, "4 committed snapshots")
     assert(d1.getLong(11) == 4L, "current version 4")
+    assert(d1.getLong(12) == 3L,
+      "all 3 tiny flush files must count as small_files (compactSmall feed)")
 
     // the maintenance decision the relation exists for: compact the
     // flagged day, and the next health read is clean and exact-bloomed
@@ -2242,9 +2244,11 @@ class WarehouseTableSpec extends AnyFunSuite {
         try {
           val health = t.describeHealth(maxFilesPerDay = 3).collect()
           val fragmented = health.filter(_.getBoolean(9))
-          if (fragmented.nonEmpty) {
+          val smallTail = health.filter(_.getLong(12) >= 3L)
+          if (fragmented.nonEmpty || smallTail.nonEmpty) {
             // alternate the two compaction shapes: whole-day rewrite
-            // and the bin-packing small-file consolidation
+            // (count pressure) and bin-packing small-file consolidation
+            // (the small_files column's verdict)
             val acted =
               if (tick % 2 == 0) t.compactSmall(smallBytes = 1 << 20).nonEmpty
               else t.compactFragmented(3).nonEmpty

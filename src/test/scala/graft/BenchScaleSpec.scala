@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.MergeOps
-import graft.sources.WarehouseTable
+import graft.sources.{TableOptions, WarehouseTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
@@ -145,6 +145,70 @@ class BenchScaleSpec extends AnyFunSuite {
     val fWrites = fallbackPlans.filter(_.contains("InsertIntoHadoopFsRelation"))
     assert(fWrites.exists(p => p.contains("SortMergeJoin")),
       s"row-ceiling fallback did not select sort-merge:\n${fWrites.mkString("\n---\n")}")
+  }
+
+  test("file-granular merge at 100k rows: a 10-key flush into a CLUSTERED " +
+      "multi-file day full-row-scans a small fraction of the table") {
+    // the 100 TB story of the file-granular rewrite: with clustering on
+    // the merge key, each written file covers a narrow key range, so a
+    // small flush's matched-file set — and therefore its full-row read
+    // AND its rewrite — is a handful of files regardless of table size
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k"), destSchema,
+      TableOptions(clusteringFields = Seq("k")))
+    val d0 = MergeOps.latestPerKey(stagedTimes(1))
+      .where(col("value").isNotNull)
+      .select(col("key.k").as("k"), col("value.v_type").as("v_type"),
+        col("value.v_amount").as("v_amount"), col("partitionTime"))
+      .localCheckpoint(true)
+    // force a many-file layout: 16 appends of contiguous key ranges, so
+    // each day holds many NARROW-key-range files (the clustered layout
+    // a compacted streaming table converges to — one clusteredWrite
+    // would consolidate everything into a handful)
+    val mm = d0.agg(min(col("k")), max(col("k"))).head
+    val (kmin, kmax) = (mm.getLong(0), mm.getLong(1))
+    val step = math.max(1L, (kmax - kmin + 16) / 16)
+    (0 until 16).foreach { b =>
+      val lo = kmin + b * step
+      t.append(d0.where(col("k") >= lo && col("k") < lo + step))
+    }
+    val totalFiles = t.read().inputFiles.length.toLong
+    assert(totalFiles >= 32, s"layout too coarse for the proof: $totalFiles files")
+    // a 10-key flush (keys that exist — worst case: all match)
+    val tenKeys = MergeOps.latestPerKey(stagedTimes(1))
+      .where(col("value").isNotNull).limit(10)
+      .select(col("key"), col("value"),
+        (col("i") + 5000000000L).as("i"), col("partitionTime"),
+        col("batchNumber"))
+    // (day, name) keys — one write job reuses the same part-file NAME
+    // across the day dirs it writes, so name-only sets collide
+    def fileKeys(): Set[String] = t.read().inputFiles
+      .map(_.split('/').takeRight(2).mkString("/")).toSet
+    val before = fileKeys()
+    assert(before.size == totalFiles)
+    val nBefore = t.read().count()
+    val (_, m) = ScanMetrics.selectedByQueries(spark) { t.merge(tenKeys) }
+    val after = fileKeys()
+    // write amplification: at most 10 matched files replaced (clustering
+    // may co-locate several keys — fewer is better), the rest carried
+    val replaced = (before -- after).size
+    assert(replaced <= 10,
+      s"10-key flush replaced $replaced of $totalFiles files")
+    assert((before & after).size >= totalFiles - 10,
+      "carried files were rewritten")
+    info(s"replaced $replaced of $totalFiles files")
+    // measured I/O: the full-row scans (those needing the value columns)
+    // selected at most the matched-file set, not the table
+    val fullRowFiles = m.readSchemas.zip(m.numFilesPerScan)
+      .filter(_._1.contains("v_type")).map(_._2).sum
+    assert(fullRowFiles <= 10,
+      s"full-row scans selected $fullRowFiles files of $totalFiles " +
+        s"(schemas: ${m.readSchemas})")
+    info(s"10-key flush: $replaced/$totalFiles files replaced, " +
+      s"$fullRowFiles full-row-scanned")
+    // correctness: an upsert-only flush must not change the row count
+    assert(t.read().count() == nBefore,
+      "upsert-only flush changed the row count")
   }
 
   test("merge flush is a bounded-job pipeline (<= 10 Spark jobs)") {

@@ -2842,11 +2842,6 @@ final class WarehouseTable private (
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema.add(partitionCol, "string"))
-    val archives =
-      if (!fs.exists(new Path(historyDir))) Seq.empty[Long]
-      else fs.listStatus(new Path(historyDir)).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
-        .filter(_ > version).sorted
     // ONE directory listing per archive generation (not one existence
     // probe per day × archive — O(days × versions) round trips on an
     // object store): day → post-`version` archives holding it, oldest
@@ -2857,6 +2852,23 @@ final class WarehouseTable private (
     // later archive or are still live, so each file binds to the first
     // location that holds it (files are immutable and uniquely named:
     // exactly one location ever does).
+    readLocated(locateAsOf(version, manifest))
+  }
+
+  /** Resolve (day → wanted file names) to their physical locations as
+    * of `version` — [[readAsOf]]'s per-file resolution, factored so
+    * [[tableDiff]] can resolve file SUBSETS: each file binds to the
+    * first post-`version` archive of its day that holds it, else the
+    * live partition (files are immutable and uniquely named within
+    * their day, so exactly one location ever does).
+    */
+  private def locateAsOf(version: Long,
+      wanted: Map[String, Seq[String]]): Seq[(String, String, Seq[String])] = {
+    val archives =
+      if (!fs.exists(new Path(historyDir))) Seq.empty[Long]
+      else fs.listStatus(new Path(historyDir)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.stripPrefix("v").toLong }
+        .filter(_ > version).sorted
     val archivesOfDay: Map[String, Seq[Long]] = archives
       .flatMap { n =>
         fs.listStatus(new Path(s"$historyDir/v$n")).toSeq
@@ -2865,7 +2877,7 @@ final class WarehouseTable private (
           .map(_.stripPrefix(s"$partitionCol=") -> n)
       }
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted }
-    val located = manifest.toSeq.flatMap { case (d, files) =>
+    wanted.toSeq.flatMap { case (d, files) =>
       val bases = archivesOfDay.getOrElse(d, Seq.empty)
         .map(n => s"$historyDir/v$n") :+ dataPath
       val groups = Seq.newBuilder[(String, String, Seq[String])]
@@ -2894,12 +2906,22 @@ final class WarehouseTable private (
       }
       groups.result()
     }
-    located.groupBy(_._1).toSeq.map { case (base, entries) =>
+  }
+
+  /** One pruned explicit-schema parquet read per resolved location
+    * group; the empty location set reads as the empty table.
+    */
+  private def readLocated(
+      located: Seq[(String, String, Seq[String])]): DataFrame =
+    if (located.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.add(partitionCol, "string"))
+    else located.groupBy(_._1).toSeq.map { case (base, entries) =>
       conformToSchema(spark.read.schema(schema).option("basePath", base)
         .parquet(entries.flatMap { case (_, d, files) =>
           files.map(f => s"$base/$partitionCol=$d/$f") }: _*))
     }.reduce(_ unionByName _)
-  }
 
   /** Restore the LIVE table to snapshot `version` as a NEW commit
     * (Delta/Iceberg RESTORE analog, BigQuery's snapshot-recovery copy):
@@ -3088,31 +3110,53 @@ final class WarehouseTable private (
     *
     * == 100 TB design ==
     *
-    * The manifests bound the work BEFORE any data is read: only
-    * partitions whose file list differs between the two snapshots enter
-    * the comparison (a three-year table with one rewritten day diffs
-    * one day). Appends never rewrite files, so appended-to days compare
-    * by the added files' rows only through the except; compaction
-    * rewrites files without changing rows and yields an empty diff.
+    * The manifests bound the work BEFORE any data is read — at FILE
+    * granularity: only files whose manifest MEMBERSHIP differs between
+    * the two snapshots are scanned (each side resolved per file through
+    * [[locateAsOf]]). Sound because `exceptAll` is a multiset
+    * difference and rows of files present in BOTH manifests appear
+    * identically on both sides, cancelling exactly — so an append-only
+    * span reads just the appended files (not whole days twice), a
+    * one-key file-granular UPDATE reads the one replaced and one
+    * replacement file, and a compaction reads the rewritten generation
+    * pair and yields an empty diff.
     */
   def tableDiff(fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val from = readManifest(fromVersion)
-    val to = readManifest(toVersion)
-    val changed = (from.keySet ++ to.keySet).toSeq
-      .filter(d => from.get(d).map(_.sorted) != to.get(d).map(_.sorted))
-      .sorted
     val withTag = (df: DataFrame, tag: String) =>
       df.withColumn("change_type", lit(tag))
-    if (changed.isEmpty || fromVersion == toVersion)
-      return withTag(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.add(partitionCol, "string")), "added")
-    val before = readAsOf(fromVersion)
-      .where(col(partitionCol).isin(changed: _*))
-    val after = readAsOf(toVersion)
-      .where(col(partitionCol).isin(changed: _*))
+    def empty = withTag(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add(partitionCol, "string")), "added")
+    if (fromVersion == toVersion) return empty
+    // explicit snapshot validation (readAsOf's checks, which the
+    // file-granular path no longer routes through): a vacuumed
+    // manifest must throw, never silently read as an empty side
+    val cur = currentVersion
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(v >= 1 && v <= cur, s"version $v not in available range 1..$cur")
+      if (v < cur && !fs.exists(new Path(s"$snapDir/v$v.list")))
+        throw new IllegalStateException(
+          s"snapshot v$v has been vacuumed (available: " +
+            s"${history().map(_._1).sorted.mkString(",")})")
+      if (v < cur) require(!isPendingOp(commitMeta(v)._1),
+        s"snapshot v$v is an unfinalized concurrent claim")
+    }
+    val from = readManifest(fromVersion)
+    val to = readManifest(toVersion)
+    def onlyIn(a: Map[String, Seq[String]],
+        b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+      a.flatMap { case (d, names) =>
+        val other = b.getOrElse(d, Seq.empty).toSet
+        val own = names.filterNot(other.contains)
+        if (own.isEmpty) None else Some(d -> own.sorted)
+      }
+    val removedFiles = onlyIn(from, to)
+    val addedFiles = onlyIn(to, from)
+    if (removedFiles.isEmpty && addedFiles.isEmpty) return empty
+    val before = readLocated(locateAsOf(fromVersion, removedFiles))
+    val after = readLocated(locateAsOf(toVersion, addedFiles))
     withTag(after.exceptAll(before), "added")
       .unionByName(withTag(before.exceptAll(after), "removed"))
   }

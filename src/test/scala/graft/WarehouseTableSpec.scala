@@ -1964,6 +1964,43 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.compactSmall(smallBytes = 10).isEmpty)
   }
 
+  test("tableDiff is file-granular: an append-only span scans only the " +
+      "appended files; an update span scans the replaced pair") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    (1 to 6).foreach(i => t.append(
+      Seq((i.toLong, s"v$i")).toDF("k1", "f1").withColumn("partitionTime", ts(1))))
+    val v6 = t.currentVersion
+    t.append(Seq((7L, "v7")).toDF("k1", "f1").withColumn("partitionTime", ts(1)))
+    val v7 = t.currentVersion
+    // append-only span: ONE file differs between the manifests — the
+    // diff must scan exactly it, not the day twice
+    val (rows, m) = ScanMetrics.selectedByQueries(spark) {
+      t.tableDiff(v6, v7).select($"change_type", $"k1").as[(String, Long)]
+        .collect().toSet
+    }
+    assert(rows == Set(("added", 7L)))
+    // the appended file appears once per exceptAll leg (2 legs); the
+    // old day-granular diff scanned all 7 files of the day per leg (14)
+    assert(m.numFiles <= 2,
+      s"append-only diff scanned ${m.numFiles} file-selections, expected <= 2")
+    // update span: one replaced + one replacement file
+    t.updateWhere($"k1" === 3L, Map("f1" -> lit("u3")))
+    val v8 = t.currentVersion
+    val (rows2, m2) = ScanMetrics.selectedByQueries(spark) {
+      t.tableDiff(v7, v8).select($"change_type", $"k1", $"f1")
+        .as[(String, Long, String)].collect().toSet
+    }
+    assert(rows2 == Set(("removed", 3L, "v3"), ("added", 3L, "u3")))
+    // replaced + replacement file, once per exceptAll leg (day-granular
+    // would have been 2 legs x 7 files)
+    assert(m2.numFiles <= 4,
+      s"one-key update diff scanned ${m2.numFiles} file-selections, expected <= 4")
+    // vacuumed endpoint must throw, never read as an empty side
+    t.vacuum(retainVersions = 1)
+    intercept[IllegalStateException](t.tableDiff(v6, v8))
+  }
+
   test("describeHealth: per-day files/bytes/bloom/zonemap/fragmentation from metadata only") {
     val root = tmpRoot()
     val t = mkTable(root)

@@ -2933,10 +2933,33 @@ final class WarehouseTable private (
     */
   def restore(version: Long): Seq[String] = {
     val readBase = currentVersion
+    require(version >= 1 && version <= readBase,
+      s"version $version not in available range 1..$readBase")
+    if (version < readBase) {
+      if (!fs.exists(new Path(s"$snapDir/v$version.list")))
+        throw new IllegalStateException(
+          s"snapshot v$version has been vacuumed (available: " +
+            s"${history().map(_._1).sorted.mkString(",")})")
+      require(!isPendingOp(commitMeta(version)._1),
+        s"snapshot v$version is an unfinalized concurrent claim")
+    }
+    // DAY-pruned (100 TB design): only days whose manifest entry
+    // differs between the target and the current version rewrite —
+    // restoring away a bad merge of 3 days on a 10,000-day table
+    // touches 3 days, not the table. Unchanged days keep their files
+    // AND their (still-exact) blooms byte-identical. (A day holding
+    // only landed-but-uncommitted junk is invisible to both manifests
+    // and is left to the vacuum sweep rather than swapped out here.)
+    val target = readManifest(version)
+    val curM = readManifest(readBase)
+    val days = (target.keySet ++ curM.keySet).toSeq
+      .filter(d => target.get(d).map(_.sorted) != curM.get(d).map(_.sorted))
+      .sorted
+    if (days.isEmpty) return Seq.empty
+    val wanted = days.flatMap(d => target.get(d).map(d -> _)).toMap
     // guarded: the plan-time file-existence check races concurrent
     // swaps exactly like readCommitted's (typed retryable abort)
-    val rows = guardStaleRead(readAsOf(version))
-    val days = (readManifest(version).keys.toSeq ++ listDays()).distinct.sorted
+    val rows = guardStaleRead(readLocated(locateAsOf(version, wanted)))
     val staging = s"$root/.restore-${UUID.randomUUID().toString.take(8)}"
     guardStaleRead(clusteredWrite(rows).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))

@@ -1142,6 +1142,22 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(st(t.read()) == Set((1L, "a3"), (2L, "b1"), (3L, "c")))
     assert(t.read().where($"k1" === 1L).select($"_pday".cast("string"))
       .as[String].head() == "2024-01-01", "restored row left its partition")
+    // DAY-pruned: restoring away that one-day merge rewrites ONLY the
+    // changed day — the other days' files stay byte-identical
+    val preRestore = t.currentVersion
+    def dayFiles(d: String) = t.read().inputFiles
+      .filter(_.contains(s"_pday=$d")).map(_.split('/').last).toSet
+    val d2Before = dayFiles("2024-01-02")
+    val d5Before = dayFiles("2024-01-05")
+    val pruned = t.restore(preRestore - 1)
+    assert(pruned == Seq("2024-01-01"),
+      s"restore of a one-day change must rewrite one day: $pruned")
+    assert(dayFiles("2024-01-02") == d2Before &&
+      dayFiles("2024-01-05") == d5Before,
+      "unchanged days' files moved under a pruned restore")
+    assert(st(t.read()) == Set((1L, "a2"), (2L, "b1"), (3L, "c")))
+    // restoring the current version is a no-op, not a full rewrite
+    assert(t.restore(t.currentVersion).isEmpty)
   }
 
   test("compactPartitions collapses accumulated small files, content intact") {

@@ -341,6 +341,56 @@ class CommitProtocolSpec extends AnyFunSuite {
       .collect().toMap.apply(2L) == "v2", "pre-replay snapshot lost")
   }
 
+  test("landing markers: a live writer's landed-but-uncommitted files are " +
+      "never swept, however old their rename-preserved mtimes read") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a")))
+    t.append(batch(Seq(2L -> "b")))
+    val day = "2024-01-01"
+    // the advisor scenario: a writer whose staging write happened long
+    // ago (rename preserves mtime!) has landed its files and is still
+    // mid-protocol (bloom build / commit walk) — its landing marker is
+    // young even though the files read ancient
+    val landed = path(s"$root/data/_pday=$day/part-inflight-writer.parquet")
+    val out = fs(root).create(landed, false)
+    out.write("landing in progress".getBytes("UTF-8")); out.close()
+    val ancient = System.currentTimeMillis() - 4 * WarehouseTable.staleClaimTimeoutMs
+    fs(root).setTimes(landed, ancient, ancient)
+    // young landing marker covering the day (what writeStagedInto
+    // creates before its first rename)
+    val marker = path(s"$root/_graft/landings/inflight-writer")
+    val mo = fs(root).create(marker, false)
+    mo.write(day.getBytes("UTF-8")); mo.close()
+    t.vacuum(retainVersions = 5)
+    assert(fs(root).exists(landed),
+      "vacuum swept a landing-marker-protected file — committed-data " +
+        "loss when its writer later publishes the manifest")
+    // writer finishes (releases the marker): the file is fair game on
+    // the normal aged-unmanifested sweep
+    fs(root).delete(marker, false)
+    t.vacuum(retainVersions = 5)
+    assert(!fs(root).exists(landed),
+      "released + aged unmanifested file must be swept")
+    // a CRASHED writer's marker ages out on the landing retention and
+    // takes its files with it (both sides of the protection bounded)
+    val landed2 = path(s"$root/data/_pday=$day/part-crashed-writer.parquet")
+    val o2 = fs(root).create(landed2, false)
+    o2.write("crashed".getBytes("UTF-8")); o2.close()
+    fs(root).setTimes(landed2, ancient, ancient)
+    val marker2 = path(s"$root/_graft/landings/crashed-writer")
+    val m2 = fs(root).create(marker2, false)
+    m2.write(day.getBytes("UTF-8")); m2.close()
+    val pastRetention =
+      System.currentTimeMillis() - 2 * WarehouseTable.landingRetentionMs
+    fs(root).setTimes(marker2, pastRetention, pastRetention)
+    t.vacuum(retainVersions = 5)
+    assert(!fs(root).exists(marker2), "aged landing marker must be dropped")
+    assert(!fs(root).exists(landed2),
+      "a crashed writer's files must age out with its marker")
+    assert(t.read().count() == 2, "committed rows were touched")
+  }
+
   test("DML crash after staging (before any claim): the orphan staging dir " +
       "is swept by vacuum once aged") {
     val root = tmpRoot()

@@ -2993,6 +2993,68 @@ final class WarehouseTable private (
     dest
   }
 
+  /** Byte-copy clone: the same result as [[cloneTo]] built by copying
+    * the snapshot's parquet files verbatim (resolved per file through
+    * [[locateAsOf]], so partial archives serve it) instead of
+    * decoding, shuffling and re-encoding every row — at warehouse
+    * scale a layout-preserving copy is several times cheaper in CPU
+    * and needs no cluster-wide write job, and the source's clustering
+    * layout (hence its file-skipping behavior) survives exactly.
+    * Blooms: copied only when cloning the CURRENT version (they
+    * describe the live key-set; an older snapshot may hold keys
+    * deleted since, which the current blooms never covered — a copied
+    * bloom could then MISS keys, the unsound direction), else rebuilt
+    * exactly from the copied files' key columns.
+    */
+  def cloneToFast(destRoot: String, version: Long = -1L): WarehouseTable = {
+    val cur = currentVersion
+    val v = if (version < 0) cur else version
+    require(v >= 1 && v <= cur, s"version $v not in available range 1..$cur")
+    if (v < cur) {
+      if (!fs.exists(new Path(s"$snapDir/v$v.list")))
+        throw new IllegalStateException(
+          s"snapshot v$v has been vacuumed (available: " +
+            s"${history().map(_._1).sorted.mkString(",")})")
+      require(!isPendingOp(commitMeta(v)._1),
+        s"snapshot v$v is an unfinalized concurrent claim")
+    }
+    val dest = WarehouseTable.create(spark, destRoot, keyFields, schema, options)
+    require(dest.listDays().isEmpty && dest.currentVersion == 0L,
+      s"clone destination $destRoot is not empty")
+    val manifest = readManifest(v)
+    val located = locateAsOf(v, manifest)
+    val destFs = new Path(destRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    located.foreach { case (base, d, files) =>
+      val destDir = new Path(s"$destRoot/data/$partitionCol=$d")
+      destFs.mkdirs(destDir)
+      files.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"$base/$partitionCol=$d/$f"),
+          destFs, new Path(destDir, f),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    }
+    if (manifest.nonEmpty)
+      dest.commitSnapshot("clone", manifest, dest.currentVersion + 1)
+    if (v == cur)
+      manifest.keys.foreach { d =>
+        val src = new Path(s"$bloomDir/$d.bloom")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src,
+            destFs, new Path(s"$destRoot/_graft/bloom2/$d.bloom"),
+            false, spark.sparkContext.hadoopConfiguration)
+      }
+    else dest.refreshBloomsForClone(manifest.keys.toSeq)
+    dest
+  }
+
+  /** Exact bloom rebuild over the clone's freshly copied days, stamped
+    * at its version-1 snapshot (cloneToFast's non-current path).
+    */
+  private def refreshBloomsForClone(days: Seq[String]): Unit =
+    refreshBlooms(days, 1L)
+
   /** Stage a partitioned write under a job-unique dir, then move the
     * (uniquely-named) part files into the live partitions. Writing
     * `mode(Append)` straight at `dataPath` makes every concurrent

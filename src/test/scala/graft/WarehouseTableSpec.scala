@@ -1117,6 +1117,40 @@ class WarehouseTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.cloneTo(clone.root))
   }
 
+  test("cloneToFast: byte-copy clone preserves content, layout and file " +
+      "names; older-version clones rebuild blooms soundly") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    def st(d: org.apache.spark.sql.DataFrame) =
+      d.select($"k1", $"f1").as[(Long, String)].collect().toSet
+    t.append(Seq((1L, "a1"), (2L, "b1")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    t.merge(staged(Seq((1L, Some("a2"), 10L, 1), (3L, Some("c"), 11L, 2))))
+    val v1 = t.currentVersion - 1
+    // current-version clone: identical rows, identical FILE NAMES (a
+    // byte copy, not a rewrite), blooms copied and working
+    val c = t.cloneToFast(tmpRoot())
+    assert(st(c.read()) == st(t.read()))
+    assert(c.read().inputFiles.map(_.split('/').takeRight(2).mkString("/")).sorted
+      .sameElements(t.read().inputFiles.map(_.split('/').takeRight(2).mkString("/")).sorted),
+      "byte-copy clone must keep the source's exact file layout")
+    c.insertNewOnly(Seq((1L, "dupe")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    assert(c.read().count() == t.read().count(), "copied bloom missed a key")
+    // clones are independent: mutating the clone leaves the source alone
+    c.deleteWhere($"k1" === 2L)
+    assert(st(t.read()).exists(_._1 == 2L))
+    // OLDER-version clone: content as of v1, blooms rebuilt exactly
+    // (key k1=3 didn't exist at v1; k1=1 held a1)
+    val old = t.cloneToFast(tmpRoot(), v1)
+    assert(st(old.read()) == Set((1L, "a1"), (2L, "b1")))
+    old.insertNewOnly(Seq((1L, "dupe")).toDF("k1", "f1")
+      .withColumn("partitionTime", ts(1)))
+    assert(old.read().count() == 2, "rebuilt bloom missed an as-of key")
+    // refusing a non-empty destination
+    intercept[IllegalArgumentException](t.cloneToFast(c.root))
+  }
+
   test("restore: reverts live state as a new commit, history preserved") {
     val root = tmpRoot()
     val t = mkTable(root)

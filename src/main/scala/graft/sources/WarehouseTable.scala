@@ -3025,7 +3025,7 @@ final class WarehouseTable private (
     val located = locateAsOf(v, manifest)
     val destFs = new Path(destRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    located.foreach { case (base, d, files) =>
+    try located.foreach { case (base, d, files) =>
       val destDir = new Path(s"$destRoot/data/$partitionCol=$d")
       destFs.mkdirs(destDir)
       files.foreach { f =>
@@ -3034,6 +3034,13 @@ final class WarehouseTable private (
           destFs, new Path(destDir, f),
           false, spark.sparkContext.hadoopConfiguration)
       }
+    } catch {
+      // a concurrent swap/vacuum moved a resolved file mid-copy: the
+      // protocol's retryable abort, same contract as a stale read plan
+      case e: java.io.FileNotFoundException =>
+        throw new java.util.ConcurrentModificationException(
+          "a concurrent swap archived files under this clone — " +
+            s"re-run against the current table state: ${e.getMessage}")
     }
     if (manifest.nonEmpty)
       dest.commitSnapshot("clone", manifest, dest.currentVersion + 1)

@@ -564,10 +564,17 @@ final class WarehouseTable private (
           .groupBy(col(partitionCol).cast("string").as("d"))
           .agg(bloomAggColumn.as("bloom")).collect()
           .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
-      upsertBlooms(dayBlooms, preExisting, readBase + 1)
+      // pre-commit stamp is readBase, NOT the predicted readBase+1 (r12
+      // advisor): the commit may re-sequence higher (stamp would
+      // understate coverage) or abort while another writer's
+      // key-deleting commit lands at exactly readBase+1 (stamp would
+      // hide its tightness loss). readBase never overstates; the
+      // restamp below bumps it to the version actually finalized.
+      upsertBlooms(dayBlooms, preExisting, readBase)
       if (myFiles.nonEmpty) {
-        try commitSnapshot("append", myFiles, readBase + 1)
-        catch {
+        val committedV =
+          try commitSnapshot("append", myFiles, readBase + 1)
+          catch {
           case e: WarehouseTable.CommitIndeterminateException =>
             // the finalized manifest may be live (CURRENT unreadable
             // mid-failure): deleting the landed files could orphan a
@@ -584,6 +591,7 @@ final class WarehouseTable private (
             releaseLandingMarker(landing)
             throw e
         }
+        restampBlooms(myFiles.keys.toSeq.sorted, committedV, readBase)
       }
       releaseLandingMarker(landing)
       expireOldPartitions()
@@ -720,11 +728,14 @@ final class WarehouseTable private (
       dirName.stripPrefix(s"$partitionCol=") -> names
     }.filter(_._2.nonEmpty).toMap
     fs.delete(stagingPath, true)
-    upsertBlooms(dayBlooms, preExisting, readBase + 1)
+    // stamp discipline as in [[append]]: readBase pre-commit, actual
+    // finalized version after
+    upsertBlooms(dayBlooms, preExisting, readBase)
     if (myFiles.nonEmpty) {
-      try commitSnapshot("append-batch", myFiles, readBase + 1,
-        Some(s"$tag:${System.currentTimeMillis()}"))
-      catch {
+      val committedV =
+        try commitSnapshot("append-batch", myFiles, readBase + 1,
+          Some(s"$tag:${System.currentTimeMillis()}"))
+        catch {
         case e: WarehouseTable.CommitIndeterminateException =>
           // manifest possibly published (see [[append]]): never delete
           // the landed files; the landing marker protects them
@@ -738,6 +749,7 @@ final class WarehouseTable private (
           releaseLandingMarker(landing)
           throw e
       }
+      restampBlooms(myFiles.keys.toSeq.sorted, committedV, readBase)
     }
     releaseLandingMarker(landing)
     // durable only AFTER the snapshot committed: a crash anywhere above
@@ -993,8 +1005,8 @@ final class WarehouseTable private (
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           snap.add(partitionCol, "string"))
-      else conformToSchema(spark.read.schema(snap)
-        .option("basePath", dataPath).parquet(matchedPaths: _*), snap)
+      else guardStaleRead(conformToSchema(spark.read.schema(snap)
+        .option("basePath", dataPath).parquet(matchedPaths: _*), snap))
     val survivors = destMatched.as("d")
       .join(broadcast(srcKeys.as("s")), keyCond, "left_anti")
     val updCond = keyFields.map(f => col(s"m.$f") === col(s"s.key.$f")).reduce(_ && _)
@@ -1169,8 +1181,8 @@ final class WarehouseTable private (
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               snap.add(partitionCol, "string"))
-          else conformToSchema(spark.read.schema(snap)
-            .option("basePath", dataPath).parquet(matchedPaths: _*), snap)
+          else guardStaleRead(conformToSchema(spark.read.schema(snap)
+            .option("basePath", dataPath).parquet(matchedPaths: _*), snap))
         val survivors = destMatched.as("d")
           .join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
         val merged = survivors.unionByName(inserts)
@@ -1400,8 +1412,13 @@ final class WarehouseTable private (
   }
 
   /** Re-stamp existing day blooms to `stamp` without changing content —
-    * for committed ops that provably do not change a day's key set
-    * (updateWhere: keys are unassignable). Bumps ONLY blooms already
+    * for committed ops whose key effect the content ALREADY covers:
+    * updateWhere (keys are unassignable) and the append paths, which
+    * merge their keys in pre-commit at stamp readBase and bump to the
+    * version [[commitSnapshot]] actually finalized once it returns
+    * (never the predicted readBase+1 — a re-sequenced commit would be
+    * understated and an aborted one could mask a concurrent
+    * key-deleting commit at that version). Bumps ONLY blooms already
     * current through the op's read base (`oldStamp >= readBase`): a
     * bloom that had fallen behind (a prior DELETE left it a superset)
     * keeps its old stamp, so the health staleness count keeps
@@ -1416,7 +1433,9 @@ final class WarehouseTable private (
     days.foreach { d =>
       val p = new Path(s"$bloomDir/$d.bloom")
       WarehouseTable.readStampedBloom(fs, p).foreach { case (old, b) =>
-        if (old >= readBase) writeBloomFile(p, stamp, b.writeTo(_))
+        // old < stamp: never overwrite a bloom a newer committed op
+        // already stamped (its content may be tighter than this read)
+        if (old >= readBase && old < stamp) writeBloomFile(p, stamp, b.writeTo(_))
       }
     }
 
@@ -1568,28 +1587,33 @@ final class WarehouseTable private (
         try Option(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
         catch { case scala.util.control.NonFatal(_) => None }
       val hadLegacy = fs.exists(new Path(s"$legacyBloomDir/$d.bloom"))
-      val merged: Option[BloomFilter] = batch.flatMap { b =>
+      // a merge keeps min(existing stamp, requested stamp): merging an
+      // append's keys into a bloom a DELETE left behind does not repair
+      // that tightness loss, so the written stamp must not claim
+      // coverage the content lacks — [[describeHealth]]'s staleness
+      // column keeps counting until an exact rebuild heals the day
+      val merged: Option[(BloomFilter, Long)] = batch.flatMap { b =>
         if (!preExisting.contains(d)) {
           // fresh partition: batch IS the keyset — unless a CONCURRENT
           // append to the same fresh day already wrote its bloom, in
           // which case overwriting would drop that writer's keys
           // (under-approximation = probe misses = duplicate keys);
           // union with it instead, rebuild if the union can't be formed
-          if (!fs.exists(p)) Some(b)
-          else WarehouseTable.readVersionedBloom(fs, p).flatMap { other =>
-            try { other.mergeInPlace(b); Some(other) }
+          if (!fs.exists(p)) Some((b, stamp))
+          else WarehouseTable.readStampedBloom(fs, p).flatMap { case (os, other) =>
+            try { other.mergeInPlace(b); Some((other, math.min(os, stamp))) }
             catch { case scala.util.control.NonFatal(_) => None }
           }
         }
         else if (hadLegacy) None // legacy-era partition: rebuild + retire
-        else WarehouseTable.readVersionedBloom(fs, p).flatMap { old =>
-          try { old.mergeInPlace(b); Some(old) }
+        else WarehouseTable.readStampedBloom(fs, p).flatMap { case (os, old) =>
+          try { old.mergeInPlace(b); Some((old, math.min(os, stamp))) }
           catch { case scala.util.control.NonFatal(_) => None }
         }
       }
       merged match {
-        case Some(b) =>
-          writeBloomFile(p, stamp, b.writeTo(_))
+        case Some((b, st)) =>
+          writeBloomFile(p, st, b.writeTo(_))
           None
         case None => Some(d)
       }
@@ -1798,8 +1822,13 @@ final class WarehouseTable private (
     val days = smallByDay.keys.toSeq.sorted
     val smallPaths = days.flatMap(d =>
       smallByDay(d).map(n => s"$dataPath/$partitionCol=$d/$n"))
-    val source = conformToSchema(spark.read.schema(snap)
-      .option("basePath", dataPath).parquet(smallPaths: _*), snap)
+    // guardStaleRead at CONSTRUCTION too (not only the staged write):
+    // DataSource resolution checks path existence eagerly, so a swap
+    // archiving a matched file between the listing and this line must
+    // surface as the protocol's typed retryable CME, not a raw
+    // AnalysisException (readCommitted's contract)
+    val source = guardStaleRead(conformToSchema(spark.read.schema(snap)
+      .option("basePath", dataPath).parquet(smallPaths: _*), snap))
     val staging = s"$root/.compact-${UUID.randomUUID().toString.take(8)}"
     // clusteredWrite day-aligns and consolidates on its own (rebalance
     // hint / range repartition): small days collapse to one file
@@ -1895,9 +1924,9 @@ final class WarehouseTable private (
     // the rewrite reads ONLY the matched files
     val matchedPaths = days.flatMap(d =>
       replaced(d).map(f => s"$dataPath/$partitionCol=$d/$f"))
-    val source = conformToSchema(
+    val source = guardStaleRead(conformToSchema(
       spark.read.schema(snap).option("basePath", dataPath)
-        .parquet(matchedPaths: _*), snap)
+        .parquet(matchedPaths: _*), snap))
     val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
     guardStaleRead(clusteredWrite(rewrite(source)).write
       .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
@@ -2102,7 +2131,12 @@ final class WarehouseTable private (
       // an empty `names` list is a pure-addition day (a merge inserting
       // into — or creating — a day with no matched files): the marker
       // still journals it, so crash recovery knows to sweep the
-      // renamed-in additions and restore nothing
+      // renamed-in additions and restore nothing. The live-file journal
+      // goes FIRST (see [[WarehouseTable.LiveSwapJournal]]): recovery
+      // keys on the marker, so marker-present implies journal-complete
+      writeMetaString(spark,
+        new Path(archDayDir, WarehouseTable.LiveSwapJournal).toString,
+        listDayFiles(liveDir).mkString("\n"))
       writeMetaString(spark,
         new Path(archDayDir, WarehouseTable.PartialSwapMarker).toString,
         names.mkString("\n"))
@@ -2451,12 +2485,22 @@ final class WarehouseTable private (
       if (fs.exists(new Path(arch, WarehouseTable.PartialSwapMarker))) {
         // FILE-granular swap ([[swapFilesGranular]]): only the archived
         // files left the live dir; the rest of the generation never
-        // moved. Roll back by deleting live files NOT in the base
-        // manifest (the torn new generation — plus any concurrent
-        // append's uncommitted files, which abort on the rolled-back
-        // overlap exactly like the whole-day path) and moving the
-        // archived files back.
-        val known = baseManifest.getOrElse(d, Seq.empty).toSet
+        // moved. Roll back by deleting live files NOT known pre-swap
+        // (the torn new generation — plus any concurrent append's
+        // uncommitted files, which abort on the rolled-back overlap
+        // exactly like the whole-day path) and moving the archived
+        // files back. "Known" comes from the swap's own pre-rename
+        // live-file journal ([[WarehouseTable.LiveSwapJournal]]) —
+        // exact on EVERY table shape, including a legacy pre-snapshot
+        // table where manifestBase degenerates to a post-tear listing;
+        // the manifest base remains only as the fallback for archives
+        // written before the journal existed.
+        val journal = new Path(arch, WarehouseTable.LiveSwapJournal)
+        val known: Set[String] =
+          if (fs.exists(journal))
+            readMetaString(spark, journal.toString).linesIterator
+              .filter(_.nonEmpty).toSet
+          else baseManifest.getOrElse(d, Seq.empty).toSet
         if (fs.exists(live))
           fs.listStatus(live).toSeq.filter { st =>
             val n = st.getPath.getName
@@ -2566,16 +2610,21 @@ final class WarehouseTable private (
     * landed files and rethrows). CURRENT only ever advances.
     */
   private[sources] def commitSnapshot(op: String, myFiles: Map[String, Seq[String]],
-      version: Long, batchTag: Option[String] = None): Unit = {
+      version: Long, batchTag: Option[String] = None): Long = {
     val touched = myFiles.keys.toSeq.sorted
     @annotation.tailrec
     def attempt(v: Long, prev: Map[String, Seq[String]],
-        prevBatches: Seq[String]): Unit = {
+        prevBatches: Seq[String]): Long = {
       val updated = myFiles.foldLeft(prev) { case (m, (d, names)) =>
         m.updated(d, (m.getOrElse(d, Seq.empty) ++ names).distinct)
       }
       val batches = batchTag
         .fold(prevBatches)(t => pruneBatchTags(prevBatches, t) :+ t)
+      // captured BEFORE the manifest write: the stale-slot guard below
+      // positively confirms a vacuumed slot by finding a retained
+      // finalized successor manifest whose commit time PRECEDES this
+      // write — such a successor cannot have rebased on ours
+      val writeStart = System.currentTimeMillis()
       if (tryWriteNewMetaString(spark, s"$snapDir/v$v.list",
           renderManifest(op, touched, updated, batches))) {
         // The manifest just written is DURABLE, so every failure below
@@ -2617,6 +2666,37 @@ final class WarehouseTable private (
             } catch { case io: java.io.IOException =>
               indeterminate(s"chain manifest v$cur unreadable", io) }
           if (!inChain) {
+            // v <= cur with our files absent from the chain still
+            // admits a THIRD history (r12 advisor): a successor append
+            // rebased on our manifest (publishing it) during a long
+            // stall in this window, and a later swap legitimately
+            // rewrote our files — deleting v.list then would orphan a
+            // PUBLISHED version (readAsOf(v) breaks, an untagged retry
+            // duplicates rows). Only a POSITIVELY confirmed vacuumed
+            // slot may delete: the oldest retained finalized manifest
+            // in (v, cur] committed BEFORE our write proves versions
+            // through it were spent before us, so nothing ever rebased
+            // on our manifest. No such witness (all vacuumed, or the
+            // oldest postdates our write) ⇒ indeterminate — the caller
+            // keeps its landed files for the operator.
+            val confirmedVacuumed =
+              try {
+                val retained = fs.listStatus(new Path(snapDir)).toSeq
+                  .map(_.getPath.getName)
+                  .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+                    n.stripPrefix("v").stripSuffix(".list").toLong }
+                  .filter(w => w > v && w <= cur).sorted
+                retained.iterator.map(w => commitMeta(w))
+                  .find(m => !isPendingOp(m._1))
+                  .exists(m => m._2 > 0L && m._2 < writeStart)
+              } catch { case io: java.io.IOException =>
+                indeterminate("stale-slot history unreadable", io) }
+            if (!confirmedVacuumed)
+              indeterminate(
+                s"manifest v$v is off-chain at CURRENT=$cur but no " +
+                  "retained successor predates this write — " +
+                  "published-through-successor cannot be ruled out",
+                null)
             try { fs.delete(new Path(s"$snapDir/v$v.list"), false); () }
             catch { case io: java.io.IOException =>
               indeterminate("stale-slot manifest could not be removed", io) }
@@ -2647,6 +2727,7 @@ final class WarehouseTable private (
             }
           }
         }
+        v
       } else {
         val (theirOp, theirTs, theirDays) = commitMeta(v)
         if (isPendingOp(theirOp) && isStaleClaim(theirTs)) {
@@ -2922,6 +3003,65 @@ final class WarehouseTable private (
         .parquet(entries.flatMap { case (_, d, files) =>
           files.map(f => s"$base/$partitionCol=$d/$f") }: _*))
     }.reduce(_ unionByName _)
+
+  /** Physical file groups for the `graft` DataSource connector
+    * ([[GraftFileIndex]]): (day token → FileStatuses) resolved at
+    * `version` (None = the CURRENT snapshot, pinned now). Exactly the
+    * [[readAsOf]]/[[readCommitted]] semantics re-expressed as a file
+    * listing the stock file-source planner can consume: committed
+    * manifest files only (a concurrent writer's landed-but-uncommitted
+    * files are invisible), per-file archive resolution for historical
+    * versions, and the legacy pre-snapshot listing fallback. One
+    * `listStatus` per (generation dir, day) location group — O(days),
+    * never O(files), in driver round trips.
+    */
+  private[sources] def connectorFileGroups(
+      version: Option[Long]): Seq[(String, Seq[org.apache.hadoop.fs.FileStatus])] = {
+    val cur = currentVersion
+    version.foreach(v => require(v >= 1 && v <= cur,
+      s"version $v not in available range 1..$cur"))
+    if (cur == 0L) {
+      // CURRENT=0: a created snapshot-enabled table's committed state
+      // is EMPTY; no CURRENT at all: legacy pre-snapshot dir, listing
+      // is the source of truth (single-writer by assumption)
+      if (fs.exists(new Path(s"$snapDir/CURRENT"))) return Seq.empty
+      return listDays().sorted.map { d =>
+        val dir = new Path(s"$dataPath/$partitionCol=$d")
+        d -> fs.listStatus(dir).toSeq.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      }
+    }
+    val v = version.getOrElse(cur)
+    if (v != cur) {
+      if (!fs.exists(new Path(s"$snapDir/v$v.list")))
+        throw new IllegalStateException(
+          s"snapshot v$v has been vacuumed (available: " +
+            s"${history().map(_._1).sorted.mkString(",")})")
+      require(!isPendingOp(commitMeta(v)._1),
+        s"snapshot v$v is an unfinalized concurrent claim")
+    }
+    val manifest = readManifest(v)
+    if (manifest.isEmpty) return Seq.empty
+    locateAsOf(v, manifest).groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (d, grps) =>
+        d -> grps.flatMap { case (base, _, names) =>
+          val wanted = names.toSet
+          fs.listStatus(new Path(s"$base/$partitionCol=$d")).toSeq
+            .filter(st => st.isFile && wanted.contains(st.getPath.getName))
+        }
+    }
+  }
+
+  /** Columns with an on-disk zone-map sidecar cache — the set the
+    * connector's planner-side data skipping is allowed to consult
+    * (never triggering a first build).
+    */
+  private[sources] def zoneMapColumnsOnDisk: Seq[String] = {
+    val p = new Path(zoneMapDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+  }
 
   /** Restore the LIVE table to snapshot `version` as a NEW commit
     * (Delta/Iceberg RESTORE analog, BigQuery's snapshot-recovery copy):
@@ -3463,6 +3603,20 @@ object WarehouseTable {
     * data-file listing ignores it.
     */
   private[sources] val PartialSwapMarker: String = "_partial"
+
+  /** Pre-swap live-file journal a [[swapFilesGranular]] day archive
+    * carries NEXT TO its [[PartialSwapMarker]]: the exact file names
+    * live in the day the instant before the swap's first rename.
+    * Crash recovery rolls back from THIS list, never from
+    * `manifestBase` — on a legacy pre-snapshot table (no CURRENT)
+    * manifestBase falls back to a live-dir listing taken AFTER the
+    * torn renames, which would count the torn new-generation files as
+    * known and resurrect the archived originals alongside their
+    * rewrites (row duplication; round-12 advisor finding). Written
+    * BEFORE the marker, so a marker's presence guarantees the journal
+    * is complete.
+    */
+  private[sources] val LiveSwapJournal: String = "_prelive"
 
   /** Ceiling on a bloom file's size; anything larger is corrupt by
     * construction (the largest bloom we ever write is ~1.2 MB per 1 M

@@ -38,9 +38,20 @@ object Scale10x {
   val Copies = 10
 
   private val letters = "abcdefghijklmnopqrstuvwxyz"
+  private val digits = "0123456789"
+
+  /** Full substitution alphabet: lower, UPPER, and digits all rotate —
+    * an uppercase- or number-heavy document must scramble across copies
+    * too, or its shingles stay cross-copy-equal and the dedup/LSH
+    * headlines regain the quadratic candidate pairs this transform is
+    * documented to suppress (round-12 advisor finding).
+    */
+  private val alphabet = letters + letters.toUpperCase + digits
 
   private def rotated(c: Int): String =
-    letters.drop(c % 26) + letters.take(c % 26)
+    letters.drop(c % 26) + letters.take(c % 26) +
+      (letters.drop(c % 26) + letters.take(c % 26)).toUpperCase +
+      digits.drop(c % 10) + digits.take(c % 10)
 
   /** Per-copy transforms; copy 0 is the identity so the original corpus
     * is a subset of the scaled one.
@@ -70,7 +81,7 @@ object Scale10x {
         if (c == 0) df
         else df
           .withColumn("doc_id", col("doc_id") + k * 100000000L)
-          .withColumn("text", translate(col("text"), letters, rotated(c)))
+          .withColumn("text", translate(col("text"), alphabet, rotated(c)))
       case "embeddings" =>
         if (c == 0) df
         else df

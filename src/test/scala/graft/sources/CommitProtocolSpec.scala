@@ -406,4 +406,85 @@ class CommitProtocolSpec extends AnyFunSuite {
       "aged DML staging dir survived vacuum")
     assert(t.read().count() == 2)
   }
+
+  // ---- 6. round-12 advisor: legacy-table file-granular crash recovery ----
+
+  test("LEGACY pre-snapshot table: a file-granular DML crash between swap and " +
+      "finalize rolls back exactly — no resurrected originals next to rewrites") {
+    val root = tmpRoot()
+    val seed = mkTable(root)
+    (1 to 4).foreach(i => seed.append(batch(Seq(i.toLong -> s"v$i"))))
+    // adopt-as-legacy: wipe the snapshot machinery entirely (a
+    // pre-snapshot directory opened in place — currentVersion == 0,
+    // no CURRENT, manifestBase degenerates to a live-dir listing)
+    fs(root).delete(path(s"$root/_graft/snapshots"), true)
+    val t = WarehouseTable.open(spark, root)
+    assert(t.currentVersion == 0L)
+    val day = "2024-01-01"
+    val liveBefore = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    val fname = t.read().where($"k1" === 2L)
+      .select(input_file_name()).head.getString(0).split('/').last
+    // stage the rewrite of the one matched file, claim v1, swap — CRASH
+    // before finalizeCommit. The pre-r13 rollback computed "known"
+    // from manifestBase(v), which with no CURRENT lists the live dir
+    // AFTER the torn renames: the torn rewrite read as known, nothing
+    // was deleted, and the archived original came back NEXT TO it —
+    // duplicated rows. The _prelive journal makes the rollback exact.
+    val staging = s"$root/.merge-legacycrash"
+    Seq((2L, "upd")).toDF("k1", "f1").withColumn("_pday", lit(day))
+      .write.partitionBy("_pday").parquet(staging)
+    val v = t.claimCommit("update-where", Seq(day), 1L)
+    t.swapFilesGranular(staging, Map(day -> Seq(fname)), v)
+    // age the claim; the next claim triggers recovery and aborts on the
+    // overlapping rolled-back day
+    val claimPath = java.nio.file.Paths.get(s"$root/_graft/snapshots/v$v.list")
+    val aged = new String(java.nio.file.Files.readAllBytes(claimPath), "UTF-8")
+      .replaceFirst("\\t\\d+\\t",
+        "\t" + (System.currentTimeMillis() - 20L * 60 * 1000) + "\t")
+    java.nio.file.Files.write(claimPath, aged.getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.claimCommit("compact", Seq(day), v)
+    }
+    val liveAfter = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    assert(liveAfter == liveBefore,
+      s"legacy rollback not exact: $liveAfter vs $liveBefore")
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect()
+    assert(rows.length == 4, s"duplicated rows after legacy rollback: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+    // replay converges
+    t.updateWhere($"k1" === 2L, Map("f1" -> lit("upd")))
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(1L -> "v1", 2L -> "upd", 3L -> "v3", 4L -> "v4"))
+  }
+
+  // ---- 7. round-12 advisor: off-chain stale slot must be POSITIVELY
+  //      confirmed vacuumed before deletion ----
+
+  test("commitSnapshot on an off-chain slot with no predating successor is " +
+      "INDETERMINATE — the manifest is kept, never deleted as a zombie") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a")))
+    t.append(batch(Seq(2L -> "b")))
+    t.append(batch(Seq(3L -> "c")))
+    // simulate the third history's observable state: slot 2 free, but
+    // every retained successor in (2, CURRENT] commits AFTER the
+    // straggler's manifest write (a successor could have rebased on it
+    // and a later swap rewritten the files) — re-date v3 to the future
+    fs(root).delete(path(s"$root/_graft/snapshots/v2.list"), false)
+    val v3 = java.nio.file.Paths.get(s"$root/_graft/snapshots/v3.list")
+    val future = new String(java.nio.file.Files.readAllBytes(v3), "UTF-8")
+      .replaceFirst("\\t\\d+\\t",
+        "\t" + (System.currentTimeMillis() + 60L * 60 * 1000) + "\t")
+    java.nio.file.Files.write(v3, future.getBytes("UTF-8"))
+    intercept[WarehouseTable.CommitIndeterminateException] {
+      t.commitSnapshot("append", Map("2024-01-01" -> Seq("maybe.parquet")), 2L)
+    }
+    // the possibly-published manifest must survive for the operator
+    assert(fs(root).exists(path(s"$root/_graft/snapshots/v2.list")),
+      "indeterminate off-chain manifest was deleted")
+    assert(t.currentVersion == 3L)
+  }
 }

@@ -121,7 +121,13 @@ object WarehouseQueries extends QueryPack {
         val total = t.listDays().size
         val cand = t.rangeCandidateDays("event_id", 100L, 299L).size
         require(cand < total, s"zone maps pruned nothing: $cand of $total days")
-        t.readRange("event_id", 100L, 299L)
+        // read through the `graft` connector: the pushed BETWEEN range
+        // hits the SAME zone-map sidecars inside GraftFileIndex (the
+        // rangeCandidateDays call above built them), so the day
+        // skipping is now implicit in any tool's pushed predicate —
+        // GraftDataSourceSpec + PlanAuditSpec pin the scan count
+        s.read.format("graft").load(root)
+          .where(col("event_id").between(100L, 299L))
           .select(col("event_id"), col("event_type"), col("value"),
             col("_pday").cast("string").as("pday"))
       },
@@ -210,8 +216,12 @@ object WarehouseQueries extends QueryPack {
             col("partitionTime"))
         t.append(d0)
         t.merge(all.where(col("i") >= Split))
-        t.readAsOf(1).select(col("k"), col("v_type"), col("v_amount"),
-          col("_pday").cast("string").as("pday"))
+        // time travel through the `graft` connector (versionAsOf): the
+        // same per-file archive resolution as readAsOf, consumable
+        // from plain spark.read/SQL — oracle rows unchanged
+        s.read.format("graft").option("versionAsOf", "1").load(root)
+          .select(col("k"), col("v_type"), col("v_amount"),
+            col("_pday").cast("string").as("pday"))
       },
       oracle = Some(stagedD0Cte +
         "\nSELECT k, v_type, v_amount, pday FROM d0")),

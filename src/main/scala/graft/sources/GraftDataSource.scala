@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("graft")` — the warehouse consumable by standard
+  * tools: plain `spark.sql`, temp views (`CREATE TEMPORARY VIEW ...
+  * USING graft OPTIONS (path '...')`), and any BI layer that speaks the
+  * DataFrame API, with snapshot isolation, time travel
+  * (`option("versionAsOf", v)` / `option("timestampAsOf", ms)`),
+  * manifest-exact file listing, partition pruning, and zone-map file
+  * skipping — no [[WarehouseTable]] programmatic API needed.
+  *
+  * == Architecture: custom FileIndex, native parquet execution ==
+  *
+  * The connector is a [[RelationProvider]] returning a
+  * [[HadoopFsRelation]] over [[GraftFileIndex]] — the table-format
+  * architecture Delta Lake ships (a FileIndex resolving the
+  * transaction log, wrapped over the builtin parquet format) rather
+  * than a hand-rolled DSv2 `PartitionReaderFactory`. The payoff is the
+  * whole native read path for free: vectorized parquet decoding,
+  * whole-stage codegen, filter pushdown to row groups, and column
+  * pruning all appear in `.explain` exactly as for a plain parquet
+  * scan (`PushedFilters`, `PartitionFilters`, `ReadSchema`), while the
+  * FileIndex substitutes the COMMITTED manifest for directory listing:
+  *
+  *  - only snapshot-committed files enter the scan — a concurrent
+  *    writer's landed-but-uncommitted files are invisible, exactly as
+  *    in [[WarehouseTable.readCommitted]];
+  *  - `versionAsOf` resolves each historical file to the archive
+  *    generation that holds it (the [[WarehouseTable.locateAsOf]]
+  *    per-file resolution — file-granular DML archives only replaced
+  *    files, so one day's as-of generation can span archive dirs and
+  *    the live dir);
+  *  - partition filters on the partition column prune whole days
+  *    driver-side before any split planning;
+  *  - data filters prune days through the lazy zone-map sidecars
+  *    (current-version reads, columns whose map cache exists) — the
+  *    same skipping [[WarehouseTable.readRange]] does, now implicit in
+  *    any pushed range predicate.
+  *
+  * == 100 TB design ==
+  *
+  * Listing is O(touched location groups), not O(files): one
+  * `listStatus` per (generation dir, day). `sizeInBytes` reports the
+  * resolved snapshot's true byte size so the optimizer's broadcast
+  * decisions see the post-pruning table, and all split planning
+  * (`maxPartitionBytes` packing, vectorized batches) is the stock file
+  *-source path that already scales to thousand-executor clusters.
+  *
+  * The partition column is served as STRING holding the exact
+  * directory token (`2024-01-01`, or `2024-01-01-08` under HOUR
+  * granularity) — granularity-agnostic and stable, where directory
+  * inference would flip between DATE and STRING by granularity.
+  *
+  * Snapshot isolation: the version is pinned and its files resolved
+  * when the relation is created; a concurrent swap surfaces as the
+  * documented transient FAILED_READ (retry re-resolves), never a mixed
+  * read. Reference analog: the always-consistent reads BigQuery gives
+  * its users over the sink's tables for free
+  * (`BigQuerySinkTask.java`'s output is queried, not re-listed).
+  */
+class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft: 'path' (the warehouse table root) is required — " +
+        "spark.read.format(\"graft\").load(\"/table/root\")"))
+    val spark = sqlContext.sparkSession
+    val table = WarehouseTable.open(spark, path)
+    require(!(ci.contains("versionasof") && ci.contains("timestampasof")),
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    val version: Option[Long] = ci.get("versionasof").map { v =>
+      v.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"graft: versionAsOf must be a snapshot version number, got '$v'"))
+    }.orElse(ci.get("timestampasof").map(t => resolveTimestamp(table, t)))
+    val index = new GraftFileIndex(spark, table, version)
+    HadoopFsRelation(index, index.partitionSchema, table.schema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+  }
+
+  /** `timestampAsOf` accepts epoch millis or `yyyy-MM-dd[ HH:mm:ss]`,
+    * resolved to the newest snapshot committed at or before it (the
+    * [[WarehouseTable.readAsOfTime]] rule).
+    */
+  private def resolveTimestamp(table: WarehouseTable, raw: String): Long = {
+    val t = raw.trim
+    val ms = t.toLongOption.getOrElse {
+      val full = if (t.length == 10) s"$t 00:00:00" else t
+      try java.sql.Timestamp.valueOf(full).getTime
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"graft: timestampAsOf must be epoch millis or " +
+            s"'yyyy-MM-dd[ HH:mm:ss]', got '$raw'")
+      }
+    }
+    table.history().filter(_._3 <= ms).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: no snapshot committed at or before $raw"))
+  }
+}
+
+/** Manifest-backed [[FileIndex]]: the committed snapshot's (or an
+  * as-of version's) physical files, resolved once at construction
+  * (snapshot isolation), served to the stock file-source planner with
+  * day-level partition pruning and zone-map data skipping.
+  */
+class GraftFileIndex(spark: SparkSession, table: WarehouseTable,
+    versionAsOf: Option[Long]) extends FileIndex {
+
+  /** day token → that day's as-of files (possibly spanning archive
+    * generations and the live dir under file-granular DML history).
+    */
+  @volatile private var groups: Seq[(String, Seq[FileStatus])] =
+    table.connectorFileGroups(versionAsOf)
+
+  override val rootPaths: Seq[Path] = Seq(new Path(table.root))
+
+  override val partitionSchema: StructType =
+    StructType(Seq(StructField(table.partitionCol, StringType, nullable = true)))
+
+  override def refresh(): Unit = {
+    groups = table.connectorFileGroups(versionAsOf)
+  }
+
+  override def sizeInBytes: Long =
+    groups.iterator.flatMap(_._2).map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    groups.flatMap(_._2).map(_.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // day pruning from the partition filters — the
+    // PartitioningAwareFileIndex.prunePartitions binding pattern
+    // (Spark's own evaluation of partition predicates driver-side)
+    val afterPartition =
+      if (partitionFilters.isEmpty) groups
+      else {
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(And).transform {
+            case a: AttributeReference if a.name == table.partitionCol =>
+              BoundReference(0, StringType, nullable = true)
+          })
+        bound.initialize(0)
+        groups.filter { case (d, _) =>
+          bound.eval(InternalRow(UTF8String.fromString(d)))
+        }
+      }
+    // zone-map day skipping from the pushed data filters: only for
+    // current-version reads (the map fingerprints describe LIVE file
+    // sets) and only over columns whose sidecar cache already exists —
+    // the planner must never launch a first-build stats scan of a
+    // 100 TB column as a side effect of planning a query
+    val skipped = zoneSkippedDays(dataFilters,
+      afterPartition.map(_._1).toSet)
+    afterPartition.filterNot(g => skipped.contains(g._1)).map {
+      case (d, files) =>
+        PartitionDirectory(
+          InternalRow(UTF8String.fromString(d)), files.toArray)
+    }
+  }
+
+  /** Days provably empty under some pushed conjunct, by the cached
+    * per-day (min, max, non-null) zone maps. Conservative: any parse
+    * failure, unsupported shape, or sidecar error keeps the day.
+    */
+  private def zoneSkippedDays(dataFilters: Seq[Expression],
+      days: Set[String]): Set[String] = {
+    if (versionAsOf.nonEmpty || dataFilters.isEmpty || days.isEmpty)
+      return Set.empty
+    val mapped = table.zoneMapColumnsOnDisk.toSet
+    if (mapped.isEmpty) return Set.empty
+    // (column, op, literal-as-string) for attr-vs-literal comparisons,
+    // normalized to attribute-on-the-left
+    val checks: Seq[(String, String, String)] = dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => litStr(l).map((a.name, "=", _))
+      case EqualTo(l: Literal, a: AttributeReference) => litStr(l).map((a.name, "=", _))
+      case GreaterThan(a: AttributeReference, l: Literal) => litStr(l).map((a.name, ">", _))
+      case GreaterThan(l: Literal, a: AttributeReference) => litStr(l).map((a.name, "<", _))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => litStr(l).map((a.name, ">=", _))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => litStr(l).map((a.name, "<=", _))
+      case LessThan(a: AttributeReference, l: Literal) => litStr(l).map((a.name, "<", _))
+      case LessThan(l: Literal, a: AttributeReference) => litStr(l).map((a.name, ">", _))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => litStr(l).map((a.name, "<=", _))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => litStr(l).map((a.name, ">=", _))
+      case _ => None
+    }.filter(c => mapped.contains(c._1))
+    if (checks.isEmpty) return Set.empty
+    val numericCols = table.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val maps = checks.map(_._1).distinct.flatMap { c =>
+      try Some(c -> table.dayZoneMaps(c))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+    days.filter { d =>
+      checks.exists { case (c, op, lit) =>
+        maps.get(c).flatMap(_.get(d)).exists { case (mn, mx, nn) =>
+          provablyEmpty(op, lit, mn, mx, nn, numericCols.contains(c))
+        }
+      }
+    }
+  }
+
+  private def litStr(l: Literal): Option[String] =
+    Option(l.value).map(_.toString)
+
+  private def provablyEmpty(op: String, lit: String, mn: Option[String],
+      mx: Option[String], nonNull: Long, numeric: Boolean): Boolean = {
+    if (nonNull == 0L) return true // all-null day never matches a comparison
+    (mn, mx) match {
+      case (Some(lo), Some(hi)) =>
+        try {
+          def cmp(a: String, b: String): Int =
+            if (numeric) BigDecimal(a).compare(BigDecimal(b))
+            else a.compareTo(b)
+          op match {
+            case "=" => cmp(lit, lo) < 0 || cmp(lit, hi) > 0
+            case ">" => cmp(hi, lit) <= 0
+            case ">=" => cmp(hi, lit) < 0
+            case "<" => cmp(lo, lit) >= 0
+            case "<=" => cmp(lo, lit) > 0
+            case _ => false
+          }
+        } catch { case _: NumberFormatException => false }
+      case _ => false
+    }
+  }
+}

@@ -1,0 +1,227 @@
+package graft
+
+import graft.sources.{GraftFileIndex, WarehouseTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** `spark.read.format("graft")` — the connector that makes the
+  * warehouse consumable by standard tools. Pins:
+  *
+  *  - current reads equal the programmatic [[WarehouseTable.read]]
+  *    (committed files only — uncommitted junk invisible);
+  *  - `versionAsOf` / `timestampAsOf` equal [[WarehouseTable.readAsOf]]
+  *    across merges that archived the replaced generations, including
+  *    a FILE-granular DML history where one day's as-of generation
+  *    spans an archive dir and the live dir;
+  *  - plain-SQL access through a temp view (`USING graft`);
+  *  - partition pruning, parquet filter/projection pushdown and
+  *    zone-map day skipping all engage through the stock file-source
+  *    planner (FileSourceScanExec metrics + explain audit — the 100 TB
+  *    scan-bounding proofs, now via the connector);
+  *  - the legacy pre-snapshot listing fallback.
+  */
+class GraftDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val destSchema = StructType(Seq(
+    StructField("k1", LongType),
+    StructField("f1", StringType)))
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-dsv").toString + "/tbl"
+
+  private def ts(day: Int) = to_timestamp(lit(f"2024-01-$day%02d 12:00:00"))
+
+  private def batch(rows: Seq[(Long, String)], day: Int): DataFrame =
+    rows.toDF("k1", "f1").withColumn("partitionTime", ts(day))
+
+  private def asPairs(df: DataFrame): Set[(Long, String, String)] =
+    df.select($"k1", $"f1", $"_pday".cast("string"))
+      .as[(Long, String, String)].collect().toSet
+
+  /** Seeded table: v1 = 2 days of appends, v2 = merge updating one key
+    * (archives the replaced generation of day 1).
+    */
+  private def seeded(): (String, WarehouseTable) = {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "a", 2L -> "b"), day = 1))
+    t.append(batch(Seq(3L -> "c"), day = 2))
+    t.merge(Seq((2L, Some("b2"), 10L, 1)).toDF("k", "v", "i", "day").select(
+      struct($"k".as("k1")).as("key"),
+      struct($"v".as("f1")).as("value"),
+      $"i".as("i"),
+      to_timestamp(lit("2024-01-01 13:00:00")).as("partitionTime")))
+    (root, t)
+  }
+
+  test("format(\"graft\") current read equals the programmatic read, " +
+      "and ignores landed-but-uncommitted files") {
+    val (root, t) = seeded()
+    val programmatic = asPairs(t.read())
+    // junk a concurrent writer landed but never committed — the
+    // connector's manifest-exact listing never sees it (the
+    // directory-based read() would choke on it, which is exactly why
+    // the manifest is the source of truth)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(
+      s"$root/data/_pday=2024-01-01/part-uncommitted.parquet")
+    val o = fs.create(junk); o.write("junk".getBytes("UTF-8")); o.close()
+    val viaConnector = spark.read.format("graft").load(root)
+    assert(asPairs(viaConnector) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b2", "2024-01-01"),
+        (3L, "c", "2024-01-02")))
+    assert(asPairs(viaConnector) == programmatic)
+    fs.delete(junk, false)
+  }
+
+  test("versionAsOf time travel equals readAsOf across an archived merge") {
+    val (root, t) = seeded()
+    val v1 = spark.read.format("graft").option("versionAsOf", "2").load(root)
+    assert(asPairs(v1) == asPairs(t.readAsOf(2)))
+    val pre = spark.read.format("graft").option("versionAsOf", "1").load(root)
+    assert(asPairs(pre) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01")))
+    assert(asPairs(pre) == asPairs(t.readAsOf(1)))
+  }
+
+  test("versionAsOf resolves a FILE-granular DML history: one day's as-of " +
+      "generation spans the archive and the live dir") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    (1 to 4).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val vBefore = t.currentVersion
+    // file-granular delete: ONLY the file holding k1=2 rewrites; the
+    // other three files of the day carry forward live
+    t.deleteWhere($"k1" === 2L)
+    val asOf = spark.read.format("graft")
+      .option("versionAsOf", vBefore.toString).load(root)
+    assert(asPairs(asOf) == (1 to 4).map(i =>
+      (i.toLong, s"v$i", "2024-01-01")).toSet)
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((1L, "v1", "2024-01-01"), (3L, "v3", "2024-01-01"),
+        (4L, "v4", "2024-01-01")))
+  }
+
+  test("timestampAsOf picks the newest snapshot at or before the instant") {
+    val (root, t) = seeded()
+    val commitTs = t.history().find(_._1 == 2L).get._3
+    val df = spark.read.format("graft")
+      .option("timestampAsOf", commitTs.toString).load(root)
+    assert(asPairs(df) == asPairs(t.readAsOf(2)))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "12").load(root)
+    }
+  }
+
+  test("plain SQL through a temp view (USING graft), with time travel") {
+    val (root, _) = seeded()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_cur USING graft " +
+      s"OPTIONS (path '$root')")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_v1 USING graft " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    assert(spark.sql("SELECT f1 FROM g_cur WHERE k1 = 2").as[String].head() == "b2")
+    assert(spark.sql("SELECT f1 FROM g_v1 WHERE k1 = 2").as[String].head() == "b")
+    assert(spark.sql("SELECT count(*) FROM g_cur").as[Long].head() == 3L)
+  }
+
+  test("partition pruning reaches the connector's file index: a _pday " +
+      "filter scans only that day's files") {
+    val (root, _) = seeded()
+    val df = spark.read.format("graft").load(root)
+      .where($"_pday" === "2024-01-02")
+    val (rows, totals) = ScanMetrics.selectedByQueries(spark) { df.collect() }
+    assert(rows.map(_.getLong(0)).toSet == Set(3L))
+    assert(totals.numFiles == 1L,
+      s"partition pruning did not bound the scan: ${totals.numFiles} files")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("_pday"),
+      s"no partition filter in the scan:\n$plan")
+  }
+
+  test("parquet filter + projection pushdown engage through the connector") {
+    val (root, _) = seeded()
+    val df = spark.read.format("graft").load(root)
+      .where($"k1" === 3L).select($"f1")
+    assert(df.as[String].collect().toSeq == Seq("c"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k1), EqualTo(k1,3)"),
+      s"no parquet pushdown through the connector:\n$plan")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("f1") && read.contains("k1") && !read.contains("junkcol"),
+      s"projection not pruned: $read")
+    assert(!plan.contains("rowcount"), "sanity")
+  }
+
+  test("zone-map day skipping: a pushed range predicate prunes days " +
+      "planner-side once the sidecar cache exists") {
+    val root = tmpRoot()
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    val t = WarehouseTable.create(spark, root, Seq("event_id"), evSchema)
+    // 4 days, ids time-correlated: day i holds [i*100, i*100+99]
+    (1 to 4).foreach { d =>
+      t.append((0 until 100).map(i => (d * 100L + i, s"t$d")).toDF(
+        "event_id", "event_type").withColumn("partitionTime", ts(d)))
+    }
+    val noCache = spark.read.format("graft").load(root)
+      .where($"event_id".between(150L, 199L))
+    val (_, cold) = ScanMetrics.selectedByQueries(spark) { noCache.collect() }
+    assert(cold.numFiles == 4L,
+      s"without a sidecar cache the planner must not prune: ${cold.numFiles}")
+    t.rangeCandidateDays("event_id", 0L, 0L) // builds + caches the maps
+    val warm = spark.read.format("graft").load(root)
+      .where($"event_id".between(150L, 199L))
+    val (rows, totals) = ScanMetrics.selectedByQueries(spark) { warm.collect() }
+    assert(rows.length == 50 && rows.map(_.getLong(0)).forall(id =>
+      id >= 150L && id <= 199L))
+    assert(totals.numFiles == 1L,
+      s"zone maps did not skip days through the connector: ${totals.numFiles}")
+  }
+
+  test("legacy pre-snapshot table reads through the directory-listing fallback") {
+    val root = tmpRoot()
+    val seed = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    seed.append(batch(Seq(1L -> "a", 2L -> "b"), day = 1))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/_graft/snapshots"), true)
+    val df = spark.read.format("graft").load(root)
+    assert(asPairs(df) == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01")))
+  }
+
+  test("index-level pruning unit: partition filters evaluate against day " +
+      "tokens; sizeInBytes reports the pinned snapshot") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val (root, t) = seeded()
+    val idx = new GraftFileIndex(spark, t, None)
+    val all = idx.listFiles(Nil, Nil)
+    assert(all.map(_.files.size).sum == idx.inputFiles.length)
+    val attr = AttributeReference("_pday", StringType)()
+    val pruned = idx.listFiles(Seq(EqualTo(attr,
+      Literal(UTF8String.fromString("2024-01-02"), StringType))), Nil)
+    assert(pruned.size == 1 && pruned.head.files.nonEmpty)
+    assert(idx.sizeInBytes ==
+      all.flatMap(_.files).map(_.getLen).sum && idx.sizeInBytes > 0)
+    // bad version rejected eagerly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "99").load(root)
+    }
+  }
+}

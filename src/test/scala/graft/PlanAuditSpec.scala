@@ -912,4 +912,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(mdScans <= 3,
       s"documents scanned $mdScans times — upstream re-execution is back:\n$plan")
   }
+
+  test("graft connector: partition pruning + parquet pushdown + projection " +
+      "pruning all engage through spark.read.format(\"graft\")") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("plan-graft")
+      .toString + "/tbl"
+    val t = graft.sources.WarehouseTable.create(spark, root, Seq("k"),
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))))
+    (1 to 3).foreach { d =>
+      t.append(Seq((d * 10L, s"d$d")).toDF("k", "v").withColumn(
+        "partitionTime", to_timestamp(lit(f"2024-02-$d%02d 08:00:00"))))
+    }
+    val df = spark.read.format("graft").load(root)
+      .where($"_pday" === "2024-02-02" && $"k" > 5L).select($"v")
+    val (rows, totals) = ScanMetrics.selectedByQueries(spark) { df.collect() }
+    assert(rows.map(_.getString(0)).toSeq == Seq("d2"))
+    // partition pruning bounded the scan to the one day's file — the
+    // connector's FileIndex, not a directory glob, decided the splits
+    assert(totals.numFiles == 1L,
+      s"connector partition pruning scanned ${totals.numFiles} files")
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters:") && plan.contains("_pday"),
+      s"no partition filter through the connector:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,5)"),
+      s"no parquet pushdown through the connector:\n$plan")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("k") && read.contains("v"),
+      s"read schema wrong: $read")
+    assert(plan.contains("*("), s"no codegen span over the connector scan:\n$plan")
+  }
 }

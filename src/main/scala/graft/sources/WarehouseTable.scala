@@ -2084,7 +2084,7 @@ final class WarehouseTable private (
     * treat that failure as a retryable abort, exactly like a lost
     * claim: re-plan and the retry reads the new generation.
     */
-  private def swapPartitions(staging: String, days: Seq[String],
+  private[sources] def swapPartitions(staging: String, days: Seq[String],
       archiveVersion: Long): Unit = {
     fs.mkdirs(new Path(dataPath))
     val archDir = new Path(s"$historyDir/v$archiveVersion")

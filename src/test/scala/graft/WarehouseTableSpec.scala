@@ -2193,7 +2193,7 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(16) match {
+            rnd.nextInt(18) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
@@ -2274,6 +2274,42 @@ class WarehouseTableSpec extends AnyFunSuite {
                 attempted.add(uk -> nv)
                 t.updateWhere($"k1" === uk, Map("f1" -> lit(nv)))
                 committedOps.incrementAndGet()
+              case 16 =>
+                // byte-copy clone racing appends/swaps/vacuum (round-13
+                // arm): either it lands a CONSISTENT standalone table —
+                // unique keys, every row something a writer attempted —
+                // or it aborts typed when a swap/vacuum moves a
+                // resolved file mid-copy. Never a torn half-table.
+                val destRoot = root + s"-clone-$tid-$op"
+                val c = t.cloneToFast(destRoot)
+                val rows = c.read().select($"k1", $"f1")
+                  .as[(Long, String)].collect()
+                assert(rows.map(_._1).distinct.length == rows.length,
+                  s"clone has duplicate keys: ${rows.toSeq}")
+                val bad = rows.filterNot(r => attempted.contains(r))
+                assert(bad.isEmpty, s"clone invented rows: ${bad.toSeq}")
+                new org.apache.hadoop.fs.Path(destRoot)
+                  .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                  .delete(new org.apache.hadoop.fs.Path(destRoot), true)
+                committedOps.incrementAndGet()
+              case 17 =>
+                // CDC diff spanning whatever versions survive — racing
+                // compactions (file membership churn without row
+                // churn), swaps and vacuum. Tags must be well-formed;
+                // vacuumed-under-read aborts are the typed retryable
+                // outcome handled below.
+                val hs = t.history()
+                  .filter(!_._2.startsWith("pending:")).map(_._1)
+                if (hs.size >= 2) {
+                  val to = hs(rnd.nextInt(hs.size - 1))
+                  val from = hs.filter(_ < to)(rnd.nextInt(hs.count(_ < to)))
+                  val d = t.tableDiff(from, to)
+                    .select($"change_type", $"k1").collect()
+                  assert(d.forall(r =>
+                    Set("added", "removed").contains(r.getString(0))),
+                    s"malformed diff tags: ${d.toSeq}")
+                  committedOps.incrementAndGet()
+                }
             }
           } catch {
             // overlap aborts and vacuumed-away restore targets are the

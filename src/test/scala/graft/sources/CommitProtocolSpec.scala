@@ -459,6 +459,87 @@ class CommitProtocolSpec extends AnyFunSuite {
       == Map(1L -> "v1", 2L -> "upd", 3L -> "v3", 4L -> "v4"))
   }
 
+  // ---- 6b. round-13: restore / cloneToFast crash windows ----
+
+  test("restore crash between whole-day swap and finalize: recovery restores " +
+      "the pre-restore generation exactly; replay converges") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a", 2L -> "b")))                // v1
+    t.append(batch(Seq(3L -> "c")))                           // v2
+    t.updateWhere($"k1" === 2L, Map("f1" -> lit("b2")))       // v3
+    val cur = t.currentVersion
+    val day = "2024-01-01"
+    val liveBefore = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    // simulate restore(1)'s swap window: stage the as-of rows, claim,
+    // swapPartitions (whole-day, the restore path) — CRASH before
+    // finalizeCommit
+    val staging = s"$root/.restore-crash"
+    Seq((1L, "a"), (2L, "b")).toDF("k1", "f1").withColumn("_pday", lit(day))
+      .write.partitionBy("_pday").parquet(staging)
+    val v = t.claimCommit("restore", Seq(day), cur + 1)
+    t.swapPartitions(staging, Seq(day), v)
+    assert(t.currentVersion == cur, "crashed restore advanced CURRENT")
+    // committed read aborts retryably mid-tear, as for every swap op
+    intercept[java.util.ConcurrentModificationException] {
+      t.readCommitted(Seq(day)).count()
+    }
+    // age + collide: recovery rolls back the whole-day generation
+    val claimPath = java.nio.file.Paths.get(s"$root/_graft/snapshots/v$v.list")
+    val aged = new String(java.nio.file.Files.readAllBytes(claimPath), "UTF-8")
+      .replaceFirst("\\t\\d+\\t",
+        "\t" + (System.currentTimeMillis() - 20L * 60 * 1000) + "\t")
+    java.nio.file.Files.write(claimPath, aged.getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.claimCommit("compact", Seq(day), v)
+    }
+    val liveAfter = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    assert(liveAfter == liveBefore,
+      s"restore rollback not exact: $liveAfter vs $liveBefore")
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // replay converges to the intended restore
+    t.restore(1)
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b"))
+    assert(t.readAsOf(cur).select($"k1", $"f1").as[(Long, String)]
+      .collect().toMap.apply(2L) == "b2", "pre-restore snapshot lost")
+  }
+
+  test("cloneToFast crash mid-copy: the torn destination reads as EMPTY " +
+      "committed state, sweeps clean, and a fresh clone converges") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a", 2L -> "b")))
+    t.append(batch(Seq(3L -> "c"), day = 2))
+    val destRoot = tmpRoot()
+    // simulate the copy phase dying before the dest commit: dest table
+    // created, SOME data files byte-copied, no snapshot
+    val dest = WarehouseTable.create(spark, destRoot, Seq("k1"), destSchema)
+    val srcDay = fs(root).listStatus(path(s"$root/data/_pday=2024-01-01"))
+      .filter(_.isFile).head.getPath
+    fs(root).mkdirs(path(s"$destRoot/data/_pday=2024-01-01"))
+    org.apache.hadoop.fs.FileUtil.copy(fs(root), srcDay,
+      fs(destRoot), path(s"$destRoot/data/_pday=2024-01-01/${srcDay.getName}"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // CURRENT=0: the torn copy is invisible to committed readers
+    assert(dest.currentVersion == 0L)
+    assert(dest.readCommitted(Seq("2024-01-01")).count() == 0L,
+      "torn clone data visible through committed read")
+    assert(dest.connectorFileGroups(None).isEmpty,
+      "torn clone data visible through the connector")
+    // the same dest root cannot be silently half-reused
+    intercept[IllegalArgumentException] { t.cloneToFast(destRoot) }
+    // recovery: sweep the torn dest and re-clone fresh
+    fs(destRoot).delete(path(destRoot), true)
+    val c = t.cloneToFast(destRoot)
+    assert(c.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(c.currentVersion == 1L)
+  }
+
   // ---- 7. round-12 advisor: off-chain stale slot must be POSITIVELY
   //      confirmed vacuumed before deletion ----
 

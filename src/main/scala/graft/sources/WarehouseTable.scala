@@ -2379,6 +2379,7 @@ final class WarehouseTable private (
     */
   private[sources] def claimCommit(op: String, touched: Seq[String],
       fromVersion: Long): Long = {
+    WarehouseTable.maybeHalt(WarehouseTable.haltPreCommitAt)
     val header = s"#pending:$op\t${System.currentTimeMillis()}\t" +
       touched.distinct.sorted.mkString(",") + "\n"
     @annotation.tailrec
@@ -3602,6 +3603,27 @@ object WarehouseTable {
     * its body lists the replaced names. Underscore-prefixed, so every
     * data-file listing ignores it.
     */
+  /** Test-only crash injection for the kill-and-resume probe
+    * ([[graft.streaming.KillResumeProbe]]): a JVM launched with
+    * `-Dgraft.probe.haltPreCommit=N` hard-halts on its N-th passage
+    * through the stage-written-but-unclaimed window (claimCommit
+    * entry); `-Dgraft.probe.haltPostCommit=N` does the same after the
+    * N-th table commit returns to the streaming flush loop, BEFORE the
+    * checkpoint commits. `Runtime.halt` runs no shutdown hooks and no
+    * cleanup — the in-process equivalent of SIGKILL at an exact
+    * protocol point. Unset (production), the check is one atomic read.
+    */
+  private[graft] val haltPreCommitAt = new java.util.concurrent.atomic.AtomicInteger(
+    sys.props.get("graft.probe.haltPreCommit").flatMap(_.toIntOption).getOrElse(-1))
+  private[graft] val haltPostCommitAt = new java.util.concurrent.atomic.AtomicInteger(
+    sys.props.get("graft.probe.haltPostCommit").flatMap(_.toIntOption).getOrElse(-1))
+  private[graft] def maybeHalt(
+      counter: java.util.concurrent.atomic.AtomicInteger): Unit =
+    if (counter.get() > 0 && counter.decrementAndGet() == 0) {
+      System.err.println("graft.probe: halting JVM at injection point")
+      Runtime.getRuntime.halt(137)
+    }
+
   private[sources] val PartialSwapMarker: String = "_partial"
 
   /** Pre-swap live-file journal a [[swapFilesGranular]] day archive

@@ -169,6 +169,8 @@ object MergePipeline {
     val staged = conformValue(staged0, evolved, keyFields)
     if (config.deleteEnabled && !config.upsertEnabled) table.mergeDeleteOnly(staged)
     else table.merge(staged, delete = config.deleteEnabled)
+    // kill-and-resume probe hook: table commit durable, checkpoint not
+    WarehouseTable.maybeHalt(WarehouseTable.haltPostCommitAt)
     ()
   }
 

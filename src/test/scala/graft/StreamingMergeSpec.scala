@@ -353,6 +353,68 @@ class StreamingMergeSpec extends AnyFunSuite {
       f"1M-record streaming merge took $wall%.1f s — outside the reference's 10-minute envelope")
   }
 
+  test("kill-and-resume: SIGKILL mid-flush (pre-commit), resume, SIGKILL " +
+      "again (post-commit, pre-checkpoint), resume — exact survivors, no dups") {
+    // child-JVM probe: the halt is Runtime.halt at the exact protocol
+    // window (no shutdown hooks — the in-process SIGKILL), the resume
+    // is a fresh JVM on the SAME checkpoint + warehouse, and the file
+    // source replays from checkpointed offsets deterministically.
+    // Default tier 100k keeps the suite fast; SPARK_GRAFT_PROBE_KILL=1
+    // runs the reference-scale 1 M tier.
+    val n = if (sys.env.contains("SPARK_GRAFT_PROBE_KILL")) 1000000L else 100000L
+    val flushes = 10
+    val dataDir = tmp("kr-data")
+    val warehouse = tmp("kr-wh")
+    val checkpoint = tmp("kr-ckpt")
+    spark.range(n).toDF("i").repartition(4)
+      .write.mode("overwrite").parquet(dataDir)
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def runChild(props: Seq[String]): (Int, String) = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g", "-cp", cp) ++
+        props ++ Seq("graft.streaming.KillResumeProbe",
+          dataDir, warehouse, checkpoint, n.toString, flushes.toString,
+          "local[8]"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      (code, out)
+    }
+    // run 1: halt in flush 6's stage-written-but-unclaimed window
+    val (c1, o1) = runChild(Seq("-Dgraft.probe.haltPreCommit=6"))
+    assert(c1 != 0, s"pre-commit halt child exited cleanly:\n${o1.takeRight(2000)}")
+    assert(o1.contains("halting JVM at injection point"),
+      s"pre-commit injection never fired:\n${o1.takeRight(2000)}")
+    // run 2 (resume): replays the batch, halts AFTER flush 3's table
+    // commit, BEFORE the checkpoint commit
+    val (c2, o2) = runChild(Seq("-Dgraft.probe.haltPostCommit=3"))
+    assert(c2 != 0, s"post-commit halt child exited cleanly:\n${o2.takeRight(2000)}")
+    assert(o2.contains("halting JVM at injection point"),
+      s"post-commit injection never fired:\n${o2.takeRight(2000)}")
+    // run 3 (resume): runs to completion and verifies the exact
+    // survivor set in-child (count, value pattern, no duplicate keys)
+    val (c3, o3) = runChild(Seq.empty)
+    assert(c3 == 0, s"resume child failed:\n${o3.takeRight(4000)}")
+    assert(o3.contains(s"PROBE_OK ${n / 4}"),
+      s"resume did not verify the exact survivor set:\n${o3.takeRight(2000)}")
+    // independent re-verification in the parent session
+    val t = WarehouseTable.open(spark, s"$warehouse/default/t")
+    assert(t.read().count() == n / 4)
+    assert(t.read().groupBy($"k1").count().where($"count" > 1).count() == 0L,
+      "duplicate keys after double kill-and-resume")
+  }
+
   // ---- router unit cases (BigQuerySinkTask.java:180-245)
   test("TableRouter: map override, dataset split, sanitize fallback") {
     val base = GraftSinkConfig(defaultDataset = "dd")

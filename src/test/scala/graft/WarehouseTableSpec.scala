@@ -993,7 +993,7 @@ class WarehouseTableSpec extends AnyFunSuite {
     assert(t.read().select($"f1").as[String].head() == "v12")
   }
 
-  test("model-based time travel: a random append/merge/DML/compact " +
+  test("model-based time travel: a random append/merge/DML/compact/evolve " +
       "sequence reads EVERY retained version exactly (mixed whole-day and " +
       "partial archives)") {
     val root = tmpRoot()
@@ -1004,13 +1004,18 @@ class WarehouseTableSpec extends AnyFunSuite {
     var state = Map.empty[Long, String]
     def record(): Unit = {
       // ops may commit >1 version (restore); record the final state at
-      // the version the op left CURRENT at
-      expected(t.currentVersion) = state
+      // the version the op left CURRENT at. An evolve before the first
+      // data commit leaves CURRENT at 0 — nothing to time-travel to.
+      if (t.currentVersion > 0L) expected(t.currentVersion) = state
       ()
     }
     def day(k: Long): Int = (k % 3 + 1).toInt
+    // fields added by evolve ops, in commit order: the torn-schema
+    // shape the 4-writer soak caught once lives exactly in an evolve
+    // landing BETWEEN two merges — pinned here deterministically
+    val evolvedNames = scala.collection.mutable.ArrayBuffer[String]()
     for (i <- 0 until 30) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 | 2 =>
           // append only FRESH keys (appends allow duplicates, which
           // would break the model's k1 -> f1 function); existing keys
@@ -1049,16 +1054,41 @@ class WarehouseTableSpec extends AnyFunSuite {
             t.compactPartitions()
             record() // state unchanged; whole-day archives interleave
           }
+        case 10 =>
+          // schema evolution interleaved with the swap ops: a fresh
+          // nullable field. Wrong (k1, f1) values at ANY version would
+          // surface an evolve-vs-merge tear; the field itself must
+          // appear in every subsequent read and stay all-NULL (no
+          // write here carries it) — current-schema conformance, the
+          // BigQuery ALTER TABLE ADD COLUMN semantics
+          // (SchemaManager.java createOrUpdateTable union rules)
+          val fname = s"ef$i"
+          t.evolveSchema(StructType(t.schema.fields :+
+            StructField(fname, StringType, nullable = true)))
+          evolvedNames += fname
+          record() // schema-only: state (and usually version) unchanged
       }
     }
+    assert(evolvedNames.nonEmpty, "random walk never evolved — vacuous")
     assert(expected.size > 10, "model recorded too few versions — vacuous")
     // EVERY recorded version reads exactly its model state, resolving
     // per file across whatever mix of whole-day and _partial archives
     // the random sequence produced
     expected.toSeq.sortBy(_._1).foreach { case (v, want) =>
-      val got = t.readAsOf(v).select($"k1", $"f1").as[(Long, String)]
+      val df = t.readAsOf(v)
+      val got = df.select($"k1", $"f1").as[(Long, String)]
         .collect().toMap
       assert(got == want, s"version $v read $got, model says $want")
+      // every evolved field is served at every version (conformed to
+      // the current persisted schema) and reads all-NULL
+      val missing = evolvedNames.filterNot(df.columns.contains)
+      assert(missing.isEmpty, s"version $v lacks evolved fields $missing")
+      if (want.nonEmpty) {
+        val aggCols = evolvedNames.toSeq.map(f => count(col(f)).as(f))
+        val nonNulls = df.agg(aggCols.head, aggCols.tail: _*).head()
+        evolvedNames.indices.foreach(j => assert(nonNulls.getLong(j) == 0L,
+          s"version $v: evolved field ${evolvedNames(j)} has phantom values"))
+      }
     }
     // and the diffs compose: applying tableDiff(v, v') to the model
     // state at v yields the state at v' for a sampled pair

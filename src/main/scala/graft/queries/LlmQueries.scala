@@ -1007,6 +1007,43 @@ object LlmQueries extends QueryPack {
       },
       oracle = Some(ivfOracle(numCells = 16, nProbe = 4, k = 5))),
 
+    GraftQuery("e19_ivf_serve",
+      // the SUB-LINEAR ANN serving headline. A persisted IVF index
+      // sized by the √N rule (Faiss's nlist guidance: cells ≈ √corpus)
+      // is probed with a FIXED query set: per query, rank √N centroids
+      // and scan nProbe cells of ~√N rows each — total serving work
+      // O(√N), where e1's brute force is O(N) per query. The index
+      // build is corpus preparation, paid once and marker-cached per
+      // corpus dir (the bench's min-of-reps and the scale10x warm pass
+      // both measure SERVING); queries pin to the original id range
+      // (< 100M — scale10x copies shift ids by c·100M), so the 10×
+      // sweep scales the CORPUS under an unchanged query load, exactly
+      // what an ANN index must bound. Scan sub-linearity is also
+      // pinned deterministically (bytes-scanned, BenchScaleSpec) —
+      // the exponent in BENCH's scale10x section is the wall-clock
+      // witness next to e1's documented-linear one.
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val n = emb.count()
+        val nc = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val idxRoot = s"/tmp/graft_ivf_serve_$key-$nc"
+        val marker = java.nio.file.Paths.get(s"$idxRoot/_built")
+        if (!java.nio.file.Files.exists(marker)) {
+          SimOps.buildIvfIndex(emb, idxRoot, numCells = nc)
+          java.nio.file.Files.writeString(marker, "ok")
+          ()
+        }
+        SimOps.probeIvfIndex(s, idxRoot,
+          emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 100000000L),
+          k = 5, nProbe = 4)
+          .select(col("query_id"), col("nbr_id"),
+            round(col("sim"), 6).as("sim"), col("rank"))
+      },
+      oracle = Some(ivfServeOracle(nProbe = 4, k = 5)),
+      headline = true),
+
     GraftQuery("e4_pq_topk",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -3405,6 +3442,40 @@ object LlmQueries extends QueryPack {
        |    SELECT id, v, cell,
        |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
        |    FROM sims WHERE id % 50 = 0) t WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT q.query_id, a.id AS nbr_id, ${cosSql("q.qv", "a.v")} AS sim
+       |  FROM qprobe q JOIN asgn a USING (cell) WHERE q.query_id != a.id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, round(sim, 6) AS sim, rank FROM ranked WHERE rank <= $k""".stripMargin
+
+  /** [[ivfOracle]] with the serve headline's √N cell sizing (GREATEST
+    * of 16 and ⌈√count⌉, derived in SQL so it tracks the corpus) and
+    * its fixed original-id query predicate.
+    */
+  private def ivfServeOracle(nProbe: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |params AS (SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS nc FROM c),
+       |cent AS (
+       |  SELECT rn - 1 AS cell, v AS cv
+       |  FROM (SELECT id, v, row_number() OVER (ORDER BY id) AS rn FROM c) t
+       |  WHERE rn <= (SELECT nc FROM params)),
+       |sims AS (
+       |  SELECT c.id, c.v, cent.cell, ${cosSql("c.v", "cent.cv")} AS sim
+       |  FROM c CROSS JOIN cent),
+       |asgn AS (
+       |  SELECT id, v, cell FROM (
+       |    SELECT id, v, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT id AS query_id, v AS qv, cell FROM (
+       |    SELECT id, v, cell,
+       |           row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE id % 50 = 0 AND id < 100000000) t
+       |  WHERE rn <= $nProbe),
        |scored AS (
        |  SELECT q.query_id, a.id AS nbr_id, ${cosSql("q.qv", "a.v")} AS sim
        |  FROM qprobe q JOIN asgn a USING (cell) WHERE q.query_id != a.id),

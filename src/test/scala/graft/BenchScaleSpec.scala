@@ -475,6 +475,41 @@ class BenchScaleSpec extends AnyFunSuite {
     * the dedup stage's prey. Deterministic, no RNG; source/n_chars
     * columns as the pipeline expects.
     */
+  test("10x IVF serving scans SUB-linearly: bytes read grow ~sqrt(10), " +
+      "not 10x, under the sqrt(N)-cell sizing (fixed query set)") {
+    import graft.llm.SimOps
+    // synthetic embeddings with ids in the e12 shape; dim 8 keeps the
+    // fixture fast while cells/bytes do the talking
+    def corpus(n: Int): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 7), j -> " +
+          "cos(cast(id * 37 + j * 101 AS DOUBLE)))").as("embedding"))
+    def servedBytes(n: Int): (Long, Long) = {
+      val emb = corpus(n)
+      val nc = math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+      val root = Files.createTempDirectory("ivf-subln").toString + "/idx"
+      SimOps.buildIvfIndex(emb, root, numCells = nc)
+      // FIXED query set at both scales: ids < 1000 (the e12 pinning)
+      val queries = emb.where(col("vec_id") % 50 === 0 && col("vec_id") < 1000L)
+      val (rows, totals) = ScanMetrics.selectedByQueries(spark) {
+        SimOps.probeIvfIndex(spark, root, queries, k = 5, nProbe = 4).collect()
+      }
+      assert(rows.nonEmpty)
+      // count only the index-cell scan (partition dirs under /idx/cells)
+      (totals.fileBytes, totals.numFiles)
+    }
+    val (b1, _) = servedBytes(20000)
+    val (b10, _) = servedBytes(200000)
+    val ratio = b10.toDouble / b1
+    // O(sqrt N) serving: 10x corpus → ~3.2x bytes (4/√N of the data).
+    // Assert well under linear with headroom for file-size granularity.
+    assert(ratio < 6.0,
+      s"IVF serving scan grew ${ratio}x for 10x corpus — not sub-linear " +
+        s"($b1 -> $b10 bytes)")
+    info(f"IVF serving bytes at 10x corpus: ${ratio}%.2fx (sub-linear; " +
+      "sqrt(10) ≈ 3.16x is the model)")
+  }
+
   private def pipelineDocs(n: Int): DataFrame = {
     import spark.implicits._
     def words = (0 until 40).map(w =>

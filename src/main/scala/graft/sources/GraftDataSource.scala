@@ -1,12 +1,13 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -67,9 +68,72 @@ import org.apache.spark.unsafe.types.UTF8String
   * its users over the sink's tables for free
   * (`BigQuerySinkTask.java`'s output is queried, not re-listed).
   */
-class GraftDataSource extends RelationProvider with DataSourceRegister {
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft")` — the write half, routed through the
+    * SAME commit protocol as the programmatic API (never a raw file
+    * dump):
+    *
+    *  - `Append`: [[WarehouseTable.append]] of the batch, routed by its
+    *    `partitionTime` column (rename with
+    *    `option("partitionTimeColumn", ...)`), after proactively
+    *    evolving the destination schema from the observed batch (the
+    *    R3/R4 discipline the streaming sink uses);
+    *  - `Overwrite`: [[WarehouseTable.truncate]] (one metadata-only
+    *    committed version — the pre-overwrite table stays
+    *    time-travelable and restorable) then the append;
+    *  - `ErrorIfExists` / `Ignore`: standard semantics against table
+    *    existence.
+    *
+    * First write to a fresh root must pass `option("keys", "k1,k2")`
+    * (the merge key set every later upsert relies on). Returns the read
+    * relation over the post-write table.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft: 'path' (the warehouse table root) is required"))
+    val spark = sqlContext.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(s"$path/_graft/schema.json"))
+    if (mode == SaveMode.ErrorIfExists && exists)
+      throw new IllegalStateException(
+        s"graft table $path already exists (SaveMode.ErrorIfExists)")
+    if (!(mode == SaveMode.Ignore && exists)) {
+      val ptCol = ci.getOrElse("partitiontimecolumn", "partitionTime")
+      require(data.columns.contains(ptCol),
+        s"graft: the batch needs a '$ptCol' timestamp column to route " +
+          "rows to their time-slice partitions (rename with " +
+          "option(\"partitionTimeColumn\", ...))")
+      val observed = StructType(data.schema.fields.filterNot(_.name == ptCol))
+      val table =
+        if (exists) WarehouseTable.open(spark, path)
+        else {
+          val keys = ci.getOrElse("keys", throw new IllegalArgumentException(
+            s"graft: first write to $path must pass option(\"keys\", " +
+              "\"k1,k2\") — the merge key set"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(keys.nonEmpty, "graft: 'keys' must name at least one column")
+          WarehouseTable.create(spark, path, keys, observed)
+        }
+      // proactive evolve-then-write (the streaming sink's R3/R4 shape):
+      // batch-new fields join the destination schema before the append
+      val evolved = table.evolveSchema(observed)
+      val conformed = data.select(evolved.fields.toSeq.map { f =>
+        if (data.columns.contains(f.name)) col(s"`${f.name}`")
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(s"`$ptCol`").as("partitionTime"): _*)
+      if (mode == SaveMode.Overwrite) table.truncate()
+      table.append(conformed)
+      ()
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -1411,6 +1411,71 @@ final class WarehouseTable private (
     } finally out.close()
   }
 
+  /** Serialize bloom-sidecar writes table-wide. Every writer of a day
+    * bloom is a read-modify-write ([[upsertBlooms]] merges,
+    * [[restampBlooms]] re-reads then rewrites) or a blind overwrite
+    * ([[writeExactBlooms]], [[refreshBlooms]]) of a SHARED file with no
+    * other mutual exclusion: two concurrent appends to the same day
+    * could each merge into the bloom they read and the last write drop
+    * the other's keys — an UNDER-approximating bloom, whose missed
+    * probe inserts a duplicate key on a later merge (the one unsound
+    * direction). The same lease-style nonced lock as [[evolveSchema]]
+    * (atomic create-if-absent; stale after
+    * [[WarehouseTable.bloomLeaseStaleMs]] — sections are
+    * driver-side ms, so a minute of hold can only be a dead writer)
+    * makes each bloom critical section atomic. Ordering is one-way
+    * (commit claim, THEN bloom lease; never the reverse), so no
+    * deadlock. Returns None when the lease cannot be acquired within
+    * the claim-wait budget — callers fall back to the conservative
+    * direction (drop the touched blooms: missing reads as
+    * always-candidate) instead of writing unserialised.
+    */
+  private def withBloomLease[T](body: => T): Option[T] = {
+    fs.mkdirs(new Path(bloomDir))
+    val lock = s"$bloomDir/.lease"
+    val nonce = UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + WarehouseTable.bloomLeaseWaitMs
+    var backoff = 5L
+    while (System.currentTimeMillis() <= deadline) {
+      if (tryWriteNewMetaString(spark, lock,
+          s"${System.currentTimeMillis()}:$nonce")) {
+        try return Some(body)
+        finally {
+          // release only what is still ours: a breaker that misjudged
+          // this lease as stale may have reaped it already
+          val mine =
+            try readMetaString(spark, lock).trim.endsWith(s":$nonce")
+            catch { case _: java.io.IOException => false }
+          if (mine) fs.delete(new Path(lock), false)
+        }
+      } else {
+        val heldTs =
+          try readMetaString(spark, lock).trim.split(":").headOption
+            .flatMap(_.toLongOption).getOrElse(0L)
+          catch { case _: java.io.IOException => -1L } // vanished: retry now
+        if (heldTs >= 0L &&
+            (heldTs == 0L || System.currentTimeMillis() - heldTs >
+              WarehouseTable.bloomLeaseStaleMs)) {
+          fs.delete(new Path(lock), false) // break the dead holder's lease
+        } else if (heldTs >= 0L) {
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 200L)
+        }
+      }
+    }
+    None
+  }
+
+  /** The conservative bloom fallback: a missing bloom reads as
+    * always-candidate, so dropping is always sound (the next exact
+    * pass heals the day; [[describeHealth]] reports it meanwhile).
+    */
+  private def dropBlooms(days: Iterable[String]): Unit =
+    days.foreach { d =>
+      val p = new Path(s"$bloomDir/$d.bloom")
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+
   /** Re-stamp existing day blooms to `stamp` without changing content —
     * for committed ops whose key effect the content ALREADY covers:
     * updateWhere (keys are unassignable) and the append paths, which
@@ -1429,15 +1494,23 @@ final class WarehouseTable private (
     * [[writeExactBlooms]] argument).
     */
   private def restampBlooms(days: Seq[String], stamp: Long,
-      readBase: Long): Unit =
-    days.foreach { d =>
-      val p = new Path(s"$bloomDir/$d.bloom")
-      WarehouseTable.readStampedBloom(fs, p).foreach { case (old, b) =>
-        // old < stamp: never overwrite a bloom a newer committed op
-        // already stamped (its content may be tighter than this read)
-        if (old >= readBase && old < stamp) writeBloomFile(p, stamp, b.writeTo(_))
+      readBase: Long): Unit = {
+    // lease-serialized ([[withBloomLease]]): the re-read + rewrite must
+    // not span a concurrent merge's read-modify-write. A timed-out
+    // lease SKIPS (no drop): the stamp merely stays lower — staleness
+    // over-reports, the safe direction — and content is untouched.
+    withBloomLease {
+      days.foreach { d =>
+        val p = new Path(s"$bloomDir/$d.bloom")
+        WarehouseTable.readStampedBloom(fs, p).foreach { case (old, b) =>
+          // old < stamp: never overwrite a bloom a newer committed op
+          // already stamped (its content may be tighter than this read)
+          if (old >= readBase && old < stamp) writeBloomFile(p, stamp, b.writeTo(_))
+        }
       }
     }
+    ()
+  }
 
   /** Install pre-computed exact day blooms after a swap: days swapped
     * away (or absent from the staged bloom map) lose their bloom —
@@ -1448,18 +1521,21 @@ final class WarehouseTable private (
   private def writeExactBlooms(days: Seq[String],
       blooms: Map[String, Array[Byte]], stamp: Long): Unit = {
     fs.mkdirs(new Path(bloomDir))
-    days.foreach { d =>
-      val bloomPath = new Path(s"$bloomDir/$d.bloom")
-      blooms.get(d).filter(_ =>
-          fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) match {
-        case Some(bytes) =>
-          writeBloomFile(bloomPath, stamp, _.write(bytes))
-          val legacy = new Path(s"$legacyBloomDir/$d.bloom")
-          if (fs.exists(legacy)) fs.delete(legacy, false)
-        case None =>
-          if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+    val wrote = withBloomLease {
+      days.foreach { d =>
+        val bloomPath = new Path(s"$bloomDir/$d.bloom")
+        blooms.get(d).filter(_ =>
+            fs.exists(new Path(s"$dataPath/$partitionCol=$d"))) match {
+          case Some(bytes) =>
+            writeBloomFile(bloomPath, stamp, _.write(bytes))
+            val legacy = new Path(s"$legacyBloomDir/$d.bloom")
+            if (fs.exists(legacy)) fs.delete(legacy, false)
+          case None =>
+            if (fs.exists(bloomPath)) fs.delete(bloomPath, false)
+        }
       }
     }
+    if (wrote.isEmpty) dropBlooms(days) // lease timeout: conservative
   }
 
   /** A touched pre-existing day whose bloom cannot take the driver-side
@@ -1550,18 +1626,24 @@ final class WarehouseTable private (
     // columns' pages (no footer-merge job, no value-column I/O)
     val keySet = keyFields.toSet
     val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+    // the distributed rebuild scan runs OUTSIDE the bloom lease
+    // (seconds of cluster work must not serialize the ms-scale sidecar
+    // writers); only the write phase takes it
     val rows = readWithTableSchema(existing, Some(keySchema))
       .groupBy(col(partitionCol).cast("string").as("d"))
       .agg(agg.as("bloom"))
       .collect()
     fs.mkdirs(new Path(bloomDir))
-    rows.foreach { r =>
-      writeBloomFile(new Path(s"$bloomDir/${r.getString(0)}.bloom"), stamp,
-        _.write(r.getAs[Array[Byte]](1)))
-      // retire the format-1 bloom, if this table predates the format bump
-      val legacy = new Path(s"$legacyBloomDir/${r.getString(0)}.bloom")
-      if (fs.exists(legacy)) fs.delete(legacy, false)
+    val wrote = withBloomLease {
+      rows.foreach { r =>
+        writeBloomFile(new Path(s"$bloomDir/${r.getString(0)}.bloom"), stamp,
+          _.write(r.getAs[Array[Byte]](1)))
+        // retire the format-1 bloom, if this table predates the format bump
+        val legacy = new Path(s"$legacyBloomDir/${r.getString(0)}.bloom")
+        if (fs.exists(legacy)) fs.delete(legacy, false)
+      }
     }
+    if (wrote.isEmpty) dropBlooms(existing) // lease timeout: conservative
   }
 
   /** Append-path bloom maintenance WITHOUT re-reading the written files:
@@ -1581,7 +1663,13 @@ final class WarehouseTable private (
       preExisting: Set[String], stamp: Long): Unit = {
     if (dayBlooms.isEmpty) return
     fs.mkdirs(new Path(bloomDir))
-    val rebuild = dayBlooms.filter(_._1 != null).flatMap { case (d, bytes) =>
+    val valid = dayBlooms.filter(_._1 != null)
+    // the whole read-merge-write loop is ONE lease-held critical
+    // section ([[withBloomLease]] doc: a concurrent same-day writer
+    // interleaving between this read and this write would lose keys —
+    // the unsound direction); a timed-out lease drops the touched
+    // blooms instead of writing unserialised
+    val rebuild: Seq[String] = withBloomLease { valid.flatMap { case (d, bytes) =>
       val p = new Path(s"$bloomDir/$d.bloom")
       val batch =
         try Option(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
@@ -1617,7 +1705,8 @@ final class WarehouseTable private (
           None
         case None => Some(d)
       }
-    }
+    } }.getOrElse { dropBlooms(valid.map(_._1)); Seq.empty }
+    // the exact rebuild's distributed scan runs OUTSIDE the lease
     if (rebuild.nonEmpty) refreshBlooms(rebuild, stamp)
   }
 
@@ -2040,6 +2129,34 @@ final class WarehouseTable private (
       }
       finalizeCommit("expire", dropped, v, Map.empty) // all dropped
       dropped
+  }
+
+  /** Drop EVERY partition as one committed version (BigQuery
+    * `TRUNCATE TABLE` analog; the write path's `SaveMode.Overwrite`
+    * runs it before appending the new rows). Same metadata-only shape
+    * as [[expirePartitions]]: the whole current generation is archived
+    * under the claim (snapshot reads keep working — a truncate is
+    * time-travelable and restorable), blooms drop, the manifest
+    * empties. O(partitions) driver renames, no data scan. Returns the
+    * dropped slices.
+    */
+  def truncate(): Seq[String] = {
+    val readBase = currentVersion
+    val dropped = listDays()
+    if (dropped.isEmpty) return Seq.empty
+    val v = claimCommit("truncate", dropped, readBase + 1)
+    val archDir = new Path(s"$historyDir/v$v")
+    dropped.foreach { d =>
+      fs.mkdirs(archDir)
+      fs.rename(new Path(s"$dataPath/$partitionCol=$d"),
+        new Path(archDir, s"$partitionCol=$d"))
+      Seq(bloomDir, legacyBloomDir).foreach { dir =>
+        val bloom = new Path(s"$dir/$d.bloom")
+        if (fs.exists(bloom)) fs.delete(bloom, false)
+      }
+    }
+    finalizeCommit("truncate", dropped, v, Map.empty)
+    dropped
   }
 
   private def expireOldPartitions(): Unit =
@@ -3828,6 +3945,25 @@ object WarehouseTable {
     sys.props.get("graft.claimWaitMs").map(_.toLong)
       .orElse(sys.env.get("GRAFT_CLAIM_WAIT_MS").map(_.toLong))
       .getOrElse(60000L)
+
+  /** Age past which a held bloom lease is judged dead and broken
+    * ([[WarehouseTable.withBloomLease]]): the critical sections are
+    * driver-side metadata writes (milliseconds), so a minute of hold
+    * can only be a crashed writer.
+    */
+  def bloomLeaseStaleMs: Long =
+    sys.props.get("graft.bloomLeaseStaleMs").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_BLOOM_LEASE_STALE_MS").map(_.toLong))
+      .getOrElse(60000L)
+
+  /** Acquisition budget for the bloom lease before the caller takes
+    * the conservative fallback (its own knob so tests can shorten it
+    * without touching the commit-claim wait).
+    */
+  def bloomLeaseWaitMs: Long =
+    sys.props.get("graft.bloomLeaseWaitMs").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_BLOOM_LEASE_WAIT_MS").map(_.toLong))
+      .getOrElse(claimWaitMs)
 
   /** R6 — table-handle cache (`BigQuerySinkTask.java:351-365`,
     * `SchemaManager.java:80`): memoizes opens per root; schema stays

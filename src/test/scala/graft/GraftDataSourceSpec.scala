@@ -204,6 +204,49 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(asPairs(df) == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01")))
   }
 
+  test("write path: df.write.format(\"graft\") creates, appends, evolves, " +
+      "and Overwrite truncates as a committed (time-travelable) version") {
+    val root = tmpRoot()
+    def df(rows: Seq[(Long, String)], day: Int) = batch(rows, day)
+    // create (keys required on first write)
+    intercept[IllegalArgumentException] {
+      df(Seq(1L -> "a"), 1).write.format("graft").save(root)
+    }
+    df(Seq(1L -> "a", 2L -> "b"), 1).write.format("graft")
+      .option("keys", "k1").save(root)
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01")))
+    // append (default mode Append on an existing table)
+    df(Seq(3L -> "c"), 2).write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 3)
+    // ErrorIfExists / Ignore semantics
+    intercept[IllegalStateException] {
+      df(Seq(9L -> "x"), 1).write.format("graft")
+        .mode("errorifexists").save(root)
+    }
+    df(Seq(9L -> "x"), 1).write.format("graft").mode("ignore").save(root)
+    assert(spark.read.format("graft").load(root).count() == 3)
+    // schema evolution on write: a new nullable column joins the table
+    Seq((4L, "d", "extra")).toDF("k1", "f1", "f2")
+      .withColumn("partitionTime", ts(2))
+      .write.format("graft").mode("append").save(root)
+    val evolved = spark.read.format("graft").load(root)
+    assert(evolved.columns.contains("f2"))
+    assert(evolved.where($"f2".isNotNull).count() == 1)
+    // Overwrite = truncate (committed, metadata-only) + append: the
+    // pre-overwrite state stays time-travelable
+    val t = WarehouseTable.open(spark, root)
+    val preOverwrite = t.currentVersion
+    df(Seq(7L -> "z"), 3).write.format("graft").mode("overwrite").save(root)
+    val after = spark.read.format("graft").load(root)
+    assert(asPairs(after.select($"k1", $"f1", $"_pday")) ==
+      Set((7L, "z", "2024-01-03")))
+    assert(t.history().exists(_._2 == "truncate"))
+    assert(spark.read.format("graft")
+      .option("versionAsOf", preOverwrite.toString).load(root).count() == 4,
+      "pre-overwrite snapshot lost")
+  }
+
   test("index-level pruning unit: partition filters evaluate against day " +
       "tokens; sizeInBytes reports the pinned snapshot") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}

@@ -540,6 +540,54 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(c.currentVersion == 1L)
   }
 
+  // ---- 6c. round-13: bloom lease ----
+
+  test("bloom lease: a crashed holder's stale lease is broken; a LIVE " +
+      "holder forces the conservative drop, never an unserialised write") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a")))
+    val leasePath = path(s"$root/_graft/bloom2/.lease")
+    val bloom = path(s"$root/_graft/bloom2/2024-01-01.bloom")
+    assert(fs(root).exists(bloom) && !fs(root).exists(leasePath),
+      "append must write its bloom and release the lease")
+    // 1. stale lease (dead writer): broken, the append's bloom merge
+    // proceeds, the lease is released again
+    val stale = (System.currentTimeMillis() - 10L * 60 * 1000).toString + ":dead"
+    val o = fs(root).create(leasePath); o.write(stale.getBytes("UTF-8")); o.close()
+    t.append(batch(Seq(2L -> "b")))
+    assert(fs(root).exists(bloom), "bloom lost after breaking a stale lease")
+    assert(!fs(root).exists(leasePath), "broken lease not released")
+    assert(t.read().count() == 2)
+    // 2. live lease (fresh timestamp, another writer mid-section):
+    // with a tiny wait budget the appender must NOT write the shared
+    // bloom unserialised — it drops the day's bloom (conservative:
+    // missing = always-candidate) and the append itself still commits
+    val live = System.currentTimeMillis().toString + ":alive"
+    val o2 = fs(root).create(leasePath); o2.write(live.getBytes("UTF-8")); o2.close()
+    System.setProperty("graft.bloomLeaseWaitMs", "300")
+    try {
+      t.append(batch(Seq(3L -> "c")))
+      assert(t.read().count() == 3, "append data must not depend on the bloom lease")
+      assert(!fs(root).exists(bloom),
+        "lease-timeout append must drop the day bloom, not write past the holder")
+      assert(fs(root).exists(leasePath), "the live holder's lease must survive")
+    } finally {
+      System.clearProperty("graft.bloomLeaseWaitMs")
+      fs(root).delete(leasePath, false)
+    }
+    // 3. healing: the missing bloom reads as always-candidate until an
+    // exact pass (compact) rebuilds it under the freed lease
+    t.compactPartitions(Seq("2024-01-01"))
+    assert(fs(root).exists(bloom), "compaction did not heal the dropped bloom")
+    // merge still lands exactly (bloom coverage conservative throughout)
+    t.merge(Seq((2L, Some("b2"), 9L, 1)).toDF("k", "v", "i", "day").select(
+      struct($"k".as("k1")).as("key"), struct($"v".as("f1")).as("value"),
+      $"i".as("i"), to_timestamp(lit("2024-01-01 13:00:00")).as("partitionTime")))
+    val rows = t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
   // ---- 7. round-12 advisor: off-chain stale slot must be POSITIVELY
   //      confirmed vacuumed before deletion ----
 

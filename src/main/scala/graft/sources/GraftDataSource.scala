@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -69,7 +70,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`BigQuerySinkTask.java`'s output is queried, not re-listed).
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -135,6 +137,37 @@ class GraftDataSource extends RelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  /** `stream.writeStream.format("graft")` — the streaming sink half,
+    * exactly-once: every micro-batch routes through
+    * [[WarehouseTable.appendBatch]], whose checkpoint-namespaced batch
+    * tags make a replayed batch a durable no-op (T2; the
+    * `MergeBatches.java:286-299` offsets-after-durable-write contract).
+    * Append output mode; rows carry a `partitionTime` timestamp column
+    * (rename with `option("partitionTimeColumn", ...)`); first write
+    * to a fresh root passes `option("keys", ...)`. Upsert/delete
+    * streams use [[graft.streaming.MergePipeline.writer]], which adds
+    * the kafka-shaped routing, thresholds and merge semantics this
+    * generic sink does not assume.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft: 'path' (the warehouse table root) is required"))
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode, got $outputMode — " +
+        "upsert/delete streams go through MergePipeline.writer")
+    // exactly-once namespace: batchIds are monotonic only within one
+    // checkpoint lineage (MergePipeline doc) — namespace the replay
+    // tags by the checkpoint when the query declares one
+    val streamId = ci.get("checkpointlocation")
+      .map(c => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8"))
+        .toString.take(8))
+      .getOrElse("default")
+    new GraftStreamingSink(path, ci, streamId)
+  }
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -173,6 +206,49 @@ class GraftDataSource extends RelationProvider
       throw new IllegalArgumentException(
         s"graft: no snapshot committed at or before $raw"))
   }
+}
+
+/** Micro-batch sink behind `writeStream.format("graft")`: one
+  * exactly-once [[WarehouseTable.appendBatch]] per batch (see
+  * [[GraftDataSource.createSink]]).
+  */
+private[sources] class GraftStreamingSink(path: String,
+    options: Map[String, String], streamId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    // re-plan the incremental data as a BATCH frame (Bridge.asBatch —
+    // the FileStreamSink pattern): everything below builds new plans
+    // over it, which the raw streaming frame would reject
+    val batch = org.apache.spark.sql.graftbridge.Bridge.asBatch(
+      data.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+    val spark = batch.sparkSession
+    val ptCol = options.getOrElse("partitiontimecolumn", "partitionTime")
+    require(batch.columns.contains(ptCol),
+      s"graft sink: the stream needs a '$ptCol' timestamp column")
+    val observed = StructType(batch.schema.fields.filterNot(_.name == ptCol))
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val table =
+      if (fs.exists(new Path(s"$path/_graft/schema.json")))
+        WarehouseTable.open(spark, path)
+      else {
+        val keys = options.getOrElse("keys", throw new IllegalArgumentException(
+          s"graft sink: first write to $path must pass option(\"keys\", ...)"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(keys.nonEmpty, "graft sink: 'keys' must name at least one column")
+        WarehouseTable.create(spark, path, keys, observed)
+      }
+    val evolved = table.evolveSchema(observed)
+    val conformed = batch.select(evolved.fields.toSeq.map { f =>
+      if (batch.columns.contains(f.name)) col(s"`${f.name}`")
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col(s"`$ptCol`").as("partitionTime"): _*)
+    table.appendBatch(conformed, batchId, streamId = streamId)
+  }
+
+  override def toString: String = s"GraftStreamingSink[$path]"
 }
 
 /** Manifest-backed [[FileIndex]]: the committed snapshot's (or an

@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-wrap a streaming Sink.addBatch dataset as a BATCH frame over
+    * the already-planned incremental RDD — the FileStreamSink /
+    * DeltaSink pattern (`internalCreateDataFrame(qe.toRdd, schema,
+    * isStreaming = false)`): plans derived from the raw addBatch frame
+    * would otherwise fail with "queries with streaming sources must be
+    * executed with writeStream".
+    */
+  def asBatch(df: org.apache.spark.sql.classic.DataFrame)
+      : org.apache.spark.sql.classic.DataFrame =
+    df.sparkSession.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
 }

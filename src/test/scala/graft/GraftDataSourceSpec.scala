@@ -247,6 +247,53 @@ class GraftDataSourceSpec extends AnyFunSuite {
       "pre-overwrite snapshot lost")
   }
 
+  test("writeStream.format(\"graft\"): exactly-once streaming sink — restart " +
+      "from the checkpoint appends only the new data, replays are no-ops") {
+    val root = tmpRoot()
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    def writeSrc(rows: Seq[(Long, String)], name: String): Unit =
+      rows.toDF("k1", "f1").coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/$name")
+    writeSrc(Seq(1L -> "a", 2L -> "b"), "f1")
+    def runStream(): Unit = {
+      val q = spark.readStream.schema("k1 LONG, f1 STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+        .withColumn("partitionTime", ts(1))
+        .writeStream.format("graft")
+        .option("path", root)
+        .option("keys", "k1")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream()
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01")))
+    // restart on the SAME checkpoint with one more source file: only
+    // the new rows land — committed batches replay as durable no-ops
+    writeSrc(Seq(3L -> "c"), "f2")
+    runStream()
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+        (3L, "c", "2024-01-01")))
+    // third restart with nothing new: zero change
+    runStream()
+    assert(spark.read.format("graft").load(root).count() == 3)
+    // the sink rejects non-Append output modes loudly
+    val bad = intercept[Exception] {
+      spark.readStream.schema("k1 LONG, f1 STRING").parquet(s"$srcDir/*")
+        .groupBy($"k1").count()
+        .writeStream.format("graft").option("path", root)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ck2").toString)
+        .start()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("index-level pruning unit: partition filters evaluate against day " +
       "tokens; sizeInBytes reports the pinned snapshot") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}

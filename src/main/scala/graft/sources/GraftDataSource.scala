@@ -184,7 +184,7 @@ class GraftDataSource extends RelationProvider
     }.orElse(ci.get("timestampasof").map(t => resolveTimestamp(table, t)))
     val index = new GraftFileIndex(spark, table, version)
     HadoopFsRelation(index, index.partitionSchema, table.schema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new GraftReadOnlyParquetFormat, Map.empty)(spark)
   }
 
   /** `timestampAsOf` accepts epoch millis or `yyyy-MM-dd[ HH:mm:ss]`,
@@ -206,6 +206,29 @@ class GraftDataSource extends RelationProvider
       throw new IllegalArgumentException(
         s"graft: no snapshot committed at or before $raw"))
   }
+}
+
+/** The read relation's file format: stock parquet READING, but a
+  * LOUD refusal to write. Without this, `INSERT INTO` a graft temp
+  * view resolves to Spark's native `InsertIntoHadoopFsRelationCommand`
+  * — a raw parquet dump at the index's root path that bypasses the
+  * commit protocol entirely: the files land outside any manifest, the
+  * insert silently reads back as zero rows (measured), and vacuum
+  * eventually sweeps them. `prepareWrite` runs at the start of every
+  * such write, so the refusal fires before any file lands.
+  */
+private[sources] class GraftReadOnlyParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+      job: org.apache.hadoop.mapreduce.Job,
+      options: Map[String, String],
+      dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a graft relation would bypass the table's commit " +
+        "protocol (the files would land uncommitted and read back as " +
+        "nothing) — write with df.write.format(\"graft\") or the " +
+        "WarehouseTable API instead")
+  override def toString: String = "GraftParquet"
 }
 
 /** Micro-batch sink behind `writeStream.format("graft")`: one

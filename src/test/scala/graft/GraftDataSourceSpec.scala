@@ -294,6 +294,28 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("INSERT INTO a graft view is refused loudly — it would bypass the " +
+      "commit protocol and silently read back as nothing") {
+    val (root, t) = seeded()
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_ins USING graft " +
+      s"OPTIONS (path '$root')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO g_ins VALUES (9, 'x', '2024-01-01')")
+    }
+    def chainHasRefusal(x: Throwable): Boolean = {
+      var c = x; var d = 0
+      while (c != null && d < 10) {
+        if (String.valueOf(c.getMessage).contains("commit protocol")) return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    assert(chainHasRefusal(e), s"unexpected failure shape: $e")
+    // nothing landed, reads unaffected
+    assert(spark.sql("SELECT count(*) FROM g_ins").head.getLong(0) == 3L)
+    assert(t.read().count() == 3L)
+  }
+
   test("index-level pruning unit: partition filters evaluate against day " +
       "tokens; sizeInBytes reports the pinned snapshot") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}

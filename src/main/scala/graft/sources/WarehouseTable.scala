@@ -3161,14 +3161,43 @@ final class WarehouseTable private (
     }
     val manifest = readManifest(v)
     if (manifest.isEmpty) return Seq.empty
-    locateAsOf(v, manifest).groupBy(_._2).toSeq.sortBy(_._1).map {
-      case (d, grps) =>
-        d -> grps.flatMap { case (base, _, names) =>
-          val wanted = names.toSet
-          fs.listStatus(new Path(s"$base/$partitionCol=$d")).toSeq
-            .filter(st => st.isFile && wanted.contains(st.getPath.getName))
+    // a swap committing BETWEEN locateAsOf's archive listing and its
+    // per-day live listing moves carry-forward files into an archive
+    // generation the resolution never listed — the "missing from every
+    // candidate location" IllegalStateException. A fresh re-resolution
+    // finds them in the new archive, so retry a bounded number of
+    // times before surfacing the protocol's typed retryable abort
+    // (readCommitted's CME contract, which BI callers can retry on).
+    var attempt = 0
+    while (true) {
+      try {
+        return locateAsOf(v, manifest).groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (d, grps) =>
+            d -> grps.flatMap { case (base, _, names) =>
+              val wanted = names.toSet
+              fs.listStatus(new Path(s"$base/$partitionCol=$d")).toSeq
+                .filter(st => st.isFile && wanted.contains(st.getPath.getName))
+            }
         }
+      } catch {
+        case e: IllegalStateException if String.valueOf(e.getMessage)
+            .contains("missing from every candidate location") =>
+          attempt += 1
+          if (attempt >= 3)
+            throw new java.util.ConcurrentModificationException(
+              "concurrent swaps kept moving this snapshot's files during " +
+                s"resolution — re-load the relation: ${e.getMessage}")
+        case e: java.io.FileNotFoundException =>
+          // a listed location vanished under the listing (same race,
+          // different surface): identical retry-then-typed-abort
+          attempt += 1
+          if (attempt >= 3)
+            throw new java.util.ConcurrentModificationException(
+              "concurrent swaps kept moving this snapshot's files during " +
+                s"resolution — re-load the relation: ${e.getMessage}")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Columns with an on-disk zone-map sidecar cache — the set the

@@ -2223,7 +2223,7 @@ class WarehouseTableSpec extends AnyFunSuite {
         (0 until opsPer).foreach { op =>
           val key = tid * 100000L + op
           try {
-            rnd.nextInt(18) match {
+            rnd.nextInt(19) match {
               case 0 | 1 | 2 | 3 | 4 =>
                 val v = s"a$tid-$op"
                 attempted.add(key -> v)
@@ -2321,6 +2321,28 @@ class WarehouseTableSpec extends AnyFunSuite {
                 new org.apache.hadoop.fs.Path(destRoot)
                   .getFileSystem(spark.sparkContext.hadoopConfiguration)
                   .delete(new org.apache.hadoop.fs.Path(destRoot), true)
+                committedOps.incrementAndGet()
+              case 18 =>
+                // standard-tools reader racing every writer: a
+                // format("graft") load (current, or a random retained
+                // versionAsOf) resolved mid-churn must either read a
+                // CONSISTENT snapshot — unique keys, rows ⊆ attempted —
+                // or abort typed (CME / vacuumed), never a torn read or
+                // a spurious corruption error (round-13 resolution fix)
+                val reader = spark.read.format("graft")
+                val df = t.history().filter(!_._2.startsWith("pending:"))
+                  .map(_._1) match {
+                  case hs if hs.nonEmpty && rnd.nextBoolean() =>
+                    reader.option("versionAsOf",
+                      hs(rnd.nextInt(hs.size)).toString).load(root)
+                  case _ => reader.load(root)
+                }
+                val rows = df.selectExpr("k1", "f1")
+                  .as[(Long, String)].collect()
+                assert(rows.map(_._1).distinct.length == rows.length,
+                  s"connector read has duplicate keys: ${rows.toSeq}")
+                val bad = rows.filterNot(r => attempted.contains(r))
+                assert(bad.isEmpty, s"connector read invented rows: ${bad.toSeq}")
                 committedOps.incrementAndGet()
               case 17 =>
                 // CDC diff spanning whatever versions survive — racing

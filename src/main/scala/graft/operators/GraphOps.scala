@@ -530,11 +530,12 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-    // divide one column by its own L2 norm (a one-row aggregate the
-    // optimizer broadcasts), keeping the frame's other columns
+    // divide one column by its own L2 norm — the 1-row aggregate is
+    // attached via crossJoin(broadcast(...)) like every other global-
+    // scalar attach in the codebase (never rely on AQE to discover it)
     def l2(df: DataFrame, c: String): DataFrame = {
       val others = df.columns.filterNot(_ == c)
-      df.crossJoin(df.agg(sqrt(sum(col(c) * col(c))).as("__n")))
+      df.crossJoin(broadcast(df.agg(sqrt(sum(col(c) * col(c))).as("__n"))))
         .select(others.toIndexedSeq.map(col) :+ (col(c) / col("__n")).as(c): _*)
     }
     (1 to iterations).foreach { i =>

@@ -84,9 +84,11 @@ class GraftDataSource extends RelationProvider
     *    `option("partitionTimeColumn", ...)`), after proactively
     *    evolving the destination schema from the observed batch (the
     *    R3/R4 discipline the streaming sink uses);
-    *  - `Overwrite`: [[WarehouseTable.truncate]] (one metadata-only
-    *    committed version — the pre-overwrite table stays
-    *    time-travelable and restorable) then the append;
+    *  - `Overwrite`: [[WarehouseTable.overwrite]] — ONE atomic commit
+    *    replacing the whole content (never truncate-then-append: a
+    *    reader must see the old table or the new one, never a
+    *    committed empty gap); the pre-overwrite table stays
+    *    time-travelable and restorable;
     *  - `ErrorIfExists` / `Ignore`: standard semantics against table
     *    existence.
     *
@@ -130,8 +132,8 @@ class GraftDataSource extends RelationProvider
         if (data.columns.contains(f.name)) col(s"`${f.name}`")
         else lit(null).cast(f.dataType).as(f.name)
       } :+ col(s"`$ptCol`").as("partitionTime"): _*)
-      if (mode == SaveMode.Overwrite) table.truncate()
-      table.append(conformed)
+      if (mode == SaveMode.Overwrite) table.overwrite(conformed)
+      else table.append(conformed)
       ()
     }
     createRelation(sqlContext, parameters)
@@ -159,12 +161,23 @@ class GraftDataSource extends RelationProvider
       s"graft sink supports Append output mode, got $outputMode — " +
         "upsert/delete streams go through MergePipeline.writer")
     // exactly-once namespace: batchIds are monotonic only within one
-    // checkpoint lineage (MergePipeline doc) — namespace the replay
-    // tags by the checkpoint when the query declares one
+    // checkpoint lineage (MergePipeline doc) — the replay tags MUST be
+    // namespaced by the checkpoint. REQUIRED, never defaulted
+    // (advisor-found): Spark forwards only writer-level .option()
+    // values here, so a query relying on the
+    // spark.sql.streaming.checkpointLocation conf would arrive without
+    // one — and a shared fallback namespace would silently no-op a
+    // second lineage's small batchIds as replays (data loss). Fail
+    // fast instead.
     val streamId = ci.get("checkpointlocation")
       .map(c => java.util.UUID.nameUUIDFromBytes(c.getBytes("UTF-8"))
         .toString.take(8))
-      .getOrElse("default")
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: .option(\"checkpointLocation\", ...) is required on " +
+          "the writer — it namespaces the exactly-once replay tags; a " +
+          "session-conf default checkpoint is not forwarded to the sink, " +
+          "and two checkpoint lineages sharing one namespace would " +
+          "silently drop the newer lineage's batches as replays"))
     new GraftStreamingSink(path, ci, streamId)
   }
 
@@ -322,12 +335,15 @@ class GraftFileIndex(spark: SparkSession, table: WarehouseTable,
         }
       }
     // zone-map day skipping from the pushed data filters: only for
-    // current-version reads (the map fingerprints describe LIVE file
-    // sets) and only over columns whose sidecar cache already exists —
-    // the planner must never launch a first-build stats scan of a
-    // 100 TB column as a side effect of planning a query
-    val skipped = zoneSkippedDays(dataFilters,
-      afterPartition.map(_._1).toSet)
+    // current-version reads, only over columns whose sidecar cache
+    // already exists (the planner must never launch a stats scan of a
+    // 100 TB column as a side effect of planning a query), and only
+    // where the sidecar's fingerprint matches THIS index's pinned file
+    // set — a sidecar rebuilt by a concurrent rewrite describes the
+    // NEW files, and pruning the pinned OLD files with it would
+    // silently drop rows instead of the documented transient
+    // FAILED_READ (advisor-found)
+    val skipped = zoneSkippedDays(dataFilters, afterPartition)
     afterPartition.filterNot(g => skipped.contains(g._1)).map {
       case (d, files) =>
         PartitionDirectory(
@@ -336,11 +352,16 @@ class GraftFileIndex(spark: SparkSession, table: WarehouseTable,
   }
 
   /** Days provably empty under some pushed conjunct, by the cached
-    * per-day (min, max, non-null) zone maps. Conservative: any parse
-    * failure, unsupported shape, or sidecar error keeps the day.
+    * per-day (min, max, non-null) zone maps — READ-ONLY (no plan-time
+    * stats build), and a day is only skippable when its sidecar
+    * fingerprint equals the fingerprint of the pinned file group, so
+    * the stats provably describe the exact files this snapshot scans.
+    * Conservative: any parse failure, unsupported shape, fingerprint
+    * mismatch, or sidecar error keeps the day.
     */
   private def zoneSkippedDays(dataFilters: Seq[Expression],
-      days: Set[String]): Set[String] = {
+      pinned: Seq[(String, Seq[FileStatus])]): Set[String] = {
+    val days = pinned.map(_._1).toSet
     if (versionAsOf.nonEmpty || dataFilters.isEmpty || days.isEmpty)
       return Set.empty
     val mapped = table.zoneMapColumnsOnDisk.toSet
@@ -363,14 +384,22 @@ class GraftFileIndex(spark: SparkSession, table: WarehouseTable,
     if (checks.isEmpty) return Set.empty
     val numericCols = table.schema.fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    // this snapshot's own per-day fingerprint, from the pinned groups
+    // (names + sizes — same formula the sidecar writer used)
+    val pinnedFp: Map[String, String] = pinned.map { case (d, files) =>
+      d -> WarehouseTable.fileSetFingerprint(
+        files.map(st => (st.getPath.getName, st.getLen)))
+    }.toMap
+    val dayList = pinned.map(_._1)
     val maps = checks.map(_._1).distinct.flatMap { c =>
-      try Some(c -> table.dayZoneMaps(c))
+      try Some(c -> table.cachedZoneMaps(c, dayList))
       catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
     days.filter { d =>
       checks.exists { case (c, op, lit) =>
-        maps.get(c).flatMap(_.get(d)).exists { case (mn, mx, nn) =>
-          provablyEmpty(op, lit, mn, mx, nn, numericCols.contains(c))
+        maps.get(c).flatMap(_.get(d)).exists { case (fp, (mn, mx, nn)) =>
+          fp == pinnedFp(d) &&
+            provablyEmpty(op, lit, mn, mx, nn, numericCols.contains(c))
         }
       }
     }
@@ -385,9 +414,15 @@ class GraftFileIndex(spark: SparkSession, table: WarehouseTable,
     (mn, mx) match {
       case (Some(lo), Some(hi)) =>
         try {
+          // string bounds compare under UTF8String binary (code-point)
+          // order — the SAME collation Spark's min/max used to produce
+          // the sidecar stats. Java String.compareTo (UTF-16 code-unit
+          // order) disagrees for supplementary characters vs U+E000..
+          // U+FFFF, and a collation mismatch here wrongly proves days
+          // empty (advisor-found).
           def cmp(a: String, b: String): Int =
             if (numeric) BigDecimal(a).compare(BigDecimal(b))
-            else a.compareTo(b)
+            else UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
           op match {
             case "=" => cmp(lit, lo) < 0 || cmp(lit, hi) > 0
             case ">" => cmp(hi, lit) <= 0

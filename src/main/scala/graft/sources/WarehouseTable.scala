@@ -415,13 +415,35 @@ final class WarehouseTable private (
     * sidecar, by contrast, must be maintained at every write site
     * because its probe has no cheap staleness witness).
     */
-  private def dayFingerprint(day: String): String = {
-    val parts = fs.listStatus(new Path(s"$dataPath/$partitionCol=$day"))
-      .filter(_.isFile).map(st => s"${st.getPath.getName}:${st.getLen}")
-      .sorted.mkString(",")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+  private def dayFingerprint(day: String): String =
+    WarehouseTable.fileSetFingerprint(
+      fs.listStatus(new Path(s"$dataPath/$partitionCol=$day"))
+        .filter(_.isFile).toSeq.map(st => (st.getPath.getName, st.getLen)))
+
+  /** Read-only view of the cached zone-map sidecars for `colName` over
+    * `days`: day → (fingerprint the stats were computed under, (min,
+    * max, non-null)). NEVER rebuilds — safe to call at plan time (the
+    * planner must not launch a stats scan as a side effect) and from a
+    * pinned-snapshot reader, which must validate the fingerprint
+    * against ITS OWN pinned file set, not the live dir (advisor-found:
+    * a concurrent rewrite between snapshot pin and planning would
+    * otherwise let current-state maps prove a day empty under the NEW
+    * data and silently drop it from the OLD file list).
+    */
+  private[sources] def cachedZoneMaps(colName: String, days: Seq[String])
+      : Map[String, (String, (Option[String], Option[String], Long))] =
+    days.flatMap { d =>
+      val p = s"$zoneMapDir/$colName/$d.props"
+      if (!fs.exists(new Path(p))) None
+      else {
+        val kv = readMetaString(spark, p).linesIterator
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        def b64(k: String): Option[String] = kv.get(k).filter(_.nonEmpty)
+          .map(s => new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
+        kv.get("fp").map(fp =>
+          d -> (fp, (b64("min"), b64("max"), kv.getOrElse("nonnull", "0").toLong)))
+      }
+    }.toMap
 
   /** Per-day zone maps (min, max, non-null count) for `colName`,
     * computed lazily on first use and cached under `_graft/zonemaps`
@@ -448,19 +470,7 @@ final class WarehouseTable private (
     val days = listDays()
     val fps = days.map(d => d -> dayFingerprint(d)).toMap
     fs.mkdirs(new Path(s"$zoneMapDir/$colName"))
-    val cached: Map[String, (String, (Option[String], Option[String], Long))] =
-      days.flatMap { d =>
-        val p = s"$zoneMapDir/$colName/$d.props"
-        if (!fs.exists(new Path(p))) None
-        else {
-          val kv = readMetaString(spark, p).linesIterator
-            .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-          def b64(k: String): Option[String] = kv.get(k).filter(_.nonEmpty)
-            .map(s => new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
-          kv.get("fp").map(fp =>
-            d -> (fp, (b64("min"), b64("max"), kv.getOrElse("nonnull", "0").toLong)))
-        }
-      }.toMap
+    val cached = cachedZoneMaps(colName, days)
     val stale = days.filter(d => !cached.get(d).exists(_._1 == fps(d)))
     val fresh: Map[String, (Option[String], Option[String], Long)] =
       if (stale.isEmpty) Map.empty
@@ -492,8 +502,13 @@ final class WarehouseTable private (
   def rangeCandidateDays(colName: String, lo: Any, hi: Any): Seq[String] = {
     val numeric = schema.fields.find(_.name == colName)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // string bounds under UTF8String binary order — the collation the
+    // sidecar's Spark min/max stats were computed with (Java String `<=`
+    // is UTF-16 code-unit order, which disagrees above the BMP)
     def le(a: String, b: String): Boolean =
-      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+      if (numeric) BigDecimal(a) <= BigDecimal(b)
+      else org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
     dayZoneMaps(colName).collect {
       case (d, (Some(mn), Some(mx), nn))
         if nn > 0 && le(mn, hi.toString) && le(lo.toString, mx) => d
@@ -1429,8 +1444,21 @@ final class WarehouseTable private (
     * the claim-wait budget — callers fall back to the conservative
     * direction (drop the touched blooms: missing reads as
     * always-candidate) instead of writing unserialised.
+    *
+    * FENCED (advisor-found): the lease is breakable after
+    * [[WarehouseTable.bloomLeaseStaleMs]], and a holder stalled past
+    * that (GC pause, FS hang) whose read-merge-write completes AFTER
+    * the break would overwrite the interleaving writer's bloom with a
+    * merge based on pre-break content — dropping that writer's keys,
+    * the one unsound (under-approximating) direction. The nonce check
+    * on release can't prevent the torn WRITE, so after the critical
+    * section the lock is re-read: if the nonce is no longer ours, the
+    * `touched` days' blooms are DROPPED — always sound (missing reads
+    * as always-candidate; the next exact pass heals) — so a lost lease
+    * degrades to the conservative fallback instead of a torn write.
     */
-  private def withBloomLease[T](body: => T): Option[T] = {
+  private def withBloomLease[T](touched: Iterable[String])
+      (body: => T): Option[T] = {
     fs.mkdirs(new Path(bloomDir))
     val lock = s"$bloomDir/.lease"
     val nonce = UUID.randomUUID().toString
@@ -1447,6 +1475,11 @@ final class WarehouseTable private (
             try readMetaString(spark, lock).trim.endsWith(s":$nonce")
             catch { case _: java.io.IOException => false }
           if (mine) fs.delete(new Path(lock), false)
+          // lease lost mid-section (broken as stale, possibly re-held
+          // by another writer): our writes may have torn theirs — drop
+          // to the conservative direction rather than leave a bloom
+          // that could under-approximate
+          else dropBlooms(touched)
         }
       } else {
         val heldTs =
@@ -1499,7 +1532,7 @@ final class WarehouseTable private (
     // not span a concurrent merge's read-modify-write. A timed-out
     // lease SKIPS (no drop): the stamp merely stays lower — staleness
     // over-reports, the safe direction — and content is untouched.
-    withBloomLease {
+    withBloomLease(days) {
       days.foreach { d =>
         val p = new Path(s"$bloomDir/$d.bloom")
         WarehouseTable.readStampedBloom(fs, p).foreach { case (old, b) =>
@@ -1521,7 +1554,7 @@ final class WarehouseTable private (
   private def writeExactBlooms(days: Seq[String],
       blooms: Map[String, Array[Byte]], stamp: Long): Unit = {
     fs.mkdirs(new Path(bloomDir))
-    val wrote = withBloomLease {
+    val wrote = withBloomLease(days) {
       days.foreach { d =>
         val bloomPath = new Path(s"$bloomDir/$d.bloom")
         blooms.get(d).filter(_ =>
@@ -1634,7 +1667,7 @@ final class WarehouseTable private (
       .agg(agg.as("bloom"))
       .collect()
     fs.mkdirs(new Path(bloomDir))
-    val wrote = withBloomLease {
+    val wrote = withBloomLease(existing) {
       rows.foreach { r =>
         writeBloomFile(new Path(s"$bloomDir/${r.getString(0)}.bloom"), stamp,
           _.write(r.getAs[Array[Byte]](1)))
@@ -1669,7 +1702,7 @@ final class WarehouseTable private (
     // interleaving between this read and this write would lose keys —
     // the unsound direction); a timed-out lease drops the touched
     // blooms instead of writing unserialised
-    val rebuild: Seq[String] = withBloomLease { valid.flatMap { case (d, bytes) =>
+    val rebuild: Seq[String] = withBloomLease(valid.map(_._1)) { valid.flatMap { case (d, bytes) =>
       val p = new Path(s"$bloomDir/$d.bloom")
       val batch =
         try Option(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
@@ -2157,6 +2190,76 @@ final class WarehouseTable private (
     }
     finalizeCommit("truncate", dropped, v, Map.empty)
     dropped
+  }
+
+  /** Atomic REPLACE of the whole table content with `df` in ONE
+    * committed version — the semantics a BI tool expects from
+    * `mode("overwrite")` (Delta's equivalent is likewise a single
+    * commit). The previous truncate-then-append shape left two windows
+    * (advisor-found): a concurrent reader resolving between the
+    * commits saw a committed EMPTY table, and a crash between them
+    * durably truncated without the new data ever landing. Here the new
+    * generation is fully staged before the claim, every pre-existing
+    * day plus every incoming day swaps under one claim (days absent
+    * from staging are archived away), blooms are exact from staging,
+    * and one manifest finalize publishes the replacement — a reader
+    * sees the old table or the new one, never the gap. The replaced
+    * generation stays time-travelable and restorable.
+    *
+    * Touched-day race: a day committed by a concurrent writer between
+    * this op's day listing and its claim would evade the swap (the
+    * overwrite would not actually replace everything) — so after
+    * winning the claim the manifest base is re-checked, and any day
+    * outside the claimed set releases the claim and re-resolves
+    * (bounded retries, then the standard concurrent-conflict abort).
+    * Returns the final day set of the new generation.
+    */
+  def overwrite(df: DataFrame, partitionTimeCol: String = "partitionTime"): Seq[String] =
+    overwriteRouted(df
+      .withColumn(partitionCol, routeExpr(partitionTimeCol))
+      .drop(partitionTimeCol))
+
+  /** [[overwrite]] for a frame already carrying the partition column
+    * (the SQL `INSERT OVERWRITE` path, whose rows arrive pre-routed).
+    */
+  private[sources] def overwriteRouted(routed: DataFrame): Seq[String] = {
+    val staging = s"$root/.overwrite-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(routed).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    // exact blooms from the private staging dir — the new generation IS
+    // the staged content, so the probe filter is exact from version one
+    val exactBlooms = stagedExactBlooms(staging)
+    var attempt = 0
+    while (true) {
+      val readBase = currentVersion
+      val days = (listDays() ++ stagedFiles.keys).distinct.sorted
+      if (days.isEmpty) { fs.delete(new Path(staging), true); return Seq.empty }
+      val v = claimCommit("overwrite", days, readBase + 1)
+      // the claim walk aborted any OVERLAPPING concurrent commit, but a
+      // commit creating a BRAND-NEW day between listDays() and the
+      // claim shares no day with ours — re-check against the exact
+      // manifest finalize will rebase on, and re-resolve if one slipped
+      // in (releasing the not-yet-acted-on claim frees the slot)
+      val extra = manifestBase(v).keySet -- days
+      if (extra.isEmpty) {
+        swapPartitions(staging, days, v)
+        writeExactBlooms(days, exactBlooms, v)
+        finalizeCommit("overwrite", days, v, stagedFiles)
+        expireOldPartitions()
+        autoVacuum()
+        return stagedFiles.keys.toSeq.sorted
+      }
+      fs.delete(new Path(s"$snapDir/v$v.list"), false)
+      attempt += 1
+      if (attempt > 5) {
+        fs.delete(new Path(staging), true)
+        throw new java.util.ConcurrentModificationException(
+          s"overwrite of $root: new partitions kept appearing " +
+            s"(${extra.mkString(",")}) across $attempt claim attempts")
+      }
+    }
+    Seq.empty // unreachable
   }
 
   private def expireOldPartitions(): Unit =
@@ -3893,6 +3996,18 @@ object WarehouseTable {
     sys.props.get("graft.appendHashCollectMaxRows")
       .orElse(sys.env.get("GRAFT_APPEND_HASH_COLLECT_MAX_ROWS"))
       .getOrElse("8000000").toLong
+
+  /** Fingerprint of a file set (names + sizes) — the staleness key for
+    * zone-map sidecars. Static so a pinned-snapshot reader
+    * ([[GraftFileIndex]]) can recompute a day's fingerprint from its
+    * OWN resolved file list and compare to the sidecar's, instead of
+    * trusting live-dir state that may have moved since the pin.
+    */
+  private[sources] def fileSetFingerprint(files: Seq[(String, Long)]): String = {
+    val parts = files.map { case (n, len) => s"$n:$len" }.sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /** The driver-vs-distributed bloom-fold decision, in one place for
     * both append paths: the fold collects one (day, hash) pair per row,

@@ -233,7 +233,8 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val evolved = spark.read.format("graft").load(root)
     assert(evolved.columns.contains("f2"))
     assert(evolved.where($"f2".isNotNull).count() == 1)
-    // Overwrite = truncate (committed, metadata-only) + append: the
+    // Overwrite = ONE atomic commit replacing the whole content (never
+    // a committed-empty gap between a truncate and an append); the
     // pre-overwrite state stays time-travelable
     val t = WarehouseTable.open(spark, root)
     val preOverwrite = t.currentVersion
@@ -241,10 +242,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     val after = spark.read.format("graft").load(root)
     assert(asPairs(after.select($"k1", $"f1", $"_pday")) ==
       Set((7L, "z", "2024-01-03")))
-    assert(t.history().exists(_._2 == "truncate"))
+    assert(t.currentVersion == preOverwrite + 1,
+      "overwrite must be exactly one committed version — a separate " +
+        "truncate commit would expose a committed empty table")
+    assert(t.history().exists(_._2 == "overwrite"))
+    assert(!t.history().exists(h => h._1 > preOverwrite && h._2 == "truncate"))
     assert(spark.read.format("graft")
       .option("versionAsOf", preOverwrite.toString).load(root).count() == 4,
       "pre-overwrite snapshot lost")
+    // every intermediate version is non-empty: no reader can resolve a
+    // committed empty table anywhere in the overwrite's history
+    (1L to t.currentVersion).foreach { v =>
+      assert(spark.read.format("graft")
+        .option("versionAsOf", v.toString).load(root).count() > 0,
+        s"version $v reads as a committed empty table")
+    }
+    // post-overwrite merges still work (blooms were rebuilt exact from
+    // the staged generation)
+    t.merge(Seq((7L, Some("z2"), 1L)).toDF("k", "v", "i")
+      .select(struct($"k".as("k1")).as("key"),
+        when($"v".isNotNull, struct($"v".as("f1"))).as("value"),
+        $"i", ts(3).as("partitionTime"), lit(0L).as("batchNumber")))
+    assert(asPairs(spark.read.format("graft").load(root)
+      .select($"k1", $"f1", $"_pday")) == Set((7L, "z2", "2024-01-03")))
   }
 
   test("writeStream.format(\"graft\"): exactly-once streaming sink — restart " +
@@ -335,5 +355,99 @@ class GraftDataSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       spark.read.format("graft").option("versionAsOf", "99").load(root)
     }
+  }
+
+  test("zone-map skipping is fingerprint-fenced: a sidecar whose fp does " +
+      "not match the pinned file set never prunes (stale-stats race)") {
+    val root = tmpRoot()
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    val t = WarehouseTable.create(spark, root, Seq("event_id"), evSchema)
+    (1 to 2).foreach { d =>
+      t.append((0 until 100).map(i => (d * 100L + i, s"t$d")).toDF(
+        "event_id", "event_type").withColumn("partitionTime", ts(d)))
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hand-write a LYING sidecar for day 1 (claims max=0, so a query on
+    // id 150 would prove the day empty) under two fingerprints
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    def writeSidecar(fp: String): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$root/_graft/zonemaps/event_id")
+      fs.mkdirs(dir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "2024-01-01.props"), true)
+      out.write(
+        s"fp=$fp\nnonnull=100\nmin=${b64("0")}\nmax=${b64("0")}".getBytes("UTF-8"))
+      out.close()
+    }
+    def dayRows(): Long = spark.read.format("graft").load(root)
+      .where($"event_id".between(100L, 150L)).count()
+    // fp matching the pinned files: the (lying) stats are trusted → the
+    // day is skipped and rows go missing — proves the skip engages
+    val liveFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data/_pday=2024-01-01"))
+      .filter(_.isFile).toSeq.map(st => (st.getPath.getName, st.getLen))
+    val parts = liveFiles.map { case (n, l) => s"$n:$l" }.sorted.mkString(",")
+    val realFp = java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    writeSidecar(realFp)
+    assert(dayRows() == 0L,
+      "sanity: a matching-fp sidecar must engage the skip")
+    // fp from some OTHER file set (a concurrent rewrite moved the day):
+    // the sidecar must be ignored and the day scanned
+    writeSidecar("deadbeef" * 4)
+    assert(dayRows() == 51L,
+      "a fingerprint-mismatched sidecar pruned the pinned file set — " +
+        "silent wrong results under concurrent DML")
+  }
+
+  test("streaming sink requires an explicit checkpointLocation option — " +
+      "a defaulted replay namespace would cross checkpoint lineages") {
+    val root = tmpRoot()
+    val srcDir = Files.createTempDirectory("graft-ckreq-src").toString
+    Seq(1L -> "a").toDF("k1", "f1").write.parquet(s"$srcDir/f1")
+    def chain(x: Throwable): Boolean = {
+      var c = x; var d = 0
+      while (c != null && d < 10) {
+        if (String.valueOf(c.getMessage).contains("checkpointLocation"))
+          return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    val e = intercept[Exception] {
+      spark.readStream.schema("k1 LONG, f1 STRING").parquet(s"$srcDir/*")
+        .withColumn("partitionTime", ts(1))
+        .writeStream.format("graft")
+        .option("path", root).option("keys", "k1")
+        .start() // no checkpointLocation option anywhere
+    }
+    assert(chain(e), s"unexpected failure shape: $e")
+    // the dangerous branch (advisor-found): the SESSION CONF supplies a
+    // checkpoint, so Spark happily starts the query — but the conf value
+    // is not forwarded to createSink, and a silently-defaulted replay
+    // namespace would cross checkpoint lineages. The sink must refuse.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.checkpointLocation",
+      Files.createTempDirectory("graft-ckreq-conf").toString)
+    val e2 = intercept[Exception] {
+      s2.readStream.schema("k1 LONG, f1 STRING").parquet(s"$srcDir/*")
+        .withColumn(
+          "partitionTime", to_timestamp(lit("2024-01-01 12:00:00")))
+        .writeStream.format("graft")
+        .option("path", root).option("keys", "k1")
+        .start()
+    }
+    assert(chain(e2), s"conf-only checkpoint must still refuse: $e2")
+    assert(!fs2Exists(root), "no table state may land from refused starts")
+  }
+
+  private def fs2Exists(root: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/schema.json"))
   }
 }

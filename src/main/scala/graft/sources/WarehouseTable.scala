@@ -542,14 +542,21 @@ final class WarehouseTable private (
     * [[appendBatch]]'s job (this method, called twice, appends twice,
     * like BigQuery streaming inserts outside the insertId window).
     */
-  def append(df: DataFrame, partitionTimeCol: String = "partitionTime"): DataFrame = {
-    val kafkaCols = Seq("topic", "partition", "offset")
-    val deduped =
-      if (kafkaCols.forall(df.columns.contains)) df.dropDuplicates(kafkaCols)
-      else df
-    val routed = deduped
+  def append(df: DataFrame, partitionTimeCol: String = "partitionTime"): DataFrame =
+    appendRouted(df
       .withColumn(partitionCol, routeExpr(partitionTimeCol))
-      .drop(partitionTimeCol)
+      .drop(partitionTimeCol))
+
+  /** [[append]] for a frame already carrying the partition column (the
+    * SQL `INSERT INTO` path, whose rows arrive pre-routed — the
+    * overwrite twin is [[overwriteRouted]]).
+    */
+  private[sources] def appendRouted(preRouted: DataFrame): DataFrame = {
+    val kafkaCols = Seq("topic", "partition", "offset")
+    val routed =
+      if (kafkaCols.forall(preRouted.columns.contains))
+        preRouted.dropDuplicates(kafkaCols)
+      else preRouted
     // cached across the bloom/day aggregation and the write (micro-batch
     // bounded): the write otherwise re-scans and re-routes the input
     routed.cache()
@@ -814,12 +821,27 @@ final class WarehouseTable private (
     try {
       // no .distinct(): the batch is key-unique by contract (doc above),
       // so the raw hash projection collects the same set without an
-      // aggregation exchange — one job instead of an AQE round-trip
-      val hashes = df.select(xxhash64(keyString(keyFields.map(col))).as("h"))
-        .collect().map(_.getLong(0)).distinct
-      if (hashes.isEmpty) return df // empty batch: nothing to do
-      // probe ALL partitions (empty batch-day exclusion), keys could be anywhere
-      val candDays = bloomCandidateDays(hashes, Seq.empty)
+      // aggregation exchange — one job instead of an AQE round-trip.
+      // The LIMIT caps driver heap: a backfill over the gate probes via
+      // one distributed batch bloom instead (fixed bytes to the driver)
+      val hashGate = math.min(
+        WarehouseTable.appendHashCollectMaxRows, (Int.MaxValue - 1).toLong)
+      val hashDf = df.select(xxhash64(keyString(keyFields.map(col))).as("h"))
+      val taken = hashDf.limit(hashGate.toInt + 1).collect().map(_.getLong(0))
+      if (taken.isEmpty) return df // empty batch: nothing to do
+      // bulk on the RAW take length (a truncated take's distinct is not
+      // the batch's key set); probe ALL partitions (empty batch-day
+      // exclusion), keys could be anywhere. A bulk batch skips the
+      // probe entirely: the anti-join below is then ONE exact
+      // keys-only column-pruned pass over every partition — strictly
+      // cheaper than any separate discovery pass at backfill scale,
+      // since discovery itself would scan the same key columns
+      val candDays =
+        if (taken.length <= hashGate) bloomCandidateDays(taken.distinct, Seq.empty)
+        else {
+          WarehouseTable.bulkMergePaths.incrementAndGet()
+          listDays()
+        }
       val keySet = keyFields.toSet
       val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
       val fresh =
@@ -855,27 +877,50 @@ final class WarehouseTable private (
     try {
       // conflict window opens before the dest read (claimCommit doc)
       val readBase = currentVersion
-      // ONE collect (and one cache materialization) serves the source
-      // row count, the touched-day set, the bloom probe's key hashes,
-      // AND the post-swap bloom union (unionBloomsAfterSwap). src is
-      // one-row-per-key, so the raw (day, hash, live) projection is
-      // already ~distinct — same driver bound as a grouped collect, but
-      // with no aggregation exchange the collect is a single
-      // post-dedup-shuffle stage (one fewer job per flush)
-      val dayHash = src.select(stagedSlice("").as("d"),
+      val probe = src.select(stagedSlice("").as("d"),
         xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"),
         col("value").isNotNull.as("live"))
-        .collect()
+      // ONE capped collect (and one cache materialization) serves the
+      // source row count, the touched-day set, the bloom probe's key
+      // hashes, AND the post-swap bloom union (unionBloomsAfterSwap).
+      // src is one-row-per-key, so the raw (day, hash, live) projection
+      // is already ~distinct — same driver bound as a grouped collect,
+      // but with no aggregation exchange the collect is a single
+      // post-dedup-shuffle stage (one fewer job per flush). The LIMIT
+      // is the driver-heap gate (same row bound as the append fold): a
+      // backfill-scale batch over the gate takes the BULK path below,
+      // where nothing per-row ever crosses the driver.
+      val hashGate = math.min(
+        WarehouseTable.appendHashCollectMaxRows, (Int.MaxValue - 1).toLong)
+      val dayHash = probe.limit(hashGate.toInt + 1).collect()
       if (dayHash.isEmpty) return Seq.empty // nothing staged → nothing to rewrite
-      val srcRows = dayHash.length.toLong
-      val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
-      val keyHashes = dayHash.map(_.getLong(1)).distinct
-      // live (non-tombstone) hashes per slice day: exactly the keys the
-      // merge could INSERT into that day — tombstones never insert, and
-      // updated keys are already covered by their dest day's bloom
-      val liveDayHashes = dayHash.filter(r => r.getBoolean(2) && r.getString(0) != null)
-        .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
-      val days = (batchDays ++ bloomCandidateDays(keyHashes, batchDays)).distinct.sorted
+      val bulk = dayHash.length > hashGate
+      val (srcRows, batchDays, candDays, liveDayHashes) =
+        if (!bulk) {
+          val keyHashes = dayHash.map(_.getLong(1)).distinct
+          // live (non-tombstone) hashes per slice day: exactly the keys
+          // the merge could INSERT into that day — tombstones never
+          // insert, and updated keys are already covered by their dest
+          // day's bloom
+          val liveByDay = dayHash
+            .filter(r => r.getBoolean(2) && r.getString(0) != null)
+            .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
+          val bd = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
+          (dayHash.length.toLong, bd, bloomCandidateDays(keyHashes, bd), liveByDay)
+        } else {
+          // BULK path (ad-hoc backfill): day set + row count via a
+          // distributed agg (O(days) rows back), candidate days via the
+          // exact keys semi-join, and the touched days' sidecars
+          // rebuilt EXACT from the staging output below instead of a
+          // per-row driver union
+          WarehouseTable.bulkMergePaths.incrementAndGet()
+          val dayCounts = probe.groupBy(col("d")).agg(count(lit(1)).as("n")).collect()
+          val rows = dayCounts.map(_.getLong(1)).sum
+          val bd = dayCounts.map(_.getString(0)).filter(_ != null).toSeq
+          val srcKeys = src.select(keyFields.map(f => col(s"key.$f").as(f)): _*)
+          (rows, bd, exactCandidateDays(srcKeys, bd), Map.empty[String, Array[Long]])
+        }
+      val days = (batchDays ++ candDays).distinct.sorted
 
       // ONE schema snapshot for the whole op: the dest read, the update
       // and insert column lists, and the union all see the same fields.
@@ -892,7 +937,11 @@ final class WarehouseTable private (
       // territory), on the exact-bloom tightening/heal flushes (their
       // staged blooms must cover whole days), or on a pre-snapshot
       // table (no manifest to carry forward from).
-      val fileGranular = srcRows <= broadcastMaxRows && readBase > 0L &&
+      // `!bulk` is explicit (not implied by the row gates, which tests
+      // shrink independently): the bulk path has no per-row driver
+      // state, and file-granular carry-forward needs the whole-day
+      // exact-bloom rebuild it cannot provide
+      val fileGranular = !bulk && srcRows <= broadcastMaxRows && readBase > 0L &&
         (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
         !days.exists(bloomNeedsHeal)
       if (fileGranular) {
@@ -942,9 +991,12 @@ final class WarehouseTable private (
       // cadence — decided on the EXPECTED version readBase+1; if
       // contention re-sequences the claim the tightening slips a
       // version, a maintenance schedule, not a correctness property —
-      // or immediately when any touched day's bloom needs healing
+      // or immediately when any touched day's bloom needs healing; the
+      // BULK path always goes exact — the staging output IS the touched
+      // days' complete new generation, and it is the distributed
+      // replacement for the per-row driver bloom union
       val exactBlooms =
-        if ((readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
+        if (bulk || (readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
             days.exists(bloomNeedsHeal))
           Some(stagedExactBlooms(staging))
         else None
@@ -1137,22 +1189,40 @@ final class WarehouseTable private (
     try {
       // conflict window opens before the dest read (claimCommit doc)
       val readBase = currentVersion
-      // one collect doubles as the emptiness check: touched days from
-      // all rows, probe hashes from the tombstones (only deletes need
-      // to find existing rows)
-      val dayHash = fenced.select(stagedSlice("").as("d"),
+      val probe = fenced.select(stagedSlice("").as("d"),
         xxhash64(keyString(keyFields.map(f => col(s"key.$f")))).as("h"),
-        col("value").isNull.as("tomb"))
-        .distinct().collect()
+        col("value").isNull.as("tomb")).distinct()
+      // one capped collect doubles as the emptiness check: touched days
+      // from all rows, probe hashes from the tombstones (only deletes
+      // need to find existing rows). Over the driver-heap gate the BULK
+      // path below keeps every per-row structure distributed (merge doc)
+      val hashGate = math.min(
+        WarehouseTable.appendHashCollectMaxRows, (Int.MaxValue - 1).toLong)
+      val dayHash = probe.limit(hashGate.toInt + 1).collect()
       if (dayHash.isEmpty) return Seq.empty // nothing survives the fence
-      val batchDays = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
-      val tombHashes = dayHash.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
-      // non-tombstone hashes per slice day, for the post-swap bloom
-      // union: delete-only mode plain-inserts every surviving live row
-      val liveDayHashes = dayHash.filter(r => !r.getBoolean(2) && r.getString(0) != null)
-        .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
+      val bulk = dayHash.length > hashGate
+      val (batchDays, candDays, liveDayHashes) =
+        if (!bulk) {
+          val tombHashes = dayHash.filter(_.getBoolean(2)).map(_.getLong(1)).distinct
+          // non-tombstone hashes per slice day, for the post-swap bloom
+          // union: delete-only mode plain-inserts every surviving live row
+          val liveByDay = dayHash
+            .filter(r => !r.getBoolean(2) && r.getString(0) != null)
+            .groupBy(_.getString(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)) }
+          val bd = dayHash.map(_.getString(0)).filter(_ != null).distinct.toSeq
+          (bd, bloomCandidateDays(tombHashes, bd), liveByDay)
+        } else {
+          WarehouseTable.bulkMergePaths.incrementAndGet()
+          val bd = probe.select(col("d")).where(col("d").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSeq
+          // only tombstones need to FIND existing rows (inserts are
+          // pure additions to their slice days, already in bd)
+          val tombKeysDf = fenced.where(col("value").isNull)
+            .select(keyFields.map(f => col(s"key.$f").as(f)): _*)
+          (bd, exactCandidateDays(tombKeysDf, bd), Map.empty[String, Array[Long]])
+        }
       val tombSrc = fenced.where(col("value").isNull)
-      val days = (batchDays ++ bloomCandidateDays(tombHashes, batchDays)).distinct.sorted
+      val days = (batchDays ++ candDays).distinct.sorted
 
       // one schema snapshot for the whole op (merge doc): dest read and
       // insert columns must agree under a concurrent evolveSchema
@@ -1171,9 +1241,10 @@ final class WarehouseTable private (
           stagedSlice("").as(partitionCol): _*)
       // FILE-granular (merge doc): only files actually HOLDING a
       // tombstoned key rewrite; inserts are pure additions. Whole-day
-      // fallback on the exact-bloom tightening/heal flushes and
-      // pre-snapshot tables.
-      val fileGranular = readBase > 0L &&
+      // fallback on the exact-bloom tightening/heal flushes,
+      // pre-snapshot tables, and bulk batches (whose tombstone key set
+      // must not broadcast).
+      val fileGranular = !bulk && readBase > 0L &&
         (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
         !days.exists(bloomNeedsHeal)
       if (fileGranular) {
@@ -1226,8 +1297,11 @@ final class WarehouseTable private (
         return days
       }
       val dest = readCommitted(days, snap)
-      // batch-bounded key set broadcast → dest is never shuffled here either
-      val survivors = dest.as("d").join(broadcast(tombKeys.as("s")), keyCond, "left_anti")
+      // batch-bounded key set broadcast → dest is never shuffled here
+      // either; a bulk batch drops the hint (shuffled anti-join — the
+      // key set no longer fits an executor)
+      val tombBuild = if (bulk) tombKeys.as("s") else broadcast(tombKeys.as("s"))
+      val survivors = dest.as("d").join(tombBuild, keyCond, "left_anti")
       val merged = survivors.unionByName(inserts)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
@@ -1237,7 +1311,7 @@ final class WarehouseTable private (
         .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
       val stagedFiles = stagedDayFiles(staging)
       val exactBlooms =
-        if ((readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
+        if (bulk || (readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
             days.exists(bloomNeedsHeal))
           Some(stagedExactBlooms(staging))
         else None
@@ -1252,6 +1326,190 @@ final class WarehouseTable private (
       autoVacuum()
       days
     } finally fenced.unpersist()
+  }
+
+  /** Generic SQL `MERGE INTO` executor (the [[graft.plans]] DML rule's
+    * engine; programmatic callers welcome too). Unlike [[merge]] — the
+    * fixed kafka-shaped upsert — this takes the full ANSI clause set:
+    * arbitrary join condition, ordered WHEN MATCHED
+    * (UPDATE/DELETE [AND cond]), WHEN NOT MATCHED (INSERT [AND cond]),
+    * and WHEN NOT MATCHED BY SOURCE (UPDATE/DELETE [AND cond]).
+    *
+    * Column-reference contract: target columns are addressed
+    * `col("__t.<name>")` (the dest scan is aliased `__t`; `<name>`
+    * includes [[partitionCol]]), source columns by the `source`
+    * frame's own resolved attributes — the DML rule rewrites the
+    * analyzed expressions into exactly this shape.
+    *
+    * == 100 TB design ==
+    *
+    * Day-pruned copy-on-write: ONE distributed semi-join discovers the
+    * exact partition days holding any match (no per-row driver state),
+    * insert destinations come from evaluating the insert slice
+    * assignment over the (clause-filtered) source, and only that day
+    * set is read, merged and atomically swapped — days outside it are
+    * never touched. `WHEN NOT MATCHED BY SOURCE` inherently reads
+    * every day (its predicate ranges over unmatched target rows).
+    * Rows may MOVE days (`UPDATE SET … _pday = …`, or INSERT-star
+    * carrying a new slice): destinations are discovered from the
+    * staged output and the merge re-runs once with the widened read
+    * set — the second pass reaches a fixpoint by construction (same
+    * input rows ⇒ same destinations). Touched-day blooms rebuild
+    * EXACT from staging. One commit, snapshot-isolated, time-travelable.
+    *
+    * Not enforced (documented divergence from ANSI): the
+    * multiple-source-rows-match-one-target-row cardinality error; the
+    * first-clause-wins evaluation order IS enforced.
+    */
+  def mergeInto(source: DataFrame, condition: Column,
+      matched: Seq[MergeIntoClause], notMatched: Seq[MergeIntoClause],
+      notMatchedBySource: Seq[MergeIntoClause]): Seq[String] = {
+    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    notMatched.foreach(c => require(c.isInstanceOf[MergeIntoInsert],
+      "WHEN NOT MATCHED supports only INSERT"))
+    (matched ++ notMatchedBySource).foreach(c =>
+      require(!c.isInstanceOf[MergeIntoInsert],
+        "WHEN [NOT] MATCHED [BY SOURCE] supports only UPDATE/DELETE"))
+    val snap = schema
+    val readBase = currentVersion
+    val allDays = listDays()
+    val outFields = snap.fields.toSeq :+ StructField(partitionCol, StringType)
+    def emptyDest = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(snap.fields :+ StructField(partitionCol, StringType)))
+
+    // exact match-day discovery: one semi-join, O(days) back
+    val matchDays: Seq[String] =
+      if (allDays.isEmpty || (matched.isEmpty && notMatched.isEmpty)) Seq.empty
+      else guardStaleRead(readCommitted(allDays, snap).as("__t")
+        .join(source, condition, "left_semi")
+        .select(col(partitionCol).cast("string"))
+        .distinct().collect()).map(_.getString(0)).toSeq
+    // insert destinations, evaluated over the clause-filtered source
+    // (a superset of the actually-inserted rows — sound)
+    val insertDays: Seq[String] = notMatched.flatMap {
+      case MergeIntoInsert(cond, assigns) =>
+        val slice = assigns.getOrElse(partitionCol,
+          throw new IllegalArgumentException(
+            s"graft MERGE: every INSERT clause must assign $partitionCol " +
+              "(the partition slice the row lands in)"))
+        cond.fold(source)(source.where(_))
+          .select(slice.cast("string").as("d")).where(col("d").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSeq
+      case _ => Seq.empty
+    }.distinct
+
+    var readSet: Set[String] =
+      if (notMatchedBySource.nonEmpty) allDays.toSet
+      else (matchDays ++ insertDays.filter(allDays.contains)).toSet
+    if (readSet.isEmpty && insertDays.isEmpty) return Seq.empty
+
+    def firstClause(clauses: Seq[MergeIntoClause],
+        value: MergeIntoClause => Column, default: Column): Column =
+      clauses.foldRight(default)((cl, els) =>
+        when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)), value(cl))
+          .otherwise(els))
+
+    // ANSI cardinality rule: >1 source rows matching one target row
+    // (with an applicable clause) is an error, not silent duplication.
+    // One window shuffle on the merged days; opt out for a known-keyed
+    // source with spark.graft.merge.cardinalityCheck=false.
+    val cardinalityCheck =
+      spark.conf.get("spark.graft.merge.cardinalityCheck", "true").toBoolean
+
+    def buildMerged(dest: DataFrame): DataFrame = {
+      val t = dest.withColumn("__t_present", lit(true))
+        .withColumn("__t_rid", monotonically_increasing_id()).as("__t")
+      val s = source.withColumn("__s_present", lit(true))
+      val joined = t.join(s, condition, "full_outer")
+      val tp = coalesce(col("__t_present"), lit(false))
+      val sp = coalesce(col("__s_present"), lit(false))
+      def tcol(f: String) = col(s"__t.`$f`")
+      def matchedVal(f: StructField) = firstClause(matched, {
+        case MergeIntoUpdate(_, as) =>
+          as.getOrElse(f.name, tcol(f.name)).cast(f.dataType)
+        case _ => tcol(f.name) // DELETE: value irrelevant, row dropped
+      }, tcol(f.name))
+      def bySourceVal(f: StructField) = firstClause(notMatchedBySource, {
+        case MergeIntoUpdate(_, as) =>
+          as.getOrElse(f.name, tcol(f.name)).cast(f.dataType)
+        case _ => tcol(f.name)
+      }, tcol(f.name))
+      def insertVal(f: StructField) = firstClause(notMatched, {
+        case MergeIntoInsert(_, as) =>
+          as.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+        case _ => lit(null).cast(f.dataType)
+      }, lit(null).cast(f.dataType))
+      val anyMatchedApplies =
+        firstClause(matched, _ => lit(true), lit(false))
+      val multiMatch =
+        if (!cardinalityCheck || matched.isEmpty) lit(false)
+        else count(when(sp, 1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__t_rid"))) > 1
+      val matchedKeep =
+        when(multiMatch && anyMatchedApplies, raise_error(lit(
+          "graft MERGE: multiple source rows matched a single target row " +
+            "with an applicable WHEN MATCHED clause (ANSI cardinality " +
+            "violation); dedup the source, or set " +
+            "spark.graft.merge.cardinalityCheck=false")).cast("boolean"))
+        .otherwise(firstClause(matched,
+          cl => lit(!cl.isInstanceOf[MergeIntoDelete]), lit(true)))
+      val keep =
+        when(tp && sp, matchedKeep)
+        .when(!tp && sp,
+          firstClause(notMatched, _ => lit(true), lit(false)))
+        .otherwise( // target-only
+          firstClause(notMatchedBySource,
+            cl => lit(!cl.isInstanceOf[MergeIntoDelete]), lit(true)))
+      val cols = outFields.map { f =>
+        when(tp && sp, matchedVal(f))
+          .when(!tp && sp, insertVal(f))
+          .otherwise(bySourceVal(f))
+          .cast(f.dataType).as(f.name)
+      }
+      val merged = joined.where(keep).select(cols: _*)
+      // a surviving row with no slice cannot be routed — fail loudly
+      // (covers INSERT clauses that assigned a null _pday)
+      merged.withColumn(partitionCol,
+        when(col(partitionCol).isNull, raise_error(lit(
+          s"graft MERGE: a result row has a null $partitionCol slice — " +
+            "INSERT/UPDATE must produce a non-null partition day")))
+          .otherwise(col(partitionCol)))
+    }
+
+    // stage; if rows moved into existing days we did not read, widen the
+    // read set and re-run once (destinations are input-determined, so
+    // the second pass is a fixpoint)
+    var staging: String = null
+    var stagedFiles: Map[String, Seq[String]] = Map.empty
+    var done = false
+    while (!done) {
+      val dest =
+        if (readSet.isEmpty) emptyDest
+        else readCommitted(readSet.toSeq.sorted, snap)
+      val result = buildMerged(dest)
+      staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
+      guardStaleRead(clusteredWrite(result).write
+        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+      stagedFiles = stagedDayFiles(staging)
+      val extra = (stagedFiles.keySet -- readSet).filter(allDays.contains)
+      if (extra.isEmpty) done = true
+      else { fs.delete(new Path(staging), true); readSet = readSet ++ extra }
+    }
+    val days = (readSet ++ stagedFiles.keySet).toSeq.distinct.sorted
+    if (days.isEmpty) { fs.delete(new Path(staging), true); return Seq.empty }
+    // exact blooms: arbitrary updates/deletes make union-maintenance
+    // unsound here, and the staging IS the touched days' new generation
+    val exactBlooms = stagedExactBlooms(staging)
+    val v = claimCommit("merge-into", days, readBase + 1)
+    swapPartitions(staging, days, v)
+    writeExactBlooms(days, exactBlooms, v)
+    finalizeCommit("merge-into", days, v, stagedFiles)
+    expireOldPartitions()
+    autoVacuum()
+    days
   }
 
   /** The shuffle fallback for over-ceiling batches: a pruned full-outer
@@ -1795,6 +2053,33 @@ final class WarehouseTable private (
         }
       }.collect().toSeq
     noBloom ++ hits
+  }
+
+  /** Bulk-batch candidate discovery (the
+    * over-[[WarehouseTable.appendHashCollectMaxRows]] sibling of
+    * [[bloomCandidateDays]]): an EXACT distributed left-semi join of
+    * the other days' key columns against the batch keys. Blooms are
+    * the wrong tool here twice over — collecting per-key hashes is the
+    * driver bound this path exists to avoid, and any bloom-vs-bloom
+    * bit test saturates at backfill density (expected stray bit
+    * collisions grow with |batch|·|day|·k²/bits, so "any shared bit"
+    * keeps ~every day) — while the keys-only column-pruned scan here
+    * is a small fraction of the full-row rewrite the SMJ merge pays
+    * for every candidate day, so exactness directly minimizes the
+    * expensive step. Nothing per-row crosses the driver: only the
+    * O(days) distinct day list returns. `srcKeys` carries exactly the
+    * key columns under their table names.
+    */
+  private def exactCandidateDays(srcKeys: DataFrame,
+      batchDays: Seq[String]): Seq[String] = {
+    val otherDays = listDays().filterNot(batchDays.contains)
+    if (otherDays.isEmpty) return Seq.empty
+    val keySet = keyFields.toSet
+    val keySchema = StructType(schema.fields.filter(f => keySet.contains(f.name)))
+    readWithTableSchema(otherDays, Some(keySchema))
+      .join(srcKeys, keyFields.toSeq, "left_semi")
+      .select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
   }
 
   // ---- compaction (table maintenance) ----
@@ -3829,6 +4114,20 @@ object TableOptions {
   val Layouts: Set[String] = Set("LINEAR", "ZORDER")
 }
 
+/** One ANSI MERGE `WHEN` clause for [[WarehouseTable.mergeInto]]:
+  * `cond` is the clause's extra `AND` predicate (None = uncondtional);
+  * assignment keys are TARGET column names (including the partition
+  * slice column), values follow the mergeInto column-reference
+  * contract (`__t.`-qualified target refs, source frame attributes).
+  * Clause order is evaluation order (first match wins, per ANSI).
+  */
+sealed trait MergeIntoClause { def cond: Option[Column] }
+final case class MergeIntoUpdate(cond: Option[Column],
+    assigns: Map[String, Column]) extends MergeIntoClause
+final case class MergeIntoDelete(cond: Option[Column]) extends MergeIntoClause
+final case class MergeIntoInsert(cond: Option[Column],
+    assigns: Map[String, Column]) extends MergeIntoClause
+
 object WarehouseTable {
 
   /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
@@ -3956,6 +4255,12 @@ object WarehouseTable {
         else None
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Times any writer took the over-gate BULK path (distributed day
+    * agg + batch-bloom candidate probe instead of a per-row driver
+    * collect) — a test witness, not a control knob.
+    */
+  private[graft] val bulkMergePaths = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bloom sizing: expected keys per partition (1% fpp ⇒ ~1.2 MB at 1M
     * keys). At real scale this is a per-table config; oversizing costs

@@ -170,5 +170,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
     // opt-in exact→HLL swap for count(DISTINCT …) at profile scale
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // SQL MERGE/UPDATE/DELETE over graft catalog tables → the native
+    // day-pruned executors (claimed inside the analyzer fixed point,
+    // before the optimizer's row-level rewrite would reject the table)
+    ext.injectResolutionRule(s => graft.plans.GraftDmlRule(s))
   }
 }

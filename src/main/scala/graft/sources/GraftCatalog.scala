@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 `TableCatalog` over a directory of graft warehouse
+  * tables — the SQL DDL/DML surface the reference's users get from the
+  * destination warehouse (BigQuery DDL: `SchemaManager.java:155-260`
+  * auto-create/evolve; here the user-facing twin):
+  *
+  * {{{
+  * spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.warehouse = /data/warehouse
+  *
+  * CREATE TABLE graft.db.events (k1 BIGINT, f1 STRING, _pday STRING)
+  *   USING graft TBLPROPERTIES ('keys' = 'k1')
+  * INSERT INTO graft.db.events VALUES (1, 'a', '2024-01-01')
+  * SELECT * FROM graft.db.events VERSION AS OF 3
+  * ALTER TABLE graft.db.events ADD COLUMN f2 DOUBLE
+  * MERGE INTO graft.db.events t USING src s ON t.k1 = s.k1 ...  -- (GraftDml)
+  * }}}
+  *
+  * Identifiers map to paths: `graft.a.b.t` → `<warehouse>/a/b/t`;
+  * namespaces are directories. The partition-slice column `_pday` is
+  * part of the SQL schema (reads expose it, inserts must provide it in
+  * the table's slice format — `yyyy-MM-dd` at DAY granularity); the
+  * stored value-field schema is everything else. All writes route
+  * through the table's commit protocol (snapshot isolation, exact
+  * blooms, time travel) — never a raw file dump.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse " +
+          "(the directory holding its tables)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, "_graft/schema.json"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq.filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new Path(tablePath(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    new GraftTableV2(ident, WarehouseTable.open(spark, path), path, None)
+  }
+
+  /** `SELECT ... FROM t VERSION AS OF n` */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft: VERSION AS OF takes a snapshot version number, got '$version'"))
+    new GraftTableV2(ident, WarehouseTable.open(spark, path), path, Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands micros. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    val t = WarehouseTable.open(spark, path)
+    val ms = timestamp / 1000L
+    val v = t.history().filter(_._3 <= ms).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: no snapshot of $ident committed at or before $ms ms"))
+    new GraftTableV2(ident, t, path, Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    // both spellings reach us: TBLPROPERTIES ('keys'...) raw, OPTIONS
+    // (keys ...) under the reserved "option." prefix
+    def prop(k: String): Option[String] =
+      props.get(k).orElse(props.get(s"${TableCatalog.OPTION_PREFIX}$k"))
+    val keys = prop("keys").getOrElse(throw new IllegalArgumentException(
+      "graft: CREATE TABLE needs TBLPROPERTIES ('keys' = 'k1,k2') — " +
+        "the merge key set every upsert relies on"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graft: 'keys' must name at least one column")
+    // `_pday` may appear in the DDL (it is the natural way to make it
+    // INSERT-addressable) but is never a stored value field
+    val stored = StructType(schema.fields.filterNot(_.name == GraftTableV2.PDay))
+    keys.filterNot(stored.fieldNames.contains).foreach(k =>
+      throw new IllegalArgumentException(s"graft: key column '$k' is not in the schema"))
+    val okParts = partitions.isEmpty || (partitions.length == 1 &&
+      partitions.head.toString == s"identity(${GraftTableV2.PDay})")
+    require(okParts,
+      s"graft tables are always slice-partitioned on ${GraftTableV2.PDay}; " +
+        s"PARTITIONED BY must be omitted or exactly (${GraftTableV2.PDay}), " +
+        s"got ${partitions.mkString(", ")}")
+    val opts = TableOptions(
+      clusteringFields = prop("clustering").map(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      partitionField = prop("partitionField"),
+      granularity = prop("granularity").getOrElse("DAY"),
+      partitionExpirationMs = prop("partitionExpirationMs").map(_.toLong),
+      snapshotRetention = prop("snapshotRetention").map(_.toInt),
+      layout = prop("layout").getOrElse("LINEAR"))
+    val path = tablePath(ident)
+    fs.mkdirs(new Path(path))
+    val t = WarehouseTable.create(spark, path, keys, stored, opts)
+    new GraftTableV2(ident, t, path, None)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` routes through the same widening
+    * schema evolution as the write paths (R3/R4); property changes and
+    * drops/renames are refused — the stored files are immutable and
+    * the key set is load-bearing.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
+    val t = WarehouseTable.open(spark, path)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"graft: cannot add nested field ${add.fieldNames.mkString(".")}")
+        t.evolveSchema(StructType(t.schema.fields :+
+          StructField(add.fieldNames.head, add.dataType, nullable = true)))
+        ()
+      case other => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER TABLE change $other — only ADD COLUMN " +
+          "(widening evolution) is allowed; files are immutable and keys are fixed")
+    }
+    new GraftTableV2(ident, WarehouseTable.open(spark, path), path, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    if (!isTableDir(p)) false else fs.delete(p, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = new Path(tablePath(from))
+    if (!isTableDir(src)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val dst = new Path(tablePath(to))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"graft: rename $from -> $to failed")
+  }
+
+  // ---- namespaces (directories) ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(new Path(warehouse))) Array.empty
+    else fs.listStatus(new Path(warehouse)).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => namespace :+ s.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      fs.exists(new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path((warehouse +: namespace.toSeq).mkString("/")))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories; nothing to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade && fs.listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"graft: namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}
+
+object GraftTableV2 {
+  /** The partition-slice column, part of the SQL-visible schema. */
+  val PDay = "_pday"
+}
+
+/** The catalog's `Table`: reads fall back to the battle-tested V1
+  * relation ([[GraftDataSource]] — pinned-snapshot file index, zone
+  * maps, partition pruning) via the public [[V1Scan]] bridge; writes
+  * fall back to the commit-protocol append/overwrite via [[V1Write]].
+  * SQL MERGE/UPDATE/DELETE against this table are intercepted by
+  * [[graft.plans.GraftDml]].
+  */
+class GraftTableV2(ident: Identifier, private[graft] val table: WarehouseTable,
+    private[graft] val path: String, private[graft] val versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite with TruncatableTable {
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType =
+    StructType(table.schema.fields :+
+      StructField(GraftTableV2.PDay, StringType, nullable = true))
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(GraftTableV2.PDay))
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "keys" -> table.keyFields.mkString(",")).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** The V1 read relation this table's scans resolve to. */
+  private[graft] def readDf(spark: SparkSession): DataFrame = {
+    val r = spark.read.format("graft")
+    versionAsOf.fold(r)(v => r.option("versionAsOf", v.toString)).load(path)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty, "graft: cannot write to a time-travel snapshot")
+    new GraftWriteBuilder(table, info)
+  }
+
+  override def truncateTable(): Boolean = { table.truncate(); true }
+}
+
+private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, unhandled) =
+      filters.partition(f => GraftScanBuilder.toColumn(f).isDefined)
+    pushed = ok
+    unhandled
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val (req, flt) = (required, pushed)
+    new V1Scan {
+      override def readSchema(): StructType = req
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = req
+          override def buildScan(): RDD[Row] = {
+            // filters + pruning land on the V1 relation, where `_pday`
+            // predicates become partition pruning and the rest reach
+            // the parquet scan as PushedFilters
+            val base = t.readDf(context.sparkSession)
+            val filtered = flt.flatMap(GraftScanBuilder.toColumn)
+              .foldLeft(base)((df, c) => df.where(c))
+            filtered.select(req.fieldNames.toSeq.map(n => col(s"`$n`")): _*).rdd
+          }
+        }.asInstanceOf[T]
+    }
+  }
+}
+
+private[graft] object GraftScanBuilder {
+
+  /** V1 `Filter` → `Column`, for the subset we claim as handled; the
+    * translation is EXACT (applied via `.where` on the relation), so
+    * claiming them is safe. Nested-field references are left to Spark.
+    */
+  def toColumn(f: Filter): Option[Column] = {
+    def attr(name: String): Option[Column] =
+      if (name.contains(".")) None else Some(col(s"`$name`"))
+    f match {
+      case sources.EqualTo(a, v) => attr(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => attr(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => attr(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => attr(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+      case sources.In(a, vs) => attr(a).map(_.isin(vs.toSeq: _*))
+      case sources.IsNull(a) => attr(a).map(_.isNull)
+      case sources.IsNotNull(a) => attr(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, v) => attr(a).map(_.startsWith(v))
+      case sources.StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+      case sources.StringContains(a, v) => attr(a).map(_.contains(v))
+      case sources.And(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case sources.Or(l, r) =>
+        for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case sources.Not(c) => toColumn(c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+/** INSERT INTO → commit-protocol append; INSERT OVERWRITE / TRUNCATE →
+  * the ONE-commit atomic [[WarehouseTable.overwriteRouted]]. The query
+  * arrives conformed to the table schema (value fields + `_pday`), so
+  * rows are already routed.
+  */
+private[graft] class GraftWriteBuilder(table: WarehouseTable,
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsOverwrite {
+
+  private var replaceAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
+      "graft: partition-scoped INSERT OVERWRITE is not supported — " +
+        "use MERGE INTO (upsert) or DELETE WHERE + INSERT; full-table " +
+        "INSERT OVERWRITE is")
+    replaceAll = true
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val routed = data // schema = value fields + _pday, pre-routed
+          if (replaceAll || overwrite) table.overwriteRouted(routed)
+          else table.appendRouted(routed)
+          ()
+        }
+      }
+  }
+}

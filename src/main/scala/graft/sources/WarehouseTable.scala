@@ -1469,7 +1469,10 @@ final class WarehouseTable private (
           .otherwise(bySourceVal(f))
           .cast(f.dataType).as(f.name)
       }
-      val merged = joined.where(keep).select(cols: _*)
+      // keep is materialized as a column first: it may carry the
+      // cardinality window, which cannot sit inside a WHERE clause
+      val merged = joined.withColumn("__keep", keep)
+        .where(col("__keep")).select(cols: _*)
       // a surviving row with no slice cannot be routed — fail loudly
       // (covers INSERT clauses that assigned a null _pday)
       merged.withColumn(partitionCol,

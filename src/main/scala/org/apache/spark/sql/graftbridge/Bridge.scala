@@ -25,4 +25,14 @@ object Bridge {
       : org.apache.spark.sql.classic.DataFrame =
     df.sparkSession.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
+
+  /** Wrap an analyzed logical plan back into a DataFrame (the
+    * `Dataset.ofRows` the DML commands use to hand a statement's
+    * source subtree — exprIds intact — to the merge executor).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -16,7 +16,8 @@ object SparkEntry {
     _root_.graft.queries.WarehouseQueries,
     _root_.graft.queries.TemporalQueries,
     _root_.graft.queries.WebQueries,
-    _root_.graft.queries.LlmQueries)
+    _root_.graft.queries.LlmQueries,
+    _root_.graft.queries.SqlSurfaceQueries)
 
   lazy val allQueries: Seq[GraftQuery] = packs.flatMap(_.queries)
 

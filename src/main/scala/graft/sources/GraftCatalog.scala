@@ -43,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the table's commit protocol (snapshot isolation, exact
   * blooms, time travel) — never a raw file dump.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -183,6 +184,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"graft: rename $from -> $to failed")
   }
+
+  // ---- procedures (SQL CALL — table maintenance) ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(spark, warehouse, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else GraftProcedures.All.map(n => Identifier.of(namespace, n)).toArray
 
   // ---- namespaces (directories) ----
 

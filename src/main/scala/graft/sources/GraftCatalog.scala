@@ -321,6 +321,10 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
         new BaseRelation with TableScan {
           override def sqlContext: SQLContext = context
           override def schema: StructType = req
+          // the inner plan already produces InternalRows; declaring
+          // no-conversion hands them through as-is instead of paying
+          // an InternalRow→Row→InternalRow round trip per row
+          override def needConversion: Boolean = false
           override def buildScan(): RDD[Row] = {
             // filters + pruning land on the V1 relation, where `_pday`
             // predicates become partition pruning and the rest reach
@@ -328,7 +332,8 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
             val base = t.readDf(context.sparkSession)
             val filtered = flt.flatMap(GraftScanBuilder.toColumn)
               .foldLeft(base)((df, c) => df.where(c))
-            filtered.select(req.fieldNames.toSeq.map(n => col(s"`$n`")): _*).rdd
+            filtered.select(req.fieldNames.toSeq.map(n => col(s"`$n`")): _*)
+              .queryExecution.toRdd.asInstanceOf[RDD[Row]]
           }
         }.asInstanceOf[T]
     }

@@ -268,11 +268,46 @@ object Bench {
         }
       }
 
+    // 100× WRITE-side soak (default ON; SPARK_GRAFT_SOAK100X=0 skips,
+    // and it's skipped whenever the 100× corpus wasn't materialized):
+    // full append → over-gate bulk merge → compact → time-travel →
+    // vacuum → reader lifecycle at 10 M rows with exact survivor
+    // accounting and the peak DRIVER heap sampled throughout — the
+    // driver-memory / manifest-size cliff witness the query bench
+    // can't provide (Soak100x doc).
+    val soak100xJson: String =
+      if (sys.env.get("SPARK_GRAFT_SOAK100X").contains("0") ||
+          sys.env.get("SPARK_GRAFT_SCALE100X").contains("0") ||
+          sys.env.get("SPARK_GRAFT_SCALE10X").contains("0")) ""
+      else {
+        val dir100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100X_DIR",
+          s"/tmp/graft_scale100x_${Paths.get(sfDir).getFileName}")
+        try {
+          graft.tools.Scale10x.materialize(spark, sfDir, dir100, copies = 100)
+          val whRoot = Files.createTempDirectory("graft-soak100x").toString + "/tbl"
+          val r = graft.tools.Soak100x.run(spark, dir100, whRoot)
+          resetSession()
+          def s3(d: Double) = math.rint(d * 1000) / 1000
+          s""""soak100x":{"sec":${s3(r.sec)},"append_sec":${s3(r.appendSec)},""" +
+            s""""merge_sec":${s3(r.mergeSec)},"compact_sec":${s3(r.compactSec)},""" +
+            s""""vacuum_sec":${s3(r.vacuumSec)},"read_sec":${s3(r.readSec)},""" +
+            s""""rows_in":${r.rowsIn},"survivors":${r.survivors},""" +
+            s""""compacted_days":${r.compactedDays},""" +
+            s""""peak_jvm_heap_mb":${r.peakDriverHeapMb},""" +
+            s""""heap_note":"local-mode JVM = driver + executors",""" +
+            s""""bulk_path_engaged":${r.bulkPathEngaged}},"""
+        } catch { case e: Throwable =>
+          resetSession()
+          s""""soak100x":{"error":"${esc(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).take(200))}"},"""
+        }
+      }
+
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"reps":$reps,"agg":"min",""" +
         s""""stream_merge_1m":$probeJson,""" +
-        probe10mJson + scale10xJson + scale100xJson +
+        probe10mJson + scale10xJson + scale100xJson + soak100xJson +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""
 
     // emit on stdout AND stderr (sbt decorates stdout with [info]), plus

@@ -2810,7 +2810,7 @@ object CoreQueries extends QueryPack {
         val rt = d.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("rt"))
         val ct = d.groupBy(col("source")).agg(count(lit(1)).cast("double").as("ct"))
         val n = d.agg(count(lit(1)).cast("double").as("n"))
-        rt.crossJoin(ct).join(obs, Seq("lang", "source"), "left")
+        rt.crossJoin(broadcast(ct)).join(obs, Seq("lang", "source"), "left")
           .na.fill(0.0, Seq("o"))
           .crossJoin(broadcast(n))
           .withColumn("e", col("rt") * col("ct") / col("n"))

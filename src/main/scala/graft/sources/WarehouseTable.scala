@@ -504,14 +504,20 @@ final class WarehouseTable private (
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     // string bounds under UTF8String binary order — the collation the
     // sidecar's Spark min/max stats were computed with (Java String `<=`
-    // is UTF-16 code-unit order, which disagrees above the BMP)
-    def le(a: String, b: String): Boolean =
-      if (numeric) BigDecimal(a) <= BigDecimal(b)
+    // is UTF-16 code-unit order, which disagrees above the BMP).
+    // Pruning is only ever by PROOF of disjointness: a bound that fails
+    // to parse back (a double column whose min/max stringified to
+    // NaN/Infinity) proves nothing and the day is conservatively kept —
+    // a throw here would turn a skip-optimization into a failed read.
+    def provedLt(a: String, b: String): Boolean =
+      if (numeric)
+        (try BigDecimal(a) < BigDecimal(b)
+        catch { case _: NumberFormatException => false })
       else org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
     dayZoneMaps(colName).collect {
       case (d, (Some(mn), Some(mx), nn))
-        if nn > 0 && le(mn, hi.toString) && le(lo.toString, mx) => d
+        if nn > 0 && !provedLt(mx, lo.toString) && !provedLt(hi.toString, mn) => d
     }.toSeq.sorted
   }
 

@@ -18,15 +18,27 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   private val warehouse = Files.createTempDirectory("graft-cat").toString
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    .config("spark.sql.catalog.graft.warehouse", warehouse)
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // The DML route (GraftDmlRule) is injected by GraftExtensions at
+    // session BUILD time — getOrCreate would silently reuse an earlier
+    // suite's session built WITHOUT them (full-suite-order-found: the
+    // six DML arms fail with "table does not support MERGE/UPDATE/
+    // DELETE" whenever any other suite runs first). Suites execute
+    // sequentially in the forked test JVM, so stopping the shared
+    // session here is safe; later suites' getOrCreate builds a fresh
+    // one (inheriting the extensions conf is harmless to them).
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse", warehouse)
+      .getOrCreate()
+  }
 
   import spark.implicits._
 

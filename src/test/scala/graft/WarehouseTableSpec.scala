@@ -136,6 +136,26 @@ class WarehouseTableSpec extends AnyFunSuite {
       "live day's zone map must survive vacuum")
   }
 
+  test("zone maps: NaN/Infinity double bounds never throw — unparseable " +
+      "stats prove nothing and the day is conservatively kept") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), StructType(Seq(
+      StructField("k1", LongType), StructField("v", DoubleType))))
+    // day 1: finite values; day 2: NaN and +Infinity poison the min/max
+    t.append(Seq((1L, 1.5), (2L, 2.5)).toDF("k1", "v")
+      .withColumn("partitionTime", ts(1)))
+    t.append(Seq((3L, Double.NaN), (4L, Double.PositiveInfinity))
+      .toDF("k1", "v").withColumn("partitionTime", ts(2)))
+    // BigDecimal("NaN") / BigDecimal("Infinity") would throw — the prune
+    // must survive and keep day 2 (can't prove disjointness), while day
+    // 1's finite bounds still prune normally
+    val days = t.rangeCandidateDays("v", 10.0, 20.0)
+    assert(days == Seq("2024-01-02"), s"got $days")
+    assert(t.rangeCandidateDays("v", 1.0, 2.0).contains("2024-01-01"))
+    // the read stays correct: the row-level residual filters day 2 out
+    assert(t.readRange("v", 10.0, 20.0).count() == 0L)
+  }
+
   test("merge: upsert + insert land correctly; untouched partitions not rewritten") {
     val root = tmpRoot()
     val t = mkTable(root)

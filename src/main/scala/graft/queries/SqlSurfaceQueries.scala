@@ -152,5 +152,25 @@ object SqlSurfaceQueries extends QueryPack {
            |       CAST(c_acctbal AS DOUBLE) AS acct,
            |       $custDaySql AS _pday
            |FROM customer
-           |WHERE NOT (c_custkey % 2 <> 0 AND c_custkey % 11 = 0)""".stripMargin)))
+           |WHERE NOT (c_custkey % 2 <> 0 AND c_custkey % 11 = 0)""".stripMargin)),
+
+    // CALL zonemaps: the data-skipping sidecars as a SQL-visible
+    // relation — per-day [min, max, non_null] of the key column, which
+    // the oracle recomputes as a plain grouped aggregate
+    GraftQuery("c5_sql_call_zonemaps",
+      (s, dir) => {
+        withCatalog(s)
+        customerView(s, dir, "c5_customer")
+        s.sql("DROP TABLE IF EXISTS gsql.db.c5")
+        s.sql("""CREATE TABLE gsql.db.c5 (k BIGINT, nm STRING, acct DOUBLE,
+                |  _pday STRING) USING graft TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+        s.sql("INSERT INTO gsql.db.c5 SELECT k, nm, acct, _pday FROM c5_customer")
+        s.sql("CALL gsql.system.zonemaps('db.c5', 'k')")
+      },
+      oracle = Some(
+        s"""SELECT $custDaySql AS day,
+           |       CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           |       CAST(max(c_custkey) AS VARCHAR) AS max_value,
+           |       count(c_custkey) AS non_null
+           |FROM customer GROUP BY 1""".stripMargin)))
 }

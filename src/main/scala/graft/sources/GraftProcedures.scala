@@ -23,6 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL gsql.system.clone('db.events', 'db.events_dev', true)
   * CALL gsql.system.expire_partitions('db.events')
   * CALL gsql.system.health('db.events')
+  * CALL gsql.system.zonemaps('db.events', 'event_id')
   * }}}
   *
   * Every procedure resolves its `table` argument relative to the
@@ -33,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] object GraftProcedures {
 
   val All: Seq[String] = Seq("history", "vacuum", "compact",
-    "compact_fragmented", "restore", "clone", "expire_partitions", "health")
+    "compact_fragmented", "restore", "clone", "expire_partitions", "health",
+    "zonemaps")
 
   private def str(n: String, comment: String) =
     ProcedureParameter.in(n, StringType).comment(comment).build()
@@ -121,6 +123,25 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("day", StringType)))) { args =>
         strings("day", open(args.getUTF8String(0).toString)
           .expirePartitions(System.currentTimeMillis()))._2
+      }
+      case "zonemaps" => proc("zonemaps",
+        "build-or-refresh the column's per-day zone maps (the data-" +
+          "skipping sidecars range reads prune with) and return them",
+        Seq(str("table", "table identifier"),
+          str("column", "numeric or string column to map")),
+        StructType(Seq(StructField("day", StringType),
+          StructField("min_value", StringType),
+          StructField("max_value", StringType),
+          StructField("non_null", LongType)))) { args =>
+        open(args.getUTF8String(0).toString)
+          .dayZoneMaps(args.getUTF8String(1).toString)
+          .toSeq.sortBy(_._1).map { case (d, (mn, mx, nn)) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(d),
+              mn.map(UTF8String.fromString).orNull,
+              mx.map(UTF8String.fromString).orNull,
+              nn)): InternalRow
+          }.toArray
       }
       case "health" =>
         new UnboundProcedure {

@@ -245,6 +245,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(swept >= 1L, s"vacuum swept nothing: $swept")
   }
 
+  test("CALL zonemaps builds and returns the data-skipping stats per day") {
+    sql("""CREATE TABLE graft.db.t15 (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.t15 VALUES (1, 'a', '2024-01-01'), " +
+      "(5, 'b', '2024-01-01'), (10, 'c', '2024-01-02')")
+    val zm = sql("CALL graft.system.zonemaps('db.t15', 'k1')")
+      .select($"day", $"min_value", $"max_value", $"non_null")
+      .as[(String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(zm == Seq(("2024-01-01", "1", "5", 2L), ("2024-01-02", "10", "10", 1L)),
+      s"got $zm")
+    // the sidecars the CALL wrote are the ones range reads prune with
+    val t = WarehouseTable.open(spark, s"$warehouse/db/t15")
+    assert(t.rangeCandidateDays("k1", 1L, 5L) == Seq("2024-01-01"))
+    // non-mapped column type refused loudly
+    val e = intercept[Exception] {
+      sql("CALL graft.system.zonemaps('db.t15', 'nope')").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("no such column") ||
+      e.getCause != null)
+  }
+
   test("CREATE TABLE AS SELECT goes through the catalog write path") {
     Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"))
       .toDF("k1", "f1", "_pday").createOrReplaceTempView("ctas_src")

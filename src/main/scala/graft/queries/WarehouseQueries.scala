@@ -543,6 +543,46 @@ object WarehouseQueries extends QueryPack {
           |SELECT id, text_md5, pday FROM s2""".stripMargin),
       headline = true),
 
+    GraftQuery("s27_stream_table_chain",
+      // table-as-stream (the Delta streaming-table pattern): a graft
+      // source table streams into a second graft table through
+      // readStream.format("graft") → writeStream.format("graft") —
+      // run 1 ships the initial snapshot (even half of customer),
+      // run 2 resumes from the SAME checkpoint and ships only the odd
+      // half's append commit (offsets = snapshot versions, so
+      // exactly-once falls out of the commit protocol). The oracle is
+      // the union: dedup/replay bugs surface as row-count mismatches
+      (s, dir) => {
+        val base = Files.createTempDirectory("graft-chain").toString
+        val srcRoot = s"$base/src"
+        val dstRoot = s"$base/dst"
+        val ck = s"$base/ck"
+        val c = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("k1"), col("c_name").as("f1"),
+          to_timestamp(lit("2024-01-01 12:00:00")).as("partitionTime"))
+        val t = WarehouseTable.create(s, srcRoot, Seq("k1"), StructType(Seq(
+          StructField("k1", LongType), StructField("f1", StringType))))
+        t.append(c.where(col("k1") % 2 === 0))
+        def run(): Unit = {
+          val q = s.readStream.format("graft").load(srcRoot)
+            .withColumn("partitionTime", to_timestamp(col("_pday")))
+            .drop("_pday")
+            .writeStream.format("graft")
+            .option("path", dstRoot).option("keys", "k1")
+            .option("checkpointLocation", ck)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        run()
+        t.append(c.where(col("k1") % 2 === 1))
+        run()
+        s.read.format("graft").load(dstRoot)
+          .select(col("k1"), col("f1"), col("_pday"))
+      },
+      oracle = Some(
+        """SELECT c_custkey AS k1, c_name AS f1, '2024-01-01' AS _pday
+          |FROM customer""".stripMargin)),
+
     GraftQuery("s6_wh_merge_pruned",
       (s, dir) => {
         val root = Files.createTempDirectory("graft-wh").toString + "/events_tbl"

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,9 +71,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `spark.readStream.format("graft")` — the table as a STREAMING
+    * SOURCE (the Delta streaming-table pattern): offsets are the
+    * table's committed snapshot versions, so exactly-once falls out of
+    * the commit protocol. The first batch is the full snapshot pinned
+    * at stream start (or the appends from `option("startingVersion",
+    * v)` on); every later batch is [[WarehouseTable.appendedBetween]]
+    * over the newly committed versions — file-granular, one commit's
+    * files per advanced version, never a table rescan. Non-append
+    * commits in a span fail the stream by default;
+    * `option("skipChangeCommits", true)` streams past them without
+    * emitting their row changes. Compactions are always transparent
+    * (row-preserving). The schema is pinned at stream start; a
+    * mid-stream widen keeps streaming the pinned columns until the
+    * query restarts (new fields then backfill from the restart batch
+    * on).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft source: 'path' (the warehouse table root) is required"))
+    val table = WarehouseTable.open(sqlContext.sparkSession, path)
+    ("graft",
+      StructType(table.schema.fields :+
+        StructField(table.partitionCol, StringType, nullable = true)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val path = ci.getOrElse("path", throw new IllegalArgumentException(
+      "graft source: 'path' (the warehouse table root) is required"))
+    val pinned = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new GraftStreamingSource(sqlContext.sparkSession, path, pinned, ci)
+  }
 
   /** `df.write.format("graft")` — the write half, routed through the
     * SAME commit protocol as the programmatic API (never a raw file
@@ -285,6 +324,80 @@ private[sources] class GraftStreamingSink(path: String,
   }
 
   override def toString: String = s"GraftStreamingSink[$path]"
+}
+
+/** V1 streaming Source over a graft table (see
+  * [[GraftDataSource.sourceSchema]] for the contract). Offsets are
+  * committed snapshot versions ([[WarehouseTable.currentVersion]]);
+  * `getBatch((a, b])` is deterministic given the offsets (the commit
+  * manifests are immutable), which is what makes checkpoint replay
+  * exactly-once.
+  */
+private[sources] class GraftStreamingSource(spark: SparkSession,
+    path: String, pinnedSchema: StructType, options: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  private val skipChangeCommits =
+    options.get("skipchangecommits").exists(_.trim.toBoolean)
+
+  /** `startingVersion`: stream appends from this committed version ON
+    * (inclusive) instead of an initial full snapshot; `earliest` = 1.
+    */
+  private val startingVersion: Option[Long] =
+    options.get("startingversion").map { v =>
+      if (v.trim.equalsIgnoreCase("earliest")) 1L
+      else v.trim.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft source: startingVersion must be >= 1 or 'earliest', got '$v'"))
+    }
+
+  override def schema: StructType = pinnedSchema
+
+  private def table = WarehouseTable.open(spark, path)
+
+  override def getOffset: Option[V1Offset] = {
+    val v = table.currentVersion
+    if (v <= 0L) None else Some(LongOffset(v))
+  }
+
+  private def version(o: V1Offset): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other => throw new IllegalStateException(
+      s"graft source: unexpected offset type $other")
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = version(end)
+    val t = table
+    val batch = start match {
+      case Some(s) =>
+        t.appendedBetween(version(s), endV, skipChangeCommits)
+      case None => startingVersion match {
+        case Some(sv) => t.appendedBetween(sv - 1, endV, skipChangeCommits)
+        case None => t.readAsOf(endV) // initial snapshot, version-pinned
+      }
+    }
+    // conform to the PINNED schema — names AND types: a mid-stream
+    // widen must not change the analyzed plan's column set under the
+    // running query, and the programmatic read infers `_pday` as DATE
+    // from the directory tokens under DAY granularity where the source
+    // declares the connector's STRING (the cast renders the exact token)
+    val conformed = batch.select(pinnedSchema.fields.toSeq.map { f =>
+      if (batch.columns.contains(f.name))
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graftbridge.Bridge.asStream(
+      conformed.asInstanceOf[org.apache.spark.sql.classic.DataFrame])
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamingSource[$path]"
 }
 
 /** Manifest-backed [[FileIndex]]: the committed snapshot's (or an

@@ -3937,6 +3937,80 @@ final class WarehouseTable private (
       .unionByName(withTag(before.exceptAll(after), "removed"))
   }
 
+  /** Net-new rows landed by the APPEND commits in the version span
+    * `(fromVersion, toVersion]` — the incremental-read primitive behind
+    * the graft STREAMING SOURCE (`readStream.format("graft")`),
+    * factored into the table for the same reason as [[tableDiff]]: it
+    * needs the manifests and per-file archive resolution.
+    *
+    * Semantics (the Delta streaming-source contract re-expressed):
+    *   - `append` / `append-batch` / `clone` commits contribute exactly
+    *     their ADDED files — an append never removes files, so its
+    *     added files hold precisely its rows — resolved through the
+    *     archive generations if a later commit rewrote them;
+    *   - `compact` / `compact-small` commits preserve rows and are
+    *     always skipped silently;
+    *   - every other FINALIZED op in the span changes rows (merge /
+    *     delete / update / overwrite / restore / truncate / expire):
+    *     throws unless `skipChangeCommits`, which skips them (their row
+    *     changes are NOT emitted — the reader keeps streaming appends);
+    *   - pending/aborted claims hold no file list and contribute
+    *     nothing.
+    *
+    * == 100 TB design ==
+    *
+    * O(versions-in-span) manifest METADATA reads and one pruned
+    * parquet read over just the appended files — a micro-batch
+    * advancing one version reads one commit's files, never the table.
+    */
+  def appendedBetween(fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema.add(partitionCol, "string"))
+    if (fromVersion == toVersion) return emptyDf
+    val cur = currentVersion
+    require(fromVersion >= 0 && toVersion <= cur,
+      s"version span ($fromVersion, $toVersion] outside available 0..$cur")
+    // the span's diff bases bottom out at fromVersion: it must still be
+    // resolvable, or added-file sets would silently compute against an
+    // OLDER manifest and re-emit rows (exactly-once violation). Above
+    // it, a missing manifest can only be an aborted claim hole (vacuum
+    // sweeps oldest-first), which safely contributes nothing.
+    require(fromVersion == 0 ||
+      fs.exists(new Path(s"$snapDir/v$fromVersion.list")),
+      s"snapshot v$fromVersion has been vacuumed — the stream cannot " +
+        "resume exactly-once from this offset; restart from a retained " +
+        "version (raise vacuum retention above the stream's downtime)")
+    val appending = Set("append", "append-batch", "clone")
+    val preserving = Set("compact", "compact-small")
+    val ops = ((fromVersion + 1) to toVersion).flatMap { v =>
+      if (!fs.exists(new Path(s"$snapDir/v$v.list"))) None
+      else Some(v -> commitMeta(v)._1)
+    }
+    val changers = ops.filter { case (_, op) =>
+      !isPendingOp(op) && !appending(op) && !preserving(op) }
+    if (changers.nonEmpty && !skipChangeCommits)
+      throw new UnsupportedOperationException(
+        "streaming a graft table requires append-only commits in the " +
+          s"span; found ${changers.map { case (v, o) => s"v$v:$o" }
+            .mkString(", ")} — set option skipChangeCommits=true to " +
+          "stream past them (their row changes will not be emitted)")
+    def onlyIn(a: Map[String, Seq[String]],
+        b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+      a.flatMap { case (d, names) =>
+        val other = b.getOrElse(d, Seq.empty).toSet
+        val own = names.filterNot(other.contains)
+        if (own.isEmpty) None else Some(d -> own.sorted)
+      }
+    val located = ops.collect { case (v, op) if appending(op) =>
+      locateAsOf(v, onlyIn(readManifest(v), readManifest(finalizedBelow(v))))
+    }.flatten
+    if (located.isEmpty) emptyDf else readLocated(located)
+  }
+
   /** Drop snapshot manifests and archived partition generations not
     * reachable from the newest `retainVersions` snapshots. The live
     * table state is never touched; [[readAsOf]] of a vacuumed version

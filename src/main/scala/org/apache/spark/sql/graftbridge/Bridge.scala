@@ -26,6 +26,16 @@ object Bridge {
     df.sparkSession.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
 
+  /** The inverse wrap, for a V1 streaming Source's getBatch: the
+    * micro-batch engine requires the returned frame to be tagged
+    * streaming (`assert(df.isStreaming)`), while the source computes it
+    * with ordinary batch plans over the commit manifests.
+    */
+  def asStream(df: org.apache.spark.sql.classic.DataFrame)
+      : org.apache.spark.sql.classic.DataFrame =
+    df.sparkSession.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+
   /** Wrap an analyzed logical plan back into a DataFrame (the
     * `Dataset.ofRows` the DML commands use to hand a statement's
     * source subtree — exprIds intact — to the merge executor).

@@ -583,6 +583,57 @@ object WarehouseQueries extends QueryPack {
         """SELECT c_custkey AS k1, c_name AS f1, '2024-01-01' AS _pday
           |FROM customer""".stripMargin)),
 
+    GraftQuery("s28_change_feed",
+      // change-data-feed primitive (readChangeFeed's engine):
+      // row-level changes per committing version — append (v1), an
+      // upsert merge whose updates surface as removed pre-image +
+      // added post-image with carried rows of the rewritten files
+      // cancelling exactly (v2), and a predicate DELETE over the
+      // post-merge state (v3). The oracle recomputes all three change
+      // sets relationally
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft-cdf").toString + "/t"
+        val cust = Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("k"), col("c_name").as("nm"))
+        val t = WarehouseTable.create(s, root, Seq("k1"), StructType(Seq(
+          StructField("k1", LongType), StructField("f1", StringType))))
+        val day = to_timestamp(lit("2024-01-01 12:00:00"))
+        t.append(cust.select(col("k").as("k1"), col("nm").as("f1"),
+          day.as("partitionTime"))) // v1
+        val upd = cust.where(col("k") % 4 === 0).select(
+          struct(col("k").as("k1")).as("key"),
+          struct(concat(lit("upd:"), col("k")).as("f1")).as("value"),
+          col("k").as("i"), day.as("partitionTime"), lit(0L).as("batchNumber"))
+        val ins = cust.where(col("k") % 10 === 0).select(
+          struct((col("k") + 1000000L).as("k1")).as("key"),
+          struct(col("nm").as("f1")).as("value"),
+          (col("k") + 1000000L).as("i"), day.as("partitionTime"),
+          lit(0L).as("batchNumber"))
+        t.merge(upd.unionByName(ins)) // v2
+        t.deleteWhere(col("k1") % 7 === 0) // v3
+        t.changesBetween(0L, t.currentVersion)
+          .select(col("k1"), col("f1"), col("change_type"),
+            col("_commit_version"))
+      },
+      oracle = Some(
+        """WITH cust AS (SELECT c_custkey AS k, c_name AS nm FROM customer),
+          |upd AS (SELECT k, nm FROM cust WHERE k % 4 = 0),
+          |ins AS (SELECT k + 1000000 AS k, nm FROM cust WHERE k % 10 = 0),
+          |state AS (
+          |  SELECT k, CASE WHEN k % 4 = 0
+          |    THEN 'upd:' || CAST(k AS VARCHAR) ELSE nm END AS nm FROM cust
+          |  UNION ALL SELECT k, nm FROM ins)
+          |SELECT k AS k1, nm AS f1, 'added' AS change_type,
+          |       CAST(1 AS BIGINT) AS _commit_version FROM cust
+          |UNION ALL
+          |SELECT k, nm, 'removed', 2 FROM upd
+          |UNION ALL
+          |SELECT k, 'upd:' || CAST(k AS VARCHAR), 'added', 2 FROM upd
+          |UNION ALL
+          |SELECT k, nm, 'added', 2 FROM ins
+          |UNION ALL
+          |SELECT k, nm, 'removed', 3 FROM state WHERE k % 7 = 0""".stripMargin)),
+
     GraftQuery("s6_wh_merge_pruned",
       (s, dir) => {
         val root = Files.createTempDirectory("graft-wh").toString + "/events_tbl"

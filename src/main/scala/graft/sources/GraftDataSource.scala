@@ -98,9 +98,12 @@ class GraftDataSource extends RelationProvider
     val path = ci.getOrElse("path", throw new IllegalArgumentException(
       "graft source: 'path' (the warehouse table root) is required"))
     val table = WarehouseTable.open(sqlContext.sparkSession, path)
-    ("graft",
-      StructType(table.schema.fields :+
-        StructField(table.partitionCol, StringType, nullable = true)))
+    val base = StructType(table.schema.fields :+
+      StructField(table.partitionCol, StringType, nullable = true))
+    val withCdf =
+      if (!ci.get("readchangefeed").exists(_.trim.toBoolean)) base
+      else base.add("change_type", StringType).add("_commit_version", "long")
+    ("graft", withCdf)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -228,6 +231,31 @@ class GraftDataSource extends RelationProvider
         "spark.read.format(\"graft\").load(\"/table/root\")"))
     val spark = sqlContext.sparkSession
     val table = WarehouseTable.open(spark, path)
+    // batch change-feed read (the Delta table_changes analog):
+    // option("readChangeFeed", true) + startingVersion [+ endingVersion]
+    // returns the row-level change set of the span as a relation —
+    // bounded by the commits read, so a TableScan (no pushdown) is the
+    // right shape; incremental consumers at scale use the STREAMING
+    // source instead
+    if (ci.get("readchangefeed").exists(_.trim.toBoolean)) {
+      val from = ci.get("startingversion").map { v =>
+        if (v.trim.equalsIgnoreCase("earliest")) 1L
+        else v.trim.toLongOption.filter(_ >= 1).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft: startingVersion must be >= 1 or 'earliest', got '$v'"))
+      }.getOrElse(throw new IllegalArgumentException(
+        "graft: readChangeFeed requires option(\"startingVersion\", ...)"))
+      val to = ci.get("endingversion").map(_.trim.toLong)
+        .getOrElse(table.currentVersion)
+      val changes = table.changesBetween(from - 1, to)
+      val outerCtx = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = outerCtx
+        override def schema: StructType = changes.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          changes.rdd
+      }
+    }
     require(!(ci.contains("versionasof") && ci.contains("timestampasof")),
       "graft: versionAsOf and timestampAsOf are mutually exclusive")
     val version: Option[Long] = ci.get("versionasof").map { v =>
@@ -343,6 +371,14 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
   private val skipChangeCommits =
     options.get("skipchangecommits").exists(_.trim.toBoolean)
 
+  /** `readChangeFeed`: stream row-level changes (`change_type` +
+    * `_commit_version` columns, [[WarehouseTable.changesBetween]])
+    * instead of appended rows. Requires `startingVersion` — a change
+    * feed has no meaningful "initial snapshot" batch.
+    */
+  private val readChangeFeed =
+    options.get("readchangefeed").exists(_.trim.toBoolean)
+
   /** `startingVersion`: stream appends from this committed version ON
     * (inclusive) instead of an initial full snapshot; `earliest` = 1.
     */
@@ -353,6 +389,26 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
         throw new IllegalArgumentException(
           s"graft source: startingVersion must be >= 1 or 'earliest', got '$v'"))
     }
+  require(!readChangeFeed || startingVersion.isDefined,
+    "graft source: readChangeFeed requires option(\"startingVersion\", ...) " +
+      "(or 'earliest') — a change feed has no initial-snapshot batch")
+
+  /** `maxVersionsPerTrigger`: admission control for long catch-ups —
+    * each trigger advances at most N committed versions, so a stream
+    * resuming after downtime processes the backlog as bounded batches
+    * instead of one giant one. The first trigger after a (re)start is
+    * uncapped (the source cannot see the checkpointed offset before the
+    * engine hands it a batch) — the documented Delta-style caveat.
+    */
+  private val maxVersionsPerTrigger: Option[Long] =
+    options.get("maxversionspertrigger").map { v =>
+      v.trim.toLongOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft source: maxVersionsPerTrigger must be >= 1, got '$v'"))
+    }
+
+  /** Newest offset handed to the engine (admission-control watermark). */
+  @volatile private var lastOffered: Long = -1L
 
   override def schema: StructType = pinnedSchema
 
@@ -360,7 +416,15 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
 
   override def getOffset: Option[V1Offset] = {
     val v = table.currentVersion
-    if (v <= 0L) None else Some(LongOffset(v))
+    if (v <= 0L) None
+    else {
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) if lastOffered >= 0L => math.min(v, lastOffered + n)
+        case _ => v
+      }
+      lastOffered = capped
+      Some(LongOffset(capped))
+    }
   }
 
   private def version(o: V1Offset): Long = o match {
@@ -372,14 +436,13 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = version(end)
+    lastOffered = math.max(lastOffered, endV)
     val t = table
-    val batch = start match {
-      case Some(s) =>
-        t.appendedBetween(version(s), endV, skipChangeCommits)
-      case None => startingVersion match {
-        case Some(sv) => t.appendedBetween(sv - 1, endV, skipChangeCommits)
-        case None => t.readAsOf(endV) // initial snapshot, version-pinned
-      }
+    val fromV = start.map(version).orElse(startingVersion.map(_ - 1))
+    val batch = (fromV, readChangeFeed) match {
+      case (Some(f), true) => t.changesBetween(f, endV)
+      case (Some(f), false) => t.appendedBetween(f, endV, skipChangeCommits)
+      case (None, _) => t.readAsOf(endV) // initial snapshot, version-pinned
     }
     // conform to the PINNED schema — names AND types: a mid-stream
     // widen must not change the analyzed plan's column set under the

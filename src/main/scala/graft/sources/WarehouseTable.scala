@@ -4011,6 +4011,78 @@ final class WarehouseTable private (
     if (located.isEmpty) emptyDf else readLocated(located)
   }
 
+  /** Row-level CHANGES committed in the version span `(fromVersion,
+    * toVersion]` — the change-data-feed primitive behind
+    * `readStream.format("graft").option("readChangeFeed", true)`:
+    * one row per net row change, tagged `change_type`
+    * (`added`/`removed`; an upsert is the removed pre-image plus the
+    * added post-image) and `_commit_version` (the committing snapshot).
+    *
+    * Per committed version this is [[tableDiff]]'s file-cancelling
+    * core (replaced and replacement files of the SAME commit read once
+    * each, carried rows cancelling through `exceptAll`), with two
+    * short-circuits: append commits read only their added files (no
+    * diff needed — an append removes nothing), and row-preserving
+    * compactions are skipped outright instead of diffing to empty.
+    * Availability guards are [[appendedBetween]]'s: the span's base
+    * manifests must be resolvable or the read fails loudly — a stale
+    * base would mis-attribute changes.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val outSchema = schema.add(partitionCol, "string")
+      .add("change_type", "string").add("_commit_version", "long")
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (fromVersion == toVersion) return emptyDf
+    val cur = currentVersion
+    require(fromVersion >= 0 && toVersion <= cur,
+      s"version span ($fromVersion, $toVersion] outside available 0..$cur")
+    require(fromVersion == 0 ||
+      fs.exists(new Path(s"$snapDir/v$fromVersion.list")),
+      s"snapshot v$fromVersion has been vacuumed — the change feed " +
+        "cannot resume exactly-once from this offset; restart from a " +
+        "retained version")
+    val preserving = Set("compact", "compact-small")
+    def onlyIn(a: Map[String, Seq[String]],
+        b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+      a.flatMap { case (d, names) =>
+        val other = b.getOrElse(d, Seq.empty).toSet
+        val own = names.filterNot(other.contains)
+        if (own.isEmpty) None else Some(d -> own.sorted)
+      }
+    val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
+      if (!fs.exists(new Path(s"$snapDir/v$v.list"))) None
+      else {
+        val op = commitMeta(v)._1
+        if (isPendingOp(op) || preserving(op)) None
+        else {
+          val base = finalizedBelow(v)
+          val from = readManifest(base)
+          val to = readManifest(v)
+          val removed = onlyIn(from, to)
+          val added = onlyIn(to, from)
+          def tag(df: DataFrame, t: String) = df
+            .withColumn("change_type", lit(t))
+            .withColumn("_commit_version", lit(v))
+          if (removed.isEmpty && added.isEmpty) None
+          else if (removed.isEmpty)
+            Some(tag(readLocated(locateAsOf(v, added)), "added"))
+          else if (added.isEmpty)
+            Some(tag(readLocated(locateAsOf(base, removed)), "removed"))
+          else {
+            val before = readLocated(locateAsOf(base, removed))
+            val after = readLocated(locateAsOf(v, added))
+            Some(tag(after.exceptAll(before), "added")
+              .unionByName(tag(before.exceptAll(after), "removed")))
+          }
+        }
+      }
+    }
+    if (parts.isEmpty) emptyDf else parts.reduce(_ unionByName _)
+  }
+
   /** Drop snapshot manifests and archived partition generations not
     * reachable from the newest `retainVersions` snapshots. The live
     * table state is never touched; [[readAsOf]] of a vacuumed version

@@ -188,6 +188,141 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("readChangeFeed streams row-level changes: upsert = removed " +
+      "pre-image + added post-image, tagged with the committing version") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "a", 2L -> "b"), day = 1)) // v1
+    t.merge(Seq((2L, Some("b2")), (3L, Some("c"))).toDF("k", "v").select(
+      struct($"k".as("k1")).as("key"),
+      when($"v".isNotNull, struct($"v".as("f1"))).as("value"),
+      $"k".as("i"), ts(1).as("partitionTime"),
+      lit(0L).as("batchNumber"))) // v2: update k=2, insert k=3
+    t.deleteWhere($"k1" === 1L) // v3: delete k=1
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest").load(root)
+      .writeStream.format("memory").queryName("ssrc_cdf")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssrc-cdf-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val changes = spark.table("ssrc_cdf")
+        .select($"k1", $"f1", $"change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(changes == Set(
+        (1L, "a", "added", 1L), (2L, "b", "added", 1L), // v1 appends
+        (2L, "b", "removed", 2L), (2L, "b2", "added", 2L), // v2 upsert
+        (3L, "c", "added", 2L), // v2 insert
+        (1L, "a", "removed", 3L)), // v3 delete
+        s"got $changes")
+      // an incremental change mid-stream arrives tagged with its version
+      t.append(batch(Seq(9L -> "z"), day = 2)) // v4
+      q.processAllAvailable()
+      assert(spark.table("ssrc_cdf")
+        .where($"_commit_version" === 4L)
+        .select($"k1", $"change_type").as[(Long, String)].collect().toSet ==
+        Set(9L -> "added"))
+    } finally q.stop()
+    // readChangeFeed without startingVersion is refused at start
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.format("memory").queryName("ssrc_cdf_bad")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ssrc-cdf-ck2").toString)
+        .start().processAllAvailable()
+    }
+    def chain(x: Throwable): Boolean = {
+      var c = x; var d = 0
+      while (c != null && d < 12) {
+        if (String.valueOf(c.getMessage).contains("startingVersion")) return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    assert(chain(e), s"unexpected failure shape: $e")
+  }
+
+  test("maxVersionsPerTrigger bounds each catch-up batch to N versions") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "a"), day = 1)) // v1 — initial snapshot
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName("ssrc_rate")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssrc-rate-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // backlog: three more commits land while the stream is idle
+      (2 to 4).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+      q.processAllAvailable()
+      assert(spark.table("ssrc_rate").count() == 4)
+      // the backlog drained as one-version batches: at least 3 separate
+      // post-snapshot micro-batches, each with at most one commit's rows
+      val perBatch = q.recentProgress.toSeq
+        .map(p => p.numInputRows).filter(_ > 0)
+      assert(perBatch.count(_ == 1L) >= 3,
+        s"expected >=3 single-commit batches, got $perBatch")
+    } finally q.stop()
+  }
+
+  test("scale witness: a one-commit advance scans ONLY that commit's " +
+      "files — O(commit), never O(table)") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    // 20 committed appends = the table the stream is behind on
+    (1 to 20).foreach { i =>
+      t.append(batch((1 to 50).map(j => (i * 1000L + j) -> s"r$i"), day = i % 5 + 1))
+    }
+    val filesBefore = t.read().inputFiles.toSet
+    t.append(batch(Seq(999999L -> "new"), day = 2))
+    val newFiles = t.read().inputFiles.toSet -- filesBefore
+    val cur = t.currentVersion
+    val (rows, totals) = ScanMetrics.selectedByQueries(spark) {
+      t.appendedBetween(cur - 1, cur).collect().length
+    }
+    assert(rows == 1)
+    assert(totals.numFiles == newFiles.size,
+      s"one-commit advance scanned ${totals.numFiles} files, the commit " +
+        s"added ${newFiles.size} — the source must never rescan the table " +
+        s"(${filesBefore.size} prior files)")
+  }
+
+  test("batch change-feed read: spark.read with readChangeFeed returns " +
+      "the span's change set, SQL-addressable through a temp view") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "a", 2L -> "b"), day = 1)) // v1
+    t.deleteWhere($"k1" === 1L) // v2
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "earliest")
+      .load(root)
+      .select($"k1", $"f1", $"change_type", $"_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cdf == Set((1L, "a", "added", 1L), (2L, "b", "added", 1L),
+      (1L, "a", "removed", 2L)), s"got $cdf")
+    // span-bounded: only v2
+    assert(spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(root).count() == 1)
+    // SQL access (the Delta table_changes workflow)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW cdf_v USING graft
+                 |OPTIONS (path '$root', readChangeFeed 'true',
+                 |         startingVersion '1')""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM cdf_v WHERE change_type = 'removed'")
+      .head().getLong(0) == 1L)
+    // missing startingVersion refused
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(root)
+    }
+  }
+
   test("a vacuumed-past resume offset fails loudly — never silent re-emission") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)

@@ -323,6 +323,40 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a writer racing the stream: every committed row arrives exactly " +
+      "once (snapshot-version offsets under concurrent commits)") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(0L -> "seed"), day = 1))
+    val q = spark.readStream.format("graft").load(root)
+      .writeStream.format("memory").queryName("ssrc_race")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ssrc-race-ck").toString)
+      .start()
+    try {
+      // 15 appends land WHILE the stream drains — getOffset pins a
+      // version mid-commit-storm, getBatch reads immutable manifests,
+      // so no interleaving can dup or drop
+      @volatile var writerErr: Option[Throwable] = None
+      val writer = new Thread(() => {
+        try (1 to 15).foreach { i =>
+          t.append(batch(Seq(i.toLong -> s"w$i"), day = i % 3 + 1))
+          Thread.sleep(30)
+        } catch { case e: Throwable => writerErr = Some(e) }
+      }, "racing-writer")
+      writer.start()
+      while (writer.isAlive) q.processAllAvailable()
+      writer.join()
+      assert(writerErr.isEmpty, s"writer failed: $writerErr")
+      q.processAllAvailable() // drain whatever landed after the last loop
+      val streamed = contents(spark.table("ssrc_race"))
+      val committed = contents(spark.read.format("graft").load(root))
+      assert(streamed == committed,
+        s"missing=${committed -- streamed} dup/extra=${streamed -- committed}")
+      assert(spark.table("ssrc_race").count() == 16L, "duplicate emission")
+    } finally q.stop()
+  }
+
   test("a vacuumed-past resume offset fails loudly — never silent re-emission") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)

@@ -174,5 +174,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // day-pruned executors (claimed inside the analyzer fixed point,
     // before the optimizer's row-level rewrite would reject the table)
     ext.injectResolutionRule(s => graft.plans.GraftDmlRule(s))
+    // NOTE: the catalog's stats-forwarding rule (ForwardV1ScanStats)
+    // cannot live here: every extensions-injectable logical batch
+    // (operator optimization, pre-CBO) runs BEFORE "Early Filter and
+    // Projection Push-Down" builds the V1ScanWrapper it rewrites. It is
+    // registered into experimental.extraOptimizations ("User Provided
+    // Optimizers", the one post-pushdown logical batch) by
+    // GraftCatalog.initialize — the feature that needs it.
   }
 }

@@ -10,13 +10,14 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 `TableCatalog` over a directory of graft warehouse
   * tables — the SQL DDL/DML surface the reference's users get from the
@@ -60,6 +61,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"graft catalog '$name' needs spark.sql.catalog.$name.warehouse " +
           "(the directory holding its tables)"))
+    // Register the stats-forwarding rewrite in the session's "User
+    // Provided Optimizers" batch — the ONLY logical batch that runs
+    // after "Early Filter and Projection Push-Down" wraps this
+    // catalog's V1 scans (every SparkSessionExtensions-injectable
+    // batch, pre-CBO included, runs before it in Spark 4.1's order).
+    // Without it, a catalog table's pruned size never reaches join
+    // planning and a few-KB dimension can never auto-broadcast.
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(
+          org.apache.spark.sql.graftbridge.ForwardV1ScanStats))
+        exp.extraOptimizations =
+          exp.extraOptimizations :+
+            org.apache.spark.sql.graftbridge.ForwardV1ScanStats
+    }
   }
 
   override def name(): String = catalogName
@@ -314,8 +330,21 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
 
   override def build(): Scan = {
     val (req, flt) = (required, pushed)
-    new V1Scan {
+    new V1Scan with SupportsReportStatistics {
       override def readSchema(): StructType = req
+      /** Day-pruned size estimate, so Catalyst's join planning sees a
+        * catalog table's REAL footprint: without this the V2 scan
+        * relation defaults to `defaultSizeInBytes` (effectively
+        * infinite) and a 10 MB dimension read through the catalog
+        * sort-merge-joins instead of broadcasting — at warehouse scale
+        * that one missed broadcast is the whole query's shuffle bill.
+        * The estimate is the manifest file sizes of the days surviving
+        * the pushed `_pday` predicates (exact three-valued evaluation;
+        * unknown shapes keep the day), the same pruning the V1 scan
+        * will do at execution — metadata-only, O(days), no file reads.
+        */
+      override def estimateStatistics(): Statistics =
+        GraftScanBuilder.prunedStats(t, flt)
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
         new BaseRelation with TableScan {
@@ -341,6 +370,79 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
 }
 
 private[graft] object GraftScanBuilder {
+
+  /** Post-pushdown scan statistics: sum of committed file sizes over
+    * the days the pushed `_pday` predicates cannot exclude. Row count
+    * is left empty (manifests track files, not rows); size alone is
+    * what `autoBroadcastJoinThreshold` consults. Column pruning is NOT
+    * folded in — an underestimate can broadcast a table that does not
+    * fit, and the conservative direction only costs a missed broadcast
+    * on very wide tables.
+    */
+  def prunedStats(t: GraftTableV2, pushed: Array[Filter]): Statistics = {
+    val dayOnly = pushed.filter(f => f.references.nonEmpty &&
+      f.references.forall(_.equalsIgnoreCase(GraftTableV2.PDay)))
+    val bytes = t.table.connectorFileGroups(t.versionAsOf).iterator
+      .filter { case (day, _) =>
+        // conjunction of pushed filters: drop the day only when some
+        // conjunct is PROVABLY false for it (None = unknown = keep)
+        !dayOnly.exists(f => dayMatches(f, day).contains(false))
+      }
+      .flatMap(_._2).map(_.getLen).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  /** Exact three-valued evaluation of a `_pday`-only V1 `Filter`
+    * against a concrete day token (never null, compared in UTF8String
+    * binary order — the collation the execution-time pruning uses).
+    * `None` = shape not understood; And/Or/Not propagate unknowns with
+    * Kleene semantics so `Not(unknown)` stays unknown instead of
+    * flipping an approximation into an unsound prune.
+    */
+  private def dayMatches(f: Filter, day: String): Option[Boolean] = {
+    def cmp(v: Any): Option[Int] = v match {
+      case s: String => Some(UTF8String.fromString(day)
+        .compareTo(UTF8String.fromString(s)))
+      case _ => None // non-string literal against the string slice col
+    }
+    f match {
+      case sources.EqualTo(_, v) => cmp(v).map(_ == 0)
+      case sources.EqualNullSafe(_, v) => cmp(v).map(_ == 0)
+      case sources.GreaterThan(_, v) => cmp(v).map(_ > 0)
+      case sources.GreaterThanOrEqual(_, v) => cmp(v).map(_ >= 0)
+      case sources.LessThan(_, v) => cmp(v).map(_ < 0)
+      case sources.LessThanOrEqual(_, v) => cmp(v).map(_ <= 0)
+      case sources.In(_, vs) =>
+        val ms = vs.toSeq.map(cmp(_).map(_ == 0))
+        if (ms.contains(Some(true))) Some(true)
+        else if (ms.forall(_.contains(false))) Some(false)
+        else None
+      case sources.IsNull(_) => Some(false) // a day token is never null
+      case sources.IsNotNull(_) => Some(true)
+      case sources.StringStartsWith(_, v) => Some(day.startsWith(v))
+      case sources.StringEndsWith(_, v) => Some(day.endsWith(v))
+      case sources.StringContains(_, v) => Some(day.contains(v))
+      case sources.And(l, r) => (dayMatches(l, day), dayMatches(r, day)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case sources.Or(l, r) => (dayMatches(l, day), dayMatches(r, day)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case sources.Not(c) => dayMatches(c, day).map(!_)
+      case sources.AlwaysTrue() => Some(true)
+      case sources.AlwaysFalse() => Some(false)
+      case _ => None
+    }
+  }
 
   /** V1 `Filter` → `Column`, for the subset we claim as handled; the
     * translation is EXACT (applied via `.where` on the relation), so

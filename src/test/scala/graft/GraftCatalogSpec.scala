@@ -290,4 +290,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("nope"), e2.getMessage)
   }
+
+  test("scan statistics: catalog reads report day-pruned sizes, so a " +
+      "small dimension auto-broadcasts without a hint") {
+    sql("""CREATE TABLE graft.db.facts (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("""CREATE TABLE graft.db.dims (k1 BIGINT, nm STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.facts SELECT id, concat('f', id), " +
+      "if(id % 2 = 0, '2024-01-01', '2024-01-02') FROM range(1000)")
+    sql("INSERT INTO graft.db.dims VALUES (0, 'zero', '2024-01-01'), " +
+      "(1, 'one', '2024-01-01')")
+
+    // the scan reports REAL sizes, not defaultSizeInBytes (infinite)
+    val full = sql("SELECT * FROM graft.db.facts")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(full > 0 && full < Long.MaxValue / 4,
+      s"catalog scan reports no real size: $full")
+
+    // a pushed _pday predicate shrinks the estimate (metadata pruning)
+    val oneDay = sql("SELECT * FROM graft.db.facts WHERE _pday = '2024-01-01'")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(oneDay < full, s"day filter did not shrink stats: $oneDay vs $full")
+    // and a provably-empty day prunes to zero bytes
+    val noDay = sql("SELECT * FROM graft.db.facts WHERE _pday = '1999-01-01'")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(noDay == 0, s"empty-day estimate should be 0 bytes, got $noDay")
+
+    // the payoff: joining the 2-row dim table broadcasts WITHOUT a
+    // hint (default 10 MB threshold vs the dim's real few-KB size) —
+    // the plan a 1000-executor cluster needs, no fact-side shuffle
+    val j = sql("""SELECT f.k1, d.nm FROM graft.db.facts f
+                  |JOIN graft.db.dims d ON f.k1 = d.k1""".stripMargin)
+    assert(j.count() == 2)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"catalog dim join did not auto-broadcast:\n$plan")
+  }
 }

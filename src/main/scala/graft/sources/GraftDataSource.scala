@@ -363,8 +363,11 @@ private[sources] class GraftStreamingSink(path: String,
   */
 private[sources] class GraftStreamingSource(spark: SparkSession,
     path: String, pinnedSchema: StructType, options: Map[String, String])
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
@@ -396,9 +399,11 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
   /** `maxVersionsPerTrigger`: admission control for long catch-ups —
     * each trigger advances at most N committed versions, so a stream
     * resuming after downtime processes the backlog as bounded batches
-    * instead of one giant one. The first trigger after a (re)start is
-    * uncapped (the source cannot see the checkpointed offset before the
-    * engine hands it a batch) — the documented Delta-style caveat.
+    * instead of one giant one. Applied in [[latestOffset]] relative to
+    * the engine-supplied start offset, so it bounds the first trigger
+    * after a restart too. The only uncapped batch is the
+    * initial-snapshot read (no start offset, no `startingVersion`),
+    * which is a single version-pinned scan whatever the cap.
     */
   private val maxVersionsPerTrigger: Option[Long] =
     options.get("maxversionspertrigger").map { v =>
@@ -410,9 +415,58 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
   /** Newest offset handed to the engine (admission-control watermark). */
   @volatile private var lastOffered: Long = -1L
 
+  /** `Trigger.AvailableNow` fence: the committed version pinned when the
+    * engine announced the run ([[prepareForTriggerAvailableNow]]).
+    * Every later [[latestOffset]] is clamped to it, so the run drains
+    * exactly the data that existed at start and TERMINATES even while
+    * concurrent writers keep committing — their versions are the next
+    * scheduled run's backlog (the periodic-incremental-job pattern;
+    * Delta's streaming source behaves the same way).
+    */
+  @volatile private var availableNowFence: Option[Long] = None
+
   override def schema: StructType = pinnedSchema
 
   private def table = WarehouseTable.open(spark, path)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowFence = Some(table.currentVersion)
+  }
+
+  /** Version capping is the source's own `maxVersionsPerTrigger` option
+    * (there is no per-version [[ReadLimit]] shape), so the engine's
+    * default limit is all-available and [[latestOffset]] applies the
+    * cap itself.
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control (the engine calls this instead of [[getOffset]]
+    * once `SupportsAdmissionControl` is implemented): advance from
+    * `start` by at most `maxVersionsPerTrigger` committed versions,
+    * clamped to the AvailableNow fence when one is pinned. Unlike the
+    * old getOffset watermark, the cap is relative to the CHECKPOINTED
+    * start offset, so the first trigger after a restart is bounded too
+    * (the previously documented Delta-style caveat is gone). The
+    * initial-snapshot batch (no start offset, no `startingVersion`) is
+    * one version-pinned read and is never version-capped.
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val live = table.currentVersion
+    val ceiling = availableNowFence.fold(live)(math.min(live, _))
+    if (ceiling <= 0L) return null // nothing committed yet
+    val from: Option[Long] = Option(start).map(versionOf).orElse(startingVersion.map(_ - 1))
+    val capped = (from, maxVersionsPerTrigger) match {
+      case (Some(f), Some(n)) => math.min(ceiling, f + n)
+      case _ => ceiling
+    }
+    lastOffered = math.max(lastOffered, capped)
+    LongOffset(capped) // == start ⇒ the engine plans no new batch
+  }
+
+  private def versionOf(o: OffsetV2): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
 
   override def getOffset: Option[V1Offset] = {
     val v = table.currentVersion

@@ -450,4 +450,37 @@ class GraftDataSourceSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/schema.json"))
   }
+
+  test("dynamic partition pruning: a join keyed on _pday scans only the " +
+      "days the filtered dimension selects — the 100 TB star-join path") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    // 8 days, one file each; a star join's fact side
+    (1 to 8).foreach { d =>
+      t.append(batch((1 to 20).map(i => (d * 100L + i) -> s"d$d"), day = d))
+    }
+    // dimension with a static filter selecting 2 of the 8 days; comes
+    // from parquet so the DPP heuristic sees real relation stats
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    (1 to 8).map(d => (f"2024-01-$d%02d", if (d <= 2) "keep" else "drop"))
+      .toDF("d", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where($"tag" === "keep")
+    val fact = spark.read.format("graft").load(root)
+    val joined = fact.join(dim, fact("_pday") === dim("d"))
+      .select($"k1", $"d")
+    val (rows, totals) = ScanMetrics.selectedByQueries(spark) { joined.collect() }
+    assert(rows.length == 40, s"expected 2 days x 20 rows, got ${rows.length}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the fact scan:\n$plan")
+    // The fact scan's runtime selection is the DPP witness — without it
+    // all 8 day files are read and only the join discards the rows.
+    // Identify the fact scan by its read schema (k1 lives only there);
+    // the dim side reads its own parquet file count.
+    val factScans = totals.readSchemas.zip(totals.numFilesPerScan)
+      .filter(_._1.contains("k1")).map(_._2)
+    assert(factScans.nonEmpty && factScans.forall(_ == 2L),
+      s"fact scan not dynamically pruned to 2 of 8 day-files: " +
+        s"fact-scan files=$factScans, all=${totals.numFilesPerScan}")
+  }
 }

@@ -357,6 +357,84 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and self-terminates; a " +
+      "second run over the same checkpoint picks up only the increments") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    (1 to 3).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val ck = Files.createTempDirectory("ssrc-an-ck").toString
+    val dstRoot = tmpRoot()
+    // graft→graft: the memory sink cannot recover a checkpoint, and the
+    // whole point here is the periodic re-RUN over one checkpoint
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .withColumn("partitionTime", to_timestamp(col("_pday")))
+        .drop("_pday")
+        .writeStream.format("graft")
+        .option("path", dstRoot).option("keys", "k1")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    }
+    // run 1: drains the 3-commit snapshot, then STOPS on its own
+    // (the periodic-incremental-job pattern — no always-on cluster)
+    run()
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      Set(1L -> "v1", 2L -> "v2", 3L -> "v3"))
+    val versionsAfterRun1 =
+      WarehouseTable.open(spark, dstRoot).currentVersion
+    // two more commits land while no query is running
+    t.append(batch(Seq(4L -> "v4"), day = 2))
+    t.append(batch(Seq(5L -> "v5"), day = 2))
+    // run 2, same checkpoint: exactly the two new commits, then stop
+    run()
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      (1 to 5).map(i => i.toLong -> s"v$i").toSet,
+      "resumed AvailableNow run must emit ONLY the post-checkpoint commits")
+    // idle run 3: terminates with zero new destination commits
+    run()
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      (1 to 5).map(i => i.toLong -> s"v$i").toSet)
+    assert(versionsAfterRun1 >= 1L)
+  }
+
+  test("Trigger.AvailableNow + maxVersionsPerTrigger: the backlog drains " +
+      "in bounded batches — including the FIRST post-restart trigger — " +
+      "and the run still terminates") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "v1"), day = 1))
+    val ck = Files.createTempDirectory("ssrc-anr-ck").toString
+    val dstRoot = tmpRoot()
+    def run(rate: Option[Int]): org.apache.spark.sql.streaming.StreamingQuery = {
+      val r = spark.readStream.format("graft")
+      val q = rate.fold(r)(n => r.option("maxVersionsPerTrigger", n.toString))
+        .load(root)
+        .withColumn("partitionTime", to_timestamp(col("_pday")))
+        .drop("_pday")
+        .writeStream.format("graft")
+        .option("path", dstRoot).option("keys", "k1")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+      q
+    }
+    run(None)
+    // 4-version backlog; the resumed run must advance 2 versions per
+    // batch from the CHECKPOINTED offset (the old getOffset watermark
+    // could not see it and left the first post-restart batch uncapped)
+    (2 to 5).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val q2 = run(Some(2))
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      (1 to 5).map(i => i.toLong -> s"v$i").toSet)
+    val perBatch = q2.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(perBatch == Seq(2L, 2L),
+      s"expected two 2-commit batches (capped from the restart offset " +
+        s"on), got $perBatch")
+  }
+
   test("a vacuumed-past resume offset fails loudly — never silent re-emission") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)

@@ -165,7 +165,7 @@ class BenchScaleSpec extends AnyFunSuite {
     // each day holds many NARROW-key-range files (the clustered layout
     // a compacted streaming table converges to — one clusteredWrite
     // would consolidate everything into a handful)
-    val mm = d0.agg(min(col("k")), max(col("k"))).head
+    val mm = d0.agg(min(col("k")), max(col("k"))).head()
     val (kmin, kmax) = (mm.getLong(0), mm.getLong(1))
     val step = math.max(1L, (kmax - kmin + 16) / 16)
     (0 until 16).foreach { b =>

@@ -332,7 +332,7 @@ class GraftDataSourceSpec extends AnyFunSuite {
     }
     assert(chainHasRefusal(e), s"unexpected failure shape: $e")
     // nothing landed, reads unaffected
-    assert(spark.sql("SELECT count(*) FROM g_ins").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM g_ins").head().getLong(0) == 3L)
     assert(t.read().count() == 3L)
   }
 

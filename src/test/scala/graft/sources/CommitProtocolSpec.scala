@@ -292,7 +292,7 @@ class CommitProtocolSpec extends AnyFunSuite {
     val day = "2024-01-01"
     // the one file holding k1=2 (each append wrote its own file)
     val fname = t.read().where($"k1" === 2L)
-      .select(input_file_name()).head.getString(0).split('/').last
+      .select(input_file_name()).head().getString(0).split('/').last
     val liveNamesBefore = fs(root)
       .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
     // stage the rewrite (k1=2 updated), claim, swap — then CRASH before
@@ -424,7 +424,7 @@ class CommitProtocolSpec extends AnyFunSuite {
     val liveBefore = fs(root)
       .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
     val fname = t.read().where($"k1" === 2L)
-      .select(input_file_name()).head.getString(0).split('/').last
+      .select(input_file_name()).head().getString(0).split('/').last
     // stage the rewrite of the one matched file, claim v1, swap — CRASH
     // before finalizeCommit. The pre-r13 rollback computed "known"
     // from manifestBase(v), which with no CURRENT lists the live dir

@@ -172,5 +172,44 @@ object SqlSurfaceQueries extends QueryPack {
            |       CAST(min(c_custkey) AS VARCHAR) AS min_value,
            |       CAST(max(c_custkey) AS VARCHAR) AS max_value,
            |       count(c_custkey) AS non_null
-           |FROM customer GROUP BY 1""".stripMargin)))
+           |FROM customer GROUP BY 1""".stripMargin)),
+
+    // Star join through catalog tables in pure SQL: a day-filtered fact
+    // joins a small dimension. The fact side's _pday predicate prunes at
+    // the scan, and the dim's day-pruned size estimate (the scan-stats
+    // rule) makes the join an auto-broadcast — the plan shape that keeps
+    // a 100 TB fact⨝dim star query shuffle-free on the fact side.
+    // Aggregates are exact integers so the hash compare is stable.
+    GraftQuery("c6_sql_star_join",
+      (s, dir) => {
+        withCatalog(s)
+        Tables.load(s, dir, "orders").select(
+          col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          concat(lit("2024-01-0"), (col("o_orderkey") % 5 + 1).cast("string"))
+            .as("_pday"))
+          .createOrReplaceTempView("c6_orders")
+        Tables.load(s, dir, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          lit("2024-01-01").as("_pday"))
+          .createOrReplaceTempView("c6_customer")
+        s.sql("DROP TABLE IF EXISTS gsql.db.c6f")
+        s.sql("DROP TABLE IF EXISTS gsql.db.c6d")
+        s.sql("""CREATE TABLE gsql.db.c6f (ok BIGINT, ck BIGINT, _pday STRING)
+                |USING graft TBLPROPERTIES ('keys' = 'ok')""".stripMargin)
+        s.sql("""CREATE TABLE gsql.db.c6d (k BIGINT, seg STRING, _pday STRING)
+                |USING graft TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+        s.sql("INSERT INTO gsql.db.c6f SELECT ok, ck, _pday FROM c6_orders")
+        s.sql("INSERT INTO gsql.db.c6d SELECT k, seg, _pday FROM c6_customer")
+        s.sql("""SELECT d.seg AS seg, count(*) AS n, sum(f.ok) AS keysum
+                |FROM gsql.db.c6f f JOIN gsql.db.c6d d ON f.ck = d.k
+                |WHERE f._pday = '2024-01-03'
+                |GROUP BY d.seg""".stripMargin)
+      },
+      oracle = Some(
+        """SELECT c.c_mktsegment AS seg, count(*) AS n,
+          |       CAST(sum(o.o_orderkey) AS BIGINT) AS keysum
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |WHERE '2024-01-0' || CAST(o.o_orderkey % 5 + 1 AS VARCHAR)
+          |      = '2024-01-03'
+          |GROUP BY 1""".stripMargin)))
 }

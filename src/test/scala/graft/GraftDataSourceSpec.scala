@@ -451,6 +451,49 @@ class GraftDataSourceSpec extends AnyFunSuite {
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/schema.json"))
   }
 
+  test("watermarked window aggregation streams into the graft sink: " +
+      "append mode emits each finalized window exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dstRoot = tmpRoot()
+    val ck = Files.createTempDirectory("graft-wm-ck").toString
+    val input = MemoryStream[(String, java.sql.Timestamp)](spark)
+    // per-key hourly event counts, 0-lateness watermark: the stateful
+    // agg's Append-mode output (only CLOSED windows) composes with the
+    // sink's exactly-once appendBatch — the standard streaming-ETL
+    // rollup (events → windowed counts → warehouse table)
+    val agg = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count("*").as("n"))
+      .select($"k".as("k1"), $"n",
+        $"window.start".as("partitionTime"))
+    val q = agg.writeStream.format("graft")
+      .option("path", dstRoot).option("keys", "k1")
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .start()
+    try {
+      def t(h: Int, m: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData(("a", t(10, 5)), ("a", t(10, 40)), ("b", t(10, 59)))
+      q.processAllAvailable()
+      // hour 10 is still open — nothing durable yet
+      assert(spark.read.format("graft").load(dstRoot).count() == 0)
+      // an hour-11 event moves the watermark past hour 10: its windows
+      // finalize and land in the table, partitioned by window start
+      input.addData(("a", t(11, 1)))
+      q.processAllAvailable()
+      val out = spark.read.format("graft").load(dstRoot)
+        .select($"k1", $"n", $"_pday".cast("string"))
+        .as[(String, Long, String)].collect().toSet
+      assert(out == Set(("a", 2L, "2024-01-01"), ("b", 1L, "2024-01-01")),
+        s"got $out")
+      // hour 11 stays open (no later event): still exactly 2 rows
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dstRoot).count() == 2)
+    } finally q.stop()
+  }
+
   test("dynamic partition pruning: a join keyed on _pday scans only the " +
       "days the filtered dimension selects — the 100 TB star-join path") {
     val root = tmpRoot()

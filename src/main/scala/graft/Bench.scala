@@ -290,6 +290,7 @@ object Bench {
           def s3(d: Double) = math.rint(d * 1000) / 1000
           s""""soak100x":{"sec":${s3(r.sec)},"append_sec":${s3(r.appendSec)},""" +
             s""""merge_sec":${s3(r.mergeSec)},"compact_sec":${s3(r.compactSec)},""" +
+            s""""backfill_sec":${s3(r.backfillSec)},""" +
             s""""vacuum_sec":${s3(r.vacuumSec)},"read_sec":${s3(r.readSec)},""" +
             s""""rows_in":${r.rowsIn},"survivors":${r.survivors},""" +
             s""""compacted_days":${r.compactedDays},""" +

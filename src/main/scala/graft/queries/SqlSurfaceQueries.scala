@@ -211,5 +211,30 @@ object SqlSurfaceQueries extends QueryPack {
           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           |WHERE '2024-01-0' || CAST(o.o_orderkey % 5 + 1 AS VARCHAR)
           |      = '2024-01-03'
-          |GROUP BY 1""".stripMargin)))
+          |GROUP BY 1""".stripMargin)),
+
+    // Day-scoped backfill: INSERT OVERWRITE PARTITION replaces exactly
+    // one day slice in one commit (doubled balances, odd keys dropped),
+    // every other day untouched — the classic warehouse recompute job
+    GraftQuery("c7_sql_backfill_overwrite",
+      (s, dir) => {
+        withCatalog(s)
+        customerView(s, dir, "c7_customer")
+        s.sql("DROP TABLE IF EXISTS gsql.db.c7")
+        s.sql("""CREATE TABLE gsql.db.c7 (k BIGINT, nm STRING, acct DOUBLE,
+                |  _pday STRING) USING graft TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+        s.sql("INSERT INTO gsql.db.c7 SELECT k, nm, acct, _pday FROM c7_customer")
+        s.sql("""INSERT OVERWRITE gsql.db.c7 PARTITION (_pday = '2024-01-02')
+                |SELECT k, nm, acct * 2 AS acct FROM c7_customer
+                |WHERE _pday = '2024-01-02' AND k % 2 = 0""".stripMargin)
+        s.sql("SELECT k, nm, acct, _pday FROM gsql.db.c7")
+      },
+      oracle = Some(
+        s"""SELECT c_custkey AS k, c_name AS nm,
+           |       CAST(CASE WHEN $custDaySql = '2024-01-02'
+           |                 THEN c_acctbal * 2 ELSE c_acctbal END
+           |            AS DOUBLE) AS acct,
+           |       $custDaySql AS _pday
+           |FROM customer
+           |WHERE $custDaySql <> '2024-01-02' OR c_custkey % 2 = 0""".stripMargin)))
 }

@@ -477,21 +477,54 @@ private[graft] object GraftScanBuilder {
 }
 
 /** INSERT INTO → commit-protocol append; INSERT OVERWRITE / TRUNCATE →
-  * the ONE-commit atomic [[WarehouseTable.overwriteRouted]]. The query
-  * arrives conformed to the table schema (value fields + `_pday`), so
-  * rows are already routed.
+  * the ONE-commit atomic [[WarehouseTable.overwriteRouted]]; `INSERT
+  * OVERWRITE ... PARTITION (_pday='d')` (or an overwrite-by-filter
+  * naming explicit day slices) → the day-scoped
+  * [[WarehouseTable.overwriteDaysRouted]] — the classic backfill:
+  * replace exactly the named slices in one commit, leave every other
+  * day untouched. The query arrives conformed to the table schema
+  * (value fields + `_pday`), so rows are already routed.
   */
 private[graft] class GraftWriteBuilder(table: WarehouseTable,
     info: LogicalWriteInfo) extends WriteBuilder with SupportsOverwrite {
 
   private var replaceAll = false
+  private var replaceDays: Option[Seq[String]] = None
+
+  /** An overwrite filter's explicit day-slice set, when it has one:
+    * `_pday` equality, IN over string literals, or OR of those. None =
+    * the filter does not enumerate days (ranges, other columns).
+    */
+  private def daySet(f: Filter): Option[Seq[String]] = f match {
+    case sources.EqualTo(c, v: String)
+        if c.equalsIgnoreCase(GraftTableV2.PDay) => Some(Seq(v))
+    case sources.EqualNullSafe(c, v: String)
+        if c.equalsIgnoreCase(GraftTableV2.PDay) => Some(Seq(v))
+    case sources.In(c, vs) if c.equalsIgnoreCase(GraftTableV2.PDay) &&
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some(vs.toSeq.map(_.asInstanceOf[String]))
+    case sources.Or(l, r) =>
+      for { a <- daySet(l); b <- daySet(r) } yield a ++ b
+    case _ => None
+  }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_.isInstanceOf[sources.AlwaysTrue]),
-      "graft: partition-scoped INSERT OVERWRITE is not supported — " +
-        "use MERGE INTO (upsert) or DELETE WHERE + INSERT; full-table " +
-        "INSERT OVERWRITE is")
-    replaceAll = true
+    // Spark pads the partition predicate with neutral conjuncts
+    val constraining = filters.filterNot {
+      case sources.AlwaysTrue() => true
+      case sources.IsNotNull(c) => c.equalsIgnoreCase(GraftTableV2.PDay)
+      case _ => false
+    }
+    if (constraining.isEmpty) { replaceAll = true; return this }
+    // conjunction of day-set filters → intersection of their slices
+    val sets = constraining.map(daySet)
+    require(sets.forall(_.isDefined),
+      "graft: INSERT OVERWRITE is scoped by whole day slices — the " +
+        s"predicate must name explicit ${GraftTableV2.PDay} values " +
+        "(equality / IN / OR of those). For row-level replacement use " +
+        "MERGE INTO or DELETE WHERE + INSERT. Got: " +
+        constraining.mkString(", "))
+    replaceDays = Some(sets.flatten.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
     this
   }
 
@@ -500,8 +533,12 @@ private[graft] class GraftWriteBuilder(table: WarehouseTable,
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val routed = data // schema = value fields + _pday, pre-routed
-          if (replaceAll || overwrite) table.overwriteRouted(routed)
-          else table.appendRouted(routed)
+          replaceDays match {
+            case Some(days) => table.overwriteDaysRouted(routed, days)
+            case None =>
+              if (replaceAll || overwrite) table.overwriteRouted(routed)
+              else table.appendRouted(routed)
+          }
           ()
         }
       }

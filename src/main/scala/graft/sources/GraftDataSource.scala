@@ -174,8 +174,20 @@ class GraftDataSource extends RelationProvider
         if (data.columns.contains(f.name)) col(s"`${f.name}`")
         else lit(null).cast(f.dataType).as(f.name)
       } :+ col(s"`$ptCol`").as("partitionTime"): _*)
-      if (mode == SaveMode.Overwrite) table.overwrite(conformed)
-      else table.append(conformed)
+      // option("overwriteDays", "2024-01-01,2024-01-02"): day-scoped
+      // atomic replacement (the Delta replaceWhere / INSERT OVERWRITE
+      // PARTITION backfill shape) — rows routing outside the named
+      // slices fail the write rather than widen it
+      val overwriteDays = ci.get("overwritedays")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      if (mode == SaveMode.Overwrite) overwriteDays match {
+        case Some(days) => table.overwriteDays(conformed, days)
+        case None => table.overwrite(conformed)
+      } else {
+        require(overwriteDays.isEmpty,
+          "graft: option(\"overwriteDays\", ...) requires mode(\"overwrite\")")
+        table.append(conformed)
+      }
       ()
     }
     createRelation(sqlContext, parameters)

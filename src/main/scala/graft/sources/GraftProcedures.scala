@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL gsql.system.expire_partitions('db.events')
   * CALL gsql.system.health('db.events')
   * CALL gsql.system.zonemaps('db.events', 'event_id')
+  * CALL gsql.system.changes('db.events', 1, 3)
   * }}}
   *
   * Every procedure resolves its `table` argument relative to the
@@ -35,7 +36,7 @@ private[sources] object GraftProcedures {
 
   val All: Seq[String] = Seq("history", "vacuum", "compact",
     "compact_fragmented", "restore", "clone", "expire_partitions", "health",
-    "zonemaps")
+    "zonemaps", "changes")
 
   private def str(n: String, comment: String) =
     ProcedureParameter.in(n, StringType).comment(comment).build()
@@ -143,35 +144,56 @@ private[sources] object GraftProcedures {
               nn)): InternalRow
           }.toArray
       }
-      case "health" =>
-        new UnboundProcedure {
-          override def name(): String = "health"
-          override def description(): String =
-            "per-partition layout/sidecar health report"
-          override def bind(inputType: StructType): BoundProcedure =
-            new BoundProcedure {
-              override def name(): String = "health"
-              override def description(): String =
-                "per-partition layout/sidecar health report"
-              override def parameters(): Array[ProcedureParameter] =
-                Array(str("table", "table identifier"))
-              override def isDeterministic: Boolean = false
-              override def call(input: InternalRow): java.util.Iterator[Scan] = {
-                val df = open(input.getUTF8String(0).toString).describeHealth()
-                val collected = df.queryExecution.executedPlan.executeCollect()
-                  .map(_.copy(): InternalRow)
-                Collections.singletonList[Scan](new LocalScan {
-                  override def rows(): Array[InternalRow] = collected
-                  override def readSchema(): StructType = df.schema
-                }).iterator()
-              }
-            }
-        }
+      case "health" => dfProc("health",
+        "per-partition layout/sidecar health report",
+        Seq(str("table", "table identifier"))) { input =>
+        open(input.getUTF8String(0).toString).describeHealth()
+      }
+      case "changes" => dfProc("changes",
+        "row-level change feed over a committed version span: rows " +
+          "tagged change_type (added/removed; an upsert is pre-image + " +
+          "post-image) and _commit_version — the SQL twin of " +
+          "readChangeFeed (Delta's table_changes workflow)",
+        Seq(str("table", "table identifier"),
+          ProcedureParameter.in("from_version", LongType)
+            .comment("exclusive lower bound (0 = from the first commit)").build(),
+          ProcedureParameter.in("to_version", LongType)
+            .comment("inclusive upper bound").build())) { input =>
+        open(input.getUTF8String(0).toString)
+          .changesBetween(input.getLong(1), input.getLong(2))
+      }
       case other => throw new IllegalArgumentException(
         s"graft: unknown procedure 'system.$other' — available: " +
           All.mkString(", "))
     }
   }
+
+  /** [[proc]] for bodies whose RESULT SCHEMA is only known at call time
+    * (a DataFrame the procedure materializes — health, the change feed).
+    */
+  private def dfProc(procName: String, desc: String,
+      params: Seq[ProcedureParameter])(
+      body: InternalRow => org.apache.spark.sql.DataFrame): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val df = body(input)
+            val collected = df.queryExecution.executedPlan.executeCollect()
+              .map(_.copy(): InternalRow)
+            Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = collected
+              override def readSchema(): StructType = df.schema
+            }).iterator()
+          }
+        }
+    }
 
   /** Build an Unbound/Bound procedure around a driver-side body that
     * maps the argument row to result rows.

@@ -2513,6 +2513,17 @@ final class WarehouseTable private (
       .withColumn(partitionCol, routeExpr(partitionTimeCol))
       .drop(partitionTimeCol))
 
+  /** Day-scoped [[overwrite]]: atomically replace exactly `days`,
+    * routing rows by their `partitionTime` (the DataFrame-API twin of
+    * SQL `INSERT OVERWRITE ... PARTITION (_pday=...)`; see
+    * [[overwriteDaysRouted]] for the contract).
+    */
+  def overwriteDays(df: DataFrame, days: Seq[String],
+      partitionTimeCol: String = "partitionTime"): Seq[String] =
+    overwriteDaysRouted(df
+      .withColumn(partitionCol, routeExpr(partitionTimeCol))
+      .drop(partitionTimeCol), days)
+
   /** [[overwrite]] for a frame already carrying the partition column
     * (the SQL `INSERT OVERWRITE` path, whose rows arrive pre-routed).
     */
@@ -2554,6 +2565,48 @@ final class WarehouseTable private (
       }
     }
     Seq.empty // unreachable
+  }
+
+  /** Atomic REPLACE of specific day slices with `routed` in ONE
+    * committed version — the classic warehouse backfill (`INSERT
+    * OVERWRITE t PARTITION (_pday='2024-01-01') SELECT ...`, Delta's
+    * `replaceWhere`). Same one-commit discipline as [[overwriteRouted]]
+    * (fully staged before the claim, exact blooms, readers see the old
+    * generation or the new one, never a gap; the replaced generation
+    * stays time-travelable), but claims ONLY the target days, so
+    * concurrent commits on other days proceed untouched and the rest of
+    * the manifest carries forward. A target day with no staged rows is
+    * emptied. Rows routed OUTSIDE the target days fail the op before
+    * any claim — silently dropping them (Hive static-partition
+    * semantics) or widening the replacement scope (dynamic semantics)
+    * would both rewrite history the caller did not name.
+    */
+  private[sources] def overwriteDaysRouted(routed: DataFrame,
+      targetDays: Seq[String]): Seq[String] = {
+    val days = targetDays.distinct.sorted
+    require(days.nonEmpty, "overwriteDays: no target day slices")
+    val staging = s"$root/.overwrite-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(routed).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val stray = stagedFiles.keySet -- days.toSet
+    if (stray.nonEmpty) {
+      fs.delete(new Path(staging), true)
+      throw new IllegalArgumentException(
+        s"day-scoped overwrite of $root: staged rows route to " +
+          s"${stray.toSeq.sorted.mkString(",")}, outside the overwritten " +
+          s"slices ${days.mkString(",")} — refuse rather than replace " +
+          "partitions the statement did not name")
+    }
+    val exactBlooms = stagedExactBlooms(staging)
+    val readBase = currentVersion
+    val v = claimCommit("overwrite", days, readBase + 1)
+    swapPartitions(staging, days, v)
+    writeExactBlooms(days, exactBlooms, v)
+    finalizeCommit("overwrite", days, v, stagedFiles)
+    expireOldPartitions()
+    autoVacuum()
+    days
   }
 
   private def expireOldPartitions(): Unit =

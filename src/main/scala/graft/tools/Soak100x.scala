@@ -17,12 +17,14 @@ import java.util.concurrent.atomic.AtomicLong
   *   2. an over-gate backfill merge (10 M staged rows > the 8 M driver
   *      row gate → the BULK path engages: no per-row driver state) that
   *      updates half the keys, tombstones a quarter, inserts 2.5 M new,
-  *   3. day compaction,
+  *   3. day compaction, then a day-scoped backfill (the INSERT
+  *      OVERWRITE PARTITION shape): ONE commit replaces the inserted
+  *      day with its recomputed half — O(that day), never O(table),
   *   4. a time-travel read of the pre-merge snapshot (manifest
   *      lineage under file-granular + whole-day rewrites),
   *   5. vacuum down to 2 retained versions,
   *   6. reader soak: exact survivor count, day-pruned count, key
-  *      lookups for an updated / tombstoned / inserted key.
+  *      lookups for an updated / tombstoned / backfilled key.
   *
   * Every count is asserted EXACTLY (survivors are computable in closed
   * form from the id-space arithmetic), and the peak DRIVER heap is
@@ -48,6 +50,7 @@ object Soak100x {
       appendSec: Double,
       mergeSec: Double,
       compactSec: Double,
+      backfillSec: Double,
       vacuumSec: Double,
       readSec: Double,
       rowsIn: Long,
@@ -135,7 +138,6 @@ object Soak100x {
       val bulkEngaged = WarehouseTable.bulkMergePaths.get() > bulkBefore
 
       val nTomb = events.where(col("event_id") % 4 === 2).count()
-      val expectedSurvivors = rowsIn - nTomb + nInserts
 
       // -- 3. compaction ---------------------------------------------------
       // threshold 1: every multi-file day rewrites to one file — forces
@@ -144,6 +146,23 @@ object Soak100x {
       val tCompact = System.nanoTime()
       val compacted = table.compactFragmented(maxFilesPerDay = 1)
       val compactSec = secsSince(tCompact)
+
+      // -- 3b. day-scoped backfill (INSERT OVERWRITE PARTITION shape) -------
+      // recompute the inserted day down to its first half — ONE commit
+      // replacing exactly that slice; every other day of the 10 M-row
+      // table must be untouched (the swap is O(target-day files), so at
+      // any corpus size this step costs the backfilled day, not the table)
+      val nKept = nInserts / 2
+      val tBackfill = System.nanoTime()
+      table.overwriteDays(
+        spark.range(1L, nKept + 1L).select(
+          (col("id") + maxId).as("event_id"), col("id").as("user_id"),
+          lit("backfilled").as("event_type"), lit(2.0).as("value"),
+          lit("{}").as("props"),
+          to_timestamp(lit("2031-01-01 12:00:00")).as("partitionTime")),
+        days = Seq("2031-01-01"))
+      val backfillSec = secsSince(tBackfill)
+      val expectedSurvivors = rowsIn - nTomb + nKept
 
       // -- 4. time travel (before vacuum trims history) ---------------------
       val travelled = table.readAsOf(preMergeVersion).count()
@@ -163,7 +182,12 @@ object Soak100x {
         s"survivors: expected $expectedSurvivors, got $survivors")
       val inserted = fresh.read()
         .where(col("_pday") === "2031-01-01").count()
-      require(inserted == nInserts, s"inserted day: expected $nInserts, got $inserted")
+      require(inserted == nKept,
+        s"backfilled day: expected $nKept rows, got $inserted")
+      val backType = fresh.read().where(col("event_id") === maxId + 1L)
+        .select(col("event_type")).head().getString(0)
+      require(backType == "backfilled",
+        s"backfilled key read back '$backType'")
       // key lookups: updated carries the merge value, tombstoned is gone,
       // untouched keeps the seed value
       val updatedType = fresh.read().where(col("event_id") === 4L)
@@ -176,9 +200,9 @@ object Soak100x {
       require(untouched != "soaked", "untouched key was rewritten")
       val readSec = secsSince(tRead)
 
-      Result(secsSince(t0), appendSec, mergeSec, compactSec, vacuumSec,
-        readSec, rowsIn, survivors, compacted.size, peak.get() >> 20,
-        bulkEngaged)
+      Result(secsSince(t0), appendSec, mergeSec, compactSec, backfillSec,
+        vacuumSec, readSec, rowsIn, survivors, compacted.size,
+        peak.get() >> 20, bulkEngaged)
     } finally {
       sampling = false
     }

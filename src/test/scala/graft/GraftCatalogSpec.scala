@@ -291,6 +291,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("nope"), e2.getMessage)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named day slice " +
+      "in one commit; other days untouched; the old slice time-travels") {
+    sql("""CREATE TABLE graft.db.bf (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.bf VALUES (1, 'a', '2024-01-01'), " +
+      "(2, 'b', '2024-01-02'), (3, 'c', '2024-01-01')")
+    val t = WarehouseTable.open(spark, s"$warehouse/db/bf")
+    val vBefore = t.currentVersion
+    // the classic backfill: recompute day 1, leave day 2 alone
+    sql("""INSERT OVERWRITE graft.db.bf PARTITION (_pday = '2024-01-01')
+          |VALUES (10, 'a2'), (30, 'c2')""".stripMargin)
+    assert(sql("SELECT k1, f1, _pday FROM graft.db.bf ORDER BY k1")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((2L, "b", "2024-01-02"), (10L, "a2", "2024-01-01"),
+        (30L, "c2", "2024-01-01")))
+    // ONE commit; the replaced generation stays time-travelable
+    assert(t.currentVersion == vBefore + 1)
+    assert(sql(s"SELECT k1 FROM graft.db.bf VERSION AS OF $vBefore ORDER BY k1")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    // predicate-scoped spelling (Delta's replaceWhere): day 2
+    sql("""INSERT INTO graft.db.bf
+          |REPLACE WHERE _pday = '2024-01-02'
+          |SELECT 20 AS k1, 'b2' AS f1, '2024-01-02' AS _pday""".stripMargin)
+    assert(sql("SELECT k1 FROM graft.db.bf ORDER BY k1")
+      .as[Long].collect().toSeq == Seq(10L, 20L, 30L))
+    // a predicate that is not a whole-day slice set is refused loudly
+    val e = intercept[Exception] {
+      sql("""INSERT INTO graft.db.bf REPLACE WHERE k1 > 5
+            |SELECT 99 AS k1, 'x' AS f1, '2024-01-01' AS _pday""".stripMargin)
+    }
+    assert(e.getMessage.contains("day slices"), e.getMessage)
+  }
+
+  test("CALL changes returns the row-level change feed over a version span") {
+    sql("""CREATE TABLE graft.db.cdc (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.cdc VALUES (1, 'a', '2024-01-01'), " +
+      "(2, 'b', '2024-01-01')") // v1
+    sql("DELETE FROM graft.db.cdc WHERE k1 = 1") // v2
+    val out = sql("CALL graft.system.changes('db.cdc', 0, 2)")
+      .select($"k1", $"change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "added", 1L), (2L, "added", 1L),
+      (1L, "removed", 2L)), s"got $out")
+  }
+
   test("scan statistics: catalog reads report day-pruned sizes, so a " +
       "small dimension auto-broadcasts without a hint") {
     sql("""CREATE TABLE graft.db.facts (k1 BIGINT, f1 STRING, _pday STRING)

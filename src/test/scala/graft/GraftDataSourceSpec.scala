@@ -451,6 +451,35 @@ class GraftDataSourceSpec extends AnyFunSuite {
     fs.exists(new org.apache.hadoop.fs.Path(s"$root/_graft/schema.json"))
   }
 
+  test("day-scoped overwrite (option overwriteDays): atomic slice " +
+      "backfill — named days replaced or emptied, others untouched, " +
+      "stray-day rows refused") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    t.append(batch(Seq(1L -> "a"), day = 1))
+    t.append(batch(Seq(2L -> "b"), day = 2))
+    t.append(batch(Seq(3L -> "c"), day = 3))
+    // replace day 1, EMPTY day 3 (named but no rows), leave day 2 alone
+    batch(Seq(10L -> "a2"), day = 1)
+      .write.format("graft").mode("overwrite")
+      .option("overwriteDays", "2024-01-01,2024-01-03").save(root)
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((10L, "a2", "2024-01-01"), (2L, "b", "2024-01-02")))
+    // rows routing OUTSIDE the named slices refuse the whole write
+    val e = intercept[IllegalArgumentException] {
+      batch(Seq(9L -> "x"), day = 2).write.format("graft")
+        .mode("overwrite").option("overwriteDays", "2024-01-01").save(root)
+    }
+    assert(e.getMessage.contains("outside the overwritten"), e.getMessage)
+    // the refused write left no trace; the replaced days time-travel
+    assert(asPairs(spark.read.format("graft").load(root)) ==
+      Set((10L, "a2", "2024-01-01"), (2L, "b", "2024-01-02")))
+    assert(asPairs(spark.read.format("graft")
+      .option("versionAsOf", "3").load(root)) ==
+      Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"),
+        (3L, "c", "2024-01-03")))
+  }
+
   test("watermarked window aggregation streams into the graft sink: " +
       "append mode emits each finalized window exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -86,14 +86,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case None => u
       }
 
+    // WITH SCHEMA EVOLUTION: do NOT claim while the widen is pending —
+    // ResolveMergeIntoSchemaEvolution (enabled by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability) alters the table through
+    // the catalog and swaps in the widened relation; the next analyzer
+    // fixed-point pass claims the re-resolved merge, whose target
+    // attributes (and star-expansions) already include the new columns.
     case m @ MergeIntoTable(target, source, mergeCond,
         matchedActions, notMatchedActions, notMatchedBySourceActions,
-        withSchemaEvolution) if m.resolved =>
+        _) if m.resolved && !m.needSchemaEvolution =>
       graftTarget(target) match {
         case Some(gt) =>
-          require(!withSchemaEvolution,
-            "graft MERGE: WITH SCHEMA EVOLUTION is not supported — run " +
-              "ALTER TABLE ... ADD COLUMN (widening evolution) first")
           val tIds = targetIds(target)
           val tNames = target.output.map(_.name)
           val sByName = source.output.map(a => a.name -> a).toMap

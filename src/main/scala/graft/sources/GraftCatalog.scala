@@ -288,9 +288,16 @@ class GraftTableV2(ident: Identifier, private[graft] val table: WarehouseTable,
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "keys" -> table.keyFields.mkString(",")).asJava
 
+  /** `AUTOMATIC_SCHEMA_EVOLUTION` turns on the analyzer's `MERGE WITH
+    * SCHEMA EVOLUTION` support (`ResolveMergeIntoSchemaEvolution` →
+    * this catalog's `alterTable` AddColumn → the same widening
+    * evolution every write path uses, then the merge re-resolves
+    * against the widened relation).
+    */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The V1 read relation this table's scans resolve to. */
   private[graft] def readDf(spark: SparkSession): DataFrame = {

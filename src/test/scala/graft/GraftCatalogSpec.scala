@@ -324,6 +324,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day slices"), e.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: a source-new column widens the " +
+      "table through the catalog's alterTable, then the merge lands it") {
+    sql("""CREATE TABLE graft.db.mse (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.mse VALUES (1, 'a', '2024-01-01'), " +
+      "(2, 'b', '2024-01-01')")
+    val vBefore = WarehouseTable.open(spark, s"$warehouse/db/mse").currentVersion
+    Seq((2L, "b2", 7.5, "2024-01-01"), (3L, "c", 9.0, "2024-01-02"))
+      .toDF("k1", "f1", "score", "_pday").createOrReplaceTempView("mse_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.db.mse t
+          |USING mse_src s ON t.k1 = s.k1
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = sql("SELECT k1, f1, score FROM graft.db.mse ORDER BY k1")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, "a", None), (2L, "b2", Some(7.5)),
+      (3L, "c", Some(9.0))), s"got $out")
+    // the widen is ordinary schema evolution: pre-evolve snapshots of
+    // the catalog table still read (all-NULL backfill on the new column)
+    assert(sql(s"SELECT k1 FROM graft.db.mse VERSION AS OF $vBefore")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // without the flag, a source-new column is NOT silently absorbed:
+    // UPDATE SET * over the (now 4-column) target needs all columns, so
+    // a narrower source fails analysis rather than guessing
+    Seq((9L, "z", "2024-01-01")).toDF("k1", "f1", "_pday")
+      .createOrReplaceTempView("mse_narrow")
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graft.db.mse t USING mse_narrow s ON t.k1 = s.k1
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("score") ||
+      e.getMessage.contains("source column"), e.getMessage)
+  }
+
   test("CALL changes returns the row-level change feed over a version span") {
     sql("""CREATE TABLE graft.db.cdc (k1 BIGINT, f1 STRING, _pday STRING)
           |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)

@@ -508,6 +508,54 @@ class CommitProtocolSpec extends AnyFunSuite {
       .collect().toMap.apply(2L) == "b2", "pre-restore snapshot lost")
   }
 
+  test("day-scoped overwrite crash between slice swap and finalize: " +
+      "rollback is exact, untouched days keep serving, replay converges") {
+    val root = tmpRoot()
+    val t = mkTable(root)
+    t.append(batch(Seq(1L -> "a", 2L -> "b"), day = 1))       // v1
+    t.append(batch(Seq(3L -> "c"), day = 2))                  // v2
+    val cur = t.currentVersion
+    val day = "2024-01-01"
+    val liveBefore = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    // simulate overwriteDaysRouted's window: stage the replacement
+    // slice, claim ONLY that day, swap — CRASH before finalizeCommit
+    val staging = s"$root/.overwrite-crash"
+    Seq((10L, "x")).toDF("k1", "f1").withColumn("_pday", lit(day))
+      .write.partitionBy("_pday").parquet(staging)
+    val v = t.claimCommit("overwrite", Seq(day), cur + 1)
+    t.swapPartitions(staging, Seq(day), v)
+    assert(t.currentVersion == cur, "crashed backfill advanced CURRENT")
+    // the UNTOUCHED day keeps serving committed reads mid-tear
+    assert(t.readCommitted(Seq("2024-01-02")).count() == 1)
+    // the torn day aborts retryably, as for every swap op
+    intercept[java.util.ConcurrentModificationException] {
+      t.readCommitted(Seq(day)).count()
+    }
+    // age + collide: recovery rolls the slice back exactly
+    val claimPath = java.nio.file.Paths.get(s"$root/_graft/snapshots/v$v.list")
+    val aged = new String(java.nio.file.Files.readAllBytes(claimPath), "UTF-8")
+      .replaceFirst("\\t\\d+\\t",
+        "\t" + (System.currentTimeMillis() - 20L * 60 * 1000) + "\t")
+    java.nio.file.Files.write(claimPath, aged.getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.claimCommit("compact", Seq(day), v)
+    }
+    val liveAfter = fs(root)
+      .listStatus(path(s"$root/data/_pday=$day")).map(_.getPath.getName).toSet
+    assert(liveAfter == liveBefore,
+      s"backfill rollback not exact: $liveAfter vs $liveBefore")
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // replay converges: the retried backfill replaces exactly the slice
+    t.overwriteDays(
+      Seq((10L, "x")).toDF("k1", "f1").withColumn("partitionTime", ts(1)),
+      days = Seq(day))
+    assert(t.read().select($"k1", $"f1").as[(Long, String)].collect().toMap
+      == Map(10L -> "x", 3L -> "c"))
+    assert(t.readAsOf(cur).count() == 3, "pre-backfill snapshot lost")
+  }
+
   test("cloneToFast crash mid-copy: the torn destination reads as EMPTY " +
       "committed state, sweeps clean, and a fresh clone converges") {
     val root = tmpRoot()

@@ -86,6 +86,18 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case None => u
       }
 
+    // Dynamic INSERT OVERWRITE (partitionOverwriteMode=dynamic): no V1
+    // write fallback exists for OverwritePartitionsDynamic (the
+    // capability check demands a full V2 BatchWrite), so it is claimed
+    // here like the other DML and routed to the staged slice swap —
+    // exactly the days present in the data replace, one commit.
+    case o @ OverwritePartitionsDynamic(target, query, _, _, _)
+        if o.resolved =>
+      graftTarget(target) match {
+        case Some(gt) => GraftDynamicOverwriteCommand(gt, query)
+        case None => o
+      }
+
     // WITH SCHEMA EVOLUTION: do NOT claim while the widen is pending —
     // ResolveMergeIntoSchemaEvolution (enabled by the table's
     // AUTOMATIC_SCHEMA_EVOLUTION capability) alters the table through
@@ -156,6 +168,22 @@ final case class GraftUpdateCommand(gt: GraftTableV2,
         "partitions — use MERGE INTO (which handles day moves)")
     gt.table.updateWhere(
       condition.getOrElse(lit(true)), assigns.toMap)
+    Seq.empty
+  }
+}
+
+/** Dynamic `INSERT OVERWRITE t SELECT ...` →
+  * [[graft.sources.WarehouseTable.overwriteDynamicRouted]]: the day
+  * slices present in the query's rows swap atomically; all others are
+  * untouched. The query arrives conformed to the table schema (value
+  * fields + `_pday`), so rows are already routed.
+  */
+final case class GraftDynamicOverwriteCommand(gt: GraftTableV2,
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    require(gt.versionAsOf.isEmpty,
+      "graft: cannot INSERT OVERWRITE a time-travel snapshot")
+    gt.table.overwriteDynamicRouted(Bridge.ofRows(session, query))
     Seq.empty
   }
 }

@@ -294,6 +294,10 @@ class GraftTableV2(ident: Identifier, private[graft] val table: WarehouseTable,
     * evolution every write path uses, then the merge re-resolves
     * against the widened relation).
     */
+  // no OVERWRITE_DYNAMIC here: dynamic INSERT OVERWRITE has no V1
+  // write fallback in Spark (the capability check demands a full V2
+  // BatchWrite), so GraftDmlRule claims OverwritePartitionsDynamic in
+  // the analyzer instead — same interception as MERGE/UPDATE/DELETE
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,

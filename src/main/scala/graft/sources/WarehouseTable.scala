@@ -2598,6 +2598,31 @@ final class WarehouseTable private (
           s"slices ${days.mkString(",")} — refuse rather than replace " +
           "partitions the statement did not name")
     }
+    commitStagedSliceSwap(staging, stagedFiles, days)
+  }
+
+  /** Dynamic-partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, the V2
+    * `SupportsDynamicOverwrite` contract): replace exactly the day
+    * slices PRESENT in the written data, one commit, every other day
+    * untouched. The rows themselves name the replaced scope — the
+    * fourth corner of the overwrite matrix (full / static partition /
+    * predicate / dynamic). An empty frame replaces nothing.
+    */
+  private[graft] def overwriteDynamicRouted(routed: DataFrame): Seq[String] = {
+    val staging = s"$root/.overwrite-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(routed).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    if (stagedFiles.isEmpty) { fs.delete(new Path(staging), true); return Seq.empty }
+    commitStagedSliceSwap(staging, stagedFiles, stagedFiles.keys.toSeq.sorted)
+  }
+
+  /** Shared tail of the slice-scoped overwrites: claim exactly `days`,
+    * swap in the staged generation, exact blooms, ONE finalize.
+    */
+  private def commitStagedSliceSwap(staging: String,
+      stagedFiles: Map[String, Seq[String]], days: Seq[String]): Seq[String] = {
     val exactBlooms = stagedExactBlooms(staging)
     val readBase = currentVersion
     val v = claimCommit("overwrite", days, readBase + 1)

@@ -324,6 +324,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day slices"), e.getMessage)
   }
 
+  test("dynamic partition overwrite: INSERT OVERWRITE under " +
+      "partitionOverwriteMode=dynamic replaces exactly the days present " +
+      "in the data") {
+    sql("""CREATE TABLE graft.db.dyn (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.dyn VALUES (1, 'a', '2024-01-01'), " +
+      "(2, 'b', '2024-01-02'), (3, 'c', '2024-01-03')")
+    val t = WarehouseTable.open(spark, s"$warehouse/db/dyn")
+    val vBefore = t.currentVersion
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // data touches days 1 and 3 → exactly those swap; day 2 untouched
+      sql("""INSERT OVERWRITE graft.db.dyn VALUES
+            |(10, 'a2', '2024-01-01'), (30, 'c2', '2024-01-03')""".stripMargin)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(sql("SELECT k1, f1, _pday FROM graft.db.dyn ORDER BY k1")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((2L, "b", "2024-01-02"), (10L, "a2", "2024-01-01"),
+        (30L, "c2", "2024-01-03")))
+    assert(t.currentVersion == vBefore + 1, "dynamic overwrite must be ONE commit")
+    // static mode (default) still replaces the whole table
+    sql("INSERT OVERWRITE graft.db.dyn VALUES (9, 'z', '2024-01-09')")
+    assert(sql("SELECT k1 FROM graft.db.dyn").as[Long].collect().toSeq == Seq(9L))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: a source-new column widens the " +
       "table through the catalog's alterTable, then the merge lands it") {
     sql("""CREATE TABLE graft.db.mse (k1 BIGINT, f1 STRING, _pday STRING)

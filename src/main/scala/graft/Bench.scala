@@ -103,6 +103,21 @@ object Bench {
       }
     val streamProbe: Either[String, (Double, Long)] = probe(1000000L)
 
+    // Streaming-SOURCE drain probe: 1 M rows / 10 commits replayed
+    // through readStream.format("graft") under Trigger.AvailableNow
+    // with a 2-version cap — the read-side twin of the merge probe.
+    val sourceDrain: Either[String, (Double, Long, Int)] =
+      try {
+        val wh = Files.createTempDirectory("bench-srcdrain-wh").toString + "/tbl"
+        val ck = Files.createTempDirectory("bench-srcdrain-ck").toString
+        val r = graft.streaming.SourceDrainProbe.run(spark, wh, ck, 1000000L)
+        resetSession()
+        Right(r)
+      } catch { case e: Throwable =>
+        resetSession()
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
     // Optional 10 M-record tier (SPARK_GRAFT_PROBE_10M=1): the same
     // probe at 10× the reference's own topology — survivor set
     // (2.5 M rows, exact i%4==1 values) asserted inside run(). Gated
@@ -146,6 +161,14 @@ object Bench {
     val probe10mJson = streamProbe10m
       .map(r => s""""stream_merge_10m":${probeJsonOf(r, 10000000L)},""")
       .getOrElse("")
+    val sourceDrainJson = sourceDrain match {
+      case Right((wall, rows, batches)) =>
+        s""""stream_source_drain_1m":{"sec":${math.rint(wall * 1000) / 1000},""" +
+          s""""rec_per_s":${math.rint(rows / wall)},"records":$rows,""" +
+          s""""batches":$batches},"""
+      case Left(m) =>
+        s""""stream_source_drain_1m":{"error":"${esc(m)}"},"""
+    }
 
     // Full-headline 10× sweep (default ON; SPARK_GRAFT_SCALE10X=0
     // skips): run every headline against the synthetic sf1-equivalent
@@ -307,7 +330,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"reps":$reps,"agg":"min",""" +
-        s""""stream_merge_1m":$probeJson,""" +
+        s""""stream_merge_1m":$probeJson,""" + sourceDrainJson +
         probe10mJson + scale10xJson + scale100xJson + soak100xJson +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""
 

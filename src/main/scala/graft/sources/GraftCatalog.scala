@@ -415,7 +415,7 @@ private[graft] object GraftScanBuilder {
     * Kleene semantics so `Not(unknown)` stays unknown instead of
     * flipping an approximation into an unsound prune.
     */
-  private def dayMatches(f: Filter, day: String): Option[Boolean] = {
+  private[sources] def dayMatches(f: Filter, day: String): Option[Boolean] = {
     def cmp(v: Any): Option[Int] = v match {
       case s: String => Some(UTF8String.fromString(day)
         .compareTo(UTF8String.fromString(s)))
@@ -489,34 +489,50 @@ private[graft] object GraftScanBuilder {
 
 /** INSERT INTO → commit-protocol append; INSERT OVERWRITE / TRUNCATE →
   * the ONE-commit atomic [[WarehouseTable.overwriteRouted]]; `INSERT
-  * OVERWRITE ... PARTITION (_pday='d')` (or an overwrite-by-filter
-  * naming explicit day slices) → the day-scoped
-  * [[WarehouseTable.overwriteDaysRouted]] — the classic backfill:
-  * replace exactly the named slices in one commit, leave every other
-  * day untouched. The query arrives conformed to the table schema
-  * (value fields + `_pday`), so rows are already routed.
+  * OVERWRITE ... PARTITION (_pday='d')` and `INSERT INTO ... REPLACE
+  * WHERE <day-slice predicate>` (equality, IN, ranges — the
+  * backfill-a-month shape) → the predicate-scoped
+  * [[WarehouseTable.overwriteWhereRouted]]: replace exactly the
+  * matching slices in one commit, leave every other day untouched. The
+  * query arrives conformed to the table schema (value fields +
+  * `_pday`), so rows are already routed.
   */
 private[graft] class GraftWriteBuilder(table: WarehouseTable,
     info: LogicalWriteInfo) extends WriteBuilder with SupportsOverwrite {
 
   private var replaceAll = false
-  private var replaceDays: Option[Seq[String]] = None
+  private var replaceWhere: Option[Array[Filter]] = None
 
-  /** An overwrite filter's explicit day-slice set, when it has one:
-    * `_pday` equality, IN over string literals, or OR of those. None =
-    * the filter does not enumerate days (ranges, other columns).
+  /** Is `f` a day-slice predicate this builder can evaluate EXACTLY
+    * against a day token — every leaf a `_pday`-vs-string-literal
+    * comparison (equality, ranges, IN, prefix/suffix/contains, null
+    * tests) under And/Or/Not? Exactness matters: the matching days are
+    * REPLACED, so an approximable-only predicate must be refused, never
+    * guessed.
     */
-  private def daySet(f: Filter): Option[Seq[String]] = f match {
-    case sources.EqualTo(c, v: String)
-        if c.equalsIgnoreCase(GraftTableV2.PDay) => Some(Seq(v))
-    case sources.EqualNullSafe(c, v: String)
-        if c.equalsIgnoreCase(GraftTableV2.PDay) => Some(Seq(v))
-    case sources.In(c, vs) if c.equalsIgnoreCase(GraftTableV2.PDay) &&
-        vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      Some(vs.toSeq.map(_.asInstanceOf[String]))
-    case sources.Or(l, r) =>
-      for { a <- daySet(l); b <- daySet(r) } yield a ++ b
-    case _ => None
+  private def evaluableDayFilter(f: Filter): Boolean = {
+    def day(c: String) = c.equalsIgnoreCase(GraftTableV2.PDay)
+    f match {
+      case sources.EqualTo(c, _: String) => day(c)
+      case sources.EqualNullSafe(c, _: String) => day(c)
+      case sources.GreaterThan(c, _: String) => day(c)
+      case sources.GreaterThanOrEqual(c, _: String) => day(c)
+      case sources.LessThan(c, _: String) => day(c)
+      case sources.LessThanOrEqual(c, _: String) => day(c)
+      case sources.In(c, vs) =>
+        day(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case sources.IsNull(c) => day(c)
+      case sources.IsNotNull(c) => day(c)
+      case sources.StringStartsWith(c, _) => day(c)
+      case sources.StringEndsWith(c, _) => day(c)
+      case sources.StringContains(c, _) => day(c)
+      case sources.And(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
+      case sources.Or(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
+      case sources.Not(c) => evaluableDayFilter(c)
+      case sources.AlwaysTrue() => true
+      case sources.AlwaysFalse() => true
+      case _ => false
+    }
   }
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
@@ -527,15 +543,13 @@ private[graft] class GraftWriteBuilder(table: WarehouseTable,
       case _ => false
     }
     if (constraining.isEmpty) { replaceAll = true; return this }
-    // conjunction of day-set filters → intersection of their slices
-    val sets = constraining.map(daySet)
-    require(sets.forall(_.isDefined),
+    require(constraining.forall(evaluableDayFilter),
       "graft: INSERT OVERWRITE is scoped by whole day slices — the " +
-        s"predicate must name explicit ${GraftTableV2.PDay} values " +
-        "(equality / IN / OR of those). For row-level replacement use " +
-        "MERGE INTO or DELETE WHERE + INSERT. Got: " +
+        s"predicate must constrain only ${GraftTableV2.PDay} with " +
+        "literal comparisons (equality, ranges, IN, ...). For row-level " +
+        "replacement use MERGE INTO or DELETE WHERE + INSERT. Got: " +
         constraining.mkString(", "))
-    replaceDays = Some(sets.flatten.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
+    replaceWhere = Some(constraining)
     this
   }
 
@@ -544,8 +558,10 @@ private[graft] class GraftWriteBuilder(table: WarehouseTable,
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {
           val routed = data // schema = value fields + _pday, pre-routed
-          replaceDays match {
-            case Some(days) => table.overwriteDaysRouted(routed, days)
+          replaceWhere match {
+            case Some(filters) =>
+              table.overwriteWhereRouted(routed, day => filters.forall(f =>
+                GraftScanBuilder.dayMatches(f, day).contains(true)))
             case None =>
               if (replaceAll || overwrite) table.overwriteRouted(routed)
               else table.appendRouted(routed)

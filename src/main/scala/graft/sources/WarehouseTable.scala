@@ -2601,6 +2601,62 @@ final class WarehouseTable private (
     commitStagedSliceSwap(staging, stagedFiles, days)
   }
 
+  /** Predicate-scoped overwrite (`INSERT INTO t REPLACE WHERE <day
+    * predicate>`): replace every day slice MATCHING `pred` — existing
+    * matching days are emptied-or-replaced, staged days must all match
+    * (rows routing outside the predicate fail the statement). Ranges
+    * work (`_pday >= 'a' AND _pday < 'b'` — the backfill-a-month shape
+    * Delta's replaceWhere serves); the day set is enumerated from the
+    * CURRENT day listing ∪ the staged days, and — because a concurrent
+    * commit can create a new matching day between the listing and the
+    * claim — re-checked against the exact manifest the finalize would
+    * rebase on, re-resolving on a slip (the [[overwriteRouted]] race
+    * loop, scoped to the predicate).
+    */
+  private[graft] def overwriteWhereRouted(routed: DataFrame,
+      pred: String => Boolean): Seq[String] = {
+    val staging = s"$root/.overwrite-${UUID.randomUUID().toString.take(8)}"
+    guardStaleRead(clusteredWrite(routed).write
+      .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+    val stagedFiles = stagedDayFiles(staging)
+    val stray = stagedFiles.keySet.filterNot(pred)
+    if (stray.nonEmpty) {
+      fs.delete(new Path(staging), true)
+      throw new IllegalArgumentException(
+        s"predicate-scoped overwrite of $root: staged rows route to " +
+          s"${stray.toSeq.sorted.mkString(",")}, outside the REPLACE WHERE " +
+          "predicate — refuse rather than replace slices the statement " +
+          "did not name")
+    }
+    // blooms BEFORE the swap loop: swapPartitions deletes the staging dir
+    val exactBlooms = stagedExactBlooms(staging)
+    var attempt = 0
+    while (true) {
+      val readBase = currentVersion
+      val days = (listDays().filter(pred) ++ stagedFiles.keys).distinct.sorted
+      if (days.isEmpty) { fs.delete(new Path(staging), true); return Seq.empty }
+      val v = claimCommit("overwrite", days, readBase + 1)
+      val extra = manifestBase(v).keySet.filter(pred) -- days
+      if (extra.isEmpty) {
+        swapPartitions(staging, days, v)
+        writeExactBlooms(days, exactBlooms, v)
+        finalizeCommit("overwrite", days, v, stagedFiles)
+        expireOldPartitions()
+        autoVacuum()
+        return days
+      }
+      fs.delete(new Path(s"$snapDir/v$v.list"), false)
+      attempt += 1
+      if (attempt > 5) {
+        fs.delete(new Path(staging), true)
+        throw new java.util.ConcurrentModificationException(
+          s"predicate overwrite of $root: new matching partitions kept " +
+            s"appearing (${extra.mkString(",")}) across $attempt claim attempts")
+      }
+    }
+    Seq.empty // unreachable
+  }
+
   /** Dynamic-partition overwrite (`INSERT OVERWRITE` under
     * `spark.sql.sources.partitionOverwriteMode=dynamic`, the V2
     * `SupportsDynamicOverwrite` contract): replace exactly the day

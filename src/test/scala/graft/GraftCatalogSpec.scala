@@ -316,6 +316,30 @@ class GraftCatalogSpec extends AnyFunSuite {
           |SELECT 20 AS k1, 'b2' AS f1, '2024-01-02' AS _pday""".stripMargin)
     assert(sql("SELECT k1 FROM graft.db.bf ORDER BY k1")
       .as[Long].collect().toSeq == Seq(10L, 20L, 30L))
+    // RANGE predicate — the backfill-a-month shape: both existing days
+    // match, the staged rows land in-range, ONE commit replaces both
+    sql("""INSERT INTO graft.db.bf
+          |REPLACE WHERE _pday >= '2024-01-01' AND _pday < '2024-02-01'
+          |SELECT 77 AS k1, 'r' AS f1, '2024-01-15' AS _pday""".stripMargin)
+    assert(sql("SELECT k1, _pday FROM graft.db.bf")
+      .as[(Long, String)].collect().toSeq == Seq((77L, "2024-01-15")))
+    // rows routing OUTSIDE the predicate refuse the whole statement
+    val stray = intercept[Exception] {
+      sql("""INSERT INTO graft.db.bf
+            |REPLACE WHERE _pday = '2024-01-15'
+            |SELECT 88 AS k1, 'x' AS f1, '2024-03-01' AS _pday""".stripMargin)
+    }
+    def chain(x: Throwable, m: String): Boolean = {
+      var c = x; var d = 0
+      while (c != null && d < 12) {
+        if (String.valueOf(c.getMessage).contains(m)) return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    assert(chain(stray, "outside the REPLACE WHERE"), stray.getMessage)
+    assert(sql("SELECT k1 FROM graft.db.bf").as[Long].collect().toSeq
+      == Seq(77L), "refused statement must leave no trace")
     // a predicate that is not a whole-day slice set is refused loudly
     val e = intercept[Exception] {
       sql("""INSERT INTO graft.db.bf REPLACE WHERE k1 > 5

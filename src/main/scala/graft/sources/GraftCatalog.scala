@@ -172,17 +172,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = tablePath(ident)
     if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
     val t = WarehouseTable.open(spark, path)
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          s"graft: cannot add nested field ${add.fieldNames.mkString(".")}")
-        t.evolveSchema(StructType(t.schema.fields :+
-          StructField(add.fieldNames.head, add.dataType, nullable = true)))
-        ()
-      case other => throw new UnsupportedOperationException(
-        s"graft: unsupported ALTER TABLE change $other — only ADD COLUMN " +
-          "(widening evolution) is allowed; files are immutable and keys are fixed")
+    // fold ALL property changes into ONE alterOptions: one statement's
+    // changes validate together ('clustering'='a,b','layout'='ZORDER'
+    // must not reject because layout was checked before clustering)
+    val newOpts = changes.foldLeft(Option.empty[TableOptions]) { (acc, c) =>
+      val base = acc.getOrElse(t.options)
+      c match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            s"graft: cannot add nested field ${add.fieldNames.mkString(".")}")
+          t.evolveSchema(StructType(t.schema.fields :+
+            StructField(add.fieldNames.head, add.dataType, nullable = true)))
+          acc
+        // layout metadata is alterable in place (BigQuery allows altering
+        // clustering on existing tables); the new layout applies to every
+        // LATER write/compaction — CALL recluster rewrites existing data
+        case set: TableChange.SetProperty if set.property == "clustering" =>
+          Some(base.copy(clusteringFields =
+            set.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        case set: TableChange.SetProperty if set.property == "layout" =>
+          Some(base.copy(layout = set.value))
+        case set: TableChange.SetProperty
+            if set.property == "partitionExpirationMs" =>
+          Some(base.copy(partitionExpirationMs = Some(set.value.toLong)))
+        case other => throw new UnsupportedOperationException(
+          s"graft: unsupported ALTER TABLE change $other — ADD COLUMN " +
+            "(widening evolution) and SET TBLPROPERTIES of clustering/" +
+            "layout/partitionExpirationMs are allowed; files are immutable " +
+            "and keys are fixed")
+      }
     }
+    newOpts.foreach(t.alterOptions)
     new GraftTableV2(ident, WarehouseTable.open(spark, path), path, None)
   }
 
@@ -285,8 +305,15 @@ class GraftTableV2(ident: Identifier, private[graft] val table: WarehouseTable,
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(GraftTableV2.PDay))
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "keys" -> table.keyFields.mkString(",")).asJava
+  override def properties(): util.Map[String, String] = {
+    val o = table.options
+    (Map("provider" -> "graft", "keys" -> table.keyFields.mkString(","),
+      "granularity" -> o.granularity, "layout" -> o.layout) ++
+      (if (o.clusteringFields.isEmpty) Map.empty
+       else Map("clustering" -> o.clusteringFields.mkString(","))) ++
+      o.partitionExpirationMs.map(ms =>
+        "partitionExpirationMs" -> ms.toString)).asJava
+  }
 
   /** `AUTOMATIC_SCHEMA_EVOLUTION` turns on the analyzer's `MERGE WITH
     * SCHEMA EVOLUTION` support (`ResolveMergeIntoSchemaEvolution` →

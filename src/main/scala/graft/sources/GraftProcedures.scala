@@ -36,7 +36,7 @@ private[sources] object GraftProcedures {
 
   val All: Seq[String] = Seq("history", "vacuum", "compact",
     "compact_fragmented", "restore", "clone", "expire_partitions", "health",
-    "zonemaps", "changes")
+    "zonemaps", "changes", "recluster")
 
   private def str(n: String, comment: String) =
     ProcedureParameter.in(n, StringType).comment(comment).build()
@@ -148,6 +148,20 @@ private[sources] object GraftProcedures {
         "per-partition layout/sidecar health report",
         Seq(str("table", "table identifier"))) { input =>
         open(input.getUTF8String(0).toString).describeHealth()
+      }
+      case "recluster" => proc("recluster",
+        "set the clustering columns + layout (LINEAR or ZORDER) and " +
+          "rewrite every partition into the new layout",
+        Seq(str("table", "table identifier"),
+          str("clustering", "comma-separated clustering columns"),
+          str("layout", "LINEAR or ZORDER")),
+        StructType(Seq(StructField("day", StringType)))) { args =>
+        val t = open(args.getUTF8String(0).toString)
+        val updated = t.alterOptions(t.options.copy(
+          clusteringFields = args.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          layout = args.getUTF8String(2).toString))
+        strings("day", updated.compactPartitions())._2
       }
       case "changes" => dfProc("changes",
         "row-level change feed over a committed version span: rows " +

@@ -348,6 +348,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day slices"), e.getMessage)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES alters clustering/layout in place; " +
+      "CALL recluster rewrites existing partitions into the new layout") {
+    sql("""CREATE TABLE graft.db.rc (k1 BIGINT, v1 BIGINT, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.rc SELECT id, id * 7 % 1000, '2024-01-01' " +
+      "FROM range(1000)")
+    // metadata-only alter: later writes/compactions use the new layout
+    sql("ALTER TABLE graft.db.rc SET TBLPROPERTIES " +
+      "('clustering' = 'k1,v1', 'layout' = 'ZORDER')")
+    val props = sql("SHOW TBLPROPERTIES graft.db.rc")
+      .as[(String, String)].collect().toMap
+    assert(props.get("clustering").contains("k1,v1") &&
+      props.get("layout").contains("ZORDER"), s"got $props")
+    // recluster rewrites the existing day under the z-order layout —
+    // content identical, one more commit, still time-travelable
+    val t = WarehouseTable.open(spark, s"$warehouse/db/rc")
+    val vBefore = t.currentVersion
+    val out = sql("CALL graft.system.recluster('db.rc', 'k1,v1', 'ZORDER')")
+      .as[String].collect().toSeq
+    assert(out == Seq("2024-01-01"), s"got $out")
+    assert(sql("SELECT count(*), sum(k1) FROM graft.db.rc")
+      .as[(Long, Long)].head() == (1000L, (0L until 1000L).sum))
+    assert(WarehouseTable.open(spark, s"$warehouse/db/rc").currentVersion
+      == vBefore + 1)
+    // the key set stays immutable: altering it is refused
+    val e = intercept[Exception] {
+      sql("ALTER TABLE graft.db.rc SET TBLPROPERTIES ('keys' = 'v1')")
+    }
+    assert(e.getMessage.contains("SET TBLPROPERTIES") ||
+      e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
   test("dynamic partition overwrite: INSERT OVERWRITE under " +
       "partitionOverwriteMode=dynamic replaces exactly the days present " +
       "in the data") {

@@ -236,5 +236,23 @@ object SqlSurfaceQueries extends QueryPack {
            |            AS DOUBLE) AS acct,
            |       $custDaySql AS _pday
            |FROM customer
-           |WHERE $custDaySql <> '2024-01-02' OR c_custkey % 2 = 0""".stripMargin)))
+           |WHERE $custDaySql <> '2024-01-02' OR c_custkey % 2 = 0""".stripMargin)),
+
+    // Metadata-only COUNT(*): the day-ranged ungrouped count collapses
+    // into the scan (parquet-footer sum over the pruned days — zero
+    // data read); the oracle recomputes it the slow relational way
+    GraftQuery("c8_sql_metadata_count",
+      (s, dir) => {
+        withCatalog(s)
+        customerView(s, dir, "c8_customer")
+        s.sql("DROP TABLE IF EXISTS gsql.db.c8")
+        s.sql("""CREATE TABLE gsql.db.c8 (k BIGINT, nm STRING, acct DOUBLE,
+                |  _pday STRING) USING graft TBLPROPERTIES ('keys' = 'k')""".stripMargin)
+        s.sql("INSERT INTO gsql.db.c8 SELECT k, nm, acct, _pday FROM c8_customer")
+        s.sql("""SELECT count(*) AS n FROM gsql.db.c8
+                |WHERE _pday >= '2024-01-02'""".stripMargin)
+      },
+      oracle = Some(
+        s"""SELECT count(*) AS n FROM customer
+           |WHERE $custDaySql >= '2024-01-02'""".stripMargin)))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -349,10 +349,12 @@ class GraftTableV2(ident: Identifier, private[graft] val table: WarehouseTable,
 
 private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var countStar = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, unhandled) =
@@ -366,10 +368,43 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Metadata-only `COUNT(*)`: an ungrouped count whose only predicates
+    * are day-slice filters never needs to touch row data — the pruned
+    * files' parquet FOOTERS already hold exact row counts (committed
+    * files carry live rows only; deletes/merges rewrite files, so no
+    * tombstone correction is needed). At warehouse scale that turns
+    * `SELECT count(*) FROM t [WHERE _pday ...]` from a full scan into
+    * an O(files) footer sweep — KB per file, distributed. Anything
+    * else (grouping, other aggregates, value-column predicates)
+    * declines and takes the normal scan path.
+    */
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  private def countStarAnswerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+      // complete pushdown must be EXACT: every pushed filter has to be
+      // fully decidable per day token, or the footer count over kept
+      // days would overcount vs the filtered scan
+      pushed.forall(GraftScanBuilder.evaluableDayFilter)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarAnswerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!countStarAnswerable(agg)) return false
+    countStar = true
+    required = new StructType().add("count(*)", LongType, nullable = false)
+    true
+  }
+
   override def build(): Scan = {
-    val (req, flt) = (required, pushed)
+    val (req, flt, cnt) = (required, pushed, countStar)
     new V1Scan with SupportsReportStatistics {
       override def readSchema(): StructType = req
+      override def description(): String =
+        if (cnt) "GraftFooterCount" else "GraftScan"
       /** Day-pruned size estimate, so Catalyst's join planning sees a
         * catalog table's REAL footprint: without this the V2 scan
         * relation defaults to `defaultSizeInBytes` (effectively
@@ -393,6 +428,13 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
           // an InternalRow→Row→InternalRow round trip per row
           override def needConversion: Boolean = false
           override def buildScan(): RDD[Row] = {
+            if (cnt) {
+              val n = GraftScanBuilder.footerCount(
+                context.sparkSession, t, flt)
+              return context.sparkSession.range(1)
+                .select(lit(n).cast("long").as("count(*)"))
+                .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+            }
             // filters + pruning land on the V1 relation, where `_pday`
             // predicates become partition pruning and the rest reach
             // the parquet scan as PushedFilters
@@ -482,6 +524,63 @@ private[graft] object GraftScanBuilder {
     }
   }
 
+  /** Is `f` a day-slice predicate evaluable EXACTLY against a day
+    * token — every leaf a `_pday`-vs-string-literal comparison
+    * (equality, ranges, IN, prefix/suffix/contains, null tests) under
+    * And/Or/Not? Exactness is load-bearing at both call sites: the
+    * matching days are REPLACED (predicate overwrite) or their counts
+    * returned AS the query answer (footer count), so an
+    * approximable-only predicate must be declined, never guessed.
+    */
+  def evaluableDayFilter(f: Filter): Boolean = {
+    def day(c: String) = c.equalsIgnoreCase(GraftTableV2.PDay)
+    f match {
+      case sources.EqualTo(c, _: String) => day(c)
+      case sources.EqualNullSafe(c, _: String) => day(c)
+      case sources.GreaterThan(c, _: String) => day(c)
+      case sources.GreaterThanOrEqual(c, _: String) => day(c)
+      case sources.LessThan(c, _: String) => day(c)
+      case sources.LessThanOrEqual(c, _: String) => day(c)
+      case sources.In(c, vs) =>
+        day(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case sources.IsNull(c) => day(c)
+      case sources.IsNotNull(c) => day(c)
+      case sources.StringStartsWith(c, _) => day(c)
+      case sources.StringEndsWith(c, _) => day(c)
+      case sources.StringContains(c, _) => day(c)
+      case sources.And(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
+      case sources.Or(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
+      case sources.Not(c) => evaluableDayFilter(c)
+      case sources.AlwaysTrue() => true
+      case sources.AlwaysFalse() => true
+      case _ => false
+    }
+  }
+
+  /** Exact row count of the days surviving the (day-only, fully
+    * evaluable) pushed filters, summed from the pruned files' parquet
+    * FOOTERS in a distributed sweep — metadata-only, no row data read.
+    */
+  def footerCount(spark: SparkSession, t: GraftTableV2,
+      pushed: Array[Filter]): Long = {
+    val files = t.table.connectorFileGroups(t.versionAsOf).iterator
+      .filter { case (day, _) =>
+        !pushed.exists(f => dayMatches(f, day).contains(false))
+      }
+      .flatMap(_._2).map(_.getPath.toString).toSeq
+    if (files.isEmpty) return 0L
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.fold(0L)(_ + _)
+  }
+
   /** V1 `Filter` → `Column`, for the subset we claim as handled; the
     * translation is EXACT (applied via `.where` on the relation), so
     * claiming them is safe. Nested-field references are left to Spark.
@@ -530,38 +629,6 @@ private[graft] class GraftWriteBuilder(table: WarehouseTable,
   private var replaceAll = false
   private var replaceWhere: Option[Array[Filter]] = None
 
-  /** Is `f` a day-slice predicate this builder can evaluate EXACTLY
-    * against a day token — every leaf a `_pday`-vs-string-literal
-    * comparison (equality, ranges, IN, prefix/suffix/contains, null
-    * tests) under And/Or/Not? Exactness matters: the matching days are
-    * REPLACED, so an approximable-only predicate must be refused, never
-    * guessed.
-    */
-  private def evaluableDayFilter(f: Filter): Boolean = {
-    def day(c: String) = c.equalsIgnoreCase(GraftTableV2.PDay)
-    f match {
-      case sources.EqualTo(c, _: String) => day(c)
-      case sources.EqualNullSafe(c, _: String) => day(c)
-      case sources.GreaterThan(c, _: String) => day(c)
-      case sources.GreaterThanOrEqual(c, _: String) => day(c)
-      case sources.LessThan(c, _: String) => day(c)
-      case sources.LessThanOrEqual(c, _: String) => day(c)
-      case sources.In(c, vs) =>
-        day(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-      case sources.IsNull(c) => day(c)
-      case sources.IsNotNull(c) => day(c)
-      case sources.StringStartsWith(c, _) => day(c)
-      case sources.StringEndsWith(c, _) => day(c)
-      case sources.StringContains(c, _) => day(c)
-      case sources.And(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
-      case sources.Or(l, r) => evaluableDayFilter(l) && evaluableDayFilter(r)
-      case sources.Not(c) => evaluableDayFilter(c)
-      case sources.AlwaysTrue() => true
-      case sources.AlwaysFalse() => true
-      case _ => false
-    }
-  }
-
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     // Spark pads the partition predicate with neutral conjuncts
     val constraining = filters.filterNot {
@@ -570,7 +637,7 @@ private[graft] class GraftWriteBuilder(table: WarehouseTable,
       case _ => false
     }
     if (constraining.isEmpty) { replaceAll = true; return this }
-    require(constraining.forall(evaluableDayFilter),
+    require(constraining.forall(GraftScanBuilder.evaluableDayFilter),
       "graft: INSERT OVERWRITE is scoped by whole day slices — the " +
         s"predicate must constrain only ${GraftTableV2.PDay} with " +
         "literal comparisons (equality, ranges, IN, ...). For row-level " +

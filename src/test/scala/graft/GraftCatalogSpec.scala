@@ -348,6 +348,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day slices"), e.getMessage)
   }
 
+  test("metadata-only COUNT(*): an ungrouped count with day-only " +
+      "predicates answers from parquet footers — zero data files scanned") {
+    sql("""CREATE TABLE graft.db.cnt (k1 BIGINT, f1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    sql("INSERT INTO graft.db.cnt SELECT id, concat('f', id), " +
+      "if(id % 2 = 0, '2024-01-01', '2024-01-02') FROM range(1000)")
+    // full count, a day-sliced count, and a RANGE-day count — all
+    // answered from footers (COMPLETE pushdown: the plan's aggregation
+    // collapses into the scan, no HashAggregate, no data columns read)
+    def planOf(q: String) = sql(q).queryExecution.executedPlan.toString
+    assert(sql("SELECT count(*) FROM graft.db.cnt").head().getLong(0) == 1000L)
+    assert(sql("SELECT count(*) FROM graft.db.cnt WHERE _pday = '2024-01-01'")
+      .head().getLong(0) == 500L)
+    assert(sql("SELECT count(*) FROM graft.db.cnt WHERE _pday >= '2024-01-02'")
+      .head().getLong(0) == 500L)
+    val pushedPlan = planOf("SELECT count(*) FROM graft.db.cnt WHERE _pday >= '2024-01-02'")
+    assert(pushedPlan.contains("PushedAggregates: [COUNT(*)]") &&
+      !pushedPlan.contains("HashAggregate"),
+      s"count(*) not completely pushed:\n$pushedPlan")
+    // a value-column predicate CANNOT be answered from metadata: the
+    // count declines pushdown and takes the normal (correct) scan path
+    val scanPlan = planOf("SELECT count(*) FROM graft.db.cnt WHERE k1 < 10")
+    assert(!scanPlan.contains("PushedAggregates") &&
+      scanPlan.contains("HashAggregate"),
+      s"value-filtered count must NOT push:\n$scanPlan")
+    assert(sql("SELECT count(*) FROM graft.db.cnt WHERE k1 < 10")
+      .head().getLong(0) == 10L)
+    // and the pushed answer tracks DML exactly (footers of live files)
+    sql("DELETE FROM graft.db.cnt WHERE k1 % 10 = 0")
+    assert(sql("SELECT count(*) FROM graft.db.cnt").head().getLong(0) == 900L)
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES alters clustering/layout in place; " +
       "CALL recluster rewrites existing partitions into the new layout") {
     sql("""CREATE TABLE graft.db.rc (k1 BIGINT, v1 BIGINT, _pday STRING)

@@ -249,10 +249,11 @@ object SqlSurfaceQueries extends QueryPack {
         s.sql("""CREATE TABLE gsql.db.c8 (k BIGINT, nm STRING, acct DOUBLE,
                 |  _pday STRING) USING graft TBLPROPERTIES ('keys' = 'k')""".stripMargin)
         s.sql("INSERT INTO gsql.db.c8 SELECT k, nm, acct, _pday FROM c8_customer")
-        s.sql("""SELECT count(*) AS n FROM gsql.db.c8
-                |WHERE _pday >= '2024-01-02'""".stripMargin)
+        s.sql("CALL gsql.system.zonemaps('db.c8', 'k')")
+        s.sql("""SELECT count(*) AS n, min(k) AS mn, max(k) AS mx
+                |FROM gsql.db.c8 WHERE _pday >= '2024-01-02'""".stripMargin)
       },
       oracle = Some(
-        s"""SELECT count(*) AS n FROM customer
-           |WHERE $custDaySql >= '2024-01-02'""".stripMargin)))
+        s"""SELECT count(*) AS n, min(c_custkey) AS mn, max(c_custkey) AS mx
+           |FROM customer WHERE $custDaySql >= '2024-01-02'""".stripMargin)))
 }

@@ -354,7 +354,8 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
-  private var countStar = false
+  private var pushedAggs: Option[Seq[
+    org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, unhandled) =
@@ -368,43 +369,89 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Metadata-only `COUNT(*)`: an ungrouped count whose only predicates
-    * are day-slice filters never needs to touch row data — the pruned
-    * files' parquet FOOTERS already hold exact row counts (committed
-    * files carry live rows only; deletes/merges rewrite files, so no
-    * tombstone correction is needed). At warehouse scale that turns
-    * `SELECT count(*) FROM t [WHERE _pday ...]` from a full scan into
-    * an O(files) footer sweep — KB per file, distributed. Anything
-    * else (grouping, other aggregates, value-column predicates)
+  /** Metadata-only aggregates: an ungrouped aggregate whose only
+    * predicates are day-slice filters can avoid touching row data —
+    *
+    *  - `COUNT(*)`: the pruned files' parquet FOOTERS hold exact row
+    *    counts (committed files carry live rows only; deletes/merges
+    *    rewrite files, so no tombstone correction is needed);
+    *  - `COUNT(col)` / `MIN(col)` / `MAX(col)` over a zone-mapped
+    *    column: the per-day sidecars hold (min, max, non-null) —
+    *    `dayZoneMaps` refreshes stale days at EXECUTION time with a
+    *    column-pruned job over exactly those days, so the answer is
+    *    always exact. Types restricted to integral/string/date, whose
+    *    string round-trip is lossless and whose orderings agree with
+    *    the sidecar rendering; doubles/floats decline (NaN/-0.0
+    *    ordering vs string rendering is not worth the risk).
+    *
+    * At warehouse scale that turns `SELECT count(*), max(id) FROM t
+    * [WHERE _pday ...]` from a full scan into an O(files) footer sweep
+    * plus O(stale days) sidecar refresh. Anything else — grouping,
+    * other aggregates, value-column predicates, time-travel reads for
+    * the sidecar aggregates (sidecars describe the CURRENT snapshot) —
     * declines and takes the normal scan path.
     */
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 
-  private def countStarAnswerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar] &&
+  private def aggColName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def sidecarCapable(n: String): Boolean =
+    t.versionAsOf.isEmpty &&
+      full.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType).exists {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | LongType | StringType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+
+  private def aggAnswerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       // complete pushdown must be EXACT: every pushed filter has to be
-      // fully decidable per day token, or the footer count over kept
-      // days would overcount vs the filtered scan
-      pushed.forall(GraftScanBuilder.evaluableDayFilter)
+      // fully decidable per day token, or the metadata answer over
+      // kept days would diverge from the filtered scan
+      pushed.forall(GraftScanBuilder.evaluableDayFilter) &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && aggColName(c.column).exists(sidecarCapable)
+        case m: Min => aggColName(m.column).exists(sidecarCapable)
+        case m: Max => aggColName(m.column).exists(sidecarCapable)
+        case _ => false
+      }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countStarAnswerable(agg)
+    aggAnswerable(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!countStarAnswerable(agg)) return false
-    countStar = true
-    required = new StructType().add("count(*)", LongType, nullable = false)
+    if (!aggAnswerable(agg)) return false
+    val aggs = agg.aggregateExpressions.toSeq
+    pushedAggs = Some(aggs)
+    required = StructType(aggs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"_agg$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"_agg$i", LongType, nullable = false)
+      case (m: Min, i) => StructField(s"_agg$i",
+        full.fields.find(_.name.equalsIgnoreCase(
+          aggColName(m.column).get)).get.dataType)
+      case (m: Max, i) => StructField(s"_agg$i",
+        full.fields.find(_.name.equalsIgnoreCase(
+          aggColName(m.column).get)).get.dataType)
+      case (other, _) => throw new IllegalStateException(s"unreachable: $other")
+    })
     true
   }
 
   override def build(): Scan = {
-    val (req, flt, cnt) = (required, pushed, countStar)
+    val (req, flt, aggs) = (required, pushed, pushedAggs)
     new V1Scan with SupportsReportStatistics {
       override def readSchema(): StructType = req
       override def description(): String =
-        if (cnt) "GraftFooterCount" else "GraftScan"
+        if (aggs.nonEmpty) "GraftMetadataAggregate" else "GraftScan"
       /** Day-pruned size estimate, so Catalyst's join planning sees a
         * catalog table's REAL footprint: without this the V2 scan
         * relation defaults to `defaultSizeInBytes` (effectively
@@ -428,11 +475,9 @@ private[graft] class GraftScanBuilder(t: GraftTableV2, full: StructType)
           // an InternalRow→Row→InternalRow round trip per row
           override def needConversion: Boolean = false
           override def buildScan(): RDD[Row] = {
-            if (cnt) {
-              val n = GraftScanBuilder.footerCount(
-                context.sparkSession, t, flt)
-              return context.sparkSession.range(1)
-                .select(lit(n).cast("long").as("count(*)"))
+            aggs.foreach { as =>
+              return GraftScanBuilder.metadataAggregate(
+                context.sparkSession, t, flt, as, req)
                 .queryExecution.toRdd.asInstanceOf[RDD[Row]]
             }
             // filters + pruning land on the V1 relation, where `_pday`
@@ -557,17 +602,93 @@ private[graft] object GraftScanBuilder {
     }
   }
 
-  /** Exact row count of the days surviving the (day-only, fully
-    * evaluable) pushed filters, summed from the pruned files' parquet
-    * FOOTERS in a distributed sweep — metadata-only, no row data read.
+  /** One-row frame answering a completely-pushed metadata aggregation
+    * (see the builder's acceptance contract). EVERY figure derives from
+    * ONE pinned file-group snapshot, so the row is internally
+    * consistent under concurrent commits:
+    *
+    *  - `COUNT(*)`: footer row-count sum over the pinned files;
+    *  - `COUNT/MIN/MAX(col)`: the per-day zone-map sidecars, used ONLY
+    *    where the sidecar fingerprint matches the pinned day (the
+    *    zoneSkippedDays discipline). Any mismatched/missing day falls
+    *    back to one exact COLUMN-PRUNED job over that column's pinned
+    *    files — still cheap (one column), always snapshot-exact.
     */
-  def footerCount(spark: SparkSession, t: GraftTableV2,
-      pushed: Array[Filter]): Long = {
-    val files = t.table.connectorFileGroups(t.versionAsOf).iterator
-      .filter { case (day, _) =>
-        !pushed.exists(f => dayMatches(f, day).contains(false))
-      }
-      .flatMap(_._2).map(_.getPath.toString).toSeq
+  def metadataAggregate(spark: SparkSession, t: GraftTableV2,
+      pushed: Array[Filter],
+      aggs: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+      out: StructType): DataFrame = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    def keptDay(day: String): Boolean =
+      !pushed.exists(f => dayMatches(f, day).contains(false))
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+      e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
+        .fieldNames.head
+    val groups = t.table.connectorFileGroups(t.versionAsOf)
+      .filter(g => keptDay(g._1))
+    val dayList = groups.map(_._1)
+    val pinnedFp: Map[String, String] = groups.map { case (d, files) =>
+      d -> WarehouseTable.fileSetFingerprint(
+        files.map(st => (st.getPath.getName, st.getLen)))
+    }.toMap
+    lazy val starCount =
+      footerSum(spark, groups.flatMap(_._2).map(_.getPath.toString))
+    // per referenced column: sidecar stats when EVERY kept day's
+    // fingerprint matches the pinned group; otherwise one exact
+    // column-pruned sweep of the pinned files
+    val byCol: Map[String, (Option[String], Option[String], Long)] =
+      aggs.collect {
+        case c: Count => nameOf(c.column)
+        case m: Min => nameOf(m.column)
+        case m: Max => nameOf(m.column)
+      }.distinct.map { c =>
+        val cached = t.table.cachedZoneMaps(c, dayList)
+        val fresh = dayList.forall(d =>
+          cached.get(d).exists(_._1 == pinnedFp(d)))
+        val field = t.table.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).get
+        if (fresh) {
+          val perDay = dayList.map(cached(_)._2)
+          val numeric = field.dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType]
+          def cmp(a: String, b: String): Int =
+            if (numeric) BigDecimal(a).compare(BigDecimal(b))
+            else UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+          val lt = Ordering.fromLessThan[String](cmp(_, _) < 0)
+          val nonEmpty = perDay.filter(_._3 > 0L)
+          c -> (
+            if (nonEmpty.isEmpty) None else Some(nonEmpty.flatMap(_._1).min(lt)),
+            if (nonEmpty.isEmpty) None else Some(nonEmpty.flatMap(_._2).max(lt)),
+            perDay.map(_._3).sum)
+        } else {
+          val files = groups.flatMap(_._2).map(_.getPath.toString)
+          val row = spark.read.schema(StructType(Seq(field)))
+            .parquet(files: _*)
+            .agg(min(col(s"`$c`")).cast("string"),
+              max(col(s"`$c`")).cast("string"),
+              count(col(s"`$c`"))).head()
+          c -> (Option(row.getString(0)), Option(row.getString(1)), row.getLong(2))
+        }
+      }.toMap
+    val cols = aggs.zipWithIndex.map { case (a, i) =>
+      val f = out.fields(i)
+      (a match {
+        case _: CountStar => lit(starCount)
+        case c: Count => lit(byCol(nameOf(c.column))._3)
+        case m: Min =>
+          byCol(nameOf(m.column))._1.map(lit(_)).getOrElse(lit(null))
+        case m: Max =>
+          byCol(nameOf(m.column))._2.map(lit(_)).getOrElse(lit(null))
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }).cast(f.dataType).as(f.name)
+    }
+    spark.range(1).select(cols: _*)
+  }
+
+  /** Exact row count of `files`, summed from their parquet FOOTERS in
+    * a distributed sweep — metadata-only, no row data read.
+    */
+  def footerSum(spark: SparkSession, files: Seq[String]): Long = {
     if (files.isEmpty) return 0L
     val conf = new graft.util.SerializableHadoopConf(
       spark.sessionState.newHadoopConf())

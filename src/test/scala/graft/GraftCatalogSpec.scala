@@ -378,6 +378,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     // and the pushed answer tracks DML exactly (footers of live files)
     sql("DELETE FROM graft.db.cnt WHERE k1 % 10 = 0")
     assert(sql("SELECT count(*) FROM graft.db.cnt").head().getLong(0) == 900L)
+
+    // MIN/MAX/COUNT(col): sidecar-capable column, no sidecars yet —
+    // the pushed plan's exact COLUMN-PRUNED fallback answers; after
+    // CALL zonemaps the same query answers from the fresh sidecars
+    def mmc() = sql(
+      "SELECT min(k1), max(k1), count(k1), count(*) FROM graft.db.cnt " +
+        "WHERE _pday = '2024-01-02'")
+    val mmcPlan = mmc().queryExecution.executedPlan.toString
+    assert(mmcPlan.contains("PushedAggregates: [MIN(k1), MAX(k1), " +
+      "COUNT(k1), COUNT(*)]") && !mmcPlan.contains("HashAggregate"),
+      s"min/max/count not completely pushed:\n$mmcPlan")
+    // odd ids 1..999 minus %10==0 (none odd) → min 1, max 999, 500 rows
+    assert(mmc().head() == org.apache.spark.sql.Row(1L, 999L, 500L, 500L))
+    sql("CALL graft.system.zonemaps('db.cnt', 'k1')")
+    assert(mmc().head() == org.apache.spark.sql.Row(1L, 999L, 500L, 500L))
+    // a double column declines (NaN/-0.0 vs string-render risk), as
+    // does DISTINCT — both take the normal scan path
+    sql("ALTER TABLE graft.db.cnt ADD COLUMN d DOUBLE")
+    val decl = sql("SELECT min(d) FROM graft.db.cnt")
+      .queryExecution.executedPlan.toString
+    assert(!decl.contains("PushedAggregates"), s"double min must not push:\n$decl")
+    val distinctPlan = sql("SELECT count(DISTINCT k1) FROM graft.db.cnt")
+      .queryExecution.executedPlan.toString
+    assert(!distinctPlan.contains("PushedAggregates"),
+      s"DISTINCT must not push:\n$distinctPlan")
   }
 
   test("ALTER TABLE SET TBLPROPERTIES alters clustering/layout in place; " +

@@ -172,17 +172,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = tablePath(ident)
     if (!isTableDir(new Path(path))) throw new NoSuchTableException(ident)
     val t = WarehouseTable.open(spark, path)
-    // fold ALL property changes into ONE alterOptions: one statement's
-    // changes validate together ('clustering'='a,b','layout'='ZORDER'
-    // must not reject because layout was checked before clustering)
+    // PASS 1 — classify every change WITHOUT applying any: a statement
+    // mixing ADD COLUMN with a later unsupported change must reject as
+    // a whole, not leave the schema already widened. Property changes
+    // fold into ONE TableOptions so one statement's changes validate
+    // together ('clustering'='a,b','layout'='ZORDER' must not reject
+    // because layout was checked before clustering).
+    val adds = scala.collection.mutable.ArrayBuffer.empty[StructField]
     val newOpts = changes.foldLeft(Option.empty[TableOptions]) { (acc, c) =>
       val base = acc.getOrElse(t.options)
       c match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             s"graft: cannot add nested field ${add.fieldNames.mkString(".")}")
-          t.evolveSchema(StructType(t.schema.fields :+
-            StructField(add.fieldNames.head, add.dataType, nullable = true)))
+          adds += StructField(add.fieldNames.head, add.dataType,
+            nullable = true)
           acc
         // layout metadata is alterable in place (BigQuery allows altering
         // clustering on existing tables); the new layout applies to every
@@ -202,6 +206,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "and keys are fixed")
       }
     }
+    // PASS 2 — apply only once the whole statement classified cleanly
+    // (same order as before: evolve, then options, so SET clustering
+    // may reference a column added in the same statement)
+    if (adds.nonEmpty)
+      t.evolveSchema(StructType(t.schema.fields ++ adds))
     newOpts.foreach(t.alterOptions)
     new GraftTableV2(ident, WarehouseTable.open(spark, path), path, None)
   }
@@ -610,9 +619,15 @@ private[graft] object GraftScanBuilder {
     *  - `COUNT(*)`: footer row-count sum over the pinned files;
     *  - `COUNT/MIN/MAX(col)`: the per-day zone-map sidecars, used ONLY
     *    where the sidecar fingerprint matches the pinned day (the
-    *    zoneSkippedDays discipline). Any mismatched/missing day falls
-    *    back to one exact COLUMN-PRUNED job over that column's pinned
-    *    files — still cheap (one column), always snapshot-exact.
+    *    zoneSkippedDays discipline). Mismatched/missing days fall back
+    *    to one exact COLUMN-PRUNED job over ONLY those days' pinned
+    *    files, merged with the fresh days' sidecar values — still
+    *    cheap (one column, stale days only), always snapshot-exact;
+    *  - `COUNT/MIN/MAX(_pday)`: the partition column has no physical
+    *    presence in the files and no sidecar; it is answered from the
+    *    kept-day list + the per-day footer counts (a day contributes
+    *    to MIN/MAX iff it holds >=1 row; `_pday` is never null so
+    *    COUNT(_pday)=COUNT(*)).
     */
   def metadataAggregate(spark: SparkSession, t: GraftTableV2,
       pushed: Array[Filter],
@@ -624,6 +639,7 @@ private[graft] object GraftScanBuilder {
     def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
       e.asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference]
         .fieldNames.head
+    def isPDay(c: String): Boolean = c.equalsIgnoreCase(GraftTableV2.PDay)
     val groups = t.table.connectorFileGroups(t.versionAsOf)
       .filter(g => keptDay(g._1))
     val dayList = groups.map(_._1)
@@ -631,58 +647,105 @@ private[graft] object GraftScanBuilder {
       d -> WarehouseTable.fileSetFingerprint(
         files.map(st => (st.getPath.getName, st.getLen)))
     }.toMap
-    lazy val starCount =
-      footerSum(spark, groups.flatMap(_._2).map(_.getPath.toString))
-    // per referenced column: sidecar stats when EVERY kept day's
-    // fingerprint matches the pinned group; otherwise one exact
-    // column-pruned sweep of the pinned files
+    // one footer sweep keyed by day serves COUNT(*) AND the `_pday`
+    // aggregates (min/max of day tokens over days with >=1 row; the
+    // per-day split costs nothing extra — same footers read)
+    lazy val perDayRows: Map[String, Long] = footerCountsByDay(spark,
+      groups.flatMap { case (d, fs) => fs.map(st => (d, st.getPath.toString)) })
+    lazy val starCount = perDayRows.valuesIterator.sum
+    lazy val pdayMinMax: (Option[String], Option[String]) = {
+      val utf8lt = Ordering.fromLessThan[String]((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+      val present = dayList.filter(d => perDayRows.getOrElse(d, 0L) > 0L)
+      (if (present.isEmpty) None else Some(present.min(utf8lt)),
+       if (present.isEmpty) None else Some(present.max(utf8lt)))
+    }
+    // per referenced VALUE column (`_pday` is answered from the day
+    // list above — it has no sidecar and no physical column in the
+    // files): sidecar stats for every kept day whose fingerprint
+    // matches the pinned group; stale/missing days get one exact
+    // column-pruned sweep over ONLY those days' pinned files, merged
+    // with the fresh days' sidecar values
     val byCol: Map[String, (Option[String], Option[String], Long)] =
       aggs.collect {
         case c: Count => nameOf(c.column)
         case m: Min => nameOf(m.column)
         case m: Max => nameOf(m.column)
-      }.distinct.map { c =>
+      }.distinct.filterNot(isPDay).map { c =>
         val cached = t.table.cachedZoneMaps(c, dayList)
-        val fresh = dayList.forall(d =>
-          cached.get(d).exists(_._1 == pinnedFp(d)))
+        val freshSet = dayList.filter(d =>
+          cached.get(d).exists(_._1 == pinnedFp(d))).toSet
         val field = t.table.schema.fields
           .find(_.name.equalsIgnoreCase(c)).get
-        if (fresh) {
-          val perDay = dayList.map(cached(_)._2)
-          val numeric = field.dataType
-            .isInstanceOf[org.apache.spark.sql.types.NumericType]
-          def cmp(a: String, b: String): Int =
-            if (numeric) BigDecimal(a).compare(BigDecimal(b))
-            else UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
-          val lt = Ordering.fromLessThan[String](cmp(_, _) < 0)
-          val nonEmpty = perDay.filter(_._3 > 0L)
-          c -> (
-            if (nonEmpty.isEmpty) None else Some(nonEmpty.flatMap(_._1).min(lt)),
-            if (nonEmpty.isEmpty) None else Some(nonEmpty.flatMap(_._2).max(lt)),
-            perDay.map(_._3).sum)
-        } else {
-          val files = groups.flatMap(_._2).map(_.getPath.toString)
-          val row = spark.read.schema(StructType(Seq(field)))
-            .parquet(files: _*)
-            .agg(min(col(s"`$c`")).cast("string"),
-              max(col(s"`$c`")).cast("string"),
-              count(col(s"`$c`"))).head()
-          c -> (Option(row.getString(0)), Option(row.getString(1)), row.getLong(2))
-        }
+        val numeric = field.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        def cmp(a: String, b: String): Int =
+          if (numeric) BigDecimal(a).compare(BigDecimal(b))
+          else UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+        val lt = Ordering.fromLessThan[String](cmp(_, _) < 0)
+        val fromSidecars: Seq[(Option[String], Option[String], Long)] =
+          dayList.filter(freshSet).map(cached(_)._2)
+        val staleFiles = groups.filterNot(g => freshSet(g._1))
+          .flatMap(_._2).map(_.getPath.toString)
+        val fromScan: Seq[(Option[String], Option[String], Long)] =
+          if (staleFiles.isEmpty) Nil
+          else {
+            val row = spark.read.schema(StructType(Seq(field)))
+              .parquet(staleFiles: _*)
+              .agg(min(col(s"`$c`")).cast("string"),
+                max(col(s"`$c`")).cast("string"),
+                count(col(s"`$c`"))).head()
+            Seq((Option(row.getString(0)), Option(row.getString(1)),
+              row.getLong(2)))
+          }
+        val parts = fromSidecars ++ fromScan
+        val mins = parts.flatMap(_._1)
+        val maxs = parts.flatMap(_._2)
+        c -> (
+          if (mins.isEmpty) None else Some(mins.min(lt)),
+          if (maxs.isEmpty) None else Some(maxs.max(lt)),
+          parts.map(_._3).sum)
       }.toMap
     val cols = aggs.zipWithIndex.map { case (a, i) =>
       val f = out.fields(i)
       (a match {
         case _: CountStar => lit(starCount)
+        // every stored row lives in a day directory, so `_pday` is
+        // never null: COUNT(_pday)=COUNT(*), MIN/MAX from day tokens
+        case c: Count if isPDay(nameOf(c.column)) => lit(starCount)
         case c: Count => lit(byCol(nameOf(c.column))._3)
+        case m: Min if isPDay(nameOf(m.column)) =>
+          pdayMinMax._1.map(lit(_)).getOrElse(lit(null))
         case m: Min =>
           byCol(nameOf(m.column))._1.map(lit(_)).getOrElse(lit(null))
+        case m: Max if isPDay(nameOf(m.column)) =>
+          pdayMinMax._2.map(lit(_)).getOrElse(lit(null))
         case m: Max =>
           byCol(nameOf(m.column))._2.map(lit(_)).getOrElse(lit(null))
         case other => throw new IllegalStateException(s"unreachable: $other")
       }).cast(f.dataType).as(f.name)
     }
     spark.range(1).select(cols: _*)
+  }
+
+  /** Per-day exact row counts of `(day, file)` pairs, summed from
+    * their parquet FOOTERS in one distributed sweep — metadata-only,
+    * no row data read. Same cost as [[footerSum]] over the same files;
+    * the day split is free and serves the `_pday` aggregates.
+    */
+  def footerCountsByDay(spark: SparkSession,
+      files: Seq[(String, String)]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { case (day, p) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), conf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (day, r.getRecordCount) finally r.close()
+      }.reduceByKey(_ + _).collect().toMap
   }
 
   /** Exact row count of `files`, summed from their parquet FOOTERS in

@@ -471,8 +471,14 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
       case (Some(f), Some(n)) => math.min(ceiling, f + n)
       case _ => ceiling
     }
-    lastOffered = math.max(lastOffered, capped)
-    LongOffset(capped) // == start ⇒ the engine plans no new batch
+    // Never return an offset BELOW the checkpointed start: a checkpoint
+    // reused after `CALL restore` rewinds the table (or an AvailableNow
+    // fence pinned before a rewind) would otherwise plan end < start.
+    // Clamping to `start` means "no new data" until the table catches
+    // back up past the checkpoint — the checkpoint stays authoritative.
+    val floored = from.fold(capped)(f => math.max(capped, f))
+    lastOffered = math.max(lastOffered, floored)
+    LongOffset(floored) // == start ⇒ the engine plans no new batch
   }
 
   private def versionOf(o: OffsetV2): Long = o match {
@@ -505,7 +511,15 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
     lastOffered = math.max(lastOffered, endV)
     val t = table
     val fromV = start.map(version).orElse(startingVersion.map(_ - 1))
-    val batch = (fromV, readChangeFeed) match {
+    val batch = if (endV > t.currentVersion) {
+      // Checkpoint ahead of table (a filesystem-level restore rewound
+      // the table below the checkpointed offset): the checkpoint stays
+      // authoritative — versions up to it count as seen, so a replayed
+      // range beyond the table's head has nothing to emit. Pairs with
+      // latestOffset's start clamp; without this, restart-time
+      // getBatch(committed offsets) dies in readAsOf's range check.
+      spark.emptyDataFrame
+    } else (fromV, readChangeFeed) match {
       case (Some(f), true) => t.changesBetween(f, endV)
       case (Some(f), false) => t.appendedBetween(f, endV, skipChangeCommits)
       case (None, _) => t.readAsOf(endV) // initial snapshot, version-pinned

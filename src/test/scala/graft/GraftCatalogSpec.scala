@@ -393,6 +393,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(mmc().head() == org.apache.spark.sql.Row(1L, 999L, 500L, 500L))
     sql("CALL graft.system.zonemaps('db.cnt', 'k1')")
     assert(mmc().head() == org.apache.spark.sql.Row(1L, 999L, 500L, 500L))
+    // `_pday` aggregates (the "latest partition" pattern): the column
+    // has no physical presence in the files and no sidecar — answered
+    // from the kept-day list + per-day footer counts. Previously this
+    // passed pushdown but crashed at execution (NoSuchElementException
+    // on the value-schema lookup).
+    val pd = sql("SELECT min(_pday) AS lo, max(_pday) AS hi, " +
+      "count(_pday) AS n, count(*) AS n_all FROM graft.db.cnt")
+    val pdPlan = pd.queryExecution.executedPlan.toString
+    assert(pdPlan.contains("PushedAggregates") &&
+      !pdPlan.contains("HashAggregate"),
+      s"_pday min/max/count not completely pushed:\n$pdPlan")
+    assert(pd.head() == org.apache.spark.sql.Row(
+      "2024-01-01", "2024-01-02", 900L, 900L))
+    assert(sql("SELECT max(_pday) FROM graft.db.cnt " +
+      "WHERE _pday < '2024-01-02'").head().getString(0) == "2024-01-01")
+    // mixed value-column + `_pday` aggregates in one pushed statement
+    assert(sql("SELECT max(_pday), max(k1) FROM graft.db.cnt").head() ==
+      org.apache.spark.sql.Row("2024-01-02", 999L))
     // a double column declines (NaN/-0.0 vs string-render risk), as
     // does DISTINCT — both take the normal scan path
     sql("ALTER TABLE graft.db.cnt ADD COLUMN d DOUBLE")
@@ -403,6 +421,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!distinctPlan.contains("PushedAggregates"),
       s"DISTINCT must not push:\n$distinctPlan")
+  }
+
+  test("a rejected ALTER statement leaves NO partial effect: ADD COLUMN " +
+      "mixed with an unsupported change must not widen the schema") {
+    sql("""CREATE TABLE graft.db.twopass (k1 BIGINT, v1 STRING, _pday STRING)
+          |USING graft TBLPROPERTIES ('keys' = 'k1')""".stripMargin)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("db"), "twopass")
+    intercept[UnsupportedOperationException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"),
+          org.apache.spark.sql.types.IntegerType),
+        TableChange.deleteColumn(Array("v1"), false))
+    }
+    assert(!cat.loadTable(ident).schema().fieldNames.contains("extra"),
+      "rejected ALTER must not leave the schema widened")
+    // the all-valid mixed statement still applies both effects
+    cat.alterTable(ident,
+      TableChange.addColumn(Array("extra"),
+        org.apache.spark.sql.types.IntegerType),
+      TableChange.setProperty("clustering", "k1"))
+    val after = cat.loadTable(ident)
+    assert(after.schema().fieldNames.contains("extra"))
+    assert(after.properties().get("clustering") == "k1")
   }
 
   test("ALTER TABLE SET TBLPROPERTIES alters clustering/layout in place; " +

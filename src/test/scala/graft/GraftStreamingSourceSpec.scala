@@ -435,6 +435,71 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
         s"on), got $perBatch")
   }
 
+  test("checkpoint ahead of table (filesystem-level rewind): latestOffset " +
+      "clamps to the checkpointed start — no end<start batch, the " +
+      "checkpoint stays authoritative until the table passes it again") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    (1 to 2).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    // filesystem snapshot at version 2 (the restore-from-backup case)
+    val backup = Files.createTempDirectory("ssrc-rewind").toString + "/tbl"
+    copyDir(root, backup)
+    (3 to 4).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val ck = Files.createTempDirectory("ssrc-rewind-ck").toString
+    val dstRoot = tmpRoot()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .withColumn("partitionTime", to_timestamp(col("_pday")))
+        .drop("_pday")
+        .writeStream.format("graft")
+        .option("path", dstRoot).option("keys", "k1")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    }
+    run() // checkpoint now at version 4
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      (1 to 4).map(i => i.toLong -> s"v$i").toSet)
+    // restore the version-2 backup: table is now BEHIND the checkpoint
+    deleteDir(root); copyDir(backup, root)
+    // resume over the same checkpoint: must terminate cleanly with NO
+    // new batch (offset clamped to start), not plan end < start
+    run()
+    assert(contents(spark.read.format("graft").load(dstRoot)) ==
+      (1 to 4).map(i => i.toLong -> s"v$i").toSet,
+      "rewound table must emit nothing while behind the checkpoint")
+    // the table catches back up PAST the checkpoint: only the versions
+    // beyond the checkpointed offset are emitted (versions up to it
+    // are 'seen' by contract — the checkpoint is authoritative)
+    val t2 = WarehouseTable.open(spark, root)
+    (5 to 7).foreach(i => t2.append(batch(Seq(i.toLong -> s"r$i"), day = 2)))
+    run() // table now at version 5 > checkpointed 4 → one new commit
+    val got = contents(spark.read.format("graft").load(dstRoot))
+    assert(got.contains(7L -> "r7"),
+      s"post-catch-up commit must stream: $got")
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val d = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+      else {
+        java.nio.file.Files.createDirectories(d.getParent)
+        java.nio.file.Files.copy(p, d,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.walk(d)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+  }
+
   test("a vacuumed-past resume offset fails loudly — never silent re-emission") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)

@@ -28,6 +28,24 @@ object Bench {
 
     val byName = SparkEntry.queries
 
+    // Timed action: a NOOP WRITE, not count(). count() lets Catalyst
+    // prune plan parts that don't affect cardinality — outer-join
+    // elimination in particular turned t24's probe-side joins (and,
+    // once its train-side relations stopped being EAGERLY checkpointed,
+    // the whole LM build) into dead code, timing a fraction of the real
+    // work. A noop write materializes every output column: the time is
+    // the full query, the same thing a user pays. Methodology change in
+    // round 15 — earlier rounds' per-query figures were count()-based
+    // and read LOW for join-attach-shaped queries (recorded in the
+    // "action" field so cross-round comparisons can adjust).
+    def timed(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "n/a" }
+
     // Inter-query isolation: queries that cache/localCheckpoint release
     // their own references, but the BLOCKS only die when the RDD object
     // is GC'd (ContextCleaner), and shuffle files likewise. Across 17
@@ -51,11 +69,12 @@ object Bench {
     // Warm EVERY headline's plan on the smallest SF so per-query times
     // measure the plan, not first-use codegen/classloading.
     SparkEntry.headlines.foreach { n =>
-      try byName(n)(spark, "/root/testdata/sf0.001").count()
+      try timed(byName(n)(spark, "/root/testdata/sf0.001"))
       catch { case e: Throwable =>
         System.err.println(s"[bench-warm] $n failed: ${e.getMessage}") }
     }
     resetSession()
+    val loadavg1x = loadavg()
 
     // min-of-N per query: two rounds of single-run timings produced
     // phantom regressions from shared-VM load (r07 "36.8 s" s6, r09's
@@ -69,14 +88,14 @@ object Bench {
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           val t = try {
-            byName(name)(spark, sfDir).count()
+            timed(byName(name)(spark, sfDir))
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
           resetSession()
           t
         }
         if (times.isEmpty) {
-          val msg = try { byName(name)(spark, sfDir).count(); "unknown" }
+          val msg = try { timed(byName(name)(spark, sfDir)); "unknown" }
             catch { case e: Throwable =>
               Option(e.getMessage).getOrElse(e.getClass.getName).take(200) }
           resetSession()
@@ -90,17 +109,34 @@ object Bench {
     // One rep (it is a 1 M-row end-to-end run, not a plan microbench);
     // reported as its own JSON field, NOT folded into the headline
     // total, so cross-round totals stay comparable.
-    def probe(n: Long): Either[String, (Double, Long)] =
-      try {
-        val wh = Files.createTempDirectory("bench-stream-wh").toString
-        val ck = Files.createTempDirectory("bench-stream-ckpt").toString
-        val r = graft.streaming.ThroughputProbe.run(spark, wh, ck, n)
-        resetSession()
-        Right(r)
-      } catch { case e: Throwable =>
-        resetSession()
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    // min-of-2 by default: the r13→r14 "−21% throughput regression"
+    // was a single-rep figure on a machine whose whole bench ran ~25%
+    // slow; a quiet-machine best-of-3 re-run recovered to ~52k rec/s
+    // with no write-path code in the delta (the r14 catalog/DML layers
+    // are not on MergePipeline's flush path). One rep cannot separate
+    // plan changes from load.
+    val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "2").toInt
+    def probe(n: Long): Either[String, (Double, Long)] = {
+      val runs = (1 to probeReps).flatMap { _ =>
+        try {
+          val wh = Files.createTempDirectory("bench-stream-wh").toString
+          val ck = Files.createTempDirectory("bench-stream-ckpt").toString
+          val r = graft.streaming.ThroughputProbe.run(spark, wh, ck, n)
+          resetSession()
+          Some(r)
+        } catch { case _: Throwable => resetSession(); None }
       }
+      if (runs.nonEmpty) Right(runs.minBy(_._1))
+      else
+        try {
+          val wh = Files.createTempDirectory("bench-stream-wh").toString
+          val ck = Files.createTempDirectory("bench-stream-ckpt").toString
+          Right(graft.streaming.ThroughputProbe.run(spark, wh, ck, n))
+        } catch { case e: Throwable =>
+          resetSession()
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+    }
     val streamProbe: Either[String, (Double, Long)] = probe(1000000L)
 
     // Streaming-SOURCE drain probe: 1 M rows / 10 commits replayed
@@ -154,6 +190,7 @@ object Bench {
           val rps = math.rint(n / wall)
           s"""{"sec":${math.rint(wall * 1000) / 1000},"rec_per_s":$rps,""" +
             s""""records":$n,"flushes":10,"survivors":$survivors,""" +
+            s""""reps":$probeReps,"agg":"min",""" +
             s""""reference_budget_sec":600}"""
         case Left(m) => s"""{"error":"${esc(m)}"}"""
       }
@@ -199,17 +236,29 @@ object Bench {
           // min-of-reps converges to after rep 1 absorbs the build
           val indexBacked = Set("e19_ivf_serve")
           indexBacked.intersect(SparkEntry.headlines.toSet).foreach { name =>
-            try { byName(name)(spark, dir).count(); () }
+            try { timed(byName(name)(spark, dir)); () }
             catch { case _: Throwable => () }
             resetSession()
           }
+          val loadavg10x = loadavg()
+          // min-of-2: a single rep made the r14 "+22% across the board"
+          // unattributable (machine load vs plan change)
+          val reps10 = sys.env.getOrElse("SPARK_GRAFT_SCALE10X_REPS", "2").toInt
           val t10 = SparkEntry.headlines.map { name =>
-            val t0 = System.nanoTime()
-            val r = try {
-              byName(name)(spark, dir).count()
-              Right((System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+            val times = (1 to reps10).flatMap { _ =>
+              val t0 = System.nanoTime()
+              val r = try {
+                timed(byName(name)(spark, dir))
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => None }
+              resetSession()
+              r
+            }
+            val r =
+              if (times.nonEmpty) Right(times.min)
+              else Left(try { timed(byName(name)(spark, dir)); "unknown" }
+                catch { case e: Throwable =>
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200) })
             resetSession()
             name -> r
           }
@@ -226,6 +275,7 @@ object Bench {
           val total10 = t10.collect { case (_, Right(s)) => s }.sum
           t10ByName = t10.collect { case (k, Right(s)) => k -> s }.toMap
           s""""scale10x":{"dir":"${esc(dir)}","copies":10,""" +
+            s""""reps":$reps10,"agg":"min","loadavg":"${esc(loadavg10x)}",""" +
             s""""total_sec":${math.rint(total10 * 1000) / 1000},""" +
             s""""queries":$secs,"exponent":$exps,"errors":$scaleErrs},"""
         } catch { case e: Throwable =>
@@ -258,32 +308,51 @@ object Bench {
           // index-backed headlines: untimed build pass (same protocol
           // as the 10× sweep)
           spot.filter(Set("e19_ivf_serve")).foreach { name =>
-            try { byName(name)(spark, dir100).count(); () }
+            try { timed(byName(name)(spark, dir100)); () }
             catch { case _: Throwable => () }
             resetSession()
           }
+          val loadavg100x = loadavg()
+          // min-of-2: the r14 single-rep tier produced a phantom 3.2×
+          // t24 "regression" that a quiet-machine re-run did not
+          // reproduce — one rep at this tier is unactionable
+          val reps100 =
+            sys.env.getOrElse("SPARK_GRAFT_SCALE100X_REPS", "2").toInt
           val t100 = spot.map { name =>
-            val t0 = System.nanoTime()
-            val r = try {
-              byName(name)(spark, dir100).count()
-              Right((System.nanoTime() - t0) / 1e9)
-            } catch { case e: Throwable =>
-              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+            val times = (1 to reps100).flatMap { _ =>
+              val t0 = System.nanoTime()
+              val r = try {
+                timed(byName(name)(spark, dir100))
+                Some((System.nanoTime() - t0) / 1e9)
+              } catch { case _: Throwable => None }
+              resetSession()
+              r
+            }
+            val r =
+              if (times.nonEmpty) Right((times.min, times.max - times.min))
+              else Left(try { timed(byName(name)(spark, dir100)); "unknown" }
+                catch { case e: Throwable =>
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200) })
             resetSession()
             name -> r
           }
           val secs = t100.map {
-            case (k, Right(s)) => s""""${esc(k)}":${math.rint(s * 1000) / 1000}"""
+            case (k, Right((s, _))) => s""""${esc(k)}":${math.rint(s * 1000) / 1000}"""
             case (k, Left(_)) => s""""${esc(k)}":-1"""
           }.mkString("{", ",", "}")
+          val spreads100 = t100.collect { case (k, Right((_, sp))) =>
+            s""""${esc(k)}":${math.rint(sp * 1000) / 1000}""" }
+            .mkString("{", ",", "}")
           val exps = t100.collect {
-            case (k, Right(s)) if t10ByName.get(k).exists(_ > 0) =>
+            case (k, Right((s, _))) if t10ByName.get(k).exists(_ > 0) =>
               val e = math.log(s / t10ByName(k)) / math.log(10.0)
               s""""${esc(k)}":${math.rint(e * 100) / 100}"""
           }.mkString("{", ",", "}")
           val errs100 = t100.collect { case (k, Left(m)) =>
             s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
           s""""scale100x":{"dir":"${esc(dir100)}","copies":100,""" +
+            s""""reps":$reps100,"agg":"min","spread":$spreads100,""" +
+            s""""loadavg":"${esc(loadavg100x)}",""" +
             s""""queries":$secs,"exponent_vs_10x":$exps,"errors":$errs100},"""
         } catch { case e: Throwable =>
           s""""scale100x":{"error":"${esc(Option(e.getMessage)
@@ -318,7 +387,11 @@ object Bench {
             s""""rows_in":${r.rowsIn},"survivors":${r.survivors},""" +
             s""""compacted_days":${r.compactedDays},""" +
             s""""peak_jvm_heap_mb":${r.peakDriverHeapMb},""" +
-            s""""heap_note":"local-mode JVM = driver + executors",""" +
+            s""""peak_driver_heap_mb":${r.peakUnmanagedHeapMb},""" +
+            s""""heap_note":"local-mode JVM = driver + executors; """ +
+            s"""peak_driver_heap_mb = used heap minus Spark-managed """ +
+            s"""storage+execution pools at the same sample (the """ +
+            s"""driver-attributable remainder)",""" +
             s""""bulk_path_engaged":${r.bulkPathEngaged}},"""
         } catch { case e: Throwable =>
           resetSession()
@@ -330,6 +403,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"reps":$reps,"agg":"min",""" +
+        s""""action":"noop_write",""" +
+        s""""action_note":"r15+: timed action is a noop-sink write """ +
+        s"""(full output materialization); earlier rounds used count(), """ +
+        s"""which let outer-join elimination prune join-attach queries """ +
+        s"""(t24 read ~3x low at 100x) — cross-round per-query deltas """ +
+        s"""vs r14 and earlier include this methodology shift",""" +
+        s""""loadavg_1x":"${esc(loadavg1x)}",""" +
         s""""stream_merge_1m":$probeJson,""" + sourceDrainJson +
         probe10mJson + scale10xJson + scale100xJson + soak100xJson +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""

@@ -99,7 +99,7 @@ object DedupOps {
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
       Bridge.expression(xxhash64(col("__h")))))
     val cand = newH.where(mightContain).select(col("__h")).distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // exact verify: bloom positives vs the real corpus hash column.
     // Candidate count is known post-checkpoint without an extra scan.
     val matched =
@@ -201,7 +201,7 @@ object DedupOps {
       minShared: Long = 5L): DataFrame = {
     val ex = winnowedFingerprints(df, textCol, idCol, k, window)
       .select(col("id"), explode(col("fingerprints")).as("f"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cnt = ex.groupBy(col("id")).agg(count(lit(1)).as("__n"))
     val rare = ex.groupBy(col("f")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select(col("f"))
@@ -355,20 +355,19 @@ object DedupOps {
       shingleF: Column => Column,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val banded = bandKeys(docs, normF, shingleF, numHashes, bands)
-    // localCheckpoint (eager): the pair relation is referenced three
-    // times below (the verify join + both candidate-id semi-joins);
-    // without materializing it, each reference would re-run the whole
-    // band pipeline AND triple the already-deep signature expression
-    // tree in the optimizer. Checkpointing truncates the lineage to a
-    // short LogicalRDD — pairs hold bare (id1,id2), tiny next to the
-    // corpus. (localCheckpoint trades fault tolerance for speed: an
-    // executor loss fails the job, which then simply re-runs — the
-    // right trade for a deterministic batch operator.)
+    // DISK_ONLY persist: the pair relation is referenced three times
+    // below (the verify join + both candidate-id semi-joins); without
+    // materializing it, each reference would re-run the whole band
+    // pipeline. The cache substitution also keeps the deep signature
+    // expression tree out of the consumers' plans. DISK_ONLY because
+    // the pair count is corpus-dependent (dup-heavy corpora make it
+    // large) — it must not compete for executor storage memory, and
+    // unlike localCheckpoint the lineage survives executor loss.
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def candShingles(idsOf: Column, as: String, shAs: String) =
       shinglesFor(docs, pairs.select(idsOf.as("id")).distinct(),
         normF, shingleF, as, shAs)
@@ -401,7 +400,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     def cand(idsOf: Column, as: String, shAs: String, sigAs: String) =
       docs.join(pairs.select(idsOf.as("id")).distinct(), Seq("id"), "left_semi")
         .select(col("id"), normF(col("t")).as("nt"))
@@ -456,7 +455,7 @@ object DedupOps {
         col("n.band") === col("c.band"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     pairs
       .join(shinglesFor(newDocs, pairs.select(col("new_id").as("id")).distinct(),
         normF, shingleF, "new_id", "sh1"), "new_id")
@@ -521,7 +520,7 @@ object DedupOps {
     * guard that bounds the per-shingle pair fan-out at
     * `maxShingleDocs²`). Exchanges carry `(shingle, id)` scalars; the
     * verify step re-joins candidate ids against the per-doc shingle
-    * ARRAYS (localCheckpointed once), so document text never crosses
+    * ARRAYS (disk-persisted once), so document text never crosses
     * an exchange.
     */
   def containmentDups(df: DataFrame, textCol: String, idCol: String,
@@ -532,7 +531,7 @@ object DedupOps {
     val docs = df.select(col(idCol).as("id"),
         wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val exploded = docs.select(col("id"), explode(col("sh")).as("g"))
     val rare = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDocs).select(col("g"))
@@ -540,7 +539,7 @@ object DedupOps {
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val verified = pairs
       .join(docs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
@@ -693,9 +692,10 @@ object DedupOps {
     *
     * Paragraph text never crosses an exchange. The exploded relation
     * projects to `(id, pos, md5)` scalars before any shuffle and is
-    * `localCheckpoint`ed (it feeds both the frequency count and the
+    * disk-persisted (it feeds both the frequency count and the
     * dropped-position join — without materializing, the corpus would
-    * split-and-explode twice). Document frequency aggregates 16-byte
+    * split-and-explode twice; DISK_ONLY because the relation is
+    * corpus-scaled). Document frequency aggregates 16-byte
     * hashes with map-side combine; the dropped set is O(boilerplate),
     * and the per-document dropped-position lists — one row per
     * *affected* document — join back to the corpus by id (AQE broadcasts
@@ -715,7 +715,7 @@ object DedupOps {
       .select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
       .select(col("__id"), col("__pos"),
         md5(to_binary(col("__p"), lit("utf-8"))).as("__h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // document frequency = distinct docs containing the paragraph
     val dropped = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
@@ -781,7 +781,7 @@ object DedupOps {
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dupHashes = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minDocs)
@@ -847,7 +847,7 @@ object DedupOps {
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dupHashes = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minDocs)

@@ -364,7 +364,7 @@ object SimOps {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .localCheckpoint(true) // referenced three times below; see DedupOps
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = vecs
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as(idn), col("v").as(vn))
@@ -413,7 +413,7 @@ object SimOps {
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
       .distinct()
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // score each candidate once: corpus vectors re-join by id
     // (semi-filtered to candidates), query vectors broadcast (the query
     // set is small by this operator's contract, as in bruteForceTopK)
@@ -569,7 +569,7 @@ object SimOps {
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .localCheckpoint(true) // referenced three times below; see DedupOps
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = c
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as(idn), col("v").as(vn))

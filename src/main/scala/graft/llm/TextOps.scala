@@ -552,7 +552,8 @@ object TextOps {
     * Everything flows through per-document TERM FREQUENCIES, never
     * per-occurrence rows: the `(doc, token, tf)` relation — one row per
     * distinct token per doc, Zipf-compressed vs the raw token stream —
-    * is localCheckpointed once and serves both the vocabulary count
+    * is materialized once (DISK_ONLY — corpus-scaled, so it must not
+    * compete for executor storage memory) and serves both the vocabulary count
     * (map-side-combined sum) and the scoring join; the grand total rides
     * a broadcast 1-row frame. The scoring join on `token` is naturally
     * Zipf-skewed ("the" pairs with every doc) but the per-key fan-out is
@@ -567,7 +568,7 @@ object TextOps {
         explode(split(normalizeText(col(textCol)), " ")).as("__t"))
       .where(col("__t") =!= "")
       .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val vocab = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__cnt"))
     val total = vocab.agg(sum(col("__cnt")).cast("double").as("__total"))
     val scored = tf.join(vocab, "__t")
@@ -682,7 +683,7 @@ object TextOps {
       .select(col("__id"), col("__p.bh").as("__bh"), col("__p.fh").as("__fh"))
       .groupBy(col("__id"), col("__bh"), col("__fh"))
       .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val vb = tf.groupBy(col("__bh")).agg(sum(col("__tf")).as("__cb"))
     val vf = tf.groupBy(col("__fh")).agg(sum(col("__tf")).as("__cf"))
     val scored = tf.join(vb, "__bh").join(vf, "__fh")
@@ -772,14 +773,21 @@ object TextOps {
         .otherwise(array().cast(
           "array<struct<th:string,ph:string,bh:string,fh:string,uh:string>>"))
     }
-    // train side: distinct-trigram counts with component hashes attached
+    // train side: distinct-trigram counts with component hashes
+    // attached. Materialized ONCE for its four consumers (ct/cp,
+    // cb/cf) as a DISK_ONLY persist: the relation is corpus-scaled
+    // (collision-free corpora don't collapse under the distinct), so
+    // an in-memory materialization would compete for executor storage
+    // memory and evict under scale — disk blocks cost a sequential
+    // write/read and keep lineage intact under executor loss, unlike
+    // the lineage-truncating localCheckpoint.
     val triTrain = train.select(toks.as("__ws"))
       .select(explode(emitT).as("__e"))
       .select(col("__e.th").as("__th"), col("__e.ph").as("__ph"),
         col("__e.bh").as("__bh"), col("__e.fh").as("__fh"))
       .groupBy(col("__th"), col("__ph"), col("__bh"), col("__fh"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // a probe needs the PREFIX count only when its trigram was seen and
     // the CONTINUATION count only when its bigram was seen — so both
     // attach to the trigram/bigram relation at BUILD time (vocabulary-
@@ -796,7 +804,7 @@ object TextOps {
     val uni = train.select(explode(toks).as("__w"))
       .select(h(col("__w")).as("__uh"))
       .groupBy(col("__uh")).agg(count(lit(1)).as("__cu"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val n = uni.agg(sum(col("__cu")).as("__n"))
     // test side: per-doc trigram tf rows, then three hash-count joins
     val tf = test.select(col(idCol).as("__id"), toks.as("__ws"))
@@ -886,7 +894,7 @@ object TextOps {
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -2992,11 +2992,14 @@ object LlmQueries extends QueryPack {
           .select(col("id").as("doc_id"))
         // materialize the expensive upstream ONCE: the budget stage's
         // kept-keys semi-join references `clean` on both sides, and
-        // without a checkpoint the dedup→gates→decontam subtree would
-        // execute twice (plan-audited) — the composed pipeline's whole
-        // point is paying each stage once
+        // without a materialization the dedup→gates→decontam subtree
+        // would execute twice (plan-audited) — the composed pipeline's
+        // whole point is paying each stage once. DISK_ONLY because the
+        // relation is corpus-scaled: an in-memory checkpoint competes
+        // for executor storage memory and evicts at 100×, and
+        // localCheckpoint truncates lineage under executor loss
         val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         val budgeted = CurationOps.tokenBudgetSample(clean, "source",
           tokenBudget = 50000L, tokensCol = "n_chars", keyCol = "doc_id",
           salt = "e2e")

@@ -893,8 +893,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("pipeline_e2e: every join broadcasts; no cartesian; the pipeline pays once") {
+    spark.catalog.clearCache() // fresh materialization for the scan count
     val df = SparkEntry.queries("pipeline_e2e")(spark, sf)
-    df.collect() // finalize AQE (also materializes the localCheckpoint)
+    // collect under scan capture: finalizes AQE, materializes the
+    // persisted relation, and records every EXECUTED file-scan node
+    val (_, totals) = ScanMetrics.selectedByQueries(spark) { df.collect() }
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), s"cartesian in the pipeline:\n$plan")
@@ -902,15 +905,25 @@ class PlanAuditSpec extends AnyFunSuite {
     // big side (the curated corpus) is never shuffled for a join
     assert(!plan.contains("SortMergeJoin"),
       s"a pipeline join fell back to sort-merge:\n$plan")
-    // the dedup→gates→decontam upstream is checkpointed: the post-budget
-    // plan reads the checkpoint (Scan ExistingRDD), so the expensive
-    // subtree cannot appear (and so cannot execute) twice
-    assert(plan.contains("Scan ExistingRDD"),
-      s"upstream checkpoint missing — budget self-join would re-run the pipeline:\n$plan")
-    val mdScans = plan.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("doc_id"))
-    assert(mdScans <= 3,
-      s"documents scanned $mdScans times — upstream re-execution is back:\n$plan")
+    // the dedup→gates→decontam upstream is materialized ONCE as a
+    // DISK_ONLY persist: the post-budget plan reads the cache
+    // (InMemoryTableScan over a disk-level InMemoryRelation), so the
+    // expensive subtree cannot execute twice — and the storage level
+    // must be disk, never competing for executor storage memory at 100×
+    assert(plan.contains("InMemoryTableScan"),
+      s"upstream materialization missing — budget self-join would re-run the pipeline:\n$plan")
+    assert(plan.contains("StorageLevel(disk, 1 replicas)"),
+      s"pipeline cache is not DISK_ONLY:\n$plan")
+    // runtime witness (explain text now prints the cached plan's full
+    // lineage, so text-counting FileScan lines over-counts): the
+    // documents table is scanned by dedup, the eval probe set, and the
+    // contamination n-gram side — and NOT again by the budget/shard
+    // stages, which read the materialized `clean`. More executed scan
+    // nodes than that means upstream re-execution is back.
+    val docScans = totals.readSchemas.count(_.contains("doc_id"))
+    assert(docScans <= 4,
+      s"documents scanned by $docScans executed nodes — upstream " +
+        s"re-execution is back (schemas: ${totals.readSchemas}):\n$plan")
   }
 
   test("graft connector: partition pruning + parquet pushdown + projection " +

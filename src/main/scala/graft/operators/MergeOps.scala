@@ -84,6 +84,26 @@ object MergeOps {
   def upsertDelete(dest: DataFrame, staged: DataFrame): DataFrame =
     mergeImpl(dest, staged, delete = true)
 
+  /** Batch-side broadcast gate for the PUBLIC frame-level merge API:
+    * the hint is applied only when the staged batch's optimizer size
+    * estimate fits under `spark.graft.mergeBroadcastMaxBytes` (default
+    * 256 MB). Micro-batches pass easily; an ad-hoc backfill-scale
+    * batch (or a frame with no usable stats, whose estimate is the
+    * effectively-infinite default) falls back UNHINTED — the planner
+    * sort-merges, and AQE still upgrades to broadcast at runtime if
+    * the actual exchange turns out small. An unconditional hint here
+    * would let one oversized user batch OOM the executors; the
+    * table-level path (`WarehouseTable.merge`) gates the same way on
+    * its known source row count.
+    */
+  private def gatedBroadcast(batchScaled: DataFrame)(df: DataFrame): DataFrame = {
+    val maxBytes = BigInt(batchScaled.sparkSession.conf
+      .get("spark.graft.mergeBroadcastMaxBytes", (256L << 20).toString))
+    if (batchScaled.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(df)
+    else df
+  }
+
   /** Decomposed MERGE plan: a full-outer join can never broadcast, so it
     * would sort-merge-shuffle the whole dest per flush. Split into
     * survivors (anti join vs batch keys, batch broadcast), updates
@@ -91,19 +111,21 @@ object MergeOps {
     * (batch anti-joined against dest's KEY column only — column pruning
     * means dest data columns never cross an exchange; at worst its keys
     * do). Same semantics as the reference MERGE, same output as the
-    * full-outer form (oracle-checked).
+    * full-outer form (oracle-checked). Batch-side broadcasts go through
+    * [[gatedBroadcast]] — see its contract.
     */
   private def mergeImpl(dest: DataFrame, staged: DataFrame, delete: Boolean): DataFrame = {
     val kfs = structFieldNames(staged, "key")
     val vfs = structFieldNames(staged, "value")
+    val hint = gatedBroadcast(staged) _
     val src = latestPerKey(staged).select(col("key"), col("value"))
     val survivors = dest.as("d")
-      .join(broadcast(src.select(col("key")).as("s")), keyCond(kfs), "left_anti")
+      .join(hint(src.select(col("key")).as("s")), keyCond(kfs), "left_anti")
     // without delete, a (precondition-violating) tombstone updates
     // matched rows to null values and inserts null-value rows — the
     // full-outer plan's exact behavior
     val live = if (delete) src.where(col("value").isNotNull) else src
-    val updates = dest.as("d").join(broadcast(live.as("s")), keyCond(kfs), "inner")
+    val updates = dest.as("d").join(hint(live.as("s")), keyCond(kfs), "inner")
       .select(kfs.map(f => col(s"d.$f").as(f)) ++
         vfs.map(f => col(s"s.value.$f").as(f)): _*)
     val inserts = live.as("s")
@@ -139,7 +161,7 @@ object MergeOps {
     val fenced = tombstoneFence(staged)
     val tombKeys = fenced.where(col("value").isNull).select(col("key")).distinct()
     val survivors = dest.as("d")
-      .join(broadcast(tombKeys.as("s")), keyCond(kfs), "left_anti")
+      .join(gatedBroadcast(staged)(tombKeys.as("s")), keyCond(kfs), "left_anti")
     val inserts = fenced.where(col("value").isNotNull)
       .select(kfs.map(f => col(s"key.$f").as(f)) ++ vfs.map(f => col(s"value.$f").as(f)): _*)
     survivors.unionByName(inserts)

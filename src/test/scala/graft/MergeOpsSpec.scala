@@ -86,6 +86,48 @@ class MergeOpsSpec extends AnyFunSuite {
     assert(rows4.toSeq == Seq(8L, 9L))
   }
 
+  test("batch-side broadcast is GATED on the size estimate: an over-ceiling " +
+      "staged batch merges unhinted (sort-merge fallback, no forced " +
+      "broadcast), an under-ceiling one keeps the broadcast plan") {
+    val dest = spark.range(50).select($"id".as("k1"),
+      concat(lit("d"), $"id").as("f1"))
+    def planOf(ceiling: String): String = {
+      spark.conf.set("spark.graft.mergeBroadcastMaxBytes", ceiling)
+      try {
+        val df = MergeOps.upsertDelete(dest, stagedFixture)
+        df.collect() // finalize AQE
+        df.queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.graft.mergeBroadcastMaxBytes")
+    }
+    // ceiling of 1 byte: every batch is "too big" — the plan must hold
+    // NO batch-side broadcast HINT. (AQE may still legitimately
+    // broadcast small runtime exchanges; the hint is what could force
+    // an OOM-scale broadcast, so the OPTIMIZED plan is checked for the
+    // join strategy the hint would have forced on the big side.)
+    spark.conf.set("spark.graft.mergeBroadcastMaxBytes", "1")
+    val unhinted = try {
+      MergeOps.upsertDelete(dest, stagedFixture)
+        .queryExecution.optimizedPlan.toString
+    } finally spark.conf.unset("spark.graft.mergeBroadcastMaxBytes")
+    assert(!unhinted.contains("ResolvedHint"),
+      s"over-ceiling batch still carries a broadcast hint:\n$unhinted")
+    // default ceiling: the micro-batch-sized fixture broadcasts
+    val hinted = MergeOps.upsertDelete(dest, stagedFixture)
+      .queryExecution.optimizedPlan.toString
+    assert(hinted.contains("ResolvedHint") || {
+      val exec = planOf((256L << 20).toString)
+      exec.contains("BroadcastHashJoin")
+    }, s"under-ceiling batch lost its broadcast:\n$hinted")
+    // and the merge RESULT is identical either way
+    spark.conf.set("spark.graft.mergeBroadcastMaxBytes", "1")
+    val bigPath = try {
+      MergeOps.upsertDelete(dest, stagedFixture).collect().toSet
+    } finally spark.conf.unset("spark.graft.mergeBroadcastMaxBytes")
+    val smallPath = MergeOps.upsertDelete(dest, stagedFixture).collect().toSet
+    assert(bigPath == smallPath,
+      "gated and hinted merges disagree on the survivor set")
+  }
+
   test("insertNewOnly emits only keys absent from dest") {
     // latest row per key is non-tombstone iff (2k+1)%4==1 ⇔ k even;
     // dest holds even keys < 100 ⇒ inserts are exactly even keys in [100, 498]

@@ -233,4 +233,19 @@ object RecordConverter {
     }
     df.select(cols.toSeq: _*)
   }
+
+  /** P3's decidable projection: per-field REQUIRED-violation counts,
+    * using the same null predicate [[enforceRequired]] raises on.
+    * `required` is the destination schema's REQUIRED field set (in the
+    * reference, required-ness comes from the BigQuery table schema, not
+    * the record — `BigQueryRecordConverter.java:133-141`). One row,
+    * one LONG column per required field; a non-zero count is exactly
+    * the set of rows `enforceRequired` would fail the job on.
+    */
+  def requiredViolations(df: DataFrame, required: Seq[String]): DataFrame = {
+    require(required.nonEmpty, "requiredViolations: empty REQUIRED set")
+    val aggs = required.map(f =>
+      sum(when(col(s"`$f`").isNull, 1L).otherwise(0L)).as(f))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -41,6 +41,29 @@ object ConvertQueries extends QueryPack {
         """SELECT event_id AS offset, event_type AS et, value AS amount
           |FROM events WHERE event_type != 'error'""".stripMargin)),
 
+    GraftQuery("p3_enforce_required",
+      // REQUIRED-null enforcement's decidable half: the per-field
+      // violation profile over a destination schema declaring
+      // (event_id, et, pr) REQUIRED, with nulls induced the way real
+      // feeds produce them (a value-level condition and a key-level
+      // condition). enforceRequired raises on exactly these rows —
+      // unit-pinned in ConvertSpec; this query pins the predicate
+      // against DuckDB.
+      (s, dir) => {
+        val shaped = ev(s, dir).select(
+          col("event_id"),
+          when(col("event_type") =!= "error", col("event_type")).as("et"),
+          when(col("user_id") % 7 =!= 0, col("props")).as("pr"))
+        RecordConverter.requiredViolations(shaped, Seq("event_id", "et", "pr"))
+      },
+      oracle = Some(
+        """SELECT count(*) FILTER (WHERE event_id IS NULL) AS event_id,
+          |       count(*) FILTER (WHERE (CASE WHEN event_type != 'error'
+          |                               THEN event_type END) IS NULL) AS et,
+          |       count(*) FILTER (WHERE (CASE WHEN user_id % 7 != 0
+          |                               THEN props END) IS NULL) AS pr
+          |FROM events""".stripMargin)),
+
     GraftQuery("p5_double_special",
       (s, dir) => ev(s, dir).select(
         col("event_id"),

@@ -57,6 +57,7 @@ object Soak100x {
       survivors: Long,
       compactedDays: Int,
       peakDriverHeapMb: Long,
+      peakUnmanagedHeapMb: Long,
       bulkPathEngaged: Boolean)
 
   def run(spark: SparkSession, corpusDir: String, whRoot: String): Result = {
@@ -66,13 +67,28 @@ object Soak100x {
     // this guards against (10 M × ~16 B hash arrays) persist for the
     // whole probe/bloom phase and cannot hide.
     val peak = new AtomicLong(0L)
+    // DRIVER-attributable peak: used heap MINUS Spark's managed pools
+    // (storage + execution — task-side memory) at the same sample. In
+    // local mode one JVM hosts driver and executors, so the raw figure
+    // alone can't witness the driver-memory cliff (manifest/bloom
+    // collects) this arm exists for; the unmanaged remainder can.
+    // Approximate (unmanaged task allocations land in it too), but the
+    // collects it guards against persist for whole phases and dominate.
+    val peakUnmanaged = new AtomicLong(0L)
     @volatile var sampling = true
     val sampler = new Thread(() => {
       val rt = Runtime.getRuntime
+      def raise(acc: AtomicLong, v: Long): Unit = {
+        var cur = acc.get()
+        while (v > cur && !acc.compareAndSet(cur, v)) cur = acc.get()
+      }
       while (sampling) {
         val used = rt.totalMemory() - rt.freeMemory()
-        var cur = peak.get()
-        while (used > cur && !peak.compareAndSet(cur, used)) cur = peak.get()
+        raise(peak, used)
+        val managed =
+          try org.apache.spark.sql.graftbridge.Bridge.sparkManagedMemoryUsed()
+          catch { case _: Throwable => 0L }
+        raise(peakUnmanaged, math.max(0L, used - managed))
         Thread.sleep(50)
       }
     }, "soak-heap-sampler")
@@ -202,7 +218,7 @@ object Soak100x {
 
       Result(secsSince(t0), appendSec, mergeSec, compactSec, backfillSec,
         vacuumSec, readSec, rowsIn, survivors, compacted.size,
-        peak.get() >> 20, bulkEngaged)
+        peak.get() >> 20, peakUnmanaged.get() >> 20, bulkEngaged)
     } finally {
       sampling = false
     }

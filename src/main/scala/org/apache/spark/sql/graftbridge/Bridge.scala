@@ -36,6 +36,19 @@ object Bridge {
     df.sparkSession.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** Spark-managed memory in use (storage + execution pools), for the
+    * soak probe's driver-vs-task heap attribution: in local mode one
+    * JVM hosts driver AND executors, so `usedHeap − sparkManaged`
+    * approximates the DRIVER-side footprint (manifests, blooms,
+    * collects, JVM overhead) that the soak arm exists to witness.
+    */
+  def sparkManagedMemoryUsed(): Long = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) 0L
+    else env.memoryManager.storageMemoryUsed +
+      env.memoryManager.executionMemoryUsed
+  }
+
   /** Wrap an analyzed logical plan back into a DataFrame (the
     * `Dataset.ofRows` the DML commands use to hand a statement's
     * source subtree — exprIds intact — to the merge executor).

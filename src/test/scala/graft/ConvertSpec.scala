@@ -254,4 +254,43 @@ class ConvertSpec extends AnyFunSuite {
       assert(r2.isNullAt(1), "null nullable struct must stay null")
     }
   }
+
+  test("SchemaRetriever: key vs value retrieval on a kafka-shaped batch " +
+      "(KafkaSchemaRecordType discrimination), flat fallback, configure " +
+      "hook, reflective loading") {
+    val wire = Seq((1L, "a")).toDF("k1", "f1").select(
+      struct($"k1").as("key"), struct($"f1").as("value"),
+      lit("t").as("topic"))
+    val keyS = IdentitySchemaRetriever.retrieveKeySchema(wire)
+    val valS = IdentitySchemaRetriever.retrieveValueSchema(wire)
+    assert(keyS.fieldNames.toSeq == Seq("k1"), s"key schema: $keyS")
+    assert(valS.fieldNames.toSeq == Seq("f1"), s"value schema: $valS")
+    assert(KafkaSchemaRecordType.Key.toString == "key" &&
+      KafkaSchemaRecordType.Value.toString == "value")
+    // flat batch (no key/value structs): both lookups fall back to the
+    // whole row schema, as does the flat entry
+    val flat = Seq((1L, "a")).toDF("k1", "f1")
+    assert(IdentitySchemaRetriever.retrieveKeySchema(flat) == flat.schema)
+    assert(IdentitySchemaRetriever.retrieveSchema(flat) == flat.schema)
+    // a custom retriever loads reflectively and receives configure()
+    val custom = ExtensionLoader.load[SchemaRetriever](
+      "graft.ConfiguredRetriever")
+    custom.configure(Map("subject" -> "events-value"))
+    assert(ConfiguredRetriever.lastProps.get("subject")
+      .contains("events-value"))
+    assert(custom.retrieveValueSchema(wire).fieldNames.toSeq == Seq("f1"))
+  }
+}
+
+/** Test fixture for reflective retriever loading + configure hook. */
+class ConfiguredRetriever extends SchemaRetriever {
+  override def configure(properties: Map[String, String]): Unit = {
+    ConfiguredRetriever.lastProps = properties
+  }
+  override def retrieveSchema(batch: org.apache.spark.sql.DataFrame,
+      which: KafkaSchemaRecordType): org.apache.spark.sql.types.StructType =
+    IdentitySchemaRetriever.retrieveSchema(batch, which)
+}
+object ConfiguredRetriever {
+  @volatile var lastProps: Map[String, String] = Map.empty
 }

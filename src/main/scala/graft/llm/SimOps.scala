@@ -602,9 +602,20 @@ object SimOps {
     * that is a 64× smaller scan than the raw vectors, which is the
     * entire point of PQ — and the reconstruction is a literal-array
     * lookup, not I/O. Queries broadcast; the candidate ranking windows
-    * over `(query_id, nbr_id, approx)` scalars only; exact vectors are
-    * read back for `queries × candidates` rows via a broadcast semi
-    * join on id. The corpus is never shuffled.
+    * over `(query_id, nbr_id, approx)` scalars only (WindowGroupLimit
+    * bounds the rank shuffle to `candidates` per query per map
+    * partition — plan-verified); exact vectors are read back for
+    * `queries × candidates` rows via a broadcast semi join on id. The
+    * corpus is never shuffled.
+    *
+    * Like every brute scan, total COMPUTE is `O(queries × corpus)` —
+    * linear in the corpus for a fixed serving query set. Under the
+    * bench convention where the probe set also scales with the corpus
+    * (`vec_id % 50 == 0`), that term is quadratic in the scale factor,
+    * so e4's second-decade exponent is by construction, not a plan
+    * defect (same convention as e1's, whose 100× answer is e19); the
+    * PQ path's 100× answer is [[ivfPqTopK]] (e12), which prunes the
+    * scanned set to `nProbe` cells per query before the codes pass.
     *
     * Codebook: deterministic "training" — per subspace, the subvectors
     * of the `numCentroids` lowest-id corpus vectors (the same
@@ -654,11 +665,17 @@ object SimOps {
     // reconstruction is a pure function of the codes — STAGED per corpus
     // row (numSubspaces literal lookups), never per (row, query) pair:
     // inlining it after the query join would rebuild the 64-element
-    // array queries× times per row
+    // array queries× times per row. A select alone does NOT stage it —
+    // CollapseProject inlines the encode/reconstruct chain through the
+    // query join and it re-evaluates per pair (caught live in the IVF-PQ
+    // twin: 150 µs/pair interpreted) — so the code relation, which IS
+    // the PQ index, persists DISK_ONLY (corpus-scaled, one sequential
+    // write, read by the scan below).
     val recon = flatten(array((0 until numSubspaces)
       .map(j => element_at(typedLit(books(j)),
         element_at(col("_codes"), j + 1) + 1)): _*))
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // asymmetric scan: rank every corpus row per query by approximate
     // cosine against the reconstruction; NaN (zero-norm) coalesces to
@@ -756,9 +773,16 @@ object SimOps {
     val recon = flatten(array((0 until numSubspaces)
       .map(j => element_at(typedLit(books(j)),
         element_at(col("_codes"), j + 1) + 1)): _*))
+    // MATERIALIZED: this is the IVF-PQ index build (one coarse assign +
+    // PQ encode + reconstruction per corpus row). Without the barrier,
+    // CollapseProject inlines the encode/reconstruct chain through the
+    // probe join and the whole thing re-evaluates PER (row, probe) PAIR
+    // — measured 150 µs/pair interpreted, 10× SLOWER than the brute PQ
+    // scan it exists to beat. DISK_ONLY: the index is corpus-scaled.
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
       .withColumn("_codes", graft.functions.PqEncode(col("nbr_vec"), books))
       .select(col("nbr_id"), col("cell"), recon.as("_recon"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // queries rank cells on scalars (same staged form ivfTopK audits),
     // then hang their vectors back on via a broadcast join
@@ -862,7 +886,11 @@ object SimOps {
       val mx = element_at(mxs, i0 + 1)
       mn + code * (mx - mn) / top
     })
+    // persisted barrier: same CollapseProject hazard as the PQ twins —
+    // without it the encode+dequantize chain inlines through the query
+    // join and re-evaluates per (row, query) pair
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),

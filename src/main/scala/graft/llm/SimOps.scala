@@ -109,7 +109,19 @@ object SimOps {
     * generated-code size at any k (spec-pinned at k=1024 with codegen
     * byte-code stats).
     */
-  private val AssignBlock = 256
+  /** Cell-count threshold between the staged-array assignment form and
+    * the native [[graft.functions.CentroidSims]]/[[graft.functions.NearestCentroid]]
+    * expressions. 24 keeps every fixed-16-cell oracle query on the
+    * staged-array path the oracles pin, while √N-sized cell counts
+    * (e19's serving index: 45 cells at sf0.1, 141 at 10×) go native —
+    * at 45 cells the inlined literal-array cosines already blow
+    * janino's 64 KB method limit inside the candidate sort's generated
+    * class, silently dropping the whole stage to interpreted rows
+    * (caught live: `Failed to compile ... sort_addToSorter_0 ... grows
+    * beyond 64 KB` on the e19 headline). Values are bit-identical on
+    * both paths (parity-spec'd).
+    */
+  private val AssignBlock = 24
 
   /** Per-dimension update-aggregation width for [[kMeansCentroids]]:
     * up to this dimensionality the centroid update runs as one wide
@@ -351,6 +363,15 @@ object SimOps {
     * candidate pairs checkpoint as bare id pairs, then vectors re-join
     * BY ID (semi-filtered to candidate ids, pair side broadcast) for the
     * exact-cosine verify — embedding arrays never cross an exchange.
+    *
+    * PARAMETER SCALING: `numPlanes` fixes the bucket count at
+    * `2^numPlanes` per table, so per-bucket candidate pairs grow as
+    * `(N / 2^numPlanes)²` — with the 4-plane default the op is
+    * quadratic in the corpus (fine for the oracle-pinned fixture,
+    * wrong at warehouse scale). Size `numPlanes ≈ log2(N / B)` for a
+    * target bucket occupancy `B` (a few hundred): each added plane
+    * halves occupancy and quarters the per-bucket pair count, at the
+    * recall cost the extra tables (`numTables`) buy back.
     */
   def embeddingNearDups(df: DataFrame, threshold: Double, numPlanes: Int = 4,
       numTables: Int = 8,
@@ -494,8 +515,14 @@ object SimOps {
         else graft.functions.CentroidSims(col(v), cents))
     // first-occurrence argmax = highest sim, smallest cell on ties —
     // mirrored in the oracle as ORDER BY sim DESC, cell ASC
+    // MATERIALIZED index build (same CollapseProject hazard as the PQ
+    // twins): without the barrier the staged cell-assignment chain
+    // inlines through the probe join and re-evaluates per streamed row
+    // PER STAGE REPLAY — measured 8× on the 10× tier. DISK_ONLY: the
+    // assignment is corpus-scaled (it carries the vectors).
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
       .select(col("nbr_id"), col("nbr_vec"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // queries probe their nProbe nearest cells (query set is small by
     // this operator's contract — the window here ranks cells per query)
     val wCells = org.apache.spark.sql.expressions.Window

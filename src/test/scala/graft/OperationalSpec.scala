@@ -33,19 +33,22 @@ class OperationalSpec extends AnyFunSuite {
       .maxBy(_.getName)
     java.nio.file.Files.write(part.toPath, Array.fill[Byte](64)(0x5a))
     // explicit schema both times: this isolates the DATA read (schema
-    // inference picks its own footer and has its own failure mode)
+    // inference picks its own footer and has its own failure mode).
+    // Per-READ options, not spark.conf.set: suites share one session
+    // and run in parallel, so a session-global toggle here is a race
+    // window for every concurrently-running scan (one full-suite run
+    // had the corrupt-read failure surface inside WarehouseTableSpec's
+    // multi-writer soak)
     val schema = "id BIGINT, v BIGINT"
     // default: the corrupt footer fails the whole read
     intercept[Exception] {
-      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
-      spark.read.schema(schema).parquet(dir).count()
+      spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "false").parquet(dir).count()
     }
-    try {
-      spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-      val n = spark.read.schema(schema).parquet(dir).count()
-      // the other three files' rows survive
-      assert(n > 0 && n < 100, s"expected a partial read, got $n")
-    } finally spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    val n = spark.read.schema(schema)
+      .option("ignoreCorruptFiles", "true").parquet(dir).count()
+    // the other three files' rows survive
+    assert(n > 0 && n < 100, s"expected a partial read, got $n")
   }
 
   test("observe: pipeline metrics ride the action, no second scan") {

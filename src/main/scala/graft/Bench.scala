@@ -46,6 +46,47 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).trim
       catch { case _: Throwable => "n/a" }
 
+    def loadavg1(): Double =
+      try loadavg().split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // LOAD GATE (round-16, after the r15 artifact was captured at
+    // loadavg 10.2 and contradicted the round's quiet-machine claims):
+    // each measurement TIER waits until the 1-min loadavg drops below
+    // a threshold before its timed arms start, so an externally-loaded
+    // machine can never silently become the artifact of record. Our own
+    // just-finished work inflates the 1-min average too — that decays
+    // with a ~60 s time constant, which is exactly what the polling
+    // wait absorbs. A tier that times out still runs, but is flagged in
+    // `load_gate.timeouts`, making the artifact self-invalidating
+    // rather than silently wrong. SPARK_GRAFT_LOADGATE sets the
+    // threshold (default 4.0 on this 32-cpu box; 0 disables).
+    val loadGateThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOADGATE", "4.0").toDouble
+    val loadGateMaxWaitMs =
+      sys.env.getOrElse("SPARK_GRAFT_LOADGATE_MAX_WAIT_S", "300").toLong * 1000L
+    var loadGateWaits = 0
+    val loadGateTimeouts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def awaitQuiet(tier: String): Unit = {
+      if (loadGateThreshold <= 0) return
+      val deadline = System.nanoTime() + loadGateMaxWaitMs * 1000000L
+      var l = loadavg1()
+      var waited = false
+      while (l >= 0 && l > loadGateThreshold && System.nanoTime() < deadline) {
+        waited = true
+        System.err.println(
+          s"[bench] load gate ($tier): loadavg $l > $loadGateThreshold, waiting")
+        Thread.sleep(15000L)
+        l = loadavg1()
+      }
+      if (waited) loadGateWaits += 1
+      if (l > loadGateThreshold) {
+        loadGateTimeouts += tier
+        System.err.println(s"[bench] load gate ($tier): TIMED OUT at " +
+          s"loadavg $l — this tier's figures are load-contaminated")
+      }
+    }
+
     // Inter-query isolation: queries that cache/localCheckpoint release
     // their own references, but the BLOCKS only die when the RDD object
     // is GC'd (ContextCleaner), and shuffle files likewise. Across 17
@@ -74,6 +115,7 @@ object Bench {
         System.err.println(s"[bench-warm] $n failed: ${e.getMessage}") }
     }
     resetSession()
+    awaitQuiet("1x")
     val loadavg1x = loadavg()
 
     // min-of-N per query: two rounds of single-run timings produced
@@ -128,15 +170,19 @@ object Bench {
       }
       if (runs.nonEmpty) Right(runs.minBy(_._1))
       else
+        // diagnostic retry after every rep failed — mirror the rep
+        // loop's isolation: resetSession() regardless of outcome, so
+        // the path taken after failures doesn't skip the inter-query
+        // hygiene the surrounding code insists on
         try {
           val wh = Files.createTempDirectory("bench-stream-wh").toString
           val ck = Files.createTempDirectory("bench-stream-ckpt").toString
           Right(graft.streaming.ThroughputProbe.run(spark, wh, ck, n))
         } catch { case e: Throwable =>
-          resetSession()
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
+        } finally resetSession()
     }
+    awaitQuiet("stream_probe")
     val streamProbe: Either[String, (Double, Long)] = probe(1000000L)
 
     // Streaming-SOURCE drain probe: 1 M rows / 10 commits replayed
@@ -240,6 +286,7 @@ object Bench {
             catch { case _: Throwable => () }
             resetSession()
           }
+          awaitQuiet("10x")
           val loadavg10x = loadavg()
           // min-of-2: a single rep made the r14 "+22% across the board"
           // unattributable (machine load vs plan change)
@@ -312,6 +359,7 @@ object Bench {
             catch { case _: Throwable => () }
             resetSession()
           }
+          awaitQuiet("100x")
           val loadavg100x = loadavg()
           // min-of-2: the r14 single-rep tier produced a phantom 3.2×
           // t24 "regression" that a quiet-machine re-run did not
@@ -376,6 +424,7 @@ object Bench {
           s"/tmp/graft_scale100x_${Paths.get(sfDir).getFileName}")
         try {
           graft.tools.Scale10x.materialize(spark, sfDir, dir100, copies = 100)
+          awaitQuiet("soak100x")
           val whRoot = Files.createTempDirectory("graft-soak100x").toString + "/tbl"
           val r = graft.tools.Soak100x.run(spark, dir100, whRoot)
           resetSession()
@@ -387,11 +436,20 @@ object Bench {
             s""""rows_in":${r.rowsIn},"survivors":${r.survivors},""" +
             s""""compacted_days":${r.compactedDays},""" +
             s""""peak_jvm_heap_mb":${r.peakDriverHeapMb},""" +
-            s""""peak_driver_heap_mb":${r.peakUnmanagedHeapMb},""" +
-            s""""heap_note":"local-mode JVM = driver + executors; """ +
-            s"""peak_driver_heap_mb = used heap minus Spark-managed """ +
-            s"""storage+execution pools at the same sample (the """ +
-            s"""driver-attributable remainder)",""" +
+            s""""peak_driver_heap_mb":${r.retainedDriverHeapMb},""" +
+            s""""peak_unmanaged_heap_mb":${r.peakUnmanagedHeapMb},""" +
+            s""""peak_storage_pool_mb":${r.peakStoragePoolMb},""" +
+            s""""peak_execution_pool_mb":${r.peakExecutionPoolMb},""" +
+            s""""retained_by_phase":{${r.retainedByPhase
+              .map { case (p, mb) => s""""${esc(p)}":$mb""" }
+              .mkString(",")}},""" +
+            s""""heap_note":"peak_driver_heap_mb = max over phase-""" +
+            s"""boundary post-GC samples of (live heap minus Spark """ +
+            s"""storage+execution pools) — the LIVE driver-attributable """ +
+            s"""state (manifests/blooms/collects). peak_jvm_heap_mb and """ +
+            s"""peak_unmanaged_heap_mb are continuous 50 ms samples and """ +
+            s"""are garbage-inflated in local mode (rare GC on a 128 GB """ +
+            s"""heap): allocation ceilings, not live sets",""" +
             s""""bulk_path_engaged":${r.bulkPathEngaged}},"""
         } catch { case e: Throwable =>
           resetSession()
@@ -410,6 +468,9 @@ object Bench {
         s"""(t24 read ~3x low at 100x) — cross-round per-query deltas """ +
         s"""vs r14 and earlier include this methodology shift",""" +
         s""""loadavg_1x":"${esc(loadavg1x)}",""" +
+        s""""load_gate":{"threshold":$loadGateThreshold,""" +
+        s""""waits":$loadGateWaits,"timeouts":[${loadGateTimeouts
+          .map(t => s""""${esc(t)}"""").mkString(",")}]},""" +
         s""""stream_merge_1m":$probeJson,""" + sourceDrainJson +
         probe10mJson + scale10xJson + scale100xJson + soak100xJson +
         s""""errors":$errs,"failed":$nFailed,"sf":"${esc(sfDir)}"}"""

@@ -244,8 +244,11 @@ object RecordConverter {
     */
   def requiredViolations(df: DataFrame, required: Seq[String]): DataFrame = {
     require(required.nonEmpty, "requiredViolations: empty REQUIRED set")
-    val aggs = required.map(f =>
-      sum(when(col(s"`$f`").isNull, 1L).otherwise(0L)).as(f))
+    // count(when(...)) not sum(when(...).otherwise(0)): sum over an
+    // EMPTY batch is NULL per field, which would diverge from both the
+    // SQL oracle's count(*) FILTER (0) and enforceRequired's "no
+    // violations" meaning
+    val aggs = required.map(f => count(when(col(s"`$f`").isNull, 1L)).as(f))
     df.agg(aggs.head, aggs.tail: _*)
   }
 }

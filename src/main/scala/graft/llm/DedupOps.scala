@@ -99,7 +99,7 @@ object DedupOps {
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
       Bridge.expression(xxhash64(col("__h")))))
     val cand = newH.where(mightContain).select(col("__h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.dedupWithin"))
     // exact verify: bloom positives vs the real corpus hash column.
     // Candidate count is known post-checkpoint without an extra scan.
     val matched =
@@ -201,7 +201,7 @@ object DedupOps {
       minShared: Long = 5L): DataFrame = {
     val ex = winnowedFingerprints(df, textCol, idCol, k, window)
       .select(col("id"), explode(col("fingerprints")).as("f"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.winnowedOverlap"))
     val cnt = ex.groupBy(col("id")).agg(count(lit(1)).as("__n"))
     val rare = ex.groupBy(col("f")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf).select(col("f"))
@@ -367,7 +367,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.bandedNearDups"))
     def candShingles(idsOf: Column, as: String, shAs: String) =
       shinglesFor(docs, pairs.select(idsOf.as("id")).distinct(),
         normF, shingleF, as, shAs)
@@ -400,7 +400,7 @@ object DedupOps {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.minhashEstimatePairs"))
     def cand(idsOf: Column, as: String, shAs: String, sigAs: String) =
       docs.join(pairs.select(idsOf.as("id")).distinct(), Seq("id"), "left_semi")
         .select(col("id"), normF(col("t")).as("nt"))
@@ -455,7 +455,7 @@ object DedupOps {
         col("n.band") === col("c.band"))
       .select(col("n.id").as("new_id"), col("c.id").as("corpus_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.shaped"))
     pairs
       .join(shinglesFor(newDocs, pairs.select(col("new_id").as("id")).distinct(),
         normF, shingleF, "new_id", "sh1"), "new_id")
@@ -531,7 +531,7 @@ object DedupOps {
     val docs = df.select(col(idCol).as("id"),
         wordShingles(TextOps.normalizeText(col(textCol)), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.containmentDups.1"))
     val exploded = docs.select(col("id"), explode(col("sh")).as("g"))
     val rare = exploded.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDocs).select(col("g"))
@@ -539,7 +539,7 @@ object DedupOps {
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.containmentDups.2"))
     val verified = pairs
       .join(docs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
@@ -715,7 +715,7 @@ object DedupOps {
       .select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
       .select(col("__id"), col("__pos"),
         md5(to_binary(col("__p"), lit("utf-8"))).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.dedupParagraphs"))
     // document frequency = distinct docs containing the paragraph
     val dropped = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
@@ -781,7 +781,7 @@ object DedupOps {
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.duplicatedSpans"))
     val dupHashes = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minDocs)
@@ -847,7 +847,7 @@ object DedupOps {
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("DedupOps.removeDuplicatedSpans"))
     val dupHashes = posed.select(col("__id"), col("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .where(col("__c") >= minDocs)

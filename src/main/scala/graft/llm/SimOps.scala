@@ -385,7 +385,7 @@ object SimOps {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // referenced three times below; see DedupOps
+      .transform(graft.util.GraftCache.barrier("SimOps.embeddingNearDups")) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = vecs
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as(idn), col("v").as(vn))
@@ -434,7 +434,7 @@ object SimOps {
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("SimOps.buckets"))
     // score each candidate once: corpus vectors re-join by id
     // (semi-filtered to candidates), query vectors broadcast (the query
     // set is small by this operator's contract, as in bruteForceTopK)
@@ -522,7 +522,7 @@ object SimOps {
     // assignment is corpus-scaled (it carries the vectors).
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
       .select(col("nbr_id"), col("nbr_vec"), col("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("SimOps.withCellSims"))
     // queries probe their nProbe nearest cells (query set is small by
     // this operator's contract — the window here ranks cells per query)
     val wCells = org.apache.spark.sql.expressions.Window
@@ -596,7 +596,7 @@ object SimOps {
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // referenced three times below; see DedupOps
+      .transform(graft.util.GraftCache.barrier("SimOps.semanticNearDups")) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = c
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
       .select(col("id").as(idn), col("v").as(vn))
@@ -702,7 +702,7 @@ object SimOps {
       .map(j => element_at(typedLit(books(j)),
         element_at(col("_codes"), j + 1) + 1)): _*))
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("SimOps.pqTopK"))
 
     // asymmetric scan: rank every corpus row per query by approximate
     // cosine against the reconstruction; NaN (zero-norm) coalesces to
@@ -809,7 +809,7 @@ object SimOps {
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
       .withColumn("_codes", graft.functions.PqEncode(col("nbr_vec"), books))
       .select(col("nbr_id"), col("cell"), recon.as("_recon"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("SimOps.ivfPqTopK"))
 
     // queries rank cells on scalars (same staged form ivfTopK audits),
     // then hang their vectors back on via a broadcast join
@@ -917,7 +917,7 @@ object SimOps {
     // without it the encode+dequantize chain inlines through the query
     // join and re-evaluates per (row, query) pair
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("SimOps.sqTopK"))
 
     val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),

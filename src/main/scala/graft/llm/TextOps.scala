@@ -568,7 +568,7 @@ object TextOps {
         explode(split(normalizeText(col(textCol)), " ")).as("__t"))
       .where(col("__t") =!= "")
       .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("TextOps.withUnigramSurprisal"))
     val vocab = tf.groupBy(col("__t")).agg(sum(col("__tf")).as("__cnt"))
     val total = vocab.agg(sum(col("__cnt")).cast("double").as("__total"))
     val scored = tf.join(vocab, "__t")
@@ -683,7 +683,7 @@ object TextOps {
       .select(col("__id"), col("__p.bh").as("__bh"), col("__p.fh").as("__fh"))
       .groupBy(col("__id"), col("__bh"), col("__fh"))
       .agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("TextOps.withBigramSurprisal"))
     val vb = tf.groupBy(col("__bh")).agg(sum(col("__tf")).as("__cb"))
     val vf = tf.groupBy(col("__fh")).agg(sum(col("__tf")).as("__cf"))
     val scored = tf.join(vb, "__bh").join(vf, "__fh")
@@ -787,7 +787,7 @@ object TextOps {
         col("__e.bh").as("__bh"), col("__e.fh").as("__fh"))
       .groupBy(col("__th"), col("__ph"), col("__bh"), col("__fh"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("TextOps.trigramCounts"))
     // a probe needs the PREFIX count only when its trigram was seen and
     // the CONTINUATION count only when its bigram was seen — so both
     // attach to the trigram/bigram relation at BUILD time (vocabulary-
@@ -804,7 +804,7 @@ object TextOps {
     val uni = train.select(explode(toks).as("__w"))
       .select(h(col("__w")).as("__uh"))
       .groupBy(col("__uh")).agg(count(lit(1)).as("__cu"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("TextOps.trigramUnigrams"))
     val n = uni.agg(sum(col("__cu")).as("__n"))
     // test side: per-doc trigram tf rows, then three hash-count joins
     val tf = test.select(col(idCol).as("__id"), toks.as("__ws"))
@@ -894,7 +894,7 @@ object TextOps {
         explode(split(normalizeText(col(textCol)), " ")).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(graft.util.GraftCache.barrier("TextOps.tfidfKeywords"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -2999,7 +2999,7 @@ object LlmQueries extends QueryPack {
         // for executor storage memory and evicts at 100×, and
         // localCheckpoint truncates lineage under executor loss
         val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          .transform(graft.util.GraftCache.barrier("LlmQueries.pipelineClean"))
         val budgeted = CurationOps.tokenBudgetSample(clean, "source",
           tokenBudget = 50000L, tokensCol = "n_chars", keyCol = "doc_id",
           salt = "e2e")

@@ -206,11 +206,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "and keys are fixed")
       }
     }
+    // Still pass 1: validate the folded options against the CANDIDATE
+    // post-add schema before anything is applied — otherwise ADD COLUMN
+    // + SET 'clustering'='bogus' would evolve the schema in pass 2 and
+    // only then fail option-value validation, leaving the schema
+    // widened (the statement must reject as a whole).
+    val candidate = StructType(t.schema.fields ++ adds)
+    newOpts.foreach(_.validate(candidate))
     // PASS 2 — apply only once the whole statement classified cleanly
     // (same order as before: evolve, then options, so SET clustering
     // may reference a column added in the same statement)
     if (adds.nonEmpty)
-      t.evolveSchema(StructType(t.schema.fields ++ adds))
+      t.evolveSchema(candidate)
     newOpts.foreach(t.alterOptions)
     new GraftTableV2(ident, WarehouseTable.open(spark, path), path, None)
   }

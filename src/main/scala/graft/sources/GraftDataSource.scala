@@ -377,7 +377,8 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
     path: String, pinnedSchema: StructType, options: Map[String, String])
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
@@ -385,6 +386,30 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
 
   private val skipChangeCommits =
     options.get("skipchangecommits").exists(_.trim.toBoolean)
+
+  /** `failOnVersionRewind` (default true): when the CHECKPOINTED offset
+    * is ahead of the table's committed version — a filesystem-level
+    * restore rewound the table under a live checkpoint — fail the
+    * stream loudly (the reference table format, Delta, fails on an
+    * out-of-range offset, surfacing the data loss). Set false to opt
+    * into the lenient legacy behavior: the checkpoint stays
+    * authoritative, the source emits nothing (with a WARN per
+    * occurrence) until the table's version counter passes the
+    * checkpointed offset again — note every commit written while
+    * behind the checkpoint is silently skipped.
+    */
+  private val failOnVersionRewind: Boolean =
+    options.get("failonversionrewind").forall(_.trim.toBoolean)
+
+  private def rewindError(checkpointed: Long, live: Long): Nothing =
+    throw new IllegalStateException(
+      s"graft source: checkpointed offset $checkpointed is ahead of the " +
+        s"table's committed version $live at $path — the table was " +
+        "rewound (restored from backup?) under this checkpoint. " +
+        "Commits made while the table is behind the checkpoint would be " +
+        "silently lost. Start from a fresh checkpoint, or set " +
+        "option(\"failOnVersionRewind\", \"false\") to accept the loss " +
+        "and wait for the version counter to pass the checkpoint.")
 
   /** `readChangeFeed`: stream row-level changes (`change_type` +
     * `_commit_version` columns, [[WarehouseTable.changesBetween]])
@@ -474,8 +499,17 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
     // Never return an offset BELOW the checkpointed start: a checkpoint
     // reused after `CALL restore` rewinds the table (or an AvailableNow
     // fence pinned before a rewind) would otherwise plan end < start.
-    // Clamping to `start` means "no new data" until the table catches
-    // back up past the checkpoint — the checkpoint stays authoritative.
+    // Default is to FAIL on that rewind (failOnVersionRewind); when
+    // opted out, clamping to `start` means "no new data" until the
+    // table catches back up past the checkpoint — the checkpoint stays
+    // authoritative and the skipped commits are logged, not delivered.
+    from.filter(_ > ceiling).foreach { f =>
+      if (failOnVersionRewind) rewindError(f, live)
+      logWarning(s"graft source: table at $path is at version $live, " +
+        s"BEHIND the checkpointed offset $f — emitting no data until the " +
+        "version counter passes the checkpoint (failOnVersionRewind=false); " +
+        "commits written in between will never be delivered")
+    }
     val floored = from.fold(capped)(f => math.max(capped, f))
     lastOffered = math.max(lastOffered, floored)
     LongOffset(floored) // == start ⇒ the engine plans no new batch
@@ -513,11 +547,17 @@ private[sources] class GraftStreamingSource(spark: SparkSession,
     val fromV = start.map(version).orElse(startingVersion.map(_ - 1))
     val batch = if (endV > t.currentVersion) {
       // Checkpoint ahead of table (a filesystem-level restore rewound
-      // the table below the checkpointed offset): the checkpoint stays
+      // the table below the checkpointed offset). Default: fail loudly
+      // (failOnVersionRewind) — this replayed range can never be
+      // reproduced, which is data loss. Opted out: the checkpoint stays
       // authoritative — versions up to it count as seen, so a replayed
       // range beyond the table's head has nothing to emit. Pairs with
       // latestOffset's start clamp; without this, restart-time
       // getBatch(committed offsets) dies in readAsOf's range check.
+      if (failOnVersionRewind) rewindError(endV, t.currentVersion)
+      logWarning(s"graft source: replayed offset range up to $endV is " +
+        s"beyond the table head ${t.currentVersion} at $path — emitting " +
+        "an empty replacement batch (failOnVersionRewind=false)")
       spark.emptyDataFrame
     } else (fromV, readChangeFeed) match {
       case (Some(f), true) => t.changesBetween(f, endV)

@@ -58,6 +58,10 @@ object Soak100x {
       compactedDays: Int,
       peakDriverHeapMb: Long,
       peakUnmanagedHeapMb: Long,
+      peakStoragePoolMb: Long,
+      peakExecutionPoolMb: Long,
+      retainedDriverHeapMb: Long,
+      retainedByPhase: Seq[(String, Long)],
       bulkPathEngaged: Boolean)
 
   def run(spark: SparkSession, corpusDir: String, whRoot: String): Result = {
@@ -75,25 +79,53 @@ object Soak100x {
     // Approximate (unmanaged task allocations land in it too), but the
     // collects it guards against persist for whole phases and dominate.
     val peakUnmanaged = new AtomicLong(0L)
+    // the two managed pools on their own: execution-pool peak is the
+    // witness that the shuffle/sort work actually exercised task
+    // memory (an all-zero pool would mean the "unmanaged remainder"
+    // subtraction attributes nothing — the r15 artifact's failure mode)
+    val peakStorage = new AtomicLong(0L)
+    val peakExecution = new AtomicLong(0L)
     @volatile var sampling = true
+    def raise(acc: AtomicLong, v: Long): Unit = {
+      var cur = acc.get()
+      while (v > cur && !acc.compareAndSet(cur, v)) cur = acc.get()
+    }
     val sampler = new Thread(() => {
       val rt = Runtime.getRuntime
-      def raise(acc: AtomicLong, v: Long): Unit = {
-        var cur = acc.get()
-        while (v > cur && !acc.compareAndSet(cur, v)) cur = acc.get()
-      }
       while (sampling) {
         val used = rt.totalMemory() - rt.freeMemory()
         raise(peak, used)
-        val managed =
-          try org.apache.spark.sql.graftbridge.Bridge.sparkManagedMemoryUsed()
-          catch { case _: Throwable => 0L }
-        raise(peakUnmanaged, math.max(0L, used - managed))
+        val (st, ex) =
+          try org.apache.spark.sql.graftbridge.Bridge.sparkPoolsUsed()
+          catch { case _: Throwable => (0L, 0L) }
+        raise(peakStorage, st)
+        raise(peakExecution, ex)
+        raise(peakUnmanaged, math.max(0L, used - st - ex))
         Thread.sleep(50)
       }
     }, "soak-heap-sampler")
     sampler.setDaemon(true)
     sampler.start()
+
+    // RETAINED driver heap per phase boundary: the continuous
+    // (used − pools) peak above is garbage-inflated in local mode (a
+    // 128 GB heap GCs rarely, so "used" tracks allocation, not live
+    // set — the r15 artifact showed driver ≈ JVM total, attributing
+    // nothing). A post-GC sample at each phase boundary measures LIVE
+    // driver-side state — exactly where a manifest/bloom/collect that
+    // scales with the table would persist. Max over phases is the
+    // headline driver-attributable figure.
+    val retainedByPhase = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def sampleRetained(phase: String): Unit = {
+      System.gc()
+      Thread.sleep(200L)
+      val rt = Runtime.getRuntime
+      val used = rt.totalMemory() - rt.freeMemory()
+      val managed =
+        try org.apache.spark.sql.graftbridge.Bridge.sparkManagedMemoryUsed()
+        catch { case _: Throwable => 0L }
+      retainedByPhase += phase -> (math.max(0L, used - managed) >> 20)
+    }
 
     val t0 = System.nanoTime()
     def secsSince(t: Long): Double = (System.nanoTime() - t) / 1e9
@@ -114,6 +146,7 @@ object Soak100x {
         col("event_type"), col("value"), col("props"),
         col("ts").cast("timestamp").as("partitionTime")))
       val appendSec = secsSince(tAppend)
+      sampleRetained("append")
       val rowsIn = table.read().count()
       val preMergeVersion = table.currentVersion
 
@@ -151,6 +184,7 @@ object Soak100x {
       val tMerge = System.nanoTime()
       table.merge(seedsStaged.unionByName(inserts))
       val mergeSec = secsSince(tMerge)
+      sampleRetained("merge")
       val bulkEngaged = WarehouseTable.bulkMergePaths.get() > bulkBefore
 
       val nTomb = events.where(col("event_id") % 4 === 2).count()
@@ -162,6 +196,7 @@ object Soak100x {
       val tCompact = System.nanoTime()
       val compacted = table.compactFragmented(maxFilesPerDay = 1)
       val compactSec = secsSince(tCompact)
+      sampleRetained("compact")
 
       // -- 3b. day-scoped backfill (INSERT OVERWRITE PARTITION shape) -------
       // recompute the inserted day down to its first half — ONE commit
@@ -178,6 +213,7 @@ object Soak100x {
           to_timestamp(lit("2031-01-01 12:00:00")).as("partitionTime")),
         days = Seq("2031-01-01"))
       val backfillSec = secsSince(tBackfill)
+      sampleRetained("backfill")
       val expectedSurvivors = rowsIn - nTomb + nKept
 
       // -- 4. time travel (before vacuum trims history) ---------------------
@@ -189,6 +225,7 @@ object Soak100x {
       val tVacuum = System.nanoTime()
       table.vacuum(retainVersions = 2)
       val vacuumSec = secsSince(tVacuum)
+      sampleRetained("vacuum")
 
       // -- 6. reader soak ------------------------------------------------------
       val tRead = System.nanoTime()
@@ -215,10 +252,13 @@ object Soak100x {
         .select(col("event_type")).head().getString(0)
       require(untouched != "soaked", "untouched key was rewritten")
       val readSec = secsSince(tRead)
+      sampleRetained("read")
 
       Result(secsSince(t0), appendSec, mergeSec, compactSec, backfillSec,
         vacuumSec, readSec, rowsIn, survivors, compacted.size,
-        peak.get() >> 20, peakUnmanaged.get() >> 20, bulkEngaged)
+        peak.get() >> 20, peakUnmanaged.get() >> 20,
+        peakStorage.get() >> 20, peakExecution.get() >> 20,
+        retainedByPhase.map(_._2).max, retainedByPhase.toSeq, bulkEngaged)
     } finally {
       sampling = false
     }

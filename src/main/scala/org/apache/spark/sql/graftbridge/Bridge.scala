@@ -49,6 +49,25 @@ object Bridge {
       env.memoryManager.executionMemoryUsed
   }
 
+  /** The two managed pools separately, one near-atomic sample — so a
+    * memory witness can report storage (cached blocks) and execution
+    * (task shuffle/sort pages) peaks on their own instead of only the
+    * opaque sum.
+    */
+  def sparkPoolsUsed(): (Long, Long) = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) (0L, 0L)
+    else (env.memoryManager.storageMemoryUsed,
+      env.memoryManager.executionMemoryUsed)
+  }
+
+  /** Drain the listener bus (private[spark]) — lets a test read
+    * listener-accumulated metrics deterministically after an action.
+    */
+  def waitUntilListenerBusEmpty(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long = 30000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** Wrap an analyzed logical plan back into a DataFrame (the
     * `Dataset.ofRows` the DML commands use to hand a statement's
     * source subtree — exprIds intact — to the merge executor).

@@ -159,6 +159,20 @@ class ConvertSpec extends AnyFunSuite {
   }
 
   // ---- P3: REQUIRED enforcement (BigQueryRecordConverter.java:133-141)
+  test("requiredViolations: zero (not NULL) per field on an empty batch, " +
+      "exact null counts otherwise") {
+    import spark.implicits._
+    val df = Seq((Some(1L), Option.empty[String]),
+      (None, Some("x")), (Some(3L), Some("y"))).toDF("a", "b")
+    val r = RecordConverter.requiredViolations(df, Seq("a", "b")).head()
+    assert((r.getLong(0), r.getLong(1)) == (1L, 1L))
+    val empty = RecordConverter.requiredViolations(
+      df.where(lit(false)), Seq("a", "b")).head()
+    assert(!empty.isNullAt(0) && empty.getLong(0) == 0L &&
+      empty.getLong(1) == 0L,
+      "empty batch must report ZERO violations, not NULL")
+  }
+
   test("enforceRequired raises on null in non-nullable column") {
     val schema = StructType(Seq(StructField("req", StringType, nullable = false)))
     val df = spark.createDataFrame(java.util.List.of(Row(null)), schema)

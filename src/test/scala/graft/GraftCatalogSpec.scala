@@ -439,14 +439,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(!cat.loadTable(ident).schema().fieldNames.contains("extra"),
       "rejected ALTER must not leave the schema widened")
-    // the all-valid mixed statement still applies both effects
+    // option-VALUE failure must be just as atomic: the candidate
+    // post-add schema is validated before pass 2, so a bogus
+    // clustering value cannot leave the schema widened either
+    intercept[IllegalArgumentException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"),
+          org.apache.spark.sql.types.IntegerType),
+        TableChange.setProperty("clustering", "no_such_col"))
+    }
+    assert(!cat.loadTable(ident).schema().fieldNames.contains("extra"),
+      "option-value-rejected ALTER must not leave the schema widened")
+    // the all-valid mixed statement still applies both effects —
+    // including SET clustering referencing the column added in the
+    // SAME statement (validated against the candidate schema)
     cat.alterTable(ident,
       TableChange.addColumn(Array("extra"),
         org.apache.spark.sql.types.IntegerType),
-      TableChange.setProperty("clustering", "k1"))
+      TableChange.setProperty("clustering", "extra"))
     val after = cat.loadTable(ident)
     assert(after.schema().fieldNames.contains("extra"))
-    assert(after.properties().get("clustering") == "k1")
+    assert(after.properties().get("clustering") == "extra")
   }
 
   test("ALTER TABLE SET TBLPROPERTIES alters clustering/layout in place; " +

@@ -435,9 +435,10 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
         s"on), got $perBatch")
   }
 
-  test("checkpoint ahead of table (filesystem-level rewind): latestOffset " +
-      "clamps to the checkpointed start — no end<start batch, the " +
-      "checkpoint stays authoritative until the table passes it again") {
+  test("checkpoint ahead of table (filesystem-level rewind): " +
+      "failOnVersionRewind=false clamps latestOffset to the checkpointed " +
+      "start — no end<start batch, the checkpoint stays authoritative " +
+      "until the table passes it again") {
     val root = tmpRoot()
     val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
     (1 to 2).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
@@ -448,7 +449,8 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     val ck = Files.createTempDirectory("ssrc-rewind-ck").toString
     val dstRoot = tmpRoot()
     def run(): Unit = {
-      val q = spark.readStream.format("graft").load(root)
+      val q = spark.readStream.format("graft")
+        .option("failOnVersionRewind", "false").load(root)
         .withColumn("partitionTime", to_timestamp(col("_pday")))
         .drop("_pday")
         .writeStream.format("graft")
@@ -478,6 +480,41 @@ class GraftStreamingSourceSpec extends AnyFunSuite {
     val got = contents(spark.read.format("graft").load(dstRoot))
     assert(got.contains(7L -> "r7"),
       s"post-catch-up commit must stream: $got")
+  }
+
+  test("checkpoint ahead of table: default failOnVersionRewind surfaces " +
+      "the rewind as a stream failure instead of silently skipping commits") {
+    val root = tmpRoot()
+    val t = WarehouseTable.create(spark, root, Seq("k1"), destSchema)
+    (1 to 2).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val backup = Files.createTempDirectory("ssrc-rewindf").toString + "/tbl"
+    copyDir(root, backup)
+    (3 to 4).foreach(i => t.append(batch(Seq(i.toLong -> s"v$i"), day = 1)))
+    val ck = Files.createTempDirectory("ssrc-rewindf-ck").toString
+    val dstRoot = tmpRoot()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .withColumn("partitionTime", to_timestamp(col("_pday")))
+        .drop("_pday")
+        .writeStream.format("graft")
+        .option("path", dstRoot).option("keys", "k1")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+    }
+    run() // checkpoint now at version 4
+    deleteDir(root); copyDir(backup, root) // table rewound to version 2
+    val e = intercept[Exception] { run() }
+    def chain(x: Throwable): Boolean = {
+      var c = x; var d = 0
+      while (c != null && d < 12) {
+        if (String.valueOf(c.getMessage).contains("rewound")) return true
+        c = c.getCause; d += 1
+      }
+      false
+    }
+    assert(chain(e), s"expected a loud rewind failure, got: $e")
   }
 
   private def copyDir(src: String, dst: String): Unit = {

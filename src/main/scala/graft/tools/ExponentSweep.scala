@@ -11,13 +11,23 @@ import org.apache.spark.sql.SparkSession
   * above the noise floor. The bench tracks exponents for headlines
   * only; this sweeps the other ~250.
   *
-  * Usage: runMain graft.tools.ExponentSweep <dir1x> <dir10x> [startAt]
+  * 100× TIER (r15 VERDICT #5): the 5-query 100× spot set missed the
+  * CollapseProject family that this sweep caught at 10×; the same
+  * blind spot exists at the SECOND decade. When a 100× dir is given,
+  * the top `SWEEP_TOP100` (default 10) outliers of the 1×→10× pass
+  * (ranked by first-decade exponent, t10 ≥ 2 s) re-run once at 100×
+  * and the second-decade exponent e2 = ln(t100/t10)/ln 10 is ranked
+  * and written to `SWEEP100X.json` — the committable artifact.
+  *
+  * Usage: runMain graft.tools.ExponentSweep <dir1x> <dir10x>
+  *          [dir100x|-] [startAt]
   */
 object ExponentSweep {
   def main(args: Array[String]): Unit = {
     val dir1 = args(0)
     val dir10 = args(1)
-    val startAt = if (args.length > 2) args(2) else ""
+    val dir100 = if (args.length > 2 && args(2) != "-") Some(args(2)) else None
+    val startAt = if (args.length > 3) args(3) else ""
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -31,8 +41,13 @@ object ExponentSweep {
     val byName = graft.SparkEntry.queries
     def reset(): Unit = {
       spark.catalog.clearCache()
+      graft.util.GraftCache.clear()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    def loadavg(): String =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "n/a" }
     def time(n: String, d: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       val r = try {
@@ -56,8 +71,49 @@ object ExponentSweep {
       }
     }
     println("==== top exponents (t10 >= 2s, by e desc) ====")
-    rows.filter(_._3 >= 2.0).sortBy(-_._4).take(25).foreach { case (n, t1, t10, e) =>
+    val outliers = rows.filter(_._3 >= 2.0).sortBy(-_._4)
+    outliers.take(25).foreach { case (n, t1, t10, e) =>
       println(f"[sweep-top] $n%-28s t1=$t1%7.2f t10=$t10%7.2f e=$e%5.2f")
+    }
+
+    // ---- second decade over the first decade's worst offenders ----
+    dir100.foreach { d100 =>
+      val topN = sys.env.getOrElse("SWEEP_TOP100", "10").toInt
+      val spot = outliers.take(topN)
+      println(s"==== 100x tier: top-$topN first-decade outliers ====")
+      val la = loadavg()
+      val results = spot.map { case (n, t1, t10, e1) =>
+        time(n, d100) match {
+          case Right(t100) =>
+            val e2 = math.log(t100 / t10) / math.log(10.0)
+            println(f"[sweep-100x] $n%-28s t10=$t10%7.2f t100=$t100%8.2f " +
+              f"e1=$e1%5.2f e2=$e2%5.2f")
+            (n, t1, t10, e1, Right(t100), Some(e2))
+          case Left(m) =>
+            println(s"[sweep-100x] $n ERROR $m")
+            (n, t1, t10, e1, Left(m), None)
+        }
+      }
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val items = results.map {
+        case (n, t1, t10, e1, Right(t100), Some(e2)) =>
+          f""""${esc(n)}":{"t1":$t1%.3f,"t10":$t10%.3f,"t100":$t100%.3f,""" +
+            f""""e1":$e1%.2f,"e2":$e2%.2f}"""
+        case (n, t1, t10, e1, Left(m), _) =>
+          f""""${esc(n)}":{"t1":$t1%.3f,"t10":$t10%.3f,""" +
+            f""""e1":$e1%.2f,"error":"${esc(m)}"}"""
+      }.mkString(",")
+      val json = s"""{"tool":"ExponentSweep","dir1":"${esc(dir1)}",""" +
+        s""""dir10":"${esc(dir10)}","dir100":"${esc(d100)}",""" +
+        s""""top":$topN,"rank":"first-decade exponent desc (t10>=2s)",""" +
+        s""""loadavg_at_100x_start":"${esc(la)}",""" +
+        s""""loadavg_at_100x_end":"${esc(loadavg())}",""" +
+        s""""queries":{$items}}"""
+      println(json)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SWEEP100X.json"), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[sweep] artifact write failed: $e") }
     }
     spark.stop()
   }

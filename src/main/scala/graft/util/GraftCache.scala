@@ -75,4 +75,13 @@ object GraftCache {
 
   /** Number of live barrier relations (test hook). */
   def liveCount: Int = live.size()
+
+  /** Currently registered site keys (test hook — lets a plan-audit
+    * spec assert an operator's barrier is still in place by name).
+    */
+  def liveSites: Set[String] = {
+    val b = Set.newBuilder[String]
+    live.keySet().forEach(k => b += k)
+    b.result()
+  }
 }

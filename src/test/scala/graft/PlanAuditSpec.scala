@@ -955,4 +955,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"read schema wrong: $read")
     assert(plan.contains("*("), s"no codegen span over the connector scan:\n$plan")
   }
+
+  // ---- persist-barrier guards (r15 lesson: a bare `select` does NOT
+  // stage an expensive expression across a join — CollapseProject
+  // inlines the encode/assignment chain and re-evaluates it per
+  // candidate PAIR; only a materialization barrier stops that; e12 went
+  // >20 min → 28 s at 100× when the barrier landed). These guards fail
+  // if a refactor removes any index barrier: the op must register its
+  // DISK_ONLY relation under its GraftCache site, the executed plan
+  // must actually READ through the cache (InMemoryTableScan), and the
+  // cache level must stay disk-only (an in-memory level competes with
+  // executor storage at 100× and evicts).
+  private val barrierGuards: Seq[(String, Seq[String])] = Seq(
+    "e3_ivf_topk" -> Seq("SimOps.withCellSims"),
+    "e4_pq_topk" -> Seq("SimOps.pqTopK"),
+    "e5_sq_topk" -> Seq("SimOps.sqTopK"),
+    "e12_ivfpq_topk" -> Seq("SimOps.ivfPqTopK"),
+    "d14_containment_dedup" ->
+      Seq("DedupOps.containmentDups.1", "DedupOps.containmentDups.2"))
+
+  barrierGuards.foreach { case (query, sites) =>
+    test(s"barrier guard: $query keeps its DISK_ONLY index barrier " +
+        s"(${sites.mkString(", ")})") {
+      graft.util.GraftCache.clear()
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(query)(spark, sf)
+      df.collect()
+      val live = graft.util.GraftCache.liveSites
+      sites.foreach(s => assert(live.contains(s),
+        s"$query no longer registers barrier site '$s' — the expensive " +
+          s"chain can inline through the join again (live: $live)"))
+      val plan = planOf(df)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$query's executed plan does not read through its barrier:\n$plan")
+      val levels = spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel).toSeq
+      assert(levels.nonEmpty && levels.forall(l => l.useDisk && !l.useMemory),
+        s"$query's barrier is not DISK_ONLY: $levels")
+      graft.util.GraftCache.clear()
+    }
+  }
 }

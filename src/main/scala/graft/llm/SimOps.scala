@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * engine-portable and verified against a DuckDB oracle computing the
   * identical expression.
   */
-object SimOps {
+object SimOps extends org.apache.spark.internal.Logging {
 
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `k` results balancing relevance against redundancy —
@@ -213,11 +213,24 @@ object SimOps {
     * clears a threshold is semantically leaked into training.
     *
     * Scale shape: the probe side is the small one (an eval set) and is
-    * broadcast; the corpus is scanned ONCE map-only, and the per-probe
-    * argmax runs as a partially-aggregated `max_by` — each executor
-    * reduces its corpus slice to one candidate per probe before the
-    * only (tiny: probes × partitions rows) exchange. Nothing
-    * corpus-sized ever shuffles, so the plan survives a 100× corpus.
+    * broadcast; the corpus is scanned map-only, and the per-probe
+    * argmax runs as TWO hash aggregations — `max(sim)` per probe, then
+    * a broadcast re-filter of the scored stream to max-hitting rows and
+    * `min(train_id)` for the deterministic tie-break. Both aggregate
+    * buffers are primitives, so both passes are `HashAggregate` with
+    * map-side partial reduction: each executor shrinks its corpus slice
+    * to one row per probe before the only (tiny: probes × partitions
+    * rows) exchanges, and nothing corpus-sized ever shuffles OR SORTS.
+    *
+    * Why not one `max_by(struct, struct)`: a struct-typed aggregation
+    * buffer is not hash-aggregable, and Spark silently falls back to
+    * `SortAggregate` — whose partial pass SORTS the entire joined
+    * stream per task, rows still carrying both embedding arrays. The
+    * r16 sweep caught that as an 8 GB-heap OOM at the 100× tier
+    * (200k corpus × 20k probes ≈ 3.6G one-KB rows into a sort). The
+    * second cosine pass costs one extra map-only scan; the recomputed
+    * sim is bit-identical (same fused left-to-right fold), and Spark
+    * normalizes NaN in join keys, so a NaN max still re-matches.
     */
   def crossSetMaxSim(corpus: DataFrame, probes: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -225,14 +238,16 @@ object SimOps {
       col(vecCol).cast("array<double>").as("t_vec"))
     val p = probes.select(col(idCol).as("test_id"),
       col(vecCol).cast("array<double>").as("p_vec"))
-    c.join(broadcast(p))
-      .withColumn("sim", cosine(col("p_vec"), col("t_vec")))
-      .groupBy(col("test_id"))
-      .agg(max_by(struct(col("train_id"), col("sim")),
-        // greater (sim, -id) = higher sim, then lower id on exact ties
-        struct(col("sim"), (-col("train_id")).as("neg"))).as("_best"))
-      .select(col("test_id"), col("_best.train_id").as("train_id"),
-        col("_best.sim").as("sim"))
+    // vectors DROP in the same select that consumes them — everything
+    // past this projection moves (test_id, train_id, sim) scalars
+    def scored = c.join(broadcast(p))
+      .select(col("test_id"), col("train_id"),
+        cosine(col("p_vec"), col("t_vec")).as("sim"))
+    val best = scored.groupBy(col("test_id")).agg(max(col("sim")).as("sim"))
+    scored.join(broadcast(best), Seq("test_id", "sim"))
+      .groupBy(col("test_id"), col("sim"))
+      .agg(min(col("train_id")).as("train_id"))
+      .select(col("test_id"), col("train_id"), col("sim"))
   }
 
   /** Retrieval-quality metrics — the measurement half of the ANN
@@ -366,20 +381,55 @@ object SimOps {
     *
     * PARAMETER SCALING: `numPlanes` fixes the bucket count at
     * `2^numPlanes` per table, so per-bucket candidate pairs grow as
-    * `(N / 2^numPlanes)²` — with the 4-plane default the op is
-    * quadratic in the corpus (fine for the oracle-pinned fixture,
-    * wrong at warehouse scale). Size `numPlanes ≈ log2(N / B)` for a
-    * target bucket occupancy `B` (a few hundred): each added plane
-    * halves occupancy and quarters the per-bucket pair count, at the
-    * recall cost the extra tables (`numTables`) buy back.
+    * `(N / 2^numPlanes)²` — a FIXED plane count makes the op quadratic
+    * in the corpus. The default (`numPlanes = -1`) therefore
+    * auto-sizes from one cheap `count()` of the input:
+    * `planes = max(4, ceil(log2(N / targetOccupancy)))`, i.e. expected
+    * bucket occupancy stays ≈ `targetOccupancy` and candidate pairs
+    * grow ~linearly (N·B/2 per table) instead of as N². Each added
+    * plane halves occupancy and quarters the per-bucket pair count, at
+    * the recall cost the extra tables (`numTables`) buy back. The
+    * r16 sweep's 100× tier is the motivating witness: 200k vectors at
+    * the old fixed 4 planes meant 16 buckets/table ⇒ ~10^10 candidate
+    * pairs ⇒ JVM OOM; auto-sized (13 planes) the pair set is ~10^7.
+    * Pass an explicit `numPlanes` to pin the quantizer (the DuckDB
+    * oracle does, at the sf0.01 fixture's auto value, so the gate
+    * compares identical LSH structures).
+    *
+    * SKEW VALVE: real embedding corpora cluster, so one bucket can
+    * still swallow a large corpus fraction no matter how the EXPECTED
+    * occupancy is sized. Buckets holding more than `maxBucketIds` ids
+    * are dropped from candidate generation (a bucket that dense carries
+    * no discriminating signal — its planes failed to split a cluster;
+    * the pair loss is confined to pairs co-occurring ONLY in
+    * mega-buckets, which the other `numTables − 1` tables re-find
+    * unless they mega-bucket too). The occupancy count rides the same
+    * by-bucket exchange the self-join needs, so the valve adds no extra
+    * shuffle of the data; it never engages on the oracle fixtures
+    * (occupancy ≈ 31).
     */
-  def embeddingNearDups(df: DataFrame, threshold: Double, numPlanes: Int = 4,
+  def embeddingNearDups(df: DataFrame, threshold: Double, numPlanes: Int = -1,
       numTables: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetOccupancy: Int = 32, maxBucketIds: Int = 1 << 16): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = math.max(1L, vecs.count())
+        val p = math.max(4,
+          math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+        logInfo(s"embeddingNearDups: auto-sized $p planes for $n vectors " +
+          s"(target occupancy $targetOccupancy)")
+        p
+      }
     val bucketed = vecs
       .withColumn("bucket", explode(
-        graft.functions.HyperplaneBuckets(col("v"), numPlanes, numTables)))
+        graft.functions.HyperplaneBuckets(col("v"), planes, numTables)))
+      .select(col("bucket"), col("id"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .where(col("bn") <= maxBucketIds)
       .select(col("bucket"), col("id"))
     val pairs = bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -571,29 +621,54 @@ object SimOps {
     * self-join exchanges `(cell, id)` scalars only, and the verify
     * re-joins vectors BY ID (semi-filtered to candidate ids) — embedding
     * arrays never cross an exchange, exactly like [[embeddingNearDups]].
-    * Per-cell pair cost is O(Σ cell²): `numCells` scales with the corpus
-    * (√N cells keeps expected cell size √N), which is the standard
-    * SemDeDup trade — candidates are semantically pre-localized, unlike
-    * the sign-bucket candidates of [[embeddingNearDups]], so a lower
-    * plane budget reaches the same recall.
+    * Per-cell pair cost is O(Σ cell²): `numCells` must scale with the
+    * corpus, and both cost terms say HOW — within-cell pairs are
+    * O(N²/cells) while centroid assignment is O(N·cells), so √N cells
+    * balances them at O(N^1.5) each (the standard SemDeDup trade;
+    * candidates are semantically pre-localized, unlike the sign-bucket
+    * candidates of [[embeddingNearDups]], so a lower plane budget
+    * reaches the same recall). The default (`numCells = -1`) applies
+    * that rule from one cheap `count()`:
+    * `cells = max(16, ceil(sqrt(N/2)))` — 16 at the 500-vector oracle
+    * fixture (so the pinned DuckDB SQL compares the identical
+    * quantizer), 316 at the 200k-vector 100× tier, where the old fixed
+    * 16 cells meant 12.5k-vector cells and ~1.2G candidate pairs.
+    * Cells denser than `maxCellIds` are dropped from pair generation,
+    * same skew valve and same rationale as [[embeddingNearDups]]
+    * (never engages on the oracle fixtures).
     */
-  def semanticNearDups(df: DataFrame, threshold: Double, numCells: Int = 16,
+  def semanticNearDups(df: DataFrame, threshold: Double, numCells: Int = -1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      centroids: Option[Seq[Seq[Double]]] = None,
+      maxCellIds: Int = 1 << 16): DataFrame = {
     val c = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cells =
+      if (numCells > 0) numCells
+      else centroids.map(_.size).getOrElse {
+        val n = math.max(1L, c.count())
+        val k = math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
+        logInfo(s"semanticNearDups: auto-sized $k cells for $n vectors")
+        k
+      }
     // caller-trained centroids (kMeansCentroids) or the deterministic
     // lowest-id default the SQL oracle can re-derive
     val cents: Seq[Seq[Double]] = centroids
       .map(_.map(_.toVector).toVector)
-      .getOrElse(lowestIdVectors(c, numCells, "id", "v"))
+      .getOrElse(lowestIdVectors(c, cells, "id", "v"))
     // staged all-cells similarity + first-occurrence argmax, identical
     // to ivfTopK (NaN → -1 so zero-norm rows land deterministically in
     // cell 0 instead of winning every argmax)
     val assigned = withNearestCell(c, cents, "v", "cell", None)
       .select(col("id"), col("cell")) // vectors DROP before the exchange
     // a vector lives in exactly one cell, so each pair forms once — no
-    // dedup pass (unlike OR-amplified LSH tables)
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    // dedup pass (unlike OR-amplified LSH tables); the occupancy valve
+    // rides the by-cell exchange the self-join needs anyway
+    val capped = assigned
+      .withColumn("cn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .where(col("cn") <= maxCellIds)
+      .select(col("id"), col("cell"))
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .transform(graft.util.GraftCache.barrier("SimOps.semanticNearDups")) // referenced three times below; see DedupOps
@@ -610,7 +685,7 @@ object SimOps {
     * every [[semanticNearDups]] cluster (transitive closure via
     * [[DedupOps.clusterPairs]]) to its lowest-id member.
     */
-  def semanticDedup(df: DataFrame, threshold: Double, numCells: Int = 16,
+  def semanticDedup(df: DataFrame, threshold: Double, numCells: Int = -1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroids: Option[Seq[Seq[Double]]] = None): DataFrame =
     DedupOps.nearDupSurvivors(df,

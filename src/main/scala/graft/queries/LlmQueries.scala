@@ -1292,8 +1292,10 @@ object LlmQueries extends QueryPack {
       oracle = Some(embedNearDupOracle(0.3, numPlanes = 4, numTables = 8))),
 
     GraftQuery("d9_semantic_dedup",
+      // numCells auto-sizes (√(N/2), SimOps.semanticNearDups) — 16 at
+      // the sf0.01 oracle fixture, matching the SQL's pinned quantizer
       (s, dir) => SimOps.semanticDedup(
-        Tables.load(s, dir, "embeddings"), threshold = 0.3, numCells = 16)
+        Tables.load(s, dir, "embeddings"), threshold = 0.3)
         .select(col("vec_id")),
       oracle = Some(semanticDedupOracle(0.3, numCells = 16))),
 
@@ -3141,10 +3143,13 @@ object LlmQueries extends QueryPack {
       // split (deterministic hash split, so it re-derives in SQL), then
       // for every test vector find the most cosine-similar training
       // vector — rows clearing the threshold are semantically leaked.
-      // The probe side broadcasts, the training corpus is scanned once
-      // map-only with a partially-aggregated argmax (see
+      // The probe side broadcasts, the training corpus is scanned
+      // map-only with a two-pass hash-aggregated argmax (see
       // [[SimOps.crossSetMaxSim]]); the leaked flag compares the
-      // UNROUNDED similarity, bit-identical in both engines.
+      // UNROUNDED similarity, bit-identical in both engines. Under the
+      // bench convention the probe split scales with the corpus, so the
+      // brute scan is quadratic in SF by construction (same family as
+      // e1/e4; a production eval set is fixed-size ⇒ linear).
       (s, dir) => {
         val split = CurationOps.hashSplit(
           Tables.load(s, dir, "embeddings"), 10, "vec_id", salt = "cv1")

@@ -28,16 +28,29 @@ object ExponentSweep {
     val dir10 = args(1)
     val dir100 = if (args.length > 2 && args(2) != "-") Some(args(2)) else None
     val startAt = if (args.length > 3) args(3) else ""
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    var spark = newSession()
+    // One fatal arm (e.g. an executor-thread OOM stopping the local
+    // SparkContext) must not void every later arm: if the context died,
+    // tear the session down and build a fresh one before the next arm.
+    def ensureAlive(): Unit =
+      if (spark.sparkContext.isStopped) {
+        println("[sweep] SparkContext stopped by previous arm — rebuilding session")
+        try SparkSession.clearActiveSession() finally SparkSession.clearDefaultSession()
+        spark = newSession()
+      }
     val byName = graft.SparkEntry.queries
     def reset(): Unit = {
       spark.catalog.clearCache()
@@ -49,16 +62,26 @@ object ExponentSweep {
         java.nio.file.Paths.get("/proc/loadavg")).trim
       catch { case _: Throwable => "n/a" }
     def time(n: String, d: String): Either[String, Double] = {
+      ensureAlive()
       val t0 = System.nanoTime()
       val r = try {
         byName(n)(spark, d).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
-        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(120)) }
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .takeWhile(c => c != '\n' && c != '\r').take(160)) }
+      ensureAlive()
       reset()
       r
     }
-    val names = byName.keys.toSeq.sorted.dropWhile(n => startAt.nonEmpty && n != startAt)
+    // SWEEP_ONLY=a,b,c restricts the sweep to the named queries — the
+    // re-run path after a fix, so the 100x tier doesn't require
+    // re-timing all ~276 first-decade arms to re-rank its outliers.
+    val only = sys.env.get("SWEEP_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = byName.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .dropWhile(n => startAt.nonEmpty && n != startAt)
     val rows = names.flatMap { n =>
       (time(n, dir1), time(n, dir10)) match {
         case (Right(t1), Right(t10)) =>
@@ -71,7 +94,10 @@ object ExponentSweep {
       }
     }
     println("==== top exponents (t10 >= 2s, by e desc) ====")
-    val outliers = rows.filter(_._3 >= 2.0).sortBy(-_._4)
+    // an explicit SWEEP_ONLY list was hand-picked — keep every member
+    // in the 100x artifact even if its re-measured t10 dips below the
+    // noise floor the full-sweep ranking filters at
+    val outliers = rows.filter(r => only.nonEmpty || r._3 >= 2.0).sortBy(-_._4)
     outliers.take(25).foreach { case (n, t1, t10, e) =>
       println(f"[sweep-top] $n%-28s t1=$t1%7.2f t10=$t10%7.2f e=$e%5.2f")
     }
@@ -94,7 +120,12 @@ object ExponentSweep {
             (n, t1, t10, e1, Left(m), None)
         }
       }
-      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      def esc(s: String) = s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val items = results.map {
         case (n, t1, t10, e1, Right(t100), Some(e2)) =>
           f""""${esc(n)}":{"t1":$t1%.3f,"t10":$t10%.3f,"t100":$t100%.3f,""" +

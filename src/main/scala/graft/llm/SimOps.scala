@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object SimOps extends org.apache.spark.internal.Logging {
 
+  /** Auto-sized hyperplane count for an N-vector corpus:
+    * `max(4, ceil(log2(N / targetOccupancy)))`, so expected LSH bucket
+    * occupancy stays ≈ `targetOccupancy` and candidate pairs grow
+    * ~linearly in N instead of as (N / 2^planes)². The floor of 4 is
+    * the oracle fixtures' pinned value (engaged for N ≤ 16·occupancy).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 32): Int = {
+    val safe = math.max(1L, n)
+    math.max(4,
+      math.ceil(math.log(safe.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+  }
+
+  /** Auto-sized SemDeDup cell count: `max(16, ceil(sqrt(N/2)))` — √N
+    * cells balance centroid assignment O(N·cells) against within-cell
+    * pairs O(N²/cells) at O(N^1.5) each. The floor of 16 is the oracle
+    * fixtures' pinned value (engaged for N ≤ 512).
+    */
+  def autoCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(1L, n) / 2.0)).toInt)
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998):
     * greedily pick `k` results balancing relevance against redundancy —
     * `next = argmax λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`,
@@ -416,9 +436,8 @@ object SimOps extends org.apache.spark.internal.Logging {
     val planes =
       if (numPlanes > 0) numPlanes
       else {
-        val n = math.max(1L, vecs.count())
-        val p = math.max(4,
-          math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+        val n = vecs.count()
+        val p = autoPlanes(n, targetOccupancy)
         logInfo(s"embeddingNearDups: auto-sized $p planes for $n vectors " +
           s"(target occupancy $targetOccupancy)")
         p
@@ -645,8 +664,8 @@ object SimOps extends org.apache.spark.internal.Logging {
     val cells =
       if (numCells > 0) numCells
       else centroids.map(_.size).getOrElse {
-        val n = math.max(1L, c.count())
-        val k = math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt)
+        val n = c.count()
+        val k = autoCells(n)
         logInfo(s"semanticNearDups: auto-sized $k cells for $n vectors")
         k
       }

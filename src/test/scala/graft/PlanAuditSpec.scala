@@ -995,4 +995,53 @@ class PlanAuditSpec extends AnyFunSuite {
       graft.util.GraftCache.clear()
     }
   }
+
+  // ---- quantizer auto-sizing guards (r16 lesson: a parameter an
+  // oracle pins is a corpus-scaled parameter in disguise — fixed LSH
+  // planes / SemDeDup cells made candidate pairs quadratic and OOM'd
+  // the 100× sweep tier; the sizing rules below keep pair growth
+  // ~linear / N^1.5 while landing exactly on the oracle fixtures'
+  // pinned values at small N).
+  test("autoPlanes: oracle floor at small N, log2(N/32) growth, linear pair budget") {
+    assert(SimOps.autoPlanes(1) == 4)
+    assert(SimOps.autoPlanes(500) == 4, "sf0.01 fixture must keep the oracle's 4 planes")
+    assert(SimOps.autoPlanes(512) == 4)
+    assert(SimOps.autoPlanes(513) == 5)
+    assert(SimOps.autoPlanes(2000) == 6)
+    assert(SimOps.autoPlanes(200000) == 13, "the 100x sweep corpus")
+    // expected occupancy stays within [target/2, target] once off the floor
+    for (n <- Seq(1000L, 10000L, 1000000L, 1000000000L)) {
+      val occ = n.toDouble / (1L << SimOps.autoPlanes(n))
+      assert(occ <= 32.0 + 1e-9 && occ > 15.9, s"occupancy $occ at n=$n")
+    }
+  }
+
+  test("autoCells: oracle floor at small N, sqrt(N/2) balance") {
+    assert(SimOps.autoCells(1) == 16)
+    assert(SimOps.autoCells(500) == 16, "sf0.01 fixture must keep the oracle's 16 cells")
+    assert(SimOps.autoCells(512) == 16)
+    assert(SimOps.autoCells(513) == 17)
+    assert(SimOps.autoCells(200000) == 317, "the 100x sweep corpus")
+    // assignment N·cells and within-cell pairs N²/cells stay balanced
+    val n = 1000000L
+    val cells = SimOps.autoCells(n)
+    val ratio = (n.toDouble * n / cells) / (n.toDouble * cells)
+    assert(ratio > 0.4 && ratio < 4.0, s"cost terms unbalanced: $ratio")
+  }
+
+  test("crossSetMaxSim: hash aggregation only — a struct max_by buffer " +
+      "silently plans SortAggregate and sorts the whole joined stream") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = SimOps.crossSetMaxSim(emb, emb.limit(5))
+    out.collect()
+    val plan = planOf(out)
+    assert(!plan.contains("SortAggregate"),
+      s"argmax fell back to SortAggregate (r16 OOM shape):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial hash aggregation:\n$plan")
+    // the probe side must broadcast; the corpus must not be exchanged
+    // before the join (map-only scan contract)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"probe side not broadcast:\n$plan")
+  }
 }

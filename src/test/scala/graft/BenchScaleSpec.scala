@@ -625,4 +625,88 @@ class BenchScaleSpec extends AnyFunSuite {
     assert(sh1 == 8L && sh10 == 8L, s"shard fan-out broken: $sh1/$sh10")
     assertLinearWall("composed pipeline", ms1, ms10)
   }
+
+  /** Deterministic synthetic embeddings: `n` base vectors whose
+    * components are md5-derived uniforms (the same seedless scheme as
+    * the LSH planes), plus `dups` exact copies of vectors 0..dups-1 at
+    * ids n+i — planted cosine-1.0 near-dup pairs that land in the same
+    * LSH bucket / IVF cell as their source at ANY quantizer sizing.
+    */
+  private def syntheticEmbeddings(n: Int, dim: Int = 16,
+      dups: Int = 20): DataFrame = {
+    import spark.implicits._
+    val base = when($"vec_id" < n, $"vec_id").otherwise($"vec_id" - n)
+    spark.range(n.toLong + dups).select($"id".as("vec_id"))
+      .select($"vec_id", transform(sequence(lit(0), lit(dim - 1)), d =>
+        conv(substring(md5(to_binary(concat(
+          base.cast("string"), lit(":e"), d.cast("string")), lit("utf-8"))),
+          1, 6), 16, 10).cast("double") / 8388607.5 - 1.0).as("embedding"))
+  }
+
+  test("10x embedding near-dup scales ~linearly (auto planes); planted copies still surface") {
+    import graft.llm.SimOps
+    // r16: fixed 4 planes made candidate pairs (N/16)² — 10¹⁰ pairs /
+    // JVM OOM at the sweep's 100× tier. autoPlanes keeps expected
+    // bucket occupancy ~32, so pairs (and thus shuffle rows) grow
+    // ~linearly in N. Quadratic would read ~100× here.
+    def run(n: Int): (Long, Double, Long) = {
+      graft.util.GraftCache.clear()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      var found = 0L
+      val recs = shuffleRecordsDuring {
+        found = SimOps.embeddingNearDups(syntheticEmbeddings(n),
+            threshold = 0.999)
+          .where(col("id2") - col("id1") === n.toLong).count()
+      }
+      (found, (System.nanoTime() - t0) / 1000000.0, recs)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (f1, ms1, r1) = run(2000)
+    val (f10, ms10, r10) = run(20000)
+    // an exact copy shares every sign bit with its source, so all 8
+    // tables bucket the pair together — recall is structural, not
+    // probabilistic, whatever plane count the auto-sizing picks
+    assert(f1 == 20 && f10 == 20,
+      s"planted exact copies lost: $f1/20, $f10/20")
+    info(s"embed-neardup shuffle records: 1x $r1, 10x $r10 " +
+      f"(ratio ${r10.toDouble / r1}%.1f)")
+    assert(r10 < r1 * 20,
+      f"10x corpus put ${r10.toDouble / r1}%.1fx rows through the " +
+        "shuffles — candidate-pair blow-up (auto-plane sizing lost?)")
+    assertLinearWall("embedding near-dup", ms1, ms10)
+  }
+
+  test("10x semantic dedup scales ~N^1.5 (auto cells); planted copies still surface") {
+    import graft.llm.SimOps
+    // √N cells balance assignment O(N·cells) against within-cell pairs
+    // O(N²/cells) at O(N^1.5): 10× rows may put at most ~10^1.5 ≈ 32×
+    // rows through the shuffles. The old fixed 16 cells would read
+    // ~100× (within-cell pairs pure quadratic).
+    def run(n: Int): (Long, Double, Long) = {
+      graft.util.GraftCache.clear()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      var found = 0L
+      val recs = shuffleRecordsDuring {
+        found = SimOps.semanticNearDups(syntheticEmbeddings(n),
+            threshold = 0.999)
+          .where(col("id2") - col("id1") === n.toLong).count()
+      }
+      (found, (System.nanoTime() - t0) / 1000000.0, recs)
+    }
+    run(2000) // warm-up: JIT + codegen compile, outside both timers
+    val (f1, ms1, r1) = run(2000)
+    val (f10, ms10, r10) = run(20000)
+    // an exact copy has identical cell similarities, so the argmax
+    // assigns source and copy to the same cell at any cell count
+    assert(f1 == 20 && f10 == 20,
+      s"planted exact copies lost: $f1/20, $f10/20")
+    info(s"semantic-dedup shuffle records: 1x $r1, 10x $r10 " +
+      f"(ratio ${r10.toDouble / r1}%.1f)")
+    assert(r10 < r1 * 50,
+      f"10x corpus put ${r10.toDouble / r1}%.1fx rows through the " +
+        "shuffles — exceeds the N^1.5 SemDeDup balance (auto-cell sizing lost?)")
+    assertLinearWall("semantic dedup", ms1, ms10, bound = 50.0)
+  }
 }

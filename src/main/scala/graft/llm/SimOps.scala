@@ -251,6 +251,11 @@ object SimOps extends org.apache.spark.internal.Logging {
     * second cosine pass costs one extra map-only scan; the recomputed
     * sim is bit-identical (same fused left-to-right fold), and Spark
     * normalizes NaN in join keys, so a NaN max still re-matches.
+    *
+    * Probes with NO scoreable corpus row (every cosine null — length
+    * mismatch or null elements on all pairs) are ABSENT from the
+    * output: no max similarity exists. (NaN from zero-norm vectors is
+    * not null; such probes still report their NaN-max row.)
     */
   def crossSetMaxSim(corpus: DataFrame, probes: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -101,6 +101,19 @@ object ExponentSweep {
     outliers.take(25).foreach { case (n, t1, t10, e) =>
       println(f"[sweep-top] $n%-28s t1=$t1%7.2f t10=$t10%7.2f e=$e%5.2f")
     }
+    // first-decade artifact (full sweeps only — a SWEEP_ONLY subset is
+    // a re-run, not surface coverage): every arm, exponent-desc, so
+    // "no unexplained superlinear query" is auditable per round
+    if (only.isEmpty) {
+      val body = rows.sortBy(-_._4).map { case (n, t1, t10, e) =>
+        f"$n%-28s t1=$t1%7.2f t10=$t10%7.2f e=$e%5.2f" }.mkString("\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SWEEP10X.txt"),
+        s"# ExponentSweep first decade: $dir1 -> $dir10, one rep, " +
+          s"noop-write action\n# loadavg at end: ${loadavg()}\n$body\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[sweep] 10x artifact write failed: $e") }
+    }
 
     // ---- second decade over the first decade's worst offenders ----
     dir100.foreach { d100 =>

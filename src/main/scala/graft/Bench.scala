@@ -41,50 +41,25 @@ object Bench {
     def timed(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def loadavg(): String =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).trim
-      catch { case _: Throwable => "n/a" }
-
-    def loadavg1(): Double =
-      try loadavg().split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    def loadavg(): String = graft.util.LoadGate.loadavg()
 
     // LOAD GATE (round-16, after the r15 artifact was captured at
     // loadavg 10.2 and contradicted the round's quiet-machine claims):
     // each measurement TIER waits until the 1-min loadavg drops below
     // a threshold before its timed arms start, so an externally-loaded
-    // machine can never silently become the artifact of record. Our own
-    // just-finished work inflates the 1-min average too — that decays
-    // with a ~60 s time constant, which is exactly what the polling
-    // wait absorbs. A tier that times out still runs, but is flagged in
-    // `load_gate.timeouts`, making the artifact self-invalidating
-    // rather than silently wrong. SPARK_GRAFT_LOADGATE sets the
-    // threshold (default 4.0 on this 32-cpu box; 0 disables).
-    val loadGateThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_LOADGATE", "4.0").toDouble
-    val loadGateMaxWaitMs =
-      sys.env.getOrElse("SPARK_GRAFT_LOADGATE_MAX_WAIT_S", "300").toLong * 1000L
+    // machine can never silently become the artifact of record. A tier
+    // that times out still runs, but is flagged in `load_gate.timeouts`,
+    // making the artifact self-invalidating rather than silently wrong.
+    // The gate itself is `graft.util.LoadGate` (r17: factored out so
+    // `ExponentSweep` runs under the identical gate instead of billing
+    // itself clean without one — the r16 SWEEP100X loadavg-9.88 gap).
+    val loadGateThreshold = graft.util.LoadGate.threshold
     var loadGateWaits = 0
     val loadGateTimeouts = scala.collection.mutable.ArrayBuffer.empty[String]
     def awaitQuiet(tier: String): Unit = {
-      if (loadGateThreshold <= 0) return
-      val deadline = System.nanoTime() + loadGateMaxWaitMs * 1000000L
-      var l = loadavg1()
-      var waited = false
-      while (l >= 0 && l > loadGateThreshold && System.nanoTime() < deadline) {
-        waited = true
-        System.err.println(
-          s"[bench] load gate ($tier): loadavg $l > $loadGateThreshold, waiting")
-        Thread.sleep(15000L)
-        l = loadavg1()
-      }
-      if (waited) loadGateWaits += 1
-      if (l > loadGateThreshold) {
-        loadGateTimeouts += tier
-        System.err.println(s"[bench] load gate ($tier): TIMED OUT at " +
-          s"loadavg $l — this tier's figures are load-contaminated")
-      }
+      val o = graft.util.LoadGate.awaitQuiet(tier)
+      if (o.waited) loadGateWaits += 1
+      if (o.timedOut) loadGateTimeouts += tier
     }
 
     // Inter-query isolation: queries that cache/localCheckpoint release
@@ -200,14 +175,19 @@ object Bench {
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    // Optional 10 M-record tier (SPARK_GRAFT_PROBE_10M=1): the same
-    // probe at 10× the reference's own topology — survivor set
-    // (2.5 M rows, exact i%4==1 values) asserted inside run(). Gated
-    // out of the default bench so per-round totals stay comparable.
+    // 10 M-record tier: the same probe at 10× the reference's own
+    // topology — survivor set (2.5 M rows, exact i%4==1 values)
+    // asserted inside run(). Default ON since r17 (the r16 verdict's
+    // "best scaling witness the streaming path has" lived only in
+    // SURVEY prose — a committed bench arm ends the one-run-claim
+    // problem); SPARK_GRAFT_PROBE_10M=0 skips. Its own gate + its own
+    // JSON field, never folded into the headline total.
     val streamProbe10m: Option[Either[String, (Double, Long)]] =
-      if (sys.env.get("SPARK_GRAFT_PROBE_10M").contains("1"))
+      if (sys.env.get("SPARK_GRAFT_PROBE_10M").contains("0")) None
+      else {
+        awaitQuiet("stream_probe_10m")
         Some(probe(10000000L))
-      else None
+      }
 
     def esc(s: String): String =
       s.flatMap {
@@ -366,16 +346,29 @@ object Bench {
           // reproduce — one rep at this tier is unactionable
           val reps100 =
             sys.env.getOrElse("SPARK_GRAFT_SCALE100X_REPS", "2").toInt
+          // per-rep I/O accounting (r16 verdict item 3: t24's two
+          // committed 100× artifacts disagreed 3.7× on wall time with
+          // nothing to say whether the slow rep was I/O-bound or a plan
+          // problem — bytes next to seconds settles that)
+          val meter = new graft.tools.IoMeter
+          spark.sparkContext.addSparkListener(meter)
+          val io100 = scala.collection.mutable.LinkedHashMap
+            .empty[String, Seq[(Double, IndexedSeq[Long])]]
           val t100 = spot.map { name =>
-            val times = (1 to reps100).flatMap { _ =>
+            val reps = (1 to reps100).flatMap { _ =>
+              meter.reset()
               val t0 = System.nanoTime()
               val r = try {
                 timed(byName(name)(spark, dir100))
                 Some((System.nanoTime() - t0) / 1e9)
               } catch { case _: Throwable => None }
+              Thread.sleep(800L) // listener-bus drain, outside the timer
+              val io = meter.snapshotMb
               resetSession()
-              r
+              r.map(t => (t, io))
             }
+            io100 += name -> reps
+            val times = reps.map(_._1)
             val r =
               if (times.nonEmpty) Right((times.min, times.max - times.min))
               else Left(try { timed(byName(name)(spark, dir100)); "unknown" }
@@ -384,6 +377,7 @@ object Bench {
             resetSession()
             name -> r
           }
+          spark.sparkContext.removeSparkListener(meter)
           val secs = t100.map {
             case (k, Right((s, _))) => s""""${esc(k)}":${math.rint(s * 1000) / 1000}"""
             case (k, Left(_)) => s""""${esc(k)}":-1"""
@@ -398,10 +392,21 @@ object Bench {
           }.mkString("{", ",", "}")
           val errs100 = t100.collect { case (k, Left(m)) =>
             s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
+          // every rep's wall time next to its byte volumes: an
+          // I/O-noise rep shows equal bytes and divergent seconds
+          val ioJson = io100.map { case (k, reps) =>
+            val arr = reps.map { case (t, io) =>
+              s"""{"sec":${math.rint(t * 1000) / 1000},"read_mb":${io(0)},""" +
+                s""""write_mb":${io(1)},"shuffle_read_mb":${io(2)},""" +
+                s""""shuffle_write_mb":${io(3)},"spill_mb":${io(4)}}"""
+            }.mkString("[", ",", "]")
+            s""""${esc(k)}":$arr"""
+          }.mkString("{", ",", "}")
           s""""scale100x":{"dir":"${esc(dir100)}","copies":100,""" +
             s""""reps":$reps100,"agg":"min","spread":$spreads100,""" +
             s""""loadavg":"${esc(loadavg100x)}",""" +
-            s""""queries":$secs,"exponent_vs_10x":$exps,"errors":$errs100},"""
+            s""""queries":$secs,"exponent_vs_10x":$exps,""" +
+            s""""io_per_rep":$ioJson,"errors":$errs100},"""
         } catch { case e: Throwable =>
           s""""scale100x":{"error":"${esc(Option(e.getMessage)
             .getOrElse(e.getClass.getName).take(200))}"},"""

@@ -902,8 +902,9 @@ object DedupOps {
       col(id2).cast("long").as("dst"))
     val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labelsCkpt = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    var labels = labelsCkpt
     var changed = 1L
     var iters = 0
     while (changed > 0) {
@@ -921,9 +922,19 @@ object DedupOps {
         .select(col("id"), col("prev"), least(col("prev"), col("nbrLabel")).as("label"))
         .localCheckpoint(true)
       changed = next.where(col("label") < col("prev")).count()
+      // `changed` was the previous generation's last reader — free its
+      // MEMORY_AND_DISK blocks through the RDD handle (Dataset.unpersist
+      // on a checkpointed Dataset is a silent no-op; GraftCache doc).
+      // Without this every round leaked one generation until
+      // ContextCleaner GC.
+      graft.util.GraftCache.releaseCheckpointOf(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("id"), col("label"))
       iters += 1
     }
+    // the returned projection reads only the final round's checkpoint —
+    // the (symmetrized-edge-list-sized) edges checkpoint is dead
+    graft.util.GraftCache.releaseCheckpointOf(edges)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

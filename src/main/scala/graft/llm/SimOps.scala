@@ -256,13 +256,36 @@ object SimOps extends org.apache.spark.internal.Logging {
     * mismatch or null elements on all pairs) are ABSENT from the
     * output: no max similarity exists. (NaN from zero-norm vectors is
     * not null; such probes still report their NaN-max row.)
+    *
+    * DETERMINISM CONTRACT: the two-pass argmax evaluates the scored
+    * stream TWICE (`scored` is a def) and re-matches max rows by the
+    * recomputed double, which must be bit-identical across the passes.
+    * That holds for any deterministic input plan (the fused cosine is
+    * a fixed left-to-right fold). An input whose plan contains
+    * non-deterministic expressions (`sample()`, `rand()`, a shuffling
+    * `limit`) would re-draw between the passes and probes would
+    * silently vanish — so such inputs are detected and FROZEN behind a
+    * DISK_ONLY barrier before scoring (freezing the small projected
+    * inputs, not the corpus×probes scored stream, keeps the defensive
+    * cost at one extra materialization of the vectors). Residual
+    * caveat, inherent to persist-based freezing: a lost executor
+    * recomputes dropped blocks, re-drawing randomness — on an
+    * unreliable cluster pre-materialize non-deterministic inputs to
+    * storage instead.
     */
   def crossSetMaxSim(corpus: DataFrame, probes: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("train_id"),
-      col(vecCol).cast("array<double>").as("t_vec"))
-    val p = probes.select(col(idCol).as("test_id"),
-      col(vecCol).cast("array<double>").as("p_vec"))
+    def freeze(df: DataFrame, site: String): DataFrame = {
+      val nondet = df.queryExecution.analyzed.exists(pl =>
+        pl.expressions.exists(e => e.exists(!_.deterministic)))
+      if (nondet) df.transform(graft.util.GraftCache.barrier(site)) else df
+    }
+    val c = freeze(corpus.select(col(idCol).as("train_id"),
+      col(vecCol).cast("array<double>").as("t_vec")),
+      "SimOps.crossSetMaxSim.corpus")
+    val p = freeze(probes.select(col(idCol).as("test_id"),
+      col(vecCol).cast("array<double>").as("p_vec")),
+      "SimOps.crossSetMaxSim.probes")
     // vectors DROP in the same select that consumes them — everything
     // past this projection moves (test_id, train_id, sim) scalars
     def scored = c.join(broadcast(p))
@@ -419,7 +442,12 @@ object SimOps extends org.apache.spark.internal.Logging {
     * pairs ⇒ JVM OOM; auto-sized (13 planes) the pair set is ~10^7.
     * Pass an explicit `numPlanes` to pin the quantizer (the DuckDB
     * oracle does, at the sf0.01 fixture's auto value, so the gate
-    * compares identical LSH structures).
+    * compares identical LSH structures). NOTE the default makes this
+    * otherwise-lazy builder EAGER: the sizing `count()` runs a Spark
+    * job at construction, and a derived input executes its upstream
+    * once for sizing plus once at execution — cache the input, or pass
+    * an explicit `numPlanes` (e.g. from catalog row-count statistics),
+    * when that double execution matters.
     *
     * SKEW VALVE: real embedding corpora cluster, so one bucket can
     * still swallow a large corpus fraction no matter how the EXPECTED
@@ -655,11 +683,25 @@ object SimOps extends org.apache.spark.internal.Logging {
     * that rule from one cheap `count()`:
     * `cells = max(16, ceil(sqrt(N/2)))` — 16 at the 500-vector oracle
     * fixture (so the pinned DuckDB SQL compares the identical
-    * quantizer), 316 at the 200k-vector 100× tier, where the old fixed
+    * quantizer), 317 at the 200k-vector 100× tier, where the old fixed
     * 16 cells meant 12.5k-vector cells and ~1.2G candidate pairs.
-    * Cells denser than `maxCellIds` are dropped from pair generation,
-    * same skew valve and same rationale as [[embeddingNearDups]]
-    * (never engages on the oracle fixtures).
+    * NOTE the default makes this otherwise-lazy builder EAGER: the
+    * sizing `count()` runs a Spark job at construction, and a derived
+    * input executes its upstream once for sizing plus once at
+    * execution — cache the input, or pass an explicit `numCells` /
+    * pre-trained `centroids`, when that double execution matters.
+    *
+    * SKEW VALVE — pair loss here is UNRECOVERABLE: cells denser than
+    * `maxCellIds` are dropped from pair generation, and because a
+    * vector lives in exactly ONE cell (no OR-amplified sibling tables,
+    * unlike [[embeddingNearDups]], where the other `numTables − 1`
+    * tables re-find pairs lost to one mega-bucket), every within-cell
+    * pair of a dropped cell is lost outright — on a skewed corpus that
+    * is silent recall loss. The valve therefore censuses its own
+    * engagement eagerly (cell-count scalars only) and `logWarning`s
+    * the dropped cell/vector counts; if it engages, raise
+    * `maxCellIds`, supply more `centroids`, or pre-split the dense
+    * region. It never engages on the oracle fixtures.
     */
   def semanticNearDups(df: DataFrame, threshold: Double, numCells: Int = -1,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -682,8 +724,25 @@ object SimOps extends org.apache.spark.internal.Logging {
     // staged all-cells similarity + first-occurrence argmax, identical
     // to ivfTopK (NaN → -1 so zero-norm rows land deterministically in
     // cell 0 instead of winning every argmax)
+    // (id, cell) scalars behind a DISK_ONLY barrier: read by the valve
+    // census, then twice by the self-join — without it each reader
+    // re-runs the full N×cells centroid-similarity assignment
     val assigned = withNearestCell(c, cents, "v", "cell", None)
       .select(col("id"), col("cell")) // vectors DROP before the exchange
+      .transform(graft.util.GraftCache.barrier("SimOps.semanticNearDups.cells"))
+    // valve-engagement census (r16 ADVICE): dropped pairs are
+    // unrecoverable (doc above), so engagement must be observable —
+    // one eager aggregation over the barriered (cell, count) scalars
+    val overCap = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      .where(col("cn") > maxCellIds)
+      .agg(count(lit(1)).as("cells"), sum(col("cn")).as("ids"))
+      .collect()(0)
+    if (overCap.getLong(0) > 0)
+      logWarning(s"semanticNearDups skew valve ENGAGED: dropping ALL " +
+        s"within-cell pairs of ${overCap.getLong(0)} cell(s) holding " +
+        s"${overCap.getLong(1)} vectors (occupancy > maxCellIds=" +
+        s"$maxCellIds) — this pair loss is unrecoverable; raise " +
+        s"maxCellIds or supply finer centroids")
     // a vector lives in exactly one cell, so each pair forms once — no
     // dedup pass (unlike OR-amplified LSH tables); the occupancy valve
     // rides the by-cell exchange the self-join needs anyway

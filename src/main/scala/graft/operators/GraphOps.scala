@@ -48,9 +48,12 @@ object GraphOps {
             .as("rank"))
         .localCheckpoint(true)
       // the new checkpoint is eager, so the previous round's blocks are
-      // dead the moment it returns — drop them instead of leaking one
-      // storage block per iteration per call
-      if (i > 1) { prev.unpersist(); () }
+      // dead the moment it returns — free them through the RDD handle
+      // (Dataset.unpersist on a checkpointed Dataset is a silent no-op:
+      // the persist lives on the RDD, not in the CacheManager, so the
+      // old form leaked one MEMORY_AND_DISK generation per round until
+      // ContextCleaner GC; GraftCache doc)
+      graft.util.GraftCache.releaseCheckpointOf(prev)
     }
     // the final checkpoint no longer reads the cached inputs either
     e.unpersist(); nodes.unpersist()
@@ -95,7 +98,7 @@ object GraphOps {
           (lit(teleport) + lit(damping) * coalesce(col("contrib"), lit(0.0)))
             .as("rank"))
         .localCheckpoint(true)
-      if (i > 1) { prev.unpersist(); () }
+      graft.util.GraftCache.releaseCheckpointOf(prev) // no-op at i=1 (plain plan)
     }
     e.unpersist(); nodes.unpersist()
     ranks
@@ -149,9 +152,14 @@ object GraphOps {
           (lit(1.0 - damping) * col("t") +
             lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
-      if (i > 1) { prev.unpersist(); () }
+      graft.util.GraftCache.releaseCheckpointOf(prev) // no-op at i=1 (tele projection)
     }
-    e.unpersist(); nodes.unpersist(); s.unpersist(); tele.unpersist()
+    e.unpersist(); nodes.unpersist(); s.unpersist()
+    // the tele checkpoint's blocks only die by RDD-handle release; with
+    // zero iterations the RETURNED ranks still reads tele (checkpoints
+    // cannot recompute), so only release once an iteration checkpoint
+    // has superseded it
+    if (iterations >= 1) graft.util.GraftCache.releaseCheckpointOf(tele)
     ranks
   }
 
@@ -197,12 +205,19 @@ object GraphOps {
       val changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .where(col("n.comp") =!= col("l.comp")).count()
+      // `changed` was the last reader of the previous labels generation,
+      // and `next`'s eager build was `pulled`'s — free both rounds'
+      // intermediates now (RDD-handle release; GraftCache doc)
+      graft.util.GraftCache.releaseCheckpointOf(labels)
+      graft.util.GraftCache.releaseCheckpointOf(pulled)
       labels = next
       converged = changed == 0
       i += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIterations rounds")
+    // the returned labels is the final round's checkpoint — sym is dead
+    graft.util.GraftCache.releaseCheckpointOf(sym)
     labels
   }
 
@@ -251,9 +266,12 @@ object GraphOps {
       labels = nodes.join(top, nodes("id") === top("nid"), "left")
         .select(nodes("id"), coalesce(col("nlabel"), nodes("id")).as("label"))
         .localCheckpoint(true)
-      prev.unpersist(); ()
+      graft.util.GraftCache.releaseCheckpointOf(prev) // no-op at round 1
     }
-    sym.unpersist(); nodes.unpersist()
+    // rounds >= 1, so the returned labels is a checkpoint and reads
+    // neither sym nor nodes — free both (RDD-handle release)
+    graft.util.GraftCache.releaseCheckpointOf(sym)
+    graft.util.GraftCache.releaseCheckpointOf(nodes)
     labels
   }
 
@@ -461,6 +479,8 @@ object GraphOps {
     var i = 0
     while (i < maxIterations && !frontier.isEmpty) {
       i += 1
+      val prevFrontier = frontier
+      val prevVisited = visited
       frontier = sym.join(frontier, sym("src") === frontier("id"))
         .select(col("dst").as("id"))
         .distinct()
@@ -468,9 +488,19 @@ object GraphOps {
         .select(col("id"), lit(i.toLong).as("hops"))
         .localCheckpoint(true)
       visited = visited.union(frontier).localCheckpoint(true)
+      // this round's eager checkpoints were the last readers of the
+      // previous generation — free it (at i=1 frontier aliases visited;
+      // the `ne` guard keeps the release single)
+      graft.util.GraftCache.releaseCheckpointOf(prevVisited)
+      if (prevFrontier ne prevVisited)
+        graft.util.GraftCache.releaseCheckpointOf(prevFrontier)
     }
     require(frontier.isEmpty,
       s"shortestHops frontier still active after $maxIterations rounds")
+    // the returned visited is the latest checkpoint; sym (and the empty
+    // final frontier, when the loop ran) are dead
+    graft.util.GraftCache.releaseCheckpointOf(sym)
+    if (frontier ne visited) graft.util.GraftCache.releaseCheckpointOf(frontier)
     visited
   }
 
@@ -499,15 +529,23 @@ object GraphOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      val prevUnd = und
       val deg = und.select(col("a").as("id")).union(und.select(col("b")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
       val low = deg.where(col("deg") < k).select(col("id"))
         .localCheckpoint(true)
       if (low.isEmpty) converged = true
-      else und = und
-        .join(broadcast(low.withColumnRenamed("id", "a")), Seq("a"), "left_anti")
-        .join(broadcast(low.withColumnRenamed("id", "b")), Seq("b"), "left_anti")
-        .localCheckpoint(true)
+      else {
+        und = und
+          .join(broadcast(low.withColumnRenamed("id", "a")), Seq("a"), "left_anti")
+          .join(broadcast(low.withColumnRenamed("id", "b")), Seq("b"), "left_anti")
+          .localCheckpoint(true)
+        // the new edge generation's eager build was the last reader of
+        // the previous one — free it (RDD-handle release; GraftCache doc)
+        graft.util.GraftCache.releaseCheckpointOf(prevUnd)
+      }
+      // the peel set is consumed by the round that built it
+      graft.util.GraftCache.releaseCheckpointOf(low)
       i += 1
     }
     require(converged, s"kCore did not converge in $maxIterations rounds")
@@ -555,8 +593,9 @@ object GraphOps {
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"), col("auth"))
       scores = l2(withHub, "hub").localCheckpoint(true)
       // eager checkpoint → the previous round's blocks are dead; free
-      // them so library callers don't leak one block per iteration
-      if (i > 1) { prev.unpersist(); () }
+      // them through the RDD handle (Dataset.unpersist is a no-op on
+      // checkpointed Datasets — GraftCache doc)
+      graft.util.GraftCache.releaseCheckpointOf(prev)
     }
     e.unpersist(); nodes.unpersist()
     scores

@@ -880,6 +880,9 @@ final class WarehouseTable private (
       broadcastMaxRows: Long = WarehouseTable.broadcastMergeMaxRows): Seq[String] = {
     val src = MergeOps.latestPerKey(staged)
     src.cache()
+    // this flush's eager checkpoints (handles, not names: concurrent
+    // flushes into the same table must each free exactly their own)
+    var flushCkpts: List[DataFrame] = Nil
     try {
       // conflict window opens before the dest read (claimCommit doc)
       val readBase = currentVersion
@@ -951,7 +954,8 @@ final class WarehouseTable private (
         (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
         !days.exists(bloomNeedsHeal)
       if (fileGranular) {
-        val (merged, matchedFiles) = mergeFileGranularPlan(days, src, delete, snap)
+        val (merged, matchedFiles, ck) = mergeFileGranularPlan(days, src, delete, snap)
+        flushCkpts = ck :: flushCkpts
         val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
         val preExisting = days.filter(d =>
           fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
@@ -983,8 +987,11 @@ final class WarehouseTable private (
       }
       val dest = readCommitted(days, snap)
       val merged =
-        if (srcRows <= broadcastMaxRows) mergeJoinBroadcast(dest, src, delete, snap)
-        else mergeJoin(dest, src, delete, snap)
+        if (srcRows <= broadcastMaxRows) {
+          val (m, ck) = mergeJoinBroadcast(dest, src, delete, snap)
+          flushCkpts = ck :: flushCkpts
+          m
+        } else mergeJoin(dest, src, delete, snap)
 
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       val preExisting = days.filter(d =>
@@ -1016,7 +1023,14 @@ final class WarehouseTable private (
       expireOldPartitions()
       autoVacuum()
       days
-    } finally src.unpersist()
+    } finally {
+      src.unpersist()
+      // the staging write was the checkpoints' last consumer — free
+      // their MEMORY_AND_DISK blocks now instead of at ContextCleaner
+      // GC (deterministic per-flush memory, and a long-lived session's
+      // block manager no longer grows with flush count)
+      flushCkpts.foreach(graft.util.GraftCache.releaseCheckpointOf)
+    }
   }
 
   /** The file-granular broadcast merge plan: (merged rows to stage,
@@ -1042,7 +1056,8 @@ final class WarehouseTable private (
     * then joins the live subset only.
     */
   private def mergeFileGranularPlan(days: Seq[String], src: DataFrame,
-      delete: Boolean, snap: StructType): (DataFrame, Map[String, Seq[String]]) = {
+      delete: Boolean, snap: StructType)
+      : (DataFrame, Map[String, Seq[String]], DataFrame) = {
     val srcVal = mergeValueFields(src, snap).map { case (f, inBatch) =>
       if (inBatch) col(s"s.value.`${f.name}`").as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -1057,11 +1072,17 @@ final class WarehouseTable private (
         element_at(split(input_file_name(), "/"), -1).as("_gfile"): _*)
     // matched dest rows, materialized once (≤ batch keys): serves the
     // matched-file collect, the updates leg, and the insert anti-key set
+    // named eager checkpoint, returned to merge() for handle-based
+    // release in its finally (the staging write is the last consumer):
+    // a completed flush leaves NO MEMORY_AND_DISK block behind —
+    // without the release they linger until ContextCleaner GC, per
+    // flush, for the life of the session (Dataset.unpersist cannot
+    // free them; GraftCache doc)
     val touched = guardStaleRead(destKeys.as("d")
       .join(broadcast(srcKeys.as("s")), keyCond, "inner")
       .select(keyFields.map(f => col(s"d.`$f`").as(f)) :+
         col(s"d.$partitionCol").as(partitionCol) :+ col("_gfile"): _*)
-      .localCheckpoint(true))
+      .transform(graft.util.GraftCache.namedCheckpoint(s"WarehouseTable.touched@$root")))
     // raw collect off the checkpoint + driver-side dedup: the pair set
     // is batch-bounded and a distinct() would cost an exchange plus an
     // extra AQE job per flush (job count IS small-flush latency)
@@ -1095,7 +1116,7 @@ final class WarehouseTable private (
         keyFields.map(f => col(s"s.key.$f").as(f)) ++
           srcVal :+
           stagedSlice("s.").as(partitionCol): _*)
-    (survivors.unionByName(updates).unionByName(inserts), matchedFiles)
+    (survivors.unionByName(updates).unionByName(inserts), matchedFiles, touched)
   }
 
   /** The preferred merge plan: a full-outer join can never broadcast in
@@ -1115,7 +1136,7 @@ final class WarehouseTable private (
     * a fallback-equality spec pin that.
     */
   private def mergeJoinBroadcast(dest: DataFrame, src: DataFrame,
-      delete: Boolean, snap: StructType): DataFrame = {
+      delete: Boolean, snap: StructType): (DataFrame, DataFrame) = {
     // snapshot-aligned batch values: fields the batch lacks become NULL
     val srcVal = mergeValueFields(src, snap).map { case (f, inBatch) =>
       if (inBatch) col(s"s.value.`${f.name}`").as(f.name)
@@ -1132,13 +1153,15 @@ final class WarehouseTable private (
     // the full-outer plan's behavior
     val live = if (delete) src.where(col("value").isNotNull) else src
     // checkpointed (≤ batch rows): referenced by the union AND as the
-    // matched-key set below — one dest scan serves both
+    // matched-key set below — one dest scan serves both. Named and
+    // returned so merge()'s finally frees the blocks by handle once the
+    // flush's staging write (the last consumer) completes.
     val updates = dest.as("d").join(broadcast(live.as("s")), keyCond, "inner")
       .select(
         keyFields.map(f => col(s"d.$f").as(f)) ++
           srcVal :+
           col(s"d.$partitionCol").as(partitionCol): _*)
-      .localCheckpoint(true)
+      .transform(graft.util.GraftCache.namedCheckpoint(s"WarehouseTable.updates@$root"))
     // keys straight off the checkpoint, duplicates tolerated (anti join
     // below) — bounded by matched dest rows ≈ batch keys
     val matchedKeys = updates.select(keyFields.map(col): _*)
@@ -1148,7 +1171,7 @@ final class WarehouseTable private (
         keyFields.map(f => col(s"s.key.$f").as(f)) ++
           srcVal :+
           stagedSlice("s.").as(partitionCol): _*)
-    survivors.unionByName(updates).unionByName(inserts)
+    (survivors.unionByName(updates).unionByName(inserts), updates)
   }
 
   /** Non-key fields of the op's schema snapshot, each flagged with

@@ -57,10 +57,7 @@ object ExponentSweep {
       graft.util.GraftCache.clear()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    def loadavg(): String =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).trim
-      catch { case _: Throwable => "n/a" }
+    def loadavg(): String = graft.util.LoadGate.loadavg()
     def time(n: String, d: String): Either[String, Double] = {
       ensureAlive()
       val t0 = System.nanoTime()
@@ -79,10 +76,27 @@ object ExponentSweep {
     // re-timing all ~276 first-decade arms to re-rank its outliers.
     val only = sys.env.get("SWEEP_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // LOAD GATE (r16 verdict item 4: SWEEP100X recorded loadavg 9.88 at
+    // tier start while billed clean — the sweep now runs under the same
+    // gate as Bench). Full sweeps gate once at the start — back-to-back
+    // 32-core arms keep the 1-min average above any sane threshold, so
+    // per-arm gating there would add hours of decay waits between arms
+    // that contaminate each other identically anyway. The hand-picked
+    // SWEEP_ONLY re-runs and every 100× arm (the figures a verdict
+    // quotes individually) gate PER ARM, and the artifact records each
+    // arm's release loadavg so the billing is checkable.
+    val gateTimeouts = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gated(tier: String): String = {
+      val o = graft.util.LoadGate.awaitQuiet(tier)
+      if (o.timedOut) gateTimeouts += tier
+      o.loadAtRelease
+    }
+    val loadavgAtSweepStart = gated("sweep-first-decade")
     val names = byName.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .dropWhile(n => startAt.nonEmpty && n != startAt)
     val rows = names.flatMap { n =>
+      if (only.nonEmpty) gated(s"sweep-only:$n")
       (time(n, dir1), time(n, dir10)) match {
         case (Right(t1), Right(t10)) =>
           val e = math.log(t10 / t1) / math.log(10.0)
@@ -110,7 +124,11 @@ object ExponentSweep {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SWEEP10X.txt"),
         s"# ExponentSweep first decade: $dir1 -> $dir10, one rep, " +
-          s"noop-write action\n# loadavg at end: ${loadavg()}\n$body\n")
+          s"noop-write action\n" +
+          s"# load gate: threshold ${graft.util.LoadGate.threshold}, " +
+          s"timeouts [${gateTimeouts.mkString(",")}]\n" +
+          s"# loadavg at gated start: $loadavgAtSweepStart\n" +
+          s"# loadavg at end: ${loadavg()}\n$body\n")
       catch { case e: Throwable =>
         System.err.println(s"[sweep] 10x artifact write failed: $e") }
     }
@@ -120,17 +138,21 @@ object ExponentSweep {
       val topN = sys.env.getOrElse("SWEEP_TOP100", "10").toInt
       val spot = outliers.take(topN)
       println(s"==== 100x tier: top-$topN first-decade outliers ====")
-      val la = loadavg()
+      val la = gated("sweep-100x-start")
       val results = spot.map { case (n, t1, t10, e1) =>
+        // per-ARM gate + recorded release loadavg: these are the
+        // figures a verdict quotes individually, so each must carry
+        // its own quiet-machine evidence
+        val armLoad = gated(s"sweep-100x:$n")
         time(n, d100) match {
           case Right(t100) =>
             val e2 = math.log(t100 / t10) / math.log(10.0)
             println(f"[sweep-100x] $n%-28s t10=$t10%7.2f t100=$t100%8.2f " +
               f"e1=$e1%5.2f e2=$e2%5.2f")
-            (n, t1, t10, e1, Right(t100), Some(e2))
+            (n, t1, t10, e1, Right(t100), Some(e2), armLoad)
           case Left(m) =>
             println(s"[sweep-100x] $n ERROR $m")
-            (n, t1, t10, e1, Left(m), None)
+            (n, t1, t10, e1, Left(m), None, armLoad)
         }
       }
       def esc(s: String) = s.flatMap {
@@ -140,16 +162,19 @@ object ExponentSweep {
         case c => c.toString
       }
       val items = results.map {
-        case (n, t1, t10, e1, Right(t100), Some(e2)) =>
+        case (n, t1, t10, e1, Right(t100), Some(e2), al) =>
           f""""${esc(n)}":{"t1":$t1%.3f,"t10":$t10%.3f,"t100":$t100%.3f,""" +
-            f""""e1":$e1%.2f,"e2":$e2%.2f}"""
-        case (n, t1, t10, e1, Left(m), _) =>
+            f""""e1":$e1%.2f,"e2":$e2%.2f,"loadavg_at_arm_start":"${esc(al)}"}"""
+        case (n, t1, t10, e1, Left(m), _, al) =>
           f""""${esc(n)}":{"t1":$t1%.3f,"t10":$t10%.3f,""" +
-            f""""e1":$e1%.2f,"error":"${esc(m)}"}"""
+            f""""e1":$e1%.2f,"error":"${esc(m)}","loadavg_at_arm_start":"${esc(al)}"}"""
       }.mkString(",")
       val json = s"""{"tool":"ExponentSweep","dir1":"${esc(dir1)}",""" +
         s""""dir10":"${esc(dir10)}","dir100":"${esc(d100)}",""" +
         s""""top":$topN,"rank":"first-decade exponent desc (t10>=2s)",""" +
+        s""""load_gate":{"threshold":${graft.util.LoadGate.threshold},""" +
+        s""""per_arm":true,"timeouts":[${gateTimeouts
+          .map(t => s""""${esc(t)}"""").mkString(",")}]},""" +
         s""""loadavg_at_100x_start":"${esc(la)}",""" +
         s""""loadavg_at_100x_end":"${esc(loadavg())}",""" +
         s""""queries":{$items}}"""

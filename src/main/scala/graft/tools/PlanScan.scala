@@ -24,10 +24,36 @@ import org.apache.spark.sql.SparkSession
   *
   * r16 triage of the full 276-query surface is recorded in SURVEY.md
   * (one real defect: x15's argmax, fixed; everything else benign by the
-  * rules above). Re-run after adding operators:
+  * rules above). Since r17 the census is FROZEN as a regression gate:
+  * `PlanCensusSpec` fails on any new untriaged SortAggregate query or
+  * any CartesianProduct (these shapes are silent until an OOM — the
+  * x15 lesson). This main remains the ad-hoc re-run / triage tool:
   * `sbt "runMain graft.tools.PlanScan [sfDir]"`.
   */
 object PlanScan {
+  val shapes: Seq[String] =
+    Seq("SortAggregate", "CartesianProduct", "ObjectHashAggregate")
+
+  /** (query → hazard shapes in its executed plan) for every SparkEntry
+    * query. Plans are built, never executed (some builders still run
+    * small eager sizing jobs — counts / centroid collects — by their
+    * own contracts). A build failure yields an `ERROR:` pseudo-shape so
+    * gating specs fail loud instead of under-counting.
+    */
+  def census(spark: SparkSession, dir: String): Seq[(String, Seq[String])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) =>
+      val hits =
+        try {
+          val plan = f(spark, dir).queryExecution.executedPlan.toString
+          shapes.filter(plan.contains)
+        } catch { case e: Throwable =>
+          Seq("ERROR:" + Option(e.getMessage).getOrElse("?").take(80))
+        }
+      spark.catalog.clearCache()
+      graft.util.GraftCache.clear()
+      n -> hits
+    }
+
   def main(a: Array[String]): Unit = {
     val dir = a.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
@@ -37,19 +63,11 @@ object PlanScan {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val shapes = Seq("SortAggregate", "CartesianProduct", "ObjectHashAggregate")
-    var cartesians = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, f) =>
-      try {
-        val plan = f(spark, dir).queryExecution.executedPlan.toString
-        val hits = shapes.filter(plan.contains)
-        if (hits.contains("CartesianProduct")) cartesians += 1
-        if (hits.nonEmpty) println(s"[planscan] $n: ${hits.mkString(",")}")
-      } catch { case e: Throwable =>
-        println(s"[planscan] $n ERROR ${Option(e.getMessage).getOrElse("?").take(80)}")
-      }
-      spark.catalog.clearCache(); graft.util.GraftCache.clear()
+    val cen = census(spark, dir)
+    cen.foreach { case (n, hits) =>
+      if (hits.nonEmpty) println(s"[planscan] $n: ${hits.mkString(",")}")
     }
+    val cartesians = cen.count(_._2.contains("CartesianProduct"))
     println(s"[planscan] done; cartesian products: $cartesians (must be 0)")
     spark.stop()
   }

@@ -165,6 +165,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("gear_cdc_chunks"),
       new ExpressionInfo(classOf[GearCdcChunks].getName, "gear_cdc_chunks"),
       GearCdcChunks.builder))
+    // r17: the canonical text normalization as one codegen byte pass
+    // (ASCII fast path, exact regex-chain fallback) — the text family's
+    // dominant per-byte cost
+    ext.injectFunction((
+      FunctionIdentifier("norm_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "norm_text"),
+      NormalizeText.builder))
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)

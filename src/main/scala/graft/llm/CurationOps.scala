@@ -97,7 +97,8 @@ object CurationOps {
     require(sampleFraction >= 0.0 && sampleFraction <= 1.0,
       s"fraction out of [0,1]: $sampleFraction")
     val hashed = docs.select(col(idCol).cast("long").as("doc_id"),
-      md5(to_binary(col(textCol), lit("utf-8"))).as("__h"),
+      // r17: 16-byte md5 binary key (internal only; guide §2.3)
+      unhex(md5(to_binary(col(textCol), lit("utf-8")))).as("__h"),
       TextOps.tokenCount(col(textCol)).as("__ntok"),
       (hashUnit(col(idCol), salt) < sampleFraction).as("__sel"))
     val canon = hashed.groupBy(col("__h")).agg(min(col("doc_id")).as("__canon"))
@@ -751,9 +752,11 @@ object CurationOps {
     def grams(df: DataFrame) = df
       .select(col(idCol).as("id"), TextOps.normalizeText(col(textCol)).as("nt"))
       .select(col("id"), DedupOps.wordShingles(col("nt"), n).as("ng"))
+    // r17: gram hashes are internal join keys — 16-byte md5 binary
+    // instead of hex strings halves the gram exchanges (guide §2.3)
     val trainH = grams(train)
       .select(explode(col("ng")).as("g"))
-      .select(md5(to_binary(col("g"), lit("utf-8"))).as("h"))
+      .select(unhex(md5(to_binary(col("g"), lit("utf-8")))).as("h"))
       .distinct()
     // ONE pass over the test side: totals and hit counts come from the
     // same exploded scan. The test side often sits atop an expensive
@@ -766,7 +769,7 @@ object CurationOps {
         explode_outer(col("ng")).as("g"))
       .select(col("id"), col("n_ngrams"),
         when(col("g").isNotNull,
-          md5(to_binary(col("g"), lit("utf-8")))).as("h"))
+          unhex(md5(to_binary(col("g"), lit("utf-8"))))).as("h"))
       .join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
       .groupBy(col("id"), col("n_ngrams"))
       .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))

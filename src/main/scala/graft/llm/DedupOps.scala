@@ -24,7 +24,9 @@ object DedupOps {
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val others = df.columns.filterNot(_ == textCol).toSeq
-    df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("__h"))
+    // r17: 16-byte md5 binary group key (internal only) — half the key
+    // bytes of the hex-string form through the exchange (guide §2.3)
+    df.groupBy(unhex(md5(to_binary(col(textCol), lit("utf-8")))).as("__h"))
       .agg(min_by(struct(col(textCol) +: others.map(col): _*), col(idCol)).as("__r"))
       .select(col(s"__r.$textCol") +: others.map(f => col(s"__r.$f")): _*)
   }
@@ -714,7 +716,7 @@ object DedupOps {
     val posed = df
       .select(col(idCol).as("__id"), posexplode(paras).as(Seq("__pos", "__p")))
       .select(col("__id"), col("__pos"),
-        md5(to_binary(col("__p"), lit("utf-8"))).as("__h"))
+        unhex(md5(to_binary(col("__p"), lit("utf-8")))).as("__h"))
       .transform(graft.util.GraftCache.barrier("DedupOps.dedupParagraphs"))
     // document frequency = distinct docs containing the paragraph
     val dropped = posed.select(col("__id"), col("__h")).distinct()
@@ -773,11 +775,14 @@ object DedupOps {
       .select(col("__id"), col("__ws"), size(col("__ws")).as("__nw"))
     val winHashes = when(col("__nw") >= w,
       transform(sequence(lit(1), col("__nw") - w + 1),
-        p => md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
-          lit("utf-8")))))
-      .otherwise(array().cast("array<string>"))
+        p => unhex(md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
+          lit("utf-8"))))))
+      .otherwise(array().cast("array<binary>"))
     // one row per window occurrence: (id, 1-based pos, hash) — consumed
-    // twice below (frequency count + per-doc dup positions)
+    // twice below (frequency count + per-doc dup positions). r17: the
+    // hash is the 16-byte md5 BINARY (the width the scaladoc always
+    // claimed), not the 32-char hex string — halves the barrier and
+    // both hash exchanges (guide §2.3)
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))
@@ -839,11 +844,12 @@ object DedupOps {
     val others = df.columns.filterNot(_ == textCol).toSeq
     val staged = df.select(
       (col(idCol).as("__id") +: words.as("__ws") +: others.map(col)): _*)
+    // r17: 16-byte md5 binary window hashes (internal keys; guide §2.3)
     val winHashes = when(size(col("__ws")) >= w,
       transform(sequence(lit(1), size(col("__ws")) - w + 1),
-        p => md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
-          lit("utf-8")))))
-      .otherwise(array().cast("array<string>"))
+        p => unhex(md5(to_binary(array_join(slice(col("__ws"), p, lit(w)), " "),
+          lit("utf-8"))))))
+      .otherwise(array().cast("array<binary>"))
     val posed = staged
       .select(col("__id"), posexplode(winHashes).as(Seq("__pz", "__h")))
       .select(col("__id"), (col("__pz") + 1).as("__pos"), col("__h"))

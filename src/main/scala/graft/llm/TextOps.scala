@@ -18,10 +18,15 @@ object TextOps {
 
   /** Lowercase, strip everything but letters/digits/whitespace, collapse
     * runs of whitespace, trim — the canonical form used for exact dedup.
+    *
+    * r17: evaluated by the native [[graft.functions.NormalizeText]]
+    * expression (one codegen byte pass on ASCII, the exact
+    * lower→regex→regex→trim chain on anything else — bit-identical by
+    * construction). The composed two-regex form this replaces measured
+    * 15.9 s/corpus-pass at the 100× bench tier and is the text
+    * family's dominant per-byte cost (guide §1.2 step 2).
     */
-  def normalizeText(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+  def normalizeText(c: Column): Column = graft.functions.NormalizeText(c)
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
@@ -674,10 +679,10 @@ object TextOps {
     val staged = df.select(col(idCol).as("__id"), ws.as("__ws"))
     val pairs = when(size(col("__ws")) >= 2,
       transform(sequence(lit(2), size(col("__ws"))), i => struct(
-        md5(to_binary(concat(element_at(col("__ws"), i - 1), lit("\u0001"),
-          element_at(col("__ws"), i)), lit("utf-8"))).as("bh"),
-        md5(to_binary(element_at(col("__ws"), i - 1), lit("utf-8"))).as("fh"))))
-      .otherwise(array().cast("array<struct<bh:string,fh:string>>"))
+        unhex(md5(to_binary(concat(element_at(col("__ws"), i - 1), lit("\u0001"),
+          element_at(col("__ws"), i)), lit("utf-8")))).as("bh"),
+        unhex(md5(to_binary(element_at(col("__ws"), i - 1), lit("utf-8")))).as("fh"))))
+      .otherwise(array().cast("array<struct<bh:binary,fh:binary>>"))
     val tf = staged
       .select(col("__id"), explode(pairs).as("__p"))
       .select(col("__id"), col("__p.bh").as("__bh"), col("__p.fh").as("__fh"))
@@ -758,7 +763,12 @@ object TextOps {
   def withTrigramBackoff(train: DataFrame, test: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val sep = lit("\u0001")
-    def h(c: Column) = md5(to_binary(c, lit("utf-8")))
+    // r17 (guide §2.3 narrower types): the n-gram hashes are INTERNAL
+    // join/group keys only (never output, never oracle-compared), so
+    // they cross exchanges as the 16-byte md5 BINARY instead of the
+    // 32-char hex string — same collision behavior, half the bytes on
+    // every hash-count exchange and the two DISK_ONLY barriers.
+    def h(c: Column) = unhex(md5(to_binary(c, lit("utf-8"))))
     val toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
     val emitT = {
       val w = col("__ws")
@@ -771,7 +781,7 @@ object TextOps {
           h(element_at(w, i - 1)).as("fh"),
           h(element_at(w, i)).as("uh"))))
         .otherwise(array().cast(
-          "array<struct<th:string,ph:string,bh:string,fh:string,uh:string>>"))
+          "array<struct<th:binary,ph:binary,bh:binary,fh:binary,uh:binary>>"))
     }
     // train side: distinct-trigram counts with component hashes
     // attached. Materialized ONCE for its four consumers (ct/cp,

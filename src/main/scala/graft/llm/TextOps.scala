@@ -756,33 +756,46 @@ object TextOps {
     * bigram relations (a probe needs `c₂` only when its trigram was
     * seen, `c₁'` only when its bigram was), so the probe side runs
     * three count joins, not five. Test docs likewise reduce to per-doc
-    * hash tf rows before those joins — every exchange carries 16-byte
-    * md5 hashes and longs, text never shuffles. N rides a broadcast
+    * hash tf rows before those joins — every exchange carries 64-bit
+    * per-token fingerprints (structs of them for n-gram identity) and
+    * longs, text never shuffles. N rides a broadcast
     * 1-row frame.
     */
   def withTrigramBackoff(train: DataFrame, test: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val sep = lit("\u0001")
-    // r17 (guide §2.3 narrower types): the n-gram hashes are INTERNAL
-    // join/group keys only (never output, never oracle-compared), so
-    // they cross exchanges as the 16-byte md5 BINARY instead of the
-    // 32-char hex string — same collision behavior, half the bytes on
-    // every hash-count exchange and the two DISK_ONLY barriers.
-    def h(c: Column) = unhex(md5(to_binary(c, lit("utf-8"))))
+    // r17 (guide §2.3, §1.2 step 2): n-gram identity is carried as
+    // STRUCTS OF PER-TOKEN 64-BIT FINGERPRINTS — each token is hashed
+    // ONCE (xxhash64) and a trigram/bigram/prefix key is the 3-/2-/1-
+    // field struct of its components, instead of five md5 calls per
+    // trigram POSITION over concatenated strings (measured 5.6 s of the
+    // 100× train pass). These are internal join/group keys only (never
+    // output, never oracle-compared): equality of component structs ≡
+    // equality of the joined strings up to token-fingerprint collision,
+    // the standard distributed-LM representation (Brants et al. 2007
+    // use 64-bit word fingerprints at corpus scale). Collision effect
+    // is bounded — two word TYPES share counts — and vocabulary-level:
+    // P(any collision) ≈ |V|²/2⁶⁵, ~1e-10 at the bench scales the
+    // oracle pins exactly, ~3% only at a 10⁹-type vocabulary where the
+    // count noise is far below the LM's own estimation error.
     val toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
     val emitT = {
-      val w = col("__ws")
-      when(size(w) >= 3,
-        transform(sequence(lit(3), size(w)), i => struct(
-          h(concat(element_at(w, i - 2), sep, element_at(w, i - 1), sep,
-            element_at(w, i))).as("th"),
-          h(concat(element_at(w, i - 2), sep, element_at(w, i - 1))).as("ph"),
-          h(concat(element_at(w, i - 1), sep, element_at(w, i))).as("bh"),
-          h(element_at(w, i - 1)).as("fh"),
-          h(element_at(w, i)).as("uh"))))
+      val hs = col("__hs")
+      when(size(hs) >= 3,
+        transform(sequence(lit(3), size(hs)), i => struct(
+          struct(element_at(hs, i - 2).as("a"), element_at(hs, i - 1).as("b"),
+            element_at(hs, i).as("c")).as("th"),
+          struct(element_at(hs, i - 2).as("a"),
+            element_at(hs, i - 1).as("b")).as("ph"),
+          struct(element_at(hs, i - 1).as("a"),
+            element_at(hs, i).as("b")).as("bh"),
+          element_at(hs, i - 1).as("fh"),
+          element_at(hs, i).as("uh"))))
         .otherwise(array().cast(
-          "array<struct<th:binary,ph:binary,bh:binary,fh:binary,uh:binary>>"))
+          "array<struct<th:struct<a:bigint,b:bigint,c:bigint>," +
+            "ph:struct<a:bigint,b:bigint>,bh:struct<a:bigint,b:bigint>," +
+            "fh:bigint,uh:bigint>>"))
     }
+    val tokHashes = transform(toks, t => xxhash64(t))
     // train side: distinct-trigram counts with component hashes
     // attached. Materialized ONCE for its four consumers (ct/cp,
     // cb/cf) as a DISK_ONLY persist: the relation is corpus-scaled
@@ -791,7 +804,7 @@ object TextOps {
     // memory and evict under scale — disk blocks cost a sequential
     // write/read and keep lineage intact under executor loss, unlike
     // the lineage-truncating localCheckpoint.
-    val triTrain = train.select(toks.as("__ws"))
+    val triTrain = train.select(tokHashes.as("__hs"))
       .select(explode(emitT).as("__e"))
       .select(col("__e.th").as("__th"), col("__e.ph").as("__ph"),
         col("__e.bh").as("__bh"), col("__e.fh").as("__fh"))
@@ -811,13 +824,12 @@ object TextOps {
     val cb = triTrain.groupBy(col("__bh"))
       .agg(sum(col("__c")).as("__cb"), first(col("__fh")).as("__fh"))
       .join(cf, "__fh").select(col("__bh"), col("__cb"), col("__cf"))
-    val uni = train.select(explode(toks).as("__w"))
-      .select(h(col("__w")).as("__uh"))
+    val uni = train.select(explode(tokHashes).as("__uh"))
       .groupBy(col("__uh")).agg(count(lit(1)).as("__cu"))
       .transform(graft.util.GraftCache.barrier("TextOps.trigramUnigrams"))
     val n = uni.agg(sum(col("__cu")).as("__n"))
     // test side: per-doc trigram tf rows, then three hash-count joins
-    val tf = test.select(col(idCol).as("__id"), toks.as("__ws"))
+    val tf = test.select(col(idCol).as("__id"), tokHashes.as("__hs"))
       .select(col("__id"), explode(emitT).as("__e"))
       .groupBy(col("__id"), col("__e.th").as("__th"),
         col("__e.bh").as("__bh"), col("__e.uh").as("__uh"))

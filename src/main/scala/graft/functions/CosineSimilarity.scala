@@ -172,6 +172,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("norm_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "norm_text"),
       NormalizeText.builder))
+    ext.injectFunction((
+      FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      WsTokens.builder))
     // composed-cosine folds (SQL or third-party pipelines) rewrite to
     // the fused expression — bit-identical values, one codegen'd loop
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)

@@ -156,7 +156,7 @@ object CurationOps {
     require(buckets > 0, s"buckets must be positive: $buckets")
     def tf(df: DataFrame): DataFrame = df
       .select(col(idCol).as("__id"),
-        explode(filter(split(TextOps.normalizeText(col(textCol)), " "),
+        explode(filter(graft.functions.WsTokens(TextOps.normalizeText(col(textCol))),
           t => length(t) > 0)).as("__tok"))
       .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
       .withColumn("__b", pmod(
@@ -765,7 +765,7 @@ object CurationOps {
     // (native mixing, no string building, ANSI-safe)
     def gramHashes(c: Column): Column =
       flatten(transform(
-        array(transform(filter(split(trim(c), "\\s+"), t => t =!= ""),
+        array(transform(filter(graft.functions.WsTokens(c), t => t =!= ""),
           t => xxhash64(t))),
         hs => when(size(hs) >= n,
           array_distinct(transform(sequence(lit(0), size(hs) - n), i =>

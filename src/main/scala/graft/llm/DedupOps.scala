@@ -231,7 +231,7 @@ object DedupOps {
     * row-local value; referencing it per element is O(1).
     */
   def wordShingles(c: Column, n: Int): Column =
-    flatten(transform(array(split(trim(c), "\\s+")), toks =>
+    flatten(transform(array(graft.functions.WsTokens(c)), toks =>
       when(size(toks) >= n,
         array_distinct(transform(
           sequence(lit(0), size(toks) - n),
@@ -768,7 +768,7 @@ object DedupOps {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val w = window
-    val words = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val words = filter(graft.functions.WsTokens(col(textCol), lowercase = true), t => t =!= "")
     // stage words once (split is interpreted; see the scaladoc pattern
     // on minhashNearDups), then derive (id, pos, hash) and drop text
     val staged = df.select(col(idCol).as("__id"), words.as("__ws"))
@@ -840,7 +840,7 @@ object DedupOps {
     require(window >= 2, s"window must be >= 2, got $window")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val w = window
-    val words = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val words = filter(graft.functions.WsTokens(col(textCol), lowercase = true), t => t =!= "")
     val others = df.columns.filterNot(_ == textCol).toSeq
     val staged = df.select(
       (col(idCol).as("__id") +: words.as("__ws") +: others.map(col)): _*)

@@ -31,7 +31,7 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+      .otherwise(size(graft.functions.WsTokens(c)))
 
   /** BPE-ish sub-word piece count: alpha runs, digit runs, and single
     * punctuation marks each count as one piece (the shape of a byte-pair
@@ -48,7 +48,7 @@ object TextOps {
   /** Common-English stopword tokens / total tokens. */
   def stopwordRatio(c: Column): Column = {
     val stop = array(Stopwords.en.map(lit): _*)
-    val toks = split(lower(trim(c)), "\\s+")
+    val toks = graft.functions.WsTokens(c, lowercase = true)
     when(length(trim(c)) === 0, lit(0.0))
       .otherwise(size(array_intersect(array_distinct(toks), stop)).cast("double")
         / size(array_distinct(toks)))
@@ -93,7 +93,7 @@ object TextOps {
     */
   def langScore(c: Column, lang: String): Column = {
     val stop = array(Stopwords.byLang(lang).map(lit): _*)
-    size(array_intersect(array_distinct(split(lower(trim(c)), "\\s+")), stop))
+    size(array_intersect(array_distinct(graft.functions.WsTokens(c, lowercase = true)), stop))
   }
 
   /** CJK character count (for space-free scripts the token heuristics
@@ -194,7 +194,7 @@ object TextOps {
       .withColumn("__symbols", regexp_count(c, lit("#|\\.\\.\\.")))
       .withColumn("__toks",
         when(length(trim(c)) === 0, array().cast("array<string>"))
-          .otherwise(split(trim(c), "\\s+")))
+          .otherwise(graft.functions.WsTokens(c)))
       .withColumn("__alpha", size(filter(col("__toks"), t => t.rlike("[A-Za-z]"))))
       .withColumn("__lines",
         filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0))
@@ -238,7 +238,7 @@ object TextOps {
     */
   def withLangId(df: DataFrame, textCol: String, out: String = "lang"): DataFrame = {
     val langs = Seq("en", "de", "fr", "es")
-    val toks = array_distinct(split(lower(trim(col(textCol))), "\\s+"))
+    val toks = array_distinct(graft.functions.WsTokens(col(textCol), lowercase = true))
     val scores = array(langs.map(l =>
       size(array_intersect(col("__toks"), array(Stopwords.byLang(l).map(lit): _*)))): _*)
     val best = array_max(col("__scores"))
@@ -291,7 +291,7 @@ object TextOps {
     * element — the [[graft.llm.DedupOps.wordShingles]] note).
     */
   def dupWordRatio(c: Column): Column =
-    element_at(transform(array(split(normalizeText(c), " ")), toks =>
+    element_at(transform(array(graft.functions.WsTokens(normalizeText(c))), toks =>
       // empty normalized text splits to [""] — 1 distinct of 1 → 0.0,
       // the same value withRepetitionStats assigns the empty case
       when(size(toks) === 0, lit(0.0))
@@ -302,7 +302,7 @@ object TextOps {
   def withRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
     val c = col(textCol)
     val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
-    val toks = split(normalizeText(c), " ")
+    val toks = graft.functions.WsTokens(normalizeText(c))
     val ratio = (all: Column, dist: Column) =>
       round(lit(1.0) - dist.cast("double") / all.cast("double"), 6)
     df.withColumn("__lines", lines)
@@ -338,7 +338,7 @@ object TextOps {
     */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    df.select(explode(split(normalizeText(col(textCol)), " ")).as("token"))
+    df.select(explode(graft.functions.WsTokens(normalizeText(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -369,7 +369,7 @@ object TextOps {
     val qsep = java.util.regex.Pattern.quote(lineSep)
     val lineOk = (l: Column) =>
       trim(l).rlike("[.!?]$") &&
-        size(filter(split(trim(l), "\\s+"), t => length(t) > 0)) >= minWordsPerLine
+        size(filter(graft.functions.WsTokens(l), t => length(t) > 0)) >= minWordsPerLine
     val banned = bannedPhrases.map(p => contains(lower(col(textCol)), lit(p)))
       .reduceOption(_ || _).getOrElse(lit(false))
     df.withColumn("__lines", split(col(textCol), qsep))
@@ -423,7 +423,7 @@ object TextOps {
       conv(substring(md5(to_binary(t, lit("utf-8"))), 1, 8), 16, 10)
         .cast("long"), lit(numBuckets.toLong))
     df.withColumn("__toks",
-        filter(split(normalizeText(col(textCol)), " "), t => length(t) > 0))
+        filter(graft.functions.WsTokens(normalizeText(col(textCol))), t => length(t) > 0))
       .withColumn("__w", transform(col("__toks"), t => bucketWeight(bucket(t))))
       .withColumn("score",
         when(size(col("__toks")) === 0, lit(0.0))
@@ -453,7 +453,7 @@ object TextOps {
       k: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1: $minCount")
     require(k > 0, s"k must be positive: $k")
-    val arr = filter(split(normalizeText(col(textCol)), " "), x => length(x) > 0)
+    val arr = filter(graft.functions.WsTokens(normalizeText(col(textCol))), x => length(x) > 0)
     val toks = df.select(explode(arr).as("t"))
     val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).cast("double").as("tt"))
@@ -496,7 +496,7 @@ object TextOps {
   def bpePairStats(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val vocab = df
-      .select(explode(filter(split(normalizeText(col(textCol)), " "),
+      .select(explode(filter(graft.functions.WsTokens(normalizeText(col(textCol))),
         x => length(x) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     // sequence(1, 0) would DESCEND for 1-char words — guard to empty
@@ -570,7 +570,7 @@ object TextOps {
       idCol: String): DataFrame = {
     val tf = df
       .select(col(idCol).as("__id"),
-        explode(split(normalizeText(col(textCol)), " ")).as("__t"))
+        explode(graft.functions.WsTokens(normalizeText(col(textCol)))).as("__t"))
       .where(col("__t") =!= "")
       .groupBy(col("__id"), col("__t")).agg(count(lit(1)).as("__tf"))
       .transform(graft.util.GraftCache.barrier("TextOps.withUnigramSurprisal"))
@@ -675,7 +675,7 @@ object TextOps {
     */
   def withBigramSurprisal(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val ws = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val ws = filter(graft.functions.WsTokens(normalizeText(col(textCol))), t => t =!= "")
     val staged = df.select(col(idCol).as("__id"), ws.as("__ws"))
     val pairs = when(size(col("__ws")) >= 2,
       transform(sequence(lit(2), size(col("__ws"))), i => struct(
@@ -777,7 +777,7 @@ object TextOps {
     // P(any collision) ≈ |V|²/2⁶⁵, ~1e-10 at the bench scales the
     // oracle pins exactly, ~3% only at a 10⁹-type vocabulary where the
     // count noise is far below the LM's own estimation error.
-    val toks = filter(split(normalizeText(col(textCol)), " "), t => t =!= "")
+    val toks = filter(graft.functions.WsTokens(normalizeText(col(textCol))), t => t =!= "")
     val emitT = {
       val hs = col("__hs")
       when(size(hs) >= 3,
@@ -888,7 +888,7 @@ object TextOps {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val staged = df
-      .select(col(idCol).as("id"), split(normalizeText(col(textCol)), " ").as("_tk"))
+      .select(col(idCol).as("id"), graft.functions.WsTokens(normalizeText(col(textCol))).as("_tk"))
       .select(col("id") +: size(col("_tk")).as("_dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(col("_tk"), x => x === lit(t))).as(s"_tf$i") }: _*)
@@ -913,7 +913,7 @@ object TextOps {
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = df
       .select(col(idCol).as("__id"),
-        explode(split(normalizeText(col(textCol)), " ")).as("token"))
+        explode(graft.functions.WsTokens(normalizeText(col(textCol)))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("__tf"))
       .transform(graft.util.GraftCache.barrier("TextOps.tfidfKeywords"))
@@ -949,7 +949,7 @@ object TextOps {
     require(overlapWords >= 0 && overlapWords < chunkWords,
       s"overlapWords must be in [0, chunkWords), got $overlapWords")
     val step = chunkWords - overlapWords
-    val ws = filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= "")
+    val ws = filter(graft.functions.WsTokens(col(textCol), lowercase = true), t => t =!= "")
     val staged = df.select(col(idCol).as("__id"), ws.as("__ws"))
       .select(col("__id"), col("__ws"), size(col("__ws")).as("__nw"))
     val chunks = when(col("__nw") >= 1,
@@ -1139,7 +1139,7 @@ object TextOps {
     */
   def positionalIndex(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
-        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+        posexplode(graft.functions.WsTokens(col(textCol), lowercase = true)).as(Seq("pos", "term")))
       .where(length(col("term")) > 0)
 
   /** Exact-phrase search over the positional index: term i must appear

@@ -392,7 +392,7 @@ object LlmQueries extends QueryPack {
         val base = d.where(col("doc_id") < 150).select(col("doc_id"), col("text"))
           .unionByName(d.where(col("doc_id") < 30).select(
             (col("doc_id") + 3000000).as("doc_id"),
-            array_join(slice(split(trim(col("text")), "\\s+"), 1, 24), " ")
+            array_join(slice(graft.functions.WsTokens(col("text")), 1, 24), " ")
               .as("text")))
         DedupOps.containmentDups(base, "text", "doc_id",
           n = 4, threshold = 0.8, maxShingleDocs = 50)
@@ -2351,7 +2351,7 @@ object LlmQueries extends QueryPack {
       (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
           .select((col("doc_id") % 2).cast("int").as("g"),
-            explode(split(TextOps.normalizeText(col("text")), " ")).as("t"))
+            explode(graft.functions.WsTokens(TextOps.normalizeText(col("text")))).as("t"))
           .where(col("t") =!= "")
         val counts = toks.groupBy(col("g"), col("t"))
           .agg(count(lit(1)).as("c"))

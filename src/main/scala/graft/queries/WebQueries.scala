@@ -126,7 +126,7 @@ object WebQueries extends QueryPack {
       (s, dir) => {
         val toks = Tables.load(s, dir, "documents")
           .select(explode(filter(
-            split(TextOps.normalizeText(col("text")), " "),
+            graft.functions.WsTokens(TextOps.normalizeText(col("text"))),
             t => length(t) > 0)).as("token"))
         val sketch = graft.operators.SketchOps.countMin(toks, "token",
           depth = 4, width = 64)

@@ -77,7 +77,9 @@ object DedupOps {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.util.sketch.BloomFilter
 
-    val h = md5(to_binary(col(textCol), lit("utf-8")))
+    // r17: 16-byte md5 binary keys (internal only; guide §2.3) — the
+    // bloom input is xxhash64(__h), which accepts binary unchanged
+    val h = unhex(md5(to_binary(col(textCol), lit("utf-8"))))
     val corpusH = corpus.select(h.as("__h"))
     val newH = newBatch.withColumn("__h", h)
     val originalCols = newBatch.columns.toSeq

@@ -54,6 +54,26 @@ object ProfileQ33 {
          |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
          |    AND s_nationkey = n_nationkey) profit
          |GROUP BY n_name, o_year""".stripMargin)
+    time("q33_yearproj",
+      s"""SELECT n_name, o_year, round(sum(amount), 2) AS profit
+         |FROM (
+         |  SELECT n_name, o_year,
+         |         l_extendedprice * (1 - l_discount) - cost * l_quantity AS amount
+         |  FROM supplier_v, ($priced) priced,
+         |       (SELECT o_orderkey, year(o_orderdate) AS o_year FROM orders_v) o,
+         |       nation_v
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND s_nationkey = n_nationkey) profit
+         |GROUP BY n_name, o_year""".stripMargin)
+    time("q33_shj",
+      s"""SELECT /*+ SHUFFLE_HASH(priced) */ n_name, o_year, round(sum(amount), 2) AS profit
+         |FROM (
+         |  SELECT n_name, year(o_orderdate) AS o_year,
+         |         l_extendedprice * (1 - l_discount) - cost * l_quantity AS amount
+         |  FROM supplier_v, ($priced) priced, orders_v, nation_v
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND s_nationkey = n_nationkey) profit
+         |GROUP BY n_name, o_year""".stripMargin)
     spark.stop()
   }
 }

@@ -80,6 +80,25 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
+      // r17: DRAIN, don't just request. unpersist/clearCache release
+      // REFERENCES, but the blocks (and every broadcast any query built
+      // — ~150 of them by the 100× tier) die only when ContextCleaner
+      // processes the GC'd references, which is asynchronous. Across a
+      // ~17-minute bench the backlog squeezed the 8 GB local-mode heap
+      // enough that the LAST tier's queries ran ~3× slower in the bench
+      // JVM than the same code in a fresh one (t24 at 100×: 51 s in-
+      // bench vs 17 s standalone, equal bytes, zero spill — pure GC
+      // pressure). Poll the public status tracker until storage memory
+      // is actually released (bounded wait), re-nudging GC each round.
+      val deadline = System.nanoTime() + 3000000000L // 3 s cap
+      var usedMb = Long.MaxValue
+      while (usedMb > 64L && System.nanoTime() < deadline) {
+        Thread.sleep(100L)
+        usedMb = spark.sparkContext.statusTracker.getExecutorInfos
+          .map(i => i.usedOnHeapStorageMemory() + i.usedOffHeapStorageMemory())
+          .sum / (1024L * 1024L)
+        if (usedMb > 64L) System.gc()
+      }
     }
 
     // Warm EVERY headline's plan on the smallest SF so per-query times

@@ -1156,33 +1156,31 @@ object CoreQueries extends QueryPack {
       // bit-equal. The window exchange+sort now carries only bolt
       // lineitems: at the 100× tier this removed the plan's 4.7 GB sort
       // spill and cut the fact exchange ~17× (guide §2.3/§2.4).
-      // Two more measured 100×-tier cuts (guide §3.1, §2.3): the orders
-      // side projects year(o_orderdate) BEFORE its exchange (an int per
+      // One more measured 100×-tier cut (guide §2.3): the orders side
+      // projects year(o_orderdate) BEFORE its exchange (an int per
       // order instead of a timestamp, computed once per order rather
-      // than per joined row; 5.5 → 4.3 s), and the orders join is a
-      // SHUFFLE_HASH with the bolt-filtered fact as build side (skips
-      // both sort legs of the would-be sort-merge; → 3.1 s). Build-side
-      // memory is the pre-filtered fact / shuffle-partition count with
-      // near-uniform orderkeys, which stays bounded under AQE-sized
-      // partitions at scale.
+      // than per joined row; 5.5 → 4.3 s in the A/B). A SHUFFLE_HASH
+      // hint on the same join was ALSO tried and measured neutral vs
+      // the sort-merge (4.3 vs 4.2 s min-of-3 at 100×) once properly
+      // resolved, so the scale-safer default strategy stays (guide
+      // §3.1: pick deliberately — and keep what measurement supports).
       (s, dir) => {
         Seq("part", "supplier", "lineitem", "orders", "nation")
           .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(s"${t}_v"))
         s.sql(
-          """WITH priced AS (
-            |  SELECT l_suppkey, l_orderkey, l_quantity,
-            |         l_extendedprice, l_discount,
-            |         min(l_extendedprice / l_quantity)
-            |           OVER (PARTITION BY l_partkey, l_suppkey) AS cost
-            |  FROM lineitem_v, part_v
-            |  WHERE p_partkey = l_partkey AND p_name LIKE '%bolt%')
-            |SELECT /*+ SHUFFLE_HASH(priced) */
-            |       n_name, o_year, round(sum(amount), 2) AS profit
+          """SELECT n_name, o_year, round(sum(amount), 2) AS profit
             |FROM (
             |  SELECT n_name, o_year,
             |         l_extendedprice * (1 - l_discount)
             |           - cost * l_quantity AS amount
-            |  FROM supplier_v, priced,
+            |  FROM supplier_v,
+            |       (SELECT l_suppkey, l_orderkey, l_quantity,
+            |               l_extendedprice, l_discount,
+            |               min(l_extendedprice / l_quantity)
+            |                 OVER (PARTITION BY l_partkey, l_suppkey) AS cost
+            |        FROM lineitem_v, part_v
+            |        WHERE p_partkey = l_partkey
+            |          AND p_name LIKE '%bolt%') priced,
             |       (SELECT o_orderkey, year(o_orderdate) AS o_year
             |        FROM orders_v) o,
             |       nation_v

@@ -35,6 +35,16 @@ object SpotTime {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
+      // drain released blocks/broadcasts (see Bench.resetSession)
+      val deadline = System.nanoTime() + 3000000000L
+      var usedMb = Long.MaxValue
+      while (usedMb > 64L && System.nanoTime() < deadline) {
+        Thread.sleep(100L)
+        usedMb = spark.sparkContext.statusTracker.getExecutorInfos
+          .map(i => i.usedOnHeapStorageMemory() + i.usedOffHeapStorageMemory())
+          .sum / (1024L * 1024L)
+        if (usedMb > 64L) System.gc()
+      }
     }
     // SPOT_ACTION=count reproduces the old Bench action; default is a
     // noop write — full materialization of every output column, so

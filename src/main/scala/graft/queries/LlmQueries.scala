@@ -2279,7 +2279,10 @@ object LlmQueries extends QueryPack {
       // (train = even docs, test = odd): unseen trigrams actually back
       // off, unlike t14's self-scored corpus where every n-gram is
       // seen. Backoff constants are literal 0.4/0.16/0.064 in both
-      // engines (0.4² in doubles is not 0.16).
+      // engines (0.4² in doubles is not 0.16). N-gram identity rides
+      // 64-bit per-token fingerprints — a DECLARED approximation
+      // (SURVEY §2.4): exact at every oracle-measured scale, collision
+      // semantics pinned by TrigramFingerprintCollisionSpec.
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
         TextOps.withTrigramBackoff(

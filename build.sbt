@@ -23,8 +23,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap scales with the local-mode thread count (r17 verdict
+// item 2a): local[32] under the old flat 8g default left ~250 MB of
+// heap per executor thread, so the late 100x bench tier measured the
+// allocator, not the plan (8-core runs beat 32-core on identical code).
+// 1 GiB per thread, floor 8g; SPARK_DRIVER_MEM still overrides.
+val defaultDriverMem: String = {
+  val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+    .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
+  s"${math.max(8, cpus)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

@@ -491,6 +491,14 @@ object Bench {
         s"""which let outer-join elimination prune join-attach queries """ +
         s"""(t24 read ~3x low at 100x) — cross-round per-query deltas """ +
         s"""vs r14 and earlier include this methodology shift",""" +
+        s""""scaling_note":"1x-tier per-query times are job-launch-""" +
+        s"""bound (0.2-2 s) and cannot witness core scaling (every """ +
+        s"""8-vs-32 ratio ~1 is physics, not an ignored cpu count — """ +
+        s"""master/shuffle.partitions DO honor SPARK_GRAFT_CPUS); """ +
+        s"""compare the scale10x/scale100x/soak blocks across cpu """ +
+        s"""arms instead. Heap now scales with the thread count """ +
+        s"""(build.sbt defaultDriverMem) so those tiers measure the """ +
+        s"""plan, not the allocator",""" +
         s""""loadavg_1x":"${esc(loadavg1x)}",""" +
         s""""load_gate":{"threshold":$loadGateThreshold,""" +
         s""""waits":$loadGateWaits,"timeouts":[${loadGateTimeouts

@@ -320,10 +320,25 @@ object TextOps {
         when(size(col("__toks")) === 0, lit(0.0))
           .otherwise(ratio(size(col("__toks")), size(array_distinct(col("__toks"))))))
       .withColumn("top_bigram_frac",
+        // r18 (guide §1.2 step 2): most-frequent-bigram count as ONE
+        // sort + max-run-length pass — O(n log n) — replacing the
+        // O(distinct × n) count-per-distinct loop (distinct-bigram ×
+        // full-array string comparisons per document). Bit-exact: the
+        // max adjacent-equal run of the sorted array IS the max
+        // multiplicity, whatever the sort order puts between groups.
         when(size(col("__bg")) === 0, lit(0.0))
           .otherwise(round(
-            array_max(transform(array_distinct(col("__bg")),
-              d => size(filter(col("__bg"), x => x === d)))).cast("double")
+            aggregate(array_sort(col("__bg")),
+              struct(lit(null).cast("string").as("prev"),
+                lit(0L).as("run"), lit(0L).as("best")),
+              (acc, x) => {
+                val run = when(acc.getField("prev").isNull ||
+                  acc.getField("prev") =!= x, lit(1L))
+                  .otherwise(acc.getField("run") + lit(1L))
+                struct(x.as("prev"), run.as("run"),
+                  greatest(acc.getField("best"), run).as("best"))
+              },
+              acc => acc.getField("best")).cast("double")
               / size(col("__bg")).cast("double"), 6)))
       .drop("__lines", "__toks", "__bg")
   }

@@ -954,8 +954,7 @@ final class WarehouseTable private (
         (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
         !days.exists(bloomNeedsHeal)
       if (fileGranular) {
-        val (merged, matchedFiles, ck) = mergeFileGranularPlan(days, src, delete, snap)
-        flushCkpts = ck :: flushCkpts
+        val (merged, matchedFiles) = mergeFileGranularPlan(days, src, delete, snap)
         val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
         val preExisting = days.filter(d =>
           fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
@@ -1057,7 +1056,7 @@ final class WarehouseTable private (
     */
   private def mergeFileGranularPlan(days: Seq[String], src: DataFrame,
       delete: Boolean, snap: StructType)
-      : (DataFrame, Map[String, Seq[String]], DataFrame) = {
+      : (DataFrame, Map[String, Seq[String]]) = {
     val srcVal = mergeValueFields(src, snap).map { case (f, inBatch) =>
       if (inBatch) col(s"s.value.`${f.name}`").as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
@@ -1070,27 +1069,31 @@ final class WarehouseTable private (
     val destKeys = readCommitted(days, snap).select(
       keyFields.map(f => col(s"`$f`")) :+ col(partitionCol) :+
         element_at(split(input_file_name(), "/"), -1).as("_gfile"): _*)
-    // matched dest rows, materialized once (≤ batch keys): serves the
-    // matched-file collect, the updates leg, and the insert anti-key set
-    // named eager checkpoint, returned to merge() for handle-based
-    // release in its finally (the staging write is the last consumer):
-    // a completed flush leaves NO MEMORY_AND_DISK block behind —
-    // without the release they linger until ContextCleaner GC, per
-    // flush, for the life of the session (Dataset.unpersist cannot
-    // free them; GraftCache doc)
-    val touched = guardStaleRead(destKeys.as("d")
+    // matched dest rows (≤ batch keys, file-granular implies srcRows ≤
+    // broadcastMergeMaxRows): ONE bounded collect serves all three
+    // consumers — the matched-file set (driver-side groupBy below), the
+    // updates leg's stream side, and the insert anti-key set, the
+    // latter two rebuilt as a LocalRelation with the plan's own schema.
+    // r17 materialized this as a named eager checkpoint (2 jobs) plus a
+    // SECOND (day, file) collect of the same cardinality (1 job) and a
+    // handle-release in merge()'s finally; the single collect is one
+    // job, crosses the driver once at the same row bound, and leaves no
+    // persisted blocks to free (r18, guide §1.2 driver fixed costs)
+    val touchedPlan = destKeys.as("d")
       .join(broadcast(srcKeys.as("s")), keyCond, "inner")
       .select(keyFields.map(f => col(s"d.`$f`").as(f)) :+
-        col(s"d.$partitionCol").as(partitionCol) :+ col("_gfile"): _*)
-      .transform(graft.util.GraftCache.namedCheckpoint(s"WarehouseTable.touched@$root")))
-    // raw collect off the checkpoint + driver-side dedup: the pair set
-    // is batch-bounded and a distinct() would cost an exchange plus an
-    // extra AQE job per flush (job count IS small-flush latency)
-    val matchedFiles: Map[String, Seq[String]] = touched
-      .select(col(partitionCol).cast("string"), col("_gfile"))
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (d, rs) => d -> rs.map(_.getString(1)).distinct.toSeq.sorted }
+        col(s"d.$partitionCol").as(partitionCol) :+
+        col(s"d.$partitionCol").cast("string").as("_gday") :+ col("_gfile"): _*)
+    val touchedRows = guardStaleRead(touchedPlan.collect())
+    val touched = spark.createDataFrame(
+      java.util.Arrays.asList(touchedRows: _*), touchedPlan.schema)
+    // driver-side dedup of the (day, file) pairs: batch-bounded, and a
+    // distinct() would cost an exchange plus an extra AQE job per flush
+    // (job count IS small-flush latency)
+    val matchedFiles: Map[String, Seq[String]] = touchedRows
+      .groupBy(_.getAs[String]("_gday"))
+      .map { case (d, rs) =>
+        d -> rs.map(_.getAs[String]("_gfile")).distinct.toSeq.sorted }
     val matchedPaths = matchedFiles.toSeq.flatMap { case (d, names) =>
       names.map(n => s"$dataPath/$partitionCol=$d/$n")
     }
@@ -1116,7 +1119,7 @@ final class WarehouseTable private (
         keyFields.map(f => col(s"s.key.$f").as(f)) ++
           srcVal :+
           stagedSlice("s.").as(partitionCol): _*)
-    (survivors.unionByName(updates).unionByName(inserts), matchedFiles, touched)
+    (survivors.unionByName(updates).unionByName(inserts), matchedFiles)
   }
 
   /** The preferred merge plan: a full-outer join can never broadcast in

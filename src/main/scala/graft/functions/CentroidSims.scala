@@ -46,13 +46,19 @@ case class CentroidSims(child: Expression, centroids: Seq[Seq[Double]])
   @transient private lazy val centArrays: Array[Array[Double]] =
     centroids.map(_.toArray).toArray
 
+  // r18: constant centroid norms hoisted out of the per-row loop (see
+  // NearestCentroid — same index-order accumulation, bit-identical)
+  @transient private lazy val centNorms: Array[Double] =
+    NearestCentroid.norms(centArrays)
+
   override def nullSafeEval(input: Any): Any =
-    CentroidSims.compute(input.asInstanceOf[ArrayData], centArrays)
+    CentroidSims.compute(input.asInstanceOf[ArrayData], centArrays, centNorms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("centroids", centArrays, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = graft.functions.CentroidSims.compute($c, $centsRef);
+       |${ev.value} = graft.functions.CentroidSims.compute($c, $centsRef, $normsRef);
        |if (${ev.value} == null) { ${ev.isNull} = true; }
      """.stripMargin)
   }
@@ -78,33 +84,38 @@ object CentroidSims {
   }
 
   /** The fused loop (also the codegen target). Same per-cell
-    * accumulation order as [[CosineSimilarity]]/[[NearestCentroid]].
+    * accumulation order as [[CosineSimilarity]]/[[NearestCentroid]];
+    * r18: row norm hoisted out of the centroid loop, centroid norms
+    * precomputed — bit-identical values (NearestCentroid.compute doc).
     */
-  def compute(vec: ArrayData, cents: Array[Array[Double]]): ArrayData = {
+  def compute(vec: ArrayData, cents: Array[Array[Double]],
+      centNorms: Array[Double]): ArrayData = {
     val n = vec.numElements()
     var i = 0
     while (i < n) {
       if (vec.isNullAt(i)) return null
       i += 1
     }
+    var nx = 0.0
+    i = 0
+    while (i < n) {
+      val xi = vec.getDouble(i)
+      nx += xi * xi
+      i += 1
+    }
+    val nxs = math.sqrt(nx)
     val out = new Array[Double](cents.length)
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
       if (cent.length != n) return null
       var dot = 0.0
-      var nx = 0.0
-      var ny = 0.0
       i = 0
       while (i < n) {
-        val xi = vec.getDouble(i)
-        val yi = cent(i)
-        dot += xi * yi
-        nx += xi * xi
-        ny += yi * yi
+        dot += vec.getDouble(i) * cent(i)
         i += 1
       }
-      val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      val s = dot / (nxs * centNorms(c))
       out(c) = if (s.isNaN) -1.0 else s
       c += 1
     }

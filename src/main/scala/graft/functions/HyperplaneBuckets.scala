@@ -79,7 +79,12 @@ object HyperplaneBuckets {
 
   /** `planeComponent(p, d)` — md5("p{p}_d{d}") first 6 hex chars as a
     * 24-bit int, scaled to [-1, 1]: identical to the SQL/column formula.
+    * Shared with [[RpProject]] (r18) — both draw from the same global
+    * plane family, so the memoized cache serves both.
     */
+  private[functions] def planeComponent(plane: Int, dim: Int): Double =
+    component(plane, dim)
+
   private def component(plane: Int, dim: Int): Double = {
     val key = plane.toLong << 32 | (dim.toLong & 0xffffffffL)
     val cached = componentCache.get(key)

@@ -61,13 +61,21 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
   @transient private lazy val centArrays: Array[Array[Double]] =
     centroids.map(_.toArray).toArray
 
+  // r18 (guide §1.2 step 2): centroid norms are constants — computed
+  // once per expression (same index-order accumulation as the fused
+  // loop, so sqrt of them is the identical double) instead of once per
+  // (row × centroid)
+  @transient private lazy val centNorms: Array[Double] =
+    NearestCentroid.norms(centArrays)
+
   override def nullSafeEval(input: Any): Any =
-    NearestCentroid.compute(input.asInstanceOf[ArrayData], centArrays)
+    NearestCentroid.compute(input.asInstanceOf[ArrayData], centArrays, centNorms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("centroids", centArrays, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = graft.functions.NearestCentroid.compute($c, $centsRef);
+       |${ev.value} = graft.functions.NearestCentroid.compute($c, $centsRef, $normsRef);
        |if (${ev.value} == null) { ${ev.isNull} = true; }
      """.stripMargin)
   }
@@ -96,14 +104,30 @@ object NearestCentroid {
   /** The fused loop (also the codegen target — a static call per row).
     * Returns null for ragged lengths or null elements — the same
     * poisoning the staged per-cell cosines produce.
+    *
+    * r18: the row norm hoists out of the centroid loop (it is the same
+    * accumulation over the same vector every iteration — identical
+    * double) and centroid norms arrive precomputed (`norms`), so the
+    * inner loop is 1 FMA per element instead of 3. `s` is the same
+    * `dot / (sqrt(nx) * sqrt(ny))` double as before — bit-identical,
+    * parity re-pinned by the existing staged-form spec.
     */
-  def compute(vec: ArrayData, cents: Array[Array[Double]]): InternalRow = {
+  def compute(vec: ArrayData, cents: Array[Array[Double]],
+      centNorms: Array[Double]): InternalRow = {
     val n = vec.numElements()
     var i = 0
     while (i < n) {
       if (vec.isNullAt(i)) return null
       i += 1
     }
+    var nx = 0.0
+    i = 0
+    while (i < n) {
+      val xi = vec.getDouble(i)
+      nx += xi * xi
+      i += 1
+    }
+    val nxs = math.sqrt(nx)
     var best = -2.0
     var bestCell = -1
     var c = 0
@@ -111,18 +135,12 @@ object NearestCentroid {
       val cent = cents(c)
       if (cent.length != n) return null
       var dot = 0.0
-      var nx = 0.0
-      var ny = 0.0
       i = 0
       while (i < n) {
-        val xi = vec.getDouble(i)
-        val yi = cent(i)
-        dot += xi * yi
-        nx += xi * xi
-        ny += yi * yi
+        dot += vec.getDouble(i) * cent(i)
         i += 1
       }
-      var s = dot / (math.sqrt(nx) * math.sqrt(ny))
+      var s = dot / (nxs * centNorms(c))
       if (s.isNaN) s = -1.0 // nanvl(cosine, -1): zero-norm ranks last
       // strict greater-than: first maximum wins, matching the staged
       // array_position(cellSims, array_max(cellSims)) first occurrence
@@ -130,5 +148,26 @@ object NearestCentroid {
       c += 1
     }
     new GenericInternalRow(Array[Any](bestCell, best))
+  }
+
+  /** Per-centroid `sqrt(Σ y²)` in the fused loop's index order — the
+    * constant half of every cosine in [[compute]].
+    */
+  def norms(cents: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var ny = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val yi = cent(i)
+        ny += yi * yi
+        i += 1
+      }
+      out(c) = math.sqrt(ny)
+      c += 1
+    }
+    out
   }
 }

@@ -183,16 +183,24 @@ object SimOps extends org.apache.spark.internal.Logging {
       vecName: String, clusterName: String,
       simName: Option[String]): DataFrame = {
     if (cents.size <= AssignBlock) {
-      val staged = df.withColumn("__cellSims",
-        array(cents.map(ct =>
-          nanvl(graft.functions.CosineSimilarity(col(vecName), typedLit(ct)),
-            lit(-1d))): _*))
+      // r18 (guide §1.2 step 2): the row norm is the same value in all
+      // k per-cell cosines and every centroid norm is a CONSTANT — so
+      // the row norm stages once per row and centroid norms fold to
+      // literals (same index-order accumulation as the fused loop →
+      // bit-identical sims; cosineStaged doc). Assignment drops from
+      // 3 FMAs to 1 FMA per (element × cell).
+      val staged = df.withColumn("__vn", vecNorm(col(vecName)))
+        .withColumn("__cellSims",
+          array(cents.map(ct =>
+            nanvl(cosineStaged(col(vecName), col("__vn"), typedLit(ct),
+              lit(math.sqrt(ct.foldLeft(0.0)((acc, y) => acc + y * y)))),
+              lit(-1d))): _*))
       val withC = staged.withColumn(clusterName,
         (array_position(col("__cellSims"), array_max(col("__cellSims"))) - 1)
           .cast("int"))
       simName.fold(withC)(s =>
           withC.withColumn(s, col("__cellSims").getItem(col(clusterName))))
-        .drop("__cellSims")
+        .drop("__cellSims").drop("__vn")
     } else {
       val withB = df.withColumn("__best",
           graft.functions.NearestCentroid(col(vecName), cents))
@@ -220,6 +228,33 @@ object SimOps extends org.apache.spark.internal.Logging {
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
+
+  /** `sqrt(dot(v, v))` — one side's norm half of the fused cosine,
+    * staged ONCE per row by the pair-scan call sites (see
+    * [[cosineStaged]]). Accumulates in the fused loop's index order, so
+    * it equals the fused loop's `sqrt(nx)` bit-for-bit.
+    */
+  def vecNorm(v: Column): Column =
+    sqrt(graft.functions.DotProduct(v, v))
+
+  /** Norm-hoisted cosine for the quadratic pair scans (r18, guide §1.2
+    * step 2): `dot(a, b) / (an * bn)` where `an`/`bn` are [[vecNorm]]
+    * columns staged once per row on each side of the pair join — the
+    * per-PAIR loop then runs 1 FMA per element instead of
+    * [[cosine]]'s 3 (dot + both norms).
+    *
+    * BIT-IDENTICAL to `cosine(a, b)`, not approximately equal: the
+    * three accumulations are the same sequential folds evaluated at
+    * different times, and `sqrt`/`*`/`/` are the same scalar double
+    * ops ([[graft.functions.DotProduct]] doc) — so sims, orderings,
+    * and round(…, 6) outputs are unchanged (oracle-gated at every call
+    * site). Null surface coincides: the per-pair dot is null exactly
+    * where the fused cosine is (null input, length mismatch, null
+    * element) and a null poisons the divide; zero norms give the same
+    * 0/0 = NaN. Parity spec: `DotProductSpec`.
+    */
+  def cosineStaged(a: Column, an: Column, b: Column, bn: Column): Column =
+    graft.functions.StagedCosine(a, b, an, bn)
 
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors (excluding itself). The query side is
@@ -280,17 +315,25 @@ object SimOps extends org.apache.spark.internal.Logging {
         pl.expressions.exists(e => e.exists(!_.deterministic)))
       if (nondet) df.transform(graft.util.GraftCache.barrier(site)) else df
     }
+    // norms staged inside the (possibly frozen) per-side projections
+    // (r18): the O(corpus × probes) scored stream — which this
+    // operator evaluates TWICE — pays dot-only per pair; the recomputed
+    // sim stays bit-identical across the passes (cosineStaged doc), so
+    // the max re-match contract is untouched
     val c = freeze(corpus.select(col(idCol).as("train_id"),
-      col(vecCol).cast("array<double>").as("t_vec")),
+      col(vecCol).cast("array<double>").as("t_vec"))
+      .withColumn("_tn", vecNorm(col("t_vec"))),
       "SimOps.crossSetMaxSim.corpus")
     val p = freeze(probes.select(col(idCol).as("test_id"),
-      col(vecCol).cast("array<double>").as("p_vec")),
+      col(vecCol).cast("array<double>").as("p_vec"))
+      .withColumn("_pn", vecNorm(col("p_vec"))),
       "SimOps.crossSetMaxSim.probes")
     // vectors DROP in the same select that consumes them — everything
     // past this projection moves (test_id, train_id, sim) scalars
     def scored = c.join(broadcast(p))
       .select(col("test_id"), col("train_id"),
-        cosine(col("p_vec"), col("t_vec")).as("sim"))
+        cosineStaged(col("p_vec"), col("_pn"),
+          col("t_vec"), col("_tn")).as("sim"))
     val best = scored.groupBy(col("test_id")).agg(max(col("sim")).as("sim"))
     scored.join(broadcast(best), Seq("test_id", "sim"))
       .groupBy(col("test_id"), col("sim"))
@@ -349,12 +392,18 @@ object SimOps extends org.apache.spark.internal.Logging {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms staged per corpus row / per broadcast query row (r18): the
+    // O(corpus × queries) scan below then pays dot-only per pair —
+    // bit-identical sims (cosineStaged doc)
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
+      .withColumn("_cn", vecNorm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("_qn", vecNorm(col("q_vec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("sim",
+        cosineStaged(col("q_vec"), col("_qn"), col("nbr_vec"), col("_cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
@@ -384,12 +433,16 @@ object SimOps extends org.apache.spark.internal.Logging {
   def radiusSearch(
       corpus: DataFrame, queries: DataFrame, minSim: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // same staged-norm pair scan as bruteForceTopK (r18)
     val c = corpus.select(col(idCol).as("nbr_id"),
       col(vecCol).cast("array<double>").as("nbr_vec"))
+      .withColumn("_cn", vecNorm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
+      .withColumn("_qn", vecNorm(col("q_vec")))
     c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+      .withColumn("sim",
+        cosineStaged(col("q_vec"), col("_qn"), col("nbr_vec"), col("_cn")))
       .where(col("sim") >= minSim)
       .select(col("query_id"), col("nbr_id"), col("sim"))
   }
@@ -490,9 +543,11 @@ object SimOps extends org.apache.spark.internal.Logging {
       .transform(graft.util.GraftCache.barrier("SimOps.embeddingNearDups")) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = vecs
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
-      .select(col("id").as(idn), col("v").as(vn))
+      .select(col("id").as(idn), col("v").as(vn),
+        vecNorm(col("v")).as(s"_n$idn")) // staged per id (r18)
     pairs.join(side("id1", "v1"), "id1").join(side("id2", "v2"), "id2")
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .withColumn("sim", cosineStaged(col("v1"), col("_nid1"),
+        col("v2"), col("_nid2")))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
@@ -542,10 +597,12 @@ object SimOps extends org.apache.spark.internal.Logging {
     // set is small by this operator's contract, as in bruteForceTopK)
     val candCorpus = c
       .join(cand.select(col("nbr_id")).distinct(), Seq("nbr_id"), "left_semi")
+      .withColumn("_cn", vecNorm(col("nbr_vec"))) // staged per id (r18)
     val scored = cand
       .join(candCorpus, "nbr_id")
-      .join(broadcast(q), "query_id")
-      .withColumn("sim", cosine(col("q_vec"), col("nbr_vec")))
+      .join(broadcast(q.withColumn("_qn", vecNorm(col("q_vec")))), "query_id")
+      .withColumn("sim",
+        cosineStaged(col("q_vec"), col("_qn"), col("nbr_vec"), col("_cn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
@@ -623,7 +680,8 @@ object SimOps extends org.apache.spark.internal.Logging {
     // PER STAGE REPLAY — measured 8× on the 10× tier. DISK_ONLY: the
     // assignment is corpus-scaled (it carries the vectors).
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
-      .select(col("nbr_id"), col("nbr_vec"), col("cell"))
+      .select(col("nbr_id"), col("nbr_vec"), col("cell"),
+        vecNorm(col("nbr_vec")).as("_cn")) // staged into the index (r18)
       .transform(graft.util.GraftCache.barrier("SimOps.withCellSims"))
     // queries probe their nProbe nearest cells (query set is small by
     // this operator's contract — the window here ranks cells per query)
@@ -640,7 +698,8 @@ object SimOps extends org.apache.spark.internal.Logging {
       .where(col("cellRank") <= nProbe)
       .select(col("cell"), col("query_id"))
     val qProbes = q.join(broadcast(probeCells), "query_id")
-      .select(col("cell"), col("query_id"), col("q_vec"))
+      .select(col("cell"), col("query_id"), col("q_vec"),
+        vecNorm(col("q_vec")).as("_qn"))
     // a corpus vector lives in exactly one cell and a query probes
     // distinct cells, so each (query, nbr) pair scores at most once —
     // no dedup pass needed (unlike the OR-amplified LSH tables)
@@ -649,7 +708,8 @@ object SimOps extends org.apache.spark.internal.Logging {
       .select(col("query_id"), col("nbr_id"),
         // same NaN coalescing as the cell stage: a zero-norm neighbor
         // must rank last (sim -1), not first (NaN sorts highest desc)
-        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
+        nanvl(cosineStaged(col("q_vec"), col("_qn"),
+          col("nbr_vec"), col("_cn")), lit(-1d)).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
@@ -757,9 +817,11 @@ object SimOps extends org.apache.spark.internal.Logging {
       .transform(graft.util.GraftCache.barrier("SimOps.semanticNearDups")) // referenced three times below; see DedupOps
     def side(idn: String, vn: String) = c
       .join(pairs.select(col(idn).as("id")).distinct(), Seq("id"), "left_semi")
-      .select(col("id").as(idn), col("v").as(vn))
+      .select(col("id").as(idn), col("v").as(vn),
+        vecNorm(col("v")).as(s"_n$idn")) // staged per id (r18)
     pairs.join(side("id1", "v1"), "id1").join(side("id2", "v2"), "id2")
-      .withColumn("sim", nanvl(cosine(col("v1"), col("v2")), lit(-1d)))
+      .withColumn("sim", nanvl(cosineStaged(col("v1"), col("_nid1"),
+        col("v2"), col("_nid2")), lit(-1d)))
       .where(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
@@ -860,14 +922,20 @@ object SimOps extends org.apache.spark.internal.Logging {
       .map(j => element_at(typedLit(books(j)),
         element_at(col("_codes"), j + 1) + 1)): _*))
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+      .select(col("nbr_id"), col("_recon"),
+        vecNorm(col("_recon")).as("_rn")) // staged into the index (r18)
       .transform(graft.util.GraftCache.barrier("SimOps.pqTopK"))
 
     // asymmetric scan: rank every corpus row per query by approximate
     // cosine against the reconstruction; NaN (zero-norm) coalesces to
-    // -1 so degenerate rows rank last deterministically
-    val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+    // -1 so degenerate rows rank last deterministically. Norms staged
+    // per side (r18) — the O(corpus × queries) pass pays dot-only.
+    val approx = codes
+      .join(broadcast(q.withColumn("_qn", vecNorm(col("q_vec")))),
+        col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
+        nanvl(cosineStaged(col("q_vec"), col("_qn"),
+          col("_recon"), col("_rn")), lit(-1d)).as("approx"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("nbr_id"))
@@ -967,6 +1035,8 @@ object SimOps extends org.apache.spark.internal.Logging {
     val assigned = withNearestCell(c, cents, "nbr_vec", "cell", None)
       .withColumn("_codes", graft.functions.PqEncode(col("nbr_vec"), books))
       .select(col("nbr_id"), col("cell"), recon.as("_recon"))
+      .select(col("nbr_id"), col("cell"), col("_recon"),
+        vecNorm(col("_recon")).as("_rn")) // staged into the index (r18)
       .transform(graft.util.GraftCache.barrier("SimOps.ivfPqTopK"))
 
     // queries rank cells on scalars (same staged form ivfTopK audits),
@@ -986,14 +1056,16 @@ object SimOps extends org.apache.spark.internal.Logging {
       .where(col("cellRank") <= nProbe)
       .select(col("cell"), col("query_id"))
     val qProbes = q.join(broadcast(probeCells), "query_id")
-      .select(col("cell"), col("query_id"), col("q_vec"))
+      .select(col("cell"), col("query_id"), col("q_vec"),
+        vecNorm(col("q_vec")).as("_qn"))
 
     // asymmetric scan of the probed cells only: approx cosine against
     // the reconstruction; NaN (zero-norm) pins to -1 = ranks last
     val approx = assigned.join(broadcast(qProbes), "cell")
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
+        nanvl(cosineStaged(col("q_vec"), col("_qn"),
+          col("_recon"), col("_rn")), lit(-1d)).as("approx"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("nbr_id"))
@@ -1075,11 +1147,16 @@ object SimOps extends org.apache.spark.internal.Logging {
     // without it the encode+dequantize chain inlines through the query
     // join and re-evaluates per (row, query) pair
     val codes = encoded.select(col("nbr_id"), recon.as("_recon"))
+      .select(col("nbr_id"), col("_recon"),
+        vecNorm(col("_recon")).as("_rn")) // staged into the index (r18)
       .transform(graft.util.GraftCache.barrier("SimOps.sqTopK"))
 
-    val approx = codes.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+    val approx = codes
+      .join(broadcast(q.withColumn("_qn", vecNorm(col("q_vec")))),
+        col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        nanvl(cosine(col("q_vec"), col("_recon")), lit(-1d)).as("approx"))
+        nanvl(cosineStaged(col("q_vec"), col("_qn"),
+          col("_recon"), col("_rn")), lit(-1d)).as("approx"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("nbr_id"))
@@ -1131,18 +1208,25 @@ object SimOps extends org.apache.spark.internal.Logging {
       col(vecCol).cast("array<double>").as("nbr_vec"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("q_vec"))
-    def project(v: Column): Column = array((0 until dims).map { p =>
-      aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), size(v) - 1), d => planeComponent(p, d)),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-    }: _*)
+    // fused native JL projection (r18): the composed form below ran
+    // `dims` interpreted aggregate/zip_with passes per row and
+    // re-derived the md5 plane components per (row × plane × dim) —
+    // ~200M md5 calls / 25 s over the 10× corpus. RpProject memoizes
+    // the components per executor (same cache as HyperplaneBuckets)
+    // and is bit-identical, null semantics included (RpProject doc,
+    // parity spec RpProjectSpec). The composed reference form:
+    //   array((0 until dims).map(p => aggregate(zip_with(v,
+    //     transform(sequence(0, size(v)-1), d => planeComponent(p, d)),
+    //     _*_), 0.0, _+_)))
+    def project(v: Column): Column = graft.functions.RpProject(v, dims)
     val cP = c.select(col("nbr_id"), project(col("nbr_vec")).as("rp"))
+      .select(col("nbr_id"), col("rp"), vecNorm(col("rp")).as("_cn"))
     val qP = q.select(col("query_id"), project(col("q_vec")).as("q_rp"))
+      .select(col("query_id"), col("q_rp"), vecNorm(col("q_rp")).as("_qn"))
     val approx = cP.join(broadcast(qP), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        nanvl(cosine(col("q_rp"), col("rp")), lit(-1d)).as("approx"))
+        nanvl(cosineStaged(col("q_rp"), col("_qn"),
+          col("rp"), col("_cn")), lit(-1d)).as("approx"))
     val wc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("nbr_id"))
@@ -1484,12 +1568,15 @@ object SimOps extends org.apache.spark.internal.Logging {
       .collect().map(_.getInt(0)).toSeq
     val assigned = spark.read.parquet(s"$root/cells")
       .where(col("cell").isin(probedCells: _*))
+      .withColumn("_cn", vecNorm(col("nbr_vec"))) // staged at scan (r18)
     val qProbes = q.join(broadcast(probeCells), "query_id")
-      .select(col("cell"), col("query_id"), col("q_vec"))
+      .select(col("cell"), col("query_id"), col("q_vec"),
+        vecNorm(col("q_vec")).as("_qn"))
     val scored = assigned.join(broadcast(qProbes), "cell")
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        nanvl(cosine(col("q_vec"), col("nbr_vec")), lit(-1d)).as("sim"))
+        nanvl(cosineStaged(col("q_vec"), col("_qn"),
+          col("nbr_vec"), col("_cn")), lit(-1d)).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("nbr_id"))

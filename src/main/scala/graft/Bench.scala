@@ -330,6 +330,79 @@ object Bench {
         }
       }
 
+    // FORKED TIER ARMS (r18, verdict item 2): the 100× spot tier and
+    // the soak run in a FRESH JVM each (TierArms scaladoc: soak
+    // merge_sec 67.7 s at the end of a full in-process bench vs 22.8 s
+    // in a fresh JVM on identical code — accumulated codegen caches /
+    // metaspace / allocator state the resetSession drain cannot
+    // return; JMH forks for the same reason). Same queries, same reps,
+    // same corpus, same JSON fields; `tier_fork` records the mode, and
+    // ANY fork failure falls back to the in-process path so the tiers
+    // are never lost. SPARK_GRAFT_TIER_FORK=0 disables.
+    val tierForkWanted = !sys.env.get("SPARK_GRAFT_TIER_FORK").contains("0")
+    var tierForkUsed = List.empty[String]
+    def forkTierJson(mainClass: String, args: Seq[String],
+        timeoutMs: Long): Option[String] =
+      try {
+        val javaBin = java.nio.file.Paths.get(
+          sys.props("java.home"), "bin", "java").toString
+        import scala.jdk.CollectionConverters._
+        val parentArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toList
+        // inherit module opens + -D flags from this JVM (what sbt's
+        // fork passed); heap is re-stated explicitly
+        val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < parentArgs.length) {
+          val a = parentArgs(i)
+          if (a == "--add-opens" || a == "--add-exports") {
+            if (i + 1 < parentArgs.length) {
+              keep += a; keep += parentArgs(i + 1); i += 1
+            }
+          } else if (a.startsWith("--add-opens=") ||
+              a.startsWith("--add-exports=") ||
+              (a.startsWith("-D") && !a.startsWith("-Dsbt"))) {
+            keep += a
+          }
+          i += 1
+        }
+        val cpusN = cpus.trim.toIntOption.getOrElse(32)
+        val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM",
+          s"${math.max(8, cpusN)}g")
+        val cmd = Seq(javaBin) ++ keep ++ Seq(s"-Xmx$xmx", "-cp",
+          sys.props("java.class.path"), mainClass) ++ args
+        val pb = new ProcessBuilder(cmd: _*) // env inherited (SPARK_GRAFT_*)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var marker: Option[String] = None
+        try {
+          var line = out.readLine()
+          while (line != null) {
+            if (line.startsWith(graft.tools.TierArms.Marker))
+              marker = Some(line.stripPrefix(graft.tools.TierArms.Marker))
+            else System.err.println(line) // pass child stdout through
+            line = out.readLine()
+          }
+        } finally out.close()
+        val done = proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        if (done && proc.exitValue() == 0 && marker.nonEmpty) {
+          tierForkUsed ::= mainClass.split('.').last
+          marker
+        } else {
+          System.err.println(s"[bench] tier fork $mainClass failed " +
+            s"(done=$done rc=${if (done) proc.exitValue() else -1} " +
+            s"marker=${marker.nonEmpty}) — falling back in-process")
+          None
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] tier fork $mainClass failed: $e — " +
+          "falling back in-process")
+        None
+      }
+
     // 100× SPOT tier (default ON; SPARK_GRAFT_SCALE100X=0 skips): one
     // decade is not enough to see a super-linear knee, so the steepest
     // headlines re-run once at 100× and report the SECOND-decade
@@ -351,81 +424,27 @@ object Bench {
         try {
           graft.tools.Scale10x.materialize(spark, sfDir, dir100, copies = 100)
           resetSession()
-          // index-backed headlines: untimed build pass (same protocol
-          // as the 10× sweep)
-          spot.filter(Set("e19_ivf_serve")).foreach { name =>
-            try { timed(byName(name)(spark, dir100)); () }
-            catch { case _: Throwable => () }
-            resetSession()
-          }
-          awaitQuiet("100x")
-          val loadavg100x = loadavg()
           // min-of-2: the r14 single-rep tier produced a phantom 3.2×
           // t24 "regression" that a quiet-machine re-run did not
-          // reproduce — one rep at this tier is unactionable
+          // reproduce — one rep at this tier is unactionable. Each spot
+          // query additionally gets one UNTIMED warm pass (TierArms
+          // doc) so `spread` measures plan noise, not page-cache state.
           val reps100 =
             sys.env.getOrElse("SPARK_GRAFT_SCALE100X_REPS", "2").toInt
-          // per-rep I/O accounting (r16 verdict item 3: t24's two
-          // committed 100× artifacts disagreed 3.7× on wall time with
-          // nothing to say whether the slow rep was I/O-bound or a plan
-          // problem — bytes next to seconds settles that)
-          val meter = new graft.tools.IoMeter
-          spark.sparkContext.addSparkListener(meter)
-          val io100 = scala.collection.mutable.LinkedHashMap
-            .empty[String, Seq[(Double, IndexedSeq[Long])]]
-          val t100 = spot.map { name =>
-            val reps = (1 to reps100).flatMap { _ =>
-              meter.reset()
-              val t0 = System.nanoTime()
-              val r = try {
-                timed(byName(name)(spark, dir100))
-                Some((System.nanoTime() - t0) / 1e9)
-              } catch { case _: Throwable => None }
-              Thread.sleep(800L) // listener-bus drain, outside the timer
-              val io = meter.snapshotMb
-              resetSession()
-              r.map(t => (t, io))
-            }
-            io100 += name -> reps
-            val times = reps.map(_._1)
-            val r =
-              if (times.nonEmpty) Right((times.min, times.max - times.min))
-              else Left(try { timed(byName(name)(spark, dir100)); "unknown" }
-                catch { case e: Throwable =>
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(200) })
+          awaitQuiet("100x")
+          val forked =
+            if (!tierForkWanted) None
+            else forkTierJson("graft.tools.Scale100xArm",
+              Seq(dir100, reps100.toString) ++
+                spot.flatMap(n => t10ByName.get(n).map(s => s"$n=$s")),
+              timeoutMs = 45L * 60 * 1000)
+          forked.getOrElse {
+            val json = graft.tools.TierArms.scale100xJson(spark, dir100,
+              spot, reps100, t10ByName, timed, () => resetSession(),
+              awaitQuiet, () => loadavg())
             resetSession()
-            name -> r
+            json
           }
-          spark.sparkContext.removeSparkListener(meter)
-          val secs = t100.map {
-            case (k, Right((s, _))) => s""""${esc(k)}":${math.rint(s * 1000) / 1000}"""
-            case (k, Left(_)) => s""""${esc(k)}":-1"""
-          }.mkString("{", ",", "}")
-          val spreads100 = t100.collect { case (k, Right((_, sp))) =>
-            s""""${esc(k)}":${math.rint(sp * 1000) / 1000}""" }
-            .mkString("{", ",", "}")
-          val exps = t100.collect {
-            case (k, Right((s, _))) if t10ByName.get(k).exists(_ > 0) =>
-              val e = math.log(s / t10ByName(k)) / math.log(10.0)
-              s""""${esc(k)}":${math.rint(e * 100) / 100}"""
-          }.mkString("{", ",", "}")
-          val errs100 = t100.collect { case (k, Left(m)) =>
-            s""""${esc(k)}":"${esc(m)}"""" }.mkString("{", ",", "}")
-          // every rep's wall time next to its byte volumes: an
-          // I/O-noise rep shows equal bytes and divergent seconds
-          val ioJson = io100.map { case (k, reps) =>
-            val arr = reps.map { case (t, io) =>
-              s"""{"sec":${math.rint(t * 1000) / 1000},"read_mb":${io(0)},""" +
-                s""""write_mb":${io(1)},"shuffle_read_mb":${io(2)},""" +
-                s""""shuffle_write_mb":${io(3)},"spill_mb":${io(4)}}"""
-            }.mkString("[", ",", "]")
-            s""""${esc(k)}":$arr"""
-          }.mkString("{", ",", "}")
-          s""""scale100x":{"dir":"${esc(dir100)}","copies":100,""" +
-            s""""reps":$reps100,"agg":"min","spread":$spreads100,""" +
-            s""""loadavg":"${esc(loadavg100x)}",""" +
-            s""""queries":$secs,"exponent_vs_10x":$exps,""" +
-            s""""io_per_rep":$ioJson,"errors":$errs100},"""
         } catch { case e: Throwable =>
           s""""scale100x":{"error":"${esc(Option(e.getMessage)
             .getOrElse(e.getClass.getName).take(200))}"},"""
@@ -449,32 +468,15 @@ object Bench {
         try {
           graft.tools.Scale10x.materialize(spark, sfDir, dir100, copies = 100)
           awaitQuiet("soak100x")
-          val whRoot = Files.createTempDirectory("graft-soak100x").toString + "/tbl"
-          val r = graft.tools.Soak100x.run(spark, dir100, whRoot)
-          resetSession()
-          def s3(d: Double) = math.rint(d * 1000) / 1000
-          s""""soak100x":{"sec":${s3(r.sec)},"append_sec":${s3(r.appendSec)},""" +
-            s""""merge_sec":${s3(r.mergeSec)},"compact_sec":${s3(r.compactSec)},""" +
-            s""""backfill_sec":${s3(r.backfillSec)},""" +
-            s""""vacuum_sec":${s3(r.vacuumSec)},"read_sec":${s3(r.readSec)},""" +
-            s""""rows_in":${r.rowsIn},"survivors":${r.survivors},""" +
-            s""""compacted_days":${r.compactedDays},""" +
-            s""""peak_jvm_heap_mb":${r.peakDriverHeapMb},""" +
-            s""""peak_driver_heap_mb":${r.retainedDriverHeapMb},""" +
-            s""""peak_unmanaged_heap_mb":${r.peakUnmanagedHeapMb},""" +
-            s""""peak_storage_pool_mb":${r.peakStoragePoolMb},""" +
-            s""""peak_execution_pool_mb":${r.peakExecutionPoolMb},""" +
-            s""""retained_by_phase":{${r.retainedByPhase
-              .map { case (p, mb) => s""""${esc(p)}":$mb""" }
-              .mkString(",")}},""" +
-            s""""heap_note":"peak_driver_heap_mb = max over phase-""" +
-            s"""boundary post-GC samples of (live heap minus Spark """ +
-            s"""storage+execution pools) — the LIVE driver-attributable """ +
-            s"""state (manifests/blooms/collects). peak_jvm_heap_mb and """ +
-            s"""peak_unmanaged_heap_mb are continuous 50 ms samples and """ +
-            s"""are garbage-inflated in local mode (rare GC on a 128 GB """ +
-            s"""heap): allocation ceilings, not live sets",""" +
-            s""""bulk_path_engaged":${r.bulkPathEngaged}},"""
+          val forked =
+            if (!tierForkWanted) None
+            else forkTierJson("graft.tools.SoakArm", Seq(dir100),
+              timeoutMs = 30L * 60 * 1000)
+          forked.getOrElse {
+            val json = graft.tools.TierArms.soak100xJson(spark, dir100)
+            resetSession()
+            json
+          }
         } catch { case e: Throwable =>
           resetSession()
           s""""soak100x":{"error":"${esc(Option(e.getMessage)
@@ -498,7 +500,19 @@ object Bench {
         s"""compare the scale10x/scale100x/soak blocks across cpu """ +
         s"""arms instead. Heap now scales with the thread count """ +
         s"""(build.sbt defaultDriverMem) so those tiers measure the """ +
-        s"""plan, not the allocator",""" +
+        s"""plan, not the allocator. r18: each 100x spot query gets """ +
+        s"""ONE untimed warm pass before its timed reps (the 1x-tier """ +
+        s"""warm protocol) — the min estimator is unchanged (min-of-N """ +
+        s"""already absorbed the cold rep) but spread now measures """ +
+        s"""plan noise, not page-cache state — and the scale100x/soak """ +
+        s"""arms run in a FRESH JVM each (tier_fork; JMH-style fork """ +
+        s"""hygiene: a ~25-min in-process bench accumulates codegen/""" +
+        s"""metaspace/allocator state the inter-query drain cannot """ +
+        s"""return — soak merge 67.7s in-bench vs 22.8s fresh-JVM on """ +
+        s"""identical code; same queries/reps/corpus either way and """ +
+        s"""any fork failure falls back in-process)",""" +
+        s""""tier_fork":[${tierForkUsed.reverse
+          .map(t => s""""${esc(t)}"""").mkString(",")}],""" +
         s""""loadavg_1x":"${esc(loadavg1x)}",""" +
         s""""load_gate":{"threshold":$loadGateThreshold,""" +
         s""""waits":$loadGateWaits,"timeouts":[${loadGateTimeouts

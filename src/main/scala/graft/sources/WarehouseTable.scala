@@ -573,7 +573,8 @@ final class WarehouseTable private (
       // dirs pre-existed, and the batch's on-disk size — all free FS
       // metadata — so bloom maintenance needs no day-discovery job
       val (myFiles, preExisting, stagedBytes, stagedRowsOrOver, landing) =
-        writeStagedInto(clusteredWrite(routed))
+        WarehouseTable.prof("append.writeStaged") {
+          writeStagedInto(clusteredWrite(routed)) }
       // blooms BEFORE the commit: a concurrent merge must never probe a
       // committed version whose new keys its day blooms don't cover.
       // Micro-batch-sized appends collect raw (day, hash) pairs off the
@@ -598,9 +599,10 @@ final class WarehouseTable private (
       // key-deleting commit lands at exactly readBase+1 (stamp would
       // hide its tightness loss). readBase never overstates; the
       // restamp below bumps it to the version actually finalized.
-      upsertBlooms(dayBlooms, preExisting, readBase)
+      WarehouseTable.prof("append.blooms") {
+        upsertBlooms(dayBlooms, preExisting, readBase) }
       if (myFiles.nonEmpty) {
-        val committedV =
+        val committedV = WarehouseTable.prof("append.commit") {
           try commitSnapshot("append", myFiles, readBase + 1)
           catch {
           case e: WarehouseTable.CommitIndeterminateException =>
@@ -618,8 +620,9 @@ final class WarehouseTable private (
             deleteLanded(myFiles)
             releaseLandingMarker(landing)
             throw e
-        }
-        restampBlooms(myFiles.keys.toSeq.sorted, committedV, readBase)
+        } }
+        WarehouseTable.prof("append.restamp") {
+          restampBlooms(myFiles.keys.toSeq.sorted, committedV, readBase) }
       }
       releaseLandingMarker(landing)
       expireOldPartitions()
@@ -901,11 +904,12 @@ final class WarehouseTable private (
       // where nothing per-row ever crosses the driver.
       val hashGate = math.min(
         WarehouseTable.appendHashCollectMaxRows, (Int.MaxValue - 1).toLong)
-      val dayHash = probe.limit(hashGate.toInt + 1).collect()
+      val dayHash = WarehouseTable.prof("merge.probeCollect") {
+        probe.limit(hashGate.toInt + 1).collect() }
       if (dayHash.isEmpty) return Seq.empty // nothing staged → nothing to rewrite
       val bulk = dayHash.length > hashGate
       val (srcRows, batchDays, candDays, liveDayHashes) =
-        if (!bulk) {
+        if (!bulk) WarehouseTable.prof("merge.candidateDays") {
           val keyHashes = dayHash.map(_.getLong(1)).distinct
           // live (non-tombstone) hashes per slice day: exactly the keys
           // the merge could INSERT into that day — tombstones never
@@ -923,11 +927,14 @@ final class WarehouseTable private (
           // rebuilt EXACT from the staging output below instead of a
           // per-row driver union
           WarehouseTable.bulkMergePaths.incrementAndGet()
-          val dayCounts = probe.groupBy(col("d")).agg(count(lit(1)).as("n")).collect()
+          val dayCounts = WarehouseTable.prof("merge.bulk.dayCounts") {
+            probe.groupBy(col("d")).agg(count(lit(1)).as("n")).collect() }
           val rows = dayCounts.map(_.getLong(1)).sum
           val bd = dayCounts.map(_.getString(0)).filter(_ != null).toSeq
           val srcKeys = src.select(keyFields.map(f => col(s"key.$f").as(f)): _*)
-          (rows, bd, exactCandidateDays(srcKeys, bd), Map.empty[String, Array[Long]])
+          val cand = WarehouseTable.prof("merge.bulk.candidateDays") {
+            exactCandidateDays(srcKeys, bd) }
+          (rows, bd, cand, Map.empty[String, Array[Long]])
         }
       val days = (batchDays ++ candDays).distinct.sorted
 
@@ -954,15 +961,18 @@ final class WarehouseTable private (
         (readBase + 1) % WarehouseTable.bloomRebuildEvery != 0 &&
         !days.exists(bloomNeedsHeal)
       if (fileGranular) {
-        val (merged, matchedFiles) = mergeFileGranularPlan(days, src, delete, snap)
+        val (merged, matchedFiles) = WarehouseTable.prof("merge.fgPlan") {
+          mergeFileGranularPlan(days, src, delete, snap) }
         val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
         val preExisting = days.filter(d =>
           fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
-        guardStaleRead(clusteredWrite(merged).write
-          .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+        WarehouseTable.prof("merge.stagingWrite") {
+          guardStaleRead(clusteredWrite(merged).write
+            .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)) }
         val stagedFiles = stagedDayFiles(staging)
         val affected = (matchedFiles.keySet ++ stagedFiles.keySet).toSeq.sorted
-        val v = claimCommit("merge", days, readBase + 1)
+        val v = WarehouseTable.prof("merge.claim") {
+          claimCommit("merge", days, readBase + 1) }
         // carry-forward base AFTER winning the claim, from the exact
         // manifest finalize will rebase on: reading readBase's manifest
         // earlier would race a concurrent vacuum (retention shorter
@@ -976,12 +986,16 @@ final class WarehouseTable private (
           d -> (base.getOrElse(d, Seq.empty).filterNot(gone.contains) ++
             stagedFiles.getOrElse(d, Seq.empty))
         }.toMap
-        swapFilesGranular(staging,
-          affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v)
-        unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
-        finalizeCommit("merge", affected, v, newDayFiles)
-        expireOldPartitions()
-        autoVacuum()
+        WarehouseTable.prof("merge.swap") {
+          swapFilesGranular(staging,
+            affected.map(d => d -> matchedFiles.getOrElse(d, Seq.empty)).toMap, v) }
+        WarehouseTable.prof("merge.blooms") {
+          unionBloomsAfterSwap(days, liveDayHashes, preExisting, v) }
+        WarehouseTable.prof("merge.finalize") {
+          finalizeCommit("merge", affected, v, newDayFiles)
+          expireOldPartitions()
+          autoVacuum()
+        }
         return days
       }
       val dest = readCommitted(days, snap)
@@ -995,8 +1009,9 @@ final class WarehouseTable private (
       val staging = s"$root/.merge-${UUID.randomUUID().toString.take(8)}"
       val preExisting = days.filter(d =>
         fs.exists(new Path(s"$dataPath/$partitionCol=$d"))).toSet
-      guardStaleRead(clusteredWrite(merged).write
-        .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging))
+      WarehouseTable.prof("merge.wholeDay.stagingWrite") {
+        guardStaleRead(clusteredWrite(merged).write
+          .mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)) }
       val stagedFiles = stagedDayFiles(staging)
       // exact blooms from the PRIVATE staging dir, computed BEFORE the
       // claim (stagedExactBlooms doc), on the periodic tightening
@@ -1010,10 +1025,12 @@ final class WarehouseTable private (
       val exactBlooms =
         if (bulk || (readBase + 1) % WarehouseTable.bloomRebuildEvery == 0 ||
             days.exists(bloomNeedsHeal))
-          Some(stagedExactBlooms(staging))
+          Some(WarehouseTable.prof("merge.wholeDay.exactBlooms") {
+            stagedExactBlooms(staging) })
         else None
       val v = claimCommit("merge", days, readBase + 1)
-      swapPartitions(staging, days, v)
+      WarehouseTable.prof("merge.wholeDay.swap") {
+        swapPartitions(staging, days, v) }
       exactBlooms match {
         case Some(bs) => writeExactBlooms(days, bs, v)
         case None => unionBloomsAfterSwap(days, liveDayHashes, preExisting, v)
@@ -1084,7 +1101,8 @@ final class WarehouseTable private (
       .select(keyFields.map(f => col(s"d.`$f`").as(f)) :+
         col(s"d.$partitionCol").as(partitionCol) :+
         col(s"d.$partitionCol").cast("string").as("_gday") :+ col("_gfile"): _*)
-    val touchedRows = guardStaleRead(touchedPlan.collect())
+    val touchedRows = WarehouseTable.prof("merge.fgPlan.touchedCollect") {
+      guardStaleRead(touchedPlan.collect()) }
     val touched = spark.createDataFrame(
       java.util.Arrays.asList(touchedRows: _*), touchedPlan.schema)
     // driver-side dedup of the (day, file) pairs: batch-bounded, and a
@@ -4444,6 +4462,24 @@ final case class MergeIntoInsert(cond: Option[Column],
     assigns: Map[String, Column]) extends MergeIntoClause
 
 object WarehouseTable {
+
+  /** Flush-phase wall-clock attribution (r18): `GRAFT_WH_PROF=1` makes
+    * [[WarehouseTable.prof]] print one stderr line per instrumented
+    * phase of append/merge — the between-jobs driver time ProfileS6's
+    * job listener cannot attribute. Unset (production/bench), the
+    * check is one static boolean and the phases run untouched.
+    */
+  private[sources] val profEnabled: Boolean =
+    sys.env.get("GRAFT_WH_PROF").exists(_ != "0")
+  private[sources] def prof[T](label: String)(body: => T): T =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[wh-prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
 
   /** 4-byte magic prefixing every format-2 bloom file ("GFB2"). */
   private[sources] val BloomMagic: Array[Byte] = "GFB2".getBytes("UTF-8")
